@@ -1,0 +1,132 @@
+"""Parse Debezium-style change-event JSON into typed rows.
+
+Covers the three ``decimal.handling.mode`` wire shapes
+(``/root/reference/README.md:342-347``) and stringly-typed
+timestamps/decimals produced by ``json.dumps(tx, default=str)``
+(``/root/reference/transaction_producer.py:46-47``).
+
+Everything here is pure column expressions — the parse runs inside
+whole-stage codegen on the JVM; no Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.schemas import AMOUNT_TYPE, envelope_schema
+
+_TWO_POW_64 = "18446744073709551616"  # 2^64 as decimal literal
+
+
+def _precise_to_decimal(wire: Column) -> Column:
+    """Debezium precise mode: base64 big-endian two's-complement + scale.
+
+    Decode path: unbase64 -> hex -> unsigned conv -> two's-complement sign
+    fix (subtract 2^64 when the top bit of the sign-extended 8-byte value
+    is set) -> unscaled / 10^scale.  Handles negative values correctly
+    (``/root/reference/README.md:270-274`` shows only positives, but the
+    wire format is signed).
+    """
+    hexs = F.lower(F.hex(F.unbase64(wire.getField("value"))))
+    negative = F.substring(hexs, 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f")
+    padded = F.lpad(hexs, 16, F.when(negative, F.lit("f")).otherwise(F.lit("0")))
+    unsigned = F.conv(padded, 16, 10).cast("decimal(38,0)")
+    unscaled = F.when(negative, unsigned - F.expr(f"cast({_TWO_POW_64} as decimal(38,0))")).otherwise(
+        unsigned
+    )
+    # 10^scale as decimal; scale is tiny (0..9) so this is exact
+    pow10 = F.pow(F.lit(10.0), wire.getField("scale")).cast("decimal(38,9)")
+    return (unscaled.cast("decimal(38,9)") / pow10).cast(AMOUNT_TYPE)
+
+
+def decode_amount(wire: Column, decimal_mode: str) -> Column:
+    """Wire-shape amount -> DecimalType(18,2), per mode (SURVEY.md 1.4.1)."""
+    if decimal_mode == "precise":
+        return _precise_to_decimal(wire)
+    if decimal_mode == "string":
+        return wire.try_cast(AMOUNT_TYPE)  # malformed -> null, not ANSI error
+    if decimal_mode == "double":
+        # documented precision caveat: double transit may lose ulps; round
+        # to the declared scale on the way back in.
+        return F.round(wire, 2).cast(AMOUNT_TYPE)
+    raise ValueError(f"unknown decimal_mode {decimal_mode!r}")
+
+
+def _decode_ts(wire: Column) -> Column:
+    """Wire timestamp (string 'yyyy-MM-dd HH:mm:ss', ISO, or epoch seconds)
+    -> TimestampType, UTC session zone."""
+    return F.coalesce(
+        F.try_to_timestamp(wire),
+        F.timestamp_seconds(wire.try_cast("double")),
+    )
+
+
+def _decode_image(img: Column, decimal_mode: str) -> Column:
+    """Typed row image from the wire image struct."""
+    fields = []
+    for name in (
+        "transaction_id user_id timestamp amount currency city country "
+        "merchant_name payment_method ip_address voucher_code affiliate_id"
+    ).split():
+        if name == "amount":
+            fields.append(decode_amount(img.getField("amount"), decimal_mode).alias("amount"))
+        elif name == "timestamp":
+            fields.append(_decode_ts(img.getField("timestamp")).alias("timestamp"))
+        else:
+            fields.append(img.getField(name).alias(name))
+    return F.when(img.isNull(), F.lit(None)).otherwise(F.struct(*fields))
+
+
+def parse_envelope(
+    df: DataFrame,
+    decimal_mode: str = "string",
+    value_col: str = "value",
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """Kafka-shaped ``value`` (JSON string/bytes) -> typed change rows.
+
+    Output columns: ``key`` (string), ``op`` (c|u|d|r), ``ts_ms``, ``lsn``,
+    ``before``/``after`` (typed structs, amount=DecimalType(18,2)).
+    Malformed JSON yields null structs; set ``keep_corrupt`` to retain the
+    raw payload in ``_corrupt`` for a dead-letter sink — log-and-skip is
+    the reference behavior (``/root/reference/transaction_consumer.py:79-81``).
+    """
+    schema = envelope_schema(decimal_mode)
+    raw = F.col(value_col).cast("string")
+    parsed = df.withColumn("_env", F.from_json(raw, schema))
+    env = F.col("_env")
+    key = (
+        F.col("key").cast("string")
+        if "key" in df.columns
+        else F.coalesce(
+            env.getField("after").getField("transaction_id"),
+            env.getField("before").getField("transaction_id"),
+        )
+    )
+    out = parsed.select(
+        key.alias("key"),
+        env.getField("op").alias("op"),
+        env.getField("ts_ms").alias("ts_ms"),
+        env.getField("source").getField("lsn").alias("lsn"),
+        _decode_image(env.getField("before"), decimal_mode).alias("before"),
+        _decode_image(env.getField("after"), decimal_mode).alias("after"),
+        # from_json in PERMISSIVE mode yields an all-null row (not a null
+        # struct) for malformed input — detect that shape.
+        *(
+            [
+                F.when(
+                    env.isNull()
+                    | (
+                        env.getField("op").isNull()
+                        & env.getField("before").isNull()
+                        & env.getField("after").isNull()
+                    ),
+                    raw,
+                ).alias("_corrupt")
+            ]
+            if keep_corrupt
+            else []
+        ),
+    )
+    return out

@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for this engine.
+
+Local tests run on ``local[N]``; the configuration below is chosen so the
+same logical plans scale to a multi-executor cluster at ~100 TB:
+
+- AQE on (runtime join-strategy switch, skew-join splitting, partition
+  coalescing) so the plan adapts when real statistics arrive at scale.
+- UTC session timezone: the reference round-trips timestamps through the
+  local zone (``/root/reference/main.py:74``); we deliberately fix UTC for
+  deterministic semantics (SURVEY.md section 1.4.2).
+- Arrow enabled for every pandas-UDF boundary.
+- shuffle partitions default small for local runs; at cluster scale AQE
+  coalesces from a high initial number, so production configs should set
+  ``spark.sql.shuffle.partitions`` ~ 2-3x total cores and let AQE trim.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def get_spark(
+    app_name: str = "realtime-change-data-capture-streaming-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults applied."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

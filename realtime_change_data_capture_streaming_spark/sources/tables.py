@@ -1,0 +1,54 @@
+"""Analytics-table scans (operator S1 family).
+
+The reference's only batch scan is ``SELECT * FROM transactions LIMIT n``
+over JDBC (``/root/reference/transaction_producer.py:33-39``); here the
+equivalent is a parquet scan whose LIMIT / filters / projections Catalyst
+pushes into the file source.  At 100 TB these tables would be
+partitioned/bucketed parquet or Delta on object storage — the reader code
+is identical, only the path changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at *any* scale factor — at
+#: TPC-H geometry region/nation are constant-size and supplier/part/customer
+#: grow far slower than lineitem/orders.  Used by operators to hint
+#: ``F.broadcast`` where Catalyst's size estimate may be unavailable.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so ``spark.sql`` queries can run."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scan_with_limit(spark: SparkSession, sf_dir: str, name: str, limit: int = 50) -> DataFrame:
+    """S1 equivalent: bounded scan; Catalyst plans a GlobalLimit over the
+    file scan instead of reading the table (``transaction_producer.py:35``)."""
+    return load_table(spark, sf_dir, name).limit(limit)

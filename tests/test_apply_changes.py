@@ -1,0 +1,71 @@
+"""Effectively-once apply-changes semantics (SURVEY.md sections 3.3, 5).
+
+Property: sink state is identical under replay + duplication + within-key
+reorder — the guarantee the reference gets from `startingOffsets=earliest`
+(`transaction_consumer.py:10`) + PK conflict dedup (`:88`).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.cdc import apply_changes_batch, parse_envelope
+from realtime_change_data_capture_streaming_spark.cdc.apply_changes import BucketedParquetSink
+from realtime_change_data_capture_streaming_spark.sources import synthetic_change_events
+
+
+def _sorted_rows(df, cols=("transaction_id", "amount")):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+@pytest.fixture(scope="module")
+def parsed_events(spark):
+    events = synthetic_change_events(spark, 200, updates_per_key=2, delete_every=10, seed=7)
+    return parse_envelope(events, decimal_mode="string").cache()
+
+
+def test_apply_changes_latest_wins(spark, parsed_events):
+    final = apply_changes_batch(parsed_events)
+    n_keys = parsed_events.select("key").distinct().count()
+    n_deleted = parsed_events.filter("op = 'd'").select("key").distinct().count()
+    assert final.count() == n_keys - n_deleted
+    # latest update multiplies base amount by 1.2 — every survivor must
+    # carry the _v=2 image, i.e. amount == round(base*1.2, 2)
+    base = parse_envelope(
+        synthetic_change_events(spark, 200, updates_per_key=0, delete_every=0, seed=7), "string"
+    ).select(F.col("key"), F.col("after.amount").alias("base_amount"))
+    joined = final.join(base, final["transaction_id"] == base["key"])
+    bad = joined.filter(
+        F.col("amount")
+        != F.round(F.col("base_amount").cast("double") * 1.2, 2).cast("decimal(18,2)")
+    )
+    assert bad.count() == 0
+
+
+def test_effectively_once_under_replay_dup_reorder(spark, parsed_events):
+    baseline = _sorted_rows(apply_changes_batch(parsed_events))
+    # duplicate everything twice (replay), then shuffle ordering by a
+    # repartition+sort on an unrelated column (within-key reorder of arrival)
+    chaos = (
+        parsed_events.unionAll(parsed_events)
+        .unionAll(parsed_events.limit(137))
+        .repartition(13)
+        .sortWithinPartitions(F.reverse(F.col("key")))
+    )
+    assert _sorted_rows(apply_changes_batch(chaos)) == baseline
+
+
+def test_bucketed_sink_incremental_merge(spark, parsed_events, tmp_path):
+    """Merging in two halves == merging all at once; re-merge is a no-op."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "sink"), n_buckets=8)
+    first = parsed_events.filter(F.col("lsn") % 2 == 0)
+    second = parsed_events.filter(F.col("lsn") % 2 == 1)
+    sink.merge(first)
+    sink.merge(second)
+    want = _sorted_rows(apply_changes_batch(parsed_events))
+    got = _sorted_rows(sink.read())
+    assert got == want
+    # replay second batch (foreachBatch redelivery) — idempotent
+    sink.merge(second)
+    assert _sorted_rows(sink.read()) == want

@@ -1,0 +1,87 @@
+"""Decimal wire modes, envelope parse, encode/decode round-trip.
+
+Covers SURVEY.md section 1.4: three decimal decode paths, stringly-typed
+timestamps, empty-string-vs-null voucher codes.
+"""
+
+from __future__ import annotations
+
+import json
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.cdc import decode_amount, encode_amount, parse_envelope
+from realtime_change_data_capture_streaming_spark.schemas import DECIMAL_MODES
+from realtime_change_data_capture_streaming_spark.sources import synthetic_change_events
+
+
+@pytest.mark.parametrize("mode", DECIMAL_MODES)
+def test_amount_roundtrip(spark, mode):
+    vals = ["0.00", "0.01", "-0.01", "459.38", "-459.38", "123456789.99", "-123456789.99", "10.00", "999.99"]
+    df = spark.createDataFrame([(v,) for v in vals], "raw string").select(
+        F.col("raw").cast("decimal(18,2)").alias("amount")
+    )
+    out = df.select(
+        F.col("amount"),
+        decode_amount(encode_amount(F.col("amount"), mode), mode).alias("decoded"),
+    ).collect()
+    for row in out:
+        assert row["decoded"] == row["amount"], (mode, row)
+
+
+def test_precise_mode_known_vector(spark):
+    # README.md:270-274: {"scale": 2, "value": "AAAB9A=="} == 5.00
+    # base64 AAAB9A== = bytes 00 00 01 f4 = 500 unscaled, scale 2.
+    df = spark.createDataFrame([(2, "AAAB9A==")], "scale int, value string")
+    out = df.select(decode_amount(F.struct("scale", "value"), "precise").alias("a")).collect()
+    assert out[0]["a"] == Decimal("5.00")
+
+
+@pytest.mark.parametrize("mode", DECIMAL_MODES)
+def test_parse_envelope_modes(spark, mode):
+    events = synthetic_change_events(spark, 50, updates_per_key=2, decimal_mode=mode)
+    parsed = parse_envelope(events, decimal_mode=mode)
+    rows = parsed.collect()
+    assert len(rows) > 100  # 50 keys * 3 versions + deletes
+    for r in rows:
+        assert r["op"] in ("c", "u", "d")
+        if r["op"] != "d":
+            assert r["after"]["amount"] is not None
+            assert str(r["after"]["amount"].as_tuple().exponent) == "-2"
+        if r["op"] == "u":
+            assert r["before"] is not None
+    # empty-string voucher codes survive the JSON hop as "", not null
+    non_null = parsed.filter("after is not null").select("after.voucher_code").collect()
+    assert any(v["voucher_code"] == "" for v in non_null)
+    assert all(v["voucher_code"] is not None for v in non_null)
+
+
+def test_parse_envelope_corrupt_records(spark):
+    good = json.dumps(
+        {
+            "before": None,
+            "after": {"transaction_id": "t1", "amount": "10.00", "timestamp": "2026-01-01 00:00:00"},
+            "op": "c",
+            "ts_ms": 1,
+            "source": {"lsn": 1, "table": "transactions", "db": "d"},
+        }
+    )
+    df = spark.createDataFrame([("t1", good), ("t2", "{not json")], "key string, value string")
+    parsed = parse_envelope(df, "string", keep_corrupt=True)
+    rows = {r["key"]: r for r in parsed.collect()}
+    assert rows["t1"]["after"]["amount"] == Decimal("10.00")
+    assert rows["t1"]["_corrupt"] is None
+    assert rows["t2"]["_corrupt"] is not None
+
+
+def test_timestamp_decode_epoch_and_string(spark):
+    df = spark.createDataFrame(
+        [("2026-01-01 00:00:10",), ("1767225610",)], "timestamp string"
+    ).select(F.struct("timestamp").alias("img"))
+    from realtime_change_data_capture_streaming_spark.cdc.decode import _decode_ts
+
+    out = df.select(_decode_ts(F.col("img.timestamp")).alias("ts")).collect()
+    assert out[0]["ts"] is not None
+    assert out[1]["ts"] is not None
