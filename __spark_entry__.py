@@ -3,36 +3,87 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implemented queries live in the ``realtime_change_data_capture_streaming_spark`` package
+(operators/, functions/, llm_ops/); this module only aggregates them.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    TPC-H Q3-style shipping-priority query: selective dimension filter,
+    broadcast dim join, fact-fact shuffle join, aggregate, top-k.
+    """
+    from realtime_change_data_capture_streaming_spark.operators.tpch import q3_shipping_priority
+
+    return q3_shipping_priority(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 / §2.5."""
+    from realtime_change_data_capture_streaming_spark import operators
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(operators.all_queries())
+    try:
+        from realtime_change_data_capture_streaming_spark import functions as fns
+
+        out.update(fns.all_queries())
+    except ImportError:
+        pass
+    try:
+        from realtime_change_data_capture_streaming_spark import llm_ops
+
+        out.update(llm_ops.all_queries())
+    except ImportError:
+        pass
+    try:
+        from realtime_change_data_capture_streaming_spark import streaming as stm
+
+        out.update(stm.all_queries())
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable oracle SQL per query (same rows, same column names).
+
+    Queries absent here (sketch/LSH/stateful ops) get the driver's
+    rows-only check.
     """
-    return {}
+    from realtime_change_data_capture_streaming_spark import operators
+
+    out: dict[str, str] = {}
+    out.update(operators.all_oracles())
+    try:
+        from realtime_change_data_capture_streaming_spark import functions as fns
+
+        out.update(fns.all_oracles())
+    except ImportError:
+        pass
+    try:
+        from realtime_change_data_capture_streaming_spark import llm_ops
+
+        out.update(llm_ops.all_oracles())
+    except ImportError:
+        pass
+    try:
+        from realtime_change_data_capture_streaming_spark import streaming as stm
+
+        out.update(stm.all_oracles())
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,37 @@
+"""Oracle-parity helpers.
+
+The driver hash-compares our Spark results against DuckDB on the same
+parquet.  Floating-point aggregation order differs between engines, so raw
+``SUM(double)`` is not reproducible.  All measure columns in the fixtures
+are exactly-2-decimal doubles (verified against sf0.01), so the lossless,
+engine-independent strategy is:
+
+    double --cast--> DECIMAL(18,2) --exact sum--> DECIMAL --cast--> double
+
+Exact decimal arithmetic is associative/commutative, so partial aggregation
+(map-side combine) stays enabled and the final double is bit-identical on
+any engine and any partitioning — including a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+D2 = "decimal(18,2)"
+
+
+def dec(col: str | Column, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal(18,{scale})")
+
+
+def dsum(col: str | Column, scale: int = 2) -> Column:
+    """Exact decimal sum rendered as double (deterministic cross-engine)."""
+    return F.sum(dec(col, scale)).cast("double")
+
+
+def davg(col: str | Column, scale: int = 2) -> Column:
+    """Deterministic mean: exact decimal sum -> double, divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, scale)).cast("double") / F.count(c)

@@ -1,0 +1,330 @@
+"""Join variants, window functions, sort/top-k, set operations.
+
+Fills SURVEY.md section 2.5's relational inventory (the reference itself
+has no joins/aggregations/windows).  Scale notes inline per operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.operators._util import dec, dsum
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers that have at least one urgent open order.
+    Semi-join shuffles only the key column of the probe side — far cheaper
+    than join+distinct at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderstatus = 'O' AND o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER + agg: order count / total spend per customer, keeping
+    zero-order customers.  Aggregate the fact side BEFORE the join — at
+    100 TB, pre-aggregation shrinks the shuffle by orders of magnitude and
+    turns the join into small⋈small."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total_spend"))
+    )
+    return cust.join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+    )
+
+
+JOIN_OUTER_SQL = """
+SELECT c_custkey, c_name,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(total_spend, 0.0) AS total_spend
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+  FROM orders GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+def join_full_outer_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of customer-count and supplier-count per nation."""
+    c = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = load_table(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return c.join(s, c["c_nationkey"] == s["s_nationkey"], "full_outer").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )
+
+
+JOIN_FULL_OUTER_SQL = """
+SELECT COALESCE(c.k, s.k) AS nationkey,
+       COALESCE(c.n_customers, 0) AS n_customers,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers
+FROM (SELECT c_nationkey AS k, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+ON c.k = s.k
+"""
+
+
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: for each order, count lineitems shipped
+     60-90 days after the order date.  Equi part (orderkey) carries the
+    shuffle; the range predicate is evaluated post-match, so this stays a
+    hash join, not a cartesian."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(
+        orders,
+        (li["l_orderkey"] == orders["o_orderkey"])
+        & (li["l_shipdate"] >= F.date_add(orders["o_orderdate"], 60))
+        & (li["l_shipdate"] < F.date_add(orders["o_orderdate"], 90)),
+    )
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_late_ships"))
+
+
+JOIN_RANGE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_late_ships
+FROM lineitem JOIN orders
+  ON l_orderkey = o_orderkey
+ AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
+ AND l_shipdate <  o_orderdate + INTERVAL 90 DAY
+GROUP BY o_orderpriority
+"""
+
+
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: 3 most expensive orders per customer.
+
+    row_number over (custkey, price desc, orderkey) — the unique tiebreak
+    makes the result deterministic.  At scale this is the standard single
+    shuffle + per-partition sort; no driver involvement."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+WINDOW_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over supplier account balances."""
+    sup = load_table(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return sup.select(
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT s_suppkey, s_acctbal,
+       CAST(RANK() OVER w AS BIGINT) AS bal_rank,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
+       CAST(NTILE(4) OVER w AS BIGINT) AS bal_quartile
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC)
+"""
+
+
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead: days since a customer's previous order (event sequence
+    analytics — same shape as sessionization at 100 TB)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate", 1).over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(DATE_DIFF('day', LAG(o_orderdate, 1) OVER w, o_orderdate) AS BIGINT) AS days_since_prev,
+       LEAD(o_orderkey, 1) OVER w AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total of spend per customer (unbounded-preceding frame).
+    Decimal arithmetic keeps every prefix sum exact -> cross-engine stable."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+            (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+def sort_topn_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: TakeOrderedAndProject — per-partition heaps, driver
+    merges N*partitions rows; never a full sort at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(25)
+    )
+
+
+SORT_TOPN_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 25
+"""
+
+
+def set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over nation-key sets of customers vs
+    suppliers, tagged per set-op."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).withColumn("op", F.lit("both"))
+    cust_only = c.subtract(s).withColumn("op", F.lit("customer_only"))  # EXCEPT DISTINCT
+    all_n = c.union(s).distinct().withColumn("op", F.lit("union"))
+    return both.unionByName(cust_only).unionByName(all_n)
+
+
+SET_OPS_SQL = """
+SELECT nationkey, 'both' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'customer_only' AS op FROM
+  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+   EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+UNION ALL
+SELECT nationkey, 'union' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+"""
+
+
+def distinct_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to two-phase aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_distinct_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+DISTINCT_COUNT_SQL = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct_customers,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def approx_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct — the 100 TB path for cardinality
+    (single pass, fixed memory).  Sketch internals differ per engine, so
+    the driver records a rows-only check (no oracle entry)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    )
+
+
+QUERIES = {
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_outer_counts": join_outer_counts,
+    "join_full_outer_nations": join_full_outer_nations,
+    "join_range_theta": join_range_theta,
+    "window_topk_per_group": window_topk_per_group,
+    "window_rank_dense_ntile": window_rank_dense_ntile,
+    "window_lag_lead": window_lag_lead,
+    "window_running_sum": window_running_sum,
+    "sort_topn_global": sort_topn_global,
+    "set_ops_nations": set_ops_nations,
+    "distinct_count_exact": distinct_count_exact,
+    "approx_count_distinct_hll": approx_count_distinct_hll,
+}
+
+ORACLE = {
+    "join_semi": JOIN_SEMI_SQL,
+    "join_anti": JOIN_ANTI_SQL,
+    "join_outer_counts": JOIN_OUTER_SQL,
+    "join_full_outer_nations": JOIN_FULL_OUTER_SQL,
+    "join_range_theta": JOIN_RANGE_SQL,
+    "window_topk_per_group": WINDOW_TOPK_SQL,
+    "window_rank_dense_ntile": WINDOW_RANK_SQL,
+    "window_lag_lead": WINDOW_LAG_SQL,
+    "window_running_sum": WINDOW_RUNNING_SQL,
+    "sort_topn_global": SORT_TOPN_SQL,
+    "set_ops_nations": SET_OPS_SQL,
+    "distinct_count_exact": DISTINCT_COUNT_SQL,
+    # approx_count_distinct_hll: sketch-based, engine-specific -> rows-only
+}

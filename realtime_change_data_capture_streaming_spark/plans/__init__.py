@@ -1,0 +1,17 @@
+"""plans package."""
+
+_MODULES = ()
+
+
+def all_queries():
+    out = {}
+    for mod in _MODULES:
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for mod in _MODULES:
+        out.update(mod.ORACLE)
+    return out

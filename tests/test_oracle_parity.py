@@ -1,0 +1,96 @@
+"""Mirror of the driver's correctness gate: every queries() entry with an
+oracle must produce identical rows to the DuckDB oracle SQL.
+
+Compare = row count + column names + cell-exact values after sorting rows
+(order-insensitive), with timestamps normalized to microseconds.  Run at
+sf0.001 by default for speed; set PARITY_SF_DIR=/root/testdata/sf0.01 to
+run the driver-scale check.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
+    return df
+
+
+def _assert_equal(name: str, got: pd.DataFrame, want: pd.DataFrame):
+    assert list(sorted(got.columns)) == list(sorted(want.columns)), (
+        f"{name}: column mismatch {sorted(got.columns)} vs {sorted(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    g, w = _normalize(got), _normalize(want)
+    for c in g.columns:
+        gc, wc = g[c], w[c]
+        if pd.api.types.is_float_dtype(gc) or pd.api.types.is_float_dtype(wc):
+            ga = gc.astype(float).to_numpy()
+            wa = wc.astype(float).to_numpy()
+            both_nan = pd.isna(ga) & pd.isna(wa)
+            exact = ga == wa
+            bad = ~(both_nan | exact)
+            if bad.any():
+                i = int(bad.argmax())
+                raise AssertionError(
+                    f"{name}.{c}: value mismatch at sorted row {i}: {ga[i]!r} vs {wa[i]!r} "
+                    f"(diff {abs(ga[i] - wa[i]) if not (math.isnan(ga[i]) or math.isnan(wa[i])) else 'nan'})"
+                )
+        else:
+            eq = (gc.isna() & wc.isna()) | (gc == wc)
+            if not eq.all():
+                i = int((~eq).idxmax())
+                raise AssertionError(f"{name}.{c}: mismatch at sorted row {i}: {gc[i]!r} vs {wc[i]!r}")
+
+
+ALL_QUERIES = entry_mod.queries()
+ALL_ORACLES = entry_mod.oracle_sql()
+
+
+def test_every_oracle_has_query():
+    missing = set(ALL_ORACLES) - set(ALL_QUERIES)
+    assert not missing, f"oracle entries without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ALL_ORACLES))
+def test_parity(spark, duck, name):
+    got = ALL_QUERIES[name](spark, SF_DIR).toPandas()
+    want = duck.execute(ALL_ORACLES[name]).df()
+    _assert_equal(name, got, want)
+
+
+@pytest.mark.parametrize("name", sorted(set(ALL_QUERIES) - set(ALL_ORACLES)))
+def test_rows_only(spark, name):
+    df = ALL_QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0  # runs without error, stable schema
+    assert len(df.schema.fields) > 0
