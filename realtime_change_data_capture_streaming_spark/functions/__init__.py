@@ -1,6 +1,8 @@
-"""functions package."""
+"""Scalar function library coverage (SURVEY.md section 2.5)."""
 
-_MODULES = ()
+from realtime_change_data_capture_streaming_spark.functions import scalar
+
+_MODULES = (scalar,)
 
 
 def all_queries():

@@ -1,0 +1,198 @@
+"""Scalar function coverage (SURVEY.md section 2.5: string / date / math /
+array) exercised as oracle-checked queries.
+
+All JVM-side built-ins inside whole-stage codegen — the entire row path is
+UDF-free.  Regex patterns stay within the portable subset (character
+classes, +, *) so Java regex and RE2 agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substring/concat/trim/lpad/replace/regexp over part."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 4).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.ltrim(F.rtrim("p_name")).alias("name_trim"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_first_word"),
+        F.col("p_name").contains("gold").alias("has_gold"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+    )
+
+
+STRING_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       SUBSTRING(p_type, 1, 4) AS type_prefix,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+       LTRIM(RTRIM(p_name)) AS name_trim,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+       regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled,
+       string_split(p_type, ' ')[1] AS type_first_word,
+       contains(p_name, 'gold') AS has_gold,
+       starts_with(p_name, 'a') AS starts_a
+FROM part
+"""
+
+
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract/trunc/add/diff/last_day over orders dates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("order_day"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_add(F.col("o_orderdate"), 30).cast("timestamp").alias("due_date"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+DATE_SQL = """
+SELECT o_orderkey,
+       EXTRACT(YEAR FROM o_orderdate) AS order_year,
+       EXTRACT(MONTH FROM o_orderdate) AS order_month,
+       EXTRACT(DAY FROM o_orderdate) AS order_day,
+       EXTRACT(QUARTER FROM o_orderdate) AS order_quarter,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS due_date,
+       CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+       CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+       strftime(o_orderdate, '%Y-%m') AS year_month,
+       CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_s
+FROM orders
+"""
+
+
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/ceil/floor/round/sqrt/pmod/greatest/least/sign over customer
+    balances.  sqrt is IEEE-exact; ln/exp are platform-libm and excluded
+    from the oracle surface."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs("c_acctbal").alias("bal_abs"),
+        F.ceil("c_acctbal").cast("bigint").alias("bal_ceil"),
+        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
+        F.round(F.col("c_acctbal"), 1).alias("bal_round1"),
+        F.sqrt(F.abs("c_acctbal")).alias("bal_sqrt"),
+        F.pmod(F.col("c_custkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_pos"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+        F.signum("c_acctbal").alias("bal_sign"),
+        (F.col("c_acctbal") * F.col("c_acctbal")).alias("bal_sq"),
+    )
+
+
+MATH_SQL = """
+SELECT c_custkey,
+       ABS(c_acctbal) AS bal_abs,
+       CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
+       CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
+       ROUND(c_acctbal, 1) AS bal_round1,
+       SQRT(ABS(c_acctbal)) AS bal_sqrt,
+       CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
+       GREATEST(c_acctbal, 0.0) AS bal_pos,
+       LEAST(c_acctbal, 1000.0) AS bal_capped,
+       SIGN(c_acctbal) AS bal_sign,
+       c_acctbal * c_acctbal AS bal_sq
+FROM customer
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/min/max/slice/sort over embedding vectors.
+    Comparisons only (no float accumulation) so both engines agree exactly;
+    arithmetic reductions live in llm_ops.similarity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.element_at("embedding", -1).cast("double").alias("last_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.element_at(F.array_sort("embedding"), 2).cast("double").alias("second_smallest"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_positive"),
+    )
+
+
+ARRAY_SQL = """
+SELECT vec_id,
+       CAST(LEN(embedding) AS BIGINT) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_val,
+       CAST(embedding[-1] AS DOUBLE) AS last_val,
+       CAST(list_max(embedding) AS DOUBLE) AS max_val,
+       CAST(list_min(embedding) AS DOUBLE) AS min_val,
+       CAST(list_sort(embedding)[2] AS DOUBLE) AS second_smallest,
+       CAST(LEN(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+FROM embeddings
+"""
+
+
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE/WHEN, coalesce, nullif, null-safe equality over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("pending")).alias("status_or_pending"),
+        (F.col("o_orderstatus") == "F").cast("boolean").alias("is_finished"),
+        F.col("o_orderpriority").eqNullSafe(F.lit("1-URGENT")).alias("is_urgent_nullsafe"),
+    )
+
+
+CONDITIONAL_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END AS price_band,
+       COALESCE(NULLIF(o_orderstatus, 'P'), 'pending') AS status_or_pending,
+       o_orderstatus = 'F' AS is_finished,
+       o_orderpriority IS NOT DISTINCT FROM '1-URGENT' AS is_urgent_nullsafe
+FROM orders
+"""
+
+
+QUERIES = {
+    "fn_string": string_functions,
+    "fn_date": date_functions,
+    "fn_math": math_functions,
+    "fn_array": array_functions,
+    "fn_conditional": conditional_functions,
+}
+
+ORACLE = {
+    "fn_string": STRING_SQL,
+    "fn_date": DATE_SQL,
+    "fn_math": MATH_SQL,
+    "fn_array": ARRAY_SQL,
+    "fn_conditional": CONDITIONAL_SQL,
+}

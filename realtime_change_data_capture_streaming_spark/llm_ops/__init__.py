@@ -1,6 +1,9 @@
-"""llm_ops package."""
+"""LLM-training-data pipeline operators: dedup, similarity search,
+multimodal columns, text analysis."""
 
-_MODULES = ()
+from realtime_change_data_capture_streaming_spark.llm_ops import dedup, multimodal, similarity, text
+
+_MODULES = (text, dedup, similarity, multimodal)
 
 
 def all_queries():

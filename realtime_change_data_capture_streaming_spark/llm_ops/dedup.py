@@ -1,0 +1,276 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each the idiomatic Spark shape for its scale:
+
+- **exact**: md5 group-by — one shuffle on a 16-byte key; at 100 TB
+  group on the digest, never the document body.
+- **n-gram Jaccard**: shingle -> explode -> self-join on shingle ->
+  pair-count -> Jaccard.  Exact but quadratic per shared-shingle bucket;
+  the oracle-checked ground truth for the approximate tiers.
+- **MinHash LSH**: k independent min-hashes -> band signatures -> group by
+  band bucket -> candidate pairs only.  Linear scan + bounded shuffle:
+  THE 100 TB near-dup path.  Sketches are engine-specific (xxhash64) so
+  the driver records rows-only.
+- **SimHash**: 64-bit weighted-projection signature per doc; hamming
+  buckets by 16-bit chunks.  Rows-only for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.llm_ops.text import tokens
+from realtime_change_data_capture_streaming_spark.operators._util import spread
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by md5(text): canonical doc + group size.
+    (min(doc_id) is the kept representative, the rest are drops.)"""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.col("text").cast("binary")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS group_size
+FROM documents GROUP BY 1
+"""
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """DISTINCT k-word shingles as rows: (carry-cols..., shingle, n_shingles).
+
+    Stays on the whole-stage-codegen path end to end: posexplode the token
+    array, build shingles with lead() windows, dropDuplicates, and attach
+    the per-doc distinct count with a count() window over the same
+    partitioning (no extra join, no second shuffle).
+
+    Deliberately NOT an array-of-shingles higher-order-function expression:
+    transform/slice lambdas are interpreted (CodegenFallback) at ~100us per
+    element, and Catalyst's CollapseProject / InferFiltersFromGenerate
+    rules re-inline and re-evaluate such expression trees (measured 20-30s
+    for 5k docs vs ~1s this way).  One shuffle on the doc id; at 100 TB
+    that shuffle carries tokens, which is the theoretical minimum for
+    order-sensitive shingling.
+    """
+    from pyspark.sql import Window
+
+    carry = [c for c in df.columns if c != text_col]
+    tokp = spread(df, id_col).select(
+        *carry, F.posexplode_outer(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    tri = tokp
+    for i in range(1, k):
+        tri = tri.withColumn(f"_t{i}", F.lead("tok", i).over(w))
+    tri = tri.filter(F.col(f"_t{k - 1}").isNotNull())
+    shingled = tri.select(
+        *carry, "pos", F.concat_ws(" ", "tok", *[f"_t{i}" for i in range(1, k)]).alias("shingle")
+    )
+    # in-doc distinct via row_number instead of dropDuplicates: a window
+    # partitioned by (doc, shingle) is satisfied by the existing doc-hash
+    # distribution, so no second shuffle is planned
+    wdup = Window.partitionBy(id_col, "shingle").orderBy("pos")
+    wd = Window.partitionBy(id_col)
+    return (
+        shingled.withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "pos")
+        .withColumn("n_shingles", F.count(F.lit(1)).over(wd))
+    )
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard similarity join within (lang, source) shards:
+    pairs with J >= 0.20.
+
+    Plan: per-doc distinct shingles -> explode -> self-join on
+    (shard, shingle) -> count shared -> J = shared / (|A|+|B|-shared).
+    Integer arithmetic + one double division: engine-exact.
+
+    Sharding is the scale story: exact all-pairs Jaccard is quadratic per
+    shared-shingle block, so the exact tier runs within natural shards
+    (here lang x source) — the join key carries the shard, bounding block
+    size — while cross-shard near-dups go through the sub-quadratic
+    MinHash tier (minhash_lsh_candidates).  This mirrors production
+    pipelines (exact intra-shard + LSH global).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # shingle rows carry the per-doc distinct count, so sizes ride the join
+    # instead of a second scan + two extra joins
+    sh = shingle_rows(d)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("size_a"),
+            F.col("b.n_shingles").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= 0.20)
+        .select("doc_a", "doc_b", "n_shared", "jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source, array_to_string(ts[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, GREATEST(LEN(ts) - 2, 0) + 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(DISTINCT shingle) AS n_shingles FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                     AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared) >= 0.20
+"""
+
+
+N_MINHASHES = 32
+N_BANDS = 8  # 4 hashes per band
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """k=32 min-hashes per doc: min over shingles of xxhash64(seed, shingle).
+
+    One scan, no shuffle; signature cost is k hashes per shingle, all in
+    codegen.  Deterministic for a given engine build (not cross-engine)."""
+    sh = shingle_rows(df, text_col, id_col).select(F.col(id_col), "shingle")
+    mins = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
+        for seed in range(N_MINHASHES)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs,
+    scored by estimated Jaccard (fraction of equal min-hashes).
+
+    The only shuffle keyed on (band, bucket-hash); candidate volume scales
+    with true near-dup density, not with n^2 — the 100 TB shape.
+    Rows-only check (sketches are engine-specific).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(d)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"mh_{b * (N_MINHASHES // N_BANDS) + i}") for i in range(N_MINHASHES // N_BANDS)]).alias("bucket"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select(
+        "doc_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(N_MINHASHES)]).alias("sig"),
+        F.explode(bands).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq)
+    ).cast("double") / F.lit(N_MINHASHES)
+    return pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= 0.2
+    )
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document + 4x16-bit hamming-bucket keys.
+
+    Bit i of the signature = sign of sum over tokens of (+1 if bit i of
+    xxhash64(token) else -1).  Near-dups differ in few bits; bucketing by
+    16-bit chunks guarantees candidates within hamming distance 3 share
+    at least one chunk.  Rows-only (engine-specific hash).
+    """
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")).filter(
+        F.col("tok").isNotNull()
+    )
+    h = F.xxhash64("tok")
+    # shiftrightunsigned avoids a 1<<63 literal (overflows signed long)
+    bit_sums = [
+        F.sum(F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    sig = agg.select(
+        "doc_id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(63)),
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig.select(
+        "doc_id",
+        "simhash",
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"chunk_{c}")
+            for c in range(4)
+        ],
+    )
+
+
+QUERIES = {
+    "dedup_exact_groups": exact_dedup_groups,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_minhash_lsh": minhash_lsh_candidates,
+    "dedup_simhash": simhash_signatures,
+}
+
+ORACLE = {
+    "dedup_exact_groups": EXACT_DEDUP_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    # minhash/simhash: engine-specific sketches -> rows-only
+}

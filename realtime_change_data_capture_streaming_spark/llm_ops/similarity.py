@@ -1,0 +1,198 @@
+"""Similarity search over the ``embeddings`` fixture (array<float>).
+
+- ``ann_cosine_topk``: brute-force cosine top-k — the correctness
+  baseline.  Dot products via zip_with/aggregate run in codegen; the
+  query side is tiny and broadcast, so the scan is one pass over the
+  candidate table with no shuffle except the final per-query top-k.
+- ``ann_lsh_bucketed``: random-hyperplane (sign) LSH — the 100 TB path.
+  Hyperplanes are derived deterministically from a seed via a splitmix-
+  style integer mix, so signatures are reproducible on any cluster.
+- ``embedding_norms``: oracle-checked vector arithmetic (dot/norm), to
+  pin down that the expression path matches DuckDB's list arithmetic
+  bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.operators._util import spread
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+N_QUERY_VECS = 8  # vec_id < 8 are the "query" set in the demo queries
+TOP_K = 5
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a_i*b_i in index order, double accumulation (codegen, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + self-dot — DuckDB-checkable float reduction
+    (both engines fold left-to-right over the list in double)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return e.select(
+        "vec_id",
+        "label",
+        _dot(F.col("embedding"), F.col("embedding")).alias("self_dot"),
+        _norm(F.col("embedding")).alias("l2_norm"),
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id, label,
+       list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS self_dot,
+       SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2_norm
+FROM embeddings
+"""
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: query vecs (vec_id < 8) vs all others.
+
+    The query side is broadcast (tiny); candidates stream through one scan;
+    per-query top-k via row_number with vec_id tiebreak (deterministic).
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias(
+            "cosine"
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+ANN_COSINE_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings WHERE vec_id >= {N_QUERY_VECS}
+), scored AS (
+  SELECT query_id, cand_id,
+         list_sum(list_transform(list_zip(q_emb, c_emb), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(list_sum(list_transform(q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(list_sum(list_transform(c_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM q CROSS JOIN c
+)
+SELECT query_id, cand_id, cosine, rk FROM (
+  SELECT query_id, cand_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+"""
+
+N_PLANES = 16
+EMB_DIM = 64
+
+
+def _plane_component(plane: int, dim: int) -> float:
+    """Deterministic pseudo-gaussian hyperplane component from (plane, dim)
+    via a splitmix64-style mix — reproducible on any cluster, no RNG
+    state, no dependence on partitioning."""
+    x = (plane * 0x9E3779B97F4A7C15 + dim * 0xBF58476D1CE4E5B9 + 0x94D049BB133111EB) % (1 << 64)
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) % (1 << 64)
+    x ^= x >> 27
+    u = (x % (1 << 52)) / float(1 << 52)  # uniform [0,1)
+    # inverse-ish transform: symmetric around 0, enough for sign-LSH
+    return u - 0.5
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH: 16-bit random-hyperplane signature -> bucket counts.
+
+    At 100 TB: signature is one scan (16 dot products in codegen); the
+    candidate join keys on the bucket, turning O(n^2) cosine into
+    per-bucket blocks.  Rows-only (cross-engine float dot signs at the
+    hyperplane boundary are not contractual).
+    """
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    sig = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(EMB_DIM)])
+        sig = sig + F.when(_dot(F.col("embedding"), plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    bucketed = e.select("vec_id", "label", sig.alias("lsh_bucket"))
+    return (
+        bucketed.groupBy("lsh_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("label").alias("n_labels"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+    )
+
+
+def pairwise_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean cosine within vs across labels over a deterministic sample —
+    embedding-space quality metric (oracle-checked)."""
+    e = spread(load_table(spark, sf_dir, "embeddings")).filter(F.col("vec_id") % 10 == 0)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("label").alias("label_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("label").alias("label_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    return (
+        pairs.select((F.col("label_a") == F.col("label_b")).alias("same_label"), cos.alias("cosine"))
+        .groupBy("same_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("cosine").alias("min_cosine"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
+PAIRWISE_LABEL_SQL = """
+WITH s AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 = 0
+), pairs AS (
+  SELECT a.label = b.label AS same_label,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+)
+SELECT same_label, COUNT(*) AS n_pairs, MIN(cosine) AS min_cosine, MAX(cosine) AS max_cosine
+FROM pairs GROUP BY same_label
+"""
+
+
+QUERIES = {
+    "embedding_norms": embedding_norms,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_bucketed": ann_lsh_bucketed,
+    "pairwise_label_cosine": pairwise_label_cosine,
+}
+
+ORACLE = {
+    "embedding_norms": EMBEDDING_NORMS_SQL,
+    "ann_cosine_topk": ANN_COSINE_SQL,
+    "pairwise_label_cosine": PAIRWISE_LABEL_SQL,
+    # ann_lsh_bucketed: sign-at-boundary not contractual cross-engine -> rows-only
+}

@@ -1,0 +1,183 @@
+"""Text analysis over the ``documents`` fixture: tokenization, quality
+scoring, language ID, fingerprinting.
+
+Everything is built-in expression work (split/regexp/aggregate) — at
+100 TB this is a single scan with no shuffle except the final group-bys;
+no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+#: tiny multilingual stopword list for quality/language heuristics
+_EN_STOP = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization of lowercased, punctuation-stripped text.
+    Portable regex subset only ([^a-z0-9 ], ' +') so oracle SQL matches."""
+    cleaned = F.regexp_replace(F.lower(col), "[^a-z0-9 ]", "")
+    return F.filter(F.split(F.trim(cleaned), " +"), lambda t: t != "")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "_toks") -> DataFrame:
+    """Attach the token array as a MATERIALIZED column.
+
+    The repartition is a physical barrier: without it CollapseProject
+    merges the token projection into downstream higher-order-function
+    lambdas, re-running the regex pipeline once per array element
+    (interpreted eval, measured ~20x slower).  It also parallelizes the
+    CPU-bound regex work when the input is one small file.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.withColumn(out_col, tokens(F.col(text_col))).repartition(n)
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts + char stats (the `wc` of the pipeline)."""
+    # materialize the token array ONCE: higher-order fns are interpreted,
+    # so a lambda over tokens(text) would re-run the regex pipeline per
+    # array element if passed as an expression tree
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("_toks")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_actual"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).cast("bigint").alias("n_spaces"),
+    )
+
+
+TOKEN_STATS_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(LEN(ts) AS BIGINT) AS n_tokens,
+       CAST(LEN(list_distinct(ts)) AS BIGINT) AS n_unique_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
+       CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+FROM toks
+"""
+
+
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length band, stopword ratio, mean token
+    length, type-token ratio.  Ratios are int/int double divisions —
+    bit-identical cross-engine."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("_toks")
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOP])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("type_token_ratio"),
+        (
+            F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).cast("double")
+            / n_tok
+        ).alias("mean_token_len"),
+        (n_tok >= 50).alias("len_ok"),
+    )
+
+
+QUALITY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LEN(ts) AS BIGINT) AS n_tokens,
+       CAST(LEN(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE) / LEN(ts) AS stopword_ratio,
+       CAST(LEN(list_distinct(ts)) AS DOUBLE) / LEN(ts) AS type_token_ratio,
+       CAST(list_sum(list_transform(ts, t -> LENGTH(t))) AS DOUBLE) / LEN(ts) AS mean_token_len,
+       LEN(ts) >= 50 AS len_ok
+FROM toks
+"""
+
+
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language heuristic + agreement with the labeled lang.
+    (The fixture text is synthetic word-salad, so the value here is the
+    operator shape: per-class match counts, deterministic heuristic.)"""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("_toks")
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOP])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    predicted = (
+        F.when(stop_hits.cast("double") / F.size(toks) > 0.05, F.lit("en")).otherwise(F.lit("other"))
+    )
+    return (
+        d.select("lang", predicted.alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+LANGUAGE_ID_SQL = """
+WITH toks AS (
+  SELECT lang,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE WHEN CAST(LEN(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE) / LEN(ts) > 0.05
+              THEN 'en' ELSE 'other' END AS predicted_lang
+  FROM toks
+)
+SELECT lang, predicted_lang, COUNT(*) AS n_docs FROM pred GROUP BY 1, 2
+"""
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprints: md5 of raw and of normalized
+    text (md5 is identical everywhere, unlike engine-native hash fns)."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    normalized = F.concat_ws(" ", F.col("_toks"))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_raw"),
+        F.md5(normalized.cast("binary")).alias("fp_normalized"),
+        F.substring(F.md5(normalized.cast("binary")), 1, 8).alias("fp_short"),
+    )
+
+
+FINGERPRINTS_SQL = """
+WITH norm AS (
+  SELECT doc_id, text,
+         array_to_string(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != ''), ' ') AS normalized
+  FROM documents
+)
+SELECT doc_id,
+       md5(text) AS fp_raw,
+       md5(normalized) AS fp_normalized,
+       SUBSTRING(md5(normalized), 1, 8) AS fp_short
+FROM norm
+"""
+
+
+QUERIES = {
+    "text_token_stats": token_stats,
+    "text_quality_scores": quality_scores,
+    "text_language_id": language_id,
+    "text_fingerprints": fingerprints,
+}
+
+ORACLE = {
+    "text_token_stats": TOKEN_STATS_SQL,
+    "text_quality_scores": QUALITY_SQL,
+    "text_language_id": LANGUAGE_ID_SQL,
+    "text_fingerprints": FINGERPRINTS_SQL,
+}

@@ -35,3 +35,17 @@ def davg(col: str | Column, scale: int = 2) -> Column:
     """Deterministic mean: exact decimal sum -> double, divided by count."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(dec(c, scale)).cast("double") / F.count(c)
+
+
+def spread(df, *cols):
+    """Repartition to the session's core count before CPU-heavy expressions.
+
+    Locally the fixture tables are single small parquet files -> one input
+    partition -> expression-heavy pipelines (shingling, hashing, vector
+    math) run on one core.  At 100 TB the input is thousands of files and
+    this is a no-op by construction, but the explicit repartition also
+    guards against skewed file sizing there.  Keyed columns keep related
+    rows together when a downstream group-by can use them.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)

@@ -1,6 +1,9 @@
-"""streaming package."""
+"""Structured Streaming surface: windowed aggs, stateful dedup,
+stream-stream joins, CDC apply-changes wiring (cdc.apply_changes)."""
 
-_MODULES = ()
+from realtime_change_data_capture_streaming_spark.streaming import windows
+
+_MODULES = (windows,)
 
 
 def all_queries():

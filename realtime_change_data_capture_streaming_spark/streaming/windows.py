@@ -1,0 +1,167 @@
+"""Structured Streaming operators over the events stream.
+
+These run the REAL streaming engine (micro-batch, state store) even inside
+the driver's batch-oracle harness: the source is a file stream over the
+fixture parquet, the trigger is availableNow, and the result is read back
+from the in-memory sink table once the query drains.  Semantics (and the
+DuckDB oracles) are therefore identical to the batch mirrors in
+``operators/events.py`` — which is the point: one set of expressions, two
+execution modes.
+
+Scale notes: streaming aggregations shuffle on the grouping key into the
+state store; watermarks bound state.  At 100 TB/day the knobs that matter
+are ``maxFilesPerTrigger``/``maxOffsetsPerTrigger`` (micro-batch sizing)
+and RocksDB state backend — both config, not code.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.operators._util import dsum
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream over the events fixture with the same typed schema the
+    batch loader produces (incl. the nanos->micros conversion)."""
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream source requires a directory: stream the sf_dir with a
+    # glob restricted to the events file
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    assert stream.schema == batch.schema
+    return stream
+
+
+def _run_to_table(result: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) and
+    return the materialized result from the memory sink."""
+    name = f"stream_result_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    spark = result.sparkSession
+    return spark.table(name)
+
+
+def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling-window aggregation (watermark + window state).
+
+    Watermark is set but with availableNow + complete mode every window is
+    emitted — late-data *dropping* is exercised in tests with a crafted
+    two-batch source (see tests/test_streaming.py).
+    """
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return _run_to_table(agg, "complete")
+
+
+STREAM_TUMBLING_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS win_start,
+       DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (native session_window state operator):
+    10-minute inactivity gap per user; session_end = last event + gap."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _run_to_table(agg, "complete")
+
+
+STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts), 1, 0) OVER
+              (PARTITION BY user_id ORDER BY ts, event_id) > 600000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (1h size / 30min slide)."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+    return _run_to_table(agg, "complete")
+
+
+STREAM_SLIDING_SQL = """
+WITH assigned AS (
+  SELECT ts, DATE_TRUNC('hour', ts) + CASE WHEN EXTRACT(MINUTE FROM ts) >= 30
+           THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END AS win_start
+  FROM events
+  UNION ALL
+  SELECT ts, DATE_TRUNC('hour', ts) + CASE WHEN EXTRACT(MINUTE FROM ts) >= 30
+           THEN INTERVAL 30 MINUTE ELSE INTERVAL 0 MINUTE END - INTERVAL 30 MINUTE
+  FROM events
+)
+SELECT win_start, COUNT(*) AS n_events FROM assigned GROUP BY win_start
+"""
+
+
+QUERIES = {
+    "stream_tumbling_hourly": stream_tumbling_hourly,
+    "stream_session_windows": stream_session_windows,
+    "stream_sliding_counts": stream_sliding_counts,
+}
+
+ORACLE = {
+    "stream_tumbling_hourly": STREAM_TUMBLING_SQL,
+    "stream_session_windows": STREAM_SESSION_SQL,
+    "stream_sliding_counts": STREAM_SLIDING_SQL,
+}

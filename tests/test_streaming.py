@@ -1,0 +1,153 @@
+"""Streaming semantics the batch oracle can't check: watermark late-data
+dropping, dropDuplicatesWithinWatermark, stream-stream joins.
+
+Sources are crafted multi-file directories so events arrive across
+several micro-batches (maxFilesPerTrigger=1) and the watermark advances
+between batches — the only way to observe late-data behavior.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_batches(spark, rows_per_batch, schema):
+    """Each element of rows_per_batch becomes one parquet file = one
+    micro-batch (with maxFilesPerTrigger=1, files process in name order)."""
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    for i, rows in enumerate(rows_per_batch):
+        df = spark.createDataFrame(rows, schema).coalesce(1)
+        df.write.mode("overwrite").parquet(f"{src}/staging_{i}")
+        import glob
+        import shutil
+
+        part = glob.glob(f"{src}/staging_{i}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch_{i:03d}.parquet")
+        shutil.rmtree(f"{src}/staging_{i}")
+        # file source orders by modification time: force strict ordering so
+        # each file is its own micro-batch in list order
+        import os
+
+        t = 1_700_000_000 + i * 60
+        os.utime(f"{src}/batch_{i:03d}.parquet", (t, t))
+    return src
+
+
+def _run(stream_df, output_mode):
+    name = f"t_{uuid.uuid4().hex[:10]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return stream_df.sparkSession.table(name)
+
+
+def test_watermark_closes_windows_and_drops_late_events(spark):
+    """Watermark contract in append mode: a window is emitted exactly once
+    after the watermark passes its end, and an event arriving after that
+    emission is dropped — it neither changes the count nor re-emits the
+    window.  (Watermark advancement lags one micro-batch, hence two
+    advancing batches before the late one.)"""
+    schema = "ts string, k string"
+    batches = [
+        [("2026-01-01 10:00:00", "a"), ("2026-01-01 10:05:00", "a")],
+        [("2026-01-01 12:00:00", "a")],  # max ts 12:00 -> wm will reach 11:50
+        [("2026-01-01 13:00:00", "a")],  # wm 11:50 active: 10:00-window evicted, emitted
+        [("2026-01-01 10:07:00", "a")],  # late: window already closed+emitted
+    ]
+    src = _write_batches(spark, batches, schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.to_timestamp("ts").alias("ts"), "k")
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("start"), "k", "n")
+    )
+    rows = _run(agg, "append").collect()
+    out = {}
+    for r in rows:
+        key = (r["start"].isoformat(), r["k"])
+        assert key not in out, f"window {key} emitted more than once"
+        out[key] = r["n"]
+    # closed window holds the on-time events only; late 10:07 dropped
+    assert out[("2026-01-01T10:00:00", "a")] == 2
+    # open windows (12:00, 13:00) are not emitted in append mode
+    assert ("2026-01-01T12:00:00", "a") not in out
+    assert ("2026-01-01T13:00:00", "a") not in out
+
+
+def test_drop_duplicates_within_watermark(spark):
+    schema = "ts string, k string"
+    batches = [
+        [("2026-01-01 10:00:00", "k1"), ("2026-01-01 10:00:30", "k1")],  # dup within wm
+        [("2026-01-01 10:20:00", "k2"), ("2026-01-01 10:20:10", "k1")],  # k1 again, still within
+        [("2026-01-01 13:00:00", "k3")],  # watermark jumps far ahead
+        [("2026-01-01 13:10:00", "k4")],  # extra batch: wm (lagging one batch) now 12:30
+        [("2026-01-01 13:00:05", "k1")],  # k1 after its state expired -> re-emitted
+    ]
+    src = _write_batches(spark, batches, schema)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.to_timestamp("ts").alias("ts"), "k")
+    )
+    dedup = stream.withWatermark("ts", "30 minutes").dropDuplicatesWithinWatermark(["k"])
+    rows = _run(dedup, "append").collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["k"], []).append(r["ts"].isoformat())
+    assert per_key["k2"] == ["2026-01-01T10:20:00"]
+    assert per_key["k3"] == ["2026-01-01T13:00:00"]
+    # k1: first occurrence kept; in-watermark dups suppressed; post-expiry
+    # occurrence emitted again (bounded-state semantics, SURVEY.md 7)
+    assert per_key["k1"][0] == "2026-01-01T10:00:00"
+    assert "2026-01-01T10:00:30" not in per_key["k1"]
+    assert "2026-01-01T10:20:10" not in per_key["k1"]
+    assert per_key["k1"][-1] == "2026-01-01T13:00:05"
+
+
+def test_stream_stream_interval_join(spark):
+    """Clicks joined to views within [0, 10 min] after the view —
+    watermarked interval join, state bounded on both sides."""
+    views_schema = "ts string, user string, page string"
+    clicks_schema = "ts string, user string, target string"
+    views = [("2026-01-01 10:00:00", "u1", "home"), ("2026-01-01 10:30:00", "u2", "search")]
+    clicks = [
+        ("2026-01-01 10:04:00", "u1", "buy"),      # within 10 min of u1 view -> match
+        ("2026-01-01 10:55:00", "u2", "logout"),   # 25 min after u2 view -> no match
+    ]
+    vsrc = _write_batches(spark, [views], views_schema)
+    csrc = _write_batches(spark, [clicks], clicks_schema)
+    v = (
+        spark.readStream.schema(views_schema).parquet(vsrc)
+        .select(F.to_timestamp("ts").alias("view_ts"), F.col("user"), "page")
+        .withWatermark("view_ts", "1 hour")
+    )
+    c = (
+        spark.readStream.schema(clicks_schema).parquet(csrc)
+        .select(F.to_timestamp("ts").alias("click_ts"), F.col("user").alias("c_user"), "target")
+        .withWatermark("click_ts", "1 hour")
+    )
+    joined = v.join(
+        c,
+        (F.col("user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("interval 10 minutes")),
+    ).select("user", "page", "target")
+    rows = sorted((r["user"], r["page"], r["target"]) for r in _run(joined, "append").collect())
+    assert rows == [("u1", "home", "buy")]
