@@ -37,6 +37,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(operators.all_queries())
+    from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
+
+    out.update(cdc_queries.QUERIES)
     try:
         from realtime_change_data_capture_streaming_spark import functions as fns
 
@@ -68,6 +71,9 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(operators.all_oracles())
+    from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
+
+    out.update(cdc_queries.ORACLE)
     try:
         from realtime_change_data_capture_streaming_spark import functions as fns
 

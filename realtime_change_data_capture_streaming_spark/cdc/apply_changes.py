@@ -39,9 +39,13 @@ def latest_per_key(
 ) -> DataFrame:
     """One row per key: the change with the greatest (lsn, ts_ms).
 
-    ``max_by`` keeps the reduction a hash aggregate (partial + final), which
-    beats ``row_number() over (partition by key order by ...)`` at scale:
-    no sort, map-side combine shrinks the shuffle.
+    ``max_by`` plans as an aggregate with a PARTIAL phase (map-side
+    combine: one row per key per input partition crosses the shuffle),
+    which beats ``row_number() over (partition by key ...)`` at scale —
+    a window shuffles and sorts every event.  The struct-typed buffer
+    makes Spark pick SortAggregate rather than hash, but the partial
+    combine — the property that matters at 100 TB — is retained
+    (pinned by tests/test_plans.py).
     """
     ordering = F.struct(*[F.col(c) for c in order_cols])
     payload = F.struct(*[F.col(c) for c in events.columns])

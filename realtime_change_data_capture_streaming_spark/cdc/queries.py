@@ -1,0 +1,226 @@
+"""Oracle-checked CDC queries: the reference's core semantics exercised
+end-to-end (encode -> Kafka-shaped JSON -> parse -> apply-changes) against
+closed-form SQL oracles over the driver's ``orders`` fixture.
+
+Event derivation (deterministic, from orders):
+- every order       -> op 'c' (insert) of a transactions-shaped image
+- o_orderkey%10==0  -> op 'u' bumping amount by +10.00 (full before image,
+                       REPLICA IDENTITY FULL - /root/reference/README.md:170-174)
+- o_orderkey%97==0  -> op 'd'
+- the whole event set is UNIONed with itself and a prefix re-shuffled:
+  at-least-once + reorder, absorbed by apply-changes
+  (/root/reference/transaction_consumer.py:10, :88)
+
+The oracle never sees the event stream — it states the expected final
+table straight from orders, which is exactly the effectively-once
+contract: chaos in, clean state out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.cdc.apply_changes import apply_changes_batch
+from realtime_change_data_capture_streaming_spark.cdc.decode import parse_envelope
+from realtime_change_data_capture_streaming_spark.cdc.diff import audit_stamp
+from realtime_change_data_capture_streaming_spark.schemas import AMOUNT_TYPE
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+_AMOUNT_BUMP = 10.0  # additive update keeps 2-dp values exact cross-engine
+
+
+def _image(amount_col, key_col="o_orderkey"):
+    """orders row -> transactions-shaped wire image (string decimal mode)."""
+    return F.struct(
+        F.col(key_col).cast("string").alias("transaction_id"),
+        F.col("o_custkey").cast("string").alias("user_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+        amount_col.cast(AMOUNT_TYPE).cast("string").alias("amount"),
+        F.col("o_orderstatus").alias("currency"),
+        F.lit("city").alias("city"),
+        F.lit("country").alias("country"),
+        F.col("o_orderpriority").alias("merchant_name"),
+        F.lit("credit_card").alias("payment_method"),
+        F.lit("0.0.0.0").alias("ip_address"),
+        F.lit("").alias("voucher_code"),  # empty string, NOT null (main.py:23)
+        F.col(key_col).cast("string").alias("affiliate_id"),
+    )
+
+
+def order_change_events(spark: SparkSession, sf_dir: str, chaos: bool = True) -> DataFrame:
+    """Kafka-shaped (key, value-JSON) change events derived from orders."""
+    o = load_table(spark, sf_dir, "orders")
+    base_lsn = F.col("o_orderkey") * 3
+    ts_ms = F.unix_timestamp("o_orderdate") * 1000
+
+    def env(before, after, op, lsn_off):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                (ts_ms + lsn_off).alias("ts_ms"),
+                F.struct(
+                    (base_lsn + lsn_off).alias("lsn"),
+                    F.lit("transactions").alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+            )
+        )
+
+    key = F.col("o_orderkey").cast("string").alias("key")
+    null_img = F.when(F.lit(False), _image(F.col("o_totalprice")))
+    inserts = o.select(key, env(null_img, _image(F.col("o_totalprice")), "c", F.lit(0)).alias("value"))
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        key,
+        env(
+            _image(F.col("o_totalprice")),
+            _image(F.col("o_totalprice") + _AMOUNT_BUMP),
+            "u",
+            F.lit(1),
+        ).alias("value"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        key,
+        env(
+            _image(F.col("o_totalprice") + _AMOUNT_BUMP),
+            F.when(F.lit(False), _image(F.col("o_totalprice"))),
+            "d",
+            F.lit(2),
+        ).alias("value"),
+    )
+    events = inserts.unionByName(updates).unionByName(deletes)
+    if chaos:
+        # at-least-once + arrival reorder: duplicate everything, re-shuffle
+        events = (
+            events.unionByName(events)
+            .repartition(17)
+            .sortWithinPartitions(F.reverse(F.col("key")))
+        )
+    return events
+
+
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship CDC pipeline, batch form: duplicated+reordered JSON
+    envelopes -> parse (string decimal mode) -> latest-wins apply-changes.
+    Oracle = closed-form final state from orders."""
+    events = order_change_events(spark, sf_dir, chaos=True)
+    parsed = parse_envelope(events, decimal_mode="string")
+    final = apply_changes_batch(parsed)
+    return final.select(
+        F.col("transaction_id"),
+        F.col("user_id"),
+        F.col("amount"),
+        F.col("currency"),
+        F.col("merchant_name"),
+        F.col("voucher_code"),
+    )
+
+
+CDC_APPLY_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(o_custkey AS VARCHAR) AS user_id,
+       CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
+            AS DECIMAL(18,2)) AS amount,
+       o_orderstatus AS currency,
+       o_orderpriority AS merchant_name,
+       '' AS voucher_code
+FROM orders
+WHERE o_orderkey % 97 != 0
+"""
+
+
+def cdc_parse_envelope_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-path check: per-op counts + exact decoded amount sums over the
+    un-duplicated event stream (decimal decode, before/after presence)."""
+    events = order_change_events(spark, sf_dir, chaos=False)
+    parsed = parse_envelope(events, decimal_mode="string")
+    return parsed.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("after.amount")).cast("double").alias("sum_after_amount"),
+        F.count(F.col("before.transaction_id")).alias("n_with_before"),
+    )
+
+
+CDC_PARSE_SQL = f"""
+SELECT 'c' AS op, COUNT(*) AS n_events,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_after_amount,
+       0 AS n_with_before
+FROM orders
+UNION ALL
+SELECT 'u', COUNT(*),
+       CAST(SUM(CAST(o_totalprice + {_AMOUNT_BUMP} AS DECIMAL(18,2))) AS DOUBLE),
+       COUNT(*)
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT 'd', COUNT(*), NULL, COUNT(*)
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
+def cdc_change_diff_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 change-diff as relational rows: for each update event, one row
+    per changed column with old/new rendered as text (the jsonb trigger's
+    content, /root/reference/README.md:219-251, minus the formatting)."""
+    events = order_change_events(spark, sf_dir, chaos=False)
+    parsed = parse_envelope(events, decimal_mode="string").filter(F.col("op") == "u")
+    cols = ["amount", "user_id", "currency", "voucher_code"]
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"before.{c}").cast("string").alias("old_val"),
+                F.col(f"after.{c}").cast("string").alias("new_val"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        parsed.select("key", F.explode(pairs).alias("d"))
+        .filter(~F.col("d.old_val").eqNullSafe(F.col("d.new_val")))  # IS DISTINCT FROM
+        .select("key", F.col("d.col").alias("col"), F.col("d.old_val").alias("old_val"), F.col("d.new_val").alias("new_val"))
+    )
+
+
+CDC_DIFF_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       'amount' AS col,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS old_val,
+       CAST(CAST(o_totalprice + {_AMOUNT_BUMP} AS DECIMAL(18,2)) AS VARCHAR) AS new_val
+FROM orders WHERE o_orderkey % 10 = 0
+"""
+
+
+def cdc_audit_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 audit stamping over the applied table (deterministic timestamp
+    so the oracle can reproduce; production uses current_timestamp())."""
+    final = cdc_apply_changes(spark, sf_dir)
+    stamped = audit_stamp(final, user="etl_user", ts=F.lit("2026-02-20 00:00:00").cast("timestamp"))
+    return stamped.select("transaction_id", "amount", "modified_by", "modified_at")
+
+
+CDC_AUDIT_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
+            AS DECIMAL(18,2)) AS amount,
+       'etl_user' AS modified_by,
+       TIMESTAMP '2026-02-20 00:00:00' AS modified_at
+FROM orders
+WHERE o_orderkey % 97 != 0
+"""
+
+
+QUERIES = {
+    "cdc_apply_changes": cdc_apply_changes,
+    "cdc_parse_envelope_stats": cdc_parse_envelope_stats,
+    "cdc_change_diff_rows": cdc_change_diff_rows,
+    "cdc_audit_stamp": cdc_audit_stamp,
+}
+
+ORACLE = {
+    "cdc_apply_changes": CDC_APPLY_SQL,
+    "cdc_parse_envelope_stats": CDC_PARSE_SQL,
+    "cdc_change_diff_rows": CDC_DIFF_SQL,
+    "cdc_audit_stamp": CDC_AUDIT_SQL,
+}

@@ -1,17 +1,10 @@
-"""plans package."""
+"""Physical-plan introspection (scale-guard utilities)."""
 
-_MODULES = ()
-
-
-def all_queries():
-    out = {}
-    for mod in _MODULES:
-        out.update(mod.QUERIES)
-    return out
-
-
-def all_oracles():
-    out = {}
-    for mod in _MODULES:
-        out.update(mod.ORACLE)
-    return out
+from realtime_change_data_capture_streaming_spark.plans.introspect import (  # noqa: F401
+    executed_plan,
+    plan_counts,
+    has_pushed_filters,
+    assert_no_cartesian,
+    broadcast_join_count,
+    shuffle_count,
+)

@@ -1,0 +1,77 @@
+"""Physical-plan introspection: make the scale contract testable.
+
+"Would this plan survive a 100x scale-up?" is a property of the physical
+plan, not of the small-data runtime — so we assert it in CI: filters reach
+the parquet scan, small dims broadcast, no accidental cartesian products,
+shuffle counts stay at the theoretical minimum.  tests/test_plans.py pins
+these for every headline query.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final physical plan string (AQE-resolved where already executed)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def explain_str(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_counts(df: DataFrame) -> dict[str, int]:
+    """Occurrences of scale-relevant operators in the physical plan."""
+    plan = executed_plan(df)
+    return {
+        "exchanges": len(re.findall(r"\bExchange (?:hash|range|RoundRobin|SinglePartition)", plan))
+        + plan.count("Exchange rangepartitioning"),
+        "broadcast_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "shuffled_hash_joins": plan.count("ShuffledHashJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+        "bnl_joins": plan.count("BroadcastNestedLoopJoin"),
+        "hash_aggregates": plan.count("HashAggregate") + plan.count("ObjectHashAggregate"),
+        "sort_aggregates": plan.count("SortAggregate"),
+        "codegen_spans": plan.count("WholeStageCodegen"),
+        "python_evals": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
+    }
+
+
+def shuffle_count(df: DataFrame) -> int:
+    return executed_plan(df).count("Exchange ")
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return executed_plan(df).count("BroadcastHashJoin")
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if at least one data filter reached a parquet scan."""
+    plan = explain_str(df)
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        if m.group(1).strip():
+            return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column sets actually read from each parquet scan (pruning check)."""
+    plan = explain_str(df)
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    c = plan_counts(df)
+    assert c["cartesian"] == 0 and c["bnl_joins"] == 0, (
+        f"plan contains a cartesian/nested-loop join:\n{executed_plan(df)[:2000]}"
+    )

@@ -1,0 +1,54 @@
+"""Connector wiring tests (no broker/DB in this environment: construction
++ wire-format round-trips; end-to-end transport is covered by the
+file-stream CDC tests which share the downstream plan)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.sources import synthetic_transactions
+from realtime_change_data_capture_streaming_spark.sources.connectors import (
+    jdbc_scan,
+    kafka_change_stream,
+    kafka_sink_batch,
+    to_kafka_records,
+)
+
+
+def test_to_kafka_records_wire_shape(spark):
+    """T1/T3: key = transaction_id, value = JSON object with stringly
+    decimal (json.dumps(tx, default=str) analog keeps '123.45' form)."""
+    tx = synthetic_transactions(spark, 5, seed=1)
+    rec = to_kafka_records(tx).collect()
+    assert len(rec) == 5
+    for r in rec:
+        doc = json.loads(r["value"])
+        assert r["key"] == doc["transaction_id"]
+        assert set(doc) <= {
+            "transaction_id", "user_id", "timestamp", "amount", "currency", "city",
+            "country", "merchant_name", "payment_method", "ip_address",
+            "voucher_code", "affiliate_id",
+        }
+        float(doc["amount"])  # decimal survives as a numeric string
+        assert "voucher_code" in doc  # empty strings serialized, not dropped
+
+
+def test_kafka_reader_and_writer_construct(spark):
+    reader = kafka_change_stream(
+        spark, "broker:9092", "transactions", max_offsets_per_trigger=10_000
+    )
+    assert reader is not None  # fully configured; .load() needs a broker
+    tx = synthetic_transactions(spark, 2, seed=1)
+    writer = kafka_sink_batch(tx, "broker:9092", "transactions")
+    assert writer is not None  # .save() needs a broker
+
+
+def test_jdbc_scan_constructs_without_connection(spark):
+    # .load() would need a live database; configuration must not throw
+    import pytest
+
+    with pytest.raises(Exception):
+        # no driver/db in this env: load fails, but only at load time
+        jdbc_scan(spark, "jdbc:postgresql://nohost/db", "transactions", limit=50).collect()

@@ -35,12 +35,20 @@ def duck():
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import decimal
+
     df = df.copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], decimal.Decimal):
+                # Spark DecimalType -> Decimal objects; DuckDB gives float64.
+                # Align on float so both sides sort/compare identically.
+                df[c] = df[c].astype("float64")
+            else:
+                df[c] = df[c].map(lambda v: str(v) if v is not None else None)
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
     return df

@@ -1,0 +1,108 @@
+"""Plan-shape tests: the 100 TB contract, pinned in CI.
+
+These assert properties of the PHYSICAL plan — predicate pushdown, column
+pruning, broadcast choices, absence of cartesian products, hash (not sort)
+aggregation — which hold independent of data scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.operators import relational, tpch
+from realtime_change_data_capture_streaming_spark.cdc.apply_changes import latest_per_key
+from realtime_change_data_capture_streaming_spark.cdc.queries import cdc_apply_changes
+from realtime_change_data_capture_streaming_spark.llm_ops.dedup import ngram_jaccard_pairs
+from realtime_change_data_capture_streaming_spark.llm_ops.similarity import ann_cosine_topk
+from realtime_change_data_capture_streaming_spark.plans import (
+    assert_no_cartesian,
+    broadcast_join_count,
+    has_pushed_filters,
+    plan_counts,
+)
+from realtime_change_data_capture_streaming_spark.plans.introspect import read_schema_columns
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+
+def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):
+    df = tpch.q6_revenue_forecast(spark, sf_dir)
+    assert has_pushed_filters(df), "Q6 predicates must reach the parquet scan"
+    cols = read_schema_columns(df)
+    assert cols and set(cols[0]) <= {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }, f"Q6 must scan only needed columns, got {cols}"
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    df = tpch.q3_shipping_priority(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1, "filtered customer dim must broadcast"
+    assert_no_cartesian(df)
+
+
+def test_q5_star_join_shape(spark, sf_dir):
+    df = tpch.q5_local_supplier(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 3, f"dims must broadcast: {c}"
+    assert c["cartesian"] == 0 and c["bnl_joins"] == 0
+    # lineitem⋈orders is the only shuffle join allowed
+    assert c["sort_merge_joins"] + c["shuffled_hash_joins"] <= 1, c
+
+
+def test_apply_changes_partial_aggregates_no_window(spark):
+    """latest_per_key must plan as an AGGREGATE with map-side combine
+    (partial_max_by before the exchange), never a row_number window — the
+    difference between shuffling one row per key per partition and
+    shuffling every event at 100 TB.  (max_by over a struct buffer plans
+    as SortAggregate, which still carries the partial phase.)"""
+    events = spark.createDataFrame(
+        [("k1", "c", 1, 1), ("k1", "u", 2, 2)], "key string, op string, lsn long, ts_ms long"
+    )
+    from realtime_change_data_capture_streaming_spark.plans import executed_plan
+
+    plan = executed_plan(latest_per_key(events))
+    assert "partial_max_by" in plan, plan[:1500]
+    assert "Window" not in plan, plan[:1500]
+
+
+def test_jaccard_no_cartesian_single_scan_shuffles(spark, sf_dir):
+    df = ngram_jaccard_pairs(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_ann_broadcasts_query_side(spark, sf_dir):
+    df = ann_cosine_topk(spark, sf_dir)
+    c = plan_counts(df)
+    # query vectors broadcast -> nested-loop with broadcast is fine (it IS
+    # the brute-force score); what must not happen is a shuffle cartesian
+    assert c["cartesian"] == 0, c
+
+
+def test_cdc_pipeline_stays_jvm_side(spark, sf_dir):
+    """The entire CDC parse+apply path must contain no Python evaluation."""
+    df = cdc_apply_changes(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["python_evals"] == 0, f"CDC path must be UDF-free: {c}"
+    from realtime_change_data_capture_streaming_spark.plans import executed_plan
+
+    assert "partial_max_by" in executed_plan(df)  # map-side combine active
+
+
+def test_scan_with_limit_plans_global_limit(spark, sf_dir):
+    from realtime_change_data_capture_streaming_spark.sources.tables import scan_with_limit
+
+    df = scan_with_limit(spark, sf_dir, "lineitem", 50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Limit" in plan or "CollectLimit" in plan
+
+
+def test_semi_join_prunes_probe_columns(spark, sf_dir):
+    df = relational.join_semi(spark, sf_dir)
+    cols = read_schema_columns(df)
+    # orders scan must read only the join key + filter columns
+    for colset in cols:
+        if any(c.startswith("o_") for c in colset):
+            assert set(colset) <= {"o_custkey", "o_orderstatus", "o_orderpriority"}, colset
