@@ -1,0 +1,153 @@
+"""The Python UDF surface (SURVEY.md section 2.5), done the fast way:
+Arrow-batched pandas UDFs — scalar, grouped-aggregate, and grouped-map
+(applyInPandas).  Row-at-a-time Python UDFs are deliberately absent from
+the engine's hot paths; these exist for semantics Spark built-ins cannot
+express (custom per-group models, exotic reductions).
+
+Oracle discipline: UDF bodies stick to order-insensitive / sort-first
+computations (median, exact int arithmetic, per-element string transforms)
+so DuckDB reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+
+@F.pandas_udf(T.StringType())
+def normalize_name(s: pd.Series) -> pd.Series:
+    """Scalar pandas UDF: vectorized string normalization (Arrow in/out)."""
+    return s.str.lower().str.replace(r"[^a-z0-9]+", "_", regex=True).str.strip("_")
+
+
+@F.pandas_udf(T.DoubleType())
+def median_agg(v: pd.Series) -> float:
+    """Grouped-agg pandas UDF: exact median (sorts internally, so the
+    result is independent of Arrow batch arrival order)."""
+    return float(v.median())
+
+
+@F.pandas_udf(T.LongType())
+def count_agg(v: pd.Series) -> int:
+    """Grouped-agg pandas UDF count — pandas aggregate UDFs cannot mix
+    with built-in aggregates in one agg(), so counts come from pandas too."""
+    return int(len(v))
+
+
+def udf_scalar_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        normalize_name(F.col("p_type")).alias("type_norm"),
+        normalize_name(F.col("p_brand")).alias("brand_norm"),
+    )
+
+
+UDF_SCALAR_SQL = """
+SELECT p_partkey,
+       trim(regexp_replace(lower(p_type), '[^a-z0-9]+', '_', 'g'), '_') AS type_norm,
+       trim(regexp_replace(lower(p_brand), '[^a-z0-9]+', '_', 'g'), '_') AS brand_norm
+FROM part
+"""
+
+
+def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        median_agg(F.col("o_totalprice")).alias("median_price"),
+        count_agg(F.col("o_totalprice")).alias("n_orders"),
+    )
+
+
+UDF_GROUPED_SQL = """
+SELECT o_orderpriority,
+       MEDIAN(o_totalprice) AS median_price,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""
+
+_SEGMENT_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("c_mktsegment", T.StringType()),
+        T.StructField("n_customers", T.LongType()),
+        T.StructField("bal_min", T.DoubleType()),
+        T.StructField("bal_median", T.DoubleType()),
+        T.StructField("bal_max", T.DoubleType()),
+        T.StructField("top_customer", T.LongType()),
+    ]
+)
+
+
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map (applyInPandas): per-segment stats computed in pandas.
+    The group is sorted inside the worker, so output is arrival-order
+    independent — the required discipline for ANY grouped-map UDF, since
+    Spark guarantees nothing about intra-group row order."""
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True])
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [pdf["c_mktsegment"].iloc[0]],
+                "n_customers": [len(pdf)],
+                "bal_min": [float(pdf["c_acctbal"].min())],
+                "bal_median": [float(pdf["c_acctbal"].median())],
+                "bal_max": [float(pdf["c_acctbal"].max())],
+                "top_customer": [int(pdf["c_custkey"].iloc[0])],
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(stats, schema=_SEGMENT_STATS_SCHEMA)
+
+
+UDF_APPLY_SQL = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       MIN(c_acctbal) AS bal_min,
+       MEDIAN(c_acctbal) AS bal_median,
+       MAX(c_acctbal) AS bal_max,
+       (SELECT c2.c_custkey FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment
+        ORDER BY c2.c_acctbal DESC, c2.c_custkey ASC LIMIT 1) AS top_customer
+FROM customer c GROUP BY c_mktsegment
+"""
+
+
+def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas (UDTF-ish): flag outlier orders per Arrow batch; 1 row
+    in -> 0..1 rows out (the filter-in-python shape; real use: model
+    scoring)."""
+
+    def flag(batches):
+        for pdf in batches:
+            out = pdf[pdf["o_totalprice"] > 400000.0]
+            if len(out):
+                yield out[["o_orderkey", "o_custkey", "o_totalprice"]]
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return o.mapInPandas(flag, schema="o_orderkey long, o_custkey long, o_totalprice double")
+
+
+UDF_MAP_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+"""
+
+
+QUERIES = {
+    "udf_scalar_normalize": udf_scalar_normalize,
+    "udf_grouped_median": udf_grouped_median,
+    "udf_apply_in_pandas": udf_apply_in_pandas,
+    "udf_map_in_pandas": udf_map_in_pandas,
+}
+
+ORACLE = {
+    "udf_scalar_normalize": UDF_SCALAR_SQL,
+    "udf_grouped_median": UDF_GROUPED_SQL,
+    "udf_apply_in_pandas": UDF_APPLY_SQL,
+    "udf_map_in_pandas": UDF_MAP_SQL,
+}

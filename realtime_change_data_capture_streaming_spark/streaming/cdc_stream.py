@@ -1,0 +1,52 @@
+"""The flagship CDC pipeline run by the REAL streaming engine, end to end,
+inside the correctness gate.
+
+Change events derived from orders (cdc.queries.order_change_events, with
+duplication + reorder chaos) are staged as JSON files, consumed as a
+multi-micro-batch file stream (the Kafka stand-in), parsed, and merged
+into a BucketedParquetSink via foreachBatch — checkpointed offsets +
+idempotent latest-wins merge = the reference's effectively-once contract
+(transaction_consumer.py:10, :88).  The oracle is the same closed-form
+final state from orders used by the batch variant: the streaming and
+batch paths must agree exactly.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.cdc.apply_changes import BucketedParquetSink, apply_changes_stream
+from realtime_change_data_capture_streaming_spark.cdc.decode import parse_envelope
+from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_APPLY_SQL, order_change_events
+
+
+def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    events = order_change_events(spark, sf_dir, chaos=True)
+    # stage as several files so the stream runs multiple micro-batches
+    events.repartition(4).write.mode("overwrite").json(f"{work}/staged")
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", 2)
+        .json(f"{work}/staged")
+    )
+    parsed = parse_envelope(stream, decimal_mode="string")
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=16)
+    q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
+    q.awaitTermination(600)
+    final = sink.read()
+    return final.select(
+        F.col("transaction_id"),
+        F.col("user_id"),
+        F.col("amount"),
+        F.col("currency"),
+        F.col("merchant_name"),
+        F.col("voucher_code"),
+    )
+
+
+QUERIES = {"stream_cdc_merge": stream_cdc_merge}
+ORACLE = {"stream_cdc_merge": CDC_APPLY_SQL}
