@@ -30,13 +30,18 @@ BENCH_QUERIES = (
     "q3_shipping_priority",
     "q5_local_supplier",
     "q9_profit_by_nation_year",
+    "q13_order_count_distribution",
+    "q19_disjunctive",
     "join_range_theta",
     "window_topk_per_group",
     "events_sessionization",
     "text_token_stats",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "udf_grouped_median",
     "stream_tumbling_hourly",
+    "stream_cdc_merge",
 )
 
 

@@ -130,6 +130,9 @@ class BucketedParquetSink:
             F.col("ts_ms").alias("__ts_ms"),
             F.col("after"),
         )
+        # batch feeds both bucket discovery and the union; persist so the
+        # upstream parse/dedup pipeline runs once, not twice
+        batch = batch.persist()
         if self.exists():
             current = self.read_raw()
             touched = [r["_bucket"] for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()]
@@ -148,14 +151,40 @@ class BucketedParquetSink:
         final = merged.select(
             F.col(self.key_col), F.col("op"), F.col("__lsn"), F.col("__ts_ms"), F.col("after.*")
         )
-        (
-            final.withColumn("_bucket", self._bucket())
-            .repartition("_bucket")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_bucket")
-            .parquet(self.path)
-        )
+        try:
+            (
+                final.withColumn("_bucket", self._bucket())
+                .repartition("_bucket")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_bucket")
+                .parquet(self.path)
+            )
+        finally:
+            batch.unpersist()
+
+
+def compact_sink(sink: BucketedParquetSink, purge_tombstones_through_lsn: int) -> None:
+    """Housekeeping job: rewrite the table dropping tombstones whose lsn is
+    at or below the given bound.
+
+    Safe bound = (lowest lsn that can still be replayed) - 1: a tombstone
+    may be purged once no replayable event could be older than it.  In
+    Kafka terms, the committed-offset low-watermark across consumers; with
+    checkpointed Structured Streaming, the checkpoint's start offset.
+    Runs bucket-parallel and rewrites every bucket (unlike merge, which
+    touches only dirty buckets) — schedule it like any compaction.
+    """
+    current = sink.read_raw()
+    kept = current.filter(
+        ~((F.col("op") == "d") & (F.col("__lsn") <= F.lit(purge_tombstones_through_lsn)))
+    )
+    tmp = sink.path + ".compact.tmp"
+    kept.repartition("_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(sink.path)
+    os.rename(tmp, sink.path)
 
 
 def apply_changes_stream(

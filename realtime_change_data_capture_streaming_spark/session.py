@@ -44,6 +44,10 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture tables are a handful of small files; smaller split size
+        # keeps all cores busy locally.  At cluster scale the input is
+        # thousands of files and AQE coalescing governs instead.
+        .config("spark.sql.files.maxPartitionBytes", "32m")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

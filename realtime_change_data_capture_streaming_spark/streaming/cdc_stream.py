@@ -26,15 +26,18 @@ from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_APPLY_S
 def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_cdc_")
     events = order_change_events(spark, sf_dir, chaos=True)
-    # stage as several files so the stream runs multiple micro-batches
-    events.repartition(4).write.mode("overwrite").json(f"{work}/staged")
+    # stage as two files so the stream runs two micro-batches (merge must
+    # compose across batches, not just within one)
+    # parquet staging: the envelope JSON lives in the value column; the
+    # container format just needs to move strings fast
+    events.repartition(2).write.mode("overwrite").parquet(f"{work}/staged")
     stream = (
         spark.readStream.schema("key string, value string")
-        .option("maxFilesPerTrigger", 2)
-        .json(f"{work}/staged")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/staged")
     )
     parsed = parse_envelope(stream, decimal_mode="string")
-    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=16)
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
     q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
     q.awaitTermination(600)
     final = sink.read()

@@ -69,3 +69,28 @@ def test_bucketed_sink_incremental_merge(spark, parsed_events, tmp_path):
     # replay second batch (foreachBatch redelivery) — idempotent
     sink.merge(second)
     assert _sorted_rows(sink.read()) == want
+
+
+def test_compaction_purges_tombstones_preserving_state(spark, parsed_events, tmp_path):
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import compact_sink
+
+    sink = BucketedParquetSink(spark, str(tmp_path / "csink"), n_buckets=4)
+    sink.merge(parsed_events)
+    before_live = _sorted_rows(sink.read())
+    n_tombstones = sink.read_raw().filter("op = 'd'").count()
+    assert n_tombstones > 0
+    max_lsn = sink.read_raw().agg(F.max("__lsn")).collect()[0][0]
+    compact_sink(sink, purge_tombstones_through_lsn=max_lsn)
+    assert sink.read_raw().filter("op = 'd'").count() == 0
+    assert _sorted_rows(sink.read()) == before_live
+    # contract: purging through lsn L is only safe if events <= L can no
+    # longer be replayed — new (higher-lsn) changes must still apply
+    fresh = (
+        parsed_events.filter(F.col("op") != "d")
+        .limit(20)
+        .withColumn("lsn", F.col("lsn") + max_lsn + 1)
+        .withColumn("after", F.col("after").withField("amount", F.lit("9999.99").cast("decimal(18,2)")))
+    )
+    sink.merge(fresh)
+    bumped = sink.read().filter(F.col("amount") == 9999.99).count()
+    assert bumped == fresh.select("key").distinct().count()
