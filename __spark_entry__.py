@@ -40,6 +40,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
 
     out.update(cdc_queries.QUERIES)
+    from realtime_change_data_capture_streaming_spark.plans import bucketing
+
+    out.update(bucketing.QUERIES)
     try:
         from realtime_change_data_capture_streaming_spark import functions as fns
 
@@ -74,6 +77,9 @@ def oracle_sql() -> dict[str, str]:
     from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
 
     out.update(cdc_queries.ORACLE)
+    from realtime_change_data_capture_streaming_spark.plans import bucketing
+
+    out.update(bucketing.ORACLE)
     try:
         from realtime_change_data_capture_streaming_spark import functions as fns
 

@@ -210,8 +210,35 @@ WHERE o_orderkey % 97 != 0
 """
 
 
+def cdc_decimal_modes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md 1.4.1 as a correctness query: orders amounts encoded into
+    each Debezium wire shape (precise base64 / string / double) and
+    decoded back — all three columns must equal the source value."""
+    from realtime_change_data_capture_streaming_spark.cdc.decode import decode_amount
+    from realtime_change_data_capture_streaming_spark.cdc.encode import encode_amount
+
+    o = load_table(spark, sf_dir, "orders")
+    amount = F.col("o_totalprice").cast(AMOUNT_TYPE)
+    return o.select(
+        "o_orderkey",
+        decode_amount(encode_amount(amount, "precise"), "precise").alias("amount_precise"),
+        decode_amount(encode_amount(amount, "string"), "string").alias("amount_string"),
+        decode_amount(encode_amount(amount, "double"), "double").alias("amount_double"),
+    )
+
+
+CDC_DECIMAL_MODES_SQL = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS amount_precise,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS amount_string,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS amount_double
+FROM orders
+"""
+
+
 QUERIES = {
     "cdc_apply_changes": cdc_apply_changes,
+    "cdc_decimal_modes_roundtrip": cdc_decimal_modes_roundtrip,
     "cdc_parse_envelope_stats": cdc_parse_envelope_stats,
     "cdc_change_diff_rows": cdc_change_diff_rows,
     "cdc_audit_stamp": cdc_audit_stamp,
@@ -219,6 +246,7 @@ QUERIES = {
 
 ORACLE = {
     "cdc_apply_changes": CDC_APPLY_SQL,
+    "cdc_decimal_modes_roundtrip": CDC_DECIMAL_MODES_SQL,
     "cdc_parse_envelope_stats": CDC_PARSE_SQL,
     "cdc_change_diff_rows": CDC_DIFF_SQL,
     "cdc_audit_stamp": CDC_AUDIT_SQL,

@@ -181,8 +181,36 @@ FROM orders
 """
 
 
+def map_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/extraction + JSON document building."""
+    p = load_table(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.size(m).cast("bigint").alias("m_size"),
+        F.element_at(m, "brand").alias("brand_from_map"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("m_keys"),
+        F.to_json(F.struct(F.col("p_partkey").alias("k"), F.col("p_brand").alias("b"))).alias(
+            "json_doc"
+        ),
+    )
+
+
+MAP_JSON_SQL = """
+SELECT p_partkey,
+       CAST(cardinality(MAP(['brand','type'], [p_brand, p_type])) AS BIGINT) AS m_size,
+       MAP(['brand','type'], [p_brand, p_type])['brand'][1] AS brand_from_map,
+       array_to_string(list_sort(map_keys(MAP(['brand','type'], [p_brand, p_type]))), ',') AS m_keys,
+       concat('{"k":', p_partkey, ',"b":"', p_brand, '"}') AS json_doc
+FROM part
+"""
+
+
 QUERIES = {
     "fn_string": string_functions,
+    "fn_map_json": map_json_functions,
     "fn_date": date_functions,
     "fn_math": math_functions,
     "fn_array": array_functions,
@@ -191,6 +219,7 @@ QUERIES = {
 
 ORACLE = {
     "fn_string": STRING_SQL,
+    "fn_map_json": MAP_JSON_SQL,
     "fn_date": DATE_SQL,
     "fn_math": MATH_SQL,
     "fn_array": ARRAY_SQL,

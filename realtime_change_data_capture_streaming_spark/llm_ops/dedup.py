@@ -262,8 +262,28 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_kept_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION applied: keep the min doc_id per normalized
+    fingerprint, return the surviving documents — the output a training
+    pipeline actually consumes."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", "lang", "source", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    return fp.join(keep, ["fp", "doc_id"], "left_semi").select("doc_id", "lang", "source", "fp")
+
+
+DEDUP_KEPT_SQL = """
+SELECT doc_id, lang, source, md5(text) AS fp
+FROM documents
+WHERE doc_id = (SELECT MIN(d2.doc_id) FROM documents d2 WHERE md5(d2.text) = md5(documents.text))
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": exact_dedup_groups,
+    "dedup_kept_documents": dedup_kept_documents,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_signatures,
@@ -271,6 +291,7 @@ QUERIES = {
 
 ORACLE = {
     "dedup_exact_groups": EXACT_DEDUP_SQL,
+    "dedup_kept_documents": DEDUP_KEPT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     # minhash/simhash: engine-specific sketches -> rows-only
 }

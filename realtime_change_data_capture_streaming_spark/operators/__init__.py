@@ -5,18 +5,18 @@ and ``ORACLE: dict[str, str]`` (DuckDB-runnable SQL producing identical
 rows/columns).  ``__spark_entry__.py`` aggregates them for the driver.
 """
 
-from realtime_change_data_capture_streaming_spark.operators import tpch, tpch2, relational, grouping, events  # noqa: F401
+from realtime_change_data_capture_streaming_spark.operators import tpch, tpch2, relational, grouping, events, skew  # noqa: F401
 
 
 def all_queries():
     out = {}
-    for mod in (tpch, tpch2, relational, grouping, events):
+    for mod in (tpch, tpch2, relational, grouping, events, skew):
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (tpch, tpch2, relational, grouping, events):
+    for mod in (tpch, tpch2, relational, grouping, events, skew):
         out.update(mod.ORACLE)
     return out

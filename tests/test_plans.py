@@ -106,3 +106,21 @@ def test_semi_join_prunes_probe_columns(spark, sf_dir):
     for colset in cols:
         if any(c.startswith("o_") for c in colset):
             assert set(colset) <= {"o_custkey", "o_orderstatus", "o_orderpriority"}, colset
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-located bucketed join: zero shuffles before the join (the final
+    aggregate may still exchange on its own key)."""
+    from realtime_change_data_capture_streaming_spark.plans.bucketing import create_bucketed_tables
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    li_name, o_name = create_bucketed_tables(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    li, o = spark.table(li_name), spark.table(o_name)
+    joined = li.join(o.hint("merge"), li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "o_orderstatus", "l_quantity"
+    )
+    plan = executed_plan(joined)
+    assert "SortMergeJoin" in plan, plan[:1500]
+    assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan[:2000]}"
