@@ -23,12 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
-    TPC-H Q3-style shipping-priority query: selective dimension filter,
-    broadcast dim join, fact-fact shuffle join, aggregate, top-k.
+    The engine's identity piece: the CDC pipeline — change events
+    (duplicated + reordered) encoded as Debezium JSON, parsed, folded
+    latest-wins into final table state (effectively-once semantics of
+    /root/reference/transaction_consumer.py reproduced Spark-side).
     """
-    from realtime_change_data_capture_streaming_spark.operators.tpch import q3_shipping_priority
+    from realtime_change_data_capture_streaming_spark.cdc.queries import cdc_apply_changes
 
-    return q3_shipping_priority(spark, "/root/testdata/sf0.001")
+    return cdc_apply_changes(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -145,9 +145,9 @@ class BucketedParquetSink:
                 F.struct(*[F.col(c) for c in payload_cols]).alias("after"),
             )
             union = existing.unionByName(batch)
+            merged = latest_per_key(union, self.key_col, ("__lsn", "__ts_ms"))
         else:
-            union = batch
-        merged = latest_per_key(union, self.key_col, ("__lsn", "__ts_ms"))
+            merged = batch  # already one row per key from latest_per_key above
         final = merged.select(
             F.col(self.key_col), F.col("op"), F.col("__lsn"), F.col("__ts_ms"), F.col("after.*")
         )

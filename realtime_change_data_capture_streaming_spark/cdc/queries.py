@@ -236,8 +236,33 @@ FROM orders
 """
 
 
+def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed events routed to a dead-letter projection instead of
+    killing the pipeline (reference behavior is log-and-skip,
+    /root/reference/transaction_consumer.py:79-81; we keep the payload)."""
+    events = order_change_events(spark, sf_dir, chaos=False)
+    garbage = spark.createDataFrame(
+        [("bad-1", "{not json"), ("bad-2", ""), ("bad-3", "[1,2,3]")],
+        "key string, value string",
+    )
+    from realtime_change_data_capture_streaming_spark.cdc.decode import parse_envelope as _pe
+
+    parsed = _pe(events.unionByName(garbage), "string", keep_corrupt=True)
+    return (
+        parsed.filter(F.col("_corrupt").isNotNull())
+        .select("key", F.col("_corrupt").alias("payload"))
+    )
+
+
+CDC_DEAD_LETTER_SQL = """
+SELECT * FROM (VALUES ('bad-1', '{not json'), ('bad-2', ''), ('bad-3', '[1,2,3]'))
+  AS t(key, payload)
+"""
+
+
 QUERIES = {
     "cdc_apply_changes": cdc_apply_changes,
+    "cdc_dead_letter": cdc_dead_letter,
     "cdc_decimal_modes_roundtrip": cdc_decimal_modes_roundtrip,
     "cdc_parse_envelope_stats": cdc_parse_envelope_stats,
     "cdc_change_diff_rows": cdc_change_diff_rows,
@@ -246,6 +271,7 @@ QUERIES = {
 
 ORACLE = {
     "cdc_apply_changes": CDC_APPLY_SQL,
+    "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
     "cdc_decimal_modes_roundtrip": CDC_DECIMAL_MODES_SQL,
     "cdc_parse_envelope_stats": CDC_PARSE_SQL,
     "cdc_change_diff_rows": CDC_DIFF_SQL,

@@ -271,6 +271,86 @@ SELECT nationkey, 'union' AS op FROM
 """
 
 
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — multiset semantics preserve duplicate
+    cardinality (one 'both' row per matched pair)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    inter = c.intersectAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+    exc = c.exceptAll(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+    return inter.withColumn("op", F.lit("intersect_all")).unionByName(
+        exc.withColumn("op", F.lit("except_all"))
+    )
+
+
+SET_OPS_ALL_SQL = """
+SELECT nationkey, COUNT(*) AS n, 'intersect_all' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+GROUP BY nationkey
+UNION ALL
+SELECT nationkey, COUNT(*) AS n, 'except_all' AS op FROM
+  (SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+GROUP BY nationkey
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame + first/last: per customer, count orders within the
+    prior 90 days (value-based frame, not row-based) and first/latest
+    order keys over the full partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.unix_timestamp("o_orderdate") / 86400
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-90, Window.currentRow)
+    )
+    wfull = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(wr).alias("orders_last_90d"),
+        F.first("o_orderkey").over(wfull).alias("first_orderkey"),
+        F.last("o_orderkey").over(wfull).alias("latest_orderkey"),
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY CAST(EPOCH(o_orderdate)/86400 AS BIGINT)
+                      RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS orders_last_90d,
+       FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+       LAST_VALUE(o_orderkey) OVER w AS latest_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) per
+    status — sort-based, engine-agnostic interpolation arithmetic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.99)).alias("p99"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       quantile_cont(o_totalprice, 0.5) AS p50,
+       quantile_cont(o_totalprice, 0.9) AS p90,
+       quantile_cont(o_totalprice, 0.99) AS p99
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 def distinct_count_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT) — expands to two-phase aggregate."""
     orders = load_table(spark, sf_dir, "orders")
@@ -309,6 +389,9 @@ QUERIES = {
     "window_running_sum": window_running_sum,
     "sort_topn_global": sort_topn_global,
     "set_ops_nations": set_ops_nations,
+    "set_ops_all_variants": set_ops_all_variants,
+    "window_range_frame": window_range_frame,
+    "percentiles_exact": percentiles_exact,
     "distinct_count_exact": distinct_count_exact,
     "approx_count_distinct_hll": approx_count_distinct_hll,
 }
@@ -325,6 +408,9 @@ ORACLE = {
     "window_running_sum": WINDOW_RUNNING_SQL,
     "sort_topn_global": SORT_TOPN_SQL,
     "set_ops_nations": SET_OPS_SQL,
+    "set_ops_all_variants": SET_OPS_ALL_SQL,
+    "window_range_frame": WINDOW_RANGE_SQL,
+    "percentiles_exact": PERCENTILES_SQL,
     "distinct_count_exact": DISTINCT_COUNT_SQL,
     # approx_count_distinct_hll: sketch-based, engine-specific -> rows-only
 }

@@ -80,6 +80,29 @@ def synthetic_transactions(spark: SparkSession, n: int, seed: int = 42, num_part
     )
 
 
+def synthetic_transactions_stream(spark: SparkSession, rows_per_second: int = 1000, seed: int = 42) -> DataFrame:
+    """Streaming variant of S4: the rate source drives event generation
+    (the principled version of the reference's sleep(0.5) pacing loop,
+    ``transaction_producer.py:41-54``).  Same deterministic column
+    derivations keyed off the rate source's ``value`` counter."""
+    base = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+        .select(F.col("value").alias("id"), F.col("timestamp").alias("_arrival_ts"))
+    )
+    out = base.select(
+        _fake_uuid(seed, "txid").alias("transaction_id"),
+        F.concat(F.lit("user_"), F.pmod(_h(seed, "user"), F.lit(1000)).cast("string")).alias("user_id"),
+        F.col("_arrival_ts").alias("timestamp"),
+        F.round(_uniform01(seed, "amount") * 990.0 + 10.0, 2).cast(AMOUNT_TYPE).alias("amount"),
+        _pick(seed, "cur", _CURRENCIES).alias("currency"),
+        _pick(seed, "pay", _PAYMENT_METHODS).alias("payment_method"),
+        _pick(seed, "vch", _VOUCHERS).alias("voucher_code"),
+    )
+    return out
+
+
 def synthetic_change_events(
     spark: SparkSession,
     n_keys: int,

@@ -26,14 +26,18 @@ from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_APPLY_S
 def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_cdc_")
     events = order_change_events(spark, sf_dir, chaos=True)
-    # stage as two files so the stream runs two micro-batches (merge must
-    # compose across batches, not just within one)
-    # parquet staging: the envelope JSON lives in the value column; the
-    # container format just needs to move strings fast
-    events.repartition(2).write.mode("overwrite").parquet(f"{work}/staged")
+    # parquet staging (the envelope JSON lives in the value column; the
+    # container just needs to move strings fast), keeping the chaos
+    # generator's own partitioning — no second shuffle.  maxFilesPerTrigger
+    # splits the files into two micro-batches so the merge must compose
+    # across batches, not just within one.
+    events.write.mode("overwrite").parquet(f"{work}/staged")
+    import glob
+
+    n_files = max(1, len(glob.glob(f"{work}/staged/part-*")))
     stream = (
         spark.readStream.schema("key string, value string")
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", max(1, (n_files + 1) // 2))
         .parquet(f"{work}/staged")
     )
     parsed = parse_envelope(stream, decimal_mode="string")

@@ -151,3 +151,32 @@ def test_stream_stream_interval_join(spark):
     ).select("user", "page", "target")
     rows = sorted((r["user"], r["page"], r["target"]) for r in _run(joined, "append").collect())
     assert rows == [("u1", "home", "buy")]
+
+
+def test_rate_source_synthetic_stream(spark):
+    """S4 streaming variant: rate-source-driven transaction generator."""
+    from realtime_change_data_capture_streaming_spark.sources.generator import synthetic_transactions_stream
+
+    stream = synthetic_transactions_stream(spark, rows_per_second=500)
+    assert stream.isStreaming
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("rate_tx")
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 30
+    n = 0
+    while time.time() < deadline:
+        n = spark.table("rate_tx").count()
+        if n >= 100:
+            break
+        time.sleep(1)
+    q.stop()
+    assert n >= 100, f"rate stream produced only {n} rows"
+    row = spark.table("rate_tx").limit(1).collect()[0]
+    assert row["transaction_id"].count("-") == 4
+    assert row["currency"] in ("EUR", "USD")
