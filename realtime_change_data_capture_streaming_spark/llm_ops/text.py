@@ -168,8 +168,46 @@ FROM norm
 """
 
 
+def bigram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram statistics: top bigrams with doc frequency —
+    the vocabulary-building pass of a tokenizer pipeline.  Codegen path
+    (posexplode + lead), one shuffle on the bigram."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = with_tokens(d).select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("nxt", F.lead("tok", 1).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bigram"))
+    )
+    freq = bi.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("occurrences"),
+        F.countDistinct("doc_id").alias("doc_frequency"),
+    )
+    return freq.orderBy(F.desc("occurrences"), F.asc("bigram")).limit(50)
+
+
+BIGRAMS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), bi AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS bigram
+  FROM toks, UNNEST(range(1, GREATEST(LEN(ts) - 1, 0) + 1)) AS t(i)
+)
+SELECT bigram, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS doc_frequency
+FROM bi GROUP BY bigram
+ORDER BY occurrences DESC, bigram ASC
+LIMIT 50
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
+    "text_bigram_frequencies": bigram_frequencies,
     "text_quality_scores": quality_scores,
     "text_language_id": language_id,
     "text_fingerprints": fingerprints,
@@ -177,6 +215,7 @@ QUERIES = {
 
 ORACLE = {
     "text_token_stats": TOKEN_STATS_SQL,
+    "text_bigram_frequencies": BIGRAMS_SQL,
     "text_quality_scores": QUALITY_SQL,
     "text_language_id": LANGUAGE_ID_SQL,
     "text_fingerprints": FINGERPRINTS_SQL,

@@ -401,8 +401,69 @@ GROUP BY c_nationkey
 """
 
 
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: aggregate-of-aggregate — supplier(s) with the maximum
+    total revenue (the CREATE VIEW + WHERE total = (SELECT MAX...) form,
+    decorrelated into a broadcast join against the scalar max)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(dec("l_extendedprice") * (_one() - dec("l_discount"))).cast("double").alias("total_revenue")
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(sup), rev["l_suppkey"] == sup["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q20_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: nested IN-subqueries — suppliers who shipped any part
+    whose name contains 'red' in 1997 (two-level semi-join chain)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    shipped_green = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"], "left_semi")
+    return sup.join(
+        shipped_green, sup["s_suppkey"] == shipped_green["l_suppkey"], "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+"""
+
+
 QUERIES = {
     "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
+    "q15_top_supplier": q15_top_supplier,
+    "q20_nested_in": q20_nested_in,
     "q4_order_priority_exists": q4_order_priority_exists,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
@@ -419,6 +480,8 @@ QUERIES = {
 
 ORACLE = {
     "q2_top_supplier_per_nation": Q2_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q20_nested_in": Q20_SQL,
     "q4_order_priority_exists": Q4_SQL,
     "q7_nation_volume": Q7_SQL,
     "q8_market_share": Q8_SQL,
