@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Four tiers, each the idiomatic Spark shape for its scale:
+Five tiers, each the idiomatic Spark shape for its scale:
 
 - **exact**: md5 group-by — one shuffle on a 16-byte key; at 100 TB
   group on the digest, never the document body.
@@ -13,6 +13,8 @@ Four tiers, each the idiomatic Spark shape for its scale:
   the driver records rows-only.
 - **SimHash**: 64-bit weighted-projection signature per doc; hamming
   buckets by 16-bit chunks.  Rows-only for the same reason.
+- **embedding-cosine**: near-dup pairs by cosine threshold within label
+  shards; the semantic-duplicate tier (exact oracle).
 """
 
 from __future__ import annotations
@@ -226,6 +228,49 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cosine_dedup(spark: SparkSession, sf_dir: str, threshold: float = 0.30) -> DataFrame:
+    """Embedding-cosine near-dup tier: pairs of vectors whose cosine
+    exceeds the threshold, with the kept/dropped decision (keep min id).
+    (The fixture embeddings have no true duplicates — max within-label
+    cosine is ~0.47 — so the default threshold selects the top ~1% most
+    similar pairs; production dedup would sit at 0.95+.)
+
+    Brute force within a label block — labels act as the natural shard
+    (like lang/source for text); the cross-shard path is the LSH/IVF
+    candidates in similarity.py.  Exact oracle: same fold order in DuckDB.
+    """
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _dot, _norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("label").alias("lbl"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("label").alias("lbl_b"))
+    pairs = a.join(b, (F.col("lbl") == F.col("lbl_b")) & (F.col("id_a") < F.col("id_b")))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b")))
+    return (
+        pairs.select("id_a", "id_b", "lbl", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("id_a").alias("keep_id"),
+            F.col("id_b").alias("drop_id"),
+            F.col("lbl").alias("label"),
+            "cosine",
+        )
+    )
+
+
+EMBEDDING_COSINE_DEDUP_SQL = """
+SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.label AS label,
+       list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.30
+"""
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document + 4x16-bit hamming-bucket keys.
 
@@ -285,6 +330,7 @@ QUERIES = {
     "dedup_exact_groups": exact_dedup_groups,
     "dedup_kept_documents": dedup_kept_documents,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_embedding_cosine": embedding_cosine_dedup,
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_signatures,
 }
@@ -293,5 +339,6 @@ ORACLE = {
     "dedup_exact_groups": EXACT_DEDUP_SQL,
     "dedup_kept_documents": DEDUP_KEPT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_embedding_cosine": EMBEDDING_COSINE_DEDUP_SQL,
     # minhash/simhash: engine-specific sketches -> rows-only
 }

@@ -52,6 +52,10 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
         F.length("text").cast("bigint").alias("n_chars_actual"),
         (F.length("text") - F.length(F.regexp_replace("text", " ", ""))).cast("bigint").alias("n_spaces"),
+        # BPE-ish regex token count: word pieces / digit runs / other
+        # symbols counted separately (the pre-tokenizer split a BPE would
+        # see); portable regex subset so the oracle matches
+        F.regexp_count(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]")).cast("bigint").alias("n_bpe_pretokens"),
     )
 
 
@@ -65,7 +69,8 @@ SELECT doc_id, lang,
        CAST(LEN(ts) AS BIGINT) AS n_tokens,
        CAST(LEN(list_distinct(ts)) AS BIGINT) AS n_unique_tokens,
        CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
-       CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+       CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(LEN(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_pretokens
 FROM toks
 """
 
