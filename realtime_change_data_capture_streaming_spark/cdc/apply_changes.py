@@ -26,7 +26,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import os
-from collections.abc import Callable
+
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F

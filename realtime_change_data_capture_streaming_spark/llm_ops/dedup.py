@@ -19,7 +19,7 @@ Five tiers, each the idiomatic Spark shape for its scale:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.llm_ops.text import tokens

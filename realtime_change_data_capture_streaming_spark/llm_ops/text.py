@@ -59,7 +59,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TOKEN_STATS_SQL = """
+TOKEN_STATS_SQL = r"""
 WITH toks AS (
   SELECT doc_id, lang, text,
          list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts

@@ -6,7 +6,6 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.sources import synthetic_transactions
 from realtime_change_data_capture_streaming_spark.sources.connectors import (

@@ -7,7 +7,6 @@ aggregation — which hold independent of data scale.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.operators import relational, tpch
@@ -22,7 +21,6 @@ from realtime_change_data_capture_streaming_spark.plans import (
     plan_counts,
 )
 from realtime_change_data_capture_streaming_spark.plans.introspect import read_schema_columns
-from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
 
 def test_q6_filters_pushed_and_columns_pruned(spark, sf_dir):

@@ -11,7 +11,6 @@ from __future__ import annotations
 import tempfile
 import uuid
 
-import pytest
 from pyspark.sql import functions as F
 
 
