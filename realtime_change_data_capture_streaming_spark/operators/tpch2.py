@@ -460,10 +460,91 @@ WHERE s_suppkey IN (
 """
 
 
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: EXISTS + NOT EXISTS over the same fact — suppliers in one
+    nation who were the *sole* late shipper on a finished multi-supplier
+    order.  "Late" is adapted to the fixture schema (no receipt/commit
+    dates): shipped >60 days after the order date.
+
+    Spark form: the two correlated subqueries become a left-semi join
+    (another supplier exists on the order) and a left-anti join (no OTHER
+    supplier shipped late) on l_orderkey, with the supplier-inequality as a
+    residual non-equi predicate — the same decorrelation Catalyst performs
+    for EXISTS/NOT EXISTS.  The late set is computed once and reused for
+    both the candidate rows and the anti side; orders/supplier prune before
+    the fact join, and the final count is a plain shuffle-partial agg."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+    late = li.join(orders_f, li["l_orderkey"] == orders_f["o_orderkey"]).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    l1 = late.join(F.broadcast(sup), late["l_suppkey"] == sup["s_suppkey"]).select(
+        "l_orderkey", "l_suppkey", "s_name"
+    )
+    others = li.select(F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key"))
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    return (
+        l1.join(
+            others,
+            (l1["l_orderkey"] == others["o2_key"]) & (l1["l_suppkey"] != others["s2_key"]),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (l1["l_orderkey"] == late_others["o3_key"])
+            & (l1["l_suppkey"] != late_others["s3_key"]),
+            "left_anti",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_7'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND o3.o_orderstatus = 'F'
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q2_top_supplier_per_nation": q2_top_supplier_per_nation,
     "q15_top_supplier": q15_top_supplier,
     "q20_nested_in": q20_nested_in,
+    "q21_suppliers_kept_waiting": q21_suppliers_kept_waiting,
     "q4_order_priority_exists": q4_order_priority_exists,
     "q7_nation_volume": q7_nation_volume,
     "q8_market_share": q8_market_share,
@@ -482,6 +563,7 @@ ORACLE = {
     "q2_top_supplier_per_nation": Q2_SQL,
     "q15_top_supplier": Q15_SQL,
     "q20_nested_in": Q20_SQL,
+    "q21_suppliers_kept_waiting": Q21_SQL,
     "q4_order_priority_exists": Q4_SQL,
     "q7_nation_volume": Q7_SQL,
     "q8_market_share": Q8_SQL,
