@@ -1,0 +1,262 @@
+"""Corpus-curation operators: the bookkeeping half of a training-data
+pipeline — deterministic splits, stratified sampling, shard packing, and
+PII scrubbing.  (The reference has no analytics surface; this extends
+SURVEY.md §2.5's training-pipeline mandate.)
+
+Everything here is hash-deterministic so reruns, replays, and cross-engine
+oracles agree exactly:
+
+- Split/sample decisions key off ``md5(doc_id)`` — the only hash both
+  Spark and DuckDB compute identically (see tests/test_oracle_parity.py).
+  No ``rand()``: a resampled corpus must be reproducible from the data
+  alone, or incremental re-runs churn the training set.
+- Shard packing is a running-sum window PARTITIONED BY ``lang``: each
+  language packs independently, so the sort is per-partition, not global —
+  the shape that survives 100 TB (a global ORDER BY window would funnel
+  the corpus through one task).
+
+Scale notes (100 TB):
+- ``assign_split``/``stratified_sample`` are pure narrow projections —
+  no shuffle at all; they pipeline into whatever follows.
+- ``pack_token_shards`` shuffles once on the stratum key and sorts within
+  partitions (window PARTITION BY lang ORDER BY doc_id).  With skewed
+  strata, sub-stratify (e.g. lang + md5-prefix) and renumber shards by
+  offset — same plan shape.
+- ``scrub_pii`` is regexp_replace chains — whole-stage codegen, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.llm_ops.text import tokens
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+
+def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic cross-engine bucket in [0, n_buckets): first 8 hex
+    chars of md5 as an integer.  Uniform enough for splits/sampling; NOT a
+    crypto boundary."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint") % n_buckets
+
+
+def _bucket_sql(expr: str, n_buckets: int = 100) -> str:
+    return f"CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8))::UBIGINT % {n_buckets} AS BIGINT)"
+
+
+def assign_split(df: DataFrame, key_col: str = "doc_id", train: int = 90, val: int = 5) -> DataFrame:
+    """train/val/test assignment from the key hash alone: stable under
+    reruns, appends, and repartitioning (no rand(), no row numbering)."""
+    b = hash_bucket(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(b < train, F.lit("train")).when(b < train + val, F.lit("val")).otherwise(F.lit("test")),
+    )
+
+
+def curation_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split document and token counts — the sanity dashboard any
+    pipeline prints before training starts."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    return (
+        assign_split(d)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("n_tokens"),
+        )
+    )
+
+
+CURATION_SPLIT_SQL = f"""
+WITH assigned AS (
+  SELECT CASE WHEN {_bucket_sql('doc_id')} < 90 THEN 'train'
+              WHEN {_bucket_sql('doc_id')} < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(LEN(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY split
+"""
+
+
+def stratified_sample(
+    df: DataFrame, rates: dict[str, int], stratum_col: str = "lang", key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ``rates[stratum]`` percent of each stratum, hash-deterministic.
+
+    The per-stratum rate is a broadcastable CASE expression (rates are
+    config, not data) — the filter stays in the scan's codegen stage."""
+    b = hash_bucket(F.col(key_col))
+    rate = F.lit(None).cast("bigint")
+    expr = None
+    for stratum, pct in sorted(rates.items()):
+        cond = F.col(stratum_col) == stratum
+        expr = F.when(cond, F.lit(pct)) if expr is None else expr.when(cond, F.lit(pct))
+    rate = expr.otherwise(F.lit(0))
+    return df.filter(b < rate)
+
+
+_SAMPLE_RATES = {"en": 80, "de": 50, "fr": 50, "es": 25, "zz": 10}
+
+
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(d, _SAMPLE_RATES)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_chars")).cast("bigint").alias("chars_kept"),
+    )
+
+
+_RATE_CASE = " ".join(
+    f"WHEN lang = '{s}' THEN {p}" for s, p in sorted(_SAMPLE_RATES.items())
+)
+
+CURATION_SAMPLE_SQL = f"""
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+FROM documents
+WHERE {_bucket_sql('doc_id')} < (CASE {_RATE_CASE} ELSE 0 END)
+GROUP BY lang
+"""
+
+
+def pack_token_shards(df: DataFrame, budget: int, stratum_col: str = "lang") -> DataFrame:
+    """Assign documents to fixed-token-budget shards within each stratum.
+
+    Greedy sequential packing in deterministic (stratum, doc_id) order:
+    shard = floor(tokens-before-this-doc / budget).  A document never
+    splits; shards overflow by at most one document — the standard
+    pretraining sharder.  One shuffle (hash by stratum), per-partition
+    sort, no global order."""
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = df.withColumn("n_tokens", n_tok)
+    return d.select(
+        "doc_id",
+        F.col(stratum_col),
+        "n_tokens",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget).alias("shard_id"),
+    )
+
+
+def curation_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return pack_token_shards(d, budget=2000)
+
+
+CURATION_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(LEN(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2000) AS BIGINT) AS shard_id
+FROM toks
+"""
+
+
+# Portable regex subset (no \\d, no lookaround): same behavior in Spark's
+# java.util.regex and DuckDB's RE2.
+_PII_PATTERNS = (
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"),
+    ("ipv4", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"),
+    ("phone", "\\+[0-9]{7,15}"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / IPv4s / E.164 phones, and count each redaction.
+
+    Counts come from regexp_count BEFORE replacement; replacement chains
+    regexp_replace (replace-all in both engines).  All codegen, no UDF."""
+    col = F.col(text_col)
+    out = df
+    for name, pat in _PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(col, F.lit(pat)).cast("bigint"))
+    scrubbed = col
+    for name, pat in _PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
+    return out.withColumn("scrubbed", scrubbed)
+
+
+def curation_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scrub a synthetic contact line appended to each fixture doc (the
+    fixture corpus is word-salad with no organic PII — the appended line
+    makes the redaction observable and exactly checkable)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1555"),
+            F.format_string("%07d", (F.col("doc_id") % 1000000).cast("int")),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7"),
+        ).alias("text"),
+    )
+    s = scrub_pii(d)
+    return s.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        "n_phone",
+        F.length("scrubbed").cast("bigint").alias("scrubbed_len"),
+        F.md5("scrubbed").alias("scrubbed_md5"),
+    )
+
+
+CURATION_PII_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1555'
+              || format('{:07d}', doc_id % 1000000) || ' at 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+  FROM documents
+), counted AS (
+  SELECT doc_id, text,
+         CAST(LEN(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS BIGINT) AS n_email,
+         CAST(LEN(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+         CAST(LEN(regexp_extract_all(text, '\\+[0-9]{7,15}')) AS BIGINT) AS n_phone
+  FROM aug
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       CAST(LENGTH(scrubbed) AS BIGINT) AS scrubbed_len,
+       md5(scrubbed) AS scrubbed_md5
+FROM (
+  SELECT *,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<email>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<ipv4>', 'g'),
+           '\\+[0-9]{7,15}', '<phone>', 'g') AS scrubbed
+  FROM counted
+)
+"""
+
+
+QUERIES = {
+    "curation_split_counts": curation_split_counts,
+    "curation_stratified_sample": curation_stratified_sample,
+    "curation_pack_shards": curation_pack_shards,
+    "curation_scrub_pii": curation_scrub_pii,
+}
+
+ORACLE = {
+    "curation_split_counts": CURATION_SPLIT_SQL,
+    "curation_stratified_sample": CURATION_SAMPLE_SQL,
+    "curation_pack_shards": CURATION_PACK_SQL,
+    "curation_scrub_pii": CURATION_PII_SQL,
+}

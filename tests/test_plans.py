@@ -122,3 +122,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     plan = executed_plan(joined)
     assert "SortMergeJoin" in plan, plan[:1500]
     assert "Exchange" not in plan, f"bucketed join must not shuffle:\n{plan[:2000]}"
+
+
+def test_pack_shards_no_global_sort(spark, sf_dir):
+    """Shard packing must stay per-stratum: a window keyed on lang hash-
+    partitions; a global ORDER BY (rangepartitioning) would funnel the
+    whole corpus through one task at 100 TB."""
+    from realtime_change_data_capture_streaming_spark.llm_ops import curation
+
+    df = curation.curation_pack_shards(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    c = plan_counts(df)
+    assert c["python_evals"] == 0, c
+
+
+def test_curation_scrub_and_sample_stay_narrow(spark, sf_dir):
+    """PII scrubbing and hash-sampling are pure projections/filters: zero
+    shuffles, zero Python, predicates in codegen."""
+    from realtime_change_data_capture_streaming_spark.llm_ops import curation
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    scrubbed = curation.scrub_pii(d)
+    c = plan_counts(scrubbed)
+    assert c["exchanges"] == 0 and c["python_evals"] == 0, c
+    sampled = curation.stratified_sample(d, {"en": 50, "de": 25})
+    c2 = plan_counts(sampled)
+    assert c2["exchanges"] == 0 and c2["python_evals"] == 0, c2
