@@ -45,6 +45,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from realtime_change_data_capture_streaming_spark.plans import bucketing
 
     out.update(bucketing.QUERIES)
+    from realtime_change_data_capture_streaming_spark.sources import formats
+
+    out.update(formats.QUERIES)
     try:
         from realtime_change_data_capture_streaming_spark import functions as fns
 
@@ -82,6 +85,9 @@ def oracle_sql() -> dict[str, str]:
     from realtime_change_data_capture_streaming_spark.plans import bucketing
 
     out.update(bucketing.ORACLE)
+    from realtime_change_data_capture_streaming_spark.sources import formats
+
+    out.update(formats.ORACLE)
     try:
         from realtime_change_data_capture_streaming_spark import functions as fns
 

@@ -51,3 +51,18 @@ def test_jdbc_scan_constructs_without_connection(spark):
     with pytest.raises(Exception):
         # no driver/db in this env: load fails, but only at load time
         jdbc_scan(spark, "jdbc:postgresql://nohost/db", "transactions", limit=50).collect()
+
+
+def test_format_roundtrip_exact(spark, sf_dir, tmp_path):
+    """ORC/CSV/JSON round-trips preserve every row bit-exact (timestamps
+    via the explicit ISO-micros pattern, not the locale default)."""
+    from realtime_change_data_capture_streaming_spark.sources.formats import read_format, write_format
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "orders")
+    want = sorted(map(str, src.collect()))
+    for fmt in ("orc", "csv", "json"):
+        path = str(tmp_path / fmt)
+        write_format(src, path, fmt)
+        back = read_format(spark, path, fmt, src.schema)
+        assert sorted(map(str, back.collect())) == want, f"{fmt} round-trip lost data"
