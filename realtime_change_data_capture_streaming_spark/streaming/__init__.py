@@ -1,9 +1,10 @@
 """Structured Streaming surface: windowed aggs, stateful dedup,
 stream-stream joins, CDC apply-changes wiring (cdc.apply_changes)."""
 
+from realtime_change_data_capture_streaming_spark.cdc import materialized
 from realtime_change_data_capture_streaming_spark.streaming import cdc_stream, joins, stateful, transform_state, windows
 
-_MODULES = (windows, joins, cdc_stream, stateful, transform_state)
+_MODULES = (windows, joins, cdc_stream, stateful, transform_state, materialized)
 
 
 def all_queries():
