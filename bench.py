@@ -32,6 +32,7 @@ BENCH_QUERIES = (
     "q9_profit_by_nation_year",
     "q13_order_count_distribution",
     "q19_disjunctive",
+    "q21_suppliers_kept_waiting",
     "join_range_theta",
     "window_topk_per_group",
     "events_sessionization",
@@ -39,9 +40,11 @@ BENCH_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "curation_pack_shards",
     "udf_grouped_median",
     "stream_tumbling_hourly",
     "stream_cdc_merge",
+    "stream_cdc_incremental_agg",
 )
 
 

@@ -108,7 +108,13 @@ class BucketedParquetSink:
         """Stored state including tombstones and merge-ordering metadata."""
         return self.spark.read.parquet(self.path)
 
-    def merge(self, events: DataFrame, order_cols: tuple[str, ...] = ("lsn", "ts_ms")) -> None:
+    def merge(
+        self,
+        events: DataFrame,
+        order_cols: tuple[str, ...] = ("lsn", "ts_ms"),
+        touched: list[int] | None = None,
+        return_state: bool = False,
+    ) -> DataFrame | None:
         """Latest-wins upsert + delete of the batch's keys into the table.
 
         Rows carry ``__lsn``/``__ts_ms`` audit columns so a later batch (or
@@ -121,6 +127,13 @@ class BucketedParquetSink:
         lower-LSN update arriving in a later batch would resurrect it.
         ``read`` filters tombstones; a compaction job may purge tombstones
         older than the source's maximum out-of-orderness.
+
+        ``touched`` (pre-computed dirty-bucket ids) skips the discovery
+        job when the caller already ran it.  With ``return_state=True``
+        the merged state of the touched buckets is returned as a persisted
+        DataFrame (caller unpersists) — downstream maintenance (see
+        materialized.IncrementalAggView) reuses it instead of re-reading
+        the files it was just written to.
         """
         last = latest_per_key(events, self.key_col, order_cols)
         batch = last.select(
@@ -135,7 +148,11 @@ class BucketedParquetSink:
         batch = batch.persist()
         if self.exists():
             current = self.read_raw()
-            touched = [r["_bucket"] for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()]
+            if touched is None:
+                touched = [
+                    r["_bucket"]
+                    for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()
+                ]
             payload_cols = [c for c in current.columns if c not in self._META_COLS and c != self.key_col]
             existing = current.filter(F.col("_bucket").isin(touched)).select(
                 F.col(self.key_col),
@@ -151,6 +168,9 @@ class BucketedParquetSink:
         final = merged.select(
             F.col(self.key_col), F.col("op"), F.col("__lsn"), F.col("__ts_ms"), F.col("after.*")
         )
+        if return_state:
+            # materialize before the write replaces the files final reads
+            final = final.persist()
         try:
             (
                 final.withColumn("_bucket", self._bucket())
@@ -162,6 +182,7 @@ class BucketedParquetSink:
             )
         finally:
             batch.unpersist()
+        return final if return_state else None
 
 
 def compact_sink(sink: BucketedParquetSink, purge_tombstones_through_lsn: int) -> None:

@@ -78,6 +78,7 @@ class IncrementalAggView:
         """Merge the batch into the sink and fold the state diff into the view."""
         sink = self.sink
         batch_df = batch_df.persist()
+        new_state = None
         try:
             touched = [
                 r["_b"]
@@ -93,10 +94,8 @@ class IncrementalAggView:
                 if old_state is not None
                 else None
             )
-            sink.merge(batch_df, order_cols)
-            new_grouped = self._grouped(
-                sink.read_raw().filter(F.col("_bucket").isin(touched))
-            )
+            new_state = sink.merge(batch_df, order_cols, touched=touched, return_state=True)
+            new_grouped = self._grouped(new_state)
             g = self.group_col
             if old_grouped is not None:
                 delta = (
@@ -144,6 +143,8 @@ class IncrementalAggView:
             os.rename(tmp, self.path)
         finally:
             batch_df.unpersist()
+            if new_state is not None:
+                new_state.unpersist()
 
 
 def apply_changes_with_view(
@@ -175,20 +176,17 @@ def stream_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally maintained per-merchant revenue view.  The oracle is the
     closed-form batch GROUP BY over final state — the incremental path
     must land on exactly what a full recompute would."""
-    import glob
     import tempfile
 
     from realtime_change_data_capture_streaming_spark.cdc.decode import parse_envelope
-    from realtime_change_data_capture_streaming_spark.cdc.queries import order_change_events
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_chaos_events
 
     work = tempfile.mkdtemp(prefix="stream_cdc_ivm_")
-    events = order_change_events(spark, sf_dir, chaos=True)
-    events.write.mode("overwrite").parquet(f"{work}/staged")
-    n_files = max(1, len(glob.glob(f"{work}/staged/part-*")))
+    staged, n_files = stage_chaos_events(spark, sf_dir)
     stream = (
         spark.readStream.schema("key string, value string")
         .option("maxFilesPerTrigger", max(1, (n_files + 2) // 3))
-        .parquet(f"{work}/staged")
+        .parquet(staged)
     )
     parsed = parse_envelope(stream, decimal_mode="string")
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
