@@ -34,38 +34,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 / §2.5."""
-    from realtime_change_data_capture_streaming_spark import operators
+    """One entry per implemented operator from SURVEY.md §2 / §2.5.
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(operators.all_queries())
+    Registration order is deliberate: the driver's correctness pass covers a
+    bounded prefix of this dict, so families that have not yet received a
+    CORRECTNESS row register FIRST (llm_ops, functions/UDF, streaming, cdc,
+    formats, bucketing) and the operator queries proven green in round 1
+    register last.  Rotate as families get verified.
+    """
+    from realtime_change_data_capture_streaming_spark import llm_ops, operators
+    from realtime_change_data_capture_streaming_spark import functions as fns
+    from realtime_change_data_capture_streaming_spark import streaming as stm
     from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
-
-    out.update(cdc_queries.QUERIES)
     from realtime_change_data_capture_streaming_spark.plans import bucketing
-
-    out.update(bucketing.QUERIES)
     from realtime_change_data_capture_streaming_spark.sources import formats
 
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(llm_ops.all_queries())
+    out.update(fns.all_queries())
+    out.update(stm.all_queries())
+    out.update(cdc_queries.QUERIES)
     out.update(formats.QUERIES)
-    try:
-        from realtime_change_data_capture_streaming_spark import functions as fns
-
-        out.update(fns.all_queries())
-    except ImportError:
-        pass
-    try:
-        from realtime_change_data_capture_streaming_spark import llm_ops
-
-        out.update(llm_ops.all_queries())
-    except ImportError:
-        pass
-    try:
-        from realtime_change_data_capture_streaming_spark import streaming as stm
-
-        out.update(stm.all_queries())
-    except ImportError:
-        pass
+    out.update(bucketing.QUERIES)
+    out.update(operators.all_queries())
     return out
 
 
@@ -75,35 +66,19 @@ def oracle_sql() -> dict[str, str]:
     Queries absent here (sketch/LSH/stateful ops) get the driver's
     rows-only check.
     """
-    from realtime_change_data_capture_streaming_spark import operators
-
-    out: dict[str, str] = {}
-    out.update(operators.all_oracles())
+    from realtime_change_data_capture_streaming_spark import llm_ops, operators
+    from realtime_change_data_capture_streaming_spark import functions as fns
+    from realtime_change_data_capture_streaming_spark import streaming as stm
     from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
-
-    out.update(cdc_queries.ORACLE)
     from realtime_change_data_capture_streaming_spark.plans import bucketing
-
-    out.update(bucketing.ORACLE)
     from realtime_change_data_capture_streaming_spark.sources import formats
 
+    out: dict[str, str] = {}
+    out.update(llm_ops.all_oracles())
+    out.update(fns.all_oracles())
+    out.update(stm.all_oracles())
+    out.update(cdc_queries.ORACLE)
     out.update(formats.ORACLE)
-    try:
-        from realtime_change_data_capture_streaming_spark import functions as fns
-
-        out.update(fns.all_oracles())
-    except ImportError:
-        pass
-    try:
-        from realtime_change_data_capture_streaming_spark import llm_ops
-
-        out.update(llm_ops.all_oracles())
-    except ImportError:
-        pass
-    try:
-        from realtime_change_data_capture_streaming_spark import streaming as stm
-
-        out.update(stm.all_oracles())
-    except ImportError:
-        pass
+    out.update(bucketing.ORACLE)
+    out.update(operators.all_oracles())
     return out

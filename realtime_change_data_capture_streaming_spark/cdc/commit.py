@@ -1,0 +1,91 @@
+"""Atomic table commits over plain files: versioned dirs + pointer manifest.
+
+Round-1 design did ``shutil.rmtree(table) + os.rename(tmp, table)`` on the
+driver for compaction and view rewrites.  That is not atomic for concurrent
+readers (a reader between the two calls sees no table at all) and does not
+port to object stores, which have no rename.  The scale-safe pattern — the
+one Delta/Iceberg/Hudi all reduce to — is:
+
+    <root>/v00000000/...data files...   (immutable once committed)
+    <root>/v00000001/...
+    <root>/_CURRENT                     (small JSON manifest: which version
+                                         is live + table metadata)
+
+Writers stage a complete new version directory, then publish it with ONE
+atomic pointer update (``os.replace`` of the manifest on POSIX; a single
+conditional PUT on an object store).  Readers resolve the pointer once and
+then read an immutable directory — a concurrent publish cannot make their
+files disappear, because GC retains the previous ``keep`` versions as a
+grace window.
+
+The manifest carries arbitrary table metadata (e.g. the sink's bucket
+count), so metadata and data flip together in the same atomic commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+MANIFEST = "_CURRENT"
+_VPREFIX = "v"
+_VDIGITS = 8
+
+
+def _vname(seq: int) -> str:
+    return f"{_VPREFIX}{seq:0{_VDIGITS}d}"
+
+
+def read_manifest(root: str) -> dict | None:
+    """The live manifest, or None if the table does not exist yet."""
+    try:
+        with open(os.path.join(root, MANIFEST)) as f:
+            return json.load(f)
+    except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
+        return None
+
+
+def resolve(root: str) -> str | None:
+    """Absolute path of the live version directory, or None."""
+    m = read_manifest(root)
+    return os.path.join(root, m["version"]) if m else None
+
+
+def begin(root: str) -> tuple[str, int]:
+    """Allocate the next version directory (created empty); returns
+    (version_dir, seq).  Nothing is visible to readers until commit()."""
+    m = read_manifest(root)
+    seq = (m["seq"] + 1) if m else 0
+    vdir = os.path.join(root, _vname(seq))
+    os.makedirs(vdir, exist_ok=True)
+    return vdir, seq
+
+
+def commit(root: str, seq: int, meta: dict | None = None, keep: int = 1) -> None:
+    """Atomically publish version ``seq`` and GC versions older than the
+    previous ``keep`` (the retained ones are the concurrent-reader grace
+    window; in production the grace is time-based, here count-based)."""
+    manifest = {"version": _vname(seq), "seq": seq, **(meta or {})}
+    tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, MANIFEST))  # the atomic publish
+    for entry in os.listdir(root):
+        if entry.startswith(_VPREFIX) and entry[len(_VPREFIX) :].isdigit():
+            if int(entry[len(_VPREFIX) :]) < seq - keep:
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+
+def dir_bytes(path: str) -> int:
+    """Total bytes of data files under ``path`` (planning input for
+    compaction-time re-bucketing)."""
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        for name in filenames:
+            if not name.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(dirpath, name))
+    return total

@@ -107,10 +107,12 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = order_change_events(spark, sf_dir, chaos=True)
     parsed = parse_envelope(events, decimal_mode="string")
     final = apply_changes_batch(parsed)
+    # exact decimal math internally, single cast to double at the output
+    # boundary — the cross-engine hash recipe used by every oracle query
     return final.select(
         F.col("transaction_id"),
         F.col("user_id"),
-        F.col("amount"),
+        F.col("amount").cast("double").alias("amount"),
         F.col("currency"),
         F.col("merchant_name"),
         F.col("voucher_code"),
@@ -120,8 +122,8 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_APPLY_SQL = f"""
 SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
        CAST(o_custkey AS VARCHAR) AS user_id,
-       CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
-            AS DECIMAL(18,2)) AS amount,
+       CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
+            AS DECIMAL(18,2)) AS DOUBLE) AS amount,
        o_orderstatus AS currency,
        o_orderpriority AS merchant_name,
        '' AS voucher_code
@@ -196,13 +198,18 @@ def cdc_audit_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the oracle can reproduce; production uses current_timestamp())."""
     final = cdc_apply_changes(spark, sf_dir)
     stamped = audit_stamp(final, user="etl_user", ts=F.lit("2026-02-20 00:00:00").cast("timestamp"))
-    return stamped.select("transaction_id", "amount", "modified_by", "modified_at")
+    return stamped.select(
+        "transaction_id",
+        F.col("amount").cast("double").alias("amount"),
+        "modified_by",
+        "modified_at",
+    )
 
 
 CDC_AUDIT_SQL = f"""
 SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
-       CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
-            AS DECIMAL(18,2)) AS amount,
+       CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
+            AS DECIMAL(18,2)) AS DOUBLE) AS amount,
        'etl_user' AS modified_by,
        TIMESTAMP '2026-02-20 00:00:00' AS modified_at
 FROM orders
@@ -219,19 +226,21 @@ def cdc_decimal_modes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     amount = F.col("o_totalprice").cast(AMOUNT_TYPE)
+    # decode math stays exact decimal; the final cast to double is only the
+    # cross-engine output rendering (fixture amounts are 2-dp, lossless)
     return o.select(
         "o_orderkey",
-        decode_amount(encode_amount(amount, "precise"), "precise").alias("amount_precise"),
-        decode_amount(encode_amount(amount, "string"), "string").alias("amount_string"),
-        decode_amount(encode_amount(amount, "double"), "double").alias("amount_double"),
+        decode_amount(encode_amount(amount, "precise"), "precise").cast("double").alias("amount_precise"),
+        decode_amount(encode_amount(amount, "string"), "string").cast("double").alias("amount_string"),
+        decode_amount(encode_amount(amount, "double"), "double").cast("double").alias("amount_double"),
     )
 
 
 CDC_DECIMAL_MODES_SQL = """
 SELECT o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS amount_precise,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS amount_string,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS amount_double
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount_precise,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount_string,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount_double
 FROM orders
 """
 

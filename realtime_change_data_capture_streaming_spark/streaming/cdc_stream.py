@@ -54,10 +54,11 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
     q.awaitTermination(600)
     final = sink.read()
+    # decimal→double at the output boundary, matching CDC_APPLY_SQL's cast
     return final.select(
         F.col("transaction_id"),
         F.col("user_id"),
-        F.col("amount"),
+        F.col("amount").cast("double").alias("amount"),
         F.col("currency"),
         F.col("merchant_name"),
         F.col("voucher_code"),

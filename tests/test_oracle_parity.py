@@ -54,7 +54,25 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _assert_no_decimal_boundary(name: str, got: pd.DataFrame):
+    """The driver's value-hash renders Spark Decimal('154665.40') and DuckDB's
+    float 154665.4 differently even when numerically equal (round-1 flagship
+    hash-fail).  Engine-wide recipe: exact decimal math internally, one cast
+    to double at the output boundary — no oracle query may emit Decimals."""
+    import decimal
+
+    for c in got.columns:
+        if got[c].dtype == object:
+            sample = got[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], decimal.Decimal):
+                raise AssertionError(
+                    f"{name}.{c}: Decimal objects at the output boundary — "
+                    "cast to double (oracle-parity recipe)"
+                )
+
+
 def _assert_equal(name: str, got: pd.DataFrame, want: pd.DataFrame):
+    _assert_no_decimal_boundary(name, got)
     assert list(sorted(got.columns)) == list(sorted(want.columns)), (
         f"{name}: column mismatch {sorted(got.columns)} vs {sorted(want.columns)}"
     )
@@ -88,6 +106,8 @@ ALL_ORACLES = entry_mod.oracle_sql()
 def test_every_oracle_has_query():
     missing = set(ALL_ORACLES) - set(ALL_QUERIES)
     assert not missing, f"oracle entries without queries: {missing}"
+
+
 
 
 @pytest.mark.parametrize("name", sorted(ALL_ORACLES))
