@@ -25,11 +25,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import os
-
+import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 
 
 def latest_per_key(
@@ -66,9 +67,13 @@ def apply_changes_batch(
 
     Invariant (property-tested): for any event set E,
     ``apply_changes_batch(E) == apply_changes_batch(shuffle(duplicate(E)))``.
+
+    An ``_extra`` schema-evolution map (``parse_envelope(capture_extras=True)``)
+    rides along latest-wins like any other payload column.
     """
     last = latest_per_key(events, key_col, order_cols)
-    return last.filter(F.col("op") != "d").select(F.col(key_col), F.col("after.*"))
+    extras = [F.col("_extra")] if "_extra" in events.columns else []
+    return last.filter(F.col("op") != "d").select(F.col(key_col), F.col("after.*"), *extras)
 
 
 class BucketedParquetSink:
@@ -77,36 +82,63 @@ class BucketedParquetSink:
     Stand-in for ``DeltaTable.merge`` (K2/K3: ``transaction_consumer.py:22-71``,
     ``:85-102``) that runs with zero extra dependencies.  Layout::
 
-        <path>/_bucket=<i>/part-*.parquet
+        <path>/_CURRENT                     (manifest: live version + n_buckets)
+        <path>/v<seq>/_bucket=<i>/part-*.parquet
 
-    ``merge`` rewrites only buckets present in the incoming batch — with
-    ``partitionOverwriteMode=dynamic`` the other buckets are untouched, so
-    a small batch against a huge table does proportionally small I/O.
+    ``merge`` rewrites only buckets present in the incoming batch (dynamic
+    partition overwrite inside the live version dir — safe because the
+    streaming checkpoint + idempotent merge replays a torn batch).
+    Compaction and re-bucketing publish a whole NEW version directory and
+    flip the ``_CURRENT`` pointer atomically (see ``commit.py``), so
+    readers never observe a missing or half-swapped table.
+
+    Merge I/O model (the 100 TB contract): a batch carrying K distinct
+    keys touches ``E = n*(1-(1-1/n)^K) <= min(K, n)`` of the n buckets,
+    and rewrites ``E * (table_bytes / n)`` bytes.  With a FIXED small n
+    (round-1 flaw: n=64) any K beyond a few hundred uuid keys makes E -> n
+    and the merge rewrites the whole table.  The fix is to keep
+    ``table_bytes / n`` pinned near a target file size: ``compact_sink``
+    re-buckets toward ``target_bucket_bytes`` as the table grows
+    (thousands of buckets at 100 TB), so merge I/O is bounded by
+    ``K * target_bucket_bytes`` — O(batch), independent of table size.
+    The live bucket count is persisted in the manifest; the constructor's
+    ``n_buckets`` only seeds table creation.
     """
 
     def __init__(self, spark: SparkSession, path: str, key_col: str = "key", n_buckets: int = 64):
         self.spark = spark
         self.path = path
         self.key_col = key_col
-        self.n_buckets = n_buckets
-
-    def _bucket(self) -> Column:
-        return F.pmod(F.abs(F.xxhash64(F.col(self.key_col))), F.lit(self.n_buckets))
+        self.n_buckets = n_buckets  # creation-time seed; manifest wins after
 
     _META_COLS = ("op", "__lsn", "__ts_ms", "_bucket")
 
+    def _manifest(self) -> dict | None:
+        return table_commit.read_manifest(self.path)
+
+    def current_n_buckets(self) -> int:
+        m = self._manifest()
+        return m["n_buckets"] if m else self.n_buckets
+
+    def data_dir(self) -> str | None:
+        return table_commit.resolve(self.path)
+
+    def _bucket(self, n_buckets: int | None = None) -> Column:
+        n = n_buckets if n_buckets is not None else self.current_n_buckets()
+        return F.pmod(F.abs(F.xxhash64(F.col(self.key_col))), F.lit(n))
+
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and any(
-            e.startswith("_bucket=") for e in os.listdir(self.path)
-        )
+        return self._manifest() is not None
 
     def read(self) -> DataFrame:
         """User-facing table state: live rows, metadata columns stripped."""
         return self.read_raw().filter(F.col("op") != "d").drop(*self._META_COLS)
 
     def read_raw(self) -> DataFrame:
-        """Stored state including tombstones and merge-ordering metadata."""
-        return self.spark.read.parquet(self.path)
+        """Stored state including tombstones and merge-ordering metadata.
+        Resolves the live version eagerly: the returned frame keeps reading
+        that immutable version even if a compaction commits meanwhile."""
+        return self.spark.read.parquet(self.data_dir())
 
     def merge(
         self,
@@ -135,77 +167,127 @@ class BucketedParquetSink:
         materialized.IncrementalAggView) reuses it instead of re-reading
         the files it was just written to.
         """
+        _extra_t = "map<string,string>"
         last = latest_per_key(events, self.key_col, order_cols)
+        has_extra = "_extra" in events.columns
         batch = last.select(
             F.col(self.key_col),
             F.col("op"),
             F.col("lsn").alias("__lsn"),
             F.col("ts_ms").alias("__ts_ms"),
             F.col("after"),
+            *([F.col("_extra").cast(_extra_t)] if has_extra else []),
         )
         # batch feeds both bucket discovery and the union; persist so the
         # upstream parse/dedup pipeline runs once, not twice
         batch = batch.persist()
         if self.exists():
             current = self.read_raw()
+            table_has_extra = "_extra" in current.columns
+            # schema widening on first sight: a batch carrying the evolution
+            # map against a pre-evolution table (or vice versa) null-fills
+            # the missing side instead of failing the union
+            if has_extra and not table_has_extra:
+                current = current.withColumn("_extra", F.lit(None).cast(_extra_t))
+            elif table_has_extra and not has_extra:
+                batch = batch.withColumn("_extra", F.lit(None).cast(_extra_t))
+                has_extra = True
             if touched is None:
                 touched = [
                     r["_bucket"]
                     for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()
                 ]
-            payload_cols = [c for c in current.columns if c not in self._META_COLS and c != self.key_col]
+            payload_cols = [
+                c
+                for c in current.columns
+                if c not in self._META_COLS and c not in (self.key_col, "_extra")
+            ]
             existing = current.filter(F.col("_bucket").isin(touched)).select(
                 F.col(self.key_col),
                 F.col("op"),
                 F.col("__lsn"),
                 F.col("__ts_ms"),
                 F.struct(*[F.col(c) for c in payload_cols]).alias("after"),
+                *([F.col("_extra")] if has_extra else []),
             )
             union = existing.unionByName(batch)
             merged = latest_per_key(union, self.key_col, ("__lsn", "__ts_ms"))
         else:
             merged = batch  # already one row per key from latest_per_key above
         final = merged.select(
-            F.col(self.key_col), F.col("op"), F.col("__lsn"), F.col("__ts_ms"), F.col("after.*")
+            F.col(self.key_col),
+            F.col("op"),
+            F.col("__lsn"),
+            F.col("__ts_ms"),
+            F.col("after.*"),
+            *([F.col("_extra")] if has_extra else []),
         )
         if return_state:
             # materialize before the write replaces the files final reads
             final = final.persist()
         try:
-            (
-                final.withColumn("_bucket", self._bucket())
-                .repartition("_bucket")
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("_bucket")
-                .parquet(self.path)
-            )
+            bucketed = final.withColumn("_bucket", self._bucket()).repartition("_bucket")
+            if self.exists():
+                # in-place dynamic bucket overwrite inside the live version
+                (
+                    bucketed.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_bucket")
+                    .parquet(self.data_dir())
+                )
+            else:
+                # table creation: stage version 0, then publish atomically
+                vdir, seq = table_commit.begin(self.path)
+                bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+                table_commit.commit(self.path, seq, {"n_buckets": self.n_buckets})
         finally:
             batch.unpersist()
         return final if return_state else None
 
 
-def compact_sink(sink: BucketedParquetSink, purge_tombstones_through_lsn: int) -> None:
+def compact_sink(
+    sink: BucketedParquetSink,
+    purge_tombstones_through_lsn: int,
+    target_bucket_bytes: int | None = None,
+) -> None:
     """Housekeeping job: rewrite the table dropping tombstones whose lsn is
-    at or below the given bound.
+    at or below the given bound, and optionally re-bucket toward a target
+    bucket size.
 
     Safe bound = (lowest lsn that can still be replayed) - 1: a tombstone
     may be purged once no replayable event could be older than it.  In
     Kafka terms, the committed-offset low-watermark across consumers; with
     checkpointed Structured Streaming, the checkpoint's start offset.
-    Runs bucket-parallel and rewrites every bucket (unlike merge, which
-    touches only dirty buckets) — schedule it like any compaction.
+
+    ``target_bucket_bytes`` is the scale lever (class docstring): when set,
+    the bucket count is recomputed as the power of two that puts each
+    bucket near the target, so routine compaction keeps merge I/O O(batch)
+    as the table grows.  Rewriting every bucket is inherent to compaction;
+    re-bucketing rides along for free.
+
+    The rewrite stages a complete new version directory and publishes it
+    with one atomic pointer flip (``commit.py``) — concurrent readers keep
+    the version they resolved; the old version is GC'd one commit later.
     """
-    current = sink.read_raw()
-    kept = current.filter(
+    n_new = sink.current_n_buckets()
+    if target_bucket_bytes:
+        tbytes = table_commit.dir_bytes(sink.data_dir())
+        # clamp: 2^20 buckets ≈ 100 TB at 128 MB targets; beyond that the
+        # file count itself becomes the metadata bottleneck
+        n_new = min(1 << 20, max(1, 2 ** math.ceil(math.log2(max(1.0, tbytes / target_bucket_bytes)))))
+    kept = sink.read_raw().filter(
         ~((F.col("op") == "d") & (F.col("__lsn") <= F.lit(purge_tombstones_through_lsn)))
     )
-    tmp = sink.path + ".compact.tmp"
-    kept.repartition("_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(tmp)
-    import shutil
-
-    shutil.rmtree(sink.path)
-    os.rename(tmp, sink.path)
+    vdir, seq = table_commit.begin(sink.path)
+    (
+        kept.drop("_bucket")
+        .withColumn("_bucket", sink._bucket(n_new))
+        .repartition("_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_bucket")
+        .parquet(vdir)
+    )
+    table_commit.commit(sink.path, seq, {"n_buckets": n_new})
 
 
 def apply_changes_stream(

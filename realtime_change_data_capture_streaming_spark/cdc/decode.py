@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from realtime_change_data_capture_streaming_spark.schemas import AMOUNT_TYPE, envelope_schema
+from realtime_change_data_capture_streaming_spark.schemas import (
+    AMOUNT_TYPE,
+    TRANSACTIONS_SCHEMA,
+    envelope_schema,
+)
 
 _TWO_POW_64 = "18446744073709551616"  # 2^64 as decimal literal
 
@@ -78,11 +82,40 @@ def _decode_image(img: Column, decimal_mode: str) -> Column:
     return F.when(img.isNull(), F.lit(None)).otherwise(F.struct(*fields))
 
 
+#: image fields the fixed envelope schema knows; anything else on the wire
+#: is a schema-evolution artifact (upstream ALTER TABLE ... ADD).
+_KNOWN_IMAGE_FIELDS = tuple(f.name for f in TRANSACTIONS_SCHEMA.fields)
+
+
+def _extras_map(raw: Column, image: str) -> Column:
+    """Unknown fields of one wire image as a ``map<string,string>``.
+
+    The reference's documented evolution flow is ``ALTER TABLE ... ADD``
+    (``/root/reference/README.md:211``) after which Debezium envelopes carry
+    the new column.  ``from_json`` against the fixed StructType silently
+    drops unknown fields, so we parse the image subtree a second time as an
+    untyped map and keep what the typed parse missed.  The map keeps the
+    output schema STABLE under evolution: a new source column becomes a new
+    map key, not a breaking schema change; promotion to a real typed column
+    is a compaction-time decision.
+
+    The ``map_filter`` lambda is an interpreted HOF (CodegenFallback) — fine
+    here because it runs over ≤ a dozen entries per row on an opt-in path.
+    """
+    maps_schema = f"{image} map<string,string>"
+    m = F.from_json(raw, maps_schema).getField(image)
+    return F.when(
+        m.isNotNull(),
+        F.map_filter(m, lambda k, _v: ~k.isin(*_KNOWN_IMAGE_FIELDS)),
+    )
+
+
 def parse_envelope(
     df: DataFrame,
     decimal_mode: str = "string",
     value_col: str = "value",
     keep_corrupt: bool = False,
+    capture_extras: bool = False,
 ) -> DataFrame:
     """Kafka-shaped ``value`` (JSON string/bytes) -> typed change rows.
 
@@ -91,6 +124,10 @@ def parse_envelope(
     Malformed JSON yields null structs; set ``keep_corrupt`` to retain the
     raw payload in ``_corrupt`` for a dead-letter sink — log-and-skip is
     the reference behavior (``/root/reference/transaction_consumer.py:79-81``).
+
+    ``capture_extras`` adds an ``_extra`` map column holding after-image
+    fields the fixed schema does not know (see :func:`_extras_map`) so an
+    upstream column add is never silently dropped.
     """
     schema = envelope_schema(decimal_mode)
     raw = F.col(value_col).cast("string")
@@ -111,6 +148,7 @@ def parse_envelope(
         env.getField("source").getField("lsn").alias("lsn"),
         _decode_image(env.getField("before"), decimal_mode).alias("before"),
         _decode_image(env.getField("after"), decimal_mode).alias("after"),
+        *([_extras_map(raw, "after").alias("_extra")] if capture_extras else []),
         # from_json in PERMISSIVE mode yields an all-null row (not a null
         # struct) for malformed input — detect that shape.
         *(

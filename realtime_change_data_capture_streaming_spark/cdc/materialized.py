@@ -29,12 +29,10 @@ per-group aggregate is two longs.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 from realtime_change_data_capture_streaming_spark.cdc.apply_changes import BucketedParquetSink
 
 _VIEW_SCHEMA = "merchant_name string, n_txn bigint, sum_cents bigint"
@@ -70,8 +68,9 @@ class IncrementalAggView:
         )
 
     def read(self) -> DataFrame:
-        if os.path.isdir(self.path):
-            return self.spark.read.schema(_VIEW_SCHEMA).parquet(self.path)
+        vdir = table_commit.resolve(self.path)
+        if vdir is not None:
+            return self.spark.read.schema(_VIEW_SCHEMA).parquet(vdir)
         return self.spark.createDataFrame([], _VIEW_SCHEMA)
 
     def process_batch(self, batch_df: DataFrame, order_cols: tuple[str, ...] = ("lsn", "ts_ms")) -> None:
@@ -136,11 +135,12 @@ class IncrementalAggView:
                 )
                 .filter(F.col("n_txn") > 0)
             )
-            tmp = self.path + ".tmp"
-            updated.coalesce(1).write.mode("overwrite").parquet(tmp)
-            if os.path.isdir(self.path):
-                shutil.rmtree(self.path)
-            os.rename(tmp, self.path)
+            # versioned commit: the new view generation reads the OLD live
+            # version and is published with one atomic pointer flip, so a
+            # concurrent reader never sees a missing/half-written view
+            vdir, seq = table_commit.begin(self.path)
+            updated.coalesce(1).write.mode("overwrite").parquet(vdir)
+            table_commit.commit(self.path, seq)
         finally:
             batch_df.unpersist()
             if new_state is not None:

@@ -30,8 +30,12 @@ from realtime_change_data_capture_streaming_spark.sources.tables import load_tab
 _AMOUNT_BUMP = 10.0  # additive update keeps 2-dp values exact cross-engine
 
 
-def _image(amount_col, key_col="o_orderkey"):
-    """orders row -> transactions-shaped wire image (string decimal mode)."""
+def _image(amount_col, key_col="o_orderkey", extra_fields=()):
+    """orders row -> transactions-shaped wire image (string decimal mode).
+
+    ``extra_fields`` appends aliased columns the v1 schema does not know —
+    the wire shape Debezium produces after an upstream ``ALTER TABLE ADD``
+    (``/root/reference/README.md:211``)."""
     return F.struct(
         F.col(key_col).cast("string").alias("transaction_id"),
         F.col("o_custkey").cast("string").alias("user_id"),
@@ -45,6 +49,7 @@ def _image(amount_col, key_col="o_orderkey"):
         F.lit("0.0.0.0").alias("ip_address"),
         F.lit("").alias("voucher_code"),  # empty string, NOT null (main.py:23)
         F.col(key_col).cast("string").alias("affiliate_id"),
+        *extra_fields,
     )
 
 
@@ -245,6 +250,67 @@ FROM orders
 """
 
 
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream column add, end to end: insert events use the v1 schema;
+    the later update events carry a ``channel`` column added upstream
+    (ALTER TABLE ADD, ``/root/reference/README.md:211``).  The fixed-schema
+    parse must NOT silently drop it — ``capture_extras`` routes it into the
+    ``_extra`` map, apply-changes carries it latest-wins, and rows never
+    touched after the evolution show NULL, exactly like a widened table."""
+    o = load_table(spark, sf_dir, "orders")
+    base_lsn = F.col("o_orderkey") * 3
+    ts_ms = F.unix_timestamp("o_orderdate") * 1000
+
+    def env(before, after, op, lsn_off):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                (ts_ms + lsn_off).alias("ts_ms"),
+                F.struct((base_lsn + lsn_off).alias("lsn")).alias("source"),
+            )
+        )
+
+    key = F.col("o_orderkey").cast("string").alias("key")
+    null_img = F.when(F.lit(False), _image(F.col("o_totalprice")))
+    channel = F.when(F.col("o_orderkey") % 20 == 0, F.lit("web")).otherwise(F.lit("store"))
+    inserts = o.select(key, env(null_img, _image(F.col("o_totalprice")), "c", F.lit(0)).alias("value"))
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        key,
+        env(
+            _image(F.col("o_totalprice")),
+            _image(F.col("o_totalprice") + _AMOUNT_BUMP, extra_fields=(channel.alias("channel"),)),
+            "u",
+            F.lit(1),
+        ).alias("value"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        key,
+        env(_image(F.col("o_totalprice") + _AMOUNT_BUMP), F.when(F.lit(False), _image(F.col("o_totalprice"))), "d", F.lit(2)).alias("value"),
+    )
+    events = inserts.unionByName(updates).unionByName(deletes)
+    parsed = parse_envelope(events, decimal_mode="string", capture_extras=True)
+    final = apply_changes_batch(parsed)
+    return final.select(
+        F.col("transaction_id"),
+        F.col("amount").cast("double").alias("amount"),
+        F.element_at(F.col("_extra"), "channel").alias("channel"),
+    )
+
+
+CDC_EVOLUTION_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
+            AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       CASE WHEN o_orderkey % 10 = 0
+            THEN CASE WHEN o_orderkey % 20 = 0 THEN 'web' ELSE 'store' END
+       END AS channel
+FROM orders
+WHERE o_orderkey % 97 != 0
+"""
+
+
 def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed events routed to a dead-letter projection instead of
     killing the pipeline (reference behavior is log-and-skip,
@@ -276,6 +342,7 @@ QUERIES = {
     "cdc_parse_envelope_stats": cdc_parse_envelope_stats,
     "cdc_change_diff_rows": cdc_change_diff_rows,
     "cdc_audit_stamp": cdc_audit_stamp,
+    "cdc_schema_evolution": cdc_schema_evolution,
 }
 
 ORACLE = {
@@ -285,4 +352,5 @@ ORACLE = {
     "cdc_parse_envelope_stats": CDC_PARSE_SQL,
     "cdc_change_diff_rows": CDC_DIFF_SQL,
     "cdc_audit_stamp": CDC_AUDIT_SQL,
+    "cdc_schema_evolution": CDC_EVOLUTION_SQL,
 }
