@@ -124,8 +124,12 @@ class BucketedParquetSink:
         return table_commit.resolve(self.path)
 
     def _bucket(self, n_buckets: int | None = None) -> Column:
+        """Bucket id = ``pmod(murmur3(key), n)`` — the SAME function Spark's
+        ``repartition(n, key)`` uses for partition ids, so an explicit
+        repartition by key makes shuffle partition i hold exactly bucket i
+        and the bucketed write needs no second shuffle (see merge)."""
         n = n_buckets if n_buckets is not None else self.current_n_buckets()
-        return F.pmod(F.abs(F.xxhash64(F.col(self.key_col))), F.lit(n))
+        return F.pmod(F.hash(F.col(self.key_col)), F.lit(n))
 
     def exists(self) -> bool:
         return self._manifest() is not None
@@ -144,9 +148,8 @@ class BucketedParquetSink:
         self,
         events: DataFrame,
         order_cols: tuple[str, ...] = ("lsn", "ts_ms"),
-        touched: list[int] | None = None,
-        return_state: bool = False,
-    ) -> DataFrame | None:
+        pre_write=None,
+    ) -> None:
         """Latest-wins upsert + delete of the batch's keys into the table.
 
         Rows carry ``__lsn``/``__ts_ms`` audit columns so a later batch (or
@@ -160,27 +163,33 @@ class BucketedParquetSink:
         ``read`` filters tombstones; a compaction job may purge tombstones
         older than the source's maximum out-of-orderness.
 
-        ``touched`` (pre-computed dirty-bucket ids) skips the discovery
-        job when the caller already ran it.  With ``return_state=True``
-        the merged state of the touched buckets is returned as a persisted
-        DataFrame (caller unpersists) — downstream maintenance (see
-        materialized.IncrementalAggView) reuses it instead of re-reading
-        the files it was just written to.
+        ``pre_write(old_touched, merged)`` folds downstream maintenance
+        into the merge transaction: it is called after the merge plan is
+        built but BEFORE the write replaces touched-bucket files, with the
+        pre-merge rows of the touched buckets (None on table creation) and
+        the post-merge rows, both flat.  ``merged`` is persisted, so
+        whatever the hook evaluates is reused by the write instead of
+        recomputed.  The hook MUST eagerly materialize anything derived
+        from ``old_touched`` (its files are rewritten right after).
         """
         _extra_t = "map<string,string>"
-        last = latest_per_key(events, self.key_col, order_cols)
         has_extra = "_extra" in events.columns
-        batch = last.select(
+        # NO pre-dedupe of the batch: latest-wins over (existing ∪ raw
+        # events) equals latest-wins over (existing ∪ deduped events), so a
+        # separate per-batch aggregation before the union would only add a
+        # shuffle — duplicates are absorbed by the single merge agg below.
+        batch = events.select(
             F.col(self.key_col),
             F.col("op"),
-            F.col("lsn").alias("__lsn"),
-            F.col("ts_ms").alias("__ts_ms"),
+            F.col(order_cols[0]).alias("__lsn"),
+            F.col(order_cols[1]).alias("__ts_ms"),
             F.col("after"),
             *([F.col("_extra").cast(_extra_t)] if has_extra else []),
         )
-        # batch feeds both bucket discovery and the union; persist so the
-        # upstream parse/dedup pipeline runs once, not twice
+        # batch feeds bucket discovery and the union; persist so the
+        # upstream pipeline runs once
         batch = batch.persist()
+        current_touched: DataFrame | None = None
         if self.exists():
             current = self.read_raw()
             table_has_extra = "_extra" in current.columns
@@ -192,17 +201,17 @@ class BucketedParquetSink:
             elif table_has_extra and not has_extra:
                 batch = batch.withColumn("_extra", F.lit(None).cast(_extra_t))
                 has_extra = True
-            if touched is None:
-                touched = [
-                    r["_bucket"]
-                    for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()
-                ]
+            touched = [
+                r["_bucket"]
+                for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()
+            ]
+            current_touched = current.filter(F.col("_bucket").isin(touched))
             payload_cols = [
                 c
                 for c in current.columns
                 if c not in self._META_COLS and c not in (self.key_col, "_extra")
             ]
-            existing = current.filter(F.col("_bucket").isin(touched)).select(
+            existing = current_touched.select(
                 F.col(self.key_col),
                 F.col("op"),
                 F.col("__lsn"),
@@ -210,10 +219,21 @@ class BucketedParquetSink:
                 F.struct(*[F.col(c) for c in payload_cols]).alias("after"),
                 *([F.col("_extra")] if has_extra else []),
             )
-            union = existing.unionByName(batch)
+            # shuffle ONCE, aligned with storage: repartition(n, key) gives
+            # partition i == bucket i (see _bucket), the latest-wins agg
+            # reuses that partitioning (ClusteredDistribution satisfied),
+            # and the write below needs no further exchange.  Partial agg
+            # is lost on this union, but both sides are already <=1 row per
+            # key, so map-side combine could at best halve the shuffle.
+            n = self.current_n_buckets()
+            union = existing.unionByName(batch).repartition(n, F.col(self.key_col))
             merged = latest_per_key(union, self.key_col, ("__lsn", "__ts_ms"))
         else:
-            merged = batch  # already one row per key from latest_per_key above
+            # table creation: same aligned single-agg shape, batch only
+            n = self.current_n_buckets()
+            merged = latest_per_key(
+                batch.repartition(n, F.col(self.key_col)), self.key_col, ("__lsn", "__ts_ms")
+            )
         final = merged.select(
             F.col(self.key_col),
             F.col("op"),
@@ -222,13 +242,16 @@ class BucketedParquetSink:
             F.col("after.*"),
             *([F.col("_extra")] if has_extra else []),
         )
-        if return_state:
-            # materialize before the write replaces the files final reads
+        if pre_write is not None:
+            # the hook's evaluation fills this cache; the write reuses it
             final = final.persist()
         try:
-            bucketed = final.withColumn("_bucket", self._bucket()).repartition("_bucket")
+            if pre_write is not None:
+                pre_write(current_touched, final)
+            bucketed = final.withColumn("_bucket", self._bucket())
             if self.exists():
-                # in-place dynamic bucket overwrite inside the live version
+                # in-place dynamic bucket overwrite inside the live version;
+                # partitioning already bucket-aligned — no repartition
                 (
                     bucketed.write.mode("overwrite")
                     .option("partitionOverwriteMode", "dynamic")
@@ -237,12 +260,14 @@ class BucketedParquetSink:
                 )
             else:
                 # table creation: stage version 0, then publish atomically
+                # (already bucket-aligned by the repartition above)
                 vdir, seq = table_commit.begin(self.path)
                 bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
                 table_commit.commit(self.path, seq, {"n_buckets": self.n_buckets})
         finally:
             batch.unpersist()
-        return final if return_state else None
+            if pre_write is not None:
+                final.unpersist()
 
 
 def compact_sink(

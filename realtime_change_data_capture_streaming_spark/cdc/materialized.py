@@ -7,24 +7,26 @@ rescanning the fact table — classic incremental view maintenance.
 
 Design (Spark-first):
 - The keyed sink (BucketedParquetSink) remains the source of truth.
-- Per micro-batch, the view delta is computed as ``group(new touched
-  state) − group(old touched state)``: aggregate the touched buckets
-  before and after the merge and subtract.  Cost per batch is
-  O(touched buckets) + O(groups), never O(table).
+- Per micro-batch, the view delta is ONE signed-union aggregation run
+  inside the merge's ``pre_write`` hook: -1 contributions from the
+  touched buckets' pre-merge rows, +1 from the post-merge rows, summed
+  per group.  Untouched keys contribute identical +/- rows that cancel
+  in the map-side partial aggregate; only O(changed groups) rows are
+  ever materialized.  No joins, no broadcasts, no full-state snapshot.
 - The delta-from-state-diff formulation makes maintenance *idempotent
-  for free*: replaying a batch the sink has already absorbed yields
-  old == new, an all-zero delta, and an unchanged view — the same
+  for free*: replaying a batch the sink has already absorbed yields a
+  delta that cancels to zero and an unchanged view — the same
   effectively-once contract as the merge itself.  Contribution-based
   deltas (+after/−before per event) would double-count replays.
-- The pre-merge snapshot is eagerly localCheckpoint-ed: the merge
-  rewrites touched bucket files in place, so the old state must be
-  materialized before, not lazily re-read after.  (With a Delta/Iceberg
-  sink, time-travel reads replace the checkpoint.)
+- The hook runs before the write replaces the touched files, and the
+  merge persists its output, so maintenance shares the merge's own
+  bucket-pruned scan instead of repeating it.  (With a Delta/Iceberg
+  sink, time-travel reads would replace the eager delta checkpoint.)
 
 Scale notes (100 TB): the view table is O(groups) — rewriting it whole
-each batch is cheap; the expensive inputs are bucket-pruned parquet reads
-(``_bucket=<i>`` directory pruning).  Group-key skew is irrelevant: the
-per-group aggregate is two longs.
+each batch is cheap; the only table-sized input is the merge's own
+bucket-pruned scan, shared with the merge.  Group-key skew is
+irrelevant: the per-group aggregate is two longs.
 """
 
 from __future__ import annotations
@@ -55,96 +57,69 @@ class IncrementalAggView:
         self.group_col = group_col
         self.amount_col = amount_col
 
-    def _grouped(self, state: DataFrame) -> DataFrame:
-        """Live-row contributions per group; cents as exact bigints so
-        increments commute and replay-cancel exactly."""
-        return (
-            state.filter(F.col("op") != "d")
-            .groupBy(self.group_col)
-            .agg(
-                F.count(F.lit(1)).alias("n_txn"),
-                F.sum((F.col(self.amount_col) * 100).cast("bigint")).alias("sum_cents"),
-            )
-        )
-
     def read(self) -> DataFrame:
         vdir = table_commit.resolve(self.path)
         if vdir is not None:
             return self.spark.read.schema(_VIEW_SCHEMA).parquet(vdir)
         return self.spark.createDataFrame([], _VIEW_SCHEMA)
 
+    def _signed(self, state: DataFrame, sign: int) -> DataFrame:
+        """Per-row view contributions with a +/- sign: +1 for post-merge
+        rows, -1 for the pre-merge rows they replace."""
+        return state.filter(F.col("op") != "d").select(
+            F.col(self.group_col),
+            F.lit(sign).alias("d_n"),
+            (F.lit(sign) * (F.col(self.amount_col) * 100).cast("bigint")).alias("d_c"),
+        )
+
     def process_batch(self, batch_df: DataFrame, order_cols: tuple[str, ...] = ("lsn", "ts_ms")) -> None:
-        """Merge the batch into the sink and fold the state diff into the view."""
-        sink = self.sink
-        batch_df = batch_df.persist()
-        new_state = None
-        try:
-            touched = [
-                r["_b"]
-                for r in batch_df.select(sink._bucket().alias("_b")).distinct().collect()
-            ]
-            if sink.exists():
-                old_state = sink.read_raw().filter(F.col("_bucket").isin(touched))
-            else:
-                old_state = None
-            # materialize BEFORE the merge rewrites these bucket files
-            old_grouped = (
-                self._grouped(old_state).localCheckpoint(eager=True)
-                if old_state is not None
-                else None
+        """Merge the batch into the sink and fold the state diff into the view.
+
+        The delta is ONE signed-union aggregation inside the merge's
+        ``pre_write`` hook: -1 contributions from the touched buckets'
+        pre-merge rows, +1 from the post-merge rows, summed per group.
+        Untouched-key rows appear identically on both sides and cancel in
+        the partial aggregate — no joins, no broadcast, and the only
+        eager materialization is the delta itself, O(changed groups).
+        A replayed batch yields old == new everywhere, an all-zero delta,
+        and an unchanged view (the effectively-once contract)."""
+        delta_box: list[DataFrame] = []
+        g = self.group_col
+
+        def _delta_hook(old_touched: DataFrame | None, merged: DataFrame) -> None:
+            contribs = self._signed(merged, +1)
+            if old_touched is not None:
+                contribs = contribs.unionByName(self._signed(old_touched, -1))
+            delta = (
+                contribs.groupBy(g)
+                .agg(F.sum("d_n").alias("d_n"), F.sum("d_c").alias("d_c"))
+                .filter((F.col("d_n") != 0) | (F.col("d_c") != 0))
             )
-            new_state = sink.merge(batch_df, order_cols, touched=touched, return_state=True)
-            new_grouped = self._grouped(new_state)
-            g = self.group_col
-            if old_grouped is not None:
-                delta = (
-                    new_grouped.withColumnRenamed("n_txn", "n_new")
-                    .withColumnRenamed("sum_cents", "c_new")
-                    .join(
-                        old_grouped.withColumnRenamed("n_txn", "n_old").withColumnRenamed(
-                            "sum_cents", "c_old"
-                        ),
-                        g,
-                        "full_outer",
-                    )
-                    .select(
-                        F.col(g),
-                        (F.coalesce("n_new", F.lit(0)) - F.coalesce("n_old", F.lit(0))).alias(
-                            "d_n"
-                        ),
-                        (F.coalesce("c_new", F.lit(0)) - F.coalesce("c_old", F.lit(0))).alias(
-                            "d_c"
-                        ),
-                    )
-                )
-            else:
-                delta = new_grouped.select(
-                    F.col(g), F.col("n_txn").alias("d_n"), F.col("sum_cents").alias("d_c")
-                )
-            updated = (
-                self.read()
-                .join(delta, g, "full_outer")
-                .select(
-                    F.col(g).alias("merchant_name") if g != "merchant_name" else F.col(g),
-                    (F.coalesce("n_txn", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
-                    .cast("bigint")
-                    .alias("n_txn"),
-                    (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_c", F.lit(0)))
-                    .cast("bigint")
-                    .alias("sum_cents"),
-                )
-                .filter(F.col("n_txn") > 0)
+            # must be real rows BEFORE the write rewrites old_touched's files
+            delta_box.append(delta.localCheckpoint(eager=True))
+
+        self.sink.merge(batch_df, order_cols, pre_write=_delta_hook)
+        delta = delta_box[0]
+        updated = (
+            self.read()
+            .join(delta, g, "full_outer")
+            .select(
+                F.col(g).alias("merchant_name") if g != "merchant_name" else F.col(g),
+                (F.coalesce("n_txn", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+                .cast("bigint")
+                .alias("n_txn"),
+                (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_c", F.lit(0)))
+                .cast("bigint")
+                .alias("sum_cents"),
             )
-            # versioned commit: the new view generation reads the OLD live
-            # version and is published with one atomic pointer flip, so a
-            # concurrent reader never sees a missing/half-written view
-            vdir, seq = table_commit.begin(self.path)
-            updated.coalesce(1).write.mode("overwrite").parquet(vdir)
-            table_commit.commit(self.path, seq)
-        finally:
-            batch_df.unpersist()
-            if new_state is not None:
-                new_state.unpersist()
+            .filter(F.col("n_txn") > 0)
+        )
+        # versioned commit: the new view generation reads the OLD live
+        # version and is published with one atomic pointer flip, so a
+        # concurrent reader never sees a missing/half-written view
+        vdir, seq = table_commit.begin(self.path)
+        updated.coalesce(1).write.mode("overwrite").parquet(vdir)
+        table_commit.commit(self.path, seq)
 
 
 def apply_changes_with_view(
@@ -189,7 +164,7 @@ def stream_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
     parsed = parse_envelope(stream, decimal_mode="string")
-    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
     view = IncrementalAggView(spark, sink, f"{work}/agg_view")
     q = apply_changes_with_view(parsed, view, f"{work}/ckpt", trigger={"availableNow": True})
     q.awaitTermination(600)

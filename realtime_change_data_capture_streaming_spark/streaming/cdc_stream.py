@@ -50,7 +50,7 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
     parsed = parse_envelope(stream, decimal_mode="string")
-    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
     q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
     q.awaitTermination(600)
     final = sink.read()
