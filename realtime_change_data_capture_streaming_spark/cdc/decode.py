@@ -41,7 +41,13 @@ def _precise_to_decimal(wire: Column) -> Column:
     )
     # 10^scale as decimal; scale is tiny (0..9) so this is exact
     pow10 = F.pow(F.lit(10.0), wire.getField("scale")).cast("decimal(38,9)")
-    return (unscaled.cast("decimal(38,9)") / pow10).cast(AMOUNT_TYPE)
+    decoded = (unscaled.cast("decimal(38,9)") / pow10).cast(AMOUNT_TYPE)
+    # width guard: the sign-extension above covers 8 wire bytes (plenty for
+    # DECIMAL(18,2): 60 bits).  lpad would silently TRUNCATE a wider value
+    # to its high-order hex digits — return NULL instead, so an upstream
+    # type widening surfaces as missing data + dead-letter, never as a
+    # wrong amount.
+    return F.when(F.length(hexs) <= 16, decoded)
 
 
 def decode_amount(wire: Column, decimal_mode: str) -> Column:

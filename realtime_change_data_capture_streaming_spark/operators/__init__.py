@@ -5,18 +5,20 @@ and ``ORACLE: dict[str, str]`` (DuckDB-runnable SQL producing identical
 rows/columns).  ``__spark_entry__.py`` aggregates them for the driver.
 """
 
-from realtime_change_data_capture_streaming_spark.operators import tpch, tpch2, relational, grouping, events, skew  # noqa: F401
+from realtime_change_data_capture_streaming_spark.operators import tpch, tpch2, relational, grouping, events, skew, asof  # noqa: F401
+
+_MODULES = (asof, tpch, tpch2, relational, grouping, events, skew)
 
 
 def all_queries():
     out = {}
-    for mod in (tpch, tpch2, relational, grouping, events, skew):
+    for mod in _MODULES:
         out.update(mod.QUERIES)
     return out
 
 
 def all_oracles():
     out = {}
-    for mod in (tpch, tpch2, relational, grouping, events, skew):
+    for mod in _MODULES:
         out.update(mod.ORACLE)
     return out

@@ -1,0 +1,99 @@
+"""As-of (point-in-time) join — the time-series staple Spark lacks natively.
+
+For each left row at time t, attach the latest right row with
+``right_ts <= t`` for the same key.  Declared in SURVEY.md §2.5's join
+surface ("as-of ≈ union + last-value window"); the oracle uses DuckDB's
+native ``ASOF JOIN``.
+
+Scale design: the naive formulation is a range join (every left row ×
+every earlier right row, then argmax) — a candidate explosion Spark plans
+as O(n·m) per key.  The union + last-value-window form does ONE shuffle
+on the key and one per-partition sort over left+right combined: each row
+is touched once, which is the same asymptotic shape a dedicated as-of
+operator (pandas merge_asof, QuestDB, kdb aj) uses.  Key skew maps to a
+window over the hot key; tolerable because the window state is one struct
+(the running last right row), not a buffer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Inner as-of join: left rows keep their columns; the matched right
+    row's columns arrive under a ``_match`` struct (``_match.<col>``),
+    with ``right_ts`` included.  Left rows with no earlier right row are
+    dropped (inner semantics).
+
+    Ties: a right row at exactly ``left_ts`` matches (<=); right rows sort
+    before left rows at equal timestamps to guarantee it.
+    """
+    r_payload = [c for c in right.columns if c != on]
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_asof_ts"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("_match"),
+        F.lit(None).alias("_left"),
+    )
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_asof_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_match"].dataType).alias("_match"),
+        l_struct.alias("_left"),
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_asof_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = r.unionByName(l, allowMissingColumns=False)
+    filled = u.withColumn("_m", F.last("_match", ignorenulls=True).over(w))
+    return (
+        filled.filter((F.col("_side") == 1) & F.col("_m").isNotNull())
+        .select(F.col("_left.*"), F.col("_m").alias("_match"))
+    )
+
+
+def events_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent view at or before it:
+    classic attribution as-of.  (user_id, ts) is unique in the fixture, so
+    the match is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = join_asof(purchases, views, on="user_id")
+    return j.select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("_match.ts").alias("view_ts"),
+        (F.unix_micros("ts") - F.unix_micros(F.col("_match.ts"))).alias("gap_us"),
+        F.col("_match.value").alias("view_value"),
+    )
+
+
+ASOF_SQL = """
+SELECT p.user_id,
+       p.ts AS purchase_ts,
+       v.ts AS view_ts,
+       CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us,
+       v.value AS view_value
+FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+QUERIES = {"events_asof_view_before_purchase": events_asof_view_before_purchase}
+ORACLE = {"events_asof_view_before_purchase": ASOF_SQL}

@@ -39,6 +39,21 @@ def test_precise_mode_known_vector(spark):
     assert out[0]["a"] == Decimal("5.00")
 
 
+def test_precise_mode_width_guard(spark):
+    """A wire value wider than the decoder's 8-byte window must surface as
+    NULL (missing data, dead-letterable), never as a silently truncated
+    wrong amount."""
+    import base64
+
+    # 9-byte two's-complement: 2^66 unscaled — exceeds the 8-byte window
+    wide = base64.b64encode((1 << 66).to_bytes(9, "big", signed=True)).decode()
+    ok = base64.b64encode((500).to_bytes(4, "big", signed=True)).decode()
+    df = spark.createDataFrame([(2, wide), (2, ok)], "scale int, value string")
+    out = df.select(decode_amount(F.struct("scale", "value"), "precise").alias("a")).collect()
+    assert out[0]["a"] is None
+    assert out[1]["a"] == Decimal("5.00")
+
+
 @pytest.mark.parametrize("mode", DECIMAL_MODES)
 def test_parse_envelope_modes(spark, mode):
     events = synthetic_change_events(spark, 50, updates_per_key=2, decimal_mode=mode)

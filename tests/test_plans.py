@@ -50,6 +50,21 @@ def test_q5_star_join_shape(spark, sf_dir):
     assert c["sort_merge_joins"] + c["shuffled_hash_joins"] <= 1, c
 
 
+def test_asof_join_single_shuffle_no_range_explosion(spark, sf_dir):
+    """join_asof must plan as union + window (each row touched once, one
+    hash exchange on the key), never as a range join — a theta join's
+    per-key candidate explosion is O(n·m) at 100 TB."""
+    from realtime_change_data_capture_streaming_spark.operators.asof import events_asof_view_before_purchase
+
+    df = events_asof_view_before_purchase(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["cartesian"] == 0 and c["bnl_joins"] == 0, c
+    assert (
+        c["sort_merge_joins"] + c["shuffled_hash_joins"] + c["broadcast_joins"] == 0
+    ), f"as-of must not plan any join operator: {c}"
+    assert c["exchanges"] <= 2, c  # one hash exchange per input branch max
+
+
 def test_apply_changes_partial_aggregates_no_window(spark):
     """latest_per_key must plan as an AGGREGATE with map-side combine
     (partial_max_by before the exchange), never a row_number window — the
