@@ -62,6 +62,9 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # isolate queries from each other: a previous query's leftover
+        # cached blocks/broadcasts are not part of THIS query's cost
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         t = time.perf_counter() - t0

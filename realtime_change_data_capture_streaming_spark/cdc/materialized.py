@@ -13,23 +13,30 @@ Design (Spark-first):
   per group.  Untouched keys contribute identical +/- rows that cancel
   in the map-side partial aggregate; only O(changed groups) rows are
   ever materialized.  No joins, no broadcasts, no full-state snapshot.
-- The delta-from-state-diff formulation makes maintenance *idempotent
-  for free*: replaying a batch the sink has already absorbed yields a
-  delta that cancels to zero and an unchanged view — the same
-  effectively-once contract as the merge itself.  Contribution-based
-  deltas (+after/−before per event) would double-count replays.
+- Deltas land in a batch-id-keyed DELTA LOG (``b=<id>/`` slots inside a
+  versioned view dir); ``read()`` folds the log and ``compact()``
+  collapses it behind an atomic pointer flip.  Per micro-batch the view
+  does ONE tiny write — no read-modify-rewrite of view state at all.
+- Effectively-once: a redelivered batch finds its slot already durable
+  and skips the recompute (see ``process_batch`` for the full crash
+  matrix — recomputing after the sink absorbed the batch would yield a
+  zero diff and corrupt the slot).  Contribution-based deltas
+  (+after/−before per event) would double-count replays outright.
 - The hook runs before the write replaces the touched files, and the
   merge persists its output, so maintenance shares the merge's own
   bucket-pruned scan instead of repeating it.  (With a Delta/Iceberg
-  sink, time-travel reads would replace the eager delta checkpoint.)
+  sink, time-travel reads would replace the in-hook delta write.)
 
-Scale notes (100 TB): the view table is O(groups) — rewriting it whole
-each batch is cheap; the only table-sized input is the merge's own
-bucket-pruned scan, shared with the merge.  Group-key skew is
-irrelevant: the per-group aggregate is two longs.
+Scale notes (100 TB): each delta is O(changed groups); the log grows one
+tiny file per batch and is bounded by routine ``compact()``.  The only
+table-sized input is the merge's own bucket-pruned scan, shared with the
+merge.  Group-key skew is irrelevant: the per-group aggregate is two
+longs.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,11 +64,51 @@ class IncrementalAggView:
         self.group_col = group_col
         self.amount_col = amount_col
 
-    def read(self) -> DataFrame:
+    def _ensure_log(self) -> str:
         vdir = table_commit.resolve(self.path)
-        if vdir is not None:
-            return self.spark.read.schema(_VIEW_SCHEMA).parquet(vdir)
-        return self.spark.createDataFrame([], _VIEW_SCHEMA)
+        if vdir is None:
+            vdir, seq = table_commit.begin(self.path)
+            table_commit.commit(self.path, seq)
+        return vdir
+
+    def read(self) -> DataFrame:
+        """Current view state = fold of the delta log (tiny: one row per
+        changed group per micro-batch, compacted periodically)."""
+        vdir = table_commit.resolve(self.path)
+        if vdir is None or not any(e.startswith("b=") for e in os.listdir(vdir)):
+            return self.spark.createDataFrame([], _VIEW_SCHEMA)
+        g = self.group_col
+        log = self.spark.read.schema(f"{g} string, d_n bigint, d_c bigint").option(
+            "basePath", vdir
+        ).parquet(f"{vdir}/b=*")
+        return (
+            log.groupBy(g)
+            .agg(F.sum("d_n").alias("n_txn"), F.sum("d_c").alias("sum_cents"))
+            .filter(F.col("n_txn") > 0)
+            .select(F.col(g).alias("merchant_name"), "n_txn", "sum_cents")
+        )
+
+    def compact(self) -> None:
+        """Fold the delta log into a single base delta, published with one
+        atomic pointer flip.  Run like any housekeeping job; bounds the log
+        at O(compaction interval) entries regardless of stream lifetime.
+
+        Safety contract (same shape as ``compact_sink``'s tombstone bound):
+        compact only batches the checkpoint can no longer replay — a
+        replayed batch id whose delta was already folded into the base
+        would double-count.  With a committed checkpoint this holds for
+        every completed batch."""
+        folded = (
+            self.read()
+            .select(
+                F.col("merchant_name").alias(self.group_col),
+                F.col("n_txn").alias("d_n"),
+                F.col("sum_cents").alias("d_c"),
+            )
+        )
+        vdir, seq = table_commit.begin(self.path)
+        folded.coalesce(1).write.mode("overwrite").parquet(f"{vdir}/b=base")
+        table_commit.commit(self.path, seq)
 
     def _signed(self, state: DataFrame, sign: int) -> DataFrame:
         """Per-row view contributions with a +/- sign: +1 for post-merge
@@ -72,8 +119,14 @@ class IncrementalAggView:
             (F.lit(sign) * (F.col(self.amount_col) * 100).cast("bigint")).alias("d_c"),
         )
 
-    def process_batch(self, batch_df: DataFrame, order_cols: tuple[str, ...] = ("lsn", "ts_ms")) -> None:
-        """Merge the batch into the sink and fold the state diff into the view.
+    def process_batch(
+        self,
+        batch_df: DataFrame,
+        order_cols: tuple[str, ...] = ("lsn", "ts_ms"),
+        batch_id: int = 0,
+    ) -> None:
+        """Merge the batch into the sink and append the state diff to the
+        view's delta log.
 
         The delta is ONE signed-union aggregation inside the merge's
         ``pre_write`` hook: -1 contributions from the touched buckets'
@@ -81,10 +134,31 @@ class IncrementalAggView:
         Untouched-key rows appear identically on both sides and cancel in
         the partial aggregate — no joins, no broadcast, and the only
         eager materialization is the delta itself, O(changed groups).
-        A replayed batch yields old == new everywhere, an all-zero delta,
-        and an unchanged view (the effectively-once contract)."""
-        delta_box: list[DataFrame] = []
+
+        Crash-safety, every interleaving (the write ORDER is load-bearing —
+        the delta slot is written inside the hook, BEFORE the sink write):
+
+        1. crash before the delta write — nothing durable happened; the
+           redelivered batch recomputes from scratch.
+        2. crash between delta write and sink write — redelivery sees its
+           slot exists, SKIPS the recompute (the durable delta was
+           computed against pre-merge state and is correct), and the
+           idempotent sink merge applies the batch.
+        3. crash after both — redelivery skips the recompute and the sink
+           merge is a no-op.
+
+        Recomputing on redelivery instead would be WRONG in case 3: the
+        sink has already absorbed the batch, so the state diff is zero and
+        would overwrite the slot's real delta.  Corollary: replaying into
+        an existing view from a FRESH checkpoint requires the same
+        batching (deterministic for a file source), matching the
+        reference's replay-from-earliest model."""
         g = self.group_col
+        vdir = self._ensure_log()
+        slot = os.path.join(vdir, f"b={batch_id}")
+        if os.path.isdir(slot) and any(not f.startswith(("_", ".")) for f in os.listdir(slot)):
+            self.sink.merge(batch_df, order_cols)  # redelivery: delta already durable
+            return
 
         def _delta_hook(old_touched: DataFrame | None, merged: DataFrame) -> None:
             contribs = self._signed(merged, +1)
@@ -95,31 +169,11 @@ class IncrementalAggView:
                 .agg(F.sum("d_n").alias("d_n"), F.sum("d_c").alias("d_c"))
                 .filter((F.col("d_n") != 0) | (F.col("d_c") != 0))
             )
-            # must be real rows BEFORE the write rewrites old_touched's files
-            delta_box.append(delta.localCheckpoint(eager=True))
+            # the write IS the eager materialization, and it runs BEFORE the
+            # sink write rewrites old_touched's files
+            delta.coalesce(1).write.mode("overwrite").parquet(slot)
 
         self.sink.merge(batch_df, order_cols, pre_write=_delta_hook)
-        delta = delta_box[0]
-        updated = (
-            self.read()
-            .join(delta, g, "full_outer")
-            .select(
-                F.col(g).alias("merchant_name") if g != "merchant_name" else F.col(g),
-                (F.coalesce("n_txn", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
-                .cast("bigint")
-                .alias("n_txn"),
-                (F.coalesce("sum_cents", F.lit(0)) + F.coalesce("d_c", F.lit(0)))
-                .cast("bigint")
-                .alias("sum_cents"),
-            )
-            .filter(F.col("n_txn") > 0)
-        )
-        # versioned commit: the new view generation reads the OLD live
-        # version and is published with one atomic pointer flip, so a
-        # concurrent reader never sees a missing/half-written view
-        vdir, seq = table_commit.begin(self.path)
-        updated.coalesce(1).write.mode("overwrite").parquet(vdir)
-        table_commit.commit(self.path, seq)
 
 
 def apply_changes_with_view(
@@ -134,7 +188,7 @@ def apply_changes_with_view(
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.isEmpty():
-            view.process_batch(batch_df, order_cols)
+            view.process_batch(batch_df, order_cols, batch_id=batch_id)
 
     writer = (
         parsed.writeStream.foreachBatch(_step)
