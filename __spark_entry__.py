@@ -33,15 +33,58 @@ def entry(spark: SparkSession) -> DataFrame:
     return cdc_apply_changes(spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 / §2.5.
+def _verification_order(names):
+    """Sort key that self-rotates registration order across rounds.
 
-    Registration order is deliberate: the driver's correctness pass covers a
-    bounded prefix of this dict, so families that have not yet received a
-    CORRECTNESS row register FIRST (llm_ops, functions/UDF, streaming, cdc,
-    formats, bucketing) and the operator queries proven green in round 1
-    register last.  Rotate as families get verified.
+    The driver's correctness pass covers a bounded prefix of ``queries()``
+    (50 entries in round 1), so ordering is the only lever for which
+    queries get a CORRECTNESS row.  Using the accumulated
+    ``CORRECTNESS_r*.json`` artifacts: queries that FAILED their last check
+    come first (fixes must be re-verified), then queries never checked,
+    then verified queries oldest-round-first — so over successive rounds
+    every query rotates through the driver's window.
     """
+    import glob
+    import json
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    history: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            ok = bool(rec.get("hash_match")) or (
+                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            )
+            history[name] = (rnd, ok)
+
+    order = {nm: i for i, nm in enumerate(names)}  # stable tiebreak
+
+    def key(nm):
+        if nm not in history:
+            return (1, 0, order[nm])
+        rnd, ok = history[nm]
+        if not ok:
+            return (0, rnd, order[nm])
+        return (2, rnd, order[nm])
+
+    return sorted(names, key=key)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One entry per implemented operator from SURVEY.md §2 / §2.5,
+    registered in self-rotating verification-priority order (see
+    ``_verification_order``)."""
     from realtime_change_data_capture_streaming_spark import llm_ops, operators
     from realtime_change_data_capture_streaming_spark import functions as fns
     from realtime_change_data_capture_streaming_spark import streaming as stm
@@ -57,7 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(formats.QUERIES)
     out.update(bucketing.QUERIES)
     out.update(operators.all_queries())
-    return out
+    return {nm: out[nm] for nm in _verification_order(list(out))}
 
 
 def oracle_sql() -> dict[str, str]:

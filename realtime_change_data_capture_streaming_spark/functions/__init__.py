@@ -1,8 +1,8 @@
 """Scalar function library coverage (SURVEY.md section 2.5)."""
 
-from realtime_change_data_capture_streaming_spark.functions import pandas_udfs, scalar
+from realtime_change_data_capture_streaming_spark.functions import pandas_udfs, scalar, udtfs
 
-_MODULES = (scalar, pandas_udfs)
+_MODULES = (scalar, pandas_udfs, udtfs)
 
 
 def all_queries():

@@ -377,6 +377,17 @@ def approx_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style single-pass sketch) — the 100 TB path
+    for quantiles; the exact sort-based counterpart is percentiles_exact.
+    Sketch results are engine-specific (rows-only for the driver); accuracy
+    vs exact is pinned by pytest within the declared error bound."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.99], 10_000).alias("approx_q")
+    )
+
+
 QUERIES = {
     "join_semi": join_semi,
     "join_anti": join_anti,
@@ -394,6 +405,7 @@ QUERIES = {
     "percentiles_exact": percentiles_exact,
     "distinct_count_exact": distinct_count_exact,
     "approx_count_distinct_hll": approx_count_distinct_hll,
+    "approx_percentile_prices": approx_percentile_prices,
 }
 
 ORACLE = {
