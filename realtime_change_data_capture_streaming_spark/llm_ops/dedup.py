@@ -307,6 +307,100 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iters: int = 25) -> DataFrame:
+    """Distributed connected components by iterative min-label propagation:
+    (node, component) where component = min node id in the component.
+
+    Near-dup pairs are only half the dedup story: keeping min(doc_id) per
+    PAIR over-deletes when dups chain (a~b, b~c but not a~c).  Production
+    pipelines cluster the candidate graph and keep one doc per component.
+
+    Each round every node adopts min(own label, neighbors' labels) — one
+    join + one aggregate per round, converging in O(diameter) rounds.
+    Near-dup graphs are unions of small cliques (diameter ≲ 3), so this
+    terminates in a handful of rounds even at 100 TB; for adversarially
+    long paths the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce") halves distances per round —
+    same join-shape, log(diameter) rounds.  Labels are localCheckpointed
+    each round to truncate lineage (iterative plans otherwise re-execute
+    the whole prefix every round).
+    """
+    sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)  # edge set reused every round
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce("nbr_component", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        # bounded driver check: one count per round, rounds ~ diameter
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters over the exact Jaccard candidate graph:
+    (doc_id, component, component_size) — component = canonical kept doc.
+
+    Edges are the oracle-checked ``ngram_jaccard_pairs`` (J >= 0.20), so
+    the whole clustering is exactly reproducible in the DuckDB oracle via
+    a recursive CTE (min reachable node == min-label fixpoint).
+    """
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("component_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "component_size"
+    )
+
+
+# min reachable node over the symmetric closure == min-label fixpoint.
+# UNION (not UNION ALL) dedups the frontier, guaranteeing termination.
+DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {NGRAM_JACCARD_SQL}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+), comp AS (
+  SELECT node, MIN(r) AS component FROM reach GROUP BY node
+)
+SELECT node AS doc_id, component,
+       COUNT(*) OVER (PARTITION BY component) AS component_size
+FROM comp
+"""
+
+
 def dedup_kept_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup DECISION applied: keep the min doc_id per normalized
     fingerprint, return the surviving documents — the output a training
@@ -333,6 +427,7 @@ QUERIES = {
     "dedup_embedding_cosine": embedding_cosine_dedup,
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_signatures,
+    "dedup_cluster_components": dedup_cluster_components,
 }
 
 ORACLE = {
@@ -340,5 +435,6 @@ ORACLE = {
     "dedup_kept_documents": DEDUP_KEPT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": EMBEDDING_COSINE_DEDUP_SQL,
+    "dedup_cluster_components": DEDUP_CLUSTER_SQL,
     # minhash/simhash: engine-specific sketches -> rows-only
 }

@@ -1,0 +1,41 @@
+"""Connected-components clustering over near-dup candidate graphs.
+
+Pinning the semantics the oracle can't isolate: transitive chaining
+(a~b, b~c => one cluster even without an a~c edge), multiple components,
+and the empty graph.
+"""
+
+from __future__ import annotations
+
+from realtime_change_data_capture_streaming_spark.llm_ops.dedup import connected_components
+
+
+def _components(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = connected_components(df).collect()
+    return {r["node"]: r["component"] for r in rows}
+
+
+def test_chain_merges_transitively(spark):
+    # 1-2, 2-3, 3-4: one component labelled by its min node, even though
+    # 1 and 4 share no direct edge (the pairwise-min rule would split this)
+    got = _components(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_components_stay_apart(spark):
+    got = _components(spark, [(10, 20), (30, 40), (40, 50)])
+    assert got == {10: 10, 20: 10, 30: 30, 40: 30, 50: 30}
+
+
+def test_empty_graph(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    assert connected_components(df).count() == 0
+
+
+def test_long_path_converges(spark):
+    # a 12-node path: diameter 11, the worst case for plain min-label
+    # propagation — must still converge inside the iteration cap
+    edges = [(i, i + 1) for i in range(1, 12)]
+    got = _components(spark, edges)
+    assert set(got.values()) == {1}

@@ -165,3 +165,32 @@ def test_curation_scrub_and_sample_stay_narrow(spark, sf_dir):
     sampled = curation.stratified_sample(d, {"en": 50, "de": 25})
     c2 = plan_counts(sampled)
     assert c2["exchanges"] == 0 and c2["python_evals"] == 0, c2
+
+
+def test_pivot_single_scan_two_phase_aggregate(spark, sf_dir):
+    """Explicit pivot values -> one scan feeding Spark's two-phase pivot
+    (pre-aggregate on (key, pivot-value), then pivotfirst on key) with no
+    join and no Python.  The implicit form would additionally run an eager
+    distinct JOB over the pivot column at plan time — a second full scan,
+    wrong at scale."""
+    from realtime_change_data_capture_streaming_spark.operators.reshape import pivot_revenue_by_year
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    df = pivot_revenue_by_year(spark, sf_dir)
+    c = plan_counts(df)
+    assert executed_plan(df).count("FileScan") == 1, "pivot must scan lineitem once"
+    assert c["cartesian"] == 0 and c["bnl_joins"] == 0, c
+    assert c["python_evals"] == 0, c
+    # (key, yr) pre-agg pair + pivotfirst pair; both hash, never sort-agg
+    assert c["hash_aggregates"] <= 4 and c["sort_aggregates"] == 0, c
+    assert c["exchanges"] <= 3, c  # two agg shuffles + orderBy range exchange
+
+
+def test_unpivot_is_shuffle_free(spark, sf_dir):
+    """unpivot/melt = Expand projection: zero exchanges, zero aggregates."""
+    from realtime_change_data_capture_streaming_spark.operators.reshape import unpivot_part_measures
+
+    df = unpivot_part_measures(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["exchanges"] == 0, c
+    assert c["hash_aggregates"] == 0, c
