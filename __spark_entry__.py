@@ -89,7 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from realtime_change_data_capture_streaming_spark import functions as fns
     from realtime_change_data_capture_streaming_spark import streaming as stm
     from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
-    from realtime_change_data_capture_streaming_spark.plans import bucketing
+    from realtime_change_data_capture_streaming_spark.plans import bucketing, layout
     from realtime_change_data_capture_streaming_spark.sources import formats
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(cdc_queries.QUERIES)
     out.update(formats.QUERIES)
     out.update(bucketing.QUERIES)
+    out.update(layout.QUERIES)
     out.update(operators.all_queries())
     return {nm: out[nm] for nm in _verification_order(list(out))}
 
@@ -113,7 +114,7 @@ def oracle_sql() -> dict[str, str]:
     from realtime_change_data_capture_streaming_spark import functions as fns
     from realtime_change_data_capture_streaming_spark import streaming as stm
     from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
-    from realtime_change_data_capture_streaming_spark.plans import bucketing
+    from realtime_change_data_capture_streaming_spark.plans import bucketing, layout
     from realtime_change_data_capture_streaming_spark.sources import formats
 
     out: dict[str, str] = {}
@@ -123,5 +124,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(cdc_queries.ORACLE)
     out.update(formats.ORACLE)
     out.update(bucketing.ORACLE)
+    out.update(layout.ORACLE)
     out.update(operators.all_oracles())
     return out

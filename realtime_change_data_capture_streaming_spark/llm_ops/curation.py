@@ -247,11 +247,50 @@ FROM (
 """
 
 
+def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality gate: keep each language's top-half documents
+    by type-token ratio — the distribution-relative filtering step real
+    corpus pipelines run after absolute-threshold filters.
+
+    percent_rank over a TOTAL order (score, then doc_id as tiebreak) makes
+    the cutoff deterministic and cross-engine exact: rank arithmetic is
+    integer math, and the score itself is an int/int double division.
+    One shuffle on the stratum key; no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("score"),
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id", "lang", "score", "pr")
+    )
+
+
+CURATION_QUALITY_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(LEN(list_distinct(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != ''))) AS DOUBLE)
+         / LEN(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS score
+  FROM documents
+)
+SELECT doc_id, lang, score, pr FROM (
+  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
+  FROM scored
+) WHERE pr >= 0.5
+"""
+
+
 QUERIES = {
     "curation_split_counts": curation_split_counts,
     "curation_stratified_sample": curation_stratified_sample,
     "curation_pack_shards": curation_pack_shards,
     "curation_scrub_pii": curation_scrub_pii,
+    "curation_quality_filter": curation_quality_filter,
 }
 
 ORACLE = {
@@ -259,4 +298,5 @@ ORACLE = {
     "curation_stratified_sample": CURATION_SAMPLE_SQL,
     "curation_pack_shards": CURATION_PACK_SQL,
     "curation_scrub_pii": CURATION_PII_SQL,
+    "curation_quality_filter": CURATION_QUALITY_SQL,
 }

@@ -194,3 +194,18 @@ def test_unpivot_is_shuffle_free(spark, sf_dir):
     c = plan_counts(df)
     assert c["exchanges"] == 0, c
     assert c["hash_aggregates"] == 0, c
+
+
+def test_zorder_topk_avoids_global_sort(spark, sf_dir):
+    """Z-order sample plans as TakeOrderedAndProject (per-partition top-k
+    + single merge), not a range-partitioned global sort, and the Morton
+    interleave stays in codegen (no Python eval)."""
+    from realtime_change_data_capture_streaming_spark.plans.layout import layout_zorder_topk
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    df = layout_zorder_topk(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    c = plan_counts(df)
+    assert c["exchanges"] == 0, c  # top-k needs no shuffle at all
+    assert c["python_evals"] == 0, c
