@@ -29,8 +29,7 @@ def plan_counts(df: DataFrame) -> dict[str, int]:
     """Occurrences of scale-relevant operators in the physical plan."""
     plan = executed_plan(df)
     return {
-        "exchanges": len(re.findall(r"\bExchange (?:hash|range|RoundRobin|SinglePartition)", plan))
-        + plan.count("Exchange rangepartitioning"),
+        "exchanges": len(re.findall(r"\bExchange (?:hash|range|RoundRobin|SinglePartition)", plan)),
         "broadcast_joins": plan.count("BroadcastHashJoin"),
         "sort_merge_joins": plan.count("SortMergeJoin"),
         "shuffled_hash_joins": plan.count("ShuffledHashJoin"),

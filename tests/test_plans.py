@@ -209,3 +209,31 @@ def test_zorder_topk_avoids_global_sort(spark, sf_dir):
     c = plan_counts(df)
     assert c["exchanges"] == 0, c  # top-k needs no shuffle at all
     assert c["python_evals"] == 0, c
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """When the build side is too large to broadcast (the 100 TB case for
+    a big dim), Catalyst must inject a runtime bloom filter on the probe
+    side (might_contain on the join key) so fact rows that cannot match
+    are dropped BEFORE the shuffle — the semi-join reduction that keeps
+    selective shuffle joins affordable at scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("o_orderpriority").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
