@@ -70,9 +70,46 @@ def _verification_order(names):
 
     order = {nm: i for i, nm in enumerate(names)}  # stable tiebreak
 
+    # Within the never-checked tier, front-load queries that are the SOLE
+    # driver signal for their operator family (reference CDC semantics,
+    # formats, bucketing, layout, reshape, as-of, sketches) — if anything
+    # must spill past the driver's window this round, let it be the
+    # fn_*/udf_* scalar-function block, whose semantics are the most
+    # thoroughly pinned by pytest parity and the least environment-
+    # sensitive.
+    priority = {
+        nm: i
+        for i, nm in enumerate(
+            (
+                "cdc_parse_envelope_stats",
+                "cdc_change_diff_rows",
+                "cdc_audit_stamp",
+                "cdc_schema_evolution",
+                "cdc_dead_letter",
+                "format_roundtrip_counts",
+                "bucketed_join_revenue",
+                "events_asof_view_before_purchase",
+                "layout_zorder_topk",
+                "pivot_revenue_by_year",
+                "unpivot_part_measures",
+                "approx_percentile_prices",
+                "udtf_split_sentences",
+                # real streaming runs: the only driver signal for the
+                # watermark/window/stateful/CDC-stream machinery
+                "stream_cdc_merge",
+                "stream_cdc_incremental_agg",
+                "stream_stateful_user_totals",
+                "stream_tumbling_hourly",
+                "stream_session_windows",
+                "stream_sliding_counts",
+                "stream_view_purchase_join",
+            )
+        )
+    }
+
     def key(nm):
         if nm not in history:
-            return (1, 0, order[nm])
+            return (1, priority.get(nm, len(priority)), order[nm])
         rnd, ok = history[nm]
         if not ok:
             return (0, rnd, order[nm])

@@ -40,7 +40,9 @@ BENCH_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "layout_zorder_topk",
     "curation_pack_shards",
+    "curation_contamination_overlap",
     "udf_grouped_median",
     "stream_tumbling_hourly",
     "stream_cdc_merge",

@@ -285,12 +285,106 @@ SELECT doc_id, lang, score, pr FROM (
 """
 
 
+#: tokenizer CTE shared by the shingle-based oracles below (identical to
+#: dedup.NGRAM_JACCARD_SQL's): 3-word shingles, DISTINCT per doc.
+_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, array_to_string(ts[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, GREATEST(LEN(ts) - 2, 0) + 1)) AS t(i)
+)
+"""
+
+
+def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate phrase detection: 3-gram shingles occurring in >= 10% of
+    a source's documents — the cross-document repetition signal corpus
+    pipelines use to strip navigation chrome / license headers before
+    training (line-level in production; shingle-level here because the
+    fixture text is unstructured).
+
+    Shape: shingle rows -> count distinct docs per (source, shingle) ->
+    ratio against per-source doc counts (broadcast: one row per source).
+    One shuffle on (source, shingle); the doc-count side is O(sources).
+    """
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d).select("doc_id", "source", "shingle")
+    per_shingle = sh.groupBy("source", "shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_src = d.groupBy("source").agg(F.countDistinct("doc_id").alias("n_src_docs"))
+    return (
+        per_shingle.join(F.broadcast(per_src), "source")
+        .withColumn("doc_frac", F.col("n_docs").cast("double") / F.col("n_src_docs"))
+        .filter(F.col("doc_frac") >= 0.10)
+        .select("source", "shingle", "n_docs", "doc_frac")
+    )
+
+
+CURATION_BOILERPLATE_SQL = f"""
+{_SHINGLES_CTE}
+, per_shingle AS (
+  SELECT source, shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1, 2
+), per_src AS (
+  SELECT source, COUNT(DISTINCT doc_id) AS n_src_docs FROM documents GROUP BY source
+)
+SELECT x.source, x.shingle, x.n_docs,
+       CAST(x.n_docs AS DOUBLE) / p.n_src_docs AS doc_frac
+FROM per_shingle x JOIN per_src p ON p.source = x.source
+WHERE CAST(x.n_docs AS DOUBLE) / p.n_src_docs >= 0.10
+"""
+
+
+def curation_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-decontamination scan: training docs sharing >= 2 distinct
+    3-gram shingles with any doc in the held-out set (``doc_id % 97 == 0``
+    stands in for the benchmark corpus).
+
+    The benchmark side is tiny relative to the corpus, so its shingles
+    BROADCAST and the scan stays one pass over training shingles — the
+    shape that lets decontamination run over 100 TB without a shuffle of
+    the training side.  (A benchmark too large to broadcast falls back to
+    the same bucketed join as MinHash-LSH candidates.)
+    """
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d).select("doc_id", "shingle")
+    bench = sh.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    train = sh.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+CURATION_CONTAMINATION_SQL = f"""
+{_SHINGLES_CTE}
+SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc, COUNT(*) AS n_shared
+FROM sh a JOIN sh b ON a.shingle = b.shingle
+WHERE b.doc_id % 97 = 0 AND a.doc_id % 97 <> 0
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 QUERIES = {
     "curation_split_counts": curation_split_counts,
     "curation_stratified_sample": curation_stratified_sample,
     "curation_pack_shards": curation_pack_shards,
     "curation_scrub_pii": curation_scrub_pii,
     "curation_quality_filter": curation_quality_filter,
+    "curation_boilerplate_ngrams": curation_boilerplate_ngrams,
+    "curation_contamination_overlap": curation_contamination_overlap,
 }
 
 ORACLE = {
@@ -299,4 +393,6 @@ ORACLE = {
     "curation_pack_shards": CURATION_PACK_SQL,
     "curation_scrub_pii": CURATION_PII_SQL,
     "curation_quality_filter": CURATION_QUALITY_SQL,
+    "curation_boilerplate_ngrams": CURATION_BOILERPLATE_SQL,
+    "curation_contamination_overlap": CURATION_CONTAMINATION_SQL,
 }

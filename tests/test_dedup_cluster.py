@@ -39,3 +39,45 @@ def test_long_path_converges(spark):
     edges = [(i, i + 1) for i in range(1, 12)]
     got = _components(spark, edges)
     assert set(got.values()) == {1}
+
+
+# --- property: min-label fixpoint == true connected components -----------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node in component
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_strategy)
+def test_components_match_union_find(spark, edges):
+    """For arbitrary small graphs the distributed min-label propagation
+    must land on exactly the union-find components (canonical min label).
+    Path-compressed union-find can leave stale roots mid-stream, so the
+    reference recomputes find() per node at the end."""
+    got = _components(spark, edges)
+    want = _union_find(edges)
+    assert got == want, (edges, got, want)
