@@ -177,12 +177,126 @@ FROM (
 """
 
 
+def events_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel view -> click -> purchase: users reaching each
+    stage, where a stage only counts if it happens AFTER the user's entry
+    into the previous stage (the product-analytics funnel semantic, not
+    three independent filters).
+
+    Three aggregates + two broadcast-able joins on user_id — each event row
+    is read once per stage; no window over the full event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase")))
+    )
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM p) AS n_purchase
+"""
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per week-offset of later activity — the cohort matrix in long
+    form.  Week arithmetic is exact (date_trunc to Mondays, day diffs are
+    multiples of 7), so the oracle matches bit-for-bit.
+
+    Two aggregates + one join; the cohort side is one row per user."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("bigint"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+COHORT_SQL = """
+WITH first AS (
+  SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort_week FROM events GROUP BY 1
+), active AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('week', ts) AS week FROM events
+)
+SELECT f.cohort_week,
+       CAST(DATEDIFF('day', f.cohort_week, a.week) / 7 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (bin width 10): count + exact sum per
+    bin.  Fixed bounds keep the bin function a pure per-row expression —
+    no global min/max pass, no scalar subquery — so it pipelines into the
+    scan at any scale; floor(value/10) is the identical IEEE double op on
+    both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bin", F.floor(F.col("value") / 10).cast("bigint"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
     "events_sessionization": events_sessionization,
     "events_json_props": events_json_props,
     "events_dedup_latest": events_dedup_latest,
+    "events_funnel_counts": events_funnel_counts,
+    "events_cohort_retention": events_cohort_retention,
+    "events_value_histogram": events_value_histogram,
 }
 
 ORACLE = {
@@ -191,4 +305,7 @@ ORACLE = {
     "events_sessionization": SESSION_SQL,
     "events_json_props": JSON_PROPS_SQL,
     "events_dedup_latest": DEDUP_LATEST_SQL,
+    "events_funnel_counts": FUNNEL_SQL,
+    "events_cohort_retention": COHORT_SQL,
+    "events_value_histogram": HISTOGRAM_SQL,
 }

@@ -388,7 +388,49 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: distinct part names within edit distance 3.
+
+    The blocking discipline is the scale story: ``levenshtein(a,b) >=
+    abs(len(a)-len(b))``, so a cheap length-band predicate
+    (``abs(len diff) <= 3``) is a LOSSLESS pre-filter the join can apply
+    before the quadratic comparator — the same blocking shape (bands /
+    first-letter / q-gram buckets) production entity-resolution uses to
+    keep fuzzy joins sub-quadratic.  The comparator runs on DISTINCT
+    values (O(d^2) worst case, d << rows), never on the raw table.
+    """
+    p = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_name") < F.col("b.p_name"))
+            & (
+                F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 3
+            )
+            & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint").alias("edit_dist"),
+        )
+    )
+
+
+JOIN_FUZZY_SQL = """
+WITH t AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM t a JOIN t b
+  ON a.p_name < b.p_name
+ AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 3
+ AND levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
 QUERIES = {
+    "join_fuzzy_name_pairs": join_fuzzy_name_pairs,
     "join_semi": join_semi,
     "join_anti": join_anti,
     "join_outer_counts": join_outer_counts,
@@ -409,6 +451,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "join_fuzzy_name_pairs": JOIN_FUZZY_SQL,
     "join_semi": JOIN_SEMI_SQL,
     "join_anti": JOIN_ANTI_SQL,
     "join_outer_counts": JOIN_OUTER_SQL,
