@@ -94,6 +94,15 @@ def _verification_order(names):
                 "unpivot_part_measures",
                 "approx_percentile_prices",
                 "udtf_split_sentences",
+                # one representative per remaining family, so every family
+                # gets >=1 CORRECTNESS row even when the tail spills
+                "join_fuzzy_name_pairs",
+                "events_funnel_counts",
+                "events_cohort_retention",
+                "events_value_histogram",
+                "fn_string",
+                "udf_scalar_normalize",
+                "udf_grouped_median",
                 # real streaming runs: the only driver signal for the
                 # watermark/window/stateful/CDC-stream machinery
                 "stream_cdc_merge",
