@@ -112,6 +112,7 @@ def _verification_order(names):
                 "stream_session_windows",
                 "stream_sliding_counts",
                 "stream_view_purchase_join",
+                "stream_dedup_documents",
             )
         )
     }

@@ -154,14 +154,49 @@ SELECT win_start, COUNT(*) AS n_events FROM assigned GROUP BY win_start
 """
 
 
+def stream_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup of a document stream: corpus ingestion as a
+    stream, ``dropDuplicates`` keyed on (lang, md5 fingerprint) holding the
+    seen-set in the state store, then per-language unique-doc counts —
+    the training-pipeline dedup tier in streaming form.
+
+    Keying on the PAIR makes the counts independent of which duplicate the
+    state store happens to keep (cross-language duplicate texts exist in
+    the fixture at sf0.1), so the streaming result equals the batch
+    COUNT(DISTINCT fingerprint) per language exactly.  The fingerprint is
+    16 bytes — at 100 TB the dedup state is keys-only, never documents,
+    and a watermark (``dedup_stream_within_watermark``) bounds it for
+    unbounded streams.
+    """
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = stream.select(
+        "lang", F.md5(F.col("text").cast("binary")).alias("fp")
+    ).dropDuplicates(["lang", "fp"])
+    agg = deduped.groupBy("lang").agg(F.count(F.lit(1)).alias("n_unique_docs"))
+    return _run_to_table(agg, "complete")
+
+
+STREAM_DEDUP_DOCS_SQL = """
+SELECT lang, COUNT(DISTINCT md5(text)) AS n_unique_docs
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_session_windows": stream_session_windows,
     "stream_sliding_counts": stream_sliding_counts,
+    "stream_dedup_documents": stream_dedup_documents,
 }
 
 ORACLE = {
     "stream_tumbling_hourly": STREAM_TUMBLING_SQL,
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_sliding_counts": STREAM_SLIDING_SQL,
+    "stream_dedup_documents": STREAM_DEDUP_DOCS_SQL,
 }
