@@ -26,11 +26,21 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+
+
+def _bucket_ids_in(vdir: str) -> list[int]:
+    """Bucket ids physically present in a version directory."""
+    return sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(vdir)
+        if e.startswith("_bucket=")
+    )
 
 
 def latest_per_key(
@@ -121,7 +131,23 @@ class BucketedParquetSink:
         return m["n_buckets"] if m else self.n_buckets
 
     def data_dir(self) -> str | None:
+        """Latest committed version dir (the newest data, not necessarily
+        every bucket — see the manifest's bucket map)."""
         return table_commit.resolve(self.path)
+
+    def table_bytes(self) -> int:
+        """Live table size: bytes of exactly the (version, bucket) files
+        the manifest references."""
+        m = self._manifest()
+        if not m:
+            return 0
+        if "buckets" not in m:
+            return table_commit.dir_bytes(table_commit.resolve(self.path))
+        return sum(
+            table_commit.dir_bytes(f"{vdir}/_bucket={b}")
+            for vdir, bids in table_commit.bucket_paths(self.path, m).items()
+            for b in bids
+        )
 
     def _bucket(self, n_buckets: int | None = None) -> Column:
         """Bucket id = ``pmod(murmur3(key), n)`` — the SAME function Spark's
@@ -138,11 +164,43 @@ class BucketedParquetSink:
         """User-facing table state: live rows, metadata columns stripped."""
         return self.read_raw().filter(F.col("op") != "d").drop(*self._META_COLS)
 
-    def read_raw(self) -> DataFrame:
-        """Stored state including tombstones and merge-ordering metadata.
-        Resolves the live version eagerly: the returned frame keeps reading
-        that immutable version even if a compaction commits meanwhile."""
-        return self.spark.read.parquet(self.data_dir())
+    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+        """Stored state including tombstones and merge-ordering metadata,
+        optionally restricted to a bucket subset (path-level pruning —
+        the scan never lists the other buckets at all).
+
+        Resolves the manifest eagerly and reads the exact (version,
+        bucket) files it references, so the returned frame is a CONSISTENT
+        SNAPSHOT: merges and compactions committing afterwards write new
+        version dirs and cannot disturb these files (GC retains referenced
+        versions plus a grace window).  Version groups are unioned by
+        name with null-fill, which also handles schema widening across
+        versions (a post-evolution merge only rewrites touched buckets).
+        """
+        m = self._manifest()
+        if not m or "buckets" not in m:
+            # pre-manifest table (single live dir): runtime bucket filter
+            df = self.spark.read.parquet(table_commit.resolve(self.path))
+            if buckets is not None:
+                df = df.filter(F.col("_bucket").isin(list(buckets)))
+            return df
+        groups = table_commit.bucket_paths(self.path, m)
+        want = set(buckets) if buckets is not None else None
+        parts = []
+        for vdir, bids in groups.items():
+            sel = bids if want is None else [b for b in bids if b in want]
+            if not sel:
+                continue
+            paths = [f"{vdir}/_bucket={b}" for b in sel]
+            parts.append(self.spark.read.option("basePath", vdir).parquet(*paths))
+        if not parts:
+            # empty selection: zero rows with the live schema
+            empty = self.spark.read.parquet(table_commit.resolve(self.path)).limit(0)
+            return empty
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        return out
 
     def merge(
         self,
@@ -190,25 +248,27 @@ class BucketedParquetSink:
         # upstream pipeline runs once
         batch = batch.persist()
         current_touched: DataFrame | None = None
+        touched: list[int] = []
         if self.exists():
-            current = self.read_raw()
-            table_has_extra = "_extra" in current.columns
-            # schema widening on first sight: a batch carrying the evolution
-            # map against a pre-evolution table (or vice versa) null-fills
-            # the missing side instead of failing the union
-            if has_extra and not table_has_extra:
-                current = current.withColumn("_extra", F.lit(None).cast(_extra_t))
-            elif table_has_extra and not has_extra:
-                batch = batch.withColumn("_extra", F.lit(None).cast(_extra_t))
-                has_extra = True
             touched = [
                 r["_bucket"]
                 for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()
             ]
-            current_touched = current.filter(F.col("_bucket").isin(touched))
+            # path-level bucket pruning: only the touched buckets' files
+            # are listed/scanned, wherever their live version lives
+            current_touched = self.read_raw(buckets=touched)
+            table_has_extra = "_extra" in current_touched.columns
+            # schema widening on first sight: a batch carrying the evolution
+            # map against a pre-evolution table (or vice versa) null-fills
+            # the missing side instead of failing the union
+            if has_extra and not table_has_extra:
+                current_touched = current_touched.withColumn("_extra", F.lit(None).cast(_extra_t))
+            elif table_has_extra and not has_extra:
+                batch = batch.withColumn("_extra", F.lit(None).cast(_extra_t))
+                has_extra = True
             payload_cols = [
                 c
-                for c in current.columns
+                for c in current_touched.columns
                 if c not in self._META_COLS and c not in (self.key_col, "_extra")
             ]
             existing = current_touched.select(
@@ -249,21 +309,30 @@ class BucketedParquetSink:
             if pre_write is not None:
                 pre_write(current_touched, final)
             bucketed = final.withColumn("_bucket", self._bucket())
-            if self.exists():
-                # in-place dynamic bucket overwrite inside the live version;
-                # partitioning already bucket-aligned — no repartition
-                (
-                    bucketed.write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("_bucket")
-                    .parquet(self.data_dir())
-                )
-            else:
-                # table creation: stage version 0, then publish atomically
-                # (already bucket-aligned by the repartition above)
-                vdir, seq = table_commit.begin(self.path)
-                bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
-                table_commit.commit(self.path, seq, {"n_buckets": self.n_buckets})
+            # MVCC commit, creation and merge alike: stage ONLY this
+            # merge's output (the touched buckets) as a fresh immutable
+            # version dir, then flip the manifest so each touched bucket
+            # points at the new version while untouched buckets keep
+            # serving from theirs.  Readers that resolved the previous
+            # manifest keep a consistent snapshot — no in-place rewrite,
+            # no torn reads, portable to object stores.
+            old = self._manifest() or {}
+            old_map = old.get("buckets")
+            if old_map is None and old:
+                # legacy single-dir manifest (pre-map table or an old
+                # compaction): seed the map from the live version's layout
+                live = table_commit.resolve(self.path)
+                old_map = {str(b): os.path.basename(live) for b in _bucket_ids_in(live)}
+            vdir, seq = table_commit.begin(self.path)
+            bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+            vname = os.path.basename(vdir)
+            written = _bucket_ids_in(vdir)
+            bucket_map = {**(old_map or {}), **{str(b): vname for b in written}}
+            table_commit.commit(
+                self.path,
+                seq,
+                {"n_buckets": old.get("n_buckets", self.n_buckets), "buckets": bucket_map},
+            )
         finally:
             batch.unpersist()
             if pre_write is not None:
@@ -296,7 +365,7 @@ def compact_sink(
     """
     n_new = sink.current_n_buckets()
     if target_bucket_bytes:
-        tbytes = table_commit.dir_bytes(sink.data_dir())
+        tbytes = sink.table_bytes()
         # clamp: 2^20 buckets ≈ 100 TB at 128 MB targets; beyond that the
         # file count itself becomes the metadata bottleneck
         n_new = min(1 << 20, max(1, 2 ** math.ceil(math.log2(max(1.0, tbytes / target_bucket_bytes)))))
@@ -312,7 +381,11 @@ def compact_sink(
         .partitionBy("_bucket")
         .parquet(vdir)
     )
-    table_commit.commit(sink.path, seq, {"n_buckets": n_new})
+    # compaction collapses the version chain: every bucket now serves from
+    # the single new version, and commit() GCs the superseded ones
+    vname = os.path.basename(vdir)
+    bucket_map = {str(b): vname for b in _bucket_ids_in(vdir)}
+    table_commit.commit(sink.path, seq, {"n_buckets": n_new, "buckets": bucket_map})
 
 
 def apply_changes_stream(

@@ -64,9 +64,16 @@ def begin(root: str) -> tuple[str, int]:
 
 
 def commit(root: str, seq: int, meta: dict | None = None, keep: int = 1) -> None:
-    """Atomically publish version ``seq`` and GC versions older than the
-    previous ``keep`` (the retained ones are the concurrent-reader grace
-    window; in production the grace is time-based, here count-based)."""
+    """Atomically publish version ``seq`` and GC unreferenced versions
+    older than the previous ``keep`` (the retained ones are the
+    concurrent-reader grace window; in production the grace is
+    time-based, here count-based).
+
+    When the manifest carries a ``buckets`` map (bucket id -> version
+    name, see ``BucketedParquetSink``), every version it references stays
+    live regardless of age — a merge commit only supersedes the bucket
+    files it rewrote, so older versions keep serving their untouched
+    buckets until a compaction collapses the chain."""
     manifest = {"version": _vname(seq), "seq": seq, **(meta or {})}
     tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
@@ -74,10 +81,26 @@ def commit(root: str, seq: int, meta: dict | None = None, keep: int = 1) -> None
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, MANIFEST))  # the atomic publish
+    referenced = referenced_versions(manifest)
     for entry in os.listdir(root):
         if entry.startswith(_VPREFIX) and entry[len(_VPREFIX) :].isdigit():
-            if int(entry[len(_VPREFIX) :]) < seq - keep:
+            if entry not in referenced and int(entry[len(_VPREFIX) :]) < seq - keep:
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+
+
+def referenced_versions(manifest: dict) -> set[str]:
+    """Version-dir names the manifest keeps live: the committed version
+    itself plus every version a bucket entry still points into."""
+    return {manifest["version"], *manifest.get("buckets", {}).values()}
+
+
+def bucket_paths(root: str, manifest: dict) -> dict[str, list[int]]:
+    """Group the manifest's bucket map by version dir: absolute version
+    path -> sorted bucket ids served from it."""
+    groups: dict[str, list[int]] = {}
+    for bucket, vname in manifest.get("buckets", {}).items():
+        groups.setdefault(os.path.join(root, vname), []).append(int(bucket))
+    return {v: sorted(bs) for v, bs in groups.items()}
 
 
 def dir_bytes(path: str) -> int:

@@ -54,9 +54,9 @@ def test_merge_io_proportional_to_touched_buckets(spark, big_parsed, tmp_path):
     hundred-key batch rewrote 100%)."""
     sink = BucketedParquetSink(spark, str(tmp_path / "sink"), n_buckets=128)
     sink.merge(big_parsed)
-    data_dir = sink.data_dir()
-    before = _snapshot_files(data_dir)
-    table_bytes = sum(s for s, _ in before.values())
+    v0 = sink.data_dir()
+    before = _snapshot_files(v0)
+    table_bytes = sink.table_bytes()
 
     batch = (
         big_parsed.orderBy("key")
@@ -68,16 +68,25 @@ def test_merge_io_proportional_to_touched_buckets(spark, big_parsed, tmp_path):
     )
     sink.merge(batch)
 
-    after = _snapshot_files(data_dir)
-    changed = {p for p, meta in after.items() if before.get(p) != meta}
-    touched_buckets = {p.split(os.sep)[0] for p in changed if p.startswith("_bucket=")}
-    rewritten = sum(after[p][0] for p in changed if p.startswith("_bucket="))
+    # MVCC: the merge staged a NEW version holding ONLY touched buckets...
+    v1 = sink.data_dir()
+    assert v1 != v0
+    written = _snapshot_files(v1)
+    touched_buckets = {p.split(os.sep)[0] for p in written if p.startswith("_bucket=")}
+    rewritten = sum(meta[0] for p, meta in written.items() if p.startswith("_bucket="))
+    # ...and left the previous version byte-for-byte untouched (immutable
+    # snapshot for any reader that resolved the old manifest)
+    assert _snapshot_files(v0) == before
 
     assert 0 < len(touched_buckets) <= 20, touched_buckets
     assert rewritten <= 0.3 * table_bytes, (
         f"merge rewrote {rewritten}/{table_bytes} bytes "
         f"({rewritten / table_bytes:.0%}) — not O(batch)"
     )
+    # the manifest serves untouched buckets from v0 and touched from v1
+    m = table_commit.read_manifest(sink.path)
+    vnames = set(m["buckets"].values())
+    assert {os.path.basename(v0), os.path.basename(v1)} == vnames
     # and it was still a correct merge
     assert sink.read().filter(F.col("amount") == 1234.56).count() == 20
     assert sink.read().count() == 8192
