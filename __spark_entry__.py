@@ -100,6 +100,8 @@ def _verification_order(names):
                 "events_funnel_counts",
                 "events_cohort_retention",
                 "events_value_histogram",
+                "curation_split_counts",
+                "curation_scrub_pii",
                 "fn_string",
                 "udf_scalar_normalize",
                 "udf_grouped_median",
