@@ -343,10 +343,11 @@ def compact_sink(
     sink: BucketedParquetSink,
     purge_tombstones_through_lsn: int,
     target_bucket_bytes: int | None = None,
+    max_buckets: int | None = None,
 ) -> None:
-    """Housekeeping job: rewrite the table dropping tombstones whose lsn is
-    at or below the given bound, and optionally re-bucket toward a target
-    bucket size.
+    """Housekeeping job: rewrite table buckets dropping tombstones whose
+    lsn is at or below the given bound, and optionally re-bucket toward a
+    target bucket size.
 
     Safe bound = (lowest lsn that can still be replayed) - 1: a tombstone
     may be purged once no replayable event could be older than it.  In
@@ -356,22 +357,69 @@ def compact_sink(
     ``target_bucket_bytes`` is the scale lever (class docstring): when set,
     the bucket count is recomputed as the power of two that puts each
     bucket near the target, so routine compaction keeps merge I/O O(batch)
-    as the table grows.  Rewriting every bucket is inherent to compaction;
-    re-bucketing rides along for free.
+    as the table grows.
 
-    The rewrite stages a complete new version directory and publishes it
-    with one atomic pointer flip (``commit.py``) — concurrent readers keep
-    the version they resolved; the old version is GC'd one commit later.
+    ``max_buckets`` makes compaction INCREMENTAL: only the ``max_buckets``
+    buckets served from the oldest version dirs are rewritten this run —
+    those are exactly the buckets pinning the version chain alive, so each
+    partial run shortens the chain while touching O(max_buckets ×
+    bucket_bytes) data instead of the whole table.  At 100 TB a full
+    compaction is a full-table rewrite in one transaction; a nightly
+    ``max_buckets=k`` run amortizes the same housekeeping.  Untouched
+    buckets keep serving byte-identical files from their versions.
+    Re-bucketing changes the key→bucket mapping globally, so when
+    ``target_bucket_bytes`` demands a new count the rewrite must be full
+    and ``max_buckets`` is ignored for that run.
+
+    Every rewrite stages a new version directory and publishes it with one
+    atomic pointer flip (``commit.py``) — concurrent readers keep the
+    snapshot they resolved for a one-commit grace window.
     """
-    n_new = sink.current_n_buckets()
+    n_cur = sink.current_n_buckets()
+    n_new = n_cur
     if target_bucket_bytes:
         tbytes = sink.table_bytes()
         # clamp: 2^20 buckets ≈ 100 TB at 128 MB targets; beyond that the
         # file count itself becomes the metadata bottleneck
         n_new = min(1 << 20, max(1, 2 ** math.ceil(math.log2(max(1.0, tbytes / target_bucket_bytes)))))
-    kept = sink.read_raw().filter(
-        ~((F.col("op") == "d") & (F.col("__lsn") <= F.lit(purge_tombstones_through_lsn)))
+    m = sink._manifest()
+    not_tombstone_to_purge = ~(
+        (F.col("op") == "d") & (F.col("__lsn") <= F.lit(purge_tombstones_through_lsn))
     )
+    partial = (
+        max_buckets is not None
+        and n_new == n_cur
+        and m is not None
+        and "buckets" in m
+        and max_buckets < len(m["buckets"])
+    )
+    if partial:
+        # oldest-version-first: rewriting the buckets that still point into
+        # the oldest dirs is what lets GC collapse the version chain
+        by_age = sorted(m["buckets"].items(), key=lambda kv: (kv[1], int(kv[0])))
+        chosen = [int(b) for b, _ in by_age[:max_buckets]]
+        kept = sink.read_raw(buckets=chosen).filter(not_tombstone_to_purge)
+        vdir, seq = table_commit.begin(sink.path)
+        (
+            kept.drop("_bucket")
+            .withColumn("_bucket", sink._bucket(n_new))
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(vdir)
+        )
+        vname = os.path.basename(vdir)
+        written = set(_bucket_ids_in(vdir))
+        new_map = dict(m["buckets"])
+        for b in chosen:
+            if b in written:
+                new_map[str(b)] = vname
+            else:
+                # every row in the bucket was a purged tombstone
+                new_map.pop(str(b), None)
+        table_commit.commit(sink.path, seq, {"n_buckets": n_new, "buckets": new_map})
+        return
+    kept = sink.read_raw().filter(not_tombstone_to_purge)
     vdir, seq = table_commit.begin(sink.path)
     (
         kept.drop("_bucket")
@@ -381,8 +429,9 @@ def compact_sink(
         .partitionBy("_bucket")
         .parquet(vdir)
     )
-    # compaction collapses the version chain: every bucket now serves from
-    # the single new version, and commit() GCs the superseded ones
+    # full compaction collapses the version chain: every bucket now serves
+    # from the single new version, and commit() GCs the superseded ones
+    # once the grace window passes
     vname = os.path.basename(vdir)
     bucket_map = {str(b): vname for b in _bucket_ids_in(vdir)}
     table_commit.commit(sink.path, seq, {"n_buckets": n_new, "buckets": bucket_map})

@@ -30,6 +30,7 @@ import shutil
 import uuid
 
 MANIFEST = "_CURRENT"
+_HISTORY = "_history"
 _VPREFIX = "v"
 _VDIGITS = 8
 
@@ -73,7 +74,20 @@ def commit(root: str, seq: int, meta: dict | None = None, keep: int = 1) -> None
     name, see ``BucketedParquetSink``), every version it references stays
     live regardless of age — a merge commit only supersedes the bucket
     files it rewrote, so older versions keep serving their untouched
-    buckets until a compaction collapses the chain."""
+    buckets until a compaction collapses the chain.
+
+    The grace window is manifest-based, not just sequence-number-based:
+    every superseded manifest is archived under ``_history/`` before the
+    new one is published, and GC retains the UNION of
+    ``referenced_versions()`` over the new manifest plus the archived
+    manifests of the last ``keep`` commits.  A bucket-map manifest can
+    reference arbitrarily old version dirs (v0 may still serve untouched
+    buckets), so a reader holding the previous snapshot must keep every
+    dir that snapshot points into — a numeric ``seq - keep`` cutoff alone
+    would delete them mid-scan."""
+    prev = read_manifest(root)
+    if prev is not None:
+        _archive_manifest(root, prev)
     manifest = {"version": _vname(seq), "seq": seq, **(meta or {})}
     tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
     with open(tmp, "w") as f:
@@ -82,10 +96,70 @@ def commit(root: str, seq: int, meta: dict | None = None, keep: int = 1) -> None
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, MANIFEST))  # the atomic publish
     referenced = referenced_versions(manifest)
+    for old in _archived_manifests(root, lo=seq - keep):
+        referenced |= referenced_versions(old)
     for entry in os.listdir(root):
         if entry.startswith(_VPREFIX) and entry[len(_VPREFIX) :].isdigit():
             if entry not in referenced and int(entry[len(_VPREFIX) :]) < seq - keep:
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    _prune_history(root, lo=seq - keep)
+
+
+def _history_path(root: str, seq: int) -> str:
+    return os.path.join(root, _HISTORY, f"manifest.{seq:0{_VDIGITS}d}.json")
+
+
+def _archive_manifest(root: str, manifest: dict) -> None:
+    """Persist a superseded manifest (atomic, idempotent) so later GC can
+    honor the version dirs its snapshot still references."""
+    path = _history_path(root, manifest["seq"])
+    if os.path.exists(path):
+        return
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _archived_manifests(root: str, lo: int) -> list[dict]:
+    """Archived manifests with seq >= ``lo`` (the grace window)."""
+    hist = os.path.join(root, _HISTORY)
+    out: list[dict] = []
+    try:
+        entries = os.listdir(hist)
+    except FileNotFoundError:
+        return out
+    for name in entries:
+        parts = name.split(".")
+        if len(parts) == 3 and parts[0] == "manifest" and parts[1].isdigit():
+            if int(parts[1]) >= lo:
+                try:
+                    with open(os.path.join(hist, name)) as f:
+                        out.append(json.load(f))
+                except (OSError, json.JSONDecodeError):
+                    continue
+    return out
+
+
+def _prune_history(root: str, lo: int) -> None:
+    """Drop archive entries older than the grace window (tiny JSON files,
+    but unbounded growth is unbounded growth)."""
+    hist = os.path.join(root, _HISTORY)
+    try:
+        entries = os.listdir(hist)
+    except FileNotFoundError:
+        return
+    for name in entries:
+        parts = name.split(".")
+        if len(parts) == 3 and parts[0] == "manifest" and parts[1].isdigit():
+            if int(parts[1]) < lo:
+                try:
+                    os.remove(os.path.join(hist, name))
+                except OSError:
+                    pass
 
 
 def referenced_versions(manifest: dict) -> set[str]:

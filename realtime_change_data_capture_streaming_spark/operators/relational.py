@@ -381,10 +381,19 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style single-pass sketch) — the 100 TB path
     for quantiles; the exact sort-based counterpart is percentiles_exact.
     Sketch results are engine-specific (rows-only for the driver); accuracy
-    vs exact is pinned by pytest within the declared error bound."""
+    vs exact is pinned by pytest within the declared error bound.
+
+    One scalar column per quantile (not one array column): the sketch is
+    still computed in a single pass — Catalyst collapses the four
+    ``percentile_approx`` calls over the same (col, accuracy) into one
+    shared aggregate buffer — and scalar columns keep the result
+    canonicalizable (sortable/hashable) by any downstream comparator."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75, 0.99], 10_000).alias("approx_q")
+        F.percentile_approx("o_totalprice", 0.25, 10_000).alias("q25"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("q50"),
+        F.percentile_approx("o_totalprice", 0.75, 10_000).alias("q75"),
+        F.percentile_approx("o_totalprice", 0.99, 10_000).alias("q99"),
     )
 
 

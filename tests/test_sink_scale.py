@@ -110,6 +110,80 @@ def test_compaction_is_atomic_for_concurrent_readers(spark, big_parsed, tmp_path
     assert _sorted_rows(sink.read()) == want
 
 
+def test_gc_honors_prior_manifest_references(spark, big_parsed, tmp_path):
+    """A reader holding the PREVIOUS manifest may reference arbitrarily old
+    version dirs through its bucket map (v0 still serving untouched
+    buckets).  A compaction must not GC those dirs for at least one commit
+    — the grace window is manifest-based, not sequence-number-based."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "gsink"), n_buckets=16)
+    sink.merge(big_parsed.limit(600))  # v0: every bucket
+    batch = (
+        big_parsed.orderBy("key")
+        .limit(5)
+        .withColumn("lsn", F.col("lsn") + 10_000_000)
+        .withColumn(
+            "after", F.col("after").withField("amount", F.lit("42.42").cast("decimal(18,2)"))
+        )
+    )
+    sink.merge(batch)  # v1: a few buckets; most still served from v0
+    want = _sorted_rows(sink.read())
+
+    old_reader = sink.read()  # snapshot = manifest seq1 (points into v0 AND v1)
+    compact_sink(sink, purge_tombstones_through_lsn=10**9)  # seq2, all -> v2
+    # numeric cutoff alone would GC v0 (0 < seq2 - keep); the archived seq1
+    # manifest must keep it alive for the concurrent reader
+    assert _sorted_rows(old_reader) == want
+    assert _sorted_rows(sink.read()) == want
+    # one commit later the grace expires and the chain fully collapses
+    compact_sink(sink, purge_tombstones_through_lsn=10**9)
+    versions = [e for e in os.listdir(sink.path) if e.startswith("v")]
+    assert len(versions) == 2, versions
+    assert _sorted_rows(sink.read()) == want
+
+
+def test_partial_compaction_touches_only_oldest_buckets(spark, big_parsed, tmp_path):
+    """Incremental compaction: max_buckets=k rewrites only the k buckets
+    served from the oldest versions; untouched buckets stay byte-identical
+    and readers stay consistent throughout."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "psink"), n_buckets=16)
+    sink.merge(big_parsed.limit(600))
+    batch = (
+        big_parsed.orderBy("key")
+        .limit(5)
+        .withColumn("lsn", F.col("lsn") + 10_000_000)
+        .withColumn(
+            "after", F.col("after").withField("amount", F.lit("9.99").cast("decimal(18,2)"))
+        )
+    )
+    sink.merge(batch)
+    want = _sorted_rows(sink.read())
+    m_before = table_commit.read_manifest(sink.path)
+    oldest_v = min(m_before["buckets"].values())
+    old_buckets = {b for b, v in m_before["buckets"].items() if v == oldest_v}
+    k = min(4, len(old_buckets))
+    untouched_before = {
+        v: _snapshot_files(os.path.join(sink.path, v))
+        for v in set(m_before["buckets"].values())
+    }
+
+    compact_sink(sink, purge_tombstones_through_lsn=10**9, max_buckets=k)
+
+    m_after = table_commit.read_manifest(sink.path)
+    moved = {b for b in m_before["buckets"] if m_after["buckets"][b] != m_before["buckets"][b]}
+    # exactly k buckets moved, all from the oldest version
+    assert len(moved) == k, (moved, k)
+    assert moved <= old_buckets, (moved, old_buckets)
+    # every pre-existing version dir is byte-for-byte untouched
+    for v, before in untouched_before.items():
+        assert _snapshot_files(os.path.join(sink.path, v)) == before, v
+    assert _sorted_rows(sink.read()) == want
+
+    # repeated partial runs drain the oldest version entirely
+    while oldest_v in set(table_commit.read_manifest(sink.path)["buckets"].values()):
+        compact_sink(sink, purge_tombstones_through_lsn=10**9, max_buckets=4)
+    assert _sorted_rows(sink.read()) == want
+
+
 def test_compaction_rebuckets_to_target_bytes(spark, big_parsed, tmp_path):
     """target_bucket_bytes drives the bucket count: compacting a table that
     outgrew its buckets multiplies n_buckets, state is preserved, and the

@@ -40,7 +40,10 @@ def test_approx_percentile_within_rank_error(spark):
             for r in orders.filter(F.col("o_orderstatus") == status).select("o_totalprice").collect()
         )
         n = len(vals)
-        for q, got in zip([0.25, 0.5, 0.75, 0.99], row["approx_q"]):
+        for q, got in zip(
+            [0.25, 0.5, 0.75, 0.99],
+            [row["q25"], row["q50"], row["q75"], row["q99"]],
+        ):
             # allow one rank of slack around the nearest-rank quantile
             lo = vals[max(0, min(n - 1, int(q * n) - 1))]
             hi = vals[max(0, min(n - 1, int(q * n) + 1))]
