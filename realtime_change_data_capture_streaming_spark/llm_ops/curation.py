@@ -255,10 +255,16 @@ def curation_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank over a TOTAL order (score, then doc_id as tiebreak) makes
     the cutoff deterministic and cross-engine exact: rank arithmetic is
     integer math, and the score itself is an int/int double division.
-    One shuffle on the stratum key; no global sort."""
+    One shuffle on the stratum key; no global sort.
+
+    Zero-token documents are excluded BEFORE scoring: int/0 division is
+    engine-divergent (Spark non-ANSI yields NULL, which sorts first;
+    IEEE engines yield NaN, which sorts last), so letting them through
+    would shift percent_rank — and a document with no tokens has no
+    quality signal to rank anyway."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    scored = d.select(
+    scored = d.filter(F.size(toks) > 0).select(
         "doc_id",
         "lang",
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("score"),
@@ -277,6 +283,7 @@ WITH scored AS (
          CAST(LEN(list_distinct(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != ''))) AS DOUBLE)
          / LEN(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS score
   FROM documents
+  WHERE LEN(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) > 0
 )
 SELECT doc_id, lang, score, pr FROM (
   SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY score, doc_id) AS pr
@@ -299,12 +306,22 @@ WITH toks AS (
 """
 
 
-def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Boilerplate phrase detection: 3-gram shingles occurring in >= 10% of
-    a source's documents — the cross-document repetition signal corpus
-    pipelines use to strip navigation chrome / license headers before
-    training (line-level in production; shingle-level here because the
-    fixture text is unstructured).
+BOILERPLATE_DOC_FRAC = 0.02
+
+
+def curation_boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str, min_doc_frac: float = BOILERPLATE_DOC_FRAC
+) -> DataFrame:
+    """Boilerplate phrase detection: 3-gram shingles occurring in >=
+    ``min_doc_frac`` of a source's documents — the cross-document
+    repetition signal corpus pipelines use to strip navigation chrome /
+    license headers before training (line-level in production;
+    shingle-level here because the fixture text is unstructured).
+
+    The threshold is a parameter (default 2%): the right cut depends on
+    the corpus's shingle distribution, and a too-high fixed cut returns
+    an empty (untestable) result on natural-ish text where even common
+    phrases rarely clear 10% of a source.
 
     Shape: shingle rows -> count distinct docs per (source, shingle) ->
     ratio against per-source doc counts (broadcast: one row per source).
@@ -319,7 +336,7 @@ def curation_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_shingle.join(F.broadcast(per_src), "source")
         .withColumn("doc_frac", F.col("n_docs").cast("double") / F.col("n_src_docs"))
-        .filter(F.col("doc_frac") >= 0.10)
+        .filter(F.col("doc_frac") >= min_doc_frac)
         .select("source", "shingle", "n_docs", "doc_frac")
     )
 
@@ -334,7 +351,7 @@ CURATION_BOILERPLATE_SQL = f"""
 SELECT x.source, x.shingle, x.n_docs,
        CAST(x.n_docs AS DOUBLE) / p.n_src_docs AS doc_frac
 FROM per_shingle x JOIN per_src p ON p.source = x.source
-WHERE CAST(x.n_docs AS DOUBLE) / p.n_src_docs >= 0.10
+WHERE CAST(x.n_docs AS DOUBLE) / p.n_src_docs >= {BOILERPLATE_DOC_FRAC}
 """
 
 

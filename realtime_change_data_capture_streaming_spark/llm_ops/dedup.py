@@ -335,6 +335,7 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iters
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -359,7 +360,16 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iters
         labels = new_labels
         # bounded driver check: one count per round, rounds ~ diameter
         if changed.isEmpty():
+            converged = True
             break
+    if not converged:
+        # labels short of the fixpoint are WRONG (over-split components) —
+        # never return them silently
+        raise RuntimeError(
+            f"connected_components did not converge within max_iters={max_iters} "
+            "(graph diameter exceeds the round budget); raise max_iters or use a "
+            "large-star/small-star contraction for log-diameter convergence"
+        )
     return labels
 
 

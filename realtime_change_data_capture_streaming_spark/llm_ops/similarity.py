@@ -129,8 +129,14 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: signature is one scan (16 dot products in codegen); the
     candidate join keys on the bucket, turning O(n^2) cosine into
-    per-bucket blocks.  Rows-only (cross-engine float dot signs at the
-    hyperplane boundary are not contractual).
+    per-bucket blocks.
+
+    Oracle-checkable: the hyperplane components are deterministic double
+    literals and the dot-product fold is a left-to-right double
+    accumulation in both engines (proven bit-exact by embedding_norms /
+    ann_cosine_topk), so the sign at the boundary is the SAME IEEE
+    comparison on the SAME double on both sides — the oracle SQL below is
+    generated with the literal plane values.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
     sig = F.lit(0).cast("long")
@@ -148,8 +154,38 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _plane_sql_literal(p: int) -> str:
+    """DuckDB list literal of plane p's components — repr() round-trips
+    doubles exactly, so both engines see bit-identical values."""
+    return "[" + ", ".join(repr(_plane_component(p, d)) for d in range(EMB_DIM)) + "]"
+
+
+def _dot_sql(vec_expr: str, lit_list: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({vec_expr}, {lit_list}), "
+        "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+    )
+
+
+ANN_LSH_SQL = (
+    "SELECT lsh_bucket, COUNT(*) AS n_vectors, COUNT(DISTINCT label) AS n_labels,\n"
+    "       MIN(vec_id) AS min_vec_id\nFROM (\n  SELECT vec_id, label, CAST("
+    + " + ".join(
+        f"(CASE WHEN {_dot_sql('embedding', _plane_sql_literal(p))} > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(N_PLANES)
+    )
+    + " AS BIGINT) AS lsh_bucket\n  FROM embeddings\n) GROUP BY lsh_bucket"
+)
+
+
 N_IVF_CLUSTERS = 8
 N_PROBE = 2
+
+
+#: fixed-point scale for the centroid update: 2^20 is a power of two, so
+#: ``v * SCALE`` is EXACT in double (exponent shift) and ``floor`` of it is
+#: an exact integer — the whole mean becomes integer arithmetic.
+_FP_SCALE = 1 << 20
 
 
 def ivf_assignments(spark: SparkSession, sf_dir: str, iterations: int = 2) -> DataFrame:
@@ -160,51 +196,83 @@ def ivf_assignments(spark: SparkSession, sf_dir: str, iterations: int = 2) -> Da
     argmin over squared distance; the update step averages per (cluster,
     dim) after posexplode.  At 100 TB the assignment pass is the only
     full-data scan per iteration; centroids stay broadcast-size.
+
+    Reproducibility discipline: a floating-point mean depends on summation
+    order, which neither a Spark shuffle nor a different engine preserves —
+    so the centroid update sums FIXED-POINT integers
+    (``floor(v * 2^20)``; the scale is a power of two so the product is
+    exact) and divides once in double.  Integer addition is associative,
+    so the centroids are bit-identical under any partitioning, any engine
+    — the same trick reproducible-training pipelines use for gradient
+    reductions.  Partial aggregation still applies (it's a plain SUM).
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
     cents = (
         e.filter(F.col("vec_id") < N_IVF_CLUSTERS)
-        .select(F.col("vec_id").alias("cluster"), F.col("embedding").alias("centroid"))
+        .select(
+            F.col("vec_id").alias("cluster"),
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("centroid"),
+        )
     )
     for _ in range(iterations):
         assigned = _assign(e, cents)
         cents = (
             assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .withColumn("iv", F.floor(F.col("v").cast("double") * F.lit(float(_FP_SCALE))))
             .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .withColumn("m", (F.col("s").cast("double") / F.col("n")) / F.lit(float(_FP_SCALE)))
             .groupBy("cluster")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select(
                 "cluster",
-                F.transform(F.col("dm"), lambda s: s.getField("m").cast("float")).alias("centroid"),
+                F.transform(F.col("dm"), lambda s: s.getField("m")).alias("centroid"),
             )
         )
     return _assign(e, cents)
 
 
 def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: squared L2 in double (left-to-right
+    index-order fold, the cross-engine-exact shape), ties broken by the
+    smaller cluster id."""
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
         "dist",
         F.aggregate(
-            F.zip_with("embedding", "centroid", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0).cast("float"),
+            F.zip_with(
+                "embedding",
+                "centroid",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
             lambda acc, v: acc + v,
         ),
     )
     return (
         scored.groupBy("vec_id")
         .agg(
-            F.max_by(F.struct("cluster", "embedding", "label"), F.struct(-F.col("dist"), F.col("cluster"))).alias("s")
+            F.min_by(
+                F.struct("cluster", "embedding", "label"), F.struct(F.col("dist"), F.col("cluster"))
+            ).alias("s")
         )
-        .select("vec_id", F.col("s.cluster").alias("cluster"), F.col("s.embedding").alias("embedding"), F.col("s.label").alias("label"))
+        .select(
+            "vec_id",
+            F.col("s.cluster").alias("cluster"),
+            F.col("s.embedding").alias("embedding"),
+            F.col("s.label").alias("label"),
+        )
     )
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search: probe the N_PROBE nearest clusters per query, brute
-    force only within them — the recall/cost dial of production ANN.
-    Rows-only (float argmin ties at cluster boundaries are not
-    cross-engine contractual)."""
+    """IVF search: probe the query's cluster, brute force only within it —
+    the recall/cost dial of production ANN.
+
+    Oracle-checkable end to end: the quantizer is deterministic (see
+    ivf_assignments) and every float reduction is the proven
+    left-fold-in-double shape, so the DuckDB oracle replays the identical
+    two k-means iterations and search."""
     assigned = ivf_assignments(spark, sf_dir)
     q = assigned.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), F.col("cluster").alias("q_cluster")
@@ -231,10 +299,27 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: constant-ROW sample for the pairwise diagnostic: a constant FRACTION
+#: feeds a quadratic pair count that grows with the table; a constant N
+#: keeps the diagnostic O(1) as the corpus scales.
+PAIRWISE_SAMPLE_N = 100
+
+
 def pairwise_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean cosine within vs across labels over a deterministic sample —
-    embedding-space quality metric (oracle-checked)."""
-    e = spread(load_table(spark, sf_dir, "embeddings")).filter(F.col("vec_id") % 10 == 0)
+    embedding-space quality metric (oracle-checked).
+
+    The sample is a constant-size deterministic subset: the first
+    ``PAIRWISE_SAMPLE_N`` vectors in md5(vec_id) order (a hash order, so
+    it is an unbiased pseudo-random pick yet stable across engines and
+    reruns).  The ORDER BY + LIMIT plans as TakeOrderedAndProject — a
+    per-partition top-N then a driver merge of N-row heaps, not a global
+    sort."""
+    e = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(PAIRWISE_SAMPLE_N)
+    )
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"), F.col("label").alias("label_a"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"), F.col("label").alias("label_b"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -250,9 +335,10 @@ def pairwise_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PAIRWISE_LABEL_SQL = """
+PAIRWISE_LABEL_SQL = f"""
 WITH s AS (
-  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 = 0
+  SELECT vec_id, embedding, label FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {PAIRWISE_SAMPLE_N}
 ), pairs AS (
   SELECT a.label = b.label AS same_label,
          list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -263,6 +349,67 @@ WITH s AS (
 SELECT same_label, COUNT(*) AS n_pairs, MIN(cosine) AS min_cosine, MAX(cosine) AS max_cosine
 FROM pairs GROUP BY same_label
 """
+
+
+def _ivf_sql() -> str:
+    """Generate the DuckDB replay of ivf_assignments + ann_ivf_topk: the
+    same seeds, the same two fixed-point-mean iterations, the same
+    double-fold distances, the same tie-breaks."""
+    dist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.centroid), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+
+    def assign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, label, embedding, cluster FROM (
+    SELECT e.vec_id, e.label, e.embedding, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cluster ASC) AS rk
+    FROM embeddings e CROSS JOIN {cents} c
+  ) WHERE rk = 1
+)"""
+
+    def update(assigned: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
+    SELECT cluster, dim,
+           (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
+    FROM (
+      SELECT a.cluster, t.i AS dim,
+             CAST(FLOOR(CAST(a.embedding[t.i] AS DOUBLE) * {float(_FP_SCALE)}) AS BIGINT) AS iv
+      FROM {assigned} a, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
+    ) GROUP BY cluster, dim
+  ) GROUP BY cluster
+)"""
+
+    cosine = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))\n"
+        "         / (SQRT(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))\n"
+        "            * SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+WITH cents0 AS (
+  SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {N_IVF_CLUSTERS}
+), {assign("cents0", "assign0")}
+, {update("assign0", "cents1")}
+, {assign("cents1", "assign1")}
+, {update("assign1", "cents2")}
+, {assign("cents2", "assign2")}
+SELECT query_id, cand_id, cosine, rk FROM (
+  SELECT query_id, cand_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rk
+  FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           {cosine} AS cosine
+    FROM assign2 q JOIN assign2 c
+      ON q.cluster = c.cluster AND q.vec_id < {N_QUERY_VECS} AND c.vec_id >= {N_QUERY_VECS}
+  )
+) WHERE rk <= {TOP_K}
+"""
+
+
+ANN_IVF_SQL = _ivf_sql()
 
 
 QUERIES = {
@@ -276,6 +423,7 @@ QUERIES = {
 ORACLE = {
     "embedding_norms": EMBEDDING_NORMS_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
+    "ann_lsh_bucketed": ANN_LSH_SQL,
+    "ann_ivf_topk": ANN_IVF_SQL,
     "pairwise_label_cosine": PAIRWISE_LABEL_SQL,
-    # ann_lsh_bucketed: sign-at-boundary not contractual cross-engine -> rows-only
 }

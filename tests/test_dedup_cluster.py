@@ -41,6 +41,16 @@ def test_long_path_converges(spark):
     assert set(got.values()) == {1}
 
 
+def test_unconverged_raises_not_silently_wrong(spark):
+    # with max_iters below the diameter the labels are over-split; the
+    # call must fail loudly instead of returning them
+    import pytest
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iters=2)
+
+
 # --- property: min-label fixpoint == true connected components -----------
 
 from hypothesis import HealthCheck, given, settings
