@@ -33,23 +33,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return cdc_apply_changes(spark, "/root/testdata/sf0.001")
 
 
-def _verification_order(names):
+def _verification_order(names, with_oracle=frozenset()):
     """Sort key that self-rotates registration order across rounds.
 
     The driver's correctness pass covers a bounded prefix of ``queries()``
     (50 entries in round 1), so ordering is the only lever for which
     queries get a CORRECTNESS row.  Using the accumulated
     ``CORRECTNESS_r*.json`` artifacts: queries that FAILED their last check
-    come first (fixes must be re-verified), then queries never checked,
-    then verified queries oldest-round-first — so over successive rounds
-    every query rotates through the driver's window.
+    come first (fixes must be re-verified), then queries never checked —
+    including those whose only rows were rows-only but that NOW carry an
+    oracle (their hash has effectively never been checked) — then verified
+    queries oldest-round-first, so over successive rounds every query
+    rotates through the driver's window.
     """
     import glob
     import json
     import re
 
     root = os.path.dirname(os.path.abspath(__file__))
-    history: dict[str, tuple[int, bool]] = {}
+    history: dict[str, tuple[int, bool, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
@@ -63,10 +65,11 @@ def _verification_order(names):
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            ok = bool(rec.get("hash_match")) or (
-                rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
-            )
-            history[name] = (rnd, ok)
+            rows_only = rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None
+            ok = bool(rec.get("hash_match")) or rows_only
+            prev = history.get(name)
+            hash_checked = bool(rec.get("hash_match")) or (prev and prev[2])
+            history[name] = (rnd, ok, bool(hash_checked))
 
     order = {nm: i for i, nm in enumerate(names)}  # stable tiebreak
 
@@ -122,9 +125,12 @@ def _verification_order(names):
     def key(nm):
         if nm not in history:
             return (1, priority.get(nm, len(priority)), order[nm])
-        rnd, ok = history[nm]
+        rnd, ok, hash_checked = history[nm]
         if not ok:
             return (0, rnd, order[nm])
+        if not hash_checked and nm in with_oracle:
+            # ran rows-only before an oracle existed: its hash is unchecked
+            return (1, priority.get(nm, len(priority)), order[nm])
         return (2, rnd, order[nm])
 
     return sorted(names, key=key)
@@ -150,7 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(bucketing.QUERIES)
     out.update(layout.QUERIES)
     out.update(operators.all_queries())
-    return {nm: out[nm] for nm in _verification_order(list(out))}
+    return {nm: out[nm] for nm in _verification_order(list(out), frozenset(oracle_sql()))}
 
 
 def oracle_sql() -> dict[str, str]:

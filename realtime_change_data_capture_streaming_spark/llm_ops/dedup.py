@@ -180,14 +180,19 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the documents fixture — see minhash_lsh_pairs."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs,
     scored by estimated Jaccard (fraction of equal min-hashes).
 
     The only shuffle keyed on (band, bucket-hash); candidate volume scales
     with true near-dup density, not with n^2 — the 100 TB shape.
-    Rows-only check (sketches are engine-specific).
+    Rows-only check (sketches are engine-specific); recall vs the exact
+    tier is pinned quantitatively in tests/test_sketches.py.
     """
-    d = load_table(spark, sf_dir, "documents")
     sig = minhash_signatures(d)
     bands = F.array(
         *[
@@ -272,14 +277,19 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1]
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash over the documents fixture — see simhash_of."""
+    return simhash_of(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
+
+
+def simhash_of(d: DataFrame) -> DataFrame:
     """64-bit SimHash per document + 4x16-bit hamming-bucket keys.
 
     Bit i of the signature = sign of sum over tokens of (+1 if bit i of
     xxhash64(token) else -1).  Near-dups differ in few bits; bucketing by
     16-bit chunks guarantees candidates within hamming distance 3 share
-    at least one chunk.  Rows-only (engine-specific hash).
+    at least one chunk.  Rows-only (engine-specific hash); hamming-vs-
+    Jaccard recall is pinned quantitatively in tests/test_sketches.py.
     """
-    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")).filter(
         F.col("tok").isNotNull()
     )

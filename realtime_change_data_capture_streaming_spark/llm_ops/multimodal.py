@@ -139,20 +139,40 @@ FROM documents
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The mapInPandas feature-extraction path (fake decode), aggregated.
-    Deterministic, but computed in Python workers -> oracle-checkable via
-    equivalent SQL byte arithmetic is possible for n_bytes only; keep the
-    full feature row as rows-only and let tests pin the values."""
+    """The full mapInPandas feature-extraction path (fake decode).
+    ``checksum``/``height`` derive from the Python byte-sum — rows-only;
+    the byte-arithmetic half is oracle-checked by
+    ``multimodal_features_meta`` below."""
     media = to_media_table(spread(load_table(spark, sf_dir, "documents")))
     return extract_features(media, fake=True)
+
+
+def multimodal_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic half of the feature row, THROUGH the same
+    mapInPandas worker: ``n_bytes`` and ``width = n_bytes % 1920`` are
+    pure byte arithmetic DuckDB reproduces with octet_length — so the
+    Arrow batch path itself (not just its schema) gets a hash-checked
+    oracle row."""
+    media = to_media_table(spread(load_table(spark, sf_dir, "documents")))
+    return extract_features(media, fake=True).select("doc_id", "n_bytes", "width")
+
+
+MULTIMODAL_FEATURES_META_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(octet_length(encode(text)) % 1920 AS INTEGER) AS width
+FROM documents
+"""
 
 
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
+    "multimodal_features_meta": multimodal_features_meta,
 }
 
 ORACLE = {
     "multimodal_metadata": MULTIMODAL_META_SQL,
-    # multimodal_features: python-computed fake features -> rows-only
+    "multimodal_features_meta": MULTIMODAL_FEATURES_META_SQL,
+    # multimodal_features: checksum/height are python byte-sums -> rows-only
 }

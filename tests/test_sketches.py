@@ -3,6 +3,7 @@ driver, so the accuracy-vs-exact contract is pinned here)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.operators.relational import (
@@ -48,3 +49,87 @@ def test_approx_percentile_within_rank_error(spark):
             lo = vals[max(0, min(n - 1, int(q * n) - 1))]
             hi = vals[max(0, min(n - 1, int(q * n) + 1))]
             assert float(lo) <= float(got) <= float(hi), (status, q, got, lo, hi)
+
+
+# --- near-dup sketch recall: minhash-LSH and simhash vs constructed dups ----
+#
+# The rows-only driver check proves the sketches RUN; these pin that they
+# WORK: a corpus of (doc, perturbed-doc) pairs with ~95% token overlap must
+# be recalled by each sketch at a quantitative bound.
+
+_PERT_OFFSET = 1_000_000
+_N_DUP_DOCS = 40
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(spark):
+    """Fixture docs + near-identical copies (every 20th token replaced),
+    ids offset by _PERT_OFFSET.  Deterministic: no RNG anywhere."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import tokens
+
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .orderBy("doc_id")
+        .limit(_N_DUP_DOCS)
+        .select("doc_id", "lang", "source", "text")
+    )
+    toks = tokens(F.col("text"))
+    perturbed_text = F.array_join(
+        F.transform(toks, lambda t, i: F.when(i % 20 == 0, F.lit("qqqq")).otherwise(t)), " "
+    )
+    pert = d.select(
+        (F.col("doc_id") + _PERT_OFFSET).alias("doc_id"),
+        "lang",
+        "source",
+        perturbed_text.alias("text"),
+    )
+    return d.unionByName(pert).cache()
+
+
+def test_minhash_lsh_recalls_constructed_neardups(spark, dup_corpus):
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import minhash_lsh_pairs
+
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(dup_corpus).collect()
+    }
+    hits = sum(1 for i in range(_N_DUP_DOCS) if (i, i + _PERT_OFFSET) in cand)
+    recall = hits / _N_DUP_DOCS
+    assert recall >= 0.7, f"minhash-LSH recall {recall} over constructed near-dups"
+
+
+def test_simhash_separates_neardups_from_random(spark, dup_corpus):
+    """Two quantitative pins: (1) constructed near-dup pairs sit at far
+    lower hamming distance than unrelated pairs; (2) the 4x16-bit chunk
+    bucketing recalls a meaningful fraction of them as candidates."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import simhash_of
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_of(dup_corpus).collect()}
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    dup_d = [hamming(sigs[i], sigs[i + _PERT_OFFSET]) for i in range(_N_DUP_DOCS)]
+    rand_d = [
+        hamming(sigs[i], sigs[j])
+        for i in range(_N_DUP_DOCS)
+        for j in range(i + 1, _N_DUP_DOCS)
+    ]
+    mean_dup = sum(dup_d) / len(dup_d)
+    mean_rand = sum(rand_d) / len(rand_d)
+    # measured on the deterministic fixture: ~6.0 vs ~17.4.  The unrelated
+    # mean sits well below 32 because fixture docs draw from one shared
+    # vocabulary pool (and a few are true dups of each other) — the pin is
+    # SEPARATION, not absolute distance.
+    assert mean_dup <= 10, f"near-dup mean hamming {mean_dup}"
+    assert mean_rand >= 14, f"unrelated mean hamming {mean_rand}"
+    assert mean_dup < 0.6 * mean_rand
+
+    # chunk-bucket recall: a pair is a candidate iff some 16-bit chunk is
+    # identical (pigeonhole guarantees this for hamming <= 3)
+    def shares_chunk(a, b):
+        return any(((a >> (16 * c)) & 0xFFFF) == ((b >> (16 * c)) & 0xFFFF) for c in range(4))
+
+    hits = sum(1 for i in range(_N_DUP_DOCS) if shares_chunk(sigs[i], sigs[i + _PERT_OFFSET]))
+    recall = hits / _N_DUP_DOCS
+    assert recall >= 0.6, f"simhash chunk-bucket recall {recall}"  # measured 0.725
