@@ -394,6 +394,42 @@ HAVING COUNT(*) >= 2
 """
 
 
+def curation_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted deterministic sampling: each document keeps with
+    probability proportional to its token count (capped at 1) — the
+    "sample long documents preferentially" knob of corpus mixing, with
+    the same no-rand() reproducibility discipline as assign_split.
+
+    u = md5-bucket(doc_id)/1e6 is a deterministic uniform in [0,1);
+    keep iff u < least(1, n_tokens/500).  Pure narrow projection+filter:
+    stays in the scan's codegen stage, no shuffle before the final agg."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    weight = F.least(F.lit(1.0), n_tok.cast("double") / F.lit(500.0))
+    u = hash_bucket(F.col("doc_id"), 1_000_000).cast("double") / F.lit(1_000_000.0)
+    return (
+        d.filter(u < weight)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(n_tok).cast("bigint").alias("tokens_kept"),
+        )
+    )
+
+
+CURATION_WEIGHTED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         LEN(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS n_tok
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+FROM toks
+WHERE CAST({_bucket_sql("doc_id", 1_000_000)} AS DOUBLE) / 1000000.0 < LEAST(1.0, CAST(n_tok AS DOUBLE) / 500.0)
+GROUP BY lang
+"""
+
+
 QUERIES = {
     "curation_split_counts": curation_split_counts,
     "curation_stratified_sample": curation_stratified_sample,
@@ -402,6 +438,7 @@ QUERIES = {
     "curation_quality_filter": curation_quality_filter,
     "curation_boilerplate_ngrams": curation_boilerplate_ngrams,
     "curation_contamination_overlap": curation_contamination_overlap,
+    "curation_sample_weighted": curation_sample_weighted,
 }
 
 ORACLE = {
@@ -412,4 +449,5 @@ ORACLE = {
     "curation_quality_filter": CURATION_QUALITY_SQL,
     "curation_boilerplate_ngrams": CURATION_BOILERPLATE_SQL,
     "curation_contamination_overlap": CURATION_CONTAMINATION_SQL,
+    "curation_sample_weighted": CURATION_WEIGHTED_SQL,
 }

@@ -210,12 +210,166 @@ LIMIT 50
 """
 
 
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: fraction of 3-gram shingles that are
+    repeats of an earlier shingle in the SAME doc — the Gopher-style
+    signal that catches boilerplate loops, keyword stuffing, and
+    degenerate generations.  (Cross-document repetition is
+    curation_boilerplate_ngrams; this is the per-doc complement.)
+
+    Codegen shingling (posexplode + lead), one shuffle on doc_id, then a
+    per-doc count/count-distinct — integer arithmetic plus one double
+    division, cross-engine exact.  Docs with < 3 tokens have no shingles
+    and drop out of the result on both engines."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = with_tokens(d).select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("shingle"))
+    )
+    return tri.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.countDistinct("shingle").alias("n_distinct"),
+        (F.lit(1.0) - F.countDistinct("shingle").cast("double") / F.count(F.lit(1))).alias(
+            "rep_ratio"
+        ),
+    )
+
+
+REPETITION_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, GREATEST(LEN(ts) - 2, 0) + 1)) AS t(i)
+)
+SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT shingle) AS n_distinct,
+       1.0 - CAST(COUNT(DISTINCT shingle) AS DOUBLE) / COUNT(*) AS rep_ratio
+FROM sh GROUP BY doc_id
+"""
+
+
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style absolute quality gates, one boolean per rule plus the
+    conjunction — the pre-filter that runs before any distribution-
+    relative filtering (curation_quality_filter).  All per-row codegen
+    expressions; every ratio is a single int/int double division."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    toks = F.col("_toks")
+    n_tok = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)).cast("double")
+        / n_tok
+    )
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n_tok
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOP])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    cleaned_len = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    symbol_ratio = F.lit(1.0) - cleaned_len.cast("double") / F.length("text")
+    out = d.select(
+        "doc_id",
+        (n_tok >= 50).alias("len_ok"),
+        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("mean_len_ok"),
+        (alpha_frac >= 0.8).alias("alpha_ok"),
+        (n_stop >= 2).alias("stop_ok"),
+        (symbol_ratio <= 0.1).alias("symbol_ok"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("len_ok") & F.col("mean_len_ok") & F.col("alpha_ok") & F.col("stop_ok") & F.col("symbol_ok"),
+    )
+
+
+GOPHER_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         LEN(ts) >= 50 AS len_ok,
+         CAST(list_sum(list_transform(ts, t -> LENGTH(t))) AS DOUBLE) / LEN(ts) >= 3.0
+           AND CAST(list_sum(list_transform(ts, t -> LENGTH(t))) AS DOUBLE) / LEN(ts) <= 10.0 AS mean_len_ok,
+         CAST(LEN(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / LEN(ts) >= 0.8 AS alpha_ok,
+         LEN(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) >= 2 AS stop_ok,
+         1.0 - CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) <= 0.1 AS symbol_ok
+  FROM toks
+)
+SELECT doc_id, len_ok, mean_len_ok, alpha_ok, stop_ok, symbol_ok,
+       len_ok AND mean_len_ok AND alpha_ok AND stop_ok AND symbol_ok AS keep
+FROM m
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most characteristic terms per document by tf x (N/df) —
+    the vocabulary/keyword pass of a corpus pipeline.
+
+    Deliberately NOT log-idf: ln() is not guaranteed identically rounded
+    across engines, while tf*N/df is integer arithmetic plus ONE double
+    division — hash-exact.  The ranking is monotone in idf either way.
+
+    Shape at 100 TB: one shuffle to (doc, term) counts, one to doc
+    frequencies (vocabulary-sized), corpus doc count broadcast via a
+    1-row cross join, top-k per doc with a window over the doc key."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok_rows = with_tokens(d).select("doc_id", F.explode("_toks").alias("term"))
+    tf = tok_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df_docs"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df_docs", "score", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+)
+SELECT doc_id, term, tf, df_docs, score, rk FROM (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df_docs,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df_docs AS score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                 ORDER BY CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df_docs DESC,
+                                          tf.term ASC) AS BIGINT) AS rk
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+) WHERE rk <= 3
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_bigram_frequencies": bigram_frequencies,
     "text_quality_scores": quality_scores,
     "text_language_id": language_id,
     "text_fingerprints": fingerprints,
+    "text_repetition_ratio": repetition_ratio,
+    "text_gopher_rules": gopher_rules,
+    "text_tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLE = {
@@ -224,4 +378,7 @@ ORACLE = {
     "text_quality_scores": QUALITY_SQL,
     "text_language_id": LANGUAGE_ID_SQL,
     "text_fingerprints": FINGERPRINTS_SQL,
+    "text_repetition_ratio": REPETITION_SQL,
+    "text_gopher_rules": GOPHER_SQL,
+    "text_tfidf_top_terms": TFIDF_SQL,
 }

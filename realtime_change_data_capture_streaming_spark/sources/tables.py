@@ -41,11 +41,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the driver's) can read it — the conf is dynamic, safe to set here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS): Spark reads it as long (see
-    # nanosAsLong in session.py); truncate to microseconds = TimestampType.
+    # Normalize events.ts to session-TZ TimestampType (LTZ) whatever the
+    # file carries: TIMESTAMP(NANOS) arrives as long (nanosAsLong in
+    # session.py) and is truncated to micros; un-zoned micros arrive as
+    # TIMESTAMP_NTZ (Spark 4 infers NTZ from parquet by default) and are
+    # cast — same wall clock under the fixed UTC session zone, and
+    # event-time operators (watermarks, session_window) require LTZ.
     for f in df.schema.fields:
         if f.name == "ts" and f.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif f.name == "ts" and f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
