@@ -311,6 +311,74 @@ WHERE o_orderkey % 97 != 0
 """
 
 
+def cdc_snapshot_then_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium ``snapshot.mode=initial`` bootstrap, end to end: a
+    consistent snapshot emits every row as op='r' (read) at the snapshot
+    LSN, then the WAL stream takes over — re-delivering some inserts that
+    are ALSO in the snapshot (Debezium guarantees overlap, not a clean
+    cut) plus the post-snapshot updates and deletes.
+
+    Most keys' final state comes solely from their 'r' row; overlap
+    duplicates and the snapshot/stream boundary are absorbed by the same
+    latest-wins merge as any replay (``transaction_consumer.py:10,:88``
+    generalized).  Oracle = the closed-form final table; the snapshot
+    machinery must be invisible in the result."""
+    o = load_table(spark, sf_dir, "orders")
+    base_lsn = F.col("o_orderkey") * 3
+    ts_ms = F.unix_timestamp("o_orderdate") * 1000
+
+    def env(before, after, op, lsn_off):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                (ts_ms + lsn_off).alias("ts_ms"),
+                F.struct(
+                    (base_lsn + lsn_off).alias("lsn"),
+                    F.lit("transactions").alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+            )
+        )
+
+    key = F.col("o_orderkey").cast("string").alias("key")
+    null_img = F.when(F.lit(False), _image(F.col("o_totalprice")))
+    # phase 1: snapshot — every live row as op='r' at the insert LSN
+    snapshot = o.select(key, env(null_img, _image(F.col("o_totalprice")), "r", F.lit(0)).alias("value"))
+    # phase 2: stream — overlapping 'c' redelivery for a third of keys,
+    # then the incremental tail (updates + deletes)
+    overlap = o.filter(F.pmod(F.xxhash64(F.col("o_orderkey").cast("string")), F.lit(3)) == 0).select(
+        key, env(null_img, _image(F.col("o_totalprice")), "c", F.lit(0)).alias("value")
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        key,
+        env(_image(F.col("o_totalprice")), _image(F.col("o_totalprice") + _AMOUNT_BUMP), "u", F.lit(1)).alias("value"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        key,
+        env(_image(F.col("o_totalprice") + _AMOUNT_BUMP), F.when(F.lit(False), _image(F.col("o_totalprice"))), "d", F.lit(2)).alias("value"),
+    )
+    events = snapshot.unionByName(overlap).unionByName(updates).unionByName(deletes).repartition(17)
+    parsed = parse_envelope(events, decimal_mode="string")
+    final = apply_changes_batch(parsed)
+    return final.select(
+        F.col("transaction_id"),
+        F.col("amount").cast("double").alias("amount"),
+        F.col("payment_method"),
+    )
+
+
+CDC_SNAPSHOT_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
+            AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       'credit_card' AS payment_method
+FROM orders
+WHERE o_orderkey % 97 != 0
+"""
+
+
 def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed events routed to a dead-letter projection instead of
     killing the pipeline (reference behavior is log-and-skip,
@@ -343,6 +411,7 @@ QUERIES = {
     "cdc_change_diff_rows": cdc_change_diff_rows,
     "cdc_audit_stamp": cdc_audit_stamp,
     "cdc_schema_evolution": cdc_schema_evolution,
+    "cdc_snapshot_then_stream": cdc_snapshot_then_stream,
 }
 
 ORACLE = {
@@ -353,4 +422,5 @@ ORACLE = {
     "cdc_change_diff_rows": CDC_DIFF_SQL,
     "cdc_audit_stamp": CDC_AUDIT_SQL,
     "cdc_schema_evolution": CDC_EVOLUTION_SQL,
+    "cdc_snapshot_then_stream": CDC_SNAPSHOT_SQL,
 }
