@@ -316,19 +316,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines, while tf*N/df is integer arithmetic plus ONE double
     division — hash-exact.  The ranking is monotone in idf either way.
 
-    Shape at 100 TB: one shuffle to (doc, term) counts, one to doc
-    frequencies (vocabulary-sized), corpus doc count broadcast via a
-    1-row cross join, top-k per doc with a window over the doc key."""
+    Shape at 100 TB: the tokenize+explode pass runs ONCE — document
+    frequency is a count() window over the term partition of the same
+    (doc, term) aggregate (not a self-join, which would recompute the
+    whole token subtree per consumer), the corpus doc count broadcasts
+    via a 1-row cross join, and top-k per doc is a window over the doc
+    key.  Three exchanges total: (doc,term) agg, term window, doc
+    window."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
     tok_rows = with_tokens(d).select("doc_id", F.explode("_toks").alias("term"))
     tf = tok_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
+        .withColumn("df_docs", F.count(F.lit(1)).over(w_term))
         .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df_docs"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
