@@ -68,6 +68,41 @@ def test_zorder_box_query_touches_few_files(spark, layouts):
     assert touched_z <= 2, (touched_z, touched_r)
 
 
+def test_hive_partition_pruning(spark, sf_dir, tmp_path):
+    """Static partition pruning: a filter on the partition column must
+    become PartitionFilters (directory-level pruning — the scan never
+    lists the other partitions' files), not a row-level post-filter."""
+    o = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_by_status")
+    o.write.partitionBy("o_orderstatus").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("o_orderstatus") == "F")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("o_orderstatus=F" in f for f in files), files[:3]
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: when the partition key is only
+    constrained THROUGH a join with a filtered dimension, Spark must
+    inject a runtime subquery filter into the fact scan — at 100 TB this
+    is the difference between scanning one partition and all of them."""
+    o = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "orders_by_year")
+    o.withColumn("o_year", F.year("o_orderdate")).write.partitionBy("o_year").parquet(p)
+    fact = spark.read.parquet(p)
+    years = sorted(r[0] for r in fact.select("o_year").distinct().collect())
+    dim = (
+        spark.range(len(years))
+        .select((F.col("id") + years[0]).alias("dim_year"))
+        .filter(F.col("dim_year") == years[0])
+    )
+    j = fact.join(dim, fact.o_year == dim.dim_year).select("o_orderkey", "o_year")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+    assert all(r["o_year"] == years[0] for r in j.select("o_year").distinct().collect())
+
+
 def test_zorder_single_dim_also_clusters(spark, layouts):
     """The selling point over a single-column sort: EACH interleaved dim
     alone still clusters (a cents-bucket prefix zeroes alternating high
