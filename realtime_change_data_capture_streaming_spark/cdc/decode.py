@@ -116,12 +116,18 @@ def _extras_map(raw: Column, image: str) -> Column:
     )
 
 
+#: LSN sentinel for synthesized tombstone deletes: beyond any real WAL
+#: position, so latest-wins always lets the compaction marker win.
+TOMBSTONE_LSN = 1 << 62
+
+
 def parse_envelope(
     df: DataFrame,
     decimal_mode: str = "string",
     value_col: str = "value",
     keep_corrupt: bool = False,
     capture_extras: bool = False,
+    kafka_tombstones: str = "drop",
 ) -> DataFrame:
     """Kafka-shaped ``value`` (JSON string/bytes) -> typed change rows.
 
@@ -134,8 +140,22 @@ def parse_envelope(
     ``capture_extras`` adds an ``_extra`` map column holding after-image
     fields the fixed schema does not know (see :func:`_extras_map`) so an
     upstream column add is never silently dropped.
+
+    ``kafka_tombstones`` decides what a NULL-value message means.  Debezium
+    follows every delete envelope with a null-value record so Kafka log
+    compaction can drop the key; these are neither corrupt nor ordinary
+    events.  ``"drop"`` (default) discards them — correct when reading the
+    uncompacted topic, where the op='d' envelope carries the delete.
+    ``"delete"`` synthesizes an op='d' row at a sentinel LSN past any real
+    WAL position — correct when bootstrapping from a COMPACTED topic,
+    where compaction may have erased the 'd' envelope and the tombstone is
+    the only surviving record of the deletion.
     """
+    if kafka_tombstones not in ("drop", "delete"):
+        raise ValueError(f"kafka_tombstones must be 'drop' or 'delete', got {kafka_tombstones!r}")
     schema = envelope_schema(decimal_mode)
+    tombstones = df.filter(F.col(value_col).isNull()) if kafka_tombstones == "delete" else None
+    df = df.filter(F.col(value_col).isNotNull())
     raw = F.col(value_col).cast("string")
     parsed = df.withColumn("_env", F.from_json(raw, schema))
     env = F.col("_env")
@@ -173,4 +193,15 @@ def parse_envelope(
             else []
         ),
     )
+    if tombstones is not None:
+        if "key" not in tombstones.columns:
+            raise ValueError("kafka_tombstones='delete' requires a 'key' column (tombstones have no payload)")
+        synth = tombstones.select(
+            F.col("key").cast("string").alias("key"),
+            F.lit("d").alias("op"),
+            F.lit(None).cast("long").alias("ts_ms"),
+            F.lit(TOMBSTONE_LSN).alias("lsn"),
+            *[F.lit(None).cast(out.schema[c].dataType).alias(c) for c in out.columns if c not in ("key", "op", "ts_ms", "lsn")],
+        )
+        out = out.unionByName(synth.select(*out.columns))
     return out

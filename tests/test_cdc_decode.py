@@ -100,3 +100,51 @@ def test_timestamp_decode_epoch_and_string(spark):
     out = df.select(_decode_ts(F.col("img.timestamp")).alias("ts")).collect()
     assert out[0]["ts"] is not None
     assert out[1]["ts"] is not None
+
+
+def _env_json(key, op, lsn, amount="10.00"):
+    return json.dumps(
+        {
+            "before": None,
+            "after": {"transaction_id": key, "amount": amount, "timestamp": "2026-01-01 00:00:00"},
+            "op": op,
+            "ts_ms": lsn,
+            "source": {"lsn": lsn, "table": "transactions", "db": "d"},
+        }
+    )
+
+
+def test_kafka_tombstones_dropped_by_default(spark):
+    """Debezium follows op='d' with a null-value compaction tombstone; on
+    the uncompacted topic it is a transport artifact — neither a change
+    event nor dead-letter material."""
+    df = spark.createDataFrame(
+        [("t1", _env_json("t1", "c", 1)), ("t1", None), ("t2", _env_json("t2", "c", 2))],
+        "key string, value string",
+    )
+    parsed = parse_envelope(df, "string", keep_corrupt=True)
+    rows = parsed.collect()
+    assert len(rows) == 2 and all(r["op"] == "c" for r in rows)
+    assert all(r["_corrupt"] is None for r in rows)
+
+
+def test_kafka_tombstones_as_deletes_on_compacted_topic(spark):
+    """kafka_tombstones='delete': on a compacted topic the 'd' envelope may
+    be gone and the tombstone is the only record of the deletion — it must
+    synthesize a delete that wins latest-per-key."""
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import apply_changes_batch
+
+    df = spark.createDataFrame(
+        [
+            ("t1", _env_json("t1", "c", 1)),
+            ("t1", None),  # compaction marker: t1 was deleted, 'd' envelope compacted away
+            ("t2", _env_json("t2", "c", 2)),
+        ],
+        "key string, value string",
+    )
+    parsed = parse_envelope(df, "string", kafka_tombstones="delete")
+    ops = {(r["key"], r["op"]) for r in parsed.collect()}
+    assert ("t1", "d") in ops
+    final = apply_changes_batch(parsed)
+    keys = {r["transaction_id"] for r in final.collect()}
+    assert keys == {"t2"}
