@@ -288,6 +288,65 @@ FROM events GROUP BY 1
 """
 
 
+def events_user_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user anomaly detection: the single most extreme event by
+    z-score against that user's own value distribution — the per-entity
+    outlier scan of product analytics.
+
+    Reproducible-statistics discipline: a float mean/stddev depends on
+    summation order, so the moments are computed on exact integer cents
+    (``decimal(18,2)*100`` — no fp anywhere in the aggregation) and the
+    z-score collapses to ONE double division over integer terms:
+    ``z = (x*n - s) / sqrt(n*ss - s^2)`` — algebraically (x-mean)/std_pop
+    with every input exact, hence hash-identical on any engine or
+    partitioning.  Integer headroom: |cents| < 2^17 here, so n*ss fits a
+    bigint up to ~2^29 events/user; beyond that, compute in decimal(38,0).
+    One shuffle on user_id (window moments + ranking share it)."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id")
+    d = (
+        ev.select("user_id", "event_id", cents.alias("cents"))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("s", F.sum("cents").over(w))
+        .withColumn("ss", F.sum(F.col("cents") * F.col("cents")).over(w))
+        .filter((F.col("n") >= 30) & (F.col("n") * F.col("ss") - F.col("s") * F.col("s") > 0))
+        .withColumn(
+            "z",
+            (F.col("cents") * F.col("n") - F.col("s")).cast("double")
+            / F.sqrt((F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.abs(F.col("z")).desc(), F.col("event_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("user_id", "event_id", "cents", "z")
+    )
+
+
+OUTLIERS_SQL = """
+WITH m AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (PARTITION BY user_id) AS s,
+         SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) * CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) OVER (PARTITION BY user_id) AS ss
+  FROM events
+), z AS (
+  SELECT user_id, event_id, cents,
+         CAST(cents * n - s AS DOUBLE) / SQRT(CAST(n * ss - s * s AS DOUBLE)) AS z
+  FROM m
+  WHERE n >= 30 AND n * ss - s * s > 0
+)
+SELECT user_id, event_id, cents, z FROM (
+  SELECT user_id, event_id, cents, z,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ABS(z) DESC, event_id) AS rk
+  FROM z
+) WHERE rk = 1
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
@@ -297,6 +356,7 @@ QUERIES = {
     "events_funnel_counts": events_funnel_counts,
     "events_cohort_retention": events_cohort_retention,
     "events_value_histogram": events_value_histogram,
+    "events_user_value_outliers": events_user_value_outliers,
 }
 
 ORACLE = {
@@ -308,4 +368,5 @@ ORACLE = {
     "events_funnel_counts": FUNNEL_SQL,
     "events_cohort_retention": COHORT_SQL,
     "events_value_histogram": HISTOGRAM_SQL,
+    "events_user_value_outliers": OUTLIERS_SQL,
 }
