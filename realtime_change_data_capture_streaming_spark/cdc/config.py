@@ -43,6 +43,7 @@ class CdcPipelineConfig:
     dead_letter: bool = False
     key_col: str = "key"
     n_buckets: int = 64
+    kafka_tombstones: str = "drop"  # 'drop' (uncompacted topic) | 'delete' (compacted bootstrap)
 
 
 def _parse_bool(v):
@@ -70,12 +71,19 @@ def _parse_pos_int(v):
 
 #: public option keys -> (dataclass field, value parser).  The dotted names
 #: mirror the connector-config style of the reference (README.md:299-312).
+def _parse_tombstones(v):
+    if v not in ("drop", "delete"):
+        raise ValueError(f"cdc.kafkaTombstones must be 'drop' or 'delete', got {v!r}")
+    return v
+
+
 OPTIONS = {
     "cdc.decimalMode": ("decimal_mode", _parse_mode),
     "cdc.captureExtras": ("capture_extras", _parse_bool),
     "cdc.deadLetter": ("dead_letter", _parse_bool),
     "cdc.keyColumn": ("key_col", str),
     "cdc.buckets": ("n_buckets", _parse_pos_int),
+    "cdc.kafkaTombstones": ("kafka_tombstones", _parse_tombstones),
 }
 
 
@@ -127,6 +135,7 @@ def start_pipeline(
         decimal_mode=cfg.decimal_mode,
         keep_corrupt=cfg.dead_letter,
         capture_extras=cfg.capture_extras,
+        kafka_tombstones=cfg.kafka_tombstones,
     )
     if cfg.dead_letter:
         parsed = parsed.filter("_corrupt IS NULL").drop("_corrupt")

@@ -74,3 +74,33 @@ def test_decimal_mode_switch_across_checkpointed_restart(spark):
     # both eras decoded to exact 2-dp decimals
     bad = live.filter(F.col("amount") != F.round(F.col("amount"), 2)).count()
     assert bad == 0
+
+
+def test_kafka_tombstones_streaming_compacted_bootstrap(spark):
+    """cdc.kafkaTombstones=delete through the full streaming pipeline: a
+    compacted-topic bootstrap where one key's delete survives only as a
+    null-value tombstone must end with that key absent from the sink."""
+    import json as _json
+
+    in_dir = tempfile.mkdtemp(prefix="tomb_in_")
+    work = tempfile.mkdtemp(prefix="tomb_work_")
+    events = synthetic_change_events(spark, 20, updates_per_key=0, delete_every=0, seed=3)
+    keys = [r["key"] for r in events.select("key").orderBy("key").collect()]
+    victim = keys[0]
+    # stage: all inserts + ONE tombstone (null value) for the victim key
+    events.coalesce(1).write.mode("append").json(in_dir)
+    with open(f"{in_dir}/tombstone.json", "w") as f:
+        f.write(_json.dumps({"key": victim, "value": None}) + "\n")
+
+    cfg = from_options({"cdc.kafkaTombstones": "delete", "cdc.buckets": "8"})
+    src = spark.readStream.schema("key string, value string").json(in_dir)
+    q, sink = start_pipeline(
+        spark, cfg, src, f"{work}/sink", f"{work}/ckpt", trigger={"availableNow": True}
+    )
+    q.awaitTermination(300)
+    live = sink.read()
+    assert live.count() == 19
+    assert live.filter(F.col("transaction_id") == victim).count() == 0
+
+    with pytest.raises(ValueError, match="kafkaTombstones"):
+        from_options({"cdc.kafkaTombstones": "ignore"})
