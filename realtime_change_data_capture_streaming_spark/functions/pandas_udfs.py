@@ -138,11 +138,36 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 4000
 """
 
 
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: the zero-copy batch path — pyarrow RecordBatches in and
+    out, no pandas materialization.  The right shape when the Python work
+    is itself Arrow-native (tokenizers, Arrow-backed model featurizers):
+    skipping the pandas conversion halves the per-batch overhead.  Here:
+    per-row char counts via pyarrow.compute, one batch in -> one out."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def lengths(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            n_chars = pc.cast(pc.utf8_length(batch.column("text")), pa.int64())
+            yield pa.RecordBatch.from_arrays([doc_id, n_chars], ["doc_id", "n_chars_arrow"])
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(lengths, schema="doc_id long, n_chars_arrow long")
+
+
+UDF_ARROW_SQL = """
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_arrow FROM documents
+"""
+
+
 QUERIES = {
     "udf_scalar_normalize": udf_scalar_normalize,
     "udf_grouped_median": udf_grouped_median,
     "udf_apply_in_pandas": udf_apply_in_pandas,
     "udf_map_in_pandas": udf_map_in_pandas,
+    "udf_map_in_arrow": udf_map_in_arrow,
 }
 
 ORACLE = {
@@ -150,4 +175,5 @@ ORACLE = {
     "udf_grouped_median": UDF_GROUPED_SQL,
     "udf_apply_in_pandas": UDF_APPLY_SQL,
     "udf_map_in_pandas": UDF_MAP_SQL,
+    "udf_map_in_arrow": UDF_ARROW_SQL,
 }
