@@ -66,7 +66,7 @@ def udf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 UDF_GROUPED_SQL = """
 SELECT o_orderpriority,
-       MEDIAN(o_totalprice) AS median_price,
+       CAST(MEDIAN(CAST(o_totalprice AS DOUBLE)) AS DOUBLE) AS median_price,
        COUNT(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """
@@ -109,9 +109,9 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 UDF_APPLY_SQL = """
 SELECT c_mktsegment,
        COUNT(*) AS n_customers,
-       MIN(c_acctbal) AS bal_min,
-       MEDIAN(c_acctbal) AS bal_median,
-       MAX(c_acctbal) AS bal_max,
+       CAST(MIN(c_acctbal) AS DOUBLE) AS bal_min,
+       CAST(MEDIAN(CAST(c_acctbal AS DOUBLE)) AS DOUBLE) AS bal_median,
+       CAST(MAX(c_acctbal) AS DOUBLE) AS bal_max,
        (SELECT c2.c_custkey FROM customer c2 WHERE c2.c_mktsegment = c.c_mktsegment
         ORDER BY c2.c_acctbal DESC, c2.c_custkey ASC LIMIT 1) AS top_customer
 FROM customer c GROUP BY c_mktsegment
@@ -134,7 +134,8 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 UDF_MAP_SQL = """
-SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000.0
+SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders WHERE o_totalprice > 400000.0
 """
 
 

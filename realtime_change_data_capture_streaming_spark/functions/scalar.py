@@ -91,35 +91,42 @@ FROM orders
 def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """abs/ceil/floor/round/sqrt/pmod/greatest/least/sign over customer
     balances.  sqrt is IEEE-exact; ln/exp are platform-libm and excluded
-    from the oracle surface."""
+    from the oracle surface.
+
+    Every float output carries an explicit cast to DOUBLE plus a ``+ 0.0``
+    normalization (IEEE: ``-0.0 + 0.0 == +0.0`` in both engines) so the
+    hashed representation survives fixture numeric-type drift (the driver
+    regenerates testdata between rounds) and negative-zero outputs.
+    """
     c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("double")
     return c.select(
         "c_custkey",
-        F.abs("c_acctbal").alias("bal_abs"),
-        F.ceil("c_acctbal").cast("bigint").alias("bal_ceil"),
-        F.floor("c_acctbal").cast("bigint").alias("bal_floor"),
-        F.round(F.col("c_acctbal"), 1).alias("bal_round1"),
-        F.sqrt(F.abs("c_acctbal")).alias("bal_sqrt"),
+        (F.abs(bal).cast("double") + F.lit(0.0)).alias("bal_abs"),
+        F.ceil(bal).cast("bigint").alias("bal_ceil"),
+        F.floor(bal).cast("bigint").alias("bal_floor"),
+        (F.round(bal, 1).cast("double") + F.lit(0.0)).alias("bal_round1"),
+        (F.sqrt(F.abs(bal)).cast("double") + F.lit(0.0)).alias("bal_sqrt"),
         F.pmod(F.col("c_custkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
-        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_pos"),
-        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
-        F.signum("c_acctbal").alias("bal_sign"),
-        (F.col("c_acctbal") * F.col("c_acctbal")).alias("bal_sq"),
+        (F.greatest(bal, F.lit(0.0)).cast("double") + F.lit(0.0)).alias("bal_pos"),
+        (F.least(bal, F.lit(1000.0)).cast("double") + F.lit(0.0)).alias("bal_capped"),
+        (F.signum(bal).cast("double") + F.lit(0.0)).alias("bal_sign"),
+        ((bal * bal).cast("double") + F.lit(0.0)).alias("bal_sq"),
     )
 
 
 MATH_SQL = """
 SELECT c_custkey,
-       ABS(c_acctbal) AS bal_abs,
-       CAST(CEIL(c_acctbal) AS BIGINT) AS bal_ceil,
-       CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_floor,
-       ROUND(c_acctbal, 1) AS bal_round1,
-       SQRT(ABS(c_acctbal)) AS bal_sqrt,
+       CAST(ABS(CAST(c_acctbal AS DOUBLE)) AS DOUBLE) + 0.0 AS bal_abs,
+       CAST(CEIL(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS bal_ceil,
+       CAST(FLOOR(CAST(c_acctbal AS DOUBLE)) AS BIGINT) AS bal_floor,
+       CAST(ROUND(CAST(c_acctbal AS DOUBLE), 1) AS DOUBLE) + 0.0 AS bal_round1,
+       CAST(SQRT(ABS(CAST(c_acctbal AS DOUBLE))) AS DOUBLE) + 0.0 AS bal_sqrt,
        CAST(c_custkey % 7 AS BIGINT) AS key_mod7,
-       GREATEST(c_acctbal, 0.0) AS bal_pos,
-       LEAST(c_acctbal, 1000.0) AS bal_capped,
-       SIGN(c_acctbal) AS bal_sign,
-       c_acctbal * c_acctbal AS bal_sq
+       CAST(GREATEST(CAST(c_acctbal AS DOUBLE), 0.0) AS DOUBLE) + 0.0 AS bal_pos,
+       CAST(LEAST(CAST(c_acctbal AS DOUBLE), 1000.0) AS DOUBLE) + 0.0 AS bal_capped,
+       CAST(SIGN(CAST(c_acctbal AS DOUBLE)) AS DOUBLE) + 0.0 AS bal_sign,
+       CAST(CAST(c_acctbal AS DOUBLE) * CAST(c_acctbal AS DOUBLE) AS DOUBLE) + 0.0 AS bal_sq
 FROM customer
 """
 

@@ -89,7 +89,7 @@ SELECT p.user_id,
        p.ts AS purchase_ts,
        v.ts AS view_ts,
        CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us,
-       v.value AS view_value
+       CAST(v.value AS DOUBLE) AS view_value
 FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
 ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts

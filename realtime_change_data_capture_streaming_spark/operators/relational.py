@@ -43,7 +43,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JOIN_ANTI_SQL = """
-SELECT c_custkey, c_name, c_acctbal FROM customer
+SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 """
 
@@ -147,7 +147,7 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINDOW_TOPK_SQL = """
-SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice, rk FROM (
   SELECT o_custkey, o_orderkey, o_totalprice,
          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rk
   FROM orders
@@ -169,7 +169,7 @@ def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 WINDOW_RANK_SQL = """
-SELECT s_suppkey, s_acctbal,
+SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
        CAST(RANK() OVER w AS BIGINT) AS bal_rank,
        CAST(DENSE_RANK() OVER w AS BIGINT) AS bal_dense_rank,
        CAST(NTILE(4) OVER w AS BIGINT) AS bal_quartile
@@ -240,7 +240,7 @@ def sort_topn_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SORT_TOPN_SQL = """
-SELECT l_orderkey, l_linenumber, l_extendedprice
+SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DOUBLE) AS l_extendedprice
 FROM lineitem
 ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
 LIMIT 25
@@ -344,9 +344,9 @@ def percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PERCENTILES_SQL = """
 SELECT o_orderstatus,
-       quantile_cont(o_totalprice, 0.5) AS p50,
-       quantile_cont(o_totalprice, 0.9) AS p90,
-       quantile_cont(o_totalprice, 0.99) AS p99
+       CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS DOUBLE) AS p50,
+       CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS DOUBLE) AS p90,
+       CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS DOUBLE) AS p99
 FROM orders GROUP BY o_orderstatus
 """
 

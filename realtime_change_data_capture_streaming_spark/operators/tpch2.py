@@ -35,7 +35,7 @@ def q2_top_supplier_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q2_SQL = """
-SELECT s_suppkey, s_name, n_name, s_acctbal
+SELECT s_suppkey, s_name, n_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
                    WHERE s2.s_nationkey = supplier.s_nationkey)
@@ -337,7 +337,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q18_SQL = """
-SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
 FROM (
   SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY 1 HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
@@ -450,7 +451,7 @@ def q20_nested_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q20_SQL = """
-SELECT s_suppkey, s_name, s_acctbal
+SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal
 FROM supplier
 WHERE s_suppkey IN (
   SELECT l_suppkey FROM lineitem

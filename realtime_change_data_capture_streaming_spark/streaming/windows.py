@@ -42,6 +42,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Mirror load_table's scan-time numeric normalization (decimal/float32
+    # fixture drift -> double) so streaming and batch schemas stay identical.
+    for f in stream.schema.fields:
+        if f.dataType.typeName() in ("decimal", "float"):
+            stream = stream.withColumn(f.name, F.col(f.name).cast("double"))
     assert stream.schema == batch.schema
     return stream
 
