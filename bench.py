@@ -72,6 +72,30 @@ def main() -> None:
         return s * 1.0
 
     _force(spark.range(1000).select(_warm(F.col("id").cast("double"))))
+    # Warm the Structured Streaming machinery (StreamExecution, state-store
+    # provider, file-stream source, memory sink, checkpoint I/O classes):
+    # the first streaming query of a session otherwise pays 0.5-1 s of
+    # one-time class loading that is not any query's steady-state cost —
+    # this was the dominant term in the round-3 stream_tumbling_hourly
+    # regression (1.29 -> 1.97 s with an unchanged aggregation plan).
+    import tempfile
+    import uuid
+
+    warm_dir = tempfile.mkdtemp(prefix="bench_warm_src_")
+    spark.range(10).withColumn("ts", F.current_timestamp()).write.mode("overwrite").parquet(warm_dir)
+    wq = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(warm_dir)
+        .groupBy("id")
+        .count()
+        .writeStream.format("memory")
+        .queryName(f"warm_{uuid.uuid4().hex[:8]}")
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="bench_warm_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq.awaitTermination(120)
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         # isolate queries from each other: a previous query's leftover
@@ -89,6 +113,24 @@ def main() -> None:
             _force(qs[name](spark, SF_DIR))
             t = min(t, time.perf_counter() - t0)
         timings[name] = round(t, 3)
+    # Streaming CDC throughput (BASELINE.md floor: >=10k events/s through
+    # parse -> dedup -> merge; the reference producer tops out ~2 msg/s).
+    # Same pipeline as tests/test_throughput.py, recorded here so the
+    # measured rate is tracked round-over-round instead of pass/fail.
+    from realtime_change_data_capture_streaming_spark.cdc import apply_changes_batch, parse_envelope
+    from realtime_change_data_capture_streaming_spark.sources import synthetic_change_events
+
+    n_keys = 30_000
+    events = synthetic_change_events(spark, n_keys, updates_per_key=2, seed=11)
+    _force(events)  # generation warm, excluded from the measured window
+    rate = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        apply_changes_batch(parse_envelope(events, decimal_mode="string")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        rate = max(rate, (n_keys * 3) / (time.perf_counter() - t0))
+
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
     print(
         json.dumps(
@@ -98,6 +140,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "throughput": {"parse_dedup_merge_events_per_s": round(rate)},
             }
         )
     )

@@ -118,6 +118,17 @@ def _extras_map(raw: Column, image: str) -> Column:
 
 #: LSN sentinel for synthesized tombstone deletes: beyond any real WAL
 #: position, so latest-wins always lets the compaction marker win.
+#:
+#: CAVEAT: the sentinel assumes no post-delete re-insert of the same key is
+#: present in the batch.  Kafka log compaction is eventual (the active
+#: segment is never cleaned), so a compacted topic can carry BOTH a
+#: tombstone and a LATER 'c' envelope for the same key — under the
+#: sentinel, the delete would wrongly out-rank the newer insert.  When the
+#: input carries Kafka's ``offset`` column, :func:`parse_envelope` therefore
+#: also emits ``offset`` on every row (a Debezium tombstone immediately
+#: follows its delete, and per-key records share a partition, so offset
+#: order IS the true change order): run latest-wins with
+#: ``order_cols=("offset",)`` to resolve compacted topics correctly.
 TOMBSTONE_LSN = 1 << 62
 
 
@@ -150,11 +161,22 @@ def parse_envelope(
     WAL position — correct when bootstrapping from a COMPACTED topic,
     where compaction may have erased the 'd' envelope and the tombstone is
     the only surviving record of the deletion.
+
+    In ``"delete"`` mode, if the input also carries Kafka's ``offset``
+    column, it is passed through (as ``offset``, bigint) on every output
+    row — real envelopes and synthesized deletes alike.  Downstream
+    latest-wins should then use ``order_cols=("offset",)``: per-key records
+    live in one partition and a tombstone immediately follows its delete
+    envelope, so log position totally orders each key's history, including
+    a re-insert AFTER the delete (which the sentinel LSN alone would
+    wrongly lose — compaction is eventual and the active segment is never
+    cleaned, so tombstone + later 'c' can coexist).
     """
     if kafka_tombstones not in ("drop", "delete"):
         raise ValueError(f"kafka_tombstones must be 'drop' or 'delete', got {kafka_tombstones!r}")
     schema = envelope_schema(decimal_mode)
     tombstones = df.filter(F.col(value_col).isNull()) if kafka_tombstones == "delete" else None
+    passthrough_offset = kafka_tombstones == "delete" and "offset" in df.columns
     df = df.filter(F.col(value_col).isNotNull())
     raw = F.col(value_col).cast("string")
     parsed = df.withColumn("_env", F.from_json(raw, schema))
@@ -174,6 +196,7 @@ def parse_envelope(
         env.getField("source").getField("lsn").alias("lsn"),
         _decode_image(env.getField("before"), decimal_mode).alias("before"),
         _decode_image(env.getField("after"), decimal_mode).alias("after"),
+        *([F.col("offset").cast("long").alias("offset")] if passthrough_offset else []),
         *([_extras_map(raw, "after").alias("_extra")] if capture_extras else []),
         # from_json in PERMISSIVE mode yields an all-null row (not a null
         # struct) for malformed input — detect that shape.
@@ -201,7 +224,16 @@ def parse_envelope(
             F.lit("d").alias("op"),
             F.lit(None).cast("long").alias("ts_ms"),
             F.lit(TOMBSTONE_LSN).alias("lsn"),
-            *[F.lit(None).cast(out.schema[c].dataType).alias(c) for c in out.columns if c not in ("key", "op", "ts_ms", "lsn")],
+            *(
+                [F.col("offset").cast("long").alias("offset")]
+                if passthrough_offset
+                else []
+            ),
+            *[
+                F.lit(None).cast(out.schema[c].dataType).alias(c)
+                for c in out.columns
+                if c not in ("key", "op", "ts_ms", "lsn", "offset")
+            ],
         )
         out = out.unionByName(synth.select(*out.columns))
     return out

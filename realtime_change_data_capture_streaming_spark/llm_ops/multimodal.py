@@ -4,10 +4,12 @@ Real pipelines carry image/audio/video as ``binary`` columns with a typed
 metadata struct alongside; decode/feature-extraction runs as Arrow-batched
 ``mapInPandas`` so bytes never round-trip through Python row objects.
 
-The actual media codecs (PIL/ffmpeg/etc.) are NOT in this environment, so
-``decode_image_batch`` is stubbed behind ``NotImplementedError`` with a
-deterministic fake used for tests — the Spark-side plumbing (schema,
-batch iteration, partition-size control) is real and tested.
+Compressed-media codecs (PIL/ffmpeg/etc.) are NOT in this environment;
+``decode_image_batch`` really decodes the dependency-free PPM (P6) raster
+format (``decode_ppm``, pure struct parsing) and raises
+``NotImplementedError`` only for formats whose codecs are absent.  The
+Spark-side plumbing (schema, Arrow batch iteration, partition-size
+control) is identical for any codec.
 
 At 100 TB: binary payloads dominate row size — ``maxPartitionBytes``
 should be sized so an Arrow batch of payloads fits executor memory, and
@@ -61,16 +63,76 @@ def to_media_table(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """STUB: real image decode (PIL.Image.open etc.) is unavailable here.
+def decode_ppm(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a binary PPM (P6) image: (width, height, maxval, rgb_bytes).
 
-    Raises NotImplementedError when real decoding is requested; tests use
-    ``fake=True`` paths below.  The signature (pandas in/out, one row per
-    payload) is the production contract for mapInPandas workers.
+    Dependency-free struct parsing of the netpbm format: ``P6`` magic,
+    whitespace-separated width/height/maxval with ``#`` comments allowed,
+    one whitespace byte, then ``width*height*3`` raw RGB samples.  Raises
+    ``ValueError`` on malformed input (truncated pixel data, bad header) so
+    corrupt payloads surface as errors, never as wrong features.
     """
-    raise NotImplementedError(
-        "image decode requires PIL/libvips, not present in this environment; "
-        "use extract_features(..., fake=True) for the deterministic stand-in"
+    if buf[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic {buf[:2]!r})")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(buf) and buf[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(buf) and buf[pos : pos + 1] not in (b"\n", b"\r"):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(buf) and buf[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if not (0 < maxval < 65536):
+        raise ValueError(f"PPM maxval {maxval} out of range")
+    n = width * height * 3 * (2 if maxval > 255 else 1)
+    rgb = buf[pos : pos + n]
+    if len(rgb) != n:
+        raise ValueError(f"truncated PPM: want {n} pixel bytes, have {len(rgb)}")
+    return width, height, maxval, rgb
+
+
+def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Real image decode for the formats decodable without media libs.
+
+    PPM (P6) payloads are decoded by the pure-Python parser above into
+    (width, height, n_pixel_bytes, checksum, mean_val); null payloads yield
+    null features.  Compressed formats (JPEG/PNG/...) still raise
+    ``NotImplementedError`` — their codecs are not in this environment.
+    The signature (pandas in, one output row per payload) is the
+    production contract for mapInPandas workers.
+    """
+    rows = []
+    for b in payloads:
+        if b is None:
+            rows.append((None, None, None, None, None))
+            continue
+        b = bytes(b)
+        if b[:2] != b"P6":
+            raise NotImplementedError(
+                f"image decode for magic {b[:4]!r} requires PIL/libvips, not "
+                "present in this environment; only PPM (P6) decodes natively"
+            )
+        w, h, _maxval, rgb = decode_ppm(b)
+        mean_val = float(sum(rgb)) / len(rgb) if rgb else None
+        rows.append((w, h, len(rgb), int(sum(rgb) % (1 << 31)), mean_val))
+    return pd.DataFrame(
+        rows, columns=["width", "height", "n_pixel_bytes", "checksum", "mean_val"]
+    ).astype(
+        {
+            "width": "Int32",
+            "height": "Int32",
+            "n_pixel_bytes": "Int64",
+            "checksum": "Int64",
+            "mean_val": "float64",
+        }
     )
 
 
@@ -102,15 +164,20 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             if not fake:
                 decode_image_batch(pdf["payload"])  # raises NotImplementedError
             payloads = pdf["payload"]
-            n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
-            checksum = payloads.map(lambda b: int(sum(b) % (1 << 31)) if b is not None else 0)
+            # null payload -> null features (nullable Int64/Int32), matching
+            # SQL NULL propagation (octet_length(NULL) IS NULL) — mapping
+            # None to 0 would hash-diverge from the oracle on null rows.
+            n_bytes = payloads.map(lambda b: len(b) if b is not None else None).astype("Int64")
+            checksum = payloads.map(
+                lambda b: int(sum(b) % (1 << 31)) if b is not None else None
+            ).astype("Int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "width": (n_bytes % 1920).astype("int32"),
-                    "height": (checksum % 1080).astype("int32"),
-                    "checksum": checksum.astype("int64"),
+                    "n_bytes": n_bytes,
+                    "width": (n_bytes % 1920).astype("Int32"),
+                    "height": (checksum % 1080).astype("Int32"),
+                    "checksum": checksum,
                 }
             )
 
@@ -138,13 +205,72 @@ FROM documents
 """
 
 
+def to_ppm_media_table(documents: DataFrame) -> DataFrame:
+    """Deterministic PPM (P6) payload per document, built entirely from
+    codegen expressions: width/height/fill byte derive from ``doc_id``, the
+    header is a formatted string, and the pixel plane is a repeated
+    printable byte — so an independent engine can compute the expected
+    decode results analytically while our side round-trips REAL image
+    bytes through the real parser.  Null text -> null payload (exercises
+    the null path end-to-end)."""
+    w = F.lit(1) + (F.col("doc_id") % 8).cast("int")
+    h = F.lit(1) + (F.col("doc_id") % 6).cast("int")
+    fill = F.lit(32) + (F.col("doc_id") % 95).cast("int")  # printable ASCII
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    pixels = F.repeat(F.char(fill), w * h * F.lit(3))
+    payload = F.when(
+        F.col("text").isNotNull(), F.encode(F.concat(header, pixels), "utf-8")
+    )
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image").alias("media_type"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.upper(F.substring(F.hex(payload), 1, 8)).alias("magic"),
+        ).alias("meta"),
+    )
+
+
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full mapInPandas feature-extraction path (fake decode).
-    ``checksum``/``height`` derive from the Python byte-sum — rows-only;
-    the byte-arithmetic half is oracle-checked by
-    ``multimodal_features_meta`` below."""
-    media = to_media_table(spread(load_table(spark, sf_dir, "documents")))
-    return extract_features(media, fake=True)
+    """REAL image decode through the production mapInPandas path: build PPM
+    payloads (`to_ppm_media_table`), parse the actual bytes with the pure-
+    Python P6 decoder, emit per-image features.  Every output is
+    deterministic, so the whole path — payload construction, Arrow batch
+    transfer, header parsing, pixel-plane length/checksum — is
+    oracle-checked (the oracle recomputes the expected features
+    analytically from doc_id)."""
+    media = to_ppm_media_table(spread(load_table(spark, sf_dir, "documents")))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats = decode_image_batch(pdf["payload"])
+            feats.insert(0, "doc_id", pdf["doc_id"].reset_index(drop=True))
+            yield feats
+
+    schema = (
+        "doc_id long, width int, height int, n_pixel_bytes long, "
+        "checksum long, mean_val double"
+    )
+    return media.select("doc_id", "payload").mapInPandas(run, schema=schema)
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL THEN CAST(1 + doc_id % 8 AS INTEGER) END AS width,
+       CASE WHEN text IS NOT NULL THEN CAST(1 + doc_id % 6 AS INTEGER) END AS height,
+       CASE WHEN text IS NOT NULL
+            THEN CAST((1 + doc_id % 8) * (1 + doc_id % 6) * 3 AS BIGINT) END AS n_pixel_bytes,
+       CASE WHEN text IS NOT NULL
+            THEN CAST((32 + doc_id % 95) * (1 + doc_id % 8) * (1 + doc_id % 6) * 3 AS BIGINT)
+       END AS checksum,
+       CASE WHEN text IS NOT NULL THEN CAST(32 + doc_id % 95 AS DOUBLE) END AS mean_val
+FROM documents
+"""
 
 
 def multimodal_features_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,6 +299,6 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_metadata": MULTIMODAL_META_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_features_meta": MULTIMODAL_FEATURES_META_SQL,
-    # multimodal_features: checksum/height are python byte-sums -> rows-only
 }

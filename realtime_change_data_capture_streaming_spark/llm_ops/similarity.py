@@ -179,7 +179,6 @@ ANN_LSH_SQL = (
 
 
 N_IVF_CLUSTERS = 8
-N_PROBE = 2
 
 
 #: fixed-point scale for the centroid update: 2^20 is a power of two, so
@@ -280,9 +279,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = assigned.filter(F.col("vec_id") >= N_QUERY_VECS).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), F.col("cluster").alias("c_cluster")
     )
-    # probe set: the query's own cluster plus its neighbor (cluster ids are
-    # arbitrary; production probes by centroid distance — here the point is
-    # the pruned-join shape, so membership of q_cluster is the filter)
+    # probe set: the query's own cluster (single-probe; production dials
+    # recall by probing the n nearest centroids — here the point is the
+    # pruned-join shape, so membership of q_cluster is the filter)
     joined = F.broadcast(q).join(c, F.col("c_cluster") == F.col("q_cluster"))
     scored = joined.select(
         "query_id",

@@ -273,13 +273,21 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     cleaned_len = F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
     symbol_ratio = F.lit(1.0) - cleaned_len.cast("double") / F.length("text")
+    # Zero-token / empty-text guards: Spark's non-ANSI x/0 yields NULL
+    # while DuckDB's IEEE division yields NaN (whose comparisons are
+    # FALSE) — guard the ratio rules symmetrically so a fixture with an
+    # empty document cannot diverge the engines.
     out = d.select(
         "doc_id",
         (n_tok >= 50).alias("len_ok"),
-        ((mean_len >= 3.0) & (mean_len <= 10.0)).alias("mean_len_ok"),
-        (alpha_frac >= 0.8).alias("alpha_ok"),
+        F.when(n_tok > 0, (mean_len >= 3.0) & (mean_len <= 10.0))
+        .otherwise(F.lit(False))
+        .alias("mean_len_ok"),
+        F.when(n_tok > 0, alpha_frac >= 0.8).otherwise(F.lit(False)).alias("alpha_ok"),
         (n_stop >= 2).alias("stop_ok"),
-        (symbol_ratio <= 0.1).alias("symbol_ok"),
+        F.when(F.length("text") > 0, symbol_ratio <= 0.1)
+        .otherwise(F.lit(False))
+        .alias("symbol_ok"),
     )
     return out.withColumn(
         "keep",
@@ -295,11 +303,17 @@ WITH toks AS (
 ), m AS (
   SELECT doc_id,
          LEN(ts) >= 50 AS len_ok,
-         CAST(list_sum(list_transform(ts, t -> LENGTH(t))) AS DOUBLE) / LEN(ts) >= 3.0
-           AND CAST(list_sum(list_transform(ts, t -> LENGTH(t))) AS DOUBLE) / LEN(ts) <= 10.0 AS mean_len_ok,
-         CAST(LEN(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / LEN(ts) >= 0.8 AS alpha_ok,
+         CASE WHEN LEN(ts) > 0 THEN
+           CAST(list_sum(list_transform(ts, t -> LENGTH(t))) AS DOUBLE) / LEN(ts) >= 3.0
+             AND CAST(list_sum(list_transform(ts, t -> LENGTH(t))) AS DOUBLE) / LEN(ts) <= 10.0
+         ELSE FALSE END AS mean_len_ok,
+         CASE WHEN LEN(ts) > 0 THEN
+           CAST(LEN(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / LEN(ts) >= 0.8
+         ELSE FALSE END AS alpha_ok,
          LEN(list_filter(ts, t -> list_contains(['the','a','of','and','to','in','is','it'], t))) >= 2 AS stop_ok,
-         1.0 - CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) <= 0.1 AS symbol_ok
+         CASE WHEN LENGTH(text) > 0 THEN
+           1.0 - CAST(LENGTH(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) <= 0.1
+         ELSE FALSE END AS symbol_ok
   FROM toks
 )
 SELECT doc_id, len_ok, mean_len_ok, alpha_ok, stop_ok, symbol_ok,

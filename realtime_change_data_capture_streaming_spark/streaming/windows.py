@@ -53,7 +53,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _run_to_table(result: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) and
-    return the materialized result from the memory sink."""
+    return the materialized result from the memory sink.
+
+    TEST/ORACLE HARNESS ONLY: the memory sink materializes the result on
+    the driver, which is fine for the bounded sf0.01 oracle check but is
+    NOT a production shape — the scale path for streaming output is
+    ``foreachBatch`` + a distributed sink (see ``cdc_stream.stream_cdc_merge``
+    and ``BucketedParquetSink``).  Do not copy this into a data path."""
     name = f"stream_result_{uuid.uuid4().hex[:12]}"
     q = (
         result.writeStream.format("memory")

@@ -148,3 +148,33 @@ def test_kafka_tombstones_as_deletes_on_compacted_topic(spark):
     final = apply_changes_batch(parsed)
     keys = {r["transaction_id"] for r in final.collect()}
     assert keys == {"t2"}
+
+
+def test_kafka_tombstone_then_reinsert_ordered_by_offset(spark):
+    """Compaction is eventual (the active segment is never cleaned), so a
+    compacted topic can carry a tombstone AND a later re-insert of the same
+    key.  With the input's Kafka ``offset`` column present, parse_envelope
+    passes it through and latest-wins on ``order_cols=("offset",)`` lets
+    the newer 'c' beat the synthesized delete — the sentinel-LSN ordering
+    alone would silently drop the live key."""
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import apply_changes_batch
+
+    df = spark.createDataFrame(
+        [
+            (0, "t1", _env_json("t1", "c", 1)),
+            (1, "t1", None),  # tombstone for a compacted-away delete
+            (2, "t1", _env_json("t1", "c", 7)),  # re-insert AFTER the delete
+            (3, "t2", _env_json("t2", "c", 2)),
+        ],
+        "offset long, key string, value string",
+    )
+    parsed = parse_envelope(df, "string", kafka_tombstones="delete")
+    assert "offset" in parsed.columns  # passthrough on real AND synthesized rows
+    offsets = {(r["key"], r["op"], r["offset"]) for r in parsed.collect()}
+    assert ("t1", "d", 1) in offsets and ("t1", "c", 2) in offsets
+    final = apply_changes_batch(parsed, order_cols=("offset",))
+    keys = {r["transaction_id"] for r in final.collect()}
+    assert keys == {"t1", "t2"}  # the re-insert survives
+    # sanity: without offset ordering the sentinel delete would win
+    legacy = apply_changes_batch(parsed.drop("offset"))
+    assert {r["transaction_id"] for r in legacy.collect()} == {"t2"}
