@@ -317,24 +317,110 @@ def simhash_of(d: DataFrame) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iters: int = 25) -> DataFrame:
-    """Distributed connected components by iterative min-label propagation:
-    (node, component) where component = min node id in the component.
+def _cc_star(edges: DataFrame, a: str, b: str, max_rounds: int = 40) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): alternating
+    star contractions shrink every path toward the component minimum
+    multiplicatively, so convergence is O(log diameter) rounds — the
+    adversarial-graph path (long chains) where plain min-label propagation
+    needs O(diameter) rounds.
+
+    large-star: every node attaches its LARGER neighbors to the minimum of
+    its closed neighborhood; small-star: keyed by the larger endpoint,
+    attaches the smaller neighbors (and itself) to that minimum.  Both are
+    one groupBy + one co-partitioned join per round; at the fixpoint the
+    edge set is a union of stars (child -> component min).
+    """
+    orig_nodes = (
+        edges.select(F.col(a).alias("node"))
+        .union(edges.select(F.col(b).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = e.isEmpty()
+    for _ in range(max_rounds):
+        if converged:
+            break
+        # large-star
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        lg = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the large-star output: key = larger endpoint
+        dir_ = lg.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        mins2 = (
+            dir_.groupBy("u")
+            .agg(F.min("v").alias("m"))  # neighbors are all smaller than u
+        )
+        ss = (
+            dir_.join(mins2, "u")
+            .select(F.col("v").alias("child"), F.col("m"))
+            .union(mins2.select(F.col("u").alias("child"), F.col("m")))
+            .filter(F.col("child") != F.col("m"))
+            .select(F.col("child").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = ss.subtract(e).union(e.subtract(ss)).isEmpty()
+        e = ss
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge within max_rounds={max_rounds} "
+            "— log-diameter rounds should be far below this; check for label "
+            "overflow or a pathological edge stream"
+        )
+    comp = e.groupBy("u").agg(F.min("v").alias("component"))
+    return orig_nodes.join(comp, orig_nodes.node == comp.u, "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iters: int = 25,
+    algorithm: str = "label",
+) -> DataFrame:
+    """Distributed connected components: (node, component) where component
+    = min node id in the component.
 
     Near-dup pairs are only half the dedup story: keeping min(doc_id) per
     PAIR over-deletes when dups chain (a~b, b~c but not a~c).  Production
     pipelines cluster the candidate graph and keep one doc per component.
 
-    Each round every node adopts min(own label, neighbors' labels) — one
-    join + one aggregate per round, converging in O(diameter) rounds.
-    Near-dup graphs are unions of small cliques (diameter ≲ 3), so this
-    terminates in a handful of rounds even at 100 TB; for adversarially
-    long paths the large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce") halves distances per round —
-    same join-shape, log(diameter) rounds.  Labels are localCheckpointed
-    each round to truncate lineage (iterative plans otherwise re-execute
-    the whole prefix every round).
+    ``algorithm="label"`` (default): each round every node adopts min(own
+    label, neighbors' labels) — one join + one aggregate per round,
+    converging in O(diameter) rounds.  Near-dup graphs are unions of small
+    cliques (diameter ≲ 3), so this terminates in a handful of rounds even
+    at 100 TB.  Labels are localCheckpointed each round to truncate
+    lineage (iterative plans otherwise re-execute the whole prefix every
+    round).
+
+    ``algorithm="star"``: large-star/small-star contraction (see
+    :func:`_cc_star`) converging in O(log diameter) rounds — the escape
+    hatch for adversarially long paths.
     """
+    if algorithm == "star":
+        return _cc_star(edges, a, b)
+    if algorithm != "label":
+        raise ValueError(f"algorithm must be 'label' or 'star', got {algorithm!r}")
     sym = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).union(
         edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
     )
@@ -377,8 +463,8 @@ def connected_components(edges: DataFrame, a: str = "a", b: str = "b", max_iters
         # never return them silently
         raise RuntimeError(
             f"connected_components did not converge within max_iters={max_iters} "
-            "(graph diameter exceeds the round budget); raise max_iters or use a "
-            "large-star/small-star contraction for log-diameter convergence"
+            "(graph diameter exceeds the round budget); raise max_iters or call "
+            "with algorithm='star' for log-diameter convergence"
         )
     return labels
 

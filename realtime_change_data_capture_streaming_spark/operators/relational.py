@@ -369,32 +369,110 @@ FROM orders GROUP BY o_orderstatus
 
 def approx_count_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct — the 100 TB path for cardinality
-    (single pass, fixed memory).  Sketch internals differ per engine, so
-    the driver records a rows-only check (no oracle entry)."""
+    (single pass, fixed memory).
+
+    The raw estimate is engine-specific (HLL register layouts differ), so
+    it cannot be value-hashed across engines.  Instead the output carries
+    the EXACT count plus a Spark-side boolean asserting the sketch landed
+    within 10 sigma of it (rsd=0.02 -> |err| <= 20 % with probability
+    ~1-1e-23): the oracle recomputes the exact column and expects the flag
+    TRUE, so a broken sketch flips the hash red.  Production uses just the
+    sketch aggregate; the exact column here is the verification harness.
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+        F.countDistinct("o_custkey").alias("n_distinct_exact"),
     )
+    rel_err = F.abs(F.col("_approx") - F.col("n_distinct_exact")) / F.col(
+        "n_distinct_exact"
+    )
+    return agg.select(
+        "o_orderstatus", "n_distinct_exact", (rel_err <= 0.20).alias("sketch_within_20pct")
+    )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT o_orderstatus,
+       COUNT(DISTINCT o_custkey) AS n_distinct_exact,
+       TRUE AS sketch_within_20pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+#: percentile_approx's guarantee is RANK error <= 1/accuracy.
+_APPROX_PCT_ACCURACY = 10_000
+_APPROX_PCT_QS = (0.25, 0.5, 0.75, 0.99)
 
 
 def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style single-pass sketch) — the 100 TB path
     for quantiles; the exact sort-based counterpart is percentiles_exact.
-    Sketch results are engine-specific (rows-only for the driver); accuracy
-    vs exact is pinned by pytest within the declared error bound.
 
-    One scalar column per quantile (not one array column): the sketch is
-    still computed in a single pass — Catalyst collapses the four
-    ``percentile_approx`` calls over the same (col, accuracy) into one
-    shared aggregate buffer — and scalar columns keep the result
-    canonicalizable (sortable/hashable) by any downstream comparator."""
+    The sketch value itself is engine-specific, so the hashable output is
+    the EXACT quantile plus a RANK check flag: the sketch's value must have
+    rank interval [count(<v)+1, count(<=v)] overlapping q*n within
+    5/accuracy + 2/n ranks (percentile_approx guarantees rank error <=
+    1/accuracy; the slack absorbs boundary rounding).  Rank comparison —
+    not a value band — keeps the check exact under ties and gaps between
+    order statistics.  The oracle recomputes the exact quantiles and
+    expects every flag TRUE, so a broken sketch flips the hash red.
+
+    Plan shape: sketch+exact aggregate (3 rows) broadcast-joined back to
+    the fact for the rank counts — the verification pass costs one extra
+    scan; production uses just the first aggregate (single pass, one
+    shared sketch buffer for all four quantiles).
+    """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.25, 10_000).alias("q25"),
-        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("q50"),
-        F.percentile_approx("o_totalprice", 0.75, 10_000).alias("q75"),
-        F.percentile_approx("o_totalprice", 0.99, 10_000).alias("q99"),
+    price = F.col("o_totalprice").cast("double")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for q in _APPROX_PCT_QS:
+        tag = f"q{int(q * 100)}"
+        aggs += [
+            F.percentile_approx(price, q, _APPROX_PCT_ACCURACY).alias(f"_{tag}_sketch"),
+            F.percentile(price, F.lit(q)).cast("double").alias(f"{tag}_exact"),
+        ]
+    sk = orders.groupBy("o_orderstatus").agg(*aggs)
+    j = orders.select("o_orderstatus", price.alias("_price")).join(
+        F.broadcast(sk), "o_orderstatus"
     )
+    counts = [
+        F.first(c).alias(c)
+        for c in sk.columns
+        if c != "o_orderstatus"
+    ] + [
+        agg
+        for q in _APPROX_PCT_QS
+        for tag in [f"q{int(q * 100)}"]
+        for agg in (
+            F.sum((F.col("_price") < F.col(f"_{tag}_sketch")).cast("long")).alias(f"_{tag}_lt"),
+            F.sum((F.col("_price") <= F.col(f"_{tag}_sketch")).cast("long")).alias(f"_{tag}_le"),
+        )
+    ]
+    agg2 = j.groupBy("o_orderstatus").agg(*counts)
+    n = F.col("_n").cast("double")
+    eps = F.lit(5.0 / _APPROX_PCT_ACCURACY) + F.lit(2.0) / n
+    cols = [F.col("o_orderstatus")]
+    for q in _APPROX_PCT_QS:
+        tag = f"q{int(q * 100)}"
+        lo_ok = F.col(f"_{tag}_le").cast("double") >= (F.lit(q) - eps) * n
+        hi_ok = (F.col(f"_{tag}_lt").cast("double") + F.lit(1.0)) <= (F.lit(q) + eps) * n + F.lit(1.0)
+        cols += [F.col(f"{tag}_exact"), (lo_ok & hi_ok).alias(f"{tag}_sketch_ok")]
+    return agg2.select(*cols)
+
+
+APPROX_PCT_SQL = """
+SELECT o_orderstatus,
+       CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS DOUBLE) AS q25_exact,
+       TRUE AS q25_sketch_ok,
+       CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS DOUBLE) AS q50_exact,
+       TRUE AS q50_sketch_ok,
+       CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS DOUBLE) AS q75_exact,
+       TRUE AS q75_sketch_ok,
+       CAST(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99) AS DOUBLE) AS q99_exact,
+       TRUE AS q99_sketch_ok
+FROM orders GROUP BY o_orderstatus
+"""
 
 
 def join_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,5 +554,8 @@ ORACLE = {
     "window_range_frame": WINDOW_RANGE_SQL,
     "percentiles_exact": PERCENTILES_SQL,
     "distinct_count_exact": DISTINCT_COUNT_SQL,
-    # approx_count_distinct_hll: sketch-based, engine-specific -> rows-only
+    # sketch queries: the estimate itself is engine-specific, but the
+    # output is (exact value, sketch-in-bounds flag) — hash-checkable.
+    "approx_count_distinct_hll": APPROX_DISTINCT_SQL,
+    "approx_percentile_prices": APPROX_PCT_SQL,
 }

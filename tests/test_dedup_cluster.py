@@ -51,6 +51,32 @@ def test_unconverged_raises_not_silently_wrong(spark):
         connected_components(df, max_iters=2)
 
 
+def test_star_contraction_long_path_log_rounds(spark):
+    """64-node path (diameter 63 — far past label-propagation's default
+    25-round budget): large-star/small-star must converge within a
+    log-diameter round budget (12 >> log2(63) ~ 6, << 63) and land on the
+    same min-label components."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import _cc_star
+
+    df = spark.createDataFrame([(i, i + 1) for i in range(64)], "a long, b long")
+    rows = _cc_star(df, "a", "b", max_rounds=12).collect()
+    got = {r["node"]: r["component"] for r in rows}
+    assert got == {i: 0 for i in range(65)}
+
+
+def test_star_algorithm_behind_same_api(spark):
+    got = connected_components(
+        spark.createDataFrame([(1, 2), (2, 3), (3, 4), (10, 11)], "a long, b long"),
+        algorithm="star",
+    ).collect()
+    assert {r["node"]: r["component"] for r in got} == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_star_empty_graph(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    assert connected_components(df, algorithm="star").count() == 0
+
+
 # --- property: min-label fixpoint == true connected components -----------
 
 from hypothesis import HealthCheck, given, settings
@@ -89,5 +115,15 @@ def test_components_match_union_find(spark, edges):
     Path-compressed union-find can leave stale roots mid-stream, so the
     reference recomputes find() per node at the end."""
     got = _components(spark, edges)
+    want = _union_find(edges)
+    assert got == want, (edges, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(edges=edges_strategy)
+def test_star_components_match_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "a long, b long")
+    rows = connected_components(df, algorithm="star").collect()
+    got = {r["node"]: r["component"] for r in rows}
     want = _union_find(edges)
     assert got == want, (edges, got, want)

@@ -184,6 +184,87 @@ def test_partial_compaction_touches_only_oldest_buckets(spark, big_parsed, tmp_p
     assert _sorted_rows(sink.read()) == want
 
 
+def test_mvcc_survives_random_merge_compact_interleavings(spark, big_parsed):
+    """Property: under ANY interleaving of merges, full compactions, and
+    partial (max_buckets) compactions, (a) the live table always equals the
+    latest-wins model, and (b) a reader that resolved the manifest one
+    commit ago still scans ITS snapshot consistently (the manifest-grace GC
+    contract) — locking the MVCC design against interleaving regressions."""
+    import shutil
+    import tempfile
+    from decimal import Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+    )
+    @given(data=st.data())
+    def run(data):
+        root = tempfile.mkdtemp(prefix="mvcc_sink_")
+        try:
+            sink = BucketedParquetSink(spark, os.path.join(root, "t"), n_buckets=8)
+            base = big_parsed.orderBy("key").limit(200).cache()
+            rows = base.select("key", F.col("after.amount").alias("amount")).collect()
+            keys = sorted(r["key"] for r in rows)
+            model = {r["key"]: r["amount"] for r in rows}
+            sink.merge(base)
+
+            def scan(reader):
+                return {
+                    r["transaction_id"]: r["amount"]
+                    for r in reader.select("transaction_id", "amount").collect()
+                }
+
+            assert scan(sink.read()) == model
+            prev_reader, prev_model = sink.read(), dict(model)
+            lsn = 10_000_000
+            for i in range(data.draw(st.integers(3, 6), label="n_ops")):
+                op = data.draw(
+                    st.sampled_from(["merge", "compact", "partial"]), label=f"op{i}"
+                )
+                model_before = dict(model)
+                if op == "merge":
+                    lo = data.draw(st.integers(0, len(keys) - 2), label=f"lo{i}")
+                    hi = data.draw(
+                        st.integers(lo + 1, min(lo + 40, len(keys))), label=f"hi{i}"
+                    )
+                    subset = keys[lo:hi]
+                    amount = Decimal(f"{1000 + i}.25")
+                    # strictly above every prior lsn for these keys: the
+                    # synthetic lsns are < 1e10, and the offset grows per op
+                    lsn += 10**10
+                    batch = (
+                        base.filter(F.col("key").isin(subset))
+                        .withColumn("lsn", F.col("lsn") + F.lit(lsn))
+                        .withColumn(
+                            "after",
+                            F.col("after").withField(
+                                "amount", F.lit(str(amount)).cast("decimal(18,2)")
+                            ),
+                        )
+                    )
+                    sink.merge(batch)
+                    for k in subset:
+                        model[k] = amount
+                elif op == "compact":
+                    compact_sink(sink, purge_tombstones_through_lsn=10**12)
+                else:
+                    compact_sink(sink, purge_tombstones_through_lsn=10**12, max_buckets=3)
+                # live table == latest-wins model after every op
+                assert scan(sink.read()) == model, f"live scan diverged after {op}"
+                # the one-commit-old reader still serves its full snapshot
+                assert scan(prev_reader) == prev_model, f"grace reader broken by {op}"
+                prev_reader, prev_model = sink.read(), dict(model)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    run()
+
+
 def test_compaction_rebuckets_to_target_bytes(spark, big_parsed, tmp_path):
     """target_bucket_bytes drives the bucket count: compacting a table that
     outgrew its buckets multiplies n_buckets, state is preserved, and the

