@@ -411,12 +411,70 @@ SELECT query_id, cand_id, cosine, rk FROM (
 ANN_IVF_SQL = _ivf_sql()
 
 
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the 4x storage/bandwidth
+    reduction step a 100 TB embedding store applies before ANN serving:
+    ``scale = max|v| / 127``, ``code = floor(v/scale + 0.5)``, dequant
+    ``code * scale``.
+
+    Determinism discipline: ``floor(x + 0.5)`` instead of ``round`` (round
+    ties break differently across engines), per-element double arithmetic
+    only, and the only reductions are order-independent (array max/min,
+    integer code sum) — so the whole quantization, including the max
+    reconstruction error, is hash-exact cross-engine.  Zero vectors guard
+    to all-zero codes.  Everything stays JVM-side (no UDF)."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, F.abs))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(absmax > 0, F.floor(x / scale + F.lit(0.5)).cast("int")).otherwise(
+            F.lit(0)
+        ),
+    )
+    err = F.array_max(
+        F.zip_with(q, v, lambda c, x: F.abs(c.cast("double") * scale - x))
+    )
+    return e.select(
+        "vec_id",
+        scale.cast("double").alias("q_scale"),
+        F.array_min(q).cast("int").alias("q_min"),
+        F.array_max(q).cast("int").alias("q_max"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, c: acc + c).alias("q_code_sum"),
+        err.cast("double").alias("max_abs_err"),
+    )
+
+
+QUANTIZE_INT8_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd FROM embeddings
+), s AS (
+  SELECT vec_id, vd, list_max(list_transform(vd, x -> ABS(x))) / 127.0 AS q_scale FROM v
+), q AS (
+  SELECT vec_id, vd, q_scale,
+         CASE WHEN q_scale > 0
+              THEN list_transform(vd, x -> CAST(FLOOR(x / q_scale + 0.5) AS INTEGER))
+              ELSE list_transform(vd, x -> 0) END AS codes
+  FROM s
+)
+SELECT vec_id,
+       CAST(q_scale AS DOUBLE) AS q_scale,
+       CAST(list_min(codes) AS INTEGER) AS q_min,
+       CAST(list_max(codes) AS INTEGER) AS q_max,
+       CAST(list_sum(codes) AS BIGINT) AS q_code_sum,
+       CAST(list_max(list_transform(codes, (c, i) -> ABS(CAST(c AS DOUBLE) * q_scale - vd[i]))) AS DOUBLE) AS max_abs_err
+FROM q
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "pairwise_label_cosine": pairwise_label_cosine,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }
 
 ORACLE = {
@@ -425,4 +483,5 @@ ORACLE = {
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "pairwise_label_cosine": PAIRWISE_LABEL_SQL,
+    "embedding_quantize_int8": QUANTIZE_INT8_SQL,
 }

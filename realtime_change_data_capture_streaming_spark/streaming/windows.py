@@ -200,11 +200,62 @@ FROM documents GROUP BY lang
 """
 
 
+def stream_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming trending terms: tokenize the document stream, explode to
+    (lang, term), per-key counts in streaming state, then top-5 terms per
+    language from the drained sink — the streaming form of the corpus
+    vocabulary pass.
+
+    State is one counter per distinct (lang, term) — bounded by vocabulary
+    size, not stream length.  For unbounded streams the same query runs
+    windowed (watermark + tumbling window, as in stream_tumbling_hourly)
+    so "trending" means per-window; global counts here keep the DuckDB
+    oracle exact.  The top-k is computed batch-side on the drained counts
+    (complete-mode agg + rank is not an incremental streaming shape)."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import tokens
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    terms = stream.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+    counts = _run_to_table(
+        terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n")), "complete"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", "n", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+STREAM_TOPK_TERMS_SQL = """
+WITH toks AS (
+  SELECT lang,
+         unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS term
+  FROM documents
+), c AS (
+  SELECT lang, term, COUNT(*) AS n FROM toks GROUP BY lang, term
+)
+SELECT lang, term, n, rk FROM (
+  SELECT lang, term, n,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS BIGINT) AS rk
+  FROM c
+) WHERE rk <= 5
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_session_windows": stream_session_windows,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_dedup_documents": stream_dedup_documents,
+    "stream_topk_terms": stream_topk_terms,
 }
 
 ORACLE = {
@@ -212,4 +263,5 @@ ORACLE = {
     "stream_session_windows": STREAM_SESSION_SQL,
     "stream_sliding_counts": STREAM_SLIDING_SQL,
     "stream_dedup_documents": STREAM_DEDUP_DOCS_SQL,
+    "stream_topk_terms": STREAM_TOPK_TERMS_SQL,
 }

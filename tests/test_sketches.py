@@ -64,6 +64,19 @@ def test_approx_percentile_within_rank_error(spark):
             assert float(lo) <= float(got) <= float(hi), (status, q, got, lo, hi)
 
 
+def test_int8_quantization_error_bound(spark):
+    """Symmetric int8 quantization: codes bounded by [-127, 127] and the
+    max reconstruction error of every vector is <= half a quantization
+    step (scale/2), the information-theoretic bound for round-to-nearest."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import embedding_quantize_int8
+
+    rows = embedding_quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -127 <= r["q_min"] <= r["q_max"] <= 127, r
+        assert r["max_abs_err"] <= r["q_scale"] / 2 + 1e-12, r
+
+
 # --- near-dup sketch recall: minhash-LSH and simhash vs constructed dups ----
 #
 # The rows-only driver check proves the sketches RUN; these pin that they
