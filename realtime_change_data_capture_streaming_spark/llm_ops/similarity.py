@@ -422,21 +422,34 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     only, and the only reductions are order-independent (array max/min,
     integer code sum) — so the whole quantization, including the max
     reconstruction error, is hash-exact cross-engine.  Zero vectors guard
-    to all-zero codes.  Everything stays JVM-side (no UDF)."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    to all-zero codes.  Everything stays JVM-side (no UDF).
+
+    Plan discipline: ``q_scale`` is projected BEFORE the ``spread``
+    exchange — CollapseProject cannot merge across it, so the per-element
+    code lambdas read the scale as a materialized column (O(d) per output)
+    instead of inlining the array_max subtree into every element
+    evaluation (O(d^2), the interpreted-HOF pitfall documented at
+    ``llm_ops/dedup.py::shingle_rows``)."""
+    e = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    absmax = F.array_max(F.transform(v, F.abs))
-    scale = absmax / F.lit(127.0)
+    pre = spread(
+        e.select(
+            "vec_id",
+            v.alias("v"),
+            (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("q_scale"),
+        )
+    )
+    scale = F.col("q_scale")
     q = F.transform(
-        v,
-        lambda x: F.when(absmax > 0, F.floor(x / scale + F.lit(0.5)).cast("int")).otherwise(
+        F.col("v"),
+        lambda x: F.when(scale > 0, F.floor(x / scale + F.lit(0.5)).cast("int")).otherwise(
             F.lit(0)
         ),
     )
     err = F.array_max(
-        F.zip_with(q, v, lambda c, x: F.abs(c.cast("double") * scale - x))
+        F.zip_with(q, F.col("v"), lambda c, x: F.abs(c.cast("double") * scale - x))
     )
-    return e.select(
+    return pre.select(
         "vec_id",
         scale.cast("double").alias("q_scale"),
         F.array_min(q).cast("int").alias("q_min"),

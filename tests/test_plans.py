@@ -237,3 +237,24 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_quantize_scale_materialized_below_exchange(spark, sf_dir):
+    """embedding_quantize_int8 must read q_scale as a column in the output
+    projection, not re-inline the array_max subtree into every per-element
+    lambda (interpreted HOFs have no CSE: inlining makes codes O(d^2) per
+    vector).  The pin: above the repartition barrier the plan contains only
+    the two legitimate O(d) array_max reductions (q_max and the error
+    fold), and exactly one exchange total."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import embedding_quantize_int8
+
+    df = embedding_quantize_int8(spark, sf_dir)
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    top = opt.split("Repartition")[0]
+    assert top.count("array_max") <= 2, (
+        f"array_max inlined {top.count('array_max')}x above the barrier — "
+        "q_scale is being recomputed inside element lambdas"
+    )
+    assert "q_scale" in top
+    c = plan_counts(df)
+    assert c["exchanges"] <= 1, c
