@@ -210,6 +210,90 @@ LIMIT 50
 """
 
 
+#: fixed-point scale for the LM-score mean: a power of two, so p * SCALE is
+#: an exact exponent shift in double and floor of it an exact integer — the
+#: per-doc mean becomes integer arithmetic (order-independent, cross-engine).
+_LM_FP_SCALE = 1 << 30
+
+
+def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-estimated bigram language-model fluency score per document —
+    the C4/Gopher-style "LM filter" tier of a curation pipeline, ln-free
+    so it stays hash-exact: score = mean over the doc's bigram instances
+    of p(w2|w1) = C(w1,w2)/C(w1·) estimated from the whole corpus.
+    Degenerate/boilerplate docs score high (self-repeating bigrams),
+    random-vocabulary docs score low; downstream filters cut on the
+    distribution like curation_quality_filter does.
+
+    Determinism: each p is ONE double division; the per-doc mean folds
+    ``floor(p * 2^30)`` integers (exact shift, associative sum) and
+    divides once — bit-identical on any engine and any partitioning.
+
+    Shape at 100 TB: ONE tokenize pass; corpus counts ride the instance
+    set as window counts over the (w1,w2) / (w1) partitions (no self-join
+    that would recompute the token subtree), then one per-doc aggregate —
+    three exchanges, same discipline as tfidf_top_terms.  Docs with < 2
+    tokens emit n_bigrams=0 with a NULL score (no silent drop)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = with_tokens(d).select("doc_id", F.posexplode("_toks").alias("pos", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("nxt", F.lead("tok", 1).over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+    )
+    w12 = Window.partitionBy("w1", "w2")
+    w1 = Window.partitionBy("w1")
+    p = F.count(F.lit(1)).over(w12).cast("double") / F.count(F.lit(1)).over(w1).cast("double")
+    scored = bi.select(
+        "doc_id", F.floor(p * F.lit(float(_LM_FP_SCALE))).cast("bigint").alias("fp")
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            (F.sum("fp").cast("double") / F.count(F.lit(1)).cast("double"))
+            / F.lit(float(_LM_FP_SCALE))
+        ).alias("lm_score"),
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.col("lm_score").cast("double").alias("lm_score"),
+        )
+    )
+
+
+BIGRAM_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), bi AS (
+  SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, UNNEST(range(1, GREATEST(LEN(ts) - 1, 0) + 1)) AS t(i)
+), scored AS (
+  SELECT doc_id,
+         CAST(FLOOR((CAST(COUNT(*) OVER (PARTITION BY w1, w2) AS DOUBLE)
+                     / CAST(COUNT(*) OVER (PARTITION BY w1) AS DOUBLE))
+                    * {float(_LM_FP_SCALE)}) AS BIGINT) AS fp
+  FROM bi
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         (CAST(SUM(fp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / {float(_LM_FP_SCALE)} AS lm_score
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(a.lm_score AS DOUBLE) AS lm_score
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition: fraction of 3-gram shingles that are
     repeats of an earlier shingle in the SAME doc — the Gopher-style
@@ -388,6 +472,7 @@ QUERIES = {
     "text_repetition_ratio": repetition_ratio,
     "text_gopher_rules": gopher_rules,
     "text_tfidf_top_terms": tfidf_top_terms,
+    "text_bigram_lm_score": bigram_lm_score,
 }
 
 ORACLE = {
@@ -399,4 +484,5 @@ ORACLE = {
     "text_repetition_ratio": REPETITION_SQL,
     "text_gopher_rules": GOPHER_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
+    "text_bigram_lm_score": BIGRAM_LM_SQL,
 }

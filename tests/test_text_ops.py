@@ -1,0 +1,48 @@
+"""Semantic pins for text operators whose oracle proves only cross-engine
+equality, not meaning."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from realtime_change_data_capture_streaming_spark.llm_ops.text import bigram_lm_score
+
+
+@pytest.fixture()
+def crafted_docs_dir(tmp_path):
+    """documents.parquet where 'the cat' is the dominant transition and
+    'the dog' the rare one."""
+    docs = [(i, "the cat", "en", "s", 7) for i in range(5)]
+    docs.append((5, "the dog", "en", "s", 7))
+    docs.append((6, "solo", "en", "s", 4))  # single token: no bigrams
+    tbl = pa.table(
+        pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_bigram_lm_score_ranks_fluent_above_rare(spark, crafted_docs_dir):
+    rows = {r["doc_id"]: r for r in bigram_lm_score(spark, crafted_docs_dir).collect()}
+    # p(cat|the) = 5/6, p(dog|the) = 1/6
+    assert rows[0]["lm_score"] == pytest.approx(5 / 6, abs=1e-6)
+    assert rows[5]["lm_score"] == pytest.approx(1 / 6, abs=1e-6)
+    assert rows[0]["lm_score"] > rows[5]["lm_score"]
+    for r in rows.values():
+        if r["n_bigrams"] > 0:
+            assert 0.0 <= r["lm_score"] <= 1.0
+    # degenerate doc: no bigrams -> explicit zero count, NULL score
+    assert rows[6]["n_bigrams"] == 0 and rows[6]["lm_score"] is None
+
+
+def test_bigram_lm_score_fixture_bounds(spark):
+    rows = bigram_lm_score(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if r["n_bigrams"] > 0:
+            assert 0.0 <= r["lm_score"] <= 1.0, r
+        else:
+            assert r["lm_score"] is None
