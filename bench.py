@@ -40,11 +40,14 @@ BENCH_QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
+    "embedding_quantize_int8",
+    "text_bigram_lm_score",
     "layout_zorder_topk",
     "curation_pack_shards",
     "curation_contamination_overlap",
     "udf_grouped_median",
     "stream_tumbling_hourly",
+    "stream_topk_terms",
     "stream_cdc_merge",
     "stream_cdc_incremental_agg",
 )
