@@ -294,6 +294,78 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 
+#: heavy-hitter threshold divisor: report terms with count > N/K
+_HH_K = 200
+
+
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (terms with frequency > N/200) by the two-pass
+    candidate-generation + exact-recount pattern — the distributed shape
+    that finds top terms WITHOUT a full (term -> count) shuffle of the
+    whole instance set's tail.
+
+    Pass 1 (mapInPandas, vectorized value_counts per partition): emit
+    every term whose LOCAL count exceeds local_n/K.  Averaging argument:
+    a term with global count > N/K must exceed n_p/K in at least one
+    partition, so the candidate set is a SUPERSET of the true heavy
+    hitters (for adversarial vocabularies that outgrow executor memory,
+    swap the exact per-partition counter for Misra-Gries with K counters
+    — same contract, O(K) memory).  Pass 2: broadcast the (tiny)
+    candidate list, exact-count only those terms, filter on the global
+    threshold.  At 100 TB the shuffle carries candidates-only counts —
+    O(partitions x K) rows — instead of the full vocabulary.
+
+    Output is exact counts (no estimate), so it hash-checks against the
+    plain GROUP BY/HAVING oracle."""
+    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    inst = d.select(F.explode("_toks").alias("term"))
+
+    def local_candidates(batches):
+        import pandas as _pd
+
+        counts: dict[str, int] = {}
+        n_local = 0
+        for pdf in batches:
+            n_local += len(pdf)
+            for term, c in pdf["term"].value_counts().items():
+                counts[term] = counts.get(term, 0) + int(c)
+        cand = [t for t, c in counts.items() if c > n_local / _HH_K]
+        if cand:
+            yield _pd.DataFrame({"term": cand})
+
+    candidates = inst.mapInPandas(local_candidates, schema="term string").distinct()
+    total = inst.agg(F.count(F.lit(1)).alias("n_total"))
+    counted = (
+        inst.join(F.broadcast(candidates), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n").cast("double") > F.col("n_total").cast("double") / F.lit(float(_HH_K)))
+        .select(
+            "term",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("n_total").cast("double")).alias("share"),
+        )
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS term
+  FROM documents
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM toks
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) AS DOUBLE) / CAST(MAX(tot.n_total) AS DOUBLE) AS share
+FROM toks, tot
+GROUP BY term
+HAVING CAST(COUNT(*) AS DOUBLE) > CAST(MAX(tot.n_total) AS DOUBLE) / {float(_HH_K)}
+"""
+
+
 def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Intra-document repetition: fraction of 3-gram shingles that are
     repeats of an earlier shingle in the SAME doc — the Gopher-style
@@ -473,6 +545,7 @@ QUERIES = {
     "text_gopher_rules": gopher_rules,
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_bigram_lm_score": bigram_lm_score,
+    "text_heavy_hitters": heavy_hitter_terms,
 }
 
 ORACLE = {
@@ -485,4 +558,5 @@ ORACLE = {
     "text_gopher_rules": GOPHER_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
     "text_bigram_lm_score": BIGRAM_LM_SQL,
+    "text_heavy_hitters": HEAVY_HITTERS_SQL,
 }

@@ -38,6 +38,29 @@ def test_bigram_lm_score_ranks_fluent_above_rare(spark, crafted_docs_dir):
     assert rows[6]["n_bigrams"] == 0 and rows[6]["lm_score"] is None
 
 
+def test_heavy_hitters_exact_and_nonempty(spark):
+    """Two-pass heavy hitters must equal the exact GROUP BY/HAVING answer
+    (completeness: a pass-1 miss would drop a row) and actually fire on
+    the fixture (a trivially-empty result would prove nothing)."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import _HH_K, heavy_hitter_terms, tokens
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    got = {r["term"]: r["n"] for r in heavy_hitter_terms(spark, "/root/testdata/sf0.001").collect()}
+    assert got, "fixture should contain heavy hitters above N/200"
+    inst = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        F.explode(tokens(F.col("text"))).alias("term")
+    )
+    n_total = inst.count()
+    exact = {
+        r["term"]: r["n"]
+        for r in inst.groupBy("term").agg(F.count(F.lit(1)).alias("n")).collect()
+        if r["n"] > n_total / _HH_K
+    }
+    assert got == exact
+
+
 def test_bigram_lm_score_fixture_bounds(spark):
     rows = bigram_lm_score(spark, "/root/testdata/sf0.001").collect()
     assert rows
