@@ -160,11 +160,20 @@ class BucketedParquetSink:
     def exists(self) -> bool:
         return self._manifest() is not None
 
-    def read(self) -> DataFrame:
-        """User-facing table state: live rows, metadata columns stripped."""
-        return self.read_raw().filter(F.col("op") != "d").drop(*self._META_COLS)
+    def snapshots(self) -> list[int]:
+        """Readable snapshot sequence numbers (time-travel horizon): the
+        live commit plus archived commits inside the GC grace window."""
+        return table_commit.available_seqs(self.path)
 
-    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
+    def read(self, at_seq: int | None = None) -> DataFrame:
+        """User-facing table state: live rows, metadata columns stripped.
+        ``at_seq`` time-travels to an earlier commit still inside the GC
+        grace window (see :meth:`snapshots`)."""
+        return self.read_raw(at_seq=at_seq).filter(F.col("op") != "d").drop(*self._META_COLS)
+
+    def read_raw(
+        self, buckets: list[int] | None = None, at_seq: int | None = None
+    ) -> DataFrame:
         """Stored state including tombstones and merge-ordering metadata,
         optionally restricted to a bucket subset (path-level pruning —
         the scan never lists the other buckets at all).
@@ -176,11 +185,19 @@ class BucketedParquetSink:
         versions plus a grace window).  Version groups are unioned by
         name with null-fill, which also handles schema widening across
         versions (a post-evolution merge only rewrites touched buckets).
+
+        ``at_seq`` reads the snapshot published at that commit instead of
+        the live one — Delta/Iceberg-style time travel, bounded by the
+        grace window (KeyError past it).
         """
-        m = self._manifest()
+        if at_seq is not None:
+            m = table_commit.manifest_at(self.path, at_seq)
+        else:
+            m = self._manifest()
+        vdir_live = os.path.join(self.path, m["version"]) if m else None
         if not m or "buckets" not in m:
             # pre-manifest table (single live dir): runtime bucket filter
-            df = self.spark.read.parquet(table_commit.resolve(self.path))
+            df = self.spark.read.parquet(vdir_live or table_commit.resolve(self.path))
             if buckets is not None:
                 df = df.filter(F.col("_bucket").isin(list(buckets)))
             return df
@@ -194,8 +211,8 @@ class BucketedParquetSink:
             paths = [f"{vdir}/_bucket={b}" for b in sel]
             parts.append(self.spark.read.option("basePath", vdir).parquet(*paths))
         if not parts:
-            # empty selection: zero rows with the live schema
-            empty = self.spark.read.parquet(table_commit.resolve(self.path)).limit(0)
+            # empty selection: zero rows with the snapshot's schema
+            empty = self.spark.read.parquet(vdir_live).limit(0)
             return empty
         out = parts[0]
         for p in parts[1:]:

@@ -162,6 +162,36 @@ def _prune_history(root: str, lo: int) -> None:
                     pass
 
 
+def available_seqs(root: str) -> list[int]:
+    """Sequence numbers whose snapshots are still readable: the live
+    manifest plus every archived manifest inside the GC grace window.
+    This is the table's time-travel horizon — snapshots older than the
+    grace window have had their manifests pruned (and possibly their
+    version dirs GC'd)."""
+    out = set()
+    m = read_manifest(root)
+    if m is not None:
+        out.add(m["seq"])
+    for am in _archived_manifests(root, lo=0):
+        out.add(am["seq"])
+    return sorted(out)
+
+
+def manifest_at(root: str, seq: int) -> dict:
+    """The manifest published at commit ``seq`` — live or archived.
+    Raises KeyError when the snapshot has aged out of the grace window."""
+    m = read_manifest(root)
+    if m is not None and m["seq"] == seq:
+        return m
+    for am in _archived_manifests(root, lo=seq):
+        if am["seq"] == seq:
+            return am
+    raise KeyError(
+        f"snapshot seq={seq} is not readable (available: {available_seqs(root)}); "
+        "it aged out of the GC grace window"
+    )
+
+
 def referenced_versions(manifest: dict) -> set[str]:
     """Version-dir names the manifest keeps live: the committed version
     itself plus every version a bucket entry still points into."""

@@ -184,6 +184,34 @@ def test_partial_compaction_touches_only_oldest_buckets(spark, big_parsed, tmp_p
     assert _sorted_rows(sink.read()) == want
 
 
+def test_snapshot_time_travel_within_grace(spark, big_parsed, tmp_path):
+    """read(at_seq=...) reproduces the table state as of an earlier commit
+    (Delta/Iceberg-style time travel over the archived manifests), bounded
+    by the GC grace window; past it the read fails loudly."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "ttsink"), n_buckets=8)
+    sink.merge(big_parsed.limit(300))  # seq 0
+    state0 = _sorted_rows(sink.read())
+    batch = (
+        big_parsed.orderBy("key")
+        .limit(7)
+        .withColumn("lsn", F.col("lsn") + 10_000_000)
+        .withColumn(
+            "after", F.col("after").withField("amount", F.lit("11.11").cast("decimal(18,2)"))
+        )
+    )
+    sink.merge(batch)  # seq 1
+    state1 = _sorted_rows(sink.read())
+    assert state1 != state0
+    compact_sink(sink, purge_tombstones_through_lsn=10**12)  # seq 2
+
+    assert sink.snapshots() == [1, 2]  # seq 0 aged out (keep=1 grace)
+    assert _sorted_rows(sink.read(at_seq=1)) == state1
+    assert _sorted_rows(sink.read(at_seq=2)) == state1  # compaction: same state
+    assert _sorted_rows(sink.read()) == state1
+    with pytest.raises(KeyError, match="aged out"):
+        sink.read(at_seq=0)
+
+
 def test_mvcc_survives_random_merge_compact_interleavings(spark, big_parsed):
     """Property: under ANY interleaving of merges, full compactions, and
     partial (max_buckets) compactions, (a) the live table always equals the
