@@ -219,6 +219,52 @@ class BucketedParquetSink:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    def changes(self, from_seq: int, to_seq: int | None = None) -> DataFrame:
+        """Change data feed: row-level changes between two snapshots (the
+        Delta-CDF shape) — the sink becomes a CDC *source*, so downstream
+        consumers can re-subscribe to this table exactly like the
+        reference's Kafka publish side (K1) without replaying the topic.
+
+        Each output row is the post-image at ``to_seq`` (live manifest when
+        omitted) with a ``_change_type`` column: ``insert`` (key absent or
+        tombstoned at ``from_seq``), ``update_postimage`` (latest-wins
+        ordering advanced), or ``delete`` (now a tombstone).  Rewrites that
+        do not change logical state (compaction, untouched buckets) emit
+        nothing; tombstones purged between snapshots emit nothing (the key
+        was already dead).  Both snapshots must be inside the GC grace
+        window (see :meth:`snapshots`).
+
+        Scale shape: one join of two bucket-aligned snapshots on the key —
+        the old side is projected to (key, op, ordering) before the join,
+        so the shuffle carries metadata, not payloads.
+        """
+        k = self.key_col
+        new = self.read_raw(at_seq=to_seq)
+        old_meta = self.read_raw(at_seq=from_seq).select(
+            F.col(k),
+            F.col("op").alias("_old_op"),
+            F.col("__lsn").alias("_old_lsn"),
+            F.col("__ts_ms").alias("_old_ts"),
+        )
+        j = new.join(old_meta, k, "left")
+        changed = j.filter(
+            ~F.col("__lsn").eqNullSafe(F.col("_old_lsn"))
+            | ~F.col("__ts_ms").eqNullSafe(F.col("_old_ts"))
+            | (F.col("op") != F.col("_old_op"))
+        )
+        was_dead = F.col("_old_op").isNull() | (F.col("_old_op") == "d")
+        change_type = (
+            F.when(was_dead & (F.col("op") != "d"), F.lit("insert"))
+            .when(~was_dead & (F.col("op") == "d"), F.lit("delete"))
+            .when(~was_dead & (F.col("op") != "d"), F.lit("update_postimage"))
+            .otherwise(F.lit(None))  # dead -> dead: no logical change
+        )
+        return (
+            changed.withColumn("_change_type", change_type)
+            .filter(F.col("_change_type").isNotNull())
+            .drop("_old_op", "_old_lsn", "_old_ts")
+        )
+
     def merge(
         self,
         events: DataFrame,

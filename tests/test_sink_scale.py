@@ -212,6 +212,54 @@ def test_snapshot_time_travel_within_grace(spark, big_parsed, tmp_path):
         sink.read(at_seq=0)
 
 
+def test_change_data_feed_between_snapshots(spark, big_parsed, tmp_path):
+    """changes(from, to): insert / update_postimage / delete classified
+    against the older snapshot; physical-only rewrites (compaction) and
+    purged tombstones emit nothing."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "cdfsink"), n_buckets=8)
+    base = big_parsed.orderBy("key").limit(100).cache()
+    keys = [r["key"] for r in base.select("key").orderBy("key").collect()]
+    sink.merge(base)  # seq 0
+
+    upd = (
+        base.filter(F.col("key") == keys[0])
+        .withColumn("lsn", F.col("lsn") + 10_000_000)
+        .withColumn(
+            "after", F.col("after").withField("amount", F.lit("55.55").cast("decimal(18,2)"))
+        )
+    )
+    dele = (
+        base.filter(F.col("key") == keys[1])
+        .withColumn("lsn", F.col("lsn") + 10_000_000)
+        .withColumn("op", F.lit("d"))
+    )
+    fresh = (
+        base.filter(F.col("key") == keys[2])
+        .withColumn("key", F.concat(F.col("key"), F.lit("_new")))
+        .withColumn(
+            "after",
+            F.col("after").withField("transaction_id", F.concat(F.col("key"), F.lit(""))),
+        )
+    )
+    sink.merge(upd.unionByName(dele).unionByName(fresh))  # seq 1
+
+    cdf = {r["key"]: r["_change_type"] for r in sink.changes(0).collect()}
+    assert cdf == {
+        keys[0]: "update_postimage",
+        keys[1]: "delete",
+        keys[2] + "_new": "insert",
+    }, cdf
+    # post-image payload rides along
+    amounts = {r["key"]: r["amount"] for r in sink.changes(0).collect()}
+    assert str(amounts[keys[0]]) == "55.55"
+
+    # identical snapshots -> empty feed
+    assert sink.changes(1, to_seq=1).count() == 0
+    # compaction purges the tombstone but changes no logical state
+    compact_sink(sink, purge_tombstones_through_lsn=10**12)  # seq 2
+    assert sink.changes(1, to_seq=2).count() == 0
+
+
 def test_mvcc_survives_random_merge_compact_interleavings(spark, big_parsed):
     """Property: under ANY interleaving of merges, full compactions, and
     partial (max_buckets) compactions, (a) the live table always equals the
