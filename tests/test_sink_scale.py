@@ -303,6 +303,8 @@ def test_mvcc_survives_random_merge_compact_interleavings(spark, big_parsed):
                     st.sampled_from(["merge", "compact", "partial"]), label=f"op{i}"
                 )
                 model_before = dict(model)
+                seq_before = sink.snapshots()[-1]
+                subset = []
                 if op == "merge":
                     lo = data.draw(st.integers(0, len(keys) - 2), label=f"lo{i}")
                     hi = data.draw(
@@ -334,6 +336,15 @@ def test_mvcc_survives_random_merge_compact_interleavings(spark, big_parsed):
                 assert scan(sink.read()) == model, f"live scan diverged after {op}"
                 # the one-commit-old reader still serves its full snapshot
                 assert scan(prev_reader) == prev_model, f"grace reader broken by {op}"
+                # change feed since the pre-op snapshot matches the model
+                # diff: merges advance ordering on exactly the subset keys
+                # (update_postimage), compactions change no logical state
+                feed = {
+                    r["transaction_id"]: r["_change_type"]
+                    for r in sink.changes(seq_before).collect()
+                }
+                want_feed = {k: "update_postimage" for k in subset}
+                assert feed == want_feed, f"CDF diverged after {op}: {feed} != {want_feed}"
                 prev_reader, prev_model = sink.read(), dict(model)
         finally:
             shutil.rmtree(root, ignore_errors=True)
