@@ -293,6 +293,11 @@ class BucketedParquetSink:
         recomputed.  The hook MUST eagerly materialize anything derived
         from ``old_touched`` (its files are rewritten right after).
         """
+        if len(order_cols) != 2:
+            raise ValueError(
+                "sink storage carries a 2-column ordering (__lsn, __ts_ms); "
+                f"pass exactly two order_cols (lead, tiebreak), got {order_cols!r}"
+            )
         _extra_t = "map<string,string>"
         has_extra = "_extra" in events.columns
         # NO pre-dedupe of the batch: latest-wins over (existing ∪ raw

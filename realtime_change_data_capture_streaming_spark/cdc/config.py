@@ -140,5 +140,14 @@ def start_pipeline(
     if cfg.dead_letter:
         parsed = parsed.filter("_corrupt IS NULL").drop("_corrupt")
     sink = BucketedParquetSink(spark, sink_path, key_col=cfg.key_col, n_buckets=cfg.n_buckets)
-    q = apply_changes_stream(parsed, sink, checkpoint_dir, trigger=trigger)
+    # Compacted-topic bootstrap with a Kafka-shaped source: parse_envelope
+    # passed the record offset through, and log position — not the
+    # sentinel-LSN — is the correct latest-wins order (a tombstone followed
+    # by a re-insert must lose to the re-insert; see cdc/decode.py).  The
+    # sink stores a 2-column ordering, so offset leads and ts_ms tiebreaks
+    # (offsets are already unique per partition).
+    order_cols: tuple[str, str] = ("lsn", "ts_ms")
+    if cfg.kafka_tombstones == "delete" and "offset" in parsed.columns:
+        order_cols = ("offset", "ts_ms")
+    q = apply_changes_stream(parsed, sink, checkpoint_dir, trigger=trigger, order_cols=order_cols)
     return q, sink

@@ -104,3 +104,38 @@ def test_kafka_tombstones_streaming_compacted_bootstrap(spark):
 
     with pytest.raises(ValueError, match="kafkaTombstones"):
         from_options({"cdc.kafkaTombstones": "ignore"})
+
+
+def test_tombstone_then_reinsert_streaming_with_offsets(spark):
+    """Compacted-topic bootstrap where the source carries Kafka offsets: a
+    tombstone FOLLOWED by a re-insert of the same key must leave the key
+    alive — start_pipeline switches latest-wins to log-position order when
+    parse_envelope passes the offset through."""
+    import json as _json
+
+    in_dir = tempfile.mkdtemp(prefix="tomb_off_in_")
+    work = tempfile.mkdtemp(prefix="tomb_off_work_")
+    events = synthetic_change_events(spark, 10, updates_per_key=0, delete_every=0, seed=5)
+    rows = events.selectExpr("key", "value").orderBy("key").collect()
+    victim = rows[0]["key"]
+    # log order: all inserts (offsets 0..9), tombstone (10), re-insert (11)
+    reinsert = _json.loads(rows[0]["value"])
+    reinsert["ts_ms"] += 1
+    staged = [
+        {"offset": i, "key": r["key"], "value": r["value"]} for i, r in enumerate(rows)
+    ]
+    staged.append({"offset": len(rows), "key": victim, "value": None})
+    staged.append({"offset": len(rows) + 1, "key": victim, "value": _json.dumps(reinsert)})
+    with open(f"{in_dir}/log.json", "w") as f:
+        for rec in staged:
+            f.write(_json.dumps(rec) + "\n")
+
+    cfg = from_options({"cdc.kafkaTombstones": "delete", "cdc.buckets": "8"})
+    src = spark.readStream.schema("offset long, key string, value string").json(in_dir)
+    q, sink = start_pipeline(
+        spark, cfg, src, f"{work}/sink", f"{work}/ckpt", trigger={"availableNow": True}
+    )
+    q.awaitTermination(300)
+    live = sink.read()
+    assert live.count() == 10  # the re-insert survives the tombstone
+    assert live.filter(F.col("transaction_id") == victim).count() == 1
