@@ -29,20 +29,29 @@ def join_asof(
     on: str,
     left_ts: str = "ts",
     right_ts: str = "ts",
+    direction: str = "backward",
 ) -> DataFrame:
     """Inner as-of join: left rows keep their columns; the matched right
     row's columns arrive under a ``_match`` struct (``_match.<col>``),
-    with ``right_ts`` included.  Left rows with no earlier right row are
-    dropped (inner semantics).
+    with ``right_ts`` included.  Left rows with no match are dropped
+    (inner semantics).
 
-    Ties: a right row at exactly ``left_ts`` matches (<=); right rows sort
-    before left rows at equal timestamps to guarantee it.
+    ``direction="backward"`` (default) matches the LATEST right row with
+    ``right_ts <= left_ts``; ``"forward"`` matches the EARLIEST right row
+    with ``right_ts >= left_ts`` (pandas ``merge_asof`` naming).  Both run
+    as one key shuffle + one per-partition sort — each row touched once;
+    a tie at equal timestamps matches in either direction (the side
+    ordering guarantees the right row is visible from the left row's
+    frame).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    backward = direction == "backward"
     r_payload = [c for c in right.columns if c != on]
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_asof_ts"),
-        F.lit(0).alias("_side"),
+        F.lit(0 if backward else 1).alias("_side"),
         F.struct(*[F.col(c) for c in r_payload]).alias("_match"),
         F.lit(None).alias("_left"),
     )
@@ -50,19 +59,30 @@ def join_asof(
     l = left.select(
         F.col(on),
         F.col(left_ts).alias("_asof_ts"),
-        F.lit(1).alias("_side"),
+        F.lit(1 if backward else 0).alias("_side"),
         F.lit(None).cast(r.schema["_match"].dataType).alias("_match"),
         l_struct.alias("_left"),
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy("_asof_ts", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if backward:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("_asof_ts", "_side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        fill = F.last("_match", ignorenulls=True)
+        left_side = 1
+    else:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("_asof_ts", "_side")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        fill = F.first("_match", ignorenulls=True)
+        left_side = 0
     u = r.unionByName(l, allowMissingColumns=False)
-    filled = u.withColumn("_m", F.last("_match", ignorenulls=True).over(w))
+    filled = u.withColumn("_m", fill.over(w))
     return (
-        filled.filter((F.col("_side") == 1) & F.col("_m").isNotNull())
+        filled.filter((F.col("_side") == left_side) & F.col("_m").isNotNull())
         .select(F.col("_left.*"), F.col("_m").alias("_match"))
     )
 
@@ -95,5 +115,39 @@ ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
-QUERIES = {"events_asof_view_before_purchase": events_asof_view_before_purchase}
-ORACLE = {"events_asof_view_before_purchase": ASOF_SQL}
+def events_asof_next_view_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every purchase, the user's FIRST view at or
+    after it — post-purchase behavior attribution (the merge_asof
+    direction='forward' counterpart of the backward query above)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = join_asof(purchases, views, on="user_id", direction="forward")
+    return j.select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("_match.ts").alias("view_ts"),
+        (F.unix_micros(F.col("_match.ts")) - F.unix_micros("ts")).alias("gap_us"),
+        F.col("_match.value").cast("double").alias("view_value"),
+    )
+
+
+ASOF_FWD_SQL = """
+SELECT p.user_id,
+       p.ts AS purchase_ts,
+       v.ts AS view_ts,
+       CAST(epoch_us(v.ts) - epoch_us(p.ts) AS BIGINT) AS gap_us,
+       CAST(v.value AS DOUBLE) AS view_value
+FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts <= v.ts
+"""
+
+QUERIES = {
+    "events_asof_view_before_purchase": events_asof_view_before_purchase,
+    "events_asof_next_view_after_purchase": events_asof_next_view_after_purchase,
+}
+ORACLE = {
+    "events_asof_view_before_purchase": ASOF_SQL,
+    "events_asof_next_view_after_purchase": ASOF_FWD_SQL,
+}
