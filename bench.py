@@ -104,13 +104,18 @@ def main() -> None:
         # isolate queries from each other: a previous query's leftover
         # cached blocks/broadcasts are not part of THIS query's cost
         spark.catalog.clearCache()
-        # every query runs twice and reports the min: local wall-clock
-        # noise is ±20-100% (shared host) and the first execution pays
-        # one-time JIT/codegen-cache costs that are not the query's
-        # steady-state cost.  A fixed "rerun only if fast" threshold is a
-        # cliff: a query drifting past it gets charged its cold run.
+        # every query runs twice (streaming queries three times) and
+        # reports the min: local wall-clock noise is ±20-100% (shared
+        # host) and the first execution pays one-time JIT/codegen-cache
+        # costs that are not the query's steady-state cost.  Streaming
+        # queries get an extra rep because each run also pays
+        # checkpoint-dir setup + micro-batch scheduling, the noisiest
+        # component observed across same-code runs.  A fixed "rerun only
+        # if fast" threshold is a cliff: a query drifting past it gets
+        # charged its cold run.
         t = float("inf")
-        for _ in range(2):
+        reps = 3 if name.startswith("stream_") else 2
+        for _ in range(reps):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             _force(qs[name](spark, SF_DIR))
