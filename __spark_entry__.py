@@ -145,7 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from realtime_change_data_capture_streaming_spark import streaming as stm
     from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
     from realtime_change_data_capture_streaming_spark.plans import bucketing, layout
-    from realtime_change_data_capture_streaming_spark.sources import formats
+    from realtime_change_data_capture_streaming_spark.sources import formats, pydatasource
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(llm_ops.all_queries())
@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(stm.all_queries())
     out.update(cdc_queries.QUERIES)
     out.update(formats.QUERIES)
+    out.update(pydatasource.QUERIES)
     out.update(bucketing.QUERIES)
     out.update(layout.QUERIES)
     out.update(operators.all_queries())
@@ -170,7 +171,7 @@ def oracle_sql() -> dict[str, str]:
     from realtime_change_data_capture_streaming_spark import streaming as stm
     from realtime_change_data_capture_streaming_spark.cdc import queries as cdc_queries
     from realtime_change_data_capture_streaming_spark.plans import bucketing, layout
-    from realtime_change_data_capture_streaming_spark.sources import formats
+    from realtime_change_data_capture_streaming_spark.sources import formats, pydatasource
 
     out: dict[str, str] = {}
     out.update(llm_ops.all_oracles())
@@ -178,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(stm.all_oracles())
     out.update(cdc_queries.ORACLE)
     out.update(formats.ORACLE)
+    out.update(pydatasource.ORACLE)
     out.update(bucketing.ORACLE)
     out.update(layout.ORACLE)
     out.update(operators.all_oracles())

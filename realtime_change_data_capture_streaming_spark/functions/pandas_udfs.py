@@ -163,12 +163,48 @@ SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars_arrow FROM documents
 """
 
 
+def udf_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over Arrow (applyInArrow): per-language doc stats
+    computed with pyarrow.compute on the whole group's Arrow table — the
+    zero-pandas counterpart of udf_apply_in_pandas, right when the group
+    work is itself Arrow-native.  Aggregations used (count/sum/min) are
+    order-independent, so the result is arrival-order stable."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(table: pa.Table) -> pa.Table:
+        n_chars = pc.utf8_length(table.column("text"))
+        return pa.table(
+            {
+                "lang": [table.column("lang")[0].as_py()],
+                "n_docs": [table.num_rows],
+                "total_chars": [pc.sum(n_chars).as_py()],
+                "min_doc_id": [pc.min(table.column("doc_id")).as_py()],
+            }
+        )
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "doc_id", "text")
+    return d.groupBy("lang").applyInArrow(
+        stats, schema="lang string, n_docs long, total_chars long, min_doc_id long"
+    )
+
+
+UDF_APPLY_ARROW_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "udf_scalar_normalize": udf_scalar_normalize,
     "udf_grouped_median": udf_grouped_median,
     "udf_apply_in_pandas": udf_apply_in_pandas,
     "udf_map_in_pandas": udf_map_in_pandas,
     "udf_map_in_arrow": udf_map_in_arrow,
+    "udf_apply_in_arrow": udf_apply_in_arrow,
 }
 
 ORACLE = {
@@ -177,4 +213,5 @@ ORACLE = {
     "udf_apply_in_pandas": UDF_APPLY_SQL,
     "udf_map_in_pandas": UDF_MAP_SQL,
     "udf_map_in_arrow": UDF_ARROW_SQL,
+    "udf_apply_in_arrow": UDF_APPLY_ARROW_SQL,
 }

@@ -1,0 +1,158 @@
+"""Custom Python Data Source (Spark 4 DataSource API).
+
+The reference's transaction producer is a standalone Python loop that
+fabricates rows and pushes them at Kafka
+(``/root/reference/transaction_producer.py:20-51``).  Spark-first, the
+same generator becomes a FIRST-CLASS SOURCE: ``spark.read.format(...)``
+/ ``spark.readStream.format(...)`` against a registered Python
+DataSource — partitioned batch reads for backfill, offset-tracked
+micro-batches for streaming, with Catalyst planning on top of both.
+
+Determinism discipline: rows derive from the row index by plain integer
+arithmetic (no RNG, no clock), so an independent engine reproduces the
+exact dataset from ``range(n)`` — the DuckDB oracle for the batch query
+below does exactly that.
+
+At scale: ``partitions()`` splits the id-space, so a backfill of 10^12
+rows fans out across executors with no driver materialization; the
+stream reader hands out the same range splits per micro-batch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+CURRENCIES = ("USD", "EUR", "GBP", "JPY")
+
+
+def _row(i: int) -> tuple:
+    """Row i of the synthetic transaction table — pure integer arithmetic,
+    reproducible in any engine (see PYDS_SCAN_SQL)."""
+    amount = ((i * 7919) % 1_000_000) / 100.0
+    return (i, amount, CURRENCIES[i % 4], f"merchant_{i % 50:03d}")
+
+
+@dataclass
+class _RangePartition(InputPartition):
+    start: int
+    end: int
+
+
+class SyntheticTxDataSource(DataSource):
+    """``spark.read.format("synthetic_tx").option("rows", n)`` — batch —
+    and ``spark.readStream.format("synthetic_tx")`` — micro-batched
+    stream over the same id-space."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_tx"
+
+    def schema(self) -> str:
+        return "tx_id bigint, amount double, currency string, merchant string"
+
+    def reader(self, schema):
+        return _BatchReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _StreamReader(self.options)
+
+
+class _BatchReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 10_000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+
+    def partitions(self):
+        per = -(-self.n_rows // self.n_parts)  # ceil
+        return [
+            _RangePartition(lo, min(lo + per, self.n_rows))
+            for lo in range(0, self.n_rows, per)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class _StreamReader(SimpleDataSourceStreamReader):
+    """Offset = highest row id emitted; each micro-batch advances by
+    ``batchRows`` until ``rows`` is exhausted (then empty batches).  The
+    simple-reader API is the low-volume path; a partition-planning
+    ``DataSourceStreamReader`` uses the same range-split logic as the
+    batch reader above."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 10_000))
+        self.batch_rows = int(options.get("batchRows", 2_500))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.batch_rows, self.n_rows)
+        return iter([_row(i) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row(i) for i in range(int(start["next"]), int(end["next"]))])
+
+
+def register(spark) -> None:
+    """Idempotent registration of the custom source with this session."""
+    spark.dataSource.register(SyntheticTxDataSource)
+
+
+N_PYDS_ROWS = 20_000
+
+
+def pyds_synthetic_scan(spark, sf_dir: str):
+    """Batch scan through the Python DataSource -> per-currency rollup.
+    ``sf_dir`` is unused (the source IS the data); kept for the uniform
+    queries() signature."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.operators._util import dsum
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_tx")
+        .option("rows", str(N_PYDS_ROWS))
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("currency").agg(
+        F.count(F.lit(1)).alias("n_tx"),
+        dsum("amount").alias("total_amount"),
+        F.min("tx_id").alias("min_tx_id"),
+        F.max("tx_id").alias("max_tx_id"),
+        F.countDistinct("merchant").alias("n_merchants"),
+    )
+
+
+PYDS_SCAN_SQL = f"""
+WITH t AS (
+  SELECT i AS tx_id,
+         CAST((i * 7919) % 1000000 AS DOUBLE) / 100.0 AS amount,
+         ['USD','EUR','GBP','JPY'][(i % 4) + 1] AS currency,
+         printf('merchant_%03d', i % 50) AS merchant
+  FROM range({N_PYDS_ROWS}) r(i)
+)
+SELECT currency,
+       COUNT(*) AS n_tx,
+       CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+       MIN(tx_id) AS min_tx_id,
+       MAX(tx_id) AS max_tx_id,
+       COUNT(DISTINCT merchant) AS n_merchants
+FROM t GROUP BY currency
+"""
+
+
+QUERIES = {"pyds_synthetic_scan": pyds_synthetic_scan}
+ORACLE = {"pyds_synthetic_scan": PYDS_SCAN_SQL}

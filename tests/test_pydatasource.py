@@ -1,0 +1,67 @@
+"""Python DataSource API (Spark 4): the synthetic-transaction producer as
+a first-class batch + streaming source (parity for the scan is in
+test_oracle_parity via pyds_synthetic_scan)."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.sources.pydatasource import register
+
+
+def test_batch_read_is_partitioned(spark):
+    register(spark)
+    df = (
+        spark.read.format("synthetic_tx")
+        .option("rows", "1000")
+        .option("partitions", "8")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 1000
+    # deterministic content: row 0 and row 999 match the formula
+    rows = {r["tx_id"]: r for r in df.filter(F.col("tx_id").isin(0, 999)).collect()}
+    assert rows[0]["amount"] == 0.0 and rows[0]["currency"] == "USD"
+    assert rows[999]["amount"] == ((999 * 7919) % 1_000_000) / 100.0
+    assert rows[999]["merchant"] == f"merchant_{999 % 50:03d}"
+
+
+def test_stream_offsets_resume_across_restarts(spark):
+    """The stream reader advances offsets in batchRows steps and the
+    checkpoint carries them across query restarts: each availableNow run
+    resumes exactly where the previous one stopped, the streaming state
+    (complete-mode agg) accumulates, and the drained total equals the
+    batch read — offset tracking + exactly-once for a CUSTOM Python
+    source."""
+    register(spark)
+    ckpt = tempfile.mkdtemp(prefix="pyds_ckpt_")
+    name = f"pyds_{uuid.uuid4().hex[:8]}"
+    totals = []
+    for _ in range(6):
+        stream = (
+            spark.readStream.format("synthetic_tx")
+            .option("rows", "10000")
+            .option("batchRows", "2500")
+            .load()
+        )
+        agg = stream.groupBy("currency").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {r["currency"]: r["n"] for r in spark.table(name).collect()}
+        totals.append(sum(got.values()))
+        if totals[-1] >= 10_000:
+            break
+    assert totals[-1] == 10_000, totals
+    assert len(totals) >= 4, f"2500-row steps should need >=4 runs, took {len(totals)}"
+    assert totals == sorted(totals), "offsets must never move backwards"
+    assert got == {"USD": 2500, "EUR": 2500, "GBP": 2500, "JPY": 2500}
