@@ -44,6 +44,9 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # allow registered Python DataSources (sources/pydatasource.py) to
+        # receive pushed predicates and prune their input partitions
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # fixture tables are a handful of small files; smaller split size
         # keeps all cores busy locally.  At cluster scale the input is
         # thousands of files and AQE coalescing governs instead.

@@ -25,7 +25,12 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 
@@ -68,12 +73,45 @@ class _BatchReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 10_000))
         self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.lo = 0  # id-range narrowed by pushed tx_id predicates
+        self.hi = self.n_rows
+
+    def pushFilters(self, filters):
+        """Source-level pushdown: range predicates on ``tx_id`` narrow the
+        generated id-space BEFORE partition planning, so a selective scan
+        fans out over (and reads) only the matching range — the custom-
+        source equivalent of parquet partition pruning.  Pushed filters
+        are still returned for Spark to re-apply (cheap, and keeps the
+        contract simple); everything else is evaluated by Spark."""
+        for f in filters:
+            if getattr(f, "attribute", None) != ("tx_id",):
+                yield f
+                continue
+            if isinstance(f, EqualTo):
+                self.lo = max(self.lo, int(f.value))
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            else:
+                yield f
+                continue
+            yield f  # re-checked by Spark post-scan (harmless, exact)
 
     def partitions(self):
-        per = -(-self.n_rows // self.n_parts)  # ceil
+        span = max(0, self.hi - self.lo)
+        if span == 0:
+            return [_RangePartition(0, 0)]
+        n = min(self.n_parts, span)
+        per = -(-span // n)  # ceil
         return [
-            _RangePartition(lo, min(lo + per, self.n_rows))
-            for lo in range(0, self.n_rows, per)
+            _RangePartition(lo, min(lo + per, self.hi))
+            for lo in range(self.lo, self.hi, per)
         ]
 
     def read(self, partition: _RangePartition):

@@ -29,6 +29,35 @@ def test_batch_read_is_partitioned(spark):
     assert rows[999]["merchant"] == f"merchant_{999 % 50:03d}"
 
 
+def test_filter_pushdown_prunes_source_partitions(spark):
+    """Range predicates on tx_id reach the source (pushFilters) and narrow
+    the generated id-space before partition planning — a point lookup
+    plans ONE partition instead of fanning out over the full range; and a
+    non-pushable predicate (amount) still evaluates correctly Spark-side."""
+    register(spark)
+    base = (
+        spark.read.format("synthetic_tx")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    point = base.filter(F.col("tx_id") == 7777)
+    assert point.rdd.getNumPartitions() == 1
+    assert [r["tx_id"] for r in point.collect()] == [7777]
+
+    rng = base.filter((F.col("tx_id") >= 100) & (F.col("tx_id") < 150))
+    lo, hi, n = rng.agg(F.min("tx_id"), F.max("tx_id"), F.count(F.lit(1))).collect()[0]
+    assert (lo, hi, n) == (100, 149, 50)
+
+    # non-pushable filter: evaluated by Spark post-scan, still exact
+    rich = base.filter(F.col("amount") > 9999.0)
+    want = sum(1 for i in range(10000) if ((i * 7919) % 1_000_000) / 100.0 > 9999.0)
+    assert rich.count() == want
+
+    # empty pushdown range: zero partitions' worth of work, zero rows
+    assert base.filter(F.col("tx_id") < 0).count() == 0
+
+
 def test_stream_offsets_resume_across_restarts(spark):
     """The stream reader advances offsets in batchRows steps and the
     checkpoint carries them across query restarts: each availableNow run
