@@ -250,12 +250,44 @@ SELECT lang, term, n, rk FROM (
 """
 
 
+def stream_enrich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the customer
+    dimension (a BATCH DataFrame — Spark re-plans the static side per
+    micro-batch, and a broadcast hash join keeps it shuffle-free on the
+    stream side), then per-(segment, event_type) rollups in streaming
+    state.  This is THE streaming-ETL staple: dimension lookups on a
+    moving fact stream without a stream-stream join's state.
+
+    At 100 TB/day the dimension is broadcast (or a rocksdb-backed state
+    store map); the stream never shuffles for the join itself."""
+    ev = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "left")
+    agg = (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+    )
+    return _run_to_table(agg, "complete")
+
+
+STREAM_ENRICH_SQL = """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_session_windows": stream_session_windows,
     "stream_sliding_counts": stream_sliding_counts,
     "stream_dedup_documents": stream_dedup_documents,
     "stream_topk_terms": stream_topk_terms,
+    "stream_enrich_customers": stream_enrich_customers,
 }
 
 ORACLE = {
@@ -264,4 +296,5 @@ ORACLE = {
     "stream_sliding_counts": STREAM_SLIDING_SQL,
     "stream_dedup_documents": STREAM_DEDUP_DOCS_SQL,
     "stream_topk_terms": STREAM_TOPK_TERMS_SQL,
+    "stream_enrich_customers": STREAM_ENRICH_SQL,
 }
