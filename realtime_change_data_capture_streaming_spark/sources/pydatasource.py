@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -64,6 +65,21 @@ class SyntheticTxDataSource(DataSource):
 
     def reader(self, schema):
         return _BatchReader(self.options)
+
+    def streamReader(self, schema):
+        # Default: the partition-planning reader (executor-side reads).
+        # ``option("simpleReader", "true")`` opts into the driver-side
+        # SimpleDataSourceStreamReader path — raising
+        # PySparkNotImplementedError here is the documented fallback
+        # trigger (pyspark/sql/datasource_internal.py:_streamReader).
+        if str(self.options.get("simpleReader", "false")).lower() == "true":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return _PartitionedStreamReader(self.options)
 
     def simpleStreamReader(self, schema):
         return _StreamReader(self.options)
@@ -119,12 +135,63 @@ class _BatchReader(DataSourceReader):
             yield _row(i)
 
 
+class _PartitionedStreamReader(DataSourceStreamReader):
+    """Partition-planning stream reader: each micro-batch's id-range is
+    split into ``partitions`` ``_RangePartition``s and ``read()`` runs ON
+    EXECUTORS — no driver materialization, unlike the simple-reader path
+    whose ``read()`` builds every batch on the driver.  This is the
+    scale path: a 10^9-row/batch backfill stream fans out exactly like
+    the batch reader.
+
+    Offset bookkeeping (driver-side, metadata-scale): ``latestOffset``
+    exposes one ``batchRows`` step past the last PLANNED batch; the
+    engine re-plans the last write-ahead-logged batch on restart (the
+    same engine contract ``_SimpleStreamReaderWrapper`` documents), which
+    re-seeds ``_pos`` from the checkpoint, so offsets never regress and
+    never re-derive from zero."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("rows", 10_000))
+        self.batch_rows = int(options.get("batchRows", 2_500))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        self._pos: int | None = None  # end of the last planned batch
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        if self._pos is None:
+            self._pos = 0
+        return {"next": min(self._pos + self.batch_rows, self.n_rows)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["next"]), int(end["next"])
+        # Seeds restart state: the engine replays the last logged batch's
+        # plan before asking for a new latestOffset.
+        if self._pos is None or hi > self._pos:
+            self._pos = hi
+        if hi <= lo:
+            return []
+        span = hi - lo
+        n = min(self.n_parts, span)
+        per = -(-span // n)
+        return [_RangePartition(p, min(p + per, hi)) for p in range(lo, hi, per)]
+
+    def read(self, partition: _RangePartition):
+        # Executor-side: regenerate rows for this id-split only.
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class _StreamReader(SimpleDataSourceStreamReader):
     """Offset = highest row id emitted; each micro-batch advances by
-    ``batchRows`` until ``rows`` is exhausted (then empty batches).  The
-    simple-reader API is the low-volume path; a partition-planning
-    ``DataSourceStreamReader`` uses the same range-split logic as the
-    batch reader above."""
+    ``batchRows`` until ``rows`` is exhausted (then empty batches).
+    Driver-side materialization — kept ONLY as the low-volume fallback
+    behind ``option("simpleReader", "true")``; the default streaming path
+    is ``_PartitionedStreamReader`` above."""
 
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 10_000))
@@ -159,6 +226,12 @@ def pyds_synthetic_scan(spark, sf_dir: str):
     from realtime_change_data_capture_streaming_spark.operators._util import dsum
 
     register(spark)
+    # _BatchReader implements pushFilters(); Spark 4 raises
+    # DATA_SOURCE_PUSHDOWN_DISABLED (rather than skipping the method) when
+    # the session has python filter pushdown off.  This is a runtime SQL
+    # conf, so enable it on whatever session we were handed — harness
+    # sessions are not built by our own session factory.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     df = (
         spark.read.format("synthetic_tx")
         .option("rows", str(N_PYDS_ROWS))

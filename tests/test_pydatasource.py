@@ -58,6 +58,95 @@ def test_filter_pushdown_prunes_source_partitions(spark):
     assert base.filter(F.col("tx_id") < 0).count() == 0
 
 
+def test_scan_survives_pushdown_disabled_session(spark):
+    """Spark 4 raises DATA_SOURCE_PUSHDOWN_DISABLED when a reader
+    implements pushFilters() under a session with python filter pushdown
+    off.  Harness sessions are not ours — pyds_synthetic_scan must set
+    the (runtime) conf itself."""
+    from realtime_change_data_capture_streaming_spark.sources.pydatasource import (
+        pyds_synthetic_scan,
+    )
+
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", None)
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+        out = pyds_synthetic_scan(spark, "")
+        got = {r["currency"]: r["n_tx"] for r in out.collect()}
+        assert got == {"USD": 5000, "EUR": 5000, "GBP": 5000, "JPY": 5000}
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_stream_read_plans_executor_partitions(spark):
+    """The default stream reader is the partition-planning
+    DataSourceStreamReader: each micro-batch fans out over ``partitions``
+    range-splits read ON EXECUTORS (batch_df arrives with that many
+    source partitions), not a single driver-materialized iterator like
+    the SimpleDataSourceStreamReader path."""
+    import threading
+
+    register(spark)
+    ckpt = tempfile.mkdtemp(prefix="pyds_parts_")
+    seen: list[int] = []
+    lock = threading.Lock()
+
+    def capture(batch_df, _bid):
+        with lock:
+            seen.append(batch_df.rdd.getNumPartitions())
+
+    stream = (
+        spark.readStream.format("synthetic_tx")
+        .option("rows", "4000")
+        .option("batchRows", "2000")
+        .option("partitions", "4")
+        .load()
+    )
+    for _ in range(3):  # one batch per availableNow run (no AvailableNow support)
+        q = (
+            stream.writeStream.foreachBatch(capture)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        if len(seen) >= 2:
+            break
+    assert seen and all(n == 4 for n in seen), seen
+
+
+def test_simple_reader_fallback_option(spark):
+    """option("simpleReader", "true") falls back to the driver-side
+    SimpleDataSourceStreamReader (its wrapper plans exactly ONE
+    partition per micro-batch)."""
+    import threading
+
+    register(spark)
+    ckpt = tempfile.mkdtemp(prefix="pyds_simple_")
+    seen: list[int] = []
+    lock = threading.Lock()
+
+    def capture(batch_df, _bid):
+        with lock:
+            seen.append((batch_df.rdd.getNumPartitions(), batch_df.count()))
+
+    stream = (
+        spark.readStream.format("synthetic_tx")
+        .option("rows", "2000")
+        .option("batchRows", "2000")
+        .option("simpleReader", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.foreachBatch(capture)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert seen == [(1, 2000)], seen
+
+
 def test_stream_offsets_resume_across_restarts(spark):
     """The stream reader advances offsets in batchRows steps and the
     checkpoint carries them across query restarts: each availableNow run
