@@ -9,10 +9,10 @@ Five tiers, each the idiomatic Spark shape for its scale:
   the oracle-checked ground truth for the approximate tiers.
 - **MinHash LSH**: k independent min-hashes -> band signatures -> group by
   band bucket -> candidate pairs only.  Linear scan + bounded shuffle:
-  THE 100 TB near-dup path.  Sketches are engine-specific (xxhash64) so
-  the driver records rows-only.
+  THE 100 TB near-dup path.  Hashes are md5-derived (portable), so the
+  whole sketch replays in DuckDB for a full value-hash oracle.
 - **SimHash**: 64-bit weighted-projection signature per doc; hamming
-  buckets by 16-bit chunks.  Rows-only for the same reason.
+  buckets by 16-bit chunks.  Same portable-hash discipline, same oracle.
 - **embedding-cosine**: near-dup pairs by cosine threshold within label
   shards; the semantic-duplicate tier (exact oracle).
 """
@@ -166,14 +166,29 @@ N_MINHASHES = 32
 N_BANDS = 8  # 4 hashes per band
 
 
+def _portable_hash60(seed: int, col):
+    """60-bit hash from md5('<seed>:' || value): first 15 hex chars as a
+    bigint.  Cross-engine — DuckDB replays it as
+    ``('0x' || substr(md5(s || ':' || v), 1, 15))::UBIGINT`` — which is
+    what lets the LSH sketches have a real oracle instead of rows-only.
+    ~2-3x the per-value cost of xxhash64 but still whole-stage codegen,
+    and sketch hashing is scan-side work (no shuffle), so the 100 TB plan
+    shape is unchanged; swap in xxhash64 when cross-engine replay isn't
+    needed."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """k=32 min-hashes per doc: min over shingles of xxhash64(seed, shingle).
+    """k=32 min-hashes per doc: min over shingles of a portable md5-derived
+    60-bit hash (see _portable_hash60).
 
     One scan, no shuffle; signature cost is k hashes per shingle, all in
-    codegen.  Deterministic for a given engine build (not cross-engine)."""
+    codegen; reproducible in any engine with md5."""
     sh = shingle_rows(df, text_col, id_col).select(F.col(id_col), "shingle")
     mins = [
-        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
+        F.min(_portable_hash60(seed, F.col("shingle"))).alias(f"mh_{seed}")
         for seed in range(N_MINHASHES)
     ]
     return sh.groupBy(id_col).agg(*mins)
@@ -190,15 +205,26 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
 
     The only shuffle keyed on (band, bucket-hash); candidate volume scales
     with true near-dup density, not with n^2 — the 100 TB shape.
-    Rows-only check (sketches are engine-specific); recall vs the exact
-    tier is pinned quantitatively in tests/test_sketches.py.
+    Signatures and band buckets are md5-derived, so the whole pipeline
+    replays in DuckDB (MINHASH_LSH_SQL); recall vs the exact tier is
+    additionally pinned in tests/test_sketches.py.
     """
     sig = minhash_signatures(d)
+    n_per_band = N_MINHASHES // N_BANDS
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"mh_{b * (N_MINHASHES // N_BANDS) + i}") for i in range(N_MINHASHES // N_BANDS)]).alias("bucket"),
+                # portable bucket key: md5 over the comma-joined band slice
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh_{b * n_per_band + i}").cast("string")
+                            for i in range(n_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
             )
             for b in range(N_BANDS)
         ]
@@ -231,6 +257,68 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= 0.2
     )
+
+
+MINHASH_LSH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(ts[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, GREATEST(LEN(ts) - 2, 0) + 1)) AS t(i)
+), mh AS (
+  SELECT doc_id, s,
+         MIN(CAST(('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || shingle), 1, 15))::UBIGINT AS BIGINT)) AS v
+  FROM sh, UNNEST(range({N_MINHASHES})) u(s)
+  GROUP BY doc_id, s
+), sig AS (
+  SELECT doc_id, list(v ORDER BY s) AS sig FROM mh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, sig, band,
+         md5(array_to_string(sig[band*4+1 : band*4+4], ',')) AS bucket
+  FROM sig, UNNEST(range({N_BANDS})) u(band)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) AS DOUBLE) / {N_MINHASHES} AS est_jaccard
+FROM pairs
+WHERE CAST(len(list_filter(list_zip(sig_a, sig_b), p -> p[1] = p[2])) AS DOUBLE) / {N_MINHASHES} >= 0.2
+"""
+
+
+SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS tok
+  FROM documents
+), nib AS (
+  SELECT doc_id, md5(tok) AS hx FROM toks
+), bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (CAST(('0x' || substr(hx, CAST(i // 4 AS INT) + 1, 1))::UBIGINT AS INT) >> CAST(i % 4 AS INT)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM nib, UNNEST(range(63)) t(i)
+  GROUP BY doc_id, i
+), sig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, simhash,
+       (simhash >> 0) & 65535 AS chunk_0,
+       (simhash >> 16) & 65535 AS chunk_1,
+       (simhash >> 32) & 65535 AS chunk_2,
+       (simhash >> 48) & 65535 AS chunk_3,
+       (simhash >> 8) & 65535 AS chunk_4,
+       (simhash >> 24) & 65535 AS chunk_5,
+       (simhash >> 40) & 65535 AS chunk_6,
+       ((simhash >> 56) & 127) + ((simhash & 255) << 7) AS chunk_7
+FROM sig
+"""
 
 
 def embedding_cosine_dedup(spark: SparkSession, sf_dir: str, threshold: float = 0.30) -> DataFrame:
@@ -282,30 +370,52 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_of(d: DataFrame) -> DataFrame:
-    """64-bit SimHash per document + 4x16-bit hamming-bucket keys.
+    """64-bit SimHash per document + two phase-offset 16-bit chunk tables
+    (8 hamming-bucket keys).
 
     Bit i of the signature = sign of sum over tokens of (+1 if bit i of
-    xxhash64(token) else -1).  Near-dups differ in few bits; bucketing by
-    16-bit chunks guarantees candidates within hamming distance 3 share
-    at least one chunk.  Rows-only (engine-specific hash); hamming-vs-
-    Jaccard recall is pinned quantitatively in tests/test_sketches.py.
+    the token hash else -1), where bit i is bit (i mod 4) of hex nibble
+    (i div 4) of md5(token) — a portable convention any md5-bearing
+    engine replays (SIMHASH_SQL), which is what gives this sketch a real
+    oracle.  Near-dups differ in few bits; the aligned chunk table
+    (chunk_0..3, 16-bit windows at offsets 0/16/32/48) guarantees
+    candidates within hamming distance 3 share a chunk; the second,
+    8-bit-phase-offset table (chunk_4..7, windows at 8/24/40 plus the
+    wrap-around window 56..62+0..7) catches most of the d=4..6 tail the
+    first table misses — the standard multi-table SimHash recall/cost
+    knob (2x bucket keys per doc in the LSH shuffle).  Hamming-vs-Jaccard
+    recall is additionally pinned in tests/test_sketches.py.
     """
     toks = d.select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok")).filter(
         F.col("tok").isNotNull()
     )
-    h = F.xxhash64("tok")
-    # shiftrightunsigned avoids a 1<<63 literal (overflows signed long)
+    hx = F.md5(F.col("tok"))
+    # 16 hex nibbles -> 64 portable bits; computed once per token, reused
+    # by 4 bit-sums each (projection below the aggregate)
+    nibs = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(hx, j + 1, 1), 16, 10).cast("int").alias(f"n{j}")
+            for j in range(16)
+        ],
+    )
     bit_sums = [
-        F.sum(F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
+        F.sum(
+            F.when(F.shiftright(F.col(f"n{i // 4}"), i % 4).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(63)  # bit 63 never enters the signature (sign bit)
     ]
-    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    agg = nibs.groupBy("doc_id").agg(*bit_sums)
     sig = agg.select(
         "doc_id",
         sum(
             (F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(63)),
             F.lit(0).cast("long"),
         ).alias("simhash"),
+    )
+    wrap = (
+        F.shiftrightunsigned(F.col("simhash"), 56).bitwiseAND(F.lit(0x7F))
+        + F.shiftleft(F.col("simhash").bitwiseAND(F.lit(0xFF)), 7)
     )
     return sig.select(
         "doc_id",
@@ -314,6 +424,11 @@ def simhash_of(d: DataFrame) -> DataFrame:
             F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"chunk_{c}")
             for c in range(4)
         ],
+        *[
+            F.shiftrightunsigned(F.col("simhash"), 16 * c + 8).bitwiseAND(F.lit(0xFFFF)).alias(f"chunk_{4 + c}")
+            for c in range(3)
+        ],
+        wrap.alias("chunk_7"),
     )
 
 
@@ -542,5 +657,7 @@ ORACLE = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_embedding_cosine": EMBEDDING_COSINE_DEDUP_SQL,
     "dedup_cluster_components": DEDUP_CLUSTER_SQL,
-    # minhash/simhash: engine-specific sketches -> rows-only
+    # md5-derived sketches since round 5 -> full hash oracle
+    "dedup_minhash_lsh": MINHASH_LSH_SQL,
+    "dedup_simhash": SIMHASH_SQL,
 }

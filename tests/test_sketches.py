@@ -126,11 +126,13 @@ def test_minhash_lsh_recalls_constructed_neardups(spark, dup_corpus):
 
 def test_simhash_separates_neardups_from_random(spark, dup_corpus):
     """Two quantitative pins: (1) constructed near-dup pairs sit at far
-    lower hamming distance than unrelated pairs; (2) the 4x16-bit chunk
-    bucketing recalls a meaningful fraction of them as candidates."""
+    lower hamming distance than unrelated pairs; (2) the two phase-offset
+    16-bit chunk tables (chunk_0..7) recall most of them as candidates
+    without sweeping in unrelated pairs."""
     from realtime_change_data_capture_streaming_spark.llm_ops.dedup import simhash_of
 
-    sigs = {r["doc_id"]: r["simhash"] for r in simhash_of(dup_corpus).collect()}
+    rows = {r["doc_id"]: r for r in simhash_of(dup_corpus).collect()}
+    sigs = {k: r["simhash"] for k, r in rows.items()}
 
     def hamming(a, b):
         return bin((a ^ b) & ((1 << 64) - 1)).count("1")
@@ -143,19 +145,31 @@ def test_simhash_separates_neardups_from_random(spark, dup_corpus):
     ]
     mean_dup = sum(dup_d) / len(dup_d)
     mean_rand = sum(rand_d) / len(rand_d)
-    # measured on the deterministic fixture: ~6.0 vs ~17.4.  The unrelated
-    # mean sits well below 32 because fixture docs draw from one shared
-    # vocabulary pool (and a few are true dups of each other) — the pin is
-    # SEPARATION, not absolute distance.
+    # measured on the deterministic fixture with the portable md5-nibble
+    # hash: ~6.6 vs ~18.3.  The unrelated mean sits well below 32 because
+    # fixture docs draw from one shared vocabulary pool (and a few are
+    # true dups of each other) — the pin is SEPARATION, not absolute
+    # distance.
     assert mean_dup <= 10, f"near-dup mean hamming {mean_dup}"
     assert mean_rand >= 14, f"unrelated mean hamming {mean_rand}"
     assert mean_dup < 0.6 * mean_rand
 
-    # chunk-bucket recall: a pair is a candidate iff some 16-bit chunk is
-    # identical (pigeonhole guarantees this for hamming <= 3)
-    def shares_chunk(a, b):
-        return any(((a >> (16 * c)) & 0xFFFF) == ((b >> (16 * c)) & 0xFFFF) for c in range(4))
+    # chunk-bucket recall over BOTH tables: a pair is a candidate iff some
+    # chunk column matches (the aligned table pigeonhole-guarantees
+    # hamming <= 3; the phase-offset table catches most of the d=4..6
+    # tail).  Measured: 0.55 aligned-only, 0.725 with both tables, with an
+    # unrelated-pair candidate rate of ~4%.
+    def shares_chunk(i, j):
+        return any(rows[i][f"chunk_{c}"] == rows[j][f"chunk_{c}"] for c in range(8))
 
-    hits = sum(1 for i in range(_N_DUP_DOCS) if shares_chunk(sigs[i], sigs[i + _PERT_OFFSET]))
+    hits = sum(1 for i in range(_N_DUP_DOCS) if shares_chunk(i, i + _PERT_OFFSET))
     recall = hits / _N_DUP_DOCS
-    assert recall >= 0.6, f"simhash chunk-bucket recall {recall}"  # measured 0.725
+    assert recall >= 0.6, f"simhash chunk-bucket recall {recall}"
+
+    false_cand = sum(
+        1
+        for i in range(_N_DUP_DOCS)
+        for j in range(i + 1, _N_DUP_DOCS)
+        if shares_chunk(i, j)
+    ) / len(rand_d)
+    assert false_cand <= 0.15, f"unrelated-pair candidate rate {false_cand}"
