@@ -115,11 +115,22 @@ class BucketedParquetSink:
     ``n_buckets`` only seeds table creation.
     """
 
-    def __init__(self, spark: SparkSession, path: str, key_col: str = "key", n_buckets: int = 64):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str = "key",
+        n_buckets: int = 64,
+        keep: int = 1,
+    ):
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.n_buckets = n_buckets  # creation-time seed; manifest wins after
+        #: snapshot-GC grace window: how many superseded commits stay
+        #: readable (time-travel + concurrent-reader safety).  Production
+        #: retention is time-based; count-based here, same contract.
+        self.keep = keep
 
     _META_COLS = ("op", "__lsn", "__ts_ms", "_bucket")
 
@@ -228,15 +239,19 @@ class BucketedParquetSink:
         Each output row is the post-image at ``to_seq`` (live manifest when
         omitted) with a ``_change_type`` column: ``insert`` (key absent or
         tombstoned at ``from_seq``), ``update_postimage`` (latest-wins
-        ordering advanced), or ``delete`` (now a tombstone).  Rewrites that
-        do not change logical state (compaction, untouched buckets) emit
-        nothing; tombstones purged between snapshots emit nothing (the key
-        was already dead).  Both snapshots must be inside the GC grace
-        window (see :meth:`snapshots`).
+        ordering advanced), or ``delete`` (now a tombstone — or GONE: a key
+        live at ``from_seq`` whose delete AND tombstone-purge both happened
+        between the snapshots is synthesized as a ``delete`` with a null
+        post-image, matching Delta CDF; without it a downstream consumer
+        would keep the key alive forever).  Rewrites that do not change
+        logical state (compaction, untouched buckets) emit nothing;
+        tombstones already dead at ``from_seq`` and purged since emit
+        nothing.  Both snapshots must be inside the GC grace window (see
+        :meth:`snapshots`).
 
-        Scale shape: one join of two bucket-aligned snapshots on the key —
-        the old side is projected to (key, op, ordering) before the join,
-        so the shuffle carries metadata, not payloads.
+        Scale shape: one full-outer join of two bucket-aligned snapshots on
+        the key — the old side is projected to (key, op, ordering) before
+        the join, so the shuffle carries metadata, not payloads.
         """
         k = self.key_col
         new = self.read_raw(at_seq=to_seq)
@@ -246,15 +261,21 @@ class BucketedParquetSink:
             F.col("__lsn").alias("_old_lsn"),
             F.col("__ts_ms").alias("_old_ts"),
         )
-        j = new.join(old_meta, k, "left")
+        # FULL outer: old-side-only keys are tombstones purged after
+        # from_seq — the new snapshot cannot witness them, but they are
+        # logical deletes and must be emitted.
+        j = new.join(old_meta, [k], "full")
         changed = j.filter(
             ~F.col("__lsn").eqNullSafe(F.col("_old_lsn"))
             | ~F.col("__ts_ms").eqNullSafe(F.col("_old_ts"))
-            | (F.col("op") != F.col("_old_op"))
+            | ~F.col("op").eqNullSafe(F.col("_old_op"))
         )
         was_dead = F.col("_old_op").isNull() | (F.col("_old_op") == "d")
+        gone = F.col("op").isNull()  # key absent at to_seq (purged)
         change_type = (
-            F.when(was_dead & (F.col("op") != "d"), F.lit("insert"))
+            F.when(gone & ~was_dead, F.lit("delete"))  # null post-image
+            .when(gone, F.lit(None))  # dead -> purged: no logical change
+            .when(was_dead & (F.col("op") != "d"), F.lit("insert"))
             .when(~was_dead & (F.col("op") == "d"), F.lit("delete"))
             .when(~was_dead & (F.col("op") != "d"), F.lit("update_postimage"))
             .otherwise(F.lit(None))  # dead -> dead: no logical change
@@ -298,6 +319,23 @@ class BucketedParquetSink:
                 "sink storage carries a 2-column ordering (__lsn, __ts_ms); "
                 f"pass exactly two order_cols (lead, tiebreak), got {order_cols!r}"
             )
+        # The ordering mode is TABLE state, not per-merge state: __lsn
+        # holds WAL ordinals under ("lsn", ...) but log offsets under
+        # ("offset", ...), and the two are incomparable.  The mode is
+        # recorded in the manifest on first merge and later merges must
+        # match — otherwise a restart whose source schema gained/lost an
+        # `offset` column would silently mix ordinal spaces in the same
+        # column and corrupt latest-wins.
+        _m0 = self._manifest()
+        if _m0 is not None:
+            stored_order = _m0.get("order_cols")
+            if stored_order is not None and tuple(stored_order) != tuple(order_cols):
+                raise ValueError(
+                    f"sink {self.path!r} stores ordering {tuple(stored_order)!r}; "
+                    f"merging with order_cols={tuple(order_cols)!r} would mix "
+                    "incomparable ordinals in __lsn — recreate the sink or pass "
+                    "the recorded ordering"
+                )
         _extra_t = "map<string,string>"
         has_extra = "_extra" in events.columns
         # NO pre-dedupe of the batch: latest-wins over (existing ∪ raw
@@ -399,7 +437,12 @@ class BucketedParquetSink:
             table_commit.commit(
                 self.path,
                 seq,
-                {"n_buckets": old.get("n_buckets", self.n_buckets), "buckets": bucket_map},
+                {
+                    "n_buckets": old.get("n_buckets", self.n_buckets),
+                    "buckets": bucket_map,
+                    "order_cols": list(order_cols),
+                },
+                keep=self.keep,
             )
         finally:
             batch.unpersist()
@@ -485,7 +528,10 @@ def compact_sink(
             else:
                 # every row in the bucket was a purged tombstone
                 new_map.pop(str(b), None)
-        table_commit.commit(sink.path, seq, {"n_buckets": n_new, "buckets": new_map})
+        meta = {"n_buckets": n_new, "buckets": new_map}
+        if m.get("order_cols") is not None:
+            meta["order_cols"] = m["order_cols"]
+        table_commit.commit(sink.path, seq, meta, keep=sink.keep)
         return
     kept = sink.read_raw().filter(not_tombstone_to_purge)
     vdir, seq = table_commit.begin(sink.path)
@@ -502,7 +548,10 @@ def compact_sink(
     # once the grace window passes
     vname = os.path.basename(vdir)
     bucket_map = {str(b): vname for b in _bucket_ids_in(vdir)}
-    table_commit.commit(sink.path, seq, {"n_buckets": n_new, "buckets": bucket_map})
+    meta = {"n_buckets": n_new, "buckets": bucket_map}
+    if m is not None and m.get("order_cols") is not None:
+        meta["order_cols"] = m["order_cols"]
+    table_commit.commit(sink.path, seq, meta, keep=sink.keep)
 
 
 def apply_changes_stream(

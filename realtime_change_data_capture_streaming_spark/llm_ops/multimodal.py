@@ -104,10 +104,14 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
     PPM (P6) payloads are decoded by the pure-Python parser above into
     (width, height, n_pixel_bytes, checksum, mean_val); null payloads yield
-    null features.  Compressed formats (JPEG/PNG/...) still raise
-    ``NotImplementedError`` — their codecs are not in this environment.
-    The signature (pandas in, one output row per payload) is the
-    production contract for mapInPandas workers.
+    null features.  ``n_pixel_bytes`` is the raw byte count of the pixel
+    plane (2 bytes per sample when maxval > 255); ``mean_val`` and
+    ``checksum`` are over decoded SAMPLES, so for 16-bit images the
+    big-endian byte pairs are folded first — mean_val is a pixel-sample
+    mean at every maxval the parser accepts.  Compressed formats
+    (JPEG/PNG/...) still raise ``NotImplementedError`` — their codecs are
+    not in this environment.  The signature (pandas in, one output row per
+    payload) is the production contract for mapInPandas workers.
     """
     rows = []
     for b in payloads:
@@ -120,9 +124,16 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
                 f"image decode for magic {b[:4]!r} requires PIL/libvips, not "
                 "present in this environment; only PPM (P6) decodes natively"
             )
-        w, h, _maxval, rgb = decode_ppm(b)
-        mean_val = float(sum(rgb)) / len(rgb) if rgb else None
-        rows.append((w, h, len(rgb), int(sum(rgb) % (1 << 31)), mean_val))
+        w, h, maxval, rgb = decode_ppm(b)
+        if maxval > 255:
+            import struct
+
+            samples = struct.unpack(f">{len(rgb) // 2}H", rgb)
+        else:
+            samples = rgb
+        mean_val = float(sum(samples)) / len(samples) if samples else None
+        checksum = int(sum(samples) % (1 << 31)) if samples else None
+        rows.append((w, h, len(rgb), checksum, mean_val))
     return pd.DataFrame(
         rows, columns=["width", "height", "n_pixel_bytes", "checksum", "mean_val"]
     ).astype(
@@ -153,8 +164,11 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     ``fake=True`` computes deterministic pseudo-features (byte length,
     synthetic width/height from the byte stream, additive checksum) so the
     full mapInPandas path — batch schema, null payloads, empty partitions —
-    is exercised without media libs.  ``fake=False`` calls the real
-    decoder stub (raises until codecs exist).
+    is exercised without media libs.  ``fake=False`` decodes for real:
+    PPM (P6) payloads produce true width/height/checksum via
+    ``decode_image_batch``; compressed formats raise
+    ``NotImplementedError`` (codecs absent from this environment) — real
+    mode NEVER silently substitutes fabricated features.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -162,7 +176,23 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             if pdf.empty:
                 continue
             if not fake:
-                decode_image_batch(pdf["payload"])  # raises NotImplementedError
+                feats = decode_image_batch(pdf["payload"])  # raises on non-PPM
+                n_bytes = (
+                    pdf["payload"]
+                    .map(lambda b: len(b) if b is not None else None)
+                    .astype("Int64")
+                    .reset_index(drop=True)
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].reset_index(drop=True),
+                        "n_bytes": n_bytes,
+                        "width": feats["width"],
+                        "height": feats["height"],
+                        "checksum": feats["checksum"],
+                    }
+                )
+                continue
             payloads = pdf["payload"]
             # null payload -> null features (nullable Int64/Int32), matching
             # SQL NULL propagation (octet_length(NULL) IS NULL) — mapping

@@ -124,6 +124,19 @@ def _plane_component(plane: int, dim: int) -> float:
     return u - 0.5
 
 
+def lsh_signatures(e: DataFrame) -> DataFrame:
+    """Per-vector 16-bit sign-LSH bucket: (vec_id, label, lsh_bucket).
+    The label-BLIND candidate key — this is the tier that recalls
+    near-dups ACROSS label shards, which the exact label-sharded cosine
+    tier (llm_ops.dedup.embedding_cosine_dedup) cannot see; that
+    cross-shard recall is measured in tests/test_sketches.py."""
+    sig = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(EMB_DIM)])
+        sig = sig + F.when(_dot(F.col("embedding"), plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return e.select("vec_id", "label", sig.alias("lsh_bucket"))
+
+
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH: 16-bit random-hyperplane signature -> bucket counts.
 
@@ -139,11 +152,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated with the literal plane values.
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    sig = F.lit(0).cast("long")
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(EMB_DIM)])
-        sig = sig + F.when(_dot(F.col("embedding"), plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    bucketed = e.select("vec_id", "label", sig.alias("lsh_bucket"))
+    bucketed = lsh_signatures(e)
     return (
         bucketed.groupBy("lsh_bucket")
         .agg(

@@ -259,6 +259,30 @@ def test_change_data_feed_between_snapshots(spark, big_parsed, tmp_path):
     compact_sink(sink, purge_tombstones_through_lsn=10**12)  # seq 2
     assert sink.changes(1, to_seq=2).count() == 0
 
+    # delete + purge BETWEEN the compared snapshots: the key is live at
+    # from_seq but wholly absent at to_seq (its tombstone was purged), so
+    # the new snapshot cannot witness it — the feed must synthesize a
+    # delete with a null post-image or a downstream consumer keeps the
+    # key alive forever.  keep=2 grace window: from_seq must survive the
+    # two commits (delete, purge) between the snapshots.
+    sink.keep = 2
+    dele2 = (
+        base.filter(F.col("key") == keys[3])
+        .withColumn("lsn", F.col("lsn") + 20_000_000)
+        .withColumn("op", F.lit("d"))
+    )
+    sink.merge(dele2)  # seq 3
+    compact_sink(sink, purge_tombstones_through_lsn=10**13)  # seq 4
+    assert sink.read(at_seq=4).filter(F.col("key") == keys[3]).count() == 0
+    assert sink.read_raw(at_seq=4).filter(F.col("key") == keys[3]).count() == 0  # purged
+    feed = {r["key"]: r for r in sink.changes(2, to_seq=4).collect()}
+    assert set(feed) == {keys[3]}, feed
+    assert feed[keys[3]]["_change_type"] == "delete"
+    assert feed[keys[3]]["amount"] is None  # no post-image exists
+    # dead -> purged emits nothing: at seq 3 keys[3] is already a
+    # tombstone, so purging it by seq 4 is no logical change
+    assert sink.changes(3, to_seq=4).count() == 0
+
 
 def test_mvcc_survives_random_merge_compact_interleavings(spark, big_parsed):
     """Property: under ANY interleaving of merges, full compactions, and
@@ -382,3 +406,24 @@ def test_compaction_rebuckets_to_target_bytes(spark, big_parsed, tmp_path):
     sink.merge(batch)
     assert sink.read().filter(F.col("amount") == 7777.77).count() == 10
     assert sink.read().count() == len(want)
+
+
+def test_merge_rejects_mixed_ordering_mode(spark, big_parsed, tmp_path):
+    """__lsn holds WAL ordinals under ("lsn", ...) but log offsets under
+    ("offset", ...) — incomparable spaces.  The mode is recorded in the
+    manifest on first merge; a later merge with a different order_cols
+    (e.g. a pipeline restart whose source schema gained/lost the offset
+    column) must raise instead of silently corrupting latest-wins."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "ordsink"), n_buckets=4)
+    b = big_parsed.orderBy("key").limit(10).withColumn("offset", F.col("lsn"))
+    sink.merge(b)  # records ("lsn", "ts_ms")
+    assert sink._manifest()["order_cols"] == ["lsn", "ts_ms"]
+    with pytest.raises(ValueError, match="order"):
+        sink.merge(b, order_cols=("offset", "ts_ms"))
+    # the recorded mode survives compaction commits too
+    compact_sink(sink, purge_tombstones_through_lsn=0)
+    assert sink._manifest()["order_cols"] == ["lsn", "ts_ms"]
+    with pytest.raises(ValueError, match="order"):
+        sink.merge(b, order_cols=("offset", "ts_ms"))
+    # same mode keeps merging fine
+    sink.merge(b)

@@ -179,3 +179,37 @@ def test_rate_source_synthetic_stream(spark):
     row = spark.table("rate_tx").limit(1).collect()[0]
     assert row["transaction_id"].count("-") == 4
     assert row["currency"] in ("EUR", "USD")
+
+
+def test_tws_matches_apply_in_pandas_with_state(spark):
+    """Parity: transformWithStateInPandas (Spark 4 typed-state API) and
+    applyInPandasWithState compute identical per-user running totals.
+    transformWithStateInPandas imports google.protobuf at worker init
+    (StateMessage_pb2); the skip is environmental, not semantic — if
+    protobuf ever lands in the image, this pins the two APIs to each
+    other (and stream_tws_user_totals self-registers with the driver,
+    see streaming/transform_state.py).
+    """
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs google.protobuf (absent from container)",
+    )
+    from realtime_change_data_capture_streaming_spark.streaming.stateful import (
+        stream_stateful_user_totals,
+    )
+    from realtime_change_data_capture_streaming_spark.streaming.transform_state import (
+        stream_tws_user_totals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tws = {
+        r["user_id"]: (r["n_events"], r["sum_value_cents"])
+        for r in stream_tws_user_totals(spark, sf).collect()
+    }
+    aip = {
+        r["user_id"]: (r["n_events"], r["sum_value_cents"])
+        for r in stream_stateful_user_totals(spark, sf).collect()
+    }
+    assert tws == aip
