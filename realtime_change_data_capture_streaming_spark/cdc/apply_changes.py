@@ -360,9 +360,21 @@ class BucketedParquetSink:
                 r["_bucket"]
                 for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()
             ]
+            if not touched:
+                # empty batch against an existing table: a no-op, decided by
+                # the SAME job that fills the batch cache — callers don't
+                # need a separate isEmpty() pre-check (which would run the
+                # upstream parse once more per micro-batch)
+                batch.unpersist()
+                return
             # path-level bucket pruning: only the touched buckets' files
             # are listed/scanned, wherever their live version lives
             current_touched = self.read_raw(buckets=touched)
+            if pre_write is not None:
+                # the hook reads the pre-merge rows AND the merge union
+                # reads them: persist so the touched buckets are parquet-
+                # scanned once per batch, not twice
+                current_touched = current_touched.persist()
             table_has_extra = "_extra" in current_touched.columns
             # schema widening on first sight: a batch carrying the evolution
             # map against a pre-evolution table (or vice versa) null-fills
@@ -433,6 +445,16 @@ class BucketedParquetSink:
             bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
             vname = os.path.basename(vdir)
             written = _bucket_ids_in(vdir)
+            if not written and not old:
+                # empty creation batch (possible now that streaming callers
+                # skip the per-batch isEmpty() job): nothing to publish —
+                # leave the table nonexistent rather than commit a
+                # zero-bucket version that read() could not infer a schema
+                # from
+                import shutil
+
+                shutil.rmtree(vdir, ignore_errors=True)
+                return
             bucket_map = {**(old_map or {}), **{str(b): vname for b in written}}
             table_commit.commit(
                 self.path,
@@ -448,6 +470,8 @@ class BucketedParquetSink:
             batch.unpersist()
             if pre_write is not None:
                 final.unpersist()
+                if current_touched is not None:
+                    current_touched.unpersist()
 
 
 def compact_sink(
@@ -570,8 +594,10 @@ def apply_changes_stream(
     """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            sink.merge(batch_df, order_cols)
+        # no isEmpty() pre-check: it would run the upstream parse as an
+        # extra job every micro-batch; merge() itself no-ops empty batches
+        # from the same job that fills its cache
+        sink.merge(batch_df, order_cols)
 
     writer = (
         parsed.writeStream.foreachBatch(_merge)

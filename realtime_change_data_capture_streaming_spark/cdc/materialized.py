@@ -187,8 +187,9 @@ def apply_changes_with_view(
     foreachBatch transaction scope (same checkpoint, same replay story)."""
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
-        if not batch_df.isEmpty():
-            view.process_batch(batch_df, order_cols, batch_id=batch_id)
+        # no isEmpty() pre-check (an extra parse job per micro-batch);
+        # sink.merge no-ops empty batches internally
+        view.process_batch(batch_df, order_cols, batch_id=batch_id)
 
     writer = (
         parsed.writeStream.foreachBatch(_step)
