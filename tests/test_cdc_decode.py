@@ -178,3 +178,49 @@ def test_kafka_tombstone_then_reinsert_ordered_by_offset(spark):
     # sanity: without offset ordering the sentinel delete would win
     legacy = apply_changes_batch(parsed.drop("offset"))
     assert {r["transaction_id"] for r in legacy.collect()} == {"t2"}
+
+
+def test_tombstone_reinsert_across_sink_merges_offset_order(spark, tmp_path):
+    """The stateful variant of the compacted-topic caveat: tombstone and
+    re-insert arrive in DIFFERENT micro-batches against a persistent sink
+    running ``order_cols=("offset", "ts_ms")``.  The stored tombstone's
+    __lsn is its log offset (not the sentinel), so a later batch's
+    re-insert at a higher offset beats it; a replayed tombstone (same
+    offset, redelivered batch) and a late lower-offset update both lose
+    to the stored state — per-key log position stays the total order
+    ACROSS merges, not just within one batch."""
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import (
+        BucketedParquetSink,
+    )
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "offset long, key string, value string")
+        return parse_envelope(df, "string", kafka_tombstones="delete")
+
+    sink = BucketedParquetSink(spark, str(tmp_path / "offsink"), n_buckets=4)
+    oc = ("offset", "ts_ms")
+
+    # batch 1: insert, then compaction tombstone (the 'd' envelope is gone)
+    sink.merge(batch([(0, "t1", _env_json("t1", "c", 1)), (5, "t1", None)]), oc)
+    assert sink.read().count() == 0  # t1 dead, tombstone retained
+    assert sink.read_raw().filter("op = 'd'").count() == 1
+
+    # batch 2: re-insert AFTER the delete (higher offset) -> key revives
+    sink.merge(batch([(7, "t1", _env_json("t1", "c", 9, amount="77.00"))]), oc)
+    live = {r["transaction_id"]: str(r["amount"]) for r in sink.read().collect()}
+    assert live == {"t1": "77.00"}
+
+    # redelivered tombstone (same offset 5): idempotent, re-insert survives
+    sink.merge(batch([(5, "t1", None)]), oc)
+    assert {r["transaction_id"] for r in sink.read().collect()} == {"t1"}
+
+    # late out-of-order update below the stored offset: loses latest-wins
+    sink.merge(batch([(6, "t1", _env_json("t1", "u", 8, amount="66.00"))]), oc)
+    live = {r["transaction_id"]: str(r["amount"]) for r in sink.read().collect()}
+    assert live == {"t1": "77.00"}
+
+    # and the ordering mode is recorded: a WAL-ordered merge now raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="order"):
+        sink.merge(batch([(8, "t1", _env_json("t1", "u", 9))]), ("lsn", "ts_ms"))
