@@ -324,11 +324,12 @@ def test_mvcc_survives_random_merge_compact_interleavings(spark, big_parsed):
             lsn = 10_000_000
             for i in range(data.draw(st.integers(3, 6), label="n_ops")):
                 op = data.draw(
-                    st.sampled_from(["merge", "compact", "partial"]), label=f"op{i}"
+                    st.sampled_from(["merge", "delete", "compact", "partial"]),
+                    label=f"op{i}",
                 )
                 model_before = dict(model)
                 seq_before = sink.snapshots()[-1]
-                subset = []
+                want_feed: dict[str, str] = {}
                 if op == "merge":
                     lo = data.draw(st.integers(0, len(keys) - 2), label=f"lo{i}")
                     hi = data.draw(
@@ -350,9 +351,33 @@ def test_mvcc_survives_random_merge_compact_interleavings(spark, big_parsed):
                         )
                     )
                     sink.merge(batch)
+                    # a merged key that was deleted REVIVES (insert); a live
+                    # one advances (update_postimage)
+                    want_feed = {
+                        k: ("update_postimage" if k in model_before else "insert")
+                        for k in subset
+                    }
                     for k in subset:
                         model[k] = amount
+                elif op == "delete":
+                    live = sorted(model)
+                    if not live:
+                        continue
+                    lo = data.draw(st.integers(0, len(live) - 1), label=f"dlo{i}")
+                    subset = live[lo : lo + 15]
+                    lsn += 10**10
+                    batch = (
+                        base.filter(F.col("key").isin(subset))
+                        .withColumn("lsn", F.col("lsn") + F.lit(lsn))
+                        .withColumn("op", F.lit("d"))
+                    )
+                    sink.merge(batch)
+                    want_feed = {k: "delete" for k in subset}
+                    for k in subset:
+                        del model[k]
                 elif op == "compact":
+                    # the purge bound exceeds every tombstone lsn, so this
+                    # PURGES all tombstones — dead->purged must emit nothing
                     compact_sink(sink, purge_tombstones_through_lsn=10**12)
                 else:
                     compact_sink(sink, purge_tombstones_through_lsn=10**12, max_buckets=3)
@@ -361,13 +386,13 @@ def test_mvcc_survives_random_merge_compact_interleavings(spark, big_parsed):
                 # the one-commit-old reader still serves its full snapshot
                 assert scan(prev_reader) == prev_model, f"grace reader broken by {op}"
                 # change feed since the pre-op snapshot matches the model
-                # diff: merges advance ordering on exactly the subset keys
-                # (update_postimage), compactions change no logical state
+                # diff: merges insert/update exactly the subset keys, deletes
+                # tombstone them, compactions change no logical state (a
+                # purged tombstone was already dead -> emits nothing)
                 feed = {
                     r["transaction_id"]: r["_change_type"]
                     for r in sink.changes(seq_before).collect()
                 }
-                want_feed = {k: "update_postimage" for k in subset}
                 assert feed == want_feed, f"CDF diverged after {op}: {feed} != {want_feed}"
                 prev_reader, prev_model = sink.read(), dict(model)
         finally:
