@@ -379,6 +379,81 @@ WHERE o_orderkey % 97 != 0
 """
 
 
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink as a CDC *source*: merge the insert wave (snapshot), then
+    the update/delete wave, and read ``changes()`` between the two
+    snapshots — the Delta-CDF shape that lets a downstream consumer
+    re-subscribe to the table instead of replaying the topic.
+
+    Classification oracle (closed-form from orders): keys with
+    ``o_orderkey % 10 == 0`` (and not deleted) advanced -> update_postimage
+    with the bumped amount; keys with ``% 97 == 0`` died -> delete with a
+    NULL post-image amount (the tombstone's after-image; a delete that was
+    also an update candidate still classifies as delete — the 'd' envelope
+    carries the higher LSN).  One full-outer join of two bucket-aligned
+    snapshots on the key (see ``BucketedParquetSink.changes``)."""
+    import tempfile
+
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import (
+        BucketedParquetSink,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    base_lsn = F.col("o_orderkey") * 3
+    ts_ms = F.unix_timestamp("o_orderdate") * 1000
+
+    def env(before, after, op, lsn_off):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                (ts_ms + lsn_off).alias("ts_ms"),
+                F.struct(
+                    (base_lsn + lsn_off).alias("lsn"),
+                    F.lit("transactions").alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+            )
+        )
+
+    key = F.col("o_orderkey").cast("string").alias("key")
+    null_img = F.when(F.lit(False), _image(F.col("o_totalprice")))
+    inserts = o.select(key, env(null_img, _image(F.col("o_totalprice")), "c", F.lit(0)).alias("value"))
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        key,
+        env(_image(F.col("o_totalprice")), _image(F.col("o_totalprice") + _AMOUNT_BUMP), "u", F.lit(1)).alias("value"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        key,
+        env(_image(F.col("o_totalprice") + _AMOUNT_BUMP), F.when(F.lit(False), _image(F.col("o_totalprice"))), "d", F.lit(2)).alias("value"),
+    )
+    sink = BucketedParquetSink(
+        spark, tempfile.mkdtemp(prefix="cdc_feed_") + "/t", n_buckets=16
+    )
+    sink.merge(parse_envelope(inserts, decimal_mode="string"))  # seq 0
+    sink.merge(parse_envelope(updates.unionByName(deletes).repartition(17), decimal_mode="string"))  # seq 1
+    feed = sink.changes(0, to_seq=1)
+    return feed.select(
+        F.col("key"),
+        F.col("_change_type"),
+        F.col("amount").cast("double").alias("amount"),
+    )
+
+
+CDC_CHANGE_FEED_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       'update_postimage' AS _change_type,
+       CAST(CAST(o_totalprice + {_AMOUNT_BUMP} AS DECIMAL(18,2)) AS DOUBLE) AS amount
+FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 97 != 0
+UNION ALL
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       'delete' AS _change_type,
+       CAST(NULL AS DOUBLE) AS amount
+FROM orders WHERE o_orderkey % 97 = 0
+"""
+
+
 def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed events routed to a dead-letter projection instead of
     killing the pipeline (reference behavior is log-and-skip,
@@ -412,9 +487,11 @@ QUERIES = {
     "cdc_audit_stamp": cdc_audit_stamp,
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_snapshot_then_stream": cdc_snapshot_then_stream,
+    "cdc_change_feed": cdc_change_feed,
 }
 
 ORACLE = {
+    "cdc_change_feed": CDC_CHANGE_FEED_SQL,
     "cdc_apply_changes": CDC_APPLY_SQL,
     "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
     "cdc_decimal_modes_roundtrip": CDC_DECIMAL_MODES_SQL,
