@@ -347,6 +347,123 @@ SELECT user_id, event_id, cents, z FROM (
 """
 
 
+def events_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence mining: the row-normalized Markov transition matrix
+    of event types (view->click, click->purchase, ...) over each user's
+    time-ordered stream.
+
+    One window pass (lead over user_id) + one hash agg — the shuffle key
+    is user_id, so at 100 TB this is a single exchange over the event log
+    and the 5x5 output is driver-trivial.  The transition probability is
+    one double division of two exact bigints, hence hash-identical on any
+    engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "next_type", F.lead("event_type").over(w)
+    )
+    counts = (
+        pairs.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wfrom = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p_transition",
+        F.col("n_transitions").cast("double") / F.sum("n_transitions").over(wfrom),
+    )
+
+
+TRANSITION_SQL = """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events
+), counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n_transitions
+  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n_transitions,
+       CAST(n_transitions AS DOUBLE) / SUM(n_transitions) OVER (PARTITION BY from_type)
+         AS p_transition
+FROM counts
+"""
+
+
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: per-user hourly spine (sequence + explode)
+    with last-observation-carried-forward fill over the gaps — the gap-fill
+    operator of time-series engines, as a composition of built-ins.
+
+    Shape at scale: the observed-slot reduction is one hash agg on
+    (user_id, slot); the spine explode is proportional to users x horizon
+    (not events); fill is ``last(ignorenulls)`` over the same user_id
+    partitioning, so spine build, join, and fill share one exchange.
+    Values are exact integer cents end-to-end; the output is the per-user
+    roll-up (slot/gap counts + exact filled sum) so the check stays
+    row-bounded at any horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    slot = F.date_trunc("hour", F.col("ts"))
+    obs = (
+        ev.select("user_id", slot.alias("slot"), cents.alias("cents"), "ts", "event_id")
+        .groupBy("user_id", "slot")
+        .agg(F.max_by("cents", F.struct("ts", "event_id")).alias("cents"))
+    )
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("slot"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = spine.join(obs, ["user_id", "slot"], "left").withColumn(
+        "fill", F.last("cents", ignorenulls=True).over(wfill)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.sum(F.col("cents").isNull().cast("bigint")).alias("n_gap_slots"),
+        F.sum("fill").alias("sum_filled_cents"),
+    )
+
+
+GAPFILL_SQL = """
+WITH obs AS (
+  SELECT user_id, slot, cents FROM (
+    SELECT user_id, DATE_TRUNC('hour', ts) AS slot,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id, DATE_TRUNC('hour', ts)
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+), spine AS (
+  SELECT user_id, UNNEST(generate_series(MIN(slot), MAX(slot), INTERVAL 1 HOUR)) AS slot
+  FROM obs GROUP BY user_id
+), filled AS (
+  SELECT s.user_id, o.cents,
+         LAST_VALUE(o.cents IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.slot
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill
+  FROM spine s LEFT JOIN obs o ON o.user_id = s.user_id AND o.slot = s.slot
+)
+SELECT user_id, COUNT(*) AS n_slots,
+       CAST(SUM(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_slots,
+       CAST(SUM(fill) AS BIGINT) AS sum_filled_cents
+FROM filled GROUP BY user_id
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_sliding_windows": events_sliding_windows,
@@ -357,6 +474,8 @@ QUERIES = {
     "events_cohort_retention": events_cohort_retention,
     "events_value_histogram": events_value_histogram,
     "events_user_value_outliers": events_user_value_outliers,
+    "events_transition_counts": events_transition_counts,
+    "events_gapfill_locf": events_gapfill_locf,
 }
 
 ORACLE = {
@@ -369,4 +488,6 @@ ORACLE = {
     "events_cohort_retention": COHORT_SQL,
     "events_value_histogram": HISTOGRAM_SQL,
     "events_user_value_outliers": OUTLIERS_SQL,
+    "events_transition_counts": TRANSITION_SQL,
+    "events_gapfill_locf": GAPFILL_SQL,
 }

@@ -1,0 +1,128 @@
+"""Iterative graph analytics as DataFrame loops — PageRank over the
+customer<->supplier purchase graph.
+
+The graph: an undirected edge per distinct (customer, supplier) pair that
+ever traded (orders x lineitem); node ids disambiguate the two key spaces
+(customer -> 2k, supplier -> 2k+1).  PageRank runs a FIXED number of
+power iterations as a Python loop over joins + hash aggregations — the
+standard Spark shape for iterative algorithms (each iteration is one
+shuffle on dst; the rank side is broadcast-small locally and co-partitioned
+with edges at scale).
+
+Reproducible-iteration discipline (same idea as the fixed-point IVF
+centroids in ``llm_ops/similarity.py``): float PageRank depends on
+summation order, so ranks are scaled integers (SCALE = 1e12) and the
+update uses only integer multiply / integer division / integer sum —
+associative, commutative, hence bit-identical on any engine and any
+partitioning.  That makes a 3-iteration PageRank exactly replayable in
+DuckDB as three unrolled CTE levels, giving an ORACLE row for an operator
+class ("iterative algorithms") that is usually rows-only.
+
+The node count enters the plan as a broadcast scalar (crossJoin of a
+1-row aggregate), not a driver ``collect()`` — the whole computation is
+one lazy plan.
+
+At 100 TB: edges get bucketed/co-partitioned by src so each iteration's
+join is shuffle-free; the per-iteration ``localCheckpoint`` (lineage
+truncation, as in ``llm_ops/dedup.py`` connected components) would bound
+plan growth for larger iteration counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+#: fixed-point scale for integer PageRank
+SCALE = 10**12
+#: damping factor 0.85 expressed as the integer pair (85, 100)
+DAMP_NUM, DAMP_DEN = 85, 100
+ITERATIONS = 3
+
+
+def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected trading graph: one edge per distinct (customer, supplier)
+    pair, emitted in both directions so every node has outdegree >= 1 (no
+    dangling-mass handling needed)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration fixed-point PageRank; returns (node, rank_scaled) with
+    rank_scaled = rank * 1e12 as an exact bigint."""
+    edges = purchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n1 = deg.agg(F.count(F.lit(1)).alias("n"))  # 1-row broadcast scalar
+    adj = edges.join(deg, "src")
+
+    ranks = (
+        deg.select(F.col("src").alias("node"))
+        .crossJoin(F.broadcast(n1))
+        .select("node", F.expr(f"cast({SCALE} div n as bigint)").alias("r"))
+    )
+    for _ in range(ITERATIONS):
+        contrib = adj.join(ranks, adj.src == ranks.node).select(
+            "dst",
+            F.expr(f"(r * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)").alias("contrib"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"cast((({DAMP_DEN - DAMP_NUM} * cast({SCALE} as bigint))"
+                    f" div ({DAMP_DEN} * n)) + s as bigint)"
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def _iter_sql(prev: str, this: str) -> str:
+    return f"""{this} AS (
+  SELECT e.dst AS node,
+         ({DAMP_DEN - DAMP_NUM} * CAST({SCALE} AS BIGINT)) // ({DAMP_DEN} * p.n)
+           + SUM((r.r * {DAMP_NUM}) // ({DAMP_DEN} * d.outdeg)) AS r
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src, params p
+  GROUP BY e.dst, p.n
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH pairs AS (
+  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) * 2 AS c,
+                  CAST(l.l_suppkey AS BIGINT) * 2 + 1 AS s
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+), edges AS (
+  SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), params AS (
+  SELECT COUNT(*) AS n FROM deg
+), r0 AS (
+  SELECT src AS node, CAST({SCALE} AS BIGINT) // n AS r FROM deg, params
+), {_iter_sql("r0", "i1")}, {_iter_sql("i1", "i2")}, {_iter_sql("i2", "i3")}
+SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM i3
+"""
+
+
+QUERIES = {"graph_pagerank_purchases": graph_pagerank_purchases}
+ORACLE = {"graph_pagerank_purchases": PAGERANK_SQL}
