@@ -51,5 +51,117 @@ JOIN events p
 """
 
 
-QUERIES = {"stream_view_purchase_join": stream_view_purchase_join}
-ORACLE = {"stream_view_purchase_join": STREAM_JOIN_SQL}
+def _flush_padded_events_dir(sf_dir: str) -> str:
+    """Stream dir that makes LEFT-OUTER state eviction deterministic.
+
+    Outer-join null rows only emit when the watermark passes a row's
+    join horizon, and the watermark used by batch N derives from data seen
+    through batch N-1 — so a single-batch source would never flush any
+    unmatched row.  Layout: the fixture file (batch 1), then TWO sentinel
+    files with far-future timestamps (batches 2 and 3, one file per
+    trigger).  Batch 2's sentinels push both sides' watermarks past every
+    real row's horizon; batch 3 is a guaranteed DATA batch running under
+    that watermark, so eviction of all real unmatched rows does not depend
+    on the engine's trailing no-data-batch behavior.  Sentinels carry
+    negative user_ids and are filtered from the result.
+    """
+    import os
+    import tempfile
+    import time
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="ev_louter_")
+    src = os.path.join(sf_dir, "events.parquet")
+    os.symlink(src, os.path.join(d, "00_events.parquet"))
+    schema = pq.read_schema(src).remove_metadata()
+
+    def write_sentinels(name: str, uid: int, base: datetime, mtime: float) -> None:
+        # one 'view' + one 'purchase', 10 h apart so they never join
+        rows = {
+            "event_id": [uid * 100 - 1, uid * 100 - 2],
+            "ts": [base, base.replace(hour=10)],
+            "user_id": [uid, uid],
+            "event_type": ["view", "purchase"],
+            "value": [0.0, 0.0],
+            "props": [None, None],
+        }
+        cols = [
+            pa.array(rows[f.name]).cast(f.type) if f.name != "ts" else
+            pa.array(rows["ts"], type=f.type)
+            for f in schema
+        ]
+        path = os.path.join(d, name)
+        pq.write_table(pa.Table.from_arrays(cols, schema=schema), path)
+        os.utime(path, (mtime, mtime))
+
+    now = time.time()
+    write_sentinels("01_flush.parquet", -1, datetime(2030, 1, 1), now + 10)
+    write_sentinels("02_flush.parquet", -2, datetime(2030, 2, 1), now + 20)
+    return d
+
+
+def stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every view, attributed to a purchase
+    within 30 minutes or emitted with nulls once the watermark proves no
+    purchase can still arrive — the streaming form of left-join conversion
+    attribution, state bounded by watermark + interval on both sides."""
+    import os
+
+    d = _flush_padded_events_dir(sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = (
+        stream.filter(F.col("event_type") == "view")
+        .select(F.col("user_id"), F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("interval 30 minutes")),
+        "leftOuter",
+    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    return _run_to_table(joined, "append").filter(F.col("user_id") >= 0)
+
+
+STREAM_LEFT_OUTER_SQL = """
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM events v
+LEFT JOIN events p
+  ON p.event_type = 'purchase'
+ AND v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view'
+"""
+
+
+QUERIES = {
+    "stream_view_purchase_join": stream_view_purchase_join,
+    "stream_left_outer_attribution": stream_left_outer_attribution,
+}
+ORACLE = {
+    "stream_view_purchase_join": STREAM_JOIN_SQL,
+    "stream_left_outer_attribution": STREAM_LEFT_OUTER_SQL,
+}
