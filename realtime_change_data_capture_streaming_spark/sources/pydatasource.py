@@ -26,6 +26,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -33,6 +34,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 CURRENCIES = ("USD", "EUR", "GBP", "JPY")
@@ -209,9 +211,93 @@ class _StreamReader(SimpleDataSourceStreamReader):
         return iter([_row(i) for i in range(int(start["next"]), int(end["next"]))])
 
 
+class EnvelopeSinkDataSource(DataSource):
+    """``df.write.format("tx_envelope_sink").option("path", d).save()`` —
+    the WRITE half of the custom-source surface: rows leave Spark as
+    JSON-lines envelope files, the shape the reference's producer pushes
+    at Kafka (``/root/reference/transaction_producer.py:20-51``), but as a
+    first-class Spark sink with a two-phase atomic commit.
+
+    Commit protocol (the object-store-safe shape, same idea as
+    ``cdc/commit.py``): each task writes ONE staged ``.tmp`` file and
+    returns its name as the WriterCommitMessage; ``commit()`` on the
+    driver renames every staged file to its final name and only then
+    drops the ``_SUCCESS`` marker — a reader that requires the marker
+    never observes a torn write, and ``abort()`` deletes the stage."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tx_envelope_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return _EnvelopeWriter(self.options, [f.name for f in schema.fields], overwrite)
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    staged: str
+    final: str
+
+
+class _EnvelopeWriter(DataSourceWriter):
+    def __init__(self, options, field_names, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("tx_envelope_sink requires option('path', ...)")
+        self.path = path
+        self.fields = list(field_names)
+        self.overwrite = overwrite
+
+    def write(self, rows) -> _FileCommit:
+        """Executor-side: one staged JSON-lines file per task.  Keys are
+        emitted in schema order so files are byte-deterministic for a
+        deterministic input partitioning."""
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        final = f"part-{pid:05d}.json"
+        staged = os.path.join(self.path, f".{final}.{uuid.uuid4().hex}.tmp")
+        with open(staged, "w") as f:
+            for row in rows:
+                rec = {name: row[i] for i, name in enumerate(self.fields)}
+                f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+        return _FileCommit(staged=staged, final=final)
+
+    def commit(self, messages) -> None:
+        """Driver-side publish: rename staged -> final (os.replace, atomic
+        per file), then the _SUCCESS marker.  On overwrite, stale finals
+        from a previous commit are removed first."""
+        import os
+
+        if self.overwrite:
+            for e in os.listdir(self.path):
+                if e.startswith("part-") or e == "_SUCCESS":
+                    os.remove(os.path.join(self.path, e))
+        for m in messages:
+            if m is not None:
+                os.replace(m.staged, os.path.join(self.path, m.final))
+        open(os.path.join(self.path, "_SUCCESS"), "w").close()
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages or []:
+            if m is not None:
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
+
+
 def register(spark) -> None:
-    """Idempotent registration of the custom source with this session."""
+    """Idempotent registration of the custom sources with this session."""
     spark.dataSource.register(SyntheticTxDataSource)
+    spark.dataSource.register(EnvelopeSinkDataSource)
 
 
 N_PYDS_ROWS = 20_000
@@ -265,5 +351,64 @@ FROM t GROUP BY currency
 """
 
 
-QUERIES = {"pyds_synthetic_scan": pyds_synthetic_scan}
-ORACLE = {"pyds_synthetic_scan": PYDS_SCAN_SQL}
+def pyds_envelope_write_roundtrip(spark, sf_dir: str):
+    """Custom READER -> custom WRITER -> read-back: rows generated by the
+    Python DataSource are written through the Python DataSourceWriter's
+    two-phase commit and re-read as JSON, then rolled up — so the whole
+    custom-source round trip (partition planning, executor-side write,
+    driver-side atomic publish) sits inside one hash-checked query.
+    ``sf_dir`` is unused (the source IS the data)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.operators._util import dsum
+
+    register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    out = tempfile.mkdtemp(prefix="pyds_sink_")
+    (
+        spark.read.format("synthetic_tx")
+        .option("rows", str(N_PYDS_ROWS))
+        .option("partitions", "8")
+        .load()
+        .write.format("tx_envelope_sink")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    back = spark.read.schema(
+        "tx_id bigint, amount double, currency string, merchant string"
+    ).json(out)
+    return back.groupBy("merchant").agg(
+        F.count(F.lit(1)).alias("n_tx"),
+        dsum("amount").alias("total_amount"),
+        F.min("tx_id").alias("min_tx_id"),
+        F.max("tx_id").alias("max_tx_id"),
+    )
+
+
+PYDS_WRITE_SQL = f"""
+WITH t AS (
+  SELECT i AS tx_id,
+         CAST((i * 7919) % 1000000 AS DOUBLE) / 100.0 AS amount,
+         printf('merchant_%03d', i % 50) AS merchant
+  FROM range({N_PYDS_ROWS}) r(i)
+)
+SELECT merchant,
+       COUNT(*) AS n_tx,
+       CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+       MIN(tx_id) AS min_tx_id,
+       MAX(tx_id) AS max_tx_id
+FROM t GROUP BY merchant
+"""
+
+
+QUERIES = {
+    "pyds_synthetic_scan": pyds_synthetic_scan,
+    "pyds_envelope_write_roundtrip": pyds_envelope_write_roundtrip,
+}
+ORACLE = {
+    "pyds_synthetic_scan": PYDS_SCAN_SQL,
+    "pyds_envelope_write_roundtrip": PYDS_WRITE_SQL,
+}

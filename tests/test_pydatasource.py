@@ -183,3 +183,77 @@ def test_stream_offsets_resume_across_restarts(spark):
     assert len(totals) >= 4, f"2500-row steps should need >=4 runs, took {len(totals)}"
     assert totals == sorted(totals), "offsets must never move backwards"
     assert got == {"USD": 2500, "EUR": 2500, "GBP": 2500, "JPY": 2500}
+
+
+def test_envelope_writer_atomic_publish(spark):
+    """Two-phase commit: after save(), only final part files + _SUCCESS
+    exist (no .tmp stage leftovers), and the JSON content round-trips."""
+    import json
+    import os
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="env_sink_")
+    (
+        spark.read.format("synthetic_tx")
+        .option("rows", "100")
+        .option("partitions", "4")
+        .load()
+        .write.format("tx_envelope_sink")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    entries = sorted(os.listdir(out))
+    assert "_SUCCESS" in entries
+    parts = [e for e in entries if e.startswith("part-")]
+    assert len(parts) == 4 and not any(e.endswith(".tmp") for e in entries)
+    recs = []
+    for p in parts:
+        with open(os.path.join(out, p)) as f:
+            recs += [json.loads(line) for line in f]
+    assert len(recs) == 100
+    assert {r["tx_id"] for r in recs} == set(range(100))
+    # overwrite replaces, never appends
+    (
+        spark.read.format("synthetic_tx")
+        .option("rows", "40")
+        .option("partitions", "2")
+        .load()
+        .write.format("tx_envelope_sink")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    parts = [e for e in os.listdir(out) if e.startswith("part-")]
+    assert len(parts) == 2
+
+
+def test_envelope_writer_abort_leaves_no_partial_result(spark):
+    """A task failure mid-job aborts the write: no _SUCCESS marker and no
+    final part files are published (staged .tmp files are cleaned up)."""
+    import os
+
+    import pytest
+    from pyspark.errors import PySparkException
+
+    register(spark)
+    out = tempfile.mkdtemp(prefix="env_sink_abort_")
+
+    @F.udf("long")
+    def boom(i):
+        if i == 77:
+            raise ValueError("synthetic failure")
+        return i
+
+    df = (
+        spark.read.format("synthetic_tx")
+        .option("rows", "100")
+        .option("partitions", "4")
+        .load()
+        .withColumn("tx_id", boom(F.col("tx_id")))
+    )
+    with pytest.raises(PySparkException):
+        df.write.format("tx_envelope_sink").mode("overwrite").option("path", out).save()
+    entries = os.listdir(out) if os.path.isdir(out) else []
+    assert "_SUCCESS" not in entries
+    assert not any(e.startswith("part-") for e in entries), entries
