@@ -215,8 +215,49 @@ FROM part
 """
 
 
+def url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + parse_url round-trip: host/path/query-parameter
+    extraction, the web-curation primitives (URL-keyed dedup and host-level
+    quality policies both start here).  The URL is synthesized
+    deterministically from the documents columns, so the oracle checks
+    parse_url's output against the analytic construction.  All JVM-side
+    codegen — no regex UDFs."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?page="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("page"),
+        F.substring_index(F.parse_url(url, F.lit("HOST")), ".", 1).alias("site"),
+    )
+
+
+URL_SQL = """
+SELECT doc_id,
+       'https://' || source || '.example.com/' || lang || '/doc-' || doc_id
+           || '?page=' || CAST(doc_id % 7 AS VARCHAR) AS url,
+       source || '.example.com' AS host,
+       '/' || lang || '/doc-' || doc_id AS path,
+       CAST(doc_id % 7 AS VARCHAR) AS page,
+       source AS site
+FROM documents
+"""
+
+
 QUERIES = {
     "fn_string": string_functions,
+    "fn_url": url_functions,
     "fn_map_json": map_json_functions,
     "fn_date": date_functions,
     "fn_math": math_functions,
@@ -226,6 +267,7 @@ QUERIES = {
 
 ORACLE = {
     "fn_string": STRING_SQL,
+    "fn_url": URL_SQL,
     "fn_map_json": MAP_JSON_SQL,
     "fn_date": DATE_SQL,
     "fn_math": MATH_SQL,
