@@ -46,8 +46,11 @@ BENCH_QUERIES = (
     "curation_pack_shards",
     "curation_contamination_overlap",
     "udf_grouped_median",
+    "graph_pagerank_purchases",
+    "events_gapfill_locf",
     "stream_tumbling_hourly",
     "stream_topk_terms",
+    "stream_left_outer_attribution",
     "stream_cdc_merge",
     "stream_cdc_incremental_agg",
 )
