@@ -56,8 +56,8 @@ def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
             dsum("o_totalprice").alias("sum_total"),
         )
         .select(F.col("bucket").cast("bigint").alias("bucket"), "n_orders", "lo", "hi", "sum_total")
@@ -71,7 +71,7 @@ WITH b AS (
   FROM orders
 )
 SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_orders,
-       MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS lo, CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
 FROM b GROUP BY bucket
 """
