@@ -478,8 +478,71 @@ SELECT * FROM (VALUES ('bad-1', '{not json'), ('bad-2', ''), ('bad-3', '[1,2,3]'
 """
 
 
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 from the change stream: every
+    non-delete change becomes a VERSION row with a validity interval, so
+    downstream joins can ask "what did this row look like at ordinal X" —
+    the standard warehouse consumption of CDC history (vs apply-changes,
+    which keeps only the latest image).
+
+    Versioned on the LSN ordinal (the WAL clock — exact and timezone-free;
+    wall-clock SCD2 is the same window with ts_ms).  At-least-once
+    redeliveries collapse via (key, lsn) dedup; ``valid_to_lsn`` is the
+    next change's lsn via one lead() window, null = still current; a
+    delete event closes the last version without emitting one.  One
+    shuffle on key; the window and dedup share it.
+    """
+    events = order_change_events(spark, sf_dir, chaos=True)
+    parsed = parse_envelope(events, decimal_mode="string")
+    rows = parsed.select(
+        "key",
+        "op",
+        "lsn",
+        F.col("after.amount").cast("decimal(18,2)").alias("amount"),
+        F.col("after.merchant_name").alias("merchant_name"),
+    ).dropDuplicates(["key", "lsn"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy("lsn")
+    hist = rows.withColumn("valid_to_lsn", F.lead("lsn").over(w))
+    return hist.filter(F.col("op") != "d").select(
+        F.col("key").alias("transaction_id"),
+        F.col("amount").cast("double").alias("amount"),
+        "merchant_name",
+        F.col("lsn").alias("valid_from_lsn"),
+        "valid_to_lsn",
+        F.col("valid_to_lsn").isNull().alias("is_current"),
+    )
+
+
+CDC_SCD2_SQL = f"""
+WITH base AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k, o_orderkey AS ki,
+         o_totalprice, o_orderpriority
+  FROM orders
+)
+SELECT k AS transaction_id,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       o_orderpriority AS merchant_name,
+       CAST(ki * 3 AS BIGINT) AS valid_from_lsn,
+       CAST(CASE WHEN ki % 10 = 0 THEN ki * 3 + 1
+                 WHEN ki % 97 = 0 THEN ki * 3 + 2 END AS BIGINT) AS valid_to_lsn,
+       (ki % 10 != 0 AND ki % 97 != 0) AS is_current
+FROM base
+UNION ALL
+SELECT k,
+       CAST(CAST(o_totalprice + {_AMOUNT_BUMP} AS DECIMAL(18,2)) AS DOUBLE),
+       o_orderpriority,
+       CAST(ki * 3 + 1 AS BIGINT),
+       CAST(CASE WHEN ki % 97 = 0 THEN ki * 3 + 2 END AS BIGINT),
+       ki % 97 != 0
+FROM base WHERE ki % 10 = 0
+"""
+
+
 QUERIES = {
     "cdc_apply_changes": cdc_apply_changes,
+    "cdc_scd2_history": cdc_scd2_history,
     "cdc_dead_letter": cdc_dead_letter,
     "cdc_decimal_modes_roundtrip": cdc_decimal_modes_roundtrip,
     "cdc_parse_envelope_stats": cdc_parse_envelope_stats,
@@ -492,6 +555,7 @@ QUERIES = {
 
 ORACLE = {
     "cdc_change_feed": CDC_CHANGE_FEED_SQL,
+    "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_apply_changes": CDC_APPLY_SQL,
     "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
     "cdc_decimal_modes_roundtrip": CDC_DECIMAL_MODES_SQL,
