@@ -394,47 +394,50 @@ FROM counts
 
 
 def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series resampling: per-user hourly spine (sequence + explode)
-    with last-observation-carried-forward fill over the gaps — the gap-fill
+    """Time-series resampling: per-user hourly grid with
+    last-observation-carried-forward fill over the gaps — the gap-fill
     operator of time-series engines, as a composition of built-ins.
 
-    Shape at scale: the observed-slot reduction is one hash agg on
-    (user_id, slot); the spine explode is proportional to users x horizon
-    (not events); fill is ``last(ignorenulls)`` over the same user_id
-    partitioning, so spine build, join, and fill share one exchange.
-    Values are exact integer cents end-to-end; the output is the per-user
-    roll-up (slot/gap counts + exact filled sum) so the check stays
-    row-bounded at any horizon."""
+    Plan shape (ONE exchange): rather than joining a generated spine back
+    to the observations — which forces co-partitioning exchanges on
+    (user_id, slot) for both join sides — each observation emits its own
+    covered slot range directly: ``lead(slot)`` names the next observation
+    and ``explode(sequence(slot, next-1h))`` generates the carried-forward
+    rows.  The up-front user_id partitioning then satisfies the slot
+    reduction, the lead window, and the final roll-up, so nothing
+    downstream reshuffles; generated volume is users x horizon, not
+    events.  Values are exact integer cents end-to-end; the output is the
+    per-user roll-up (slot/gap counts + exact filled sum) so the check
+    stays row-bounded at any horizon."""
     ev = load_table(spark, sf_dir, "events")
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     slot = F.date_trunc("hour", F.col("ts"))
-    obs = (
-        ev.select("user_id", slot.alias("slot"), cents.alias("cents"), "ts", "event_id")
-        .groupBy("user_id", "slot")
-        .agg(F.max_by("cents", F.struct("ts", "event_id")).alias("cents"))
+    base = ev.select(
+        "user_id", slot.alias("slot"), cents.alias("cents"), "ts", "event_id"
+    ).repartition(ev.sparkSession.sparkContext.defaultParallelism, "user_id")
+    obs = base.groupBy("user_id", "slot").agg(
+        F.max_by("cents", F.struct("ts", "event_id")).alias("cents")
     )
-    spine = (
-        obs.groupBy("user_id")
-        .agg(F.min("slot").alias("lo"), F.max("slot").alias("hi"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("interval 1 hour"))
-            ).alias("slot"),
-        )
-    )
-    wfill = (
-        Window.partitionBy("user_id")
-        .orderBy("slot")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = spine.join(obs, ["user_id", "slot"], "left").withColumn(
-        "fill", F.last("cents", ignorenulls=True).over(wfill)
+    w = Window.partitionBy("user_id").orderBy("slot")
+    segs = obs.withColumn("next_slot", F.lead("slot").over(w))
+    filled = segs.select(
+        "user_id",
+        "cents",
+        "slot",
+        F.explode(
+            F.sequence(
+                "slot",
+                F.coalesce(
+                    F.col("next_slot") - F.expr("interval 1 hour"), F.col("slot")
+                ),
+                F.expr("interval 1 hour"),
+            )
+        ).alias("fslot"),
     )
     return filled.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_slots"),
-        F.sum(F.col("cents").isNull().cast("bigint")).alias("n_gap_slots"),
-        F.sum("fill").alias("sum_filled_cents"),
+        F.sum((F.col("fslot") > F.col("slot")).cast("bigint")).alias("n_gap_slots"),
+        F.sum("cents").alias("sum_filled_cents"),
     )
 
 
