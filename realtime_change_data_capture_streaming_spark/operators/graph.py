@@ -65,9 +65,12 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-iteration fixed-point PageRank; returns (node, rank_scaled) with
     rank_scaled = rank * 1e12 as an exact bigint."""
     edges = purchase_edges(spark, sf_dir)
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # loop-invariant relations: without persist, every iteration's plan
+    # re-derives the distinct-pair graph from lineitem x orders (3x the
+    # dominant cost); with it, an iteration is one join + one hash agg
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     n1 = deg.agg(F.count(F.lit(1)).alias("n"))  # 1-row broadcast scalar
-    adj = edges.join(deg, "src")
+    adj = edges.join(deg, "src").persist()
 
     ranks = (
         deg.select(F.col("src").alias("node"))
