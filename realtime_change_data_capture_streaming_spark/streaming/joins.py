@@ -57,13 +57,15 @@ def _flush_padded_events_dir(sf_dir: str) -> str:
     Outer-join null rows only emit when the watermark passes a row's
     join horizon, and the watermark used by batch N derives from data seen
     through batch N-1 — so a single-batch source would never flush any
-    unmatched row.  Layout: the fixture file (batch 1), then TWO sentinel
-    files with far-future timestamps (batches 2 and 3, one file per
-    trigger).  Batch 2's sentinels push both sides' watermarks past every
-    real row's horizon; batch 3 is a guaranteed DATA batch running under
-    that watermark, so eviction of all real unmatched rows does not depend
-    on the engine's trailing no-data-batch behavior.  Sentinels carry
-    negative user_ids and are filtered from the result.
+    unmatched row.  Layout: the fixture file (batch 1), then ONE sentinel
+    file with far-future timestamps (batch 2, one file per trigger).  The
+    sentinels push both sides' watermarks past every real row's horizon,
+    and the engine's trailing no-data micro-batch (noDataMicroBatches,
+    on by default; observed to run under availableNow) performs the final
+    eviction under that watermark.  Each batch carries per-state-store
+    fixed cost, so one sentinel batch + the no-data flush is the minimal
+    deterministic schedule.  Sentinels carry negative user_ids and are
+    filtered from the result.
     """
     import os
     import tempfile
@@ -97,9 +99,7 @@ def _flush_padded_events_dir(sf_dir: str) -> str:
         pq.write_table(pa.Table.from_arrays(cols, schema=schema), path)
         os.utime(path, (mtime, mtime))
 
-    now = time.time()
-    write_sentinels("01_flush.parquet", -1, datetime(2030, 1, 1), now + 10)
-    write_sentinels("02_flush.parquet", -2, datetime(2030, 2, 1), now + 20)
+    write_sentinels("01_flush.parquet", -1, datetime(2030, 1, 1), time.time() + 10)
     return d
 
 
@@ -107,11 +107,26 @@ def stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     """Stream-stream LEFT OUTER join: every view, attributed to a purchase
     within 30 minutes or emitted with nulls once the watermark proves no
     purchase can still arrive — the streaming form of left-join conversion
-    attribution, state bounded by watermark + interval on both sides."""
+    attribution, state bounded by watermark + interval on both sides.
+
+    State partitions are sized to the query's state volume (a stream-stream
+    join commits several state stores PER shuffle partition PER batch, so
+    oversized partitioning is pure fixed cost; at production volume this
+    knob goes up with state size).  The session's shuffle setting is
+    restored after the bounded run."""
     import os
 
     d = _flush_padded_events_dir(sf_dir)
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _left_outer_run(spark, sf_dir, d, raw_schema)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _left_outer_run(spark: SparkSession, sf_dir: str, d: str, raw_schema) -> DataFrame:
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", "1")
