@@ -489,18 +489,24 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall-clock SCD2 is the same window with ts_ms).  At-least-once
     redeliveries collapse via (key, lsn) dedup; ``valid_to_lsn`` is the
     next change's lsn via one lead() window, null = still current; a
-    delete event closes the last version without emitting one.  One
-    shuffle on key; the window and dedup share it.
+    delete event closes the last version without emitting one.  ONE
+    shuffle on key: partitioning by key up front satisfies both the
+    (key, lsn) dedup aggregation and the lead() window (HashPartitioning
+    on a key subset), so the dedup does not add its own exchange.
     """
     events = order_change_events(spark, sf_dir, chaos=True)
     parsed = parse_envelope(events, decimal_mode="string")
-    rows = parsed.select(
-        "key",
-        "op",
-        "lsn",
-        F.col("after.amount").cast("decimal(18,2)").alias("amount"),
-        F.col("after.merchant_name").alias("merchant_name"),
-    ).dropDuplicates(["key", "lsn"])
+    rows = (
+        parsed.select(
+            "key",
+            "op",
+            "lsn",
+            F.col("after.amount").cast("decimal(18,2)").alias("amount"),
+            F.col("after.merchant_name").alias("merchant_name"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "key")
+        .dropDuplicates(["key", "lsn"])
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("key").orderBy("lsn")
