@@ -546,9 +546,40 @@ FROM base WHERE ki % 10 = 0
 """
 
 
+def cdc_scd2_pointintime_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join against the SCD2 history: each key is
+    probed at ordinal ``key*3 + 1`` and must see exactly the version valid
+    at that moment — "what did this row look like at X", the query SCD2
+    exists to answer.  Equi-join on the key plus the interval predicate
+    (probe >= valid_from AND (valid_to IS NULL OR probe < valid_to)): the
+    shuffle is the key equi-join; the interval check is a residual filter,
+    so the join stays hash-based at any scale."""
+    hist = cdc_scd2_history(spark, sf_dir)
+    probes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("transaction_id"),
+        (F.col("o_orderkey") * 3 + 1).cast("bigint").alias("probe_lsn"),
+    )
+    j = probes.join(hist, "transaction_id").filter(
+        (F.col("probe_lsn") >= F.col("valid_from_lsn"))
+        & (F.col("valid_to_lsn").isNull() | (F.col("probe_lsn") < F.col("valid_to_lsn")))
+    )
+    return j.select("transaction_id", "probe_lsn", "amount", "merchant_name")
+
+
+CDC_SCD2_PIT_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(o_orderkey * 3 + 1 AS BIGINT) AS probe_lsn,
+       CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP}
+                      ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       o_orderpriority AS merchant_name
+FROM orders
+"""
+
+
 QUERIES = {
     "cdc_apply_changes": cdc_apply_changes,
     "cdc_scd2_history": cdc_scd2_history,
+    "cdc_scd2_pointintime_join": cdc_scd2_pointintime_join,
     "cdc_dead_letter": cdc_dead_letter,
     "cdc_decimal_modes_roundtrip": cdc_decimal_modes_roundtrip,
     "cdc_parse_envelope_stats": cdc_parse_envelope_stats,
@@ -562,6 +593,7 @@ QUERIES = {
 ORACLE = {
     "cdc_change_feed": CDC_CHANGE_FEED_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
+    "cdc_scd2_pointintime_join": CDC_SCD2_PIT_SQL,
     "cdc_apply_changes": CDC_APPLY_SQL,
     "cdc_dead_letter": CDC_DEAD_LETTER_SQL,
     "cdc_decimal_modes_roundtrip": CDC_DECIMAL_MODES_SQL,

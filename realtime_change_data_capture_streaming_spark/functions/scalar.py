@@ -255,9 +255,71 @@ FROM documents
 """
 
 
+def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json -> variant_get path extraction with
+    typed casts + schema_of_variant introspection — the semi-structured
+    column story (Snowflake-VARIANT-style) over the events props JSON and
+    a constructed nested document.  Variant decode is JVM-side binary-
+    encoded JSON: no string re-parse per path at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_type"),
+            F.col("value"),
+            F.array("user_id", "event_id").alias("ids"),
+        )
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.event_type", "string").alias("etype"),
+        F.variant_get(v, "$.value", "double").alias("val"),
+        F.variant_get(v, "$.ids[0]", "bigint").alias("id0"),
+        F.variant_get(v, "$.ids[1]", "bigint").alias("id1"),
+        F.variant_get(v, "$.missing", "string").alias("missing"),
+        F.schema_of_variant(F.parse_json("props")).alias("props_schema"),
+    )
+
+
+VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       event_type AS etype,
+       value AS val,
+       user_id AS id0,
+       event_id AS id1,
+       CAST(NULL AS VARCHAR) AS missing,
+       'OBJECT<k: BIGINT>' AS props_schema
+FROM events
+"""
+
+
+def stringagg_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): per language, the
+    sorted distinct sources joined into one csv — collect_set + array_sort
+    + array_join keeps the result order-deterministic under any
+    partitioning (a bare collect_list concat would not be)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources_csv"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+STRINGAGG_SQL = """
+SELECT lang,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "fn_string": string_functions,
     "fn_url": url_functions,
+    "fn_variant": variant_functions,
+    "fn_stringagg": stringagg_functions,
     "fn_map_json": map_json_functions,
     "fn_date": date_functions,
     "fn_math": math_functions,
@@ -268,6 +330,8 @@ QUERIES = {
 ORACLE = {
     "fn_string": STRING_SQL,
     "fn_url": URL_SQL,
+    "fn_variant": VARIANT_SQL,
+    "fn_stringagg": STRINGAGG_SQL,
     "fn_map_json": MAP_JSON_SQL,
     "fn_date": DATE_SQL,
     "fn_math": MATH_SQL,
