@@ -430,8 +430,69 @@ GROUP BY lang
 """
 
 
+def curation_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split key is the document's
+    NEAR-DUP CLUSTER representative, not the document id — so a near-dup
+    pair can never straddle the train/test boundary (the contamination
+    path a doc-keyed split leaves open).  Clusters come from connected
+    components over the exact-Jaccard candidate graph; singletons key on
+    their own id.  One left join of docs to the (small) clustered-node
+    set; the split itself stays a pure hash expression.  Invariant (no
+    cluster spans splits) is pinned in tests/test_scd2.py's sibling,
+    tests/test_text_ops.py."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import connected_components, ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    rep = d.join(comp, d.doc_id == comp.node, "left").select(
+        "doc_id",
+        F.col("component").isNotNull().alias("clustered"),
+        F.coalesce("component", "doc_id").alias("rep"),
+    )
+    assigned = assign_split(rep, key_col="rep")
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("clustered").cast("bigint")).alias("n_clustered_docs"),
+    )
+
+
+CURATION_CLUSTER_SPLIT_SQL = f"""
+WITH RECURSIVE pairs AS (
+  {{jaccard}}
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+), comp AS (
+  SELECT node, MIN(r) AS component FROM reach GROUP BY node
+), assigned AS (
+  SELECT d.doc_id, c.component IS NOT NULL AS clustered,
+         COALESCE(c.component, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT CASE WHEN {_bucket_sql('rep')} < 90 THEN 'train'
+            WHEN {_bucket_sql('rep')} < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered_docs
+FROM assigned GROUP BY 1
+"""
+
+
+def _cluster_split_sql() -> str:
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import NGRAM_JACCARD_SQL
+
+    return CURATION_CLUSTER_SPLIT_SQL.format(jaccard=NGRAM_JACCARD_SQL)
+
+
 QUERIES = {
     "curation_split_counts": curation_split_counts,
+    "curation_cluster_safe_split": curation_cluster_safe_split,
     "curation_stratified_sample": curation_stratified_sample,
     "curation_pack_shards": curation_pack_shards,
     "curation_scrub_pii": curation_scrub_pii,
@@ -443,6 +504,7 @@ QUERIES = {
 
 ORACLE = {
     "curation_split_counts": CURATION_SPLIT_SQL,
+    "curation_cluster_safe_split": _cluster_split_sql(),
     "curation_stratified_sample": CURATION_SAMPLE_SQL,
     "curation_pack_shards": CURATION_PACK_SQL,
     "curation_scrub_pii": CURATION_PII_SQL,

@@ -69,3 +69,28 @@ def test_bigram_lm_score_fixture_bounds(spark):
             assert 0.0 <= r["lm_score"] <= 1.0, r
         else:
             assert r["lm_score"] is None
+
+
+def test_cluster_safe_split_never_splits_a_cluster(spark):
+    """Leakage invariant behind curation_cluster_safe_split: every member
+    of a near-dup cluster lands in the SAME train/val/test split."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.curation import assign_split
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    pairs = ngram_jaccard_pairs(spark, sf).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    assert comp.count() > 0, "fixture has no near-dup clusters; invariant untestable"
+    assigned = assign_split(comp.withColumnRenamed("component", "rep"), key_col="rep")
+    spans = (
+        assigned.groupBy("rep")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert spans == 0
