@@ -321,14 +321,146 @@ FROM documents
 """
 
 
+def resize_nearest(
+    w: int, h: int, rgb: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Nearest-neighbor resize of a raw 8-bit RGB plane — pure bytes, no
+    media libs.  Source pixel for output (x, y) is (x*w//out_w, y*h//out_h),
+    the standard NN mapping."""
+    out = bytearray(out_w * out_h * 3)
+    for y in range(out_h):
+        sy = y * h // out_h
+        row = sy * w * 3
+        for x in range(out_w):
+            sx = x * w // out_w
+            s = row + sx * 3
+            d = (y * out_w + x) * 3
+            out[d : d + 3] = rgb[s : s + 3]
+    return bytes(out)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the mapInPandas path: decode the PPM
+    payload, nearest-neighbor-resize the raster to 2x2, and emit features
+    of the RESIZED pixels.  The fixture rasters are constant-fill, so the
+    resized checksum is analytically ``fill * 12`` — the oracle checks the
+    whole decode->resize->feature chain, not just the plumbing.  (A consty
+    image makes the oracle exact without shipping an image lib; the resize
+    kernel itself is the production NN mapping over arbitrary rasters and
+    is property-tested on non-constant rasters in tests/test_multimodal.py.)"""
+    media = to_ppm_media_table(spread(load_table(spark, sf_dir, "documents")))
+    out_w, out_h = 2, 2
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                w, h, _maxval, rgb = decode_ppm(bytes(b))
+                small = resize_nearest(w, h, rgb, out_w, out_h)
+                rows.append(
+                    (doc_id, out_w, out_h, int(sum(small) % (1 << 31)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "checksum"]
+            ).astype({"width": "Int32", "height": "Int32", "checksum": "Int64"})
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id long, width int, height int, checksum long"
+    )
+
+
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL THEN 2 END AS width,
+       CASE WHEN text IS NOT NULL THEN 2 END AS height,
+       CASE WHEN text IS NOT NULL
+            THEN CAST((32 + doc_id % 95) * 12 AS BIGINT) END AS checksum
+FROM documents
+"""
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-shaped payloads: N concatenated PPM frames per doc, sampled
+    every 2nd frame through mapInPandas — the frame-sampling plumbing of a
+    video pipeline with a REAL per-frame parser (frame boundaries come
+    from each header's declared pixel-plane length, exactly how a
+    container demuxer walks a stream).  n_frames = 1 + doc_id % 4;
+    features of the sampled frames are analytic for the oracle."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    n_frames = F.lit(1) + (F.col("doc_id") % 4).cast("int")
+    w = F.lit(1) + (F.col("doc_id") % 8).cast("int")
+    h = F.lit(1) + (F.col("doc_id") % 6).cast("int")
+    fill = F.lit(32) + (F.col("doc_id") % 95).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    frame = F.concat(header, F.repeat(F.char(fill), w * h * F.lit(3)))
+    payload = F.when(
+        F.col("text").isNotNull(),
+        F.encode(F.repeat(frame, n_frames), "utf-8"),
+    )
+    media = d.select("doc_id", payload.alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    rows.append((doc_id, None, None, None))
+                    continue
+                buf = bytes(b)
+                frames = []
+                pos = 0
+                while pos < len(buf):
+                    w_, h_, _mv, rgb = decode_ppm(buf[pos:])
+                    # frame length = header bytes + pixel bytes of THIS frame
+                    hdr_len = buf.index(b"\n255\n", pos) + 5 - pos
+                    frames.append(rgb)
+                    pos += hdr_len + len(rgb)
+                sampled = frames[::2]  # every 2nd frame
+                checksum = int(sum(sum(f) for f in sampled) % (1 << 31))
+                rows.append((doc_id, len(frames), len(sampled), checksum))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_sampled", "checksum"]
+            ).astype({"n_frames": "Int32", "n_sampled": "Int32", "checksum": "Int64"})
+
+    return media.mapInPandas(
+        run, schema="doc_id long, n_frames int, n_sampled int, checksum long"
+    )
+
+
+MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL THEN CAST(1 + doc_id % 4 AS INTEGER) END AS n_frames,
+       CASE WHEN text IS NOT NULL
+            THEN CAST((1 + doc_id % 4 + 1) // 2 AS INTEGER) END AS n_sampled,
+       CASE WHEN text IS NOT NULL
+            THEN CAST(((1 + doc_id % 4 + 1) // 2)
+                 * (32 + doc_id % 95) * (1 + doc_id % 8) * (1 + doc_id % 6) * 3
+                 AS BIGINT) END AS checksum
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_features": multimodal_features,
     "multimodal_features_meta": multimodal_features_meta,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frame_sample": multimodal_frame_sample,
 }
 
 ORACLE = {
     "multimodal_metadata": MULTIMODAL_META_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_features_meta": MULTIMODAL_FEATURES_META_SQL,
+    "multimodal_resize": MULTIMODAL_RESIZE_SQL,
+    "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
 }
