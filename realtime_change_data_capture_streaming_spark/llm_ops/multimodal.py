@@ -449,8 +449,122 @@ FROM documents
 """
 
 
+def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a RIFF/WAVE PCM payload: (sample_rate, n_channels,
+    bits_per_sample, sample_bytes).  Dependency-free struct parsing of the
+    canonical container: RIFF header, fmt chunk (PCM only), chunk walk to
+    the data chunk.  Raises ValueError on malformed input — corrupt audio
+    surfaces as an error, never as wrong features (same contract as
+    ``decode_ppm``)."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (magic {buf[:4]!r})")
+    pos, rate, n_ch, bits = 12, None, None, None
+    while pos + 8 <= len(buf):
+        cid, clen = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1:
+                raise ValueError(f"only PCM (fmt=1) decodes natively, got fmt={fmt}")
+        elif cid == b"data":
+            if len(body) != clen:
+                raise ValueError(f"truncated data chunk: want {clen}, have {len(body)}")
+            if rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            return rate, n_ch, bits, body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def _synth_wav(doc_id: int) -> bytes:
+    """Deterministic mono 8-bit PCM WAV for doc_id — the fixture stand-in
+    for real audio blobs.  Sample i = (doc_id*31 + i*7) % 256 (unsigned
+    8-bit PCM), n_samples = 100 + doc_id % 50, rate 8000 Hz."""
+    import struct
+
+    n = 100 + doc_id % 50
+    data = bytes((doc_id * 31 + i * 7) % 256 for i in range(n))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data + (b"\x00" if len(data) % 2 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode through mapInPandas: RIFF/WAV PCM payloads parsed
+    by the dependency-free container walker, per-doc features emitted
+    (sample rate, sample count, exact amplitude sum, duration).  The
+    payload synthesis is seed-free integer arithmetic, so every feature is
+    analytic for the oracle — the audio analog of ``multimodal_features``."""
+    media = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
+                rate, n_ch, bits, data = decode_wav(_synth_wav(int(doc_id)))
+                assert n_ch == 1 and bits == 8
+                rows.append(
+                    (
+                        doc_id,
+                        rate,
+                        len(data),
+                        int(sum(data)),
+                        len(data) * 1000 // rate,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sum_amplitude", "duration_ms"],
+            ).astype(
+                {
+                    "sample_rate": "Int32",
+                    "n_samples": "Int64",
+                    "sum_amplitude": "Int64",
+                    "duration_ms": "Int64",
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="doc_id long, sample_rate int, n_samples long, "
+        "sum_amplitude long, duration_ms long",
+    )
+
+
+# sum over i<n of (a + 7i) % 256: split i by residue class of (a+7i) mod 256
+# is closed-form but fiddly; instead the oracle enumerates sample indexes
+# with a lateral range — still engine-exact integer arithmetic.
+MULTIMODAL_AUDIO_SQL = """
+WITH samples AS (
+  SELECT d.doc_id, (d.doc_id * 31 + i * 7) % 256 AS amp
+  FROM documents d, UNNEST(range(0, 100 + d.doc_id % 50)) AS t(i)
+  WHERE d.text IS NOT NULL
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n, CAST(SUM(amp) AS BIGINT) AS s
+  FROM samples GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NOT NULL THEN 8000 END AS sample_rate,
+       CAST(a.n AS BIGINT) AS n_samples,
+       a.s AS sum_amplitude,
+       CAST(a.n * 1000 // 8000 AS BIGINT) AS duration_ms
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
+    "multimodal_audio_features": multimodal_audio_features,
     "multimodal_features": multimodal_features,
     "multimodal_features_meta": multimodal_features_meta,
     "multimodal_resize": multimodal_resize,
@@ -459,6 +573,7 @@ QUERIES = {
 
 ORACLE = {
     "multimodal_metadata": MULTIMODAL_META_SQL,
+    "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_features_meta": MULTIMODAL_FEATURES_META_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
