@@ -119,11 +119,16 @@ def stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     d = _flush_padded_events_dir(sf_dir)
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # the final eviction runs in the trailing no-data batch — pin the
+    # default on in case the hosting session disabled it
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
         return _left_outer_run(spark, sf_dir, d, raw_schema)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
 
 
 def _left_outer_run(spark: SparkSession, sf_dir: str, d: str, raw_schema) -> DataFrame:
