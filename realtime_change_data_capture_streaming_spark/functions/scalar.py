@@ -286,7 +286,7 @@ VARIANT_SQL = """
 SELECT event_id,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
        event_type AS etype,
-       value AS val,
+       CAST(value AS DOUBLE) AS val,
        user_id AS id0,
        event_id AS id1,
        CAST(NULL AS VARCHAR) AS missing,
