@@ -214,6 +214,15 @@ def ivf_assignments(spark: SparkSession, sf_dir: str, iterations: int = 2) -> Da
     — the same trick reproducible-training pipelines use for gradient
     reductions.  Partial aggregation still applies (it's a plain SUM).
     """
+    return ivf_model(spark, sf_dir, iterations)[0]
+
+
+def ivf_model(
+    spark: SparkSession, sf_dir: str, iterations: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """The fitted IVF model: (assignments, final centroids).  Exposing the
+    centroid table lets search-time policies (multiprobe) rank clusters
+    per query without refitting."""
     e = spread(load_table(spark, sf_dir, "embeddings"))
     cents = (
         e.filter(F.col("vec_id") < N_IVF_CLUSTERS)
@@ -237,7 +246,7 @@ def ivf_assignments(spark: SparkSession, sf_dir: str, iterations: int = 2) -> Da
                 F.transform(F.col("dm"), lambda s: s.getField("m")).alias("centroid"),
             )
         )
-    return _assign(e, cents)
+    return _assign(e, cents), cents
 
 
 def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
@@ -359,6 +368,61 @@ FROM pairs GROUP BY same_label
 """
 
 
+N_PROBE = 2
+
+
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe IVF: each query probes its N_PROBE nearest clusters
+    instead of only its own — the recall dial of production IVF search
+    (a query near a cluster boundary recovers neighbors quantized into
+    the adjacent cell).  Candidate volume scales with n_probe/k of the
+    table, still never all-pairs; the centroid ranking is broadcast-size
+    per query.  Same fixed-point quantizer, so the whole policy replays
+    in the oracle."""
+    assigned, cents = ivf_model(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qd = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                "q_emb",
+                "centroid",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probes = (
+        qd.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= N_PROBE)
+        .select("query_id", "q_emb", F.col("cluster").alias("p_cluster"))
+    )
+    c = assigned.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), F.col("cluster").alias("c_cluster")
+    )
+    # a candidate lives in exactly one cluster and probe clusters are
+    # distinct, so the probe join cannot duplicate a (query, cand) pair
+    joined = F.broadcast(probes).join(c, F.col("c_cluster") == F.col("p_cluster"))
+    scored = joined.select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 def _ivf_sql() -> str:
     """Generate the DuckDB replay of ivf_assignments + ann_ivf_topk: the
     same seeds, the same two fixed-point-mean iterations, the same
@@ -418,6 +482,46 @@ SELECT query_id, cand_id, cosine, rk FROM (
 
 
 ANN_IVF_SQL = _ivf_sql()
+
+
+def _ivf_multiprobe_sql() -> str:
+    """DuckDB replay of ann_ivf_multiprobe_topk: same quantizer CTE chain,
+    plus a per-query centroid ranking (top N_PROBE clusters) feeding the
+    candidate join."""
+    dist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.centroid), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+    base = _ivf_sql()
+    # reuse the quantizer chain (everything up to the final SELECT)
+    chain = base[: base.index("SELECT query_id")]
+    cosine = (
+        "list_sum(list_transform(list_zip(p.q_embedding, c.embedding), t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)))\n"
+        "         / (SQRT(list_sum(list_transform(p.q_embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))\n"
+        "            * SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""{chain}, probes AS (
+  SELECT vec_id AS query_id, q_embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding AS q_embedding, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {dist} ASC, c.cluster ASC) AS prk
+    FROM embeddings e CROSS JOIN cents2 c
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE prk <= {N_PROBE}
+)
+SELECT query_id, cand_id, cosine, rk FROM (
+  SELECT query_id, cand_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id ASC) AS BIGINT) AS rk
+  FROM (
+    SELECT p.query_id, c.vec_id AS cand_id,
+           {cosine} AS cosine
+    FROM probes p JOIN assign2 c
+      ON c.cluster = p.cluster AND c.vec_id >= {N_QUERY_VECS}
+  )
+) WHERE rk <= {TOP_K}
+"""
+
+
+ANN_IVF_MULTIPROBE_SQL = _ivf_multiprobe_sql()
 
 
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -495,6 +599,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_multiprobe_topk": ann_ivf_multiprobe_topk,
     "pairwise_label_cosine": pairwise_label_cosine,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
@@ -504,6 +609,7 @@ ORACLE = {
     "ann_cosine_topk": ANN_COSINE_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
+    "ann_ivf_multiprobe_topk": ANN_IVF_MULTIPROBE_SQL,
     "pairwise_label_cosine": PAIRWISE_LABEL_SQL,
     "embedding_quantize_int8": QUANTIZE_INT8_SQL,
 }

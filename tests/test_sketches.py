@@ -231,3 +231,24 @@ def test_cross_shard_embedding_neardup_recall_via_lsh(spark):
     probe1 = sum(1 for i in sig if i < OFF and hamming(sig[i], sig[i + OFF]) <= 1) / N
     assert exact >= 0.5, f"exact-bucket cross-shard recall {exact}"
     assert probe1 >= 0.9, f"multiprobe(1-bit) cross-shard recall {probe1}"
+
+
+def test_ivf_multiprobe_dominates_single_probe_recall(spark):
+    """Multiprobe exists to buy recall: against the exact cosine top-k,
+    probing the 2 nearest clusters must recall at least as much as
+    probing only the query's own cluster (and the same quantizer means
+    single-probe results are a subset of multiprobe's candidates)."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
+        ann_cosine_topk,
+        ann_ivf_multiprobe_topk,
+        ann_ivf_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {(r["query_id"], r["cand_id"]) for r in ann_cosine_topk(spark, sf).collect()}
+    single = {(r["query_id"], r["cand_id"]) for r in ann_ivf_topk(spark, sf).collect()}
+    multi = {(r["query_id"], r["cand_id"]) for r in ann_ivf_multiprobe_topk(spark, sf).collect()}
+    r_single = len(single & exact) / len(exact)
+    r_multi = len(multi & exact) / len(exact)
+    assert r_multi >= r_single, (r_single, r_multi)
+    assert r_multi >= 0.85, r_multi
