@@ -46,6 +46,8 @@ BENCH_QUERIES = (
     "curation_pack_shards",
     "curation_contamination_overlap",
     "udf_grouped_median",
+    "multimodal_features",
+    "fn_variant",
     "graph_pagerank_purchases",
     "events_gapfill_locf",
     "stream_tumbling_hourly",
