@@ -490,9 +490,52 @@ def _cluster_split_sql() -> str:
     return CURATION_CLUSTER_SPLIT_SQL.format(jaccard=NGRAM_JACCARD_SQL)
 
 
+def curation_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture: per-source sampling shares
+    proportional to n_docs^0.5 — the standard rebalancing that keeps huge
+    web domains from drowning small high-quality ones (temperature 0.5;
+    0.7-style exponents need libm pow, whose rounding differs between
+    engines, while sqrt is IEEE-correctly-rounded everywhere).
+
+    Reproducible-share discipline: summing 20 double weights is order-
+    dependent, so weights become fixed-point bigints (floor(sqrt(n)*2^20))
+    whose sum is exact; the share is one double division of two exact
+    integers.  One hash agg + one broadcast scalar join."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    wfp = F.floor(F.sqrt(F.col("n_docs").cast("double")) * F.lit(float(1 << 20))).cast(
+        "bigint"
+    )
+    weighted = counts.withColumn("w_fp", wfp)
+    total = weighted.agg(F.sum("w_fp").alias("total_fp"))
+    return (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            (F.col("w_fp").cast("double") / F.col("total_fp")).alias("mixture_share"),
+        )
+    )
+
+
+CURATION_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), weighted AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs AS DOUBLE)) * 1048576.0) AS BIGINT) AS w_fp
+  FROM counts
+)
+SELECT source, n_docs,
+       CAST(w_fp AS DOUBLE) / (SELECT CAST(SUM(w_fp) AS BIGINT) FROM weighted) AS mixture_share
+FROM weighted
+"""
+
+
 QUERIES = {
     "curation_split_counts": curation_split_counts,
     "curation_cluster_safe_split": curation_cluster_safe_split,
+    "curation_domain_mixture": curation_domain_mixture,
     "curation_stratified_sample": curation_stratified_sample,
     "curation_pack_shards": curation_pack_shards,
     "curation_scrub_pii": curation_scrub_pii,
@@ -505,6 +548,7 @@ QUERIES = {
 ORACLE = {
     "curation_split_counts": CURATION_SPLIT_SQL,
     "curation_cluster_safe_split": _cluster_split_sql(),
+    "curation_domain_mixture": CURATION_MIXTURE_SQL,
     "curation_stratified_sample": CURATION_SAMPLE_SQL,
     "curation_pack_shards": CURATION_PACK_SQL,
     "curation_scrub_pii": CURATION_PII_SQL,
