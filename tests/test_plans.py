@@ -258,3 +258,29 @@ def test_quantize_scale_materialized_below_exchange(spark, sf_dir):
     assert "q_scale" in top
     c = plan_counts(df)
     assert c["exchanges"] <= 1, c
+
+
+def test_gapfill_and_scd2_plan_single_exchange(spark):
+    """The subset-partitioning reuse claims (SURVEY 8.3): the gap-fill and
+    SCD2 pipelines each run on ONE hash exchange — the up-front key
+    partitioning satisfies every downstream agg/window requirement.  A
+    regression that reintroduces a join or loses the reuse shows up here
+    as an extra Exchange."""
+    import re
+
+    from realtime_change_data_capture_streaming_spark.cdc.queries import cdc_scd2_history
+    from realtime_change_data_capture_streaming_spark.operators.events import events_gapfill_locf
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (
+            events_gapfill_locf(spark, "/root/testdata/sf0.001"),
+            cdc_scd2_history(spark, "/root/testdata/sf0.001"),
+        ):
+            plan = executed_plan(df)
+            n = len(re.findall(r"Exchange hashpartitioning", plan))
+            assert n == 1, f"expected 1 hash exchange, found {n}:\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
