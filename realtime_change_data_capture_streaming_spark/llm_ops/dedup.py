@@ -211,22 +211,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return hashed.groupBy(id_col).agg(*mins)
 
 
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding over the documents fixture — see minhash_lsh_pairs."""
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
-
-
-def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidate pairs,
-    scored by estimated Jaccard (fraction of equal min-hashes).
-
-    The only shuffle keyed on (band, bucket-hash); candidate volume scales
-    with true near-dup density, not with n^2 — the 100 TB shape.
-    Signatures and band buckets are md5-derived, so the whole pipeline
-    replays in DuckDB (MINHASH_LSH_SQL); recall vs the exact tier is
-    additionally pinned in tests/test_sketches.py.
-    """
-    sig = minhash_signatures(d)
+def minhash_band_buckets(d: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sig, band, bucket) — the banded LSH key table.  This is
+    the INDEX a production pipeline persists: new documents are admitted
+    by probing their buckets against it (see
+    streaming/neardup.stream_neardup_admission)."""
+    sig = minhash_signatures(d, text_col, id_col)
     n_per_band = N_MINHASHES // N_BANDS
     bands = F.array(
         *[
@@ -246,11 +236,29 @@ def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select(
-        "doc_id",
+    return sig.select(
+        id_col,
         F.array(*[F.col(f"mh_{i}") for i in range(N_MINHASHES)]).alias("sig"),
         F.explode(bands).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding over the documents fixture — see minhash_lsh_pairs."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_lsh_pairs(d: DataFrame) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs,
+    scored by estimated Jaccard (fraction of equal min-hashes).
+
+    The only shuffle keyed on (band, bucket-hash); candidate volume scales
+    with true near-dup density, not with n^2 — the 100 TB shape.
+    Signatures and band buckets are md5-derived, so the whole pipeline
+    replays in DuckDB (MINHASH_LSH_SQL); recall vs the exact tier is
+    additionally pinned in tests/test_sketches.py.
+    """
+    banded = minhash_band_buckets(d)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
