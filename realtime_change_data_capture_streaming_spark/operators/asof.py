@@ -30,6 +30,7 @@ def join_asof(
     left_ts: str = "ts",
     right_ts: str = "ts",
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Inner as-of join: left rows keep their columns; the matched right
     row's columns arrive under a ``_match`` struct (``_match.<col>``),
@@ -43,6 +44,12 @@ def join_asof(
     a tie at equal timestamps matches in either direction (the side
     ordering guarantees the right row is visible from the left row's
     frame).
+
+    ``tolerance`` (an interval literal, e.g. ``"1 hour"``) bounds the
+    match gap, pandas merge_asof semantics: a left row whose nearest
+    match is farther than the tolerance gets NO match.  It is a pure
+    post-fill filter — correct because any other candidate is farther
+    than the nearest one — so the plan shape is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -81,10 +88,13 @@ def join_asof(
         left_side = 0
     u = r.unionByName(l, allowMissingColumns=False)
     filled = u.withColumn("_m", fill.over(w))
-    return (
-        filled.filter((F.col("_side") == left_side) & F.col("_m").isNotNull())
-        .select(F.col("_left.*"), F.col("_m").alias("_match"))
-    )
+    out = filled.filter((F.col("_side") == left_side) & F.col("_m").isNotNull())
+    if tolerance is not None:
+        gap = F.col("_asof_ts") - F.col("_m").getField(right_ts)
+        if not backward:
+            gap = F.col("_m").getField(right_ts) - F.col("_asof_ts")
+        out = out.filter(gap <= F.expr(f"interval {tolerance}"))
+    return out.select(F.col("_left.*"), F.col("_m").alias("_match"))
 
 
 def events_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,11 +153,42 @@ ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
   ON p.user_id = v.user_id AND p.ts <= v.ts
 """
 
+def events_asof_view_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Toleranced as-of (merge_asof tolerance semantics): the most recent
+    view at or before each purchase, but only if it happened within the
+    last hour — purchases whose nearest view is staler get no row."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    j = join_asof(purchases, views, on="user_id", tolerance="1 hour")
+    return j.select(
+        F.col("user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("_match.ts").alias("view_ts"),
+        (F.unix_micros("ts") - F.unix_micros(F.col("_match.ts"))).alias("gap_us"),
+    )
+
+
+# the tolerance is a post-filter on the nearest match (any other candidate
+# is farther), so the oracle is the native ASOF JOIN plus the gap bound
+ASOF_TOL_SQL = """
+SELECT user_id, purchase_ts, view_ts, gap_us FROM (
+  SELECT p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+         CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+) WHERE gap_us <= 3600000000
+"""
+
+
 QUERIES = {
     "events_asof_view_before_purchase": events_asof_view_before_purchase,
     "events_asof_next_view_after_purchase": events_asof_next_view_after_purchase,
+    "events_asof_view_within_1h": events_asof_view_within_1h,
 }
 ORACLE = {
     "events_asof_view_before_purchase": ASOF_SQL,
     "events_asof_next_view_after_purchase": ASOF_FWD_SQL,
+    "events_asof_view_within_1h": ASOF_TOL_SQL,
 }
