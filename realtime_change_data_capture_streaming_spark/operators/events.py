@@ -410,6 +410,13 @@ def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user roll-up (slot/gap counts + exact filled sum) so the check
     stays row-bounded at any horizon."""
     ev = load_table(spark, sf_dir, "events")
+    return gapfill_locf_rollup(ev)
+
+
+def gapfill_locf_rollup(ev: DataFrame) -> DataFrame:
+    """The gap-fill core over any (user_id, ts, event_id, value) frame —
+    factored out so the property test can drive constructed series through
+    the exact production plan (see tests/test_gapfill_property.py)."""
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     slot = F.date_trunc("hour", F.col("ts"))
     base = ev.select(

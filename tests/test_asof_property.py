@@ -1,0 +1,83 @@
+"""Property test: join_asof vs a brute-force O(n*m) reference.
+
+The window-fill formulation (union + last/first ignorenulls) is subtle —
+tie handling at equal timestamps, per-key isolation, inner semantics,
+tolerance cutoffs.  Hypothesis drives random keyed time series through
+backward / forward / toleranced variants and checks every matched (and
+unmatched) left row against the naive definition.
+
+Right-side (key, ts) pairs are deduplicated: with two right rows at the
+same instant the as-of match is genuinely ambiguous (any engine picks an
+arbitrary one), so uniqueness is the documented determinism precondition
+(the fixture queries rely on the same property).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)),  # (key, ts-seconds)
+    min_size=0,
+    max_size=25,
+)
+
+
+def _reference(left, right, direction, tol_s):
+    out = {}
+    for i, (k, lt) in enumerate(left):
+        if direction == "backward":
+            cands = [rt for (rk, rt) in right if rk == k and rt <= lt]
+            best = max(cands) if cands else None
+            gap = lt - best if best is not None else None
+        else:
+            cands = [rt for (rk, rt) in right if rk == k and rt >= lt]
+            best = min(cands) if cands else None
+            gap = best - lt if best is not None else None
+        if best is not None and (tol_s is None or gap <= tol_s):
+            out[i] = best
+    return out
+
+
+@given(
+    left=_ROWS,
+    right=_ROWS,
+    direction=st.sampled_from(["backward", "forward"]),
+    tol_s=st.sampled_from([None, 0, 5, 20]),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_join_asof_matches_bruteforce(spark, left, right, direction, tol_s):
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.operators.asof import join_asof
+
+    right = list({(k, t) for (k, t) in right})  # unique right (key, ts)
+    ldf = (
+        spark.createDataFrame(
+            [(i, k, t) for i, (k, t) in enumerate(left)] or [(None, None, None)],
+            "row_id long, k long, secs long",
+        )
+        .filter(F.col("row_id").isNotNull())
+        .select("row_id", "k", F.timestamp_seconds("secs").alias("lts"))
+    )
+    rdf = (
+        spark.createDataFrame(
+            [(k, t) for (k, t) in right] or [(None, None)], "k long, secs long"
+        )
+        .filter(F.col("k").isNotNull())
+        .select("k", F.timestamp_seconds("secs").alias("rts"))
+    )
+    got_df = join_asof(
+        ldf,
+        rdf,
+        on="k",
+        left_ts="lts",
+        right_ts="rts",
+        direction=direction,
+        tolerance=f"{tol_s} seconds" if tol_s is not None else None,
+    )
+    got = {
+        r["row_id"]: int(r["_match"]["rts"].timestamp()) for r in got_df.collect()
+    }
+    assert got == _reference(left, right, direction, tol_s)
