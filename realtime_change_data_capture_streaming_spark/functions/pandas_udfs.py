@@ -229,9 +229,64 @@ FROM documents GROUP BY lang
 """
 
 
+def udf_cogrouped_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped map (groupBy().cogroup().applyInPandas): the two-table
+    grouped UDF — each user's views and purchases arrive as TWO aligned
+    pandas frames in one worker call, the shape for per-key model joins
+    (feature frame + label frame) that a single-table grouped map cannot
+    express.  Computes per-user conversion stats; both frames are sorted
+    in-worker so the result is arrival-order independent."""
+
+    def conv(views: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
+        uid = views["user_id"].iloc[0] if len(views) else purchases["user_id"].iloc[0]
+        n_v, n_p = len(views), len(purchases)
+        first_p = purchases["ts"].min() if n_p else None
+        views_before = int((views["ts"] < first_p).sum()) if n_p and n_v else 0
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_views": [n_v],
+                "n_purchases": [n_p],
+                "views_before_first_purchase": [views_before],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return (
+        views.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            conv,
+            schema="user_id long, n_views long, n_purchases long, "
+            "views_before_first_purchase long",
+        )
+    )
+
+
+UDF_COGROUP_SQL = """
+WITH v AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, MIN(ts) AS first_p, COUNT(*) AS n_p
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), users AS (
+  SELECT user_id FROM v UNION SELECT user_id FROM p
+)
+SELECT u.user_id,
+       CAST(COALESCE((SELECT COUNT(*) FROM v WHERE v.user_id = u.user_id), 0) AS BIGINT) AS n_views,
+       CAST(COALESCE(p.n_p, 0) AS BIGINT) AS n_purchases,
+       CAST(COALESCE((SELECT COUNT(*) FROM v WHERE v.user_id = u.user_id AND v.ts < p.first_p), 0) AS BIGINT)
+         AS views_before_first_purchase
+FROM users u LEFT JOIN p ON p.user_id = u.user_id
+"""
+
+
 QUERIES = {
     "udf_scalar_normalize": udf_scalar_normalize,
     "udf_scalar_iter_checksum": udf_scalar_iter_checksum,
+    "udf_cogrouped_conversion": udf_cogrouped_conversion,
     "udf_grouped_median": udf_grouped_median,
     "udf_apply_in_pandas": udf_apply_in_pandas,
     "udf_map_in_pandas": udf_map_in_pandas,
@@ -242,6 +297,7 @@ QUERIES = {
 ORACLE = {
     "udf_scalar_normalize": UDF_SCALAR_SQL,
     "udf_scalar_iter_checksum": UDF_SCALAR_ITER_SQL,
+    "udf_cogrouped_conversion": UDF_COGROUP_SQL,
     "udf_grouped_median": UDF_GROUPED_SQL,
     "udf_apply_in_pandas": UDF_APPLY_SQL,
     "udf_map_in_pandas": UDF_MAP_SQL,
