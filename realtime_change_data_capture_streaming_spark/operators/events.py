@@ -474,8 +474,69 @@ FROM filled GROUP BY user_id
 """
 
 
+#: query pattern for the subsequence search: a fixed 8-step ramp in cents
+_PATTERN_CENTS = [1000 + 450 * i for i in range(8)]
+
+
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series subsequence similarity search (the UCR-suite shape,
+    cf. "Time Series Similarity Search for Streaming Data", EDBT 2019):
+    slide a length-8 window over each user's value sequence and rank
+    windows by squared Euclidean distance to a fixed query pattern,
+    returning the global top-20 matches.
+
+    Plan: windows materialize as lead() arrays over the per-user ordering
+    (one key shuffle shared with the ordering), the distance is an exact
+    BIGINT (integer cents, integer squares — no float anywhere), and the
+    global top-k plans as TakeOrderedAndProject (per-partition heaps, no
+    full sort).  At 100 TB the pattern is a broadcast literal and the scan
+    is one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = ev.select("user_id", "ts", "event_id", cents.alias("c0"))
+    for i in range(1, len(_PATTERN_CENTS)):
+        base = base.withColumn(f"c{i}", F.lead("c0", i).over(w))
+    complete = base.filter(F.col(f"c{len(_PATTERN_CENTS) - 1}").isNotNull())
+    dist = sum(
+        (F.col(f"c{i}") - F.lit(p)) * (F.col(f"c{i}") - F.lit(p))
+        for i, p in enumerate(_PATTERN_CENTS)
+    )
+    scored = complete.select(
+        "user_id", "event_id", dist.alias("dist_sq_cents")
+    )
+    return scored.orderBy(
+        F.asc("dist_sq_cents"), F.asc("user_id"), F.asc("event_id")
+    ).limit(20)
+
+
+_PATTERN_DIST_SQL = " + ".join(
+    f"(c{i} - {p}) * (c{i} - {p})" for i, p in enumerate(_PATTERN_CENTS)
+)
+_PATTERN_LEADS_SQL = ",\n         ".join(
+    f"LEAD(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), {i}) OVER "
+    f"(PARTITION BY user_id ORDER BY ts, event_id) AS c{i}"
+    for i in range(1, len(_PATTERN_CENTS))
+)
+
+PATTERN_MATCH_SQL = f"""
+WITH leads AS (
+  SELECT user_id, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c0,
+         {_PATTERN_LEADS_SQL}
+  FROM events
+)
+SELECT user_id, event_id, CAST({_PATTERN_DIST_SQL} AS BIGINT) AS dist_sq_cents
+FROM leads
+WHERE c{len(_PATTERN_CENTS) - 1} IS NOT NULL
+ORDER BY dist_sq_cents ASC, user_id ASC, event_id ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
+    "events_pattern_match": events_pattern_match,
     "events_sliding_windows": events_sliding_windows,
     "events_sessionization": events_sessionization,
     "events_json_props": events_json_props,
@@ -490,6 +551,7 @@ QUERIES = {
 
 ORACLE = {
     "events_tumbling_hourly": TUMBLING_SQL,
+    "events_pattern_match": PATTERN_MATCH_SQL,
     "events_sliding_windows": SLIDING_SQL,
     "events_sessionization": SESSION_SQL,
     "events_json_props": JSON_PROPS_SQL,
