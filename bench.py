@@ -50,6 +50,8 @@ BENCH_QUERIES = (
     "fn_variant",
     "graph_pagerank_purchases",
     "events_gapfill_locf",
+    "events_ewma_value",
+    "join_interval_overlap_daily",
     "stream_tumbling_hourly",
     "stream_topk_terms",
     "stream_left_outer_attribution",

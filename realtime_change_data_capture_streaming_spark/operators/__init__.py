@@ -5,9 +5,9 @@ and ``ORACLE: dict[str, str]`` (DuckDB-runnable SQL producing identical
 rows/columns).  ``__spark_entry__.py`` aggregates them for the driver.
 """
 
-from realtime_change_data_capture_streaming_spark.operators import tpch, tpch2, relational, grouping, events, skew, asof, reshape, graph, stats, sqlsurface  # noqa: F401
+from realtime_change_data_capture_streaming_spark.operators import tpch, tpch2, relational, grouping, events, skew, asof, reshape, graph, stats, sqlsurface, quality  # noqa: F401
 
-_MODULES = (asof, reshape, tpch, tpch2, relational, grouping, events, skew, graph, stats, sqlsurface)
+_MODULES = (asof, reshape, tpch, tpch2, relational, grouping, events, skew, graph, stats, sqlsurface, quality)
 
 
 def all_queries():

@@ -1,0 +1,336 @@
+"""Data-quality + distribution-profiling surface for training pipelines.
+
+A 100 TB ingestion pipeline runs declarative expectation suites (Delta
+Live Tables / Great Expectations style) and distribution profiles as
+first-class operators, not ad-hoc notebook queries.  Four operators:
+
+- ``dq_expectations``: a rule suite (not-null, uniqueness, range,
+  accepted values, time-window, referential integrity) evaluated in ONE
+  scan of the fact table plus one anti-join branch for the referential
+  rule — per-rule violation counts, never per-row materialization.
+- ``lineitem_distribution_profile``: mean/variance/skewness/excess
+  kurtosis/mode per group from EXACT integer power sums.  Quantities are
+  shifted by the domain midpoint (central moments are shift-invariant)
+  so the bigint sums stay far from overflow at any scale factor; the
+  float combination of those exact sums is a fixed expression evaluated
+  identically by any IEEE-754 engine (`sqrt`, not `pow`, for the 1.5
+  power — `sqrt` is correctly rounded, `pow` is libm-dependent).
+- ``events_ewma_value``: per-key exponentially weighted moving average
+  as a deterministic left fold over the time-ordered value list.  EWMA
+  is inherently sequential per key; the groupBy distributes across keys
+  (the 100 TB unit of parallelism), and the fold itself is Spark
+  ``aggregate`` / DuckDB ``list_reduce`` with the first element as seed
+  — same order, same IEEE ops, bit-identical across engines.
+- ``join_interval_overlap_daily``: interval-overlap self-join made
+  scale-safe by TIME BANDING — intervals are keyed to their day bucket,
+  so the quadratic comparison is bounded per band and the join is an
+  equi-join on the band key with the overlap predicate as a residual
+  filter (no cartesian).  Intervals here never span bands by
+  construction; for multi-band intervals the standard extension is to
+  emit each interval into every overlapped band and keep a pair only in
+  the band containing ``greatest(a.start, b.start)`` — dedup-free.
+
+Reference parity: the reference has no analytics operators
+(``/root/reference/README.md:29-32`` limits scope to the CDC layer);
+these extend the §2.5 training-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------- dq rules
+
+_PRICE_LO, _PRICE_HI = 0.0, 400_000.0
+_DATE_LO, _DATE_HI = "1995-01-01", "2001-01-01"
+_ACCEPTED_STATUS = ("O", "F")
+
+
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation suite over ``orders``: one scan computes five rule
+    counters in a single aggregate (violations surface as counts, the
+    table is never re-scanned per rule); the referential rule is a
+    broadcast-eligible LEFT ANTI join branch.  Output: one row per rule
+    with ``violations`` and ``n_rows``."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("o_custkey").isNull()).alias("not_null_custkey"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias(
+            "unique_orderkey"
+        ),
+        viol(
+            ~F.col("o_totalprice").between(F.lit(_PRICE_LO), F.lit(_PRICE_HI))
+        ).alias("totalprice_in_range"),
+        viol(~F.col("o_orderstatus").isin(*_ACCEPTED_STATUS)).alias("status_accepted"),
+        viol(
+            (F.col("o_orderdate") < F.lit(_DATE_LO).cast("timestamp"))
+            | (F.col("o_orderdate") >= F.lit(_DATE_HI).cast("timestamp"))
+        ).alias("orderdate_in_window"),
+    )
+    rules = agg.select(
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(r).alias("rule"),
+                        F.col(r).alias("violations"),
+                        F.col("n_rows").alias("n_rows"),
+                    )
+                    for r in (
+                        "not_null_custkey",
+                        "unique_orderkey",
+                        "totalprice_in_range",
+                        "status_accepted",
+                        "orderdate_in_window",
+                    )
+                )
+            )
+        ).alias("r")
+    ).select("r.rule", "r.violations", "r.n_rows")
+
+    # referential branch: anti-join count + total via scalar broadcast
+    anti = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("violations"))
+        .crossJoin(F.broadcast(o.agg(F.count(F.lit(1)).alias("n_rows"))))
+        .select(F.lit("ref_custkey_exists").alias("rule"), "violations", "n_rows")
+    )
+    return rules.unionByName(anti)
+
+
+_DQ_SQL = f"""
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_custkey,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS unique_orderkey,
+         CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN {_PRICE_LO} AND {_PRICE_HI}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_in_range,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT)
+             AS status_accepted,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_DATE_LO}'
+                         OR o_orderdate >= TIMESTAMP '{_DATE_HI}'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_in_window
+  FROM orders
+)
+SELECT 'not_null_custkey' AS rule, not_null_custkey AS violations, n_rows FROM base
+UNION ALL SELECT 'unique_orderkey', unique_orderkey, n_rows FROM base
+UNION ALL SELECT 'totalprice_in_range', totalprice_in_range, n_rows FROM base
+UNION ALL SELECT 'status_accepted', status_accepted, n_rows FROM base
+UNION ALL SELECT 'orderdate_in_window', orderdate_in_window, n_rows FROM base
+UNION ALL
+SELECT 'ref_custkey_exists',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT),
+       (SELECT COUNT(*) FROM orders)
+"""
+
+# ------------------------------------------------------- moments profile
+
+_SHIFT = 25  # l_quantity domain is 1..50; shifting by the midpoint keeps
+# |y| <= 25 so SUM(y^4) <= 25^4 * n — exact in bigint to trillions of rows
+
+
+def lineitem_distribution_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag distribution profile: mean/variance/skewness/excess
+    kurtosis from exact bigint power sums (one hash agg, partial-agg
+    safe), plus the modal quantity (tie-break: smallest value).
+
+    With n and exact power sums S1..S4 of the shifted values, the
+    n-scaled central sums A2 = n*S2 - S1^2, A3 = n^2*S3 - 3n*S1*S2 +
+    2*S1^3, A4 = n^3*S4 - 4n^2*S1*S3 + 6n*S1^2*S2 - 3*S1^4 give
+    skew = A3 / (A2*sqrt(A2)) and excess kurtosis = A4/A2^2 - 3 — the
+    n powers cancel, so the float stage is a handful of correctly-
+    rounded IEEE ops replayed identically by the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = (F.col("l_quantity").cast("bigint") - F.lit(_SHIFT)).alias("y")
+    base = li.select(F.col("l_returnflag"), F.col("l_quantity").cast("bigint").alias("q"), y)
+
+    sums = base.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+        F.sum(F.col("y") * F.col("y") * F.col("y")).alias("s3"),
+        F.sum(F.col("y") * F.col("y") * F.col("y") * F.col("y")).alias("s4"),
+    )
+    nd, s1, s2, s3, s4 = (F.col(c).cast("double") for c in ("n", "s1", "s2", "s3", "s4"))
+    a2 = nd * s2 - s1 * s1
+    a3 = nd * nd * s3 - F.lit(3.0) * nd * s1 * s2 + F.lit(2.0) * s1 * s1 * s1
+    a4 = (
+        nd * nd * nd * s4
+        - F.lit(4.0) * nd * nd * s1 * s3
+        + F.lit(6.0) * nd * s1 * s1 * s2
+        - F.lit(3.0) * s1 * s1 * s1 * s1
+    )
+    moments = sums.select(
+        "l_returnflag",
+        F.col("n"),
+        F.round(s1 / nd + F.lit(float(_SHIFT)), 6).alias("mean_qty"),
+        F.round(a2 / (nd * nd), 6).alias("var_qty"),
+        F.round(a3 / (a2 * F.sqrt(a2)), 6).alias("skew_qty"),
+        F.round(a4 / (a2 * a2) - F.lit(3.0), 6).alias("kurt_excess_qty"),
+    )
+
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("cnt"), F.asc("q"))
+    mode = (
+        base.groupBy("l_returnflag", "q")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("l_returnflag", F.col("q").alias("mode_qty"), F.col("cnt").alias("mode_count"))
+    )
+    return moments.join(F.broadcast(mode), "l_returnflag")
+
+
+_MOMENTS_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(l_quantity AS BIGINT) - {_SHIFT} AS y
+  FROM lineitem
+), sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(y) AS s1, SUM(y*y) AS s2, SUM(y*y*y) AS s3, SUM(y*y*y*y) AS s4
+  FROM base GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n,
+         CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2,
+         CAST(s3 AS DOUBLE) AS s3, CAST(s4 AS DOUBLE) AS s4
+  FROM sums
+), a AS (
+  SELECT l_returnflag, n, nd, s1,
+         nd*s2 - s1*s1 AS a2,
+         nd*nd*s3 - 3.0*nd*s1*s2 + 2.0*s1*s1*s1 AS a3,
+         nd*nd*nd*s4 - 4.0*nd*nd*s1*s3 + 6.0*nd*s1*s1*s2 - 3.0*s1*s1*s1*s1 AS a4
+  FROM m
+), moments AS (
+  SELECT l_returnflag, n,
+         ROUND(s1/nd + {float(_SHIFT)}, 6) AS mean_qty,
+         ROUND(a2/(nd*nd), 6) AS var_qty,
+         ROUND(a3/(a2*SQRT(a2)), 6) AS skew_qty,
+         ROUND(a4/(a2*a2) - 3.0, 6) AS kurt_excess_qty
+  FROM a
+), mode AS (
+  SELECT l_returnflag, q AS mode_qty, cnt AS mode_count
+  FROM (
+    SELECT l_returnflag, q, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, q ASC) AS rk
+    FROM base GROUP BY l_returnflag, q
+  ) WHERE rk = 1
+)
+SELECT moments.*, mode_qty, mode_count
+FROM moments JOIN mode USING (l_returnflag)
+"""
+
+# ----------------------------------------------------------------- EWMA
+
+_ALPHA = 0.3
+
+
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of ``value`` over time order: seed = first value,
+    then acc' = alpha*x + (1-alpha)*acc, folded left over the
+    (ts, event_id)-sorted list.  One hash agg (collect) per key — the
+    sequential dependency lives inside a key, parallelism across keys."""
+    e = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(F.collect_list(F.struct("ts", "event_id", "value")))
+    g = e.groupBy("user_id").agg(
+        arr.alias("arr"), F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    fold = F.aggregate(
+        F.slice(F.col("arr"), 2, F.size("arr") - 1),
+        F.element_at("arr", 1)["value"],
+        lambda acc, x: x["value"] * F.lit(_ALPHA) + acc * F.lit(1.0 - _ALPHA),
+    )
+    return g.select("user_id", "n_events", F.round(fold, 6).alias("ewma_value"))
+
+
+_EWMA_SQL = f"""
+WITH s AS (
+  SELECT user_id,
+         LIST(value ORDER BY ts, event_id) AS vs,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       ROUND(LIST_REDUCE(vs, (acc, x) ->
+             x * CAST({_ALPHA} AS DOUBLE) + acc * CAST({1.0 - _ALPHA} AS DOUBLE)), 6)
+           AS ewma_value
+FROM s
+"""
+
+# ----------------------------------------- banded interval-overlap join
+
+
+def join_interval_overlap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity intervals (per user-day [min ts, max ts]) self-
+    joined on true overlap.  The day bucket is the band key: the join is
+    an equi-join on ``day`` (shuffle on a bounded-cardinality key, never
+    a cartesian) with the interval predicate as a residual filter.
+    Output: per day, interval count and overlapping-pair count."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.groupBy(
+        F.to_date("ts").alias("day"), F.col("user_id")
+    ).agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
+    a, b = iv.alias("a"), iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.t0") <= F.col("b.t1"))
+        & (F.col("b.t0") <= F.col("a.t1")),
+    )
+    per_day = pairs.groupBy(F.col("a.day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs")
+    )
+    counts = iv.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_intervals"))
+    return (
+        counts.join(per_day, "day", "left")
+        .select(
+            "day",
+            "n_intervals",
+            F.coalesce("n_overlap_pairs", F.lit(0)).cast("bigint").alias("n_overlap_pairs"),
+        )
+    )
+
+
+_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT CAST(ts AS DATE) AS day, user_id, MIN(ts) AS t0, MAX(ts) AS t1
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.day, COUNT(*) AS n_overlap_pairs
+  FROM iv a JOIN iv b
+    ON a.day = b.day AND a.user_id < b.user_id
+   AND a.t0 <= b.t1 AND b.t0 <= a.t1
+  GROUP BY a.day
+)
+SELECT c.day, c.n_intervals,
+       CAST(COALESCE(p.n_overlap_pairs, 0) AS BIGINT) AS n_overlap_pairs
+FROM (SELECT day, COUNT(*) AS n_intervals FROM iv GROUP BY day) c
+LEFT JOIN pairs p ON c.day = p.day
+"""
+
+
+QUERIES = {
+    "dq_expectations": dq_expectations,
+    "lineitem_distribution_profile": lineitem_distribution_profile,
+    "events_ewma_value": events_ewma_value,
+    "join_interval_overlap_daily": join_interval_overlap_daily,
+}
+
+ORACLE = {
+    "dq_expectations": _DQ_SQL,
+    "lineitem_distribution_profile": _MOMENTS_SQL,
+    "events_ewma_value": _EWMA_SQL,
+    "join_interval_overlap_daily": _OVERLAP_SQL,
+}
