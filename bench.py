@@ -41,6 +41,7 @@ BENCH_QUERIES = (
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "embedding_quantize_int8",
+    "ann_pq_adc_topk",
     "text_bigram_lm_score",
     "layout_zorder_topk",
     "curation_pack_shards",

@@ -675,6 +675,230 @@ FROM q
 """
 
 
+# --------------------------------------------------------------------- PQ
+
+N_PQ_SUB = 8  # M subspaces of EMB_DIM // M dims each
+PQ_SUB_DIM = EMB_DIM // N_PQ_SUB
+N_PQ_CODES = 64  # codewords per subspace (PQ8x6-bit geometry)
+PQ_ITERS = 2  # k-means refinement passes (recall sweep: 2 beats 1 and 3 here)
+PQ_SHORTLIST = 50  # ADC shortlist size fed to the exact rerank stage
+#: fixed-point scale for the cross-subspace ADC sum: per-subspace partial
+#: distances are doubles whose addition order a shuffle does not preserve;
+#: floor(partial * 2^30) is an exact integer, and integer addition is
+#: associative — the summed distance is identical on any engine/partitioning.
+_ADC_SCALE = 1 << 30
+
+
+def _subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, s, sub): the vector split into N_PQ_SUB contiguous
+    subvectors of doubles — one explode, no shuffle."""
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.slice(vd, s * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("sub"),
+            )
+            for s in range(N_PQ_SUB)
+        ]
+    )
+    return e.select("vec_id", F.explode(subs).alias("x")).select("vec_id", "x.s", "x.sub")
+
+
+def _pq_assign(subs: DataFrame, codebook: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace): broadcast the codebook,
+    squared-L2 left-fold in double, ties to the smaller code."""
+    dist = F.aggregate(
+        F.zip_with("sub", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = subs.join(F.broadcast(codebook), "s").withColumn("dist", dist)
+    return (
+        scored.groupBy("vec_id", "s")
+        .agg(F.min_by(F.struct("code", "sub"), F.struct("dist", "code")).alias("m"))
+        .select("vec_id", "s", F.col("m.code").alias("code"), F.col("m.sub").alias("sub"))
+    )
+
+
+def pq_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Fit the product quantizer: seeds = the first N_PQ_CODES vectors'
+    subvectors, PQ_ITERS fixed-point k-means updates per subspace, then
+    the final code assignment.  Returns (codes, codebook).
+
+    The codebook is M*K codewords — broadcast-size at any corpus scale;
+    fitting at 100 TB trains on a sample, which this seed/iterate recipe
+    models.  The same fixed-point mean discipline as ``ivf_assignments``
+    makes the codebook bit-identical on any partitioning or engine."""
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    subs = _subvectors(e)
+    cb = subs.filter(F.col("vec_id") < N_PQ_CODES).select(
+        "s", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
+    )
+    for _ in range(PQ_ITERS):
+        assigned = _pq_assign(subs, cb)
+        cb = (
+            assigned.select("s", "code", F.posexplode("sub").alias("dim", "v"))
+            .withColumn("iv", F.floor(F.col("v") * F.lit(float(_FP_SCALE))))
+            .groupBy("s", "code", "dim")
+            .agg(F.sum("iv").alias("acc"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "m", (F.col("acc").cast("double") / F.col("n")) / F.lit(float(_FP_SCALE))
+            )
+            .groupBy("s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "s", "code", F.transform(F.col("dm"), lambda t: t.getField("m")).alias("cw")
+            )
+        )
+    return _pq_assign(subs, cb), cb
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC shortlist + exact rerank — the
+    memory-bound scale tier.  Candidates are stored as M small codes
+    (M bytes/vector vs 4*EMB_DIM full precision, 32x compression here);
+    the SHORTLIST stage reads ONLY the code table.
+
+    Stage 1 (ADC): per query, a lookup table of partial distances (query
+    subvector -> every codeword; M*K entries, broadcast-size) is joined
+    to the candidate codes and summed into a PQ_SHORTLIST candidate set.
+    The partials enter the sum as floor(d * 2^30) fixed-point integers,
+    making the cross-subspace reduction order-independent.
+    Stage 2 (rerank): exact squared-L2 on the shortlist only — the
+    full-precision fetch is bounded to PQ_SHORTLIST vectors per query,
+    the scan-vs-accuracy contract of production IVFADC systems.  Both
+    stages replay exactly in the oracle."""
+    codes, cb = pq_codebook(spark, sf_dir)
+    # LUT: full-precision QUERY subvectors x codebook (asymmetric: only the
+    # candidate side is quantized)
+    qsubs = codes.filter(F.col("vec_id") < N_QUERY_VECS)
+    dist = F.aggregate(
+        F.zip_with("sub", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    lut = (
+        qsubs.select(F.col("vec_id").alias("query_id"), "s", "sub")
+        .join(F.broadcast(cb), "s")
+        .select("query_id", "s", "code", F.floor(dist * F.lit(float(_ADC_SCALE))).alias("pfp"))
+    )
+    cand = codes.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("cand_id"), "s", "code"
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pfp").alias("fp"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("fp"), F.asc("cand_id"))
+    short = scored.withColumn("srk", F.row_number().over(w)).filter(
+        F.col("srk") <= PQ_SHORTLIST
+    )
+
+    # exact rerank: bounded full-precision fetch, one row per shortlist pair
+    e = load_table(spark, sf_dir, "embeddings")
+    vd = e.select(
+        "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    rer = (
+        short.select("query_id", "cand_id")
+        .join(vd.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv")), "query_id")
+        .join(vd.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")), "cand_id")
+        .select("query_id", "cand_id", l2.alias("l2_dist"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "l2_dist", F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def _pq_sql() -> str:
+    """DuckDB replay of pq_codebook + ann_pq_adc_topk: same seeds, same
+    fixed-point codebook updates, same fold order, same fixed-point ADC
+    shortlist, same exact rerank."""
+    dist = "list_sum(list_transform(list_zip(a.sub, c.cw), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+
+    def assign(cb: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, s, code, sub FROM (
+    SELECT a.vec_id, a.s, c.code, a.sub,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.s ORDER BY {dist} ASC, c.code ASC) AS rk
+    FROM subs a JOIN {cb} c ON a.s = c.s
+  ) WHERE rk = 1
+)"""
+
+    def update(assigned: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT s, code, list(m ORDER BY dim) AS cw FROM (
+    SELECT s, code, dim,
+           (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
+    FROM (
+      SELECT a.s, a.code, t.i AS dim,
+             CAST(FLOOR(a.sub[t.i] * {float(_FP_SCALE)}) AS BIGINT) AS iv
+      FROM {assigned} a, UNNEST(range(1, {PQ_SUB_DIM} + 1)) AS t(i)
+    ) GROUP BY s, code, dim
+  ) GROUP BY s, code
+)"""
+
+    chain = f"""
+WITH vd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), subs AS (
+  SELECT vec_id, t.s AS s, list_slice(v, t.s * {PQ_SUB_DIM} + 1, t.s * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS sub
+  FROM vd, UNNEST(range(0, {N_PQ_SUB})) AS t(s)
+), cb0 AS (
+  SELECT s, vec_id AS code, sub AS cw FROM subs WHERE vec_id < {N_PQ_CODES}
+)"""
+    cb = "cb0"
+    for i in range(PQ_ITERS):
+        chain += f", {assign(cb, f'assign{i}')}\n, {update(f'assign{i}', f'cb{i + 1}')}"
+        cb = f"cb{i + 1}"
+    return f"""{chain}
+, {assign(cb, "codes")}
+, lut AS (
+  SELECT a.vec_id AS query_id, a.s, c.code,
+         CAST(FLOOR({dist} * {float(_ADC_SCALE)}) AS BIGINT) AS pfp
+  FROM subs a JOIN {cb} c ON a.s = c.s
+  WHERE a.vec_id < {N_QUERY_VECS}
+), scored AS (
+  SELECT l.query_id, a.vec_id AS cand_id, SUM(l.pfp) AS fp
+  FROM codes a JOIN lut l ON a.s = l.s AND a.code = l.code
+  WHERE a.vec_id >= {N_QUERY_VECS}
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fp ASC, cand_id ASC) AS srk
+    FROM scored
+  ) WHERE srk <= {PQ_SHORTLIST}
+), rer AS (
+  SELECT s.query_id, s.cand_id,
+         list_sum(list_transform(list_zip(q.v, c.v), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS l2_dist
+  FROM short s
+  JOIN vd q ON q.vec_id = s.query_id
+  JOIN vd c ON c.vec_id = s.cand_id
+)
+SELECT query_id, cand_id, l2_dist, rk FROM (
+  SELECT query_id, cand_id, l2_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist ASC, cand_id ASC) AS BIGINT) AS rk
+  FROM rer
+) WHERE rk <= {TOP_K}
+"""
+
+
+ANN_PQ_SQL = _pq_sql()
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
@@ -684,6 +908,7 @@ QUERIES = {
     "ann_ivf_persisted_topk": ann_ivf_persisted_topk,
     "pairwise_label_cosine": pairwise_label_cosine,
     "embedding_quantize_int8": embedding_quantize_int8,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
 }
 
 ORACLE = {
@@ -695,4 +920,5 @@ ORACLE = {
     "ann_ivf_persisted_topk": ANN_IVF_MULTIPROBE_SQL,
     "pairwise_label_cosine": PAIRWISE_LABEL_SQL,
     "embedding_quantize_int8": QUANTIZE_INT8_SQL,
+    "ann_pq_adc_topk": ANN_PQ_SQL,
 }

@@ -252,3 +252,47 @@ def test_ivf_multiprobe_dominates_single_probe_recall(spark):
     r_multi = len(multi & exact) / len(exact)
     assert r_multi >= r_single, (r_single, r_multi)
     assert r_multi >= 0.85, r_multi
+
+
+def test_pq_adc_rerank_recall(spark):
+    """PQ ADC shortlist + exact rerank vs brute-force squared-L2 top-k:
+    the shortlist (codes-only scan) must recall >= 85% of the exact
+    neighbors, and reranked distances must equal the exact distances for
+    every recalled pair (the rerank stage is exact by construction)."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
+        N_QUERY_VECS,
+        TOP_K,
+        ann_pq_adc_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("cand_id"))
+    exact_rows = (
+        q.crossJoin(c)
+        .select("query_id", "cand_id", l2.alias("l2_dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .collect()
+    )
+    exact = {(r["query_id"], r["cand_id"]): r["l2_dist"] for r in exact_rows}
+    got = {(r["query_id"], r["cand_id"]): r["l2_dist"] for r in ann_pq_adc_topk(spark, sf).collect()}
+    hit = set(exact) & set(got)
+    assert len(hit) / len(exact) >= 0.85, len(hit) / len(exact)
+    for k in hit:
+        assert got[k] == exact[k], (k, got[k], exact[k])
