@@ -404,11 +404,78 @@ FROM t GROUP BY merchant
 """
 
 
+def pyds_stream_scan(spark, sf_dir: str):
+    """REAL streaming run through the partition-planning
+    ``_PartitionedStreamReader``: ``readStream`` drains the id-space in
+    ``batchRows`` micro-batches (availableNow), each batch's range split
+    across executor-side ``read()`` calls — the scale path of the custom
+    streaming source, driver-checked end to end.  The rollup totals must
+    equal the batch scan's closed-form oracle: every row exactly once
+    across all micro-batches (offset bookkeeping proven by equality).
+    ``sf_dir`` is unused (the source IS the data)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.operators._util import dsum
+
+    register(spark)
+    stream = (
+        spark.readStream.format("synthetic_tx")
+        .option("rows", str(N_PYDS_ROWS))
+        .option("batchRows", "5000")
+        .option("partitions", "8")
+        .load()
+    )
+    agg = stream.groupBy("currency").agg(
+        F.count(F.lit(1)).alias("n_tx"),
+        dsum("amount").alias("total_amount"),
+        F.min("tx_id").alias("min_tx_id"),
+        F.max("tx_id").alias("max_tx_id"),
+    )
+    # PythonMicroBatchStream does not implement Trigger.AvailableNow (Spark
+    # falls back to ONE batch) — drain with processAllAvailable() instead:
+    # it blocks until latestOffset stops advancing, i.e. the id-space is
+    # exhausted across however many micro-batches that takes.
+    name = f"pyds_stream_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+PYDS_STREAM_SQL = f"""
+WITH t AS (
+  SELECT i AS tx_id,
+         CAST((i * 7919) % 1000000 AS DOUBLE) / 100.0 AS amount,
+         ['USD','EUR','GBP','JPY'][(i % 4) + 1] AS currency
+  FROM range({N_PYDS_ROWS}) r(i)
+)
+SELECT currency,
+       COUNT(*) AS n_tx,
+       CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total_amount,
+       MIN(tx_id) AS min_tx_id,
+       MAX(tx_id) AS max_tx_id
+FROM t GROUP BY currency
+"""
+
+
 QUERIES = {
     "pyds_synthetic_scan": pyds_synthetic_scan,
     "pyds_envelope_write_roundtrip": pyds_envelope_write_roundtrip,
+    "pyds_stream_scan": pyds_stream_scan,
 }
 ORACLE = {
     "pyds_synthetic_scan": PYDS_SCAN_SQL,
     "pyds_envelope_write_roundtrip": PYDS_WRITE_SQL,
+    "pyds_stream_scan": PYDS_STREAM_SQL,
 }
