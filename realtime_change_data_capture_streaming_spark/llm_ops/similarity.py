@@ -727,11 +727,15 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     the final code assignment.  Returns (codes, codebook).
 
     The codebook is M*K codewords — broadcast-size at any corpus scale;
-    fitting at 100 TB trains on a sample, which this seed/iterate recipe
-    models.  The same fixed-point mean discipline as ``ivf_assignments``
-    makes the codebook bit-identical on any partitioning or engine."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
-    subs = _subvectors(e)
+    fitting at 100 TB trains on a SAMPLE (bounded by design), which this
+    seed/iterate recipe models — so the fit pipeline runs at sample
+    parallelism, and the subvector table is localCheckpoint'ed once so
+    the k-means iterations and the final coding pass don't re-derive it
+    per step.  The same fixed-point mean discipline as
+    ``ivf_assignments`` makes the codebook bit-identical on any
+    partitioning or engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    subs = _subvectors(e).repartition(8, "vec_id").localCheckpoint(eager=True)
     cb = subs.filter(F.col("vec_id") < N_PQ_CODES).select(
         "s", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
     )
@@ -750,8 +754,14 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             .select(
                 "s", "code", F.transform(F.col("dm"), lambda t: t.getField("m")).alias("cw")
             )
+            # truncate the lineage per iteration: without this, iteration i
+            # re-derives every earlier assignment (the broadcast build of
+            # cb_i replays the whole chain), turning an O(iters) fit into
+            # O(iters^2) recompute — the same localCheckpoint discipline as
+            # dedup.py's connected components
+            .localCheckpoint(eager=True)
         )
-    return _pq_assign(subs, cb), cb
+    return _pq_assign(subs, cb).localCheckpoint(eager=True), cb
 
 
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
