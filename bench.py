@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "layout_zorder_topk",
     "curation_pack_shards",
     "curation_contamination_overlap",
+    "feature_hashing_counts",
     "udf_grouped_median",
     "multimodal_features",
     "fn_variant",
