@@ -532,6 +532,65 @@ FROM weighted
 """
 
 
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_STRIDE = 24  # overlap = W - stride
+
+
+def curation_chunk_documents(spark, sf_dir: str):
+    """Sliding-window document chunking — the RAG/embedding-pipeline
+    primitive: each doc becomes overlapping token windows of _CHUNK_W
+    tokens at _CHUNK_STRIDE offsets (offsets 0, 24, 48, ... below the
+    token count; the tail chunk is short).
+
+    One tokenize pass, chunk offsets as a per-row sequence+filter (no
+    join against a spine), explode, slice — all codegen expressions;
+    output is the chunk table a downstream embedder consumes.  At 100 TB
+    chunking is embarrassingly parallel per doc; the only data growth is
+    the overlap factor W/stride."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("ts")).withColumn(
+        "n_toks", F.size("ts")
+    ).filter(F.col("n_toks") > 0)
+    offs = F.filter(
+        F.sequence(F.lit(0), F.col("n_toks"), F.lit(_CHUNK_STRIDE)),
+        lambda o: o < F.col("n_toks"),
+    )
+    chunks = toks.select(
+        "doc_id", "ts", "n_toks", F.explode(offs).alias("off")
+    ).withColumn("chunk", F.slice("ts", F.col("off") + 1, _CHUNK_W))
+    return chunks.select(
+        "doc_id",
+        (F.col("off") / _CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+        F.size("chunk").cast("bigint").alias("n_chunk_tokens"),
+        F.element_at("chunk", 1).alias("first_token"),
+        F.element_at("chunk", -1).alias("last_token"),
+    )
+
+
+CURATION_CHUNK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'),
+                     t -> t != '') AS ts
+  FROM documents
+), sized AS (
+  SELECT doc_id, ts, len(ts) AS n_toks FROM toks WHERE len(ts) > 0
+), chunks AS (
+  SELECT doc_id, o.off AS off, list_slice(ts, o.off + 1, o.off + {_CHUNK_W}) AS chunk
+  FROM sized, UNNEST(range(0, n_toks, {_CHUNK_STRIDE})) AS o(off)
+)
+SELECT doc_id,
+       CAST(off / {_CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       chunk[1] AS first_token,
+       chunk[len(chunk)] AS last_token
+FROM chunks
+"""
+
+
 QUERIES = {
     "curation_split_counts": curation_split_counts,
     "curation_cluster_safe_split": curation_cluster_safe_split,
@@ -543,6 +602,7 @@ QUERIES = {
     "curation_boilerplate_ngrams": curation_boilerplate_ngrams,
     "curation_contamination_overlap": curation_contamination_overlap,
     "curation_sample_weighted": curation_sample_weighted,
+    "curation_chunk_documents": curation_chunk_documents,
 }
 
 ORACLE = {
@@ -556,4 +616,5 @@ ORACLE = {
     "curation_boilerplate_ngrams": CURATION_BOILERPLATE_SQL,
     "curation_contamination_overlap": CURATION_CONTAMINATION_SQL,
     "curation_sample_weighted": CURATION_WEIGHTED_SQL,
+    "curation_chunk_documents": CURATION_CHUNK_SQL,
 }

@@ -77,12 +77,58 @@ FROM b GROUP BY bucket
 """
 
 
+_BASKET_TOP = 20
+
+
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top part pairs ordered together.
+
+    The classic frequent-itemset counting shape, scale-safe because the
+    self-join blocks are ORDER-sized (TPC-H orders hold <= 7 distinct
+    parts; real baskets are similarly bounded), so the pair expansion is
+    linear in orders times k^2, never corpus-quadratic.  Distinct
+    (order, part) first — a part appearing on two lines of one order
+    must not double-count the pair; top-k via one global
+    TakeOrderedAndProject with full (n, pa, pb) tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    counted = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    return counted.orderBy(
+        F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).limit(_BASKET_TOP)
+
+
+_BASKET_SQL = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, COUNT(*) AS n_orders
+FROM pairs GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT {_BASKET_TOP}
+"""
+
+
 QUERIES = {
     "docs_crosstab_lang_source": docs_crosstab_lang_source,
     "orders_equidepth_histogram": orders_equidepth_histogram,
+    "basket_part_pairs": basket_part_pairs,
 }
 
 ORACLE = {
     "docs_crosstab_lang_source": _CROSSTAB_SQL,
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
+    "basket_part_pairs": _BASKET_SQL,
 }
