@@ -321,11 +321,81 @@ LEFT JOIN pairs p ON c.day = p.day
 """
 
 
+# ----------------------------------------------------------- winsorize
+
+_WINS_LO, _WINS_HI = 0.01, 0.99
+
+
+def events_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier-clipping step of feature cleaning:
+    per event_type, exact rank-based P1/P99 over the deterministic
+    (value, event_id) total order, then every value clamped into the
+    band.  Output: per-segment bounds, clip counts, and the exact
+    decimal sum of the winsorized values.
+
+    Two passes: bounds (one window sort — the only order the semantic
+    needs — feeding a 5-row aggregate) broadcast back onto the scan for
+    the clip aggregate.  No per-row materialization of clipped rows."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo_idx = F.floor((F.col("n") - 1) * F.lit(_WINS_LO)) + 1
+    hi_idx = F.floor((F.col("n") - 1) * F.lit(_WINS_HI)) + 1
+    bounds = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_idx, F.col("value"))).alias("p01"),
+        F.max(F.when(F.col("rn") == hi_idx, F.col("value"))).alias("p99"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("value") < F.col("p01"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("p99"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.sum(clamped.cast("decimal(18,2)")).cast("double").alias("sum_winsorized"),
+        )
+    )
+
+
+_WINSORIZE_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), bounds AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = FLOOR((n - 1) * {_WINS_LO}) + 1 THEN value END) AS p01,
+         MAX(CASE WHEN rn = FLOOR((n - 1) * {_WINS_HI}) + 1 THEN value END) AS p99
+  FROM ranked GROUP BY event_type
+)
+SELECT e.event_type, b.p01, b.p99,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       CAST(SUM(CAST(LEAST(GREATEST(e.value, b.p01), b.p99) AS DECIMAL(18,2))) AS DOUBLE)
+           AS sum_winsorized
+FROM events e JOIN bounds b USING (event_type)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "lineitem_distribution_profile": lineitem_distribution_profile,
     "events_ewma_value": events_ewma_value,
     "join_interval_overlap_daily": join_interval_overlap_daily,
+    "events_winsorize_value": events_winsorize_value,
 }
 
 ORACLE = {
@@ -333,4 +403,5 @@ ORACLE = {
     "lineitem_distribution_profile": _MOMENTS_SQL,
     "events_ewma_value": _EWMA_SQL,
     "join_interval_overlap_daily": _OVERLAP_SQL,
+    "events_winsorize_value": _WINSORIZE_SQL,
 }
