@@ -257,13 +257,13 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EWMA_SQL = f"""
 WITH s AS (
   SELECT user_id,
-         LIST(value ORDER BY ts, event_id) AS vs,
+         LIST(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vs,
          COUNT(*) AS n_events
   FROM events GROUP BY user_id
 )
 SELECT user_id, n_events,
-       ROUND(LIST_REDUCE(vs, (acc, x) ->
-             x * CAST({_ALPHA} AS DOUBLE) + acc * CAST({1.0 - _ALPHA} AS DOUBLE)), 6)
+       CAST(ROUND(LIST_REDUCE(vs, (acc, x) ->
+             x * CAST({_ALPHA} AS DOUBLE) + acc * CAST({1.0 - _ALPHA} AS DOUBLE)), 6) AS DOUBLE)
            AS ewma_value
 FROM s
 """
@@ -379,7 +379,7 @@ WITH ranked AS (
          MAX(CASE WHEN rn = FLOOR((n - 1) * {_WINS_HI}) + 1 THEN value END) AS p99
   FROM ranked GROUP BY event_type
 )
-SELECT e.event_type, b.p01, b.p99,
+SELECT e.event_type, CAST(b.p01 AS DOUBLE) AS p01, CAST(b.p99 AS DOUBLE) AS p99,
        COUNT(*) AS n,
        CAST(SUM(CASE WHEN e.value < b.p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
        CAST(SUM(CASE WHEN e.value > b.p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,

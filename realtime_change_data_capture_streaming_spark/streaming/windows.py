@@ -281,6 +281,76 @@ GROUP BY c.c_mktsegment, e.event_type
 """
 
 
+
+
+def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming data-quality monitor: the dq_expectations rule shape run
+    ON THE STREAM — per micro-batch the running violation counters update
+    in one streaming aggregate (complete mode, counters-only state), the
+    production "expectations on a live feed" pattern where per-row
+    violation materialization is impossible at stream rates.
+
+    Rules over events: user_id not null, value within [0, 500), known
+    event_type, ts inside the feed's contract window.  Output: one row
+    per rule with running violations/n_rows — equal, once drained, to the
+    batch rule suite (the oracle)."""
+    ev = events_stream(spark, sf_dir)
+    known = ("view", "click", "purchase", "signup", "error")
+
+    def viol(cond) -> F.Column:
+        return F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).cast("bigint")
+
+    agg = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        viol(F.col("user_id").isNull()).alias("not_null_user"),
+        viol(~F.col("value").between(F.lit(0.0), F.lit(500.0))).alias("value_in_range"),
+        viol(~F.col("event_type").isin(*known)).alias("event_type_known"),
+        viol(
+            (F.col("ts") < F.lit("2024-01-01").cast("timestamp"))
+            | (F.col("ts") >= F.lit("2024-02-01").cast("timestamp"))
+        ).alias("ts_in_window"),
+    )
+    rules = agg.select(
+        F.explode(
+            F.array(
+                *(
+                    F.struct(
+                        F.lit(r).alias("rule"),
+                        F.col(r).alias("violations"),
+                        F.col("n_rows").alias("n_rows"),
+                    )
+                    for r in (
+                        "not_null_user",
+                        "value_in_range",
+                        "event_type_known",
+                        "ts_in_window",
+                    )
+                )
+            )
+        ).alias("r")
+    ).select("r.rule", "r.violations", "r.n_rows")
+    return _run_to_table(rules, "complete")
+
+
+STREAM_DQ_SQL = """
+WITH base AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS not_null_user,
+         CAST(SUM(CASE WHEN value NOT BETWEEN 0.0 AND 500.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS value_in_range,
+         CAST(SUM(CASE WHEN event_type NOT IN ('view','click','purchase','signup','error')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS event_type_known,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-01' OR ts >= TIMESTAMP '2024-02-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ts_in_window
+  FROM events
+)
+SELECT 'not_null_user' AS rule, not_null_user AS violations, n_rows FROM base
+UNION ALL SELECT 'value_in_range', value_in_range, n_rows FROM base
+UNION ALL SELECT 'event_type_known', event_type_known, n_rows FROM base
+UNION ALL SELECT 'ts_in_window', ts_in_window, n_rows FROM base
+"""
+
+
 QUERIES = {
     "stream_tumbling_hourly": stream_tumbling_hourly,
     "stream_session_windows": stream_session_windows,
@@ -288,6 +358,7 @@ QUERIES = {
     "stream_dedup_documents": stream_dedup_documents,
     "stream_topk_terms": stream_topk_terms,
     "stream_enrich_customers": stream_enrich_customers,
+    "stream_dq_monitor": stream_dq_monitor,
 }
 
 ORACLE = {
@@ -297,4 +368,5 @@ ORACLE = {
     "stream_dedup_documents": STREAM_DEDUP_DOCS_SQL,
     "stream_topk_terms": STREAM_TOPK_TERMS_SQL,
     "stream_enrich_customers": STREAM_ENRICH_SQL,
+    "stream_dq_monitor": STREAM_DQ_SQL,
 }
