@@ -284,3 +284,63 @@ def test_gapfill_and_scd2_plan_single_exchange(spark):
             assert n == 1, f"expected 1 hash exchange, found {n}:\n{plan[:2000]}"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dq_expectations_single_scan_rule_suite(spark, sf_dir):
+    """The rule suite must evaluate all non-referential rules in ONE
+    aggregate over one orders scan (plus the anti-join branch) — a
+    per-rule re-scan would read the table R times at 100 TB."""
+    from realtime_change_data_capture_streaming_spark.operators.quality import dq_expectations
+
+    df = dq_expectations(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # orders appears in: rule-suite scan, anti-join left, total-count scalar
+    assert plan.count("orders.parquet") <= 3, plan.count("orders.parquet")
+    assert_no_cartesian(df.where(F.col("rule") != "ref_custkey_exists"))
+
+
+def test_interval_overlap_is_equi_join_on_band(spark, sf_dir):
+    """The overlap join must key on the day band (equi-join with the
+    interval predicate as residual filter) — a pure theta join would be
+    a broadcast-nested-loop over all interval pairs."""
+    from realtime_change_data_capture_streaming_spark.operators.quality import (
+        join_interval_overlap_daily,
+    )
+
+    df = join_interval_overlap_daily(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["cartesian"] == 0 and c["bnl_joins"] == 0, c
+    assert c["sort_merge_joins"] + c["shuffled_hash_joins"] + c["broadcast_joins"] >= 1, c
+
+
+def test_basket_pairs_no_cartesian(spark, sf_dir):
+    """Pair expansion must ride the orderkey equi-join (order-sized
+    blocks), never a cartesian."""
+    from realtime_change_data_capture_streaming_spark.operators.stats import basket_part_pairs
+
+    df = basket_part_pairs(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["cartesian"] == 0 and c["bnl_joins"] == 0, c
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    """The 5-row bounds table must broadcast back onto the events scan —
+    shuffling the fact side to join a constant-size table is the
+    anti-pattern the two-pass design avoids."""
+    from realtime_change_data_capture_streaming_spark.operators.quality import events_winsorize_value
+
+    df = events_winsorize_value(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 1, c
+    assert c["cartesian"] == 0, c
+
+
+def test_pq_search_broadcasts_lut_and_codebook(spark, sf_dir):
+    """PQ search must broadcast the per-query LUT and the codebook; the
+    candidate CODE table is the only full-size join input."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import ann_pq_adc_topk
+
+    df = ann_pq_adc_topk(spark, sf_dir)
+    c = plan_counts(df)
+    assert c["broadcast_joins"] >= 2, c
+    assert c["cartesian"] == 0, c
