@@ -127,5 +127,79 @@ SELECT node, CAST(r AS BIGINT) AS rank_scaled FROM i3
 """
 
 
-QUERIES = {"graph_pagerank_purchases": graph_pagerank_purchases}
-ORACLE = {"graph_pagerank_purchases": PAGERANK_SQL}
+
+
+_TRI_SUPPORT = 2  # co-purchase support threshold: edge = pair ordered together >= 2 times
+
+
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the frequent co-purchase graph — the
+    clustering-coefficient / community-detection primitive.
+
+    Edges: part pairs ordered together >= _TRI_SUPPORT times, stored once
+    in (lo, hi) orientation so each triangle is enumerated exactly once
+    by the two-hop join e1(a,b) |> e2(b,c) |> e3(a,c) with a < b < c.
+    Output: per-node triangle participation (nodes in >= 1 triangle).
+
+    Scale shape: support thresholding sparsifies the graph BEFORE the
+    quadratic step (the same candidate-pruning idea as LSH banding); the
+    (lo, hi) orientation is the standard each-triangle-once trick, and
+    the production refinement for skewed degree distributions is to
+    orient by (degree, id) instead of raw id so the join fanout is
+    bounded by sqrt(m) per node.  All joins are equi-joins on node ids —
+    no cartesian anywhere."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRI_SUPPORT)
+        .select("pa", "pb")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("x"), F.col("e1.pb").alias("y"), F.col("e2.pb").alias("z")
+        )
+    )
+    nodes = tris.select(F.explode(F.array("x", "y", "z")).alias("part"))
+    return nodes.groupBy("part").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+
+
+TRIANGLE_SQL = f"""
+WITH dd AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM dd a JOIN dd b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_SUPPORT}
+), tris AS (
+  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+            JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+), nodes AS (
+  SELECT UNNEST([x, y, z]) AS part FROM tris
+)
+SELECT part, COUNT(*) AS n_triangles FROM nodes GROUP BY part
+"""
+
+
+QUERIES = {
+    "graph_pagerank_purchases": graph_pagerank_purchases,
+    "graph_triangle_counts": graph_triangle_counts,
+}
+ORACLE = {
+    "graph_pagerank_purchases": PAGERANK_SQL,
+    "graph_triangle_counts": TRIANGLE_SQL,
+}
