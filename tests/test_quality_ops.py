@@ -1,0 +1,135 @@
+"""Semantic properties of the round-5 quality/feature operators, beyond
+the oracle hash: invariants that hold by construction and would catch a
+silent re-definition (off-by-one chunk windows, EWMA recursion drift,
+smoothing direction, PSI of identical distributions)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.llm_ops.curation import (
+    _CHUNK_STRIDE,
+    _CHUNK_W,
+    curation_chunk_documents,
+)
+from realtime_change_data_capture_streaming_spark.llm_ops.features import (
+    feature_target_encode,
+)
+from realtime_change_data_capture_streaming_spark.llm_ops.text import tokens
+from realtime_change_data_capture_streaming_spark.operators.quality import (
+    _ALPHA,
+    events_ewma_value,
+)
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_chunking_covers_every_token_with_expected_overlap(spark):
+    """Chunk windows must tile each doc completely: chunk i starts at
+    i*stride, spans min(W, n - i*stride) tokens, the last chunk reaches
+    exactly token n, and consecutive chunks overlap by W - stride."""
+    chunks = curation_chunk_documents(spark, SF_DIR).collect()
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", F.size(tokens(F.col("text"))).alias("n"))
+        .collect()
+    }
+    per_doc: dict[int, list] = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in per_doc.items():
+        n = n_toks[doc_id]
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        covered_end = 0
+        for r in rows:
+            start = r["chunk_id"] * _CHUNK_STRIDE  # 0-based
+            assert start < n
+            expect_len = min(_CHUNK_W, n - start)
+            assert r["n_chunk_tokens"] == expect_len, (doc_id, r)
+            # no gap: each chunk starts inside or at the covered prefix
+            assert start <= covered_end
+            covered_end = max(covered_end, start + expect_len)
+        assert covered_end == n, (doc_id, covered_end, n)
+    # every tokenized doc is chunked
+    assert set(per_doc) == {d for d, n in n_toks.items() if n > 0}
+
+
+def test_ewma_matches_sequential_reference(spark):
+    """The folded EWMA must equal the plain sequential recursion computed
+    driver-side from the same (ts, event_id)-ordered values."""
+    got = {r["user_id"]: r for r in events_ewma_value(spark, SF_DIR).collect()}
+    pdf = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    for uid, g in pdf.groupby("user_id"):
+        vals = list(g["value"])
+        acc = vals[0]
+        for x in vals[1:]:
+            acc = x * _ALPHA + acc * (1.0 - _ALPHA)
+        assert got[uid]["n_events"] == len(vals)
+        assert got[uid]["ewma_value"] == round(acc, 6), (uid, acc)
+
+
+def test_psi_is_zero_for_identical_distributions(spark):
+    """PSI of a distribution against itself must be exactly 0 — the same
+    binned counts on both sides cancel term by term (Laplace smoothing
+    keeps every term finite, so 0 is exact, not approximate)."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.features import (
+        _PSI_N_BINS,
+        _PSI_BIN_W,
+    )
+
+    rows = [("x", p, float(v % 300)) for v in range(600) for p in ("a", "b")]
+    df = spark.createDataFrame(rows, "event_type string, period string, value double")
+    binned = df.select(
+        "event_type",
+        "period",
+        F.least(
+            F.lit(_PSI_N_BINS - 1), F.floor(F.col("value") / F.lit(_PSI_BIN_W)).cast("int")
+        ).alias("bin"),
+    )
+    counts = (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("cb"),
+        )
+        .collect()
+    )
+    assert all(r["ca"] == r["cb"] for r in counts)  # identical by construction
+    # identical counts -> pa == pb for every bin -> every PSI term is 0
+    import math
+
+    na = sum(r["ca"] for r in counts)
+    psi = sum(
+        ((r["ca"] + 1) / (na + _PSI_N_BINS) - (r["cb"] + 1) / (na + _PSI_N_BINS))
+        * math.log(((r["ca"] + 1) / (na + _PSI_N_BINS)) / ((r["cb"] + 1) / (na + _PSI_N_BINS)))
+        for r in counts
+    )
+    assert psi == 0.0
+
+
+def test_target_encoding_shrinks_toward_prior(spark):
+    """m-estimate encoding must lie strictly between the raw category
+    mean and the global prior (shrinkage direction), and never farther
+    from the prior than the raw mean is."""
+    enc = {r["o_orderpriority"]: r for r in feature_target_encode(spark, SF_DIR).collect()}
+    o = load_table(spark, SF_DIR, "orders")
+    raw = {
+        r["o_orderpriority"]: r["m"]
+        for r in o.groupBy("o_orderpriority")
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("m"))
+        .collect()
+    }
+    for cat, r in enc.items():
+        prior, e, m = r["prior_mean"], r["encoded"], raw[cat]
+        assert abs(e - prior) <= abs(m - prior) + 1e-6, (cat, e, m, prior)
+        # and e is on the same side of the prior as the raw mean
+        assert (e - prior) * (m - prior) >= 0 or abs(m - prior) < 1e-6, (cat, e, m, prior)
