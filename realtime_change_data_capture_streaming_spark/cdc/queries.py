@@ -250,13 +250,14 @@ FROM orders
 """
 
 
-def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mid-stream column add, end to end: insert events use the v1 schema;
-    the later update events carry a ``channel`` column added upstream
-    (ALTER TABLE ADD, ``/root/reference/README.md:211``).  The fixed-schema
-    parse must NOT silently drop it — ``capture_extras`` routes it into the
-    ``_extra`` map, apply-changes carries it latest-wins, and rows never
-    touched after the evolution show NULL, exactly like a widened table."""
+def schema_evolution_events(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The ALTER-TABLE-ADD wire scenario as two phases of (key, value)
+    envelope events: phase 1 = v1-schema inserts; phase 2 = updates
+    carrying the NEW ``channel`` column plus deletes.  Shared by the
+    batch query (union) and the streaming variant (one micro-batch per
+    phase, so the widening happens MID-STREAM)."""
     o = load_table(spark, sf_dir, "orders")
     base_lsn = F.col("o_orderkey") * 3
     ts_ms = F.unix_timestamp("o_orderdate") * 1000
@@ -289,14 +290,30 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         key,
         env(_image(F.col("o_totalprice") + _AMOUNT_BUMP), F.when(F.lit(False), _image(F.col("o_totalprice"))), "d", F.lit(2)).alias("value"),
     )
-    events = inserts.unionByName(updates).unionByName(deletes)
-    parsed = parse_envelope(events, decimal_mode="string", capture_extras=True)
-    final = apply_changes_batch(parsed)
+    return inserts, updates.unionByName(deletes)
+
+
+def evolution_result_columns(final: DataFrame) -> DataFrame:
+    """The evolution scenario's output shape: amount as double, the
+    evolved column surfaced from the ``_extra`` map."""
     return final.select(
         F.col("transaction_id"),
         F.col("amount").cast("double").alias("amount"),
         F.element_at(F.col("_extra"), "channel").alias("channel"),
     )
+
+
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream column add, end to end: insert events use the v1 schema;
+    the later update events carry a ``channel`` column added upstream
+    (ALTER TABLE ADD, ``/root/reference/README.md:211``).  The fixed-schema
+    parse must NOT silently drop it — ``capture_extras`` routes it into the
+    ``_extra`` map, apply-changes carries it latest-wins, and rows never
+    touched after the evolution show NULL, exactly like a widened table."""
+    phase1, phase2 = schema_evolution_events(spark, sf_dir)
+    events = phase1.unionByName(phase2)
+    parsed = parse_envelope(events, decimal_mode="string", capture_extras=True)
+    return evolution_result_columns(apply_changes_batch(parsed))
 
 
 CDC_EVOLUTION_SQL = f"""

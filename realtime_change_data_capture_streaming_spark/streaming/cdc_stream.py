@@ -65,5 +65,62 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"stream_cdc_merge": stream_cdc_merge}
-ORACLE = {"stream_cdc_merge": CDC_APPLY_SQL}
+
+
+def stream_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution ACROSS micro-batches: batch 1 merges v1-schema
+    inserts (every ``_extra`` map empty — a streaming schema is fixed,
+    so the evolved values, not the column, are what arrives late);
+    batch 2 delivers updates carrying the upstream ALTER-TABLE-ADD
+    ``channel`` field plus deletes.  The evolved values must survive the
+    CROSS-BATCH latest-wins merge through the sink's copy-on-write
+    buckets — rows never touched after the evolution stay NULL, exactly
+    like a widened table.  (True column-count widening of an existing
+    sink is exercised batch-side in ``tests/test_schema_evolution.py``;
+    a stream cannot change its own schema mid-query.)  File mtimes order
+    the two phases; one file per trigger makes the phase boundary a real
+    micro-batch boundary.  Oracle = the batch closed form
+    (CDC_EVOLUTION_SQL): the batch split must be invisible."""
+    import os
+    import time
+
+    from realtime_change_data_capture_streaming_spark.cdc.queries import (
+        evolution_result_columns,
+        schema_evolution_events,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_cdc_evo_")
+    staged = f"{work}/staged"
+    phase1, phase2 = schema_evolution_events(spark, sf_dir)
+    phase1.coalesce(1).write.mode("overwrite").parquet(f"{staged}/p1")
+    phase2.coalesce(1).write.mode("overwrite").parquet(f"{staged}/p2")
+    os.makedirs(f"{staged}/in", exist_ok=True)
+    now = time.time()
+    for i, phase in enumerate(("p1", "p2")):
+        (part,) = [e for e in os.listdir(f"{staged}/{phase}") if e.startswith("part-")]
+        dst = f"{staged}/in/{i}-{part}"
+        os.rename(f"{staged}/{phase}/{part}", dst)
+        os.utime(dst, (now + i, now + i))  # file-stream orders by mtime
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{staged}/in")
+    )
+    parsed = parse_envelope(stream, decimal_mode="string", capture_extras=True)
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
+    q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
+    q.awaitTermination(600)
+    return evolution_result_columns(sink.read())
+
+
+QUERIES = {
+    "stream_cdc_merge": stream_cdc_merge,
+    "stream_cdc_schema_evolution": stream_cdc_schema_evolution,
+}
+from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_EVOLUTION_SQL  # noqa: E402
+
+ORACLE = {
+    "stream_cdc_merge": CDC_APPLY_SQL,
+    "stream_cdc_schema_evolution": CDC_EVOLUTION_SQL,
+}
