@@ -315,6 +315,53 @@ FROM documents GROUP BY lang
 """
 
 
+
+
+def null_semantics(spark, sf_dir: str):
+    """NULL-semantics suite — the cross-engine traps pinned explicitly:
+    count(*) vs count(col), aggregates skipping nulls, null-safe
+    equality (<=> / IS NOT DISTINCT FROM), COALESCE/NULLIF, and
+    null-aware conditionals.  The nullable column is synthesized with
+    NULLIF so the scenario is closed-form.  (Null SORT placement also
+    differs between engines — Spark ASC default is NULLS FIRST, DuckDB's
+    is NULLS LAST — which is why every ordered query in this repo either
+    orders on non-null keys or pins the placement explicitly.)"""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    v = F.nullif(F.col("o_orderstatus"), F.lit("P"))  # NULL for 'P' rows
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(v).alias("n_nonnull"),
+        F.countDistinct(v).alias("n_distinct_nonnull"),
+        F.sum(F.when(v.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+        F.sum(F.when(v.eqNullSafe(F.lit("O")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nullsafe_eq_o"),
+        F.sum(F.when(v.eqNullSafe(F.lit(None).cast("string")), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nullsafe_eq_null"),
+        F.count(F.coalesce(v, F.lit("P"))).alias("n_coalesced"),
+        F.min(v).alias("min_nonnull"),
+    )
+
+
+NULLS_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_rows,
+       COUNT(NULLIF(o_orderstatus, 'P')) AS n_nonnull,
+       COUNT(DISTINCT NULLIF(o_orderstatus, 'P')) AS n_distinct_nonnull,
+       CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_o,
+       CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_eq_null,
+       COUNT(COALESCE(NULLIF(o_orderstatus, 'P'), 'P')) AS n_coalesced,
+       MIN(NULLIF(o_orderstatus, 'P')) AS min_nonnull
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "fn_string": string_functions,
     "fn_url": url_functions,
@@ -325,6 +372,7 @@ QUERIES = {
     "fn_math": math_functions,
     "fn_array": array_functions,
     "fn_conditional": conditional_functions,
+    "fn_nulls": null_semantics,
 }
 
 ORACLE = {
@@ -337,4 +385,5 @@ ORACLE = {
     "fn_math": MATH_SQL,
     "fn_array": ARRAY_SQL,
     "fn_conditional": CONDITIONAL_SQL,
+    "fn_nulls": NULLS_SQL,
 }

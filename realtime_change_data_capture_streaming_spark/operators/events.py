@@ -534,6 +534,50 @@ LIMIT 20
 """
 
 
+
+
+_PATH_TOP = 15
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis — the most common 3-step event sequences across user
+    streams (the "what do users do next" product query).  One lead()
+    pass per step over the per-user (ts, event_id) order — no self-join
+    against the stream — then a hash agg on the bounded sequence space
+    and a global top-k via TakeOrderedAndProject.  Session boundaries
+    (user change) fall out of the window partitioning: lead() returns
+    NULL at the end of each user's stream and those partial paths are
+    dropped."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        e.select(
+            F.col("event_type").alias("s1"),
+            F.lead("event_type", 1).over(w).alias("s2"),
+            F.lead("event_type", 2).over(w).alias("s3"),
+        )
+        .where(F.col("s2").isNotNull() & F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+    )
+    return paths.orderBy(F.desc("n_paths"), "s1", "s2", "s3").limit(_PATH_TOP)
+
+
+TOP_PATHS_SQL = f"""
+WITH steps AS (
+  SELECT event_type AS s1,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS s3
+  FROM events
+)
+SELECT s1, s2, s3, COUNT(*) AS n_paths
+FROM steps WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, s1, s2, s3
+LIMIT {_PATH_TOP}
+"""
+
+
 QUERIES = {
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_pattern_match": events_pattern_match,
@@ -547,6 +591,7 @@ QUERIES = {
     "events_user_value_outliers": events_user_value_outliers,
     "events_transition_counts": events_transition_counts,
     "events_gapfill_locf": events_gapfill_locf,
+    "events_top_paths": events_top_paths,
 }
 
 ORACLE = {
@@ -562,4 +607,5 @@ ORACLE = {
     "events_user_value_outliers": OUTLIERS_SQL,
     "events_transition_counts": TRANSITION_SQL,
     "events_gapfill_locf": GAPFILL_SQL,
+    "events_top_paths": TOP_PATHS_SQL,
 }
