@@ -390,12 +390,81 @@ GROUP BY 1, 2, 3
 """
 
 
+
+
+# -------------------------------------------------------- linear trend
+
+_TREND_EPOCH = "2024-01-01"  # fixture time origin; x = seconds since
+
+
+def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment OLS trend of value over time — drift/decay detection
+    as one hash aggregate: slope and intercept from the closed form
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over EXACT integer sums (seconds
+    since a fixed origin x cents), so the only float work is the final
+    division — identical in any engine, rounded at the boundary.
+    x is origin-shifted to keep Sxy far from bigint overflow at any
+    scale factor (same discipline as the moments profile's midpoint
+    shift)."""
+    e = load_table(spark, sf_dir, "events")
+    x = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lit(_TREND_EPOCH).cast("timestamp"))
+    ).cast("bigint")
+    y = F.round(F.col("value") * 100).cast("bigint")  # exact integer cents
+    base = e.select("event_type", x.alias("x"), y.alias("y"))
+    sums = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    nd, sx, sy, sxy, sxx = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
+    )
+    slope_cents_per_s = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept_cents = (sy - slope_cents_per_s * sx) / nd
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope_cents_per_s * F.lit(86400.0) / F.lit(100.0), 6).alias(
+            "slope_per_day"
+        ),
+        F.round(intercept_cents / F.lit(100.0), 6).alias("intercept"),
+    )
+
+
+_TREND_SQL = f"""
+WITH base AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) - FLOOR(epoch(TIMESTAMP '{_TREND_EPOCH}')) AS BIGINT) AS x,
+         CAST(ROUND(value * 100) AS BIGINT) AS y
+  FROM events
+), sums AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+  FROM base GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * 86400.0 / 100.0, 6) AS slope_per_day,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) / 100.0, 6) AS intercept
+FROM sums
+"""
+
+
 QUERIES = {
     "dq_expectations": dq_expectations,
     "lineitem_distribution_profile": lineitem_distribution_profile,
     "events_ewma_value": events_ewma_value,
     "join_interval_overlap_daily": join_interval_overlap_daily,
     "events_winsorize_value": events_winsorize_value,
+    "events_linear_trend": events_linear_trend,
 }
 
 ORACLE = {
@@ -404,4 +473,5 @@ ORACLE = {
     "events_ewma_value": _EWMA_SQL,
     "join_interval_overlap_daily": _OVERLAP_SQL,
     "events_winsorize_value": _WINSORIZE_SQL,
+    "events_linear_trend": _TREND_SQL,
 }
