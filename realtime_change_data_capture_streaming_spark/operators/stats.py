@@ -121,14 +121,88 @@ LIMIT {_BASKET_TOP}
 """
 
 
+
+
+_CHI_FP = float(1 << 20)
+
+
+def docs_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of lang x source — the categorical
+    complement to the numeric PSI drift monitor: are documents' language
+    and source independent?
+
+    One hash agg for the observed cells, broadcast marginals, and the
+    FULL cell grid (distinct langs x distinct sources) so zero-observed
+    cells still contribute their expected mass — omitting them
+    understates the statistic.  Cell terms are folded as floor(term *
+    2^20) fixed-point integers, so the cross-cell sum is
+    order-independent and hash-exact; dof = (R-1)(C-1)."""
+    d = load_table(spark, sf_dir, "documents")
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
+    ct = d.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(obs, ["lang", "source"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.coalesce("o", F.lit(0)).cast("double").alias("o"),
+            (F.col("rt").cast("double") * F.col("ct") / F.col("n")).alias("e"),
+        )
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    cells = grid.select(F.floor(term * F.lit(_CHI_FP)).alias("t_fp"))
+    dims = rt.crossJoin(F.broadcast(ct)).agg(
+        F.countDistinct("lang").alias("r"), F.countDistinct("source").alias("c")
+    )
+    return (
+        cells.agg(F.sum("t_fp").alias("s"))
+        .crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.round(F.col("s").cast("double") / F.lit(_CHI_FP), 4).alias("chi2"),
+            ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+
+
+_CHISQ_SQL = f"""
+WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+rt AS (SELECT lang, COUNT(*) AS rt FROM documents GROUP BY 1),
+ct AS (SELECT source, COUNT(*) AS ct FROM documents GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM documents),
+grid AS (
+  SELECT rt.lang, ct.source,
+         CAST(COALESCE(obs.o, 0) AS DOUBLE) AS o,
+         CAST(rt.rt AS DOUBLE) * ct.ct / tot.n AS e
+  FROM rt CROSS JOIN ct
+  LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+  CROSS JOIN tot
+), cells AS (
+  SELECT CAST(FLOOR((o - e) * (o - e) / e * {_CHI_FP}) AS BIGINT) AS t_fp FROM grid
+)
+SELECT ROUND(CAST(CAST(SUM(t_fp) AS BIGINT) AS DOUBLE) / {_CHI_FP}, 4) AS chi2,
+       CAST((SELECT (COUNT(DISTINCT lang) - 1) FROM documents)
+            * (SELECT (COUNT(DISTINCT source) - 1) FROM documents) AS BIGINT) AS dof,
+       (SELECT n FROM tot) AS n_docs
+FROM cells
+"""
+
+
 QUERIES = {
     "docs_crosstab_lang_source": docs_crosstab_lang_source,
     "orders_equidepth_histogram": orders_equidepth_histogram,
     "basket_part_pairs": basket_part_pairs,
+    "docs_chisq_lang_source": docs_chisq_lang_source,
 }
 
 ORACLE = {
     "docs_crosstab_lang_source": _CROSSTAB_SQL,
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
     "basket_part_pairs": _BASKET_SQL,
+    "docs_chisq_lang_source": _CHISQ_SQL,
 }
