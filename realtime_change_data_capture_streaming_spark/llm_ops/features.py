@@ -136,10 +136,13 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     periods before/after a fixed split timestamp.
 
     Bins are fixed-width per-row expressions (no global min/max pass);
-    Laplace smoothing (+1 per bin) keeps empty bins finite; the bin
-    aggregation is ONE hash agg and the PSI fold runs over the bounded
-    (type x bin) table.  ln() is libm-dependent, so the PSI is rounded
-    at the output boundary."""
+    Laplace smoothing (+1 per bin) keeps one-sided-empty bins finite;
+    the bin aggregation is ONE hash agg and the PSI fold runs over the
+    bounded (type x bin) table.  Bins empty in BOTH periods are excluded
+    (only observed bins enter the sum; their smoothed terms would be
+    nonzero when n_a != n_b, so this is a definitional choice, mirrored
+    exactly by the oracle).  ln() is libm-dependent, so the PSI is
+    rounded at the output boundary."""
     e = load_table(spark, sf_dir, "events")
     binned = e.select(
         "event_type",
