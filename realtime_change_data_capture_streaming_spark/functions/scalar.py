@@ -317,7 +317,7 @@ FROM documents GROUP BY lang
 
 
 
-def null_semantics(spark, sf_dir: str):
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL-semantics suite — the cross-engine traps pinned explicitly:
     count(*) vs count(col), aggregates skipping nulls, null-safe
     equality (<=> / IS NOT DISTINCT FROM), COALESCE/NULLIF, and
@@ -326,10 +326,6 @@ def null_semantics(spark, sf_dir: str):
     differs between engines — Spark ASC default is NULLS FIRST, DuckDB's
     is NULLS LAST — which is why every ordered query in this repo either
     orders on non-null keys or pins the placement explicitly.)"""
-    from pyspark.sql import functions as F
-
-    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
-
     o = load_table(spark, sf_dir, "orders")
     v = F.nullif(F.col("o_orderstatus"), F.lit("P"))  # NULL for 'P' rows
     return o.groupBy("o_orderpriority").agg(

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime_change_data_capture_streaming_spark.operators.stats import CO_PURCHASE_PAIRS_SQL, co_purchase_pairs
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
 #: fixed-point scale for integer PageRank
@@ -148,17 +149,9 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     orient by (degree, id) instead of raw id so the join fanout is
     bounded by sqrt(m) per node.  All joins are equi-joins on node ids —
     no cartesian anywhere."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        co_purchase_pairs(spark, sf_dir)
+        .groupBy(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= _TRI_SUPPORT)
         .select("pa", "pb")
@@ -179,10 +172,10 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TRIANGLE_SQL = f"""
-WITH dd AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+WITH {CO_PURCHASE_PAIRS_SQL},
 e AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb
-  FROM dd a JOIN dd b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  SELECT part_a AS pa, part_b AS pb
+  FROM pairs
   GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_SUPPORT}
 ), tris AS (
   SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z

@@ -2,7 +2,7 @@
 
 A 100 TB ingestion pipeline runs declarative expectation suites (Delta
 Live Tables / Great Expectations style) and distribution profiles as
-first-class operators, not ad-hoc notebook queries.  Four operators:
+first-class operators, not ad-hoc notebook queries.  Six operators:
 
 - ``dq_expectations``: a rule suite (not-null, uniqueness, range,
   accepted values, time-window, referential integrity) evaluated in ONE
@@ -29,6 +29,13 @@ first-class operators, not ad-hoc notebook queries.  Four operators:
   construction; for multi-band intervals the standard extension is to
   emit each interval into every overlapped band and keep a pair only in
   the band containing ``greatest(a.start, b.start)`` — dedup-free.
+- ``events_winsorize_value``: outlier clipping at exact rank-based
+  P1/P99 — one window sort for the bounds, broadcast back onto the scan
+  for the clip aggregate; clipped rows are counted and decimal-summed,
+  never materialized.
+- ``events_linear_trend``: per-segment OLS slope/intercept from exact
+  DECIMAL(38,0) sums of origin-shifted seconds x integer cents; the
+  only float work is the final closed-form division.
 
 Reference parity: the reference has no analytics operators
 (``/root/reference/README.md:29-32`` limits scope to the CDC layer);
@@ -114,8 +121,8 @@ WITH base AS (
          CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS unique_orderkey,
          CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN {_PRICE_LO} AND {_PRICE_HI}
                        THEN 1 ELSE 0 END) AS BIGINT) AS totalprice_in_range,
-         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F') THEN 1 ELSE 0 END) AS BIGINT)
-             AS status_accepted,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ({", ".join(repr(s) for s in _ACCEPTED_STATUS)})
+                       THEN 1 ELSE 0 END) AS BIGINT) AS status_accepted,
          CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_DATE_LO}'
                          OR o_orderdate >= TIMESTAMP '{_DATE_HI}'
                        THEN 1 ELSE 0 END) AS BIGINT) AS orderdate_in_window
@@ -400,24 +407,29 @@ _TREND_EPOCH = "2024-01-01"  # fixture time origin; x = seconds since
 def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment OLS trend of value over time — drift/decay detection
     as one hash aggregate: slope and intercept from the closed form
-    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over EXACT integer sums (seconds
-    since a fixed origin x cents), so the only float work is the final
-    division — identical in any engine, rounded at the boundary.
-    x is origin-shifted to keep Sxy far from bigint overflow at any
-    scale factor (same discipline as the moments profile's midpoint
-    shift)."""
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) over EXACT sums (seconds since a
+    fixed origin x cents), so the only float work is the final division
+    — identical in any engine, rounded at the boundary.
+
+    Overflow discipline: per-row products fit bigint (origin-shifted
+    x keeps x*x <= ~1e15), but the SUMS do not at row counts past ~1e4
+    per segment-month — Spark's SUM(bigint) would overflow (ANSI throw
+    or wrap) exactly where DuckDB silently promotes to HUGEINT.  So the
+    products are summed as DECIMAL(38,0) in BOTH engines: exact to 1e38,
+    i.e. ~1e23 rows at this x range — genuinely any scale factor."""
     e = load_table(spark, sf_dir, "events")
     x = (
         F.unix_timestamp("ts") - F.unix_timestamp(F.lit(_TREND_EPOCH).cast("timestamp"))
     ).cast("bigint")
     y = F.round(F.col("value") * 100).cast("bigint")  # exact integer cents
     base = e.select("event_type", x.alias("x"), y.alias("y"))
+    d38 = "decimal(38,0)"
     sums = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d38)).alias("sx"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
     )
     nd, sx, sy, sxy, sxx = (
         F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx")
@@ -442,7 +454,8 @@ WITH base AS (
   FROM events
 ), sums AS (
   SELECT event_type, COUNT(*) AS n,
-         SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+         SUM(CAST(x AS DECIMAL(38,0))) AS sx, SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+         SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy, SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx
   FROM base GROUP BY event_type
 )
 SELECT event_type, n,

@@ -90,17 +90,7 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order, part) first — a part appearing on two lines of one order
     must not double-count the pair; top-k via one global
     TakeOrderedAndProject with full (n, pa, pb) tie-break."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
-    )
-    counted = pairs.groupBy("part_a", "part_b").agg(
+    counted = co_purchase_pairs(spark, sf_dir).groupBy("part_a", "part_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders")
     )
     return counted.orderBy(
@@ -108,12 +98,38 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(_BASKET_TOP)
 
 
-_BASKET_SQL = f"""
-WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+def co_purchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (order, unordered part pair) co-occurrence, in the
+    (part_a < part_b) orientation.  Distinct (order, part) first so a
+    part on two lines of one order cannot double-count; the self-join
+    blocks are order-sized, so the expansion is linear in orders.
+    Shared by the market-basket count and the triangle-counting edge
+    builder (``operators/graph.py``) so the pair semantics cannot
+    drift between them — ``CO_PURCHASE_PAIRS_SQL`` is the matching
+    oracle fragment."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+
+
+#: oracle CTE fragment matching co_purchase_pairs — embed as
+#: ``WITH {CO_PURCHASE_PAIRS_SQL}, ...`` and select from ``pairs``
+CO_PURCHASE_PAIRS_SQL = """d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pairs AS (
   SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
   FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-)
+)"""
+
+
+_BASKET_SQL = f"""
+WITH {CO_PURCHASE_PAIRS_SQL}
 SELECT part_a, part_b, COUNT(*) AS n_orders
 FROM pairs GROUP BY 1, 2
 ORDER BY n_orders DESC, part_a ASC, part_b ASC
@@ -155,8 +171,8 @@ def docs_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
     cells = grid.select(F.floor(term * F.lit(_CHI_FP)).alias("t_fp"))
-    dims = rt.crossJoin(F.broadcast(ct)).agg(
-        F.countDistinct("lang").alias("r"), F.countDistinct("source").alias("c")
+    dims = rt.agg(F.count(F.lit(1)).alias("r")).crossJoin(
+        F.broadcast(ct.agg(F.count(F.lit(1)).alias("c")))
     )
     return (
         cells.agg(F.sum("t_fp").alias("s"))

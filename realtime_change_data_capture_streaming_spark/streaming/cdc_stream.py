@@ -23,7 +23,13 @@ from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.cdc.apply_changes import BucketedParquetSink, apply_changes_stream
 from realtime_change_data_capture_streaming_spark.cdc.decode import parse_envelope
-from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_APPLY_SQL, order_change_events
+from realtime_change_data_capture_streaming_spark.cdc.queries import (
+    CDC_APPLY_SQL,
+    CDC_EVOLUTION_SQL,
+    evolution_result_columns,
+    order_change_events,
+    schema_evolution_events,
+)
 
 
 def stage_chaos_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
@@ -84,11 +90,6 @@ def stream_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import time
 
-    from realtime_change_data_capture_streaming_spark.cdc.queries import (
-        evolution_result_columns,
-        schema_evolution_events,
-    )
-
     work = tempfile.mkdtemp(prefix="stream_cdc_evo_")
     staged = f"{work}/staged"
     phase1, phase2 = schema_evolution_events(spark, sf_dir)
@@ -118,8 +119,6 @@ QUERIES = {
     "stream_cdc_merge": stream_cdc_merge,
     "stream_cdc_schema_evolution": stream_cdc_schema_evolution,
 }
-from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_EVOLUTION_SQL  # noqa: E402
-
 ORACLE = {
     "stream_cdc_merge": CDC_APPLY_SQL,
     "stream_cdc_schema_evolution": CDC_EVOLUTION_SQL,

@@ -290,7 +290,7 @@ def stream_dq_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     production "expectations on a live feed" pattern where per-row
     violation materialization is impossible at stream rates.
 
-    Rules over events: user_id not null, value within [0, 500), known
+    Rules over events: user_id not null, value within [0, 500] (inclusive), known
     event_type, ts inside the feed's contract window.  Output: one row
     per rule with running violations/n_rows — equal, once drained, to the
     batch rule suite (the oracle)."""

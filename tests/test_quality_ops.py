@@ -5,7 +5,6 @@ smoothing direction, PSI of identical distributions)."""
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.llm_ops.curation import (
