@@ -147,17 +147,21 @@ def docs_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to the numeric PSI drift monitor: are documents' language
     and source independent?
 
-    One hash agg for the observed cells, broadcast marginals, and the
-    FULL cell grid (distinct langs x distinct sources) so zero-observed
-    cells still contribute their expected mass — omitting them
-    understates the statistic.  Cell terms are folded as floor(term *
-    2^20) fixed-point integers, so the cross-cell sum is
-    order-independent and hash-exact; dof = (R-1)(C-1)."""
+    ONE scan of the table (the observed-cell hash agg); marginals, the
+    total, and the dimension counts all derive from that metadata-scale
+    contingency table, never from re-scanning the fact table.  The FULL
+    cell grid (distinct langs x distinct sources) is rebuilt from the
+    marginals so zero-observed cells still contribute their expected
+    mass — omitting them understates the statistic.  Cell terms are
+    folded as floor(term * 2^20) fixed-point integers, so the
+    cross-cell sum is order-independent and hash-exact; dof =
+    (R-1)(C-1)."""
     d = load_table(spark, sf_dir, "documents")
     obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
-    rt = d.groupBy("lang").agg(F.count(F.lit(1)).alias("rt"))
-    ct = d.groupBy("source").agg(F.count(F.lit(1)).alias("ct"))
-    n = d.agg(F.count(F.lit(1)).alias("n"))
+    obs = obs.localCheckpoint(eager=True)  # cell table: computed once, tiny
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("rt"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("ct"))
+    n = obs.agg(F.sum("o").alias("n"))
     grid = (
         rt.crossJoin(F.broadcast(ct))
         .join(obs, ["lang", "source"], "left")
@@ -188,9 +192,9 @@ def docs_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHISQ_SQL = f"""
 WITH obs AS (SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
-rt AS (SELECT lang, COUNT(*) AS rt FROM documents GROUP BY 1),
-ct AS (SELECT source, COUNT(*) AS ct FROM documents GROUP BY 1),
-tot AS (SELECT COUNT(*) AS n FROM documents),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
 grid AS (
   SELECT rt.lang, ct.source,
          CAST(COALESCE(obs.o, 0) AS DOUBLE) AS o,
@@ -202,8 +206,7 @@ grid AS (
   SELECT CAST(FLOOR((o - e) * (o - e) / e * {_CHI_FP}) AS BIGINT) AS t_fp FROM grid
 )
 SELECT ROUND(CAST(CAST(SUM(t_fp) AS BIGINT) AS DOUBLE) / {_CHI_FP}, 4) AS chi2,
-       CAST((SELECT (COUNT(DISTINCT lang) - 1) FROM documents)
-            * (SELECT (COUNT(DISTINCT source) - 1) FROM documents) AS BIGINT) AS dof,
+       CAST((SELECT COUNT(*) - 1 FROM rt) * (SELECT COUNT(*) - 1 FROM ct) AS BIGINT) AS dof,
        (SELECT n FROM tot) AS n_docs
 FROM cells
 """
