@@ -132,3 +132,62 @@ def test_target_encoding_shrinks_toward_prior(spark):
         assert abs(e - prior) <= abs(m - prior) + 1e-6, (cat, e, m, prior)
         # and e is on the same side of the prior as the raw mean
         assert (e - prior) * (m - prior) >= 0 or abs(m - prior) < 1e-6, (cat, e, m, prior)
+
+
+def _write_events(spark, tmp_path, rows):
+    """Materialize a synthetic events.parquet so table-reading operators
+    can be driven on constructed data."""
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    return str(tmp_path)
+
+
+def test_linear_trend_recovers_exact_line(spark, tmp_path):
+    """On value = (2*x + 500)/100 with x = seconds since the origin, OLS
+    must recover slope exactly 2 cents/s = 1728 value-units/day and
+    intercept exactly 5.0 — the closed form is exact on exact data."""
+    import datetime
+
+    from realtime_change_data_capture_streaming_spark.operators.quality import (
+        events_linear_trend,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i * 60), 1, "view", (2 * i * 60 + 500) / 100.0, "{}")
+        for i in range(200)
+    ]
+    out = events_linear_trend(spark, _write_events(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n"] == 200
+    assert r["slope_per_day"] == round(2.0 * 86400 / 100, 6), r
+    assert r["intercept"] == 5.0, r
+
+
+def test_winsorize_clip_fractions_and_band(spark, tmp_path):
+    """On 1000 distinct values 0.01..10.00, the P1/P99 bounds must sit at
+    ranks 10 and 990 of the total order, ~1% clips on each side, and the
+    winsorized sum must equal the hand-computed clamped sum exactly."""
+    import datetime
+
+    from realtime_change_data_capture_streaming_spark.operators.quality import (
+        events_winsorize_value,
+    )
+
+    t0 = datetime.datetime(2024, 1, 5)
+    vals = [round((i + 1) * 0.01, 2) for i in range(1000)]
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), i % 7, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    out = events_winsorize_value(spark, _write_events(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # rank index floor((n-1)*q)+1: lo = floor(999*.01)+1 = 10 -> 0.10
+    assert r["p01"] == 0.10 and r["p99"] == 9.90, r
+    assert r["n_clipped_lo"] == 9 and r["n_clipped_hi"] == 10, r
+    expect = round(sum(min(max(v, 0.10), 9.90) for v in vals), 2)
+    assert round(r["sum_winsorized"], 2) == expect, (r["sum_winsorized"], expect)
