@@ -344,3 +344,25 @@ def test_pq_search_broadcasts_lut_and_codebook(spark, sf_dir):
     c = plan_counts(df)
     assert c["broadcast_joins"] >= 2, c
     assert c["cartesian"] == 0, c
+
+
+def test_top_paths_single_window_no_global_sort(spark, sf_dir):
+    """Path mining must ride one window pass + TakeOrderedAndProject —
+    a join-per-step or full global sort would not survive scale."""
+    from realtime_change_data_capture_streaming_spark.operators.events import events_top_paths
+
+    df = events_top_paths(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    c = plan_counts(df)
+    assert c["sort_merge_joins"] + c["shuffled_hash_joins"] + c["broadcast_joins"] == 0, c
+
+
+def test_chisq_scans_fact_table_once(spark, sf_dir):
+    """Marginals/total/dof must derive from the contingency table, not
+    from re-scanning documents: exactly one scan of the fact table."""
+    from realtime_change_data_capture_streaming_spark.operators.stats import docs_chisq_lang_source
+
+    df = docs_chisq_lang_source(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("documents.parquet") <= 1, plan.count("documents.parquet")
