@@ -191,3 +191,56 @@ def test_winsorize_clip_fractions_and_band(spark, tmp_path):
     assert r["n_clipped_lo"] == 9 and r["n_clipped_hi"] == 10, r
     expect = round(sum(min(max(v, 0.10), 9.90) for v in vals), 2)
     assert round(r["sum_winsorized"], 2) == expect, (r["sum_winsorized"], expect)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EV = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 3 * 86400 - 1)),  # (user, sec offset)
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_EV)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_interval_overlap_matches_bruteforce(spark, rows):
+    """Banded interval overlap vs the naive O(n^2) definition: per day,
+    the pair count over per-user [min ts, max ts] activity intervals."""
+    import datetime
+    import tempfile
+
+    from realtime_change_data_capture_streaming_spark.operators.quality import (
+        join_interval_overlap_daily,
+    )
+
+    t0 = datetime.datetime(2024, 1, 10)
+    ev = [
+        (i, t0 + datetime.timedelta(seconds=s), u, "view", 1.0, "{}")
+        for i, (u, s) in enumerate(rows)
+    ]
+    tmp = tempfile.mkdtemp(prefix="ovl_prop_")
+    out = {
+        r["day"]: r
+        for r in join_interval_overlap_daily(spark, _write_events(spark, tmp, ev)).collect()
+    }
+
+    # brute force: per (day, user) interval, then all-pairs overlap test
+    iv: dict = {}
+    for _, ts, u, *_ in ev:
+        d = ts.date()
+        lo, hi = iv.get((d, u), (ts, ts))
+        iv[(d, u)] = (min(lo, ts), max(hi, ts))
+    days = sorted({d for (d, _) in iv})
+    for d in days:
+        users = [(u, *iv[(d, u)]) for (dd, u) in iv if dd == d]
+        pairs = sum(
+            1
+            for i in range(len(users))
+            for j in range(i + 1, len(users))
+            if users[i][1] <= users[j][2] and users[j][1] <= users[i][2]
+        )
+        assert out[d]["n_intervals"] == len(users), (d, out[d])
+        assert out[d]["n_overlap_pairs"] == pairs, (d, out[d], pairs)
+    assert set(out) == set(days)
