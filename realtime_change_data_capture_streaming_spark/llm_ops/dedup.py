@@ -137,6 +137,90 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_TOP = 20
+
+
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle CONTAINMENT — the dedup semantic Jaccard
+    misses: C(src->dst) = |S(src) ∩ S(dst)| / |S(src)| is high when src
+    is quoted/wrapped inside dst even though resemblance stays low
+    (boilerplate wrappers, quotations, templated expansions — Broder's
+    resemblance-vs-containment distinction).
+
+    Same sharded self-join as the exact Jaccard tier (one shuffle on
+    (shard, shingle), block size bounded by the shard), then each
+    undirected shared pair emits BOTH directions with its own
+    denominator.  Top pairs by (containment, ids) — integer counts, one
+    double division, engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(d)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("size_a"),
+            F.col("b.n_shingles").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    directed = shared.select(
+        F.col("doc_a").alias("doc_src"),
+        F.col("doc_b").alias("doc_dst"),
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("size_a")).alias("containment"),
+    ).unionByName(
+        shared.select(
+            F.col("doc_b").alias("doc_src"),
+            F.col("doc_a").alias("doc_dst"),
+            "n_shared",
+            (F.col("n_shared").cast("double") / F.col("size_b")).alias("containment"),
+        )
+    )
+    return directed.orderBy(
+        F.desc("containment"), F.asc("doc_src"), F.asc("doc_dst")
+    ).limit(_CONTAIN_TOP)
+
+
+CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source, array_to_string(ts[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, GREATEST(LEN(ts) - 2, 0) + 1)) AS t(i)
+), sizes AS (
+  SELECT doc_id, COUNT(DISTINCT shingle) AS n_shingles FROM sh GROUP BY doc_id
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang = b.lang
+                     AND a.source = b.source AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), directed AS (
+  SELECT doc_a AS doc_src, doc_b AS doc_dst, n_shared,
+         CAST(n_shared AS DOUBLE) / sa.n_shingles AS containment
+  FROM shared JOIN sizes sa ON sa.doc_id = doc_a
+  UNION ALL
+  SELECT doc_b, doc_a, n_shared,
+         CAST(n_shared AS DOUBLE) / sb.n_shingles
+  FROM shared JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_src, doc_dst, n_shared, containment
+FROM directed
+ORDER BY containment DESC, doc_src ASC, doc_dst ASC
+LIMIT {_CONTAIN_TOP}
+"""
+
+
 NGRAM_JACCARD_SQL = """
 WITH toks AS (
   SELECT doc_id, lang, source,
@@ -679,6 +763,7 @@ QUERIES = {
     "dedup_exact_groups": exact_dedup_groups,
     "dedup_kept_documents": dedup_kept_documents,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_shingle_containment": dedup_shingle_containment,
     "dedup_embedding_cosine": embedding_cosine_dedup,
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_signatures,
@@ -689,6 +774,7 @@ ORACLE = {
     "dedup_exact_groups": EXACT_DEDUP_SQL,
     "dedup_kept_documents": DEDUP_KEPT_SQL,
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
+    "dedup_shingle_containment": CONTAINMENT_SQL,
     "dedup_embedding_cosine": EMBEDDING_COSINE_DEDUP_SQL,
     "dedup_cluster_components": DEDUP_CLUSTER_SQL,
     # md5-derived sketches since round 5 -> full hash oracle
