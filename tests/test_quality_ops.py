@@ -244,3 +244,57 @@ def test_interval_overlap_matches_bruteforce(spark, rows):
         assert out[d]["n_intervals"] == len(users), (d, out[d])
         assert out[d]["n_overlap_pairs"] == pairs, (d, out[d], pairs)
     assert set(out) == set(days)
+
+
+_ORDERS = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 9)),  # (orderkey, partkey)
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(rows=_ORDERS)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_basket_and_triangles_match_bruteforce(spark, rows):
+    """Co-purchase pair counts and support>=2 triangle participation vs
+    naive set arithmetic on random (order, part) incidences — pins the
+    distinct-first rule, the (lo, hi) orientation, and each-triangle-once
+    enumeration."""
+    import itertools
+    import tempfile
+
+    from realtime_change_data_capture_streaming_spark.operators.graph import (
+        _TRI_SUPPORT,
+        graph_triangle_counts,
+    )
+    from realtime_change_data_capture_streaming_spark.operators.stats import basket_part_pairs
+
+    tmp = tempfile.mkdtemp(prefix="basket_prop_")
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/lineitem.parquet")
+
+    # brute force
+    orders: dict = {}
+    for ok, pk in set(rows):
+        orders.setdefault(ok, set()).add(pk)
+    pair_counts: dict = {}
+    for parts in orders.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair_counts[(a, b)] = pair_counts.get((a, b), 0) + 1
+    edges = {p for p, n in pair_counts.items() if n >= _TRI_SUPPORT}
+    tri_part: dict = {}
+    nodes = sorted({x for p in edges for x in p})
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            for x in (a, b, c):
+                tri_part[x] = tri_part.get(x, 0) + 1
+
+    got_pairs = {
+        (r["part_a"], r["part_b"]): r["n_orders"] for r in basket_part_pairs(spark, tmp).collect()
+    }
+    top = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got_pairs == dict(top), (got_pairs, dict(top))
+
+    got_tri = {r["part"]: r["n_triangles"] for r in graph_triangle_counts(spark, tmp).collect()}
+    assert got_tri == tri_part, (got_tri, tri_part)
