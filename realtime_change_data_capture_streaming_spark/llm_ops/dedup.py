@@ -423,7 +423,8 @@ WITH toks AS (
   GROUP BY doc_id, i
 ), sig AS (
   SELECT doc_id,
-         SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END) AS simhash
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << CAST(i AS INT) ELSE CAST(0 AS BIGINT) END)
+              AS BIGINT) AS simhash
   FROM bits GROUP BY doc_id
 )
 SELECT doc_id, simhash,

@@ -197,7 +197,7 @@ WITH binned AS (
          SUM(CASE WHEN period = 'b' THEN c ELSE 0 END) AS cb
   FROM counts GROUP BY 1, 2
 ), totals AS (
-  SELECT event_type, SUM(ca) AS na, SUM(cb) AS nb FROM pivoted GROUP BY 1
+  SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pivoted GROUP BY 1
 )
 SELECT p.event_type, t.na, t.nb,
        ROUND(SUM((CAST(ca + 1 AS DOUBLE) / (t.na + {_PSI_N_BINS})

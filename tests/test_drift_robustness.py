@@ -78,8 +78,11 @@ def _bad_duck_types(rel) -> list[tuple[str, str]]:
         s = str(t)
         # scalar DECIMAL / FLOAT outputs change the hashed representation
         # when the fixture types change; list<float> embeddings are native
-        # fixture payloads read identically by both engines.
-        if s.startswith("DECIMAL") or s == "FLOAT":
+        # fixture payloads read identically by both engines.  HUGEINT leaks
+        # from SUM(BIGINT) promotion: values match Spark's bigint but the
+        # driver hashes the int128 representation differently (r5 failures
+        # dedup_simhash / events_psi_drift were exactly this class).
+        if s.startswith("DECIMAL") or s in ("FLOAT", "HUGEINT", "UHUGEINT"):
             bad.append((name, s))
     return bad
 
