@@ -409,7 +409,7 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     also an update candidate still classifies as delete — the 'd' envelope
     carries the higher LSN).  One full-outer join of two bucket-aligned
     snapshots on the key (see ``BucketedParquetSink.changes``)."""
-    import tempfile
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
 
     from realtime_change_data_capture_streaming_spark.cdc.apply_changes import (
         BucketedParquetSink,
@@ -446,7 +446,7 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         env(_image(F.col("o_totalprice") + _AMOUNT_BUMP), F.when(F.lit(False), _image(F.col("o_totalprice"))), "d", F.lit(2)).alias("value"),
     )
     sink = BucketedParquetSink(
-        spark, tempfile.mkdtemp(prefix="cdc_feed_") + "/t", n_buckets=16
+        spark, scratch_dir(prefix="cdc_feed_") + "/t", n_buckets=16
     )
     sink.merge(parse_envelope(inserts, decimal_mode="string"))  # seq 0
     sink.merge(parse_envelope(updates.unionByName(deletes).repartition(17), decimal_mode="string"))  # seq 1

@@ -16,11 +16,34 @@ same logical plans scale to a multi-executor cluster at ~100 TB:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+_SCRATCH_DIRS: list[str] = []
+
+
+def _reap_scratch() -> None:
+    for d in _SCRATCH_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_reap_scratch)
+
+
+def scratch_dir(prefix: str) -> str:
+    """A temp work dir (staged input, checkpoints, bucketed sinks) removed at
+    interpreter exit.  atexit rather than a ``finally`` block because the
+    DataFrames these queries return read the dir lazily — the driver collects
+    them after the function returns, so an eager rmtree would break them."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
 
 
 def get_spark(

@@ -358,7 +358,7 @@ def pyds_envelope_write_roundtrip(spark, sf_dir: str):
     custom-source round trip (partition planning, executor-side write,
     driver-side atomic publish) sits inside one hash-checked query.
     ``sf_dir`` is unused (the source IS the data)."""
-    import tempfile
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -366,7 +366,7 @@ def pyds_envelope_write_roundtrip(spark, sf_dir: str):
 
     register(spark)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    out = tempfile.mkdtemp(prefix="pyds_sink_")
+    out = scratch_dir(prefix="pyds_sink_")
     (
         spark.read.format("synthetic_tx")
         .option("rows", str(N_PYDS_ROWS))
@@ -413,8 +413,9 @@ def pyds_stream_scan(spark, sf_dir: str):
     equal the batch scan's closed-form oracle: every row exactly once
     across all micro-batches (offset bookkeeping proven by equality).
     ``sf_dir`` is unused (the source IS the data)."""
-    import tempfile
     import uuid
+
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
 
     from pyspark.sql import functions as F
 
@@ -443,7 +444,7 @@ def pyds_stream_scan(spark, sf_dir: str):
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", scratch_dir(prefix=f"ckpt_{name}_"))
         .start()
     )
     try:

@@ -18,6 +18,8 @@ import hashlib
 import os
 import tempfile
 
+from realtime_change_data_capture_streaming_spark.session import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -46,7 +48,7 @@ def stage_chaos_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
 
 
 def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    work = scratch_dir(prefix="stream_cdc_")
     # maxFilesPerTrigger splits the staged files into two micro-batches so
     # the merge must compose across batches, not just within one.
     staged, n_files = stage_chaos_events(spark, sf_dir)
@@ -58,7 +60,7 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_envelope(stream, decimal_mode="string")
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
     q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
     final = sink.read()
     # decimal→double at the output boundary, matching CDC_APPLY_SQL's cast
     return final.select(
@@ -90,7 +92,7 @@ def stream_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import time
 
-    work = tempfile.mkdtemp(prefix="stream_cdc_evo_")
+    work = scratch_dir(prefix="stream_cdc_evo_")
     staged = f"{work}/staged"
     phase1, phase2 = schema_evolution_events(spark, sf_dir)
     phase1.coalesce(1).write.mode("overwrite").parquet(f"{staged}/p1")
@@ -111,7 +113,7 @@ def stream_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_envelope(stream, decimal_mode="string", capture_extras=True)
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
     q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
     return evolution_result_columns(sink.read())
 
 

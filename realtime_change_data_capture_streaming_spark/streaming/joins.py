@@ -68,14 +68,14 @@ def _flush_padded_events_dir(sf_dir: str) -> str:
     filtered from the result.
     """
     import os
-    import tempfile
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
     import time
     from datetime import datetime
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    d = tempfile.mkdtemp(prefix="ev_louter_")
+    d = scratch_dir(prefix="ev_louter_")
     src = os.path.join(sf_dir, "events.parquet")
     os.symlink(src, os.path.join(d, "00_events.parquet"))
     schema = pq.read_schema(src).remove_metadata()

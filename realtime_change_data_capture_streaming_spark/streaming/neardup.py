@@ -24,6 +24,8 @@ import hashlib
 import os
 import tempfile
 
+from realtime_change_data_capture_streaming_spark.session import scratch_dir
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,7 +64,7 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    out_dir = tempfile.mkdtemp(prefix="neardup_out_")
+    out_dir = scratch_dir(prefix="neardup_out_")
     hist = spark.read.parquet(idx).select(
         "band", "bucket", F.col("doc_id").alias("hist_doc")
     )
@@ -79,11 +81,11 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (
         stream.writeStream.foreachBatch(_admit)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="neardup_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="neardup_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
     return spark.read.parquet(out_dir)
 
 

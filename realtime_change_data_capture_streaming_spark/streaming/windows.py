@@ -16,7 +16,7 @@ and RocksDB state backend — both config, not code.
 
 from __future__ import annotations
 
-import tempfile
+from realtime_change_data_capture_streaming_spark.session import scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,11 +65,11 @@ def _run_to_table(result: DataFrame, output_mode: str) -> DataFrame:
         result.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .option("checkpointLocation", scratch_dir(prefix=f"ckpt_{name}_"))
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
     spark = result.sparkSession
     return spark.table(name)
 

@@ -73,7 +73,11 @@ def test_ewma_matches_sequential_reference(spark):
         for x in vals[1:]:
             acc = x * _ALPHA + acc * (1.0 - _ALPHA)
         assert got[uid]["n_events"] == len(vals)
-        assert got[uid]["ewma_value"] == round(acc, 6), (uid, acc)
+        # the operator rounds with F.round (HALF_UP); Python round() is
+        # half-even, so compare against the unrounded fold with a tolerance
+        # tighter than any neighbouring 6-dp value but wider than the
+        # rounding step itself
+        assert abs(got[uid]["ewma_value"] - acc) <= 5e-7 + 1e-12, (uid, acc)
 
 
 def test_psi_is_zero_for_identical_distributions(spark):
