@@ -165,7 +165,13 @@ def main() -> None:
                 # (27.1-29.2 s across two back-to-back runs, ~8% run-to-run
                 # spread).  Per-query ratios r3-code-now/r3-code-recorded
                 # are near-uniform (~1.29x), matching the r3->r4 pattern.
-                "note": "r3->r4 +24% was host drift: r3 commit rerun on this box matches HEAD within noise",
+                "note": (
+                    "r5 deltas (embedding_quantize_int8, stream_topk_terms, -9% throughput) "
+                    "attributed to host drift: r4 commit rerun back-to-back with HEAD on this "
+                    "box scored 45.84s vs HEAD 45.13s on the 24 common queries (HEAD "
+                    "flat-to-faster; stream_topk_terms 5.77s on r4 code vs 1.89s on HEAD), "
+                    "while both are ~1.6x the wall recorded at r4/r5 time"
+                ),
             }
         )
     )
