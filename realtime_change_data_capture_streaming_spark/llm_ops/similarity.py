@@ -764,35 +764,27 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return _pq_assign(subs, cb).localCheckpoint(eager=True), cb
 
 
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN: ADC shortlist + exact rerank — the
-    memory-bound scale tier.  Candidates are stored as M small codes
-    (M bytes/vector vs 4*EMB_DIM full precision, 32x compression here);
-    the SHORTLIST stage reads ONLY the code table.
-
-    Stage 1 (ADC): per query, a lookup table of partial distances (query
-    subvector -> every codeword; M*K entries, broadcast-size) is joined
-    to the candidate codes and summed into a PQ_SHORTLIST candidate set.
-    The partials enter the sum as floor(d * 2^30) fixed-point integers,
-    making the cross-subspace reduction order-independent.
-    Stage 2 (rerank): exact squared-L2 on the shortlist only — the
-    full-precision fetch is bounded to PQ_SHORTLIST vectors per query,
-    the scan-vs-accuracy contract of production IVFADC systems.  Both
-    stages replay exactly in the oracle."""
-    codes, cb = pq_codebook(spark, sf_dir)
-    # LUT: full-precision QUERY subvectors x codebook (asymmetric: only the
-    # candidate side is quantized)
-    qsubs = codes.filter(F.col("vec_id") < N_QUERY_VECS)
+def _adc_lut(qsubs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Per-query ADC lookup table: full-precision QUERY subvectors x
+    codebook (asymmetric: only the candidate side is quantized).  M*K
+    entries per query — broadcast-size.  Partials are floor(d * 2^30)
+    fixed-point integers so the cross-subspace sum is order-independent."""
     dist = F.aggregate(
         F.zip_with("sub", "cw", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    lut = (
+    return (
         qsubs.select(F.col("vec_id").alias("query_id"), "s", "sub")
         .join(F.broadcast(cb), "s")
         .select("query_id", "s", "code", F.floor(dist * F.lit(float(_ADC_SCALE))).alias("pfp"))
     )
+
+
+def _adc_search(spark: SparkSession, sf_dir: str, lut: DataFrame, codes: DataFrame) -> DataFrame:
+    """Shared PQ search: ADC shortlist over the code table, then exact
+    squared-L2 rerank bounded to PQ_SHORTLIST full-precision fetches per
+    query — the scan-vs-accuracy contract of production IVFADC systems."""
     cand = codes.filter(F.col("vec_id") >= N_QUERY_VECS).select(
         F.col("vec_id").alias("cand_id"), "s", "code"
     )
@@ -830,6 +822,66 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "cand_id", "l2_dist", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: ADC shortlist + exact rerank — the
+    memory-bound scale tier.  Candidates are stored as M small codes
+    (M bytes/vector vs 4*EMB_DIM full precision, 32x compression here);
+    the SHORTLIST stage reads ONLY the code table.
+
+    Stage 1 (ADC): per query, a lookup table of partial distances (query
+    subvector -> every codeword; M*K entries, broadcast-size) is joined
+    to the candidate codes and summed into a PQ_SHORTLIST candidate set.
+    Stage 2 (rerank): exact squared-L2 on the shortlist only.  Both
+    stages replay exactly in the oracle.  This variant fits the
+    quantizer INSIDE the query; ``ann_pq_persisted_topk`` is the
+    production build-once/serve-many split."""
+    codes, cb = pq_codebook(spark, sf_dir)
+    lut = _adc_lut(codes.filter(F.col("vec_id") < N_QUERY_VECS), cb)
+    return _adc_search(spark, sf_dir, lut, codes)
+
+
+def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per machine per sf) and return the PERSISTED PQ index:
+    ``<dir>/codes`` (the M-codes-per-vector table, the 32x-compressed
+    artifact an ADC scan reads) + ``<dir>/codebook`` (M*K codewords).
+    Same production split as ``_ivf_index_dir``: fit is a build pipeline
+    that runs once per corpus; search jobs read the cached artifact.  The
+    fixed-point k-means makes the artifact identical on every rebuild."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{key}")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        codes, cb = pq_codebook(spark, sf_dir)
+        codes.select("vec_id", "s", "code").write.mode("overwrite").parquet(
+            os.path.join(root, "codes")
+        )
+        cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "codebook"))
+        open(os.path.join(root, "_SUCCESS"), "w").close()
+    return root
+
+
+def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search against the PERSISTED PQ index: query subvectors come from
+    the live embeddings table (queries are not part of the index), the
+    LUT joins against the cached codebook, and the ADC scan reads only
+    the cached code table — at 100 TB that scan touches M bytes/vector
+    instead of 4*EMB_DIM, and the codebook fit cost is amortized across
+    every search job.  Results are identical to the refit-per-query
+    ``ann_pq_adc_topk``, so they share its oracle."""
+    import os
+
+    root = _pq_index_dir(spark, sf_dir)
+    cb = spark.read.parquet(os.path.join(root, "codebook"))
+    codes = spark.read.parquet(os.path.join(root, "codes"))
+    e = load_table(spark, sf_dir, "embeddings")
+    qsubs = _subvectors(e.filter(F.col("vec_id") < N_QUERY_VECS))
+    lut = _adc_lut(qsubs, cb)
+    return _adc_search(spark, sf_dir, lut, codes)
 
 
 def _pq_sql() -> str:
@@ -919,6 +971,7 @@ QUERIES = {
     "pairwise_label_cosine": pairwise_label_cosine,
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_pq_persisted_topk": ann_pq_persisted_topk,
 }
 
 ORACLE = {
@@ -931,4 +984,5 @@ ORACLE = {
     "pairwise_label_cosine": PAIRWISE_LABEL_SQL,
     "embedding_quantize_int8": QUANTIZE_INT8_SQL,
     "ann_pq_adc_topk": ANN_PQ_SQL,
+    "ann_pq_persisted_topk": ANN_PQ_SQL,
 }

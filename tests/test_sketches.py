@@ -296,3 +296,29 @@ def test_pq_adc_rerank_recall(spark):
     assert len(hit) / len(exact) >= 0.85, len(hit) / len(exact)
     for k in hit:
         assert got[k] == exact[k], (k, got[k], exact[k])
+
+
+def test_pq_persisted_search_matches_refit(spark):
+    """The persisted-index search must return exactly what the
+    refit-per-query operator returns (they share an oracle), and its plan
+    must read the cached code table instead of refitting: no Exchange
+    from the k-means chain, i.e. far fewer exchanges than the refit
+    plan, and a scan of the index's codes parquet."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
+        _pq_index_dir,
+        ann_pq_adc_topk,
+        ann_pq_persisted_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    refit = ann_pq_adc_topk(spark, sf)
+    persisted = ann_pq_persisted_topk(spark, sf)
+    assert sorted(map(tuple, refit.collect())) == sorted(map(tuple, persisted.collect()))
+
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    root = _pq_index_dir(spark, sf)
+    assert "spark_graft_pq_" in plan, "search does not scan the persisted index"
+    assert root.rsplit("/", 1)[-1] in plan
+    n_persist_ex = plan.count("Exchange")
+    n_refit_ex = refit._jdf.queryExecution().executedPlan().toString().count("Exchange")
+    assert n_persist_ex < n_refit_ex, (n_persist_ex, n_refit_ex)
