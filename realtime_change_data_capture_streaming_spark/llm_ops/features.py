@@ -129,6 +129,7 @@ GROUP BY 1
 _PSI_SPLIT = "2024-01-15"
 _PSI_BIN_W = 50.0
 _PSI_N_BINS = 10  # values 0..500 -> bins 0..9 (clamped)
+_PSI_FP = float(1 << 30)  # fixed-point scale for the order-independent term fold
 
 
 def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,8 +142,13 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (type x bin) table.  Bins empty in BOTH periods are excluded
     (only observed bins enter the sum; their smoothed terms would be
     nonzero when n_a != n_b, so this is a definitional choice, mirrored
-    exactly by the oracle).  ln() is libm-dependent, so the PSI is
-    rounded at the output boundary."""
+    exactly by the oracle).  Per-bin terms are folded as
+    floor(term * 2^30) fixed-point integers — the same discipline as
+    chi-square / PageRank / the bigram LM — so the cross-bin sum is
+    order-independent under any partitioning; ln() is confined to the
+    one per-bin term expression, and the PSI is rounded at the output
+    boundary (a one-ulp libm difference moves the fold by at most
+    2^-30, invisible at 6 dp)."""
     e = load_table(spark, sf_dir, "events")
     binned = e.select(
         "event_type",
@@ -176,10 +182,10 @@ def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "na",
             "nb",
-            ((pa - pb) * F.log(pa / pb)).alias("term"),
+            F.floor(((pa - pb) * F.log(pa / pb)) * F.lit(_PSI_FP)).alias("t_fp"),
         )
         .groupBy("event_type", "na", "nb")
-        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .agg(F.round(F.sum("t_fp").cast("double") / F.lit(_PSI_FP), 6).alias("psi"))
     )
 
 
@@ -200,10 +206,12 @@ WITH binned AS (
   SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM pivoted GROUP BY 1
 )
 SELECT p.event_type, t.na, t.nb,
-       ROUND(SUM((CAST(ca + 1 AS DOUBLE) / (t.na + {_PSI_N_BINS})
+       ROUND(CAST(SUM(CAST(FLOOR(
+                 (CAST(ca + 1 AS DOUBLE) / (t.na + {_PSI_N_BINS})
                   - CAST(cb + 1 AS DOUBLE) / (t.nb + {_PSI_N_BINS}))
                  * LN((CAST(ca + 1 AS DOUBLE) / (t.na + {_PSI_N_BINS}))
-                      / (CAST(cb + 1 AS DOUBLE) / (t.nb + {_PSI_N_BINS})))), 6) AS psi
+                      / (CAST(cb + 1 AS DOUBLE) / (t.nb + {_PSI_N_BINS})))
+                 * {_PSI_FP}) AS BIGINT)) AS BIGINT) / {_PSI_FP}, 6) AS psi
 FROM pivoted p JOIN totals t USING (event_type)
 GROUP BY 1, 2, 3
 """
