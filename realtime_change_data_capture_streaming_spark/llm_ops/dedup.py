@@ -760,6 +760,126 @@ WHERE doc_id = (SELECT MIN(d2.doc_id) FROM documents d2 WHERE md5(d2.text) = md5
 """
 
 
+# ------------------------------------------------- substring-level dedup
+
+_SPAN_K = 8  # anchor width in tokens
+_SPAN_MIN = 12  # minimal reported span length in tokens
+_SPAN_MAX_OCC = 32  # corpus-wide occurrence cap per anchor (boilerplate bound)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SUBSTRING spans — the token-level tier the
+    doc-level sketches miss (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better": training corpora repeat long spans
+    *across* otherwise-distinct documents).  The exact method there is a
+    corpus suffix array; this is the bounded seed-and-extend shape that
+    fits a shuffle engine:
+
+    1. anchor every K-token window by md5 (16-byte shuffle payload — the
+       window text itself never shuffles);
+    2. drop anchors occurring more than _SPAN_MAX_OCC times corpus-wide:
+       the boilerplate cap that bounds every candidate-join block at
+       MAX_OCC^2 pairs, which is what keeps the self-join linear-ish in
+       corpus size instead of quadratic (high-frequency anchors are
+       exactly the blocks that would explode, and spans made only of
+       boilerplate are not the dedup target);
+    3. self-join on the anchor hash (doc_a < doc_b) -> seed matches;
+       the capped anchor table is materialized once (localCheckpoint)
+       so both join sides read it instead of re-deriving the
+       tokenize->window->hash pipeline;
+    4. merge seeds on the same (pair, diagonal = pos_b - pos_a) into
+       maximal spans with one islands-and-gaps window (consecutive
+       pos_a runs), maximality per diagonal being exactly what
+       seed-and-extend yields.
+
+    Reported: every shared span >= _SPAN_MIN tokens with its start
+    position in both documents.  Both phases replay in DuckDB."""
+    return substring_spans_of(load_table(spark, sf_dir, "documents"))
+
+
+def substring_spans_of(d: DataFrame) -> DataFrame:
+    """Core of ``dedup_substring_spans`` over any (doc_id, text) frame."""
+    from pyspark.sql import Window
+
+    tokp = spread(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", F.posexplode_outer(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = tokp
+    for i in range(1, _SPAN_K):
+        tri = tri.withColumn(f"_t{i}", F.lead("tok", i).over(w))
+    anch = tri.filter(F.col(f"_t{_SPAN_K - 1}").isNotNull()).select(
+        "doc_id",
+        "pos",
+        F.md5(
+            F.concat_ws(" ", "tok", *[f"_t{i}" for i in range(1, _SPAN_K)]).cast("binary")
+        ).alias("h"),
+    )
+    # occurrence cap via a count window over h; localCheckpoint the capped
+    # anchor table so the self-join reads ONE materialization instead of
+    # re-deriving the tokenize->lead->md5->cap pipeline per join side
+    # (same discipline as pq_codebook / connected components)
+    anch = (
+        anch.withColumn("occ", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("occ") <= _SPAN_MAX_OCC)
+        .drop("occ")
+        .localCheckpoint(eager=True)
+    )
+    a, b = anch.alias("a"), anch.alias("b")
+    seeds = a.join(
+        b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+        (F.col("b.pos") - F.col("a.pos")).alias("diag"),
+    )
+    wi = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = seeds.withColumn("grp", F.col("pos_a") - F.row_number().over(wi))
+    return (
+        isl.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_a").cast("bigint").alias("start_a"),
+            F.min("pos_b").cast("bigint").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(_SPAN_K - 1)).cast("bigint").alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= _SPAN_MIN)
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+    )
+
+
+SUBSTRING_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), anch AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(ts[i:i+{_SPAN_K - 1}], ' ')) AS h
+  FROM toks, UNNEST(range(1, GREATEST(LEN(ts) - {_SPAN_K - 1}, 0) + 1)) AS t(i)
+), capped AS (
+  SELECT doc_id, pos, h FROM (
+    SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS occ FROM anch
+  ) WHERE occ <= {_SPAN_MAX_OCC}
+), seeds AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b,
+         b.pos - a.pos AS diag
+  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT doc_a, doc_b, pos_a, pos_b, diag,
+         pos_a - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+  FROM seeds
+)
+SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM (
+  SELECT doc_a, doc_b,
+         CAST(MIN(pos_a) AS BIGINT) AS start_a,
+         CAST(MIN(pos_b) AS BIGINT) AS start_b,
+         CAST(COUNT(*) + {_SPAN_K - 1} AS BIGINT) AS span_tokens
+  FROM isl GROUP BY doc_a, doc_b, diag, grp
+) WHERE span_tokens >= {_SPAN_MIN}
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": exact_dedup_groups,
     "dedup_kept_documents": dedup_kept_documents,
@@ -768,6 +888,7 @@ QUERIES = {
     "dedup_embedding_cosine": embedding_cosine_dedup,
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_signatures,
+    "dedup_substring_spans": dedup_substring_spans,
     "dedup_cluster_components": dedup_cluster_components,
 }
 
@@ -781,4 +902,5 @@ ORACLE = {
     # md5-derived sketches since round 5 -> full hash oracle
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_simhash": SIMHASH_SQL,
+    "dedup_substring_spans": SUBSTRING_SPANS_SQL,
 }

@@ -127,3 +127,59 @@ def test_star_components_match_union_find(spark, edges):
     got = {r["node"]: r["component"] for r in rows}
     want = _union_find(edges)
     assert got == want, (edges, got, want)
+
+
+# ----------------------------- substring-level spans -------------------------
+
+
+def test_substring_spans_exact_boundaries(spark):
+    """Constructed corpus with a KNOWN shared 20-token run: the operator
+    must report exactly one span with exact start positions and length,
+    and a 10-token shared run (< _SPAN_MIN) must report nothing."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import (
+        _SPAN_MIN,
+        substring_spans_of,
+    )
+
+    shared = " ".join(f"common{i}" for i in range(20))
+    short = " ".join(f"tiny{i}" for i in range(10))
+    doc_a = " ".join(f"aa{i}" for i in range(10)) + " " + shared + " " + " ".join(
+        f"az{i}" for i in range(5)
+    )
+    doc_b = " ".join(f"bb{i}" for i in range(15)) + " " + shared + " " + " ".join(
+        f"bz{i}" for i in range(7)
+    )
+    doc_c = short + " " + " ".join(f"cc{i}" for i in range(20))
+    doc_d = " ".join(f"dd{i}" for i in range(20)) + " " + short
+    d = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c), (4, doc_d)], "doc_id long, text string"
+    )
+    rows = substring_spans_of(d).collect()
+    assert len(rows) == 1, rows
+    (r,) = rows
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["span_tokens"] == 20 >= _SPAN_MIN
+    assert r["start_a"] == 10  # after the 10-token prefix of doc 1
+    assert r["start_b"] == 15  # after the 15-token prefix of doc 2
+
+
+def test_substring_spans_boilerplate_cap_drops_hot_anchors(spark):
+    """An anchor window repeated across more documents than _SPAN_MAX_OCC
+    must be dropped by the occurrence cap (bounding the candidate join),
+    while the same window under the cap is reported."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import (
+        _SPAN_MAX_OCC,
+        substring_spans_of,
+    )
+
+    boiler = " ".join(f"hot{i}" for i in range(12))
+    hot = [(100 + i, f"u{i}x " + boiler) for i in range(_SPAN_MAX_OCC + 1)]
+    cool = [(200, "p0 p1 " + boiler), (201, "q0 q1 q2 " + boiler)]
+    got_hot = substring_spans_of(
+        spark.createDataFrame(hot, "doc_id long, text string")
+    ).count()
+    assert got_hot == 0, "cap failed: hot-anchor block produced spans"
+    got_cool = substring_spans_of(
+        spark.createDataFrame(cool, "doc_id long, text string")
+    ).collect()
+    assert [(r["doc_a"], r["doc_b"], r["span_tokens"]) for r in got_cool] == [(200, 201, 12)]
