@@ -880,6 +880,97 @@ SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM (
 """
 
 
+def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-span coverage — the deletion criterion of
+    substring-level dedup (Lee et al. drop/trim documents by how much of
+    them is corpus-repeated text): fraction of each document's tokens
+    covered by at least one cross-document span from
+    ``dedup_substring_spans``.
+
+    A document appears in many pairs with overlapping spans, so the
+    intervals are merged first (classic islands: a row starts a new
+    island when its start exceeds the running max end of earlier
+    intervals — two windows over the per-doc ordering, no join).  The
+    interval set is DISTINCT'd first: identical (doc, start, end) rows
+    from different pairs would otherwise tie under the island ordering,
+    and a running sum over tied rows is frame-order-dependent — the
+    de-dup makes (start, end) a strict order per doc, so both window
+    passes see one deterministic sequence (caught by a nondeterministic
+    DuckDB replay before registration).  All
+    arithmetic is integer token counts until the single output division.
+    Only documents with at least one qualifying span are returned (the
+    complement trivially has coverage 0)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = substring_spans_of(d)
+    iv = spans.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("start_a").alias("s"),
+        (F.col("start_a") + F.col("span_tokens")).alias("e"),
+    ).unionAll(
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("start_b").alias("s"),
+            (F.col("start_b") + F.col("span_tokens")).alias("e"),
+        )
+    ).distinct()
+    w = Window.partitionBy("doc_id").orderBy("s", "e")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    isl = iv.withColumn(
+        "new_island", F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0)
+    ).withColumn("island", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    merged = isl.groupBy("doc_id", "island").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    cov = merged.groupBy("doc_id").agg(F.sum(F.col("me") - F.col("ms")).alias("covered_tokens"))
+    ntok = d.select("doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    return cov.join(ntok, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "covered_tokens",
+        F.round(F.col("covered_tokens").cast("double") / F.col("n_tokens"), 6).alias("coverage"),
+    )
+
+
+SPAN_COVERAGE_SQL = f"""
+WITH spans AS (
+  SELECT * FROM ({SUBSTRING_SPANS_SQL})
+), iv AS (
+  SELECT DISTINCT doc_id, s, e FROM (
+    SELECT doc_a AS doc_id, start_a AS s, start_a + span_tokens AS e FROM spans
+    UNION ALL
+    SELECT doc_b, start_b, start_b + span_tokens FROM spans
+  )
+), isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS new_island
+  FROM (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+    FROM iv
+  )
+), grp AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), merged AS (
+  SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me FROM grp GROUP BY 1, 2
+), cov AS (
+  SELECT doc_id, CAST(SUM(me - ms) AS BIGINT) AS covered_tokens FROM merged GROUP BY 1
+), ntok AS (
+  SELECT doc_id,
+         CAST(LEN(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT c.doc_id, n.n_tokens, c.covered_tokens,
+       ROUND(CAST(c.covered_tokens AS DOUBLE) / n.n_tokens, 6) AS coverage
+FROM cov c JOIN ntok n ON n.doc_id = c.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": exact_dedup_groups,
     "dedup_kept_documents": dedup_kept_documents,
@@ -889,6 +980,7 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_signatures,
     "dedup_substring_spans": dedup_substring_spans,
+    "dedup_span_coverage": dedup_span_coverage,
     "dedup_cluster_components": dedup_cluster_components,
 }
 
@@ -903,4 +995,5 @@ ORACLE = {
     "dedup_minhash_lsh": MINHASH_LSH_SQL,
     "dedup_simhash": SIMHASH_SQL,
     "dedup_substring_spans": SUBSTRING_SPANS_SQL,
+    "dedup_span_coverage": SPAN_COVERAGE_SQL,
 }

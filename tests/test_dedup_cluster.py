@@ -183,3 +183,32 @@ def test_substring_spans_boilerplate_cap_drops_hot_anchors(spark):
         spark.createDataFrame(cool, "doc_id long, text string")
     ).collect()
     assert [(r["doc_a"], r["doc_b"], r["span_tokens"]) for r in got_cool] == [(200, 201, 12)]
+
+
+def test_span_coverage_merges_overlapping_intervals(spark, monkeypatch, tmp_path):
+    """A doc sharing two OVERLAPPING spans with different partners must
+    count the union once: spans [10,30) with doc 2 and [25,45) with doc 3
+    merge to 35 covered tokens."""
+    import realtime_change_data_capture_streaming_spark.llm_ops.dedup as dd
+
+    tok = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    shared_a = tok("sa", 20)   # doc1[10:30], doc2[0:20]
+    shared_b = tok("sb", 20)   # doc1[25:45], doc3[5:25] -- overlaps shared_a's tail
+    # doc1: 10 unique + sa0..sa19, where sa15..sa19 are REPLACED by sb0..4?
+    # Simpler: build doc1 as explicit token list with sb starting at 25:
+    d1 = tok("u", 10).split() + shared_a.split()          # positions 0..29
+    d1 = d1[:25] + shared_b.split() + ["tail0", "tail1"]  # sb at 25..44
+    doc1 = " ".join(d1)
+    doc2 = tok("v", 3) + " " + " ".join(d1[10:25])        # 15-token prefix of the overlap region
+    doc3 = tok("w", 5) + " " + shared_b
+    d = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3)], "doc_id long, text string"
+    )
+    monkeypatch.setattr(dd, "load_table", lambda spark_, sf_, name: d)
+    rows = {r["doc_id"]: r for r in dd.dedup_span_coverage(spark, "ignored").collect()}
+    # doc1 intervals: [10,25) shared with doc2, [25,45) shared with doc3 -> [10,45)
+    assert rows[1]["covered_tokens"] == 35, rows[1]
+    assert rows[1]["n_tokens"] == 47
+    assert rows[1]["coverage"] == round(35 / 47, 6)
+    assert rows[2]["covered_tokens"] == 15
+    assert rows[3]["covered_tokens"] == 20
