@@ -781,18 +781,33 @@ def _adc_lut(qsubs: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def _adc_search(spark: SparkSession, sf_dir: str, lut: DataFrame, codes: DataFrame) -> DataFrame:
+def _adc_search(
+    spark: SparkSession,
+    sf_dir: str,
+    lut: DataFrame,
+    codes: DataFrame,
+    probes: DataFrame | None = None,
+) -> DataFrame:
     """Shared PQ search: ADC shortlist over the code table, then exact
     squared-L2 rerank bounded to PQ_SHORTLIST full-precision fetches per
-    query — the scan-vs-accuracy contract of production IVFADC systems."""
+    query — the scan-vs-accuracy contract of production IVFADC systems.
+
+    With ``probes`` (query_id, cluster) and a cluster column on the code
+    table, each query scores only candidates in its probed clusters (the
+    IVFADC composition): the semi-join prunes pairs BEFORE the partial
+    aggregation, so the shuffle carries n_probe/k of the pair volume."""
+    extra = ["cluster"] if probes is not None else []
     cand = codes.filter(F.col("vec_id") >= N_QUERY_VECS).select(
-        F.col("vec_id").alias("cand_id"), "s", "code"
+        F.col("vec_id").alias("cand_id"), "s", "code", *extra
     )
-    scored = (
-        cand.join(F.broadcast(lut), ["s", "code"])
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("pfp").alias("fp"))
-    )
+    pairs = cand.join(F.broadcast(lut), ["s", "code"])
+    if probes is not None:
+        pairs = pairs.join(
+            F.broadcast(probes.select("query_id", "cluster")),
+            ["query_id", "cluster"],
+            "left_semi",
+        )
+    scored = pairs.groupBy("query_id", "cand_id").agg(F.sum("pfp").alias("fp"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(F.asc("fp"), F.asc("cand_id"))
@@ -884,6 +899,84 @@ def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_search(spark, sf_dir, lut, codes)
 
 
+def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per machine per sf) the combined IVF+PQ index — the
+    FAISS-IVFADC layout: ``<dir>/codes`` = the PQ code table partitioned
+    by IVF cluster id, ``<dir>/centroids`` = the coarse quantizer,
+    ``<dir>/codebook`` = the PQ codewords.  At production scale a search
+    reads n_probe/k of a table that is already 32x smaller than the
+    vectors — the two prunings compose multiplicatively."""
+    import hashlib
+    import os
+    import tempfile
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
+    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        assigned, cents = ivf_model(spark, sf_dir)
+        codes, cb = pq_codebook(spark, sf_dir)
+        (
+            codes.select("vec_id", "s", "code")
+            .join(assigned.select("vec_id", "cluster"), "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(os.path.join(root, "codes"))
+        )
+        cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+        cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "codebook"))
+        open(os.path.join(root, "_SUCCESS"), "w").close()
+    return root
+
+
+def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC search against the persisted combined index: rank the
+    coarse centroids per query, collect the probed-cluster-id union
+    (bounded metadata collect, same shape as ``ann_ivf_persisted_topk``)
+    to PARTITION-PRUNE the code-table scan, then ADC-score only
+    candidates whose cluster each query actually probed, shortlist, and
+    exact-rerank.  This is the production serving shape for billion-
+    vector corpora: IO ∝ n_probe/k of a 32x-compressed table, exact
+    fetches bounded to PQ_SHORTLIST per query.  Recall is bounded by the
+    probe policy (candidates outside probed clusters are invisible), so
+    the result differs from the PQ-only tier by design — it has its own
+    oracle replaying both quantizers."""
+    import os
+
+    from pyspark.sql import Window
+
+    root = _ivfpq_index_dir(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(root, "centroids"))
+    cb = spark.read.parquet(os.path.join(root, "codebook"))
+    codes = spark.read.parquet(os.path.join(root, "codes"))
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    qd = q.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                "centroid",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probes = (
+        qd.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= N_PROBE)
+        .select("query_id", "cluster")
+    )
+    probed_ids = sorted({r["cluster"] for r in probes.select("cluster").distinct().collect()})
+    pruned = codes.filter(F.col("cluster").isin(probed_ids))
+    lut = _adc_lut(_subvectors(e.filter(F.col("vec_id") < N_QUERY_VECS)), cb)
+    return _adc_search(spark, sf_dir, lut, pruned, probes=probes)
+
+
 def _pq_sql() -> str:
     """DuckDB replay of pq_codebook + ann_pq_adc_topk: same seeds, same
     fixed-point codebook updates, same fold order, same fixed-point ADC
@@ -961,6 +1054,99 @@ SELECT query_id, cand_id, l2_dist, rk FROM (
 ANN_PQ_SQL = _pq_sql()
 
 
+def _ivfpq_sql() -> str:
+    """DuckDB replay of the IVFADC composition: the PQ quantizer chain
+    (shared verbatim with ``_pq_sql`` up to the code assignment), the IVF
+    coarse-quantizer chain under i-prefixed CTE names (its ``assign{n}``
+    steps would collide with the PQ chain's), a per-query probe ranking,
+    and an ADC scan restricted to each query's probed clusters."""
+    pq = _pq_sql()
+    pq_chain = pq[: pq.index(", lut AS (")]
+
+    idist = (
+        "list_sum(list_transform(list_zip(e.embedding, c.centroid), "
+        "p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+    )
+
+    def iassign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {idist} ASC, c.cluster ASC) AS rk
+    FROM embeddings e CROSS JOIN {cents} c
+  ) WHERE rk = 1
+)"""
+
+    def iupdate(assigned: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
+    SELECT cluster, dim,
+           (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
+    FROM (
+      SELECT a.cluster, t.i AS dim,
+             CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * {float(_FP_SCALE)}) AS BIGINT) AS iv
+      FROM {assigned} a JOIN embeddings e ON e.vec_id = a.vec_id,
+           UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
+    ) GROUP BY cluster, dim
+  ) GROUP BY cluster
+)"""
+
+    ivf_chain = f""", icents0 AS (
+  SELECT vec_id AS cluster, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+  FROM embeddings WHERE vec_id < {N_IVF_CLUSTERS}
+), {iassign("icents0", "iassign0")}
+, {iupdate("iassign0", "icents1")}
+, {iassign("icents1", "iassign1")}
+, {iupdate("iassign1", "icents2")}
+, {iassign("icents2", "iassign2")}"""
+
+    pdist = "list_sum(list_transform(list_zip(a.sub, c.cw), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    cbn = f"cb{PQ_ITERS}"
+    return f"""{pq_chain}{ivf_chain}
+, probes AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {idist} ASC, c.cluster ASC) AS prk
+    FROM embeddings e CROSS JOIN icents2 c
+    WHERE e.vec_id < {N_QUERY_VECS}
+  ) WHERE prk <= {N_PROBE}
+), lut AS (
+  SELECT a.vec_id AS query_id, a.s, c.code,
+         CAST(FLOOR({pdist} * {float(_ADC_SCALE)}) AS BIGINT) AS pfp
+  FROM subs a JOIN {cbn} c ON a.s = c.s
+  WHERE a.vec_id < {N_QUERY_VECS}
+), scored AS (
+  SELECT l.query_id, a.vec_id AS cand_id, SUM(l.pfp) AS fp
+  FROM codes a
+  JOIN iassign2 ia ON ia.vec_id = a.vec_id
+  JOIN probes p ON p.cluster = ia.cluster
+  JOIN lut l ON a.s = l.s AND a.code = l.code AND l.query_id = p.query_id
+  WHERE a.vec_id >= {N_QUERY_VECS}
+  GROUP BY 1, 2
+), short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY fp ASC, cand_id ASC) AS srk
+    FROM scored
+  ) WHERE srk <= {PQ_SHORTLIST}
+), rer AS (
+  SELECT s.query_id, s.cand_id,
+         list_sum(list_transform(list_zip(q.v, c.v), p -> (p[1] - p[2]) * (p[1] - p[2]))) AS l2_dist
+  FROM short s
+  JOIN vd q ON q.vec_id = s.query_id
+  JOIN vd c ON c.vec_id = s.cand_id
+)
+SELECT query_id, cand_id, l2_dist, rk FROM (
+  SELECT query_id, cand_id, l2_dist,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY l2_dist ASC, cand_id ASC) AS BIGINT) AS rk
+  FROM rer
+) WHERE rk <= {TOP_K}
+"""
+
+
+ANN_IVFPQ_SQL = _ivfpq_sql()
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
@@ -972,6 +1158,7 @@ QUERIES = {
     "embedding_quantize_int8": embedding_quantize_int8,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_persisted_topk": ann_pq_persisted_topk,
+    "ann_ivfpq_persisted_topk": ann_ivfpq_persisted_topk,
 }
 
 ORACLE = {
@@ -985,4 +1172,5 @@ ORACLE = {
     "embedding_quantize_int8": QUANTIZE_INT8_SQL,
     "ann_pq_adc_topk": ANN_PQ_SQL,
     "ann_pq_persisted_topk": ANN_PQ_SQL,
+    "ann_ivfpq_persisted_topk": ANN_IVFPQ_SQL,
 }

@@ -322,3 +322,53 @@ def test_pq_persisted_search_matches_refit(spark):
     n_persist_ex = plan.count("Exchange")
     n_refit_ex = refit._jdf.queryExecution().executedPlan().toString().count("Exchange")
     assert n_persist_ex < n_refit_ex, (n_persist_ex, n_refit_ex)
+
+
+def test_ivfpq_prunes_partitions_and_bounds_recall(spark):
+    """The IVFADC composition must (a) partition-prune the code-table
+    scan to the probed-cluster union, and (b) still recall most exact
+    neighbors at sf0.01 — the accuracy side of the n_probe/k scan
+    saving.  Reranked distances are exact for every recalled pair."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
+        N_QUERY_VECS,
+        TOP_K,
+        ann_ivfpq_persisted_topk,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got_df = ann_ivfpq_persisted_topk(spark, sf)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "spark_graft_ivfpq_" in plan
+    # the code-table scan must carry a cluster partition filter
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters", 1)[1][:200]
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")
+    )
+    l2 = F.aggregate(
+        F.zip_with("qv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("cand_id"))
+    exact_rows = (
+        q.crossJoin(c)
+        .select("query_id", "cand_id", l2.alias("l2_dist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .collect()
+    )
+    exact = {(r["query_id"], r["cand_id"]): r["l2_dist"] for r in exact_rows}
+    got = {(r["query_id"], r["cand_id"]): r["l2_dist"] for r in got_df.collect()}
+    hit = set(exact) & set(got)
+    assert len(hit) / len(exact) >= 0.6, len(hit) / len(exact)
+    for k in hit:
+        assert got[k] == exact[k], (k, got[k], exact[k])
