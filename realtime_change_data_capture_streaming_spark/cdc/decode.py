@@ -138,6 +138,7 @@ def parse_envelope(
     value_col: str = "value",
     keep_corrupt: bool = False,
     capture_extras: bool = False,
+    capture_txn: bool = False,
     kafka_tombstones: str = "drop",
 ) -> DataFrame:
     """Kafka-shaped ``value`` (JSON string/bytes) -> typed change rows.
@@ -151,6 +152,13 @@ def parse_envelope(
     ``capture_extras`` adds an ``_extra`` map column holding after-image
     fields the fixed schema does not know (see :func:`_extras_map`) so an
     upstream column add is never silently dropped.
+
+    ``capture_txn`` adds ``txn_id`` (string) and ``txn_order`` (long) from
+    the OPTIONAL top-level ``transaction`` block Debezium emits when
+    ``provide.transaction.metadata`` is on — the handle a transactionally
+    consistent consumer groups by before applying (see
+    :func:`~realtime_change_data_capture_streaming_spark.cdc.queries.cdc_txn_consistent_apply`).
+    Envelopes without the block yield nulls.
 
     ``kafka_tombstones`` decides what a NULL-value message means.  Debezium
     follows every delete envelope with a null-value record so Kafka log
@@ -198,6 +206,16 @@ def parse_envelope(
         _decode_image(env.getField("after"), decimal_mode).alias("after"),
         *([F.col("offset").cast("long").alias("offset")] if passthrough_offset else []),
         *([_extras_map(raw, "after").alias("_extra")] if capture_extras else []),
+        *(
+            [
+                F.get_json_object(raw, "$.transaction.id").alias("txn_id"),
+                F.get_json_object(raw, "$.transaction.total_order")
+                .cast("long")
+                .alias("txn_order"),
+            ]
+            if capture_txn
+            else []
+        ),
         # from_json in PERMISSIVE mode yields an all-null row (not a null
         # struct) for malformed input — detect that shape.
         *(

@@ -593,6 +593,153 @@ FROM orders
 """
 
 
+_TXN_GROUP = 8  # orders per upstream transaction group
+_TXN_DROP = 13  # update events for keys %13 are "in flight" (never delivered)
+
+
+def txn_change_events(spark: SparkSession, sf_dir: str):
+    """(delivered data events, transaction END metadata) — the two-topic
+    layout Debezium produces with ``provide.transaction.metadata``: data
+    envelopes carry a ``transaction{id, total_order,
+    data_collection_order}`` block, and a metadata topic carries one END
+    record per transaction with its expected event count.
+
+    Deterministic construction from orders: every _TXN_GROUP consecutive
+    order keys form one upstream transaction (insert per order, update
+    for %10 keys, delete for %97 keys).  Update events for %_TXN_DROP
+    keys are withheld — their transactions never complete.  A third of
+    delivered events are redelivered (at-least-once transport)."""
+    o = load_table(spark, sf_dir, "orders")
+    txn = F.floor(F.col("o_orderkey") / F.lit(_TXN_GROUP)).cast("string")
+    base_lsn = F.col("o_orderkey") * 3
+    ts_ms = F.unix_timestamp("o_orderdate") * 1000
+
+    def env(before, after, op, lsn_off, coll_order):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                (ts_ms + lsn_off).alias("ts_ms"),
+                F.struct(
+                    (base_lsn + lsn_off).alias("lsn"),
+                    F.lit("transactions").alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+                F.struct(
+                    txn.alias("id"),
+                    ((F.col("o_orderkey") % _TXN_GROUP) * 3 + lsn_off).alias("total_order"),
+                    F.lit(coll_order).alias("data_collection_order"),
+                ).alias("transaction"),
+            )
+        )
+
+    key = F.col("o_orderkey").cast("string").alias("key")
+    null_img = F.when(F.lit(False), _image(F.col("o_totalprice")))
+    inserts = o.select(
+        key, env(null_img, _image(F.col("o_totalprice")), "c", F.lit(0), 1).alias("value")
+    )
+    updates = o.filter(
+        (F.col("o_orderkey") % 10 == 0) & (F.col("o_orderkey") % _TXN_DROP != 0)
+    ).select(
+        key,
+        env(
+            _image(F.col("o_totalprice")),
+            _image(F.col("o_totalprice") + _AMOUNT_BUMP),
+            "u",
+            F.lit(1),
+            2,
+        ).alias("value"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        key,
+        env(
+            _image(F.col("o_totalprice") + _AMOUNT_BUMP),
+            F.when(F.lit(False), _image(F.col("o_totalprice"))),
+            "d",
+            F.lit(2),
+            3,
+        ).alias("value"),
+    )
+    events = inserts.unionByName(updates).unionByName(deletes)
+    redelivered = events.filter(F.pmod(F.xxhash64("key"), F.lit(3)) == 0)
+    events = events.unionByName(redelivered).repartition(17)
+    # END metadata: expected counts over the INTENDED event set (the
+    # upstream knows what it committed, not what the transport delivered)
+    meta = (
+        o.select(
+            txn.alias("txn_id"),
+            (
+                F.lit(1)
+                + (F.col("o_orderkey") % 10 == 0).cast("int")
+                + (F.col("o_orderkey") % 97 == 0).cast("int")
+            ).alias("n"),
+        )
+        .groupBy("txn_id")
+        .agg(F.sum("n").alias("n_expected"))
+    )
+    return events, meta
+
+
+def cdc_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactionally consistent apply — the multi-event atomicity layer
+    over latest-wins: an upstream transaction's events are applied ALL or
+    NOT AT ALL.  A consumer reading Debezium's transaction metadata topic
+    buffers until the END record's event count is met; the batch form is
+    a gate: count distinct delivered (key, lsn) per txn_id, keep
+    transactions whose count meets the END record, and run the normal
+    apply over the gated events.
+
+    Scale shape: the arrived count is a partial-agg count on txn_id, the
+    gate is one semi-join keyed on txn_id (txn-cardinality, AQE picks the
+    strategy), and everything downstream is the unchanged
+    ``apply_changes_batch``.  Incompleteness is real here: update events
+    for %_TXN_DROP keys never arrive, so their whole transaction —
+    including perfectly delivered inserts — must be absent from the
+    output (the oracle's NOT IN clause)."""
+    events, meta = txn_change_events(spark, sf_dir)
+    parsed = parse_envelope(events, decimal_mode="string", capture_txn=True)
+    arrived = (
+        parsed.select("txn_id", "key", "lsn")
+        .distinct()
+        .groupBy("txn_id")
+        .agg(F.count(F.lit(1)).alias("n_arrived"))
+    )
+    complete = (
+        arrived.join(meta, "txn_id")
+        .filter(F.col("n_arrived") == F.col("n_expected"))
+        .select("txn_id")
+    )
+    gated = parsed.join(complete, "txn_id", "left_semi")
+    final = apply_changes_batch(gated)
+    return final.select(
+        F.col("transaction_id"),
+        F.col("user_id"),
+        F.col("amount").cast("double").alias("amount"),
+        F.col("currency"),
+        F.col("merchant_name"),
+        F.col("voucher_code"),
+    )
+
+
+CDC_TXN_APPLY_SQL = f"""
+WITH t AS (
+  SELECT *, CAST(CAST(FLOOR(o_orderkey / {_TXN_GROUP}) AS BIGINT) AS VARCHAR) AS txn FROM orders
+), incomplete AS (
+  SELECT DISTINCT txn FROM t WHERE o_orderkey % 10 = 0 AND o_orderkey % {_TXN_DROP} = 0
+)
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(o_custkey AS VARCHAR) AS user_id,
+       CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
+            AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       o_orderstatus AS currency,
+       o_orderpriority AS merchant_name,
+       '' AS voucher_code
+FROM t
+WHERE txn NOT IN (SELECT txn FROM incomplete) AND o_orderkey % 97 != 0
+"""
+
+
 QUERIES = {
     "cdc_apply_changes": cdc_apply_changes,
     "cdc_scd2_history": cdc_scd2_history,
@@ -605,6 +752,7 @@ QUERIES = {
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_snapshot_then_stream": cdc_snapshot_then_stream,
     "cdc_change_feed": cdc_change_feed,
+    "cdc_txn_consistent_apply": cdc_txn_consistent_apply,
 }
 
 ORACLE = {
@@ -619,4 +767,5 @@ ORACLE = {
     "cdc_audit_stamp": CDC_AUDIT_SQL,
     "cdc_schema_evolution": CDC_EVOLUTION_SQL,
     "cdc_snapshot_then_stream": CDC_SNAPSHOT_SQL,
+    "cdc_txn_consistent_apply": CDC_TXN_APPLY_SQL,
 }

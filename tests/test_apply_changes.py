@@ -94,3 +94,26 @@ def test_compaction_purges_tombstones_preserving_state(spark, parsed_events, tmp
     sink.merge(fresh)
     bumped = sink.read().filter(F.col("amount") == 9999.99).count()
     assert bumped == fresh.select("key").distinct().count()
+
+
+def test_txn_consistent_apply_is_atomic(spark):
+    """The transaction gate must drop WHOLE transactions: for every txn
+    with a withheld update event, even the perfectly delivered inserts of
+    sibling keys must be absent; complete transactions apply fully."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import (
+        _TXN_DROP,
+        _TXN_GROUP,
+        cdc_txn_consistent_apply,
+    )
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {int(r["transaction_id"]) for r in cdc_txn_consistent_apply(spark, sf).collect()}
+    keys = [r["o_orderkey"] for r in load_table(spark, sf, "orders").select("o_orderkey").collect()]
+    bad_txns = {k // _TXN_GROUP for k in keys if k % 10 == 0 and k % _TXN_DROP == 0}
+    assert bad_txns, "fixture has no incomplete transactions - gate untested"
+    for k in keys:
+        if k // _TXN_GROUP in bad_txns:
+            assert k not in got, f"key {k} from incomplete txn leaked into output"
+        elif k % 97 != 0:
+            assert k in got, f"key {k} from complete txn missing"
