@@ -125,3 +125,115 @@ ORACLE = {
     "stream_cdc_merge": CDC_APPLY_SQL,
     "stream_cdc_schema_evolution": CDC_EVOLUTION_SQL,
 }
+
+
+_TXN_TB = 16  # pending-store partition count (txn-hash buckets)
+
+
+def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactionally consistent apply under the REAL streaming engine —
+    the stateful form of ``cdc.queries.cdc_txn_consistent_apply``: a
+    transaction's events may be spread across micro-batches, and NONE of
+    them may reach the table until the END-record count is met.
+
+    Staging forces genuine cross-batch completion: batch 1 delivers only
+    the inserts, batch 2 the updates + deletes, so every multi-event
+    transaction is incomplete after batch 1 and the gate must hold its
+    inserts back, then release them when (and only when) the remainder
+    arrives.
+
+    State layout per micro-batch (foreachBatch):
+      1. append the batch's parsed events to a PENDING store partitioned
+         by a txn-hash bucket (the buffered not-yet-committed events — at
+         scale this store is bounded by open-transaction volume after
+         compaction of released txns, and reads of it below are
+         partition-pruned);
+      2. re-count distinct (key, lsn) per txn over ONLY the buckets this
+         batch touched (bounded metadata collect of <= _TXN_TB bucket
+         ids) against the static END metadata;
+      3. semi-join the pending events of newly/still-complete txns and
+         MERGE them into the sink — latest-wins merge is idempotent, so
+         a transaction released in batch 1 and redelivered in batch 2
+         re-merges harmlessly.
+
+    Oracle: the same closed-form CDC_TXN_APPLY_SQL as the batch variant —
+    the batch split must be invisible in the final state."""
+    import os
+    import time
+
+    from realtime_change_data_capture_streaming_spark.cdc.queries import txn_change_events
+
+    work = scratch_dir(prefix="stream_txn_")
+    events, meta = txn_change_events(spark, sf_dir)
+    staged = f"{work}/staged"
+    op = F.get_json_object(F.col("value"), "$.op")
+    events.filter(op == "c").coalesce(1).write.mode("overwrite").parquet(f"{staged}/p1")
+    events.filter(op != "c").coalesce(1).write.mode("overwrite").parquet(f"{staged}/p2")
+    os.makedirs(f"{staged}/in", exist_ok=True)
+    now = time.time()
+    for i, phase in enumerate(("p1", "p2")):
+        (part,) = [e for e in os.listdir(f"{staged}/{phase}") if e.startswith("part-")]
+        dst = f"{staged}/in/{i}-{part}"
+        os.rename(f"{staged}/{phase}/{part}", dst)
+        os.utime(dst, (now + i, now + i))  # file-stream orders by mtime
+    meta_pq = f"{work}/meta"
+    meta.write.mode("overwrite").parquet(meta_pq)
+
+    pending = f"{work}/pending"
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
+
+    def gate(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        b = batch.withColumn("tb", F.pmod(F.xxhash64("txn_id"), F.lit(_TXN_TB)))
+        b.write.mode("append").partitionBy("tb").parquet(pending)
+        touched = [r["tb"] for r in b.select("tb").distinct().collect()]
+        if not touched:
+            return
+        pend = sp.read.parquet(pending).filter(F.col("tb").isin(touched))
+        arrived = (
+            pend.select("txn_id", "key", "lsn")
+            .distinct()
+            .groupBy("txn_id")
+            .agg(F.count(F.lit(1)).alias("n_arrived"))
+        )
+        complete = (
+            arrived.join(sp.read.parquet(meta_pq), "txn_id")
+            .filter(F.col("n_arrived") == F.col("n_expected"))
+            .select("txn_id")
+        )
+        released = pend.join(complete, "txn_id", "left_semi").drop(
+            "tb", "txn_id", "txn_order"
+        )
+        if released.isEmpty():
+            return
+        sink.merge(released)
+
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{staged}/in")
+    )
+    parsed = parse_envelope(stream, decimal_mode="string", capture_txn=True)
+    q = (
+        parsed.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    final = sink.read()
+    return final.select(
+        F.col("transaction_id"),
+        F.col("user_id"),
+        F.col("amount").cast("double").alias("amount"),
+        F.col("currency"),
+        F.col("merchant_name"),
+        F.col("voucher_code"),
+    )
+
+
+from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_TXN_APPLY_SQL  # noqa: E402
+
+QUERIES["stream_txn_consistent_apply"] = stream_txn_consistent_apply
+ORACLE["stream_txn_consistent_apply"] = CDC_TXN_APPLY_SQL
