@@ -977,6 +977,130 @@ def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _adc_search(spark, sf_dir, lut, pruned, probes=probes)
 
 
+# ------------------------------------------------------------------ PCA
+
+_PCA_ITERS = 3
+_PCA_FP = float(1 << 30)  # fixed-point scale for per-dim accumulations
+
+
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding matrix by DETERMINISTIC
+    power iteration — the first step of PCA whitening / dimensionality
+    reduction in embedding pipelines.
+
+    Each iteration is two linear passes over the data (the scale-correct
+    O(n*d) shape — the d*d covariance matrix is never materialized):
+    ``s_i = (x_i - mu) . v`` per row (index-order fold), then per-dim
+    accumulation ``w_j = sum_i s_i * (x_ij - mu_j)`` as floor(term*2^30)
+    fixed-point integers (order-independent under any partitioning, the
+    ivf/chi-square discipline).  The 64-element mean and iterate vectors
+    are collected to the driver between passes — bounded metadata
+    collects (d doubles per iteration), the same shape as the probed-
+    cluster unions.  v0 = all-ones normalized (1/8 each: d=64, sqrt
+    exact), so no randomness anywhere; every scalar step is an IEEE op
+    on identical inputs, and the whole iteration replays bit-exact in
+    DuckDB.  Output: per-dim loading of the unit component plus the
+    Rayleigh-quotient eigenvalue (variance along the component)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    xd = xd.localCheckpoint(eager=True)  # scanned 2x per iteration
+    n = xd.count()
+    dims = xd.select(F.posexplode("v").alias("dim", "x"))
+    mu_rows = (
+        dims.withColumn("ifp", F.floor(F.col("x") * F.lit(float(_FP_SCALE))))
+        .groupBy("dim")
+        .agg(F.sum("ifp").alias("s"))
+        .select("dim", ((F.col("s").cast("double") / F.lit(n)) / F.lit(float(_FP_SCALE))).alias("m"))
+        .collect()
+    )
+    mu = [r["m"] for r in sorted(mu_rows, key=lambda r: r["dim"])]
+    v = [1.0 / 8.0] * EMB_DIM  # exact: 1/sqrt(64)
+    lam = 0.0
+    for _ in range(_PCA_ITERS):
+        mu_lit = F.array(*[F.lit(m) for m in mu])
+        v_lit = F.array(*[F.lit(x) for x in v])
+        s = F.aggregate(
+            F.zip_with(
+                F.zip_with("v", mu_lit, lambda x, m: x - m),
+                v_lit,
+                lambda c, vv: c * vv,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        centered = xd.select(s.alias("s"), F.posexplode("v").alias("dim", "x"))
+        w_rows = (
+            centered.withColumn(
+                "tfp",
+                F.floor(
+                    (F.col("s") * (F.col("x") - F.element_at(mu_lit, F.col("dim") + 1)))
+                    * F.lit(_PCA_FP)
+                ),
+            )
+            .groupBy("dim")
+            .agg(F.sum("tfp").alias("w"))
+            .collect()
+        )
+        w = [r["w"] / _PCA_FP for r in sorted(w_rows, key=lambda r: r["dim"])]
+        norm_sq = 0.0
+        for x in w:
+            norm_sq += x * x
+        norm = norm_sq**0.5
+        lam = norm / n  # Rayleigh estimate: ||C v|| for unit v
+        v = [x / norm for x in w]
+    out = spark.createDataFrame(
+        [(i, v[i]) for i in range(EMB_DIM)], "dim int, loading double"
+    )
+    return out.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round("loading", 6).alias("loading"),
+        F.round(F.lit(lam), 6).alias("eigenvalue"),
+    )
+
+
+def _pca_sql() -> str:
+    """DuckDB replay of embedding_pca_power: same fixed-point means, same
+    index-order dots (list_sum folds), same fixed-point accumulations,
+    same normalization arithmetic, unrolled _PCA_ITERS times."""
+    chain = f"""
+WITH xd AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), nn AS (SELECT COUNT(*) AS n FROM xd),
+mu AS (
+  SELECT dim, (CAST(CAST(SUM(CAST(FLOOR(x * {float(_FP_SCALE)}) AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / (SELECT n FROM nn)) / {float(_FP_SCALE)} AS m
+  FROM (SELECT t.i - 1 AS dim, v[t.i] AS x FROM xd, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i))
+  GROUP BY dim
+), mul AS (SELECT list(m ORDER BY dim) AS ml FROM mu),
+v0 AS (SELECT {"[" + ", ".join(["0.125"] * EMB_DIM) + "]"}::DOUBLE[] AS vl)"""
+    prev = "v0"
+    for t in range(_PCA_ITERS):
+        chain += f""",
+s{t} AS (
+  SELECT x.vec_id, x.v,
+         list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                  i -> (x.v[i] - mul.ml[i]) * {prev}.vl[i])) AS s
+  FROM xd x, mul, {prev}
+), w{t} AS (
+  SELECT dim, CAST(SUM(CAST(FLOOR(s * (x - m) * {_PCA_FP}) AS BIGINT)) AS BIGINT) AS w
+  FROM (SELECT s{t}.s, t.i - 1 AS dim, s{t}.v[t.i] AS x, mul.ml[t.i] AS m
+        FROM s{t}, mul, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i))
+  GROUP BY dim
+), wl{t} AS (SELECT list(CAST(w AS DOUBLE) / {_PCA_FP} ORDER BY dim) AS wl FROM w{t}),
+nrm{t} AS (SELECT SQRT(list_sum(list_transform(wl, x -> x * x))) AS nrm FROM wl{t}),
+v{t + 1} AS (SELECT list_transform(wl{t}.wl, x -> x / nrm{t}.nrm) AS vl FROM wl{t}, nrm{t})"""
+        prev = f"v{t + 1}"
+    return f"""{chain}
+SELECT CAST(t.i - 1 AS BIGINT) AS dim,
+       ROUND({prev}.vl[t.i], 6) AS loading,
+       ROUND(nrm{_PCA_ITERS - 1}.nrm / nn.n, 6) AS eigenvalue
+FROM {prev}, nrm{_PCA_ITERS - 1}, nn, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
+"""
+
+
+PCA_POWER_SQL = _pca_sql()
+
+
 def _pq_sql() -> str:
     """DuckDB replay of pq_codebook + ann_pq_adc_topk: same seeds, same
     fixed-point codebook updates, same fold order, same fixed-point ADC
@@ -1159,6 +1283,7 @@ QUERIES = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_pq_persisted_topk": ann_pq_persisted_topk,
     "ann_ivfpq_persisted_topk": ann_ivfpq_persisted_topk,
+    "embedding_pca_power": embedding_pca_power,
 }
 
 ORACLE = {
@@ -1173,4 +1298,5 @@ ORACLE = {
     "ann_pq_adc_topk": ANN_PQ_SQL,
     "ann_pq_persisted_topk": ANN_PQ_SQL,
     "ann_ivfpq_persisted_topk": ANN_IVFPQ_SQL,
+    "embedding_pca_power": PCA_POWER_SQL,
 }

@@ -372,3 +372,36 @@ def test_ivfpq_prunes_partitions_and_bounds_recall(spark):
     assert len(hit) / len(exact) >= 0.6, len(hit) / len(exact)
     for k in hit:
         assert got[k] == exact[k], (k, got[k], exact[k])
+
+
+def test_pca_power_finds_dominant_direction(spark):
+    """The power iterate must be a unit vector whose captured variance
+    (Rayleigh quotient) at least matches the best coordinate axis — the
+    minimal guarantee 3 iterations from a dense start must deliver."""
+    import numpy as np
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
+        embedding_pca_power,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = sorted(embedding_pca_power(spark, sf).collect(), key=lambda r: r["dim"])
+    v = np.array([r["loading"] for r in rows])
+    lam = rows[0]["eigenvalue"]
+    assert abs(float(np.dot(v, v)) - 1.0) < 1e-4, "component is not unit norm"
+
+    X = np.array(
+        [
+            r["embedding"]
+            for r in load_table(spark, sf, "embeddings").select("embedding").collect()
+        ],
+        dtype=np.float64,
+    )
+    Xc = X - X.mean(axis=0)
+    var_along_v = float(((Xc @ v) ** 2).mean())
+    best_axis_var = float((Xc**2).mean(axis=0).max())
+    assert var_along_v >= best_axis_var, (var_along_v, best_axis_var)
+    # the reported eigenvalue is ||Cv|| for the PREVIOUS unit iterate —
+    # within the convergence gap of 3 iterations (observed ~8% on this
+    # spectrum) of the measured variance along the final iterate
+    assert abs(lam - var_along_v) / var_along_v < 0.15, (lam, var_along_v)
