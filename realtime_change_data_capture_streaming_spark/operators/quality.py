@@ -275,6 +275,79 @@ SELECT user_id, n_events,
 FROM s
 """
 
+_TWAP_FP = float(1 << 20)  # value fixed-point scale for the exact TWAP sum
+
+
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TIME-weighted average of ``value`` — the LOCF-integral
+    metric (each observation holds until the next one): sum of
+    value_i * dt_i over the user's span, divided by the span.  Plain
+    averages overweight bursts; TWAP is the metering/billing/monitoring
+    semantics.
+
+    Exactness: dt is integer microseconds (lead over the per-user
+    (ts, event_id) order — one window, one shuffle); each term enters
+    the sum as floor(value * 2^20) * dt_us in DECIMAL(38,0), so the
+    per-user reduction is exact integer arithmetic at any scale and any
+    partitioning, with ONE decimal->double cast and one division at the
+    output boundary.  Users with a single event (zero span) are reported
+    with their raw value (the integral degenerates to the point)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    rows = e.select(
+        "user_id",
+        F.col("ts"),
+        "event_id",
+        F.col("value").cast("double").alias("v"),
+    ).withColumn("dt", F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+    term = (
+        F.floor(F.col("v") * F.lit(_TWAP_FP)).cast("decimal(38,0)")
+        * F.col("dt").cast("decimal(38,0)")
+    )
+    g = rows.groupBy("user_id").agg(
+        F.sum(F.when(F.col("dt").isNotNull(), term)).alias("num"),
+        F.sum(F.when(F.col("dt").isNotNull(), F.col("dt"))).cast("bigint").alias("span_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min_by("v", F.struct("ts", "event_id")).alias("first_v"),
+    )
+    twap = (F.col("num").cast("double") / F.lit(_TWAP_FP)) / F.col("span_us").cast("double")
+    return g.select(
+        "user_id",
+        "n_events",
+        F.coalesce("span_us", F.lit(0)).cast("bigint").alias("span_us"),
+        F.round(
+            F.when(F.col("span_us").isNull() | (F.col("span_us") == 0), F.col("first_v"))
+            .otherwise(twap),
+            6,
+        ).alias("twap_value"),
+    )
+
+
+_TWAP_SQL = f"""
+WITH r AS (
+  SELECT user_id, epoch_us(ts) AS t, event_id, CAST(value AS DOUBLE) AS v,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS dt,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), g AS (
+  SELECT user_id,
+         SUM(CASE WHEN dt IS NOT NULL
+             THEN CAST(CAST(FLOOR(v * {_TWAP_FP}) AS BIGINT) AS DECIMAL(38,0)) * CAST(dt AS DECIMAL(38,0)) END) AS num,
+         CAST(SUM(CASE WHEN dt IS NOT NULL THEN dt END) AS BIGINT) AS span_us,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN v END) AS first_v
+  FROM r GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(COALESCE(span_us, 0) AS BIGINT) AS span_us,
+       ROUND(CASE WHEN span_us IS NULL OR span_us = 0 THEN first_v
+                  ELSE (CAST(num AS DOUBLE) / {_TWAP_FP}) / CAST(span_us AS DOUBLE) END, 6) AS twap_value
+FROM g
+"""
+
+
 # ----------------------------------------- banded interval-overlap join
 
 
@@ -475,6 +548,7 @@ QUERIES = {
     "dq_expectations": dq_expectations,
     "lineitem_distribution_profile": lineitem_distribution_profile,
     "events_ewma_value": events_ewma_value,
+    "events_time_weighted_avg": events_time_weighted_avg,
     "join_interval_overlap_daily": join_interval_overlap_daily,
     "events_winsorize_value": events_winsorize_value,
     "events_linear_trend": events_linear_trend,
@@ -484,6 +558,7 @@ ORACLE = {
     "dq_expectations": _DQ_SQL,
     "lineitem_distribution_profile": _MOMENTS_SQL,
     "events_ewma_value": _EWMA_SQL,
+    "events_time_weighted_avg": _TWAP_SQL,
     "join_interval_overlap_daily": _OVERLAP_SQL,
     "events_winsorize_value": _WINSORIZE_SQL,
     "events_linear_trend": _TREND_SQL,

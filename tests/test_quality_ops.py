@@ -302,3 +302,31 @@ def test_basket_and_triangles_match_bruteforce(spark, rows):
 
     got_tri = {r["part"]: r["n_triangles"] for r in graph_triangle_counts(spark, tmp).collect()}
     assert got_tri == tri_part, (got_tri, tri_part)
+
+
+def test_twap_exact_on_constructed_timeline(spark, monkeypatch):
+    """TWAP is the LOCF integral: [v=10 @0s, v=20 @10s, v=0 @40s] ->
+    (10*10 + 20*30) / 40 = 17.5; a single-event user reports its raw
+    value; a plain average would say 10 - the burst overweighting TWAP
+    exists to avoid."""
+    import datetime as dt
+
+    import realtime_change_data_capture_streaming_spark.operators.quality as q
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 1, 10.0),
+        ("a", t0 + dt.timedelta(seconds=10), 2, 20.0),
+        ("a", t0 + dt.timedelta(seconds=40), 3, 0.0),
+        ("b", t0, 1, 7.25),
+    ]
+    d = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_id long, value double"
+    )
+    monkeypatch.setattr(q, "load_table", lambda s_, sf_, n_: d)
+    got = {r["user_id"]: r for r in q.events_time_weighted_avg(spark, "x").collect()}
+    assert got["a"]["twap_value"] == 17.5
+    assert got["a"]["span_us"] == 40_000_000
+    assert got["a"]["n_events"] == 3
+    assert got["b"]["twap_value"] == 7.25
+    assert got["b"]["span_us"] == 0
