@@ -212,11 +212,121 @@ FROM cells
 """
 
 
+# ------------------------------------------------- portable HyperLogLog
+
+_HLL_M = 64  # registers (p=6); relative std error 1.04/sqrt(64) ~ 13%
+_HLL_CAP = 55  # rho cap (60-bit hash, 6 index bits, 54 payload bits)
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type via a PORTABLE HyperLogLog — the
+    mergeable sketch shape (per-register MAX commutes with any union /
+    partitioning / merge schedule), built from md5-derived hashes so the
+    registers replay bit-identically in DuckDB (Spark's own
+    approx_count_distinct HLL++ is JVM-internal and unreplayable —
+    that variant stays oracle-checked via exact value + in-bounds flag).
+
+    Hash = low 60 bits of md5(user_id); register j = hash % m; rank =
+    trailing-zero count of the remaining 54 bits + 1 (P(rank >= k) =
+    2^-k, computed as log2(x & -x) — exact on powers of two).  The
+    harmonic sum folds 2^(CAP - r) integers, so the cross-register
+    reduction is exact; the only floats are the final closed form and
+    the linear-counting ln().  Output carries the exact distinct count
+    and an in-bounds flag (<= 3 standard errors), the oracle discipline
+    of the other sketch operators."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    # exact floor-div via a bit shift: `/` would route through DOUBLE and
+    # round the 60-bit hash to 53 bits of mantissa, zeroing exactly the
+    # trailing bits the rank function reads (caught at sf0.01: estimate
+    # 229 vs the exact 180)
+    rest = F.shiftrightunsigned(h, 6)  # h // 64, h >= 0
+    rho = (
+        F.when(rest == 0, F.lit(_HLL_CAP))
+        .otherwise((F.log2((rest.bitwiseAND(-rest)).cast("double")) + F.lit(1.0)).cast("int"))
+    )
+    regs = (
+        e.select("event_type", (h % F.lit(_HLL_M)).alias("j"), rho.alias("rho"))
+        .groupBy("event_type", "j")
+        .agg(F.max("rho").alias("r"))
+    )
+    per = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("nonzero"),
+        # SQL shiftleft: the Python API only takes a literal shift amount
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_CAP} - r)")).alias("ssum"),
+    )
+    v = F.lit(_HLL_M) - F.col("nonzero")
+    harm = (F.col("ssum") + v.cast("bigint") * F.lit(1 << _HLL_CAP)).cast("double") / F.lit(
+        float(1 << _HLL_CAP)
+    )
+    e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / harm
+    e_lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double"))
+    est = F.when((e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0), e_lc).otherwise(e_raw)
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        per.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.round(est, 4).alias("hll_estimate"),
+            (
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+                <= F.lit(3 * 1.04 / (_HLL_M**0.5))
+            ).alias("within_3se"),
+        )
+    )
+
+
+_HLL_SQL = f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS hv
+  FROM events
+), rr AS (
+  SELECT event_type, hv % {_HLL_M} AS j,
+         CASE WHEN hv // {_HLL_M} = 0 THEN {_HLL_CAP}
+              ELSE CAST(log2(CAST(((hv // {_HLL_M}) & -(hv // {_HLL_M})) AS DOUBLE)) + 1.0 AS INT)
+         END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, j, MAX(rho) AS r FROM rr GROUP BY 1, 2
+), per AS (
+  SELECT event_type, COUNT(*) AS nonzero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_CAP} - r)) AS BIGINT) AS ssum
+  FROM regs GROUP BY 1
+), est AS (
+  SELECT event_type, nonzero, ssum,
+         ({_HLL_M} - nonzero) AS v,
+         CAST(ssum + ({_HLL_M} - nonzero) * CAST({1 << _HLL_CAP} AS BIGINT) AS DOUBLE)
+           / {float(1 << _HLL_CAP)} AS harm
+  FROM per
+), fin AS (
+  SELECT event_type,
+         CASE WHEN ({_HLL_ALPHA * _HLL_M * _HLL_M} / harm) <= {2.5 * _HLL_M} AND v > 0
+              THEN {float(_HLL_M)} * LN({float(_HLL_M)} / CAST(v AS DOUBLE))
+              ELSE {_HLL_ALPHA * _HLL_M * _HLL_M} / harm END AS est
+  FROM est
+), ex AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact FROM events GROUP BY 1
+)
+SELECT f.event_type, ex.n_exact,
+       ROUND(f.est, 4) AS hll_estimate,
+       (ABS(f.est - CAST(ex.n_exact AS DOUBLE)) / CAST(ex.n_exact AS DOUBLE)
+        <= {3 * 1.04 / (_HLL_M ** 0.5)}) AS within_3se
+FROM fin f JOIN ex ON ex.event_type = f.event_type
+"""
+
+
 QUERIES = {
     "docs_crosstab_lang_source": docs_crosstab_lang_source,
     "orders_equidepth_histogram": orders_equidepth_histogram,
     "basket_part_pairs": basket_part_pairs,
     "docs_chisq_lang_source": docs_chisq_lang_source,
+    "sketch_hll_users": sketch_hll_users,
 }
 
 ORACLE = {
@@ -224,4 +334,5 @@ ORACLE = {
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
     "basket_part_pairs": _BASKET_SQL,
     "docs_chisq_lang_source": _CHISQ_SQL,
+    "sketch_hll_users": _HLL_SQL,
 }

@@ -405,3 +405,30 @@ def test_pca_power_finds_dominant_direction(spark):
     # within the convergence gap of 3 iterations (observed ~8% on this
     # spectrum) of the measured variance along the final iterate
     assert abs(lam - var_along_v) / var_along_v < 0.15, (lam, var_along_v)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """HLL's mergeability contract: registers of a union = elementwise
+    MAX of the halves' registers — the property that lets sketches merge
+    across partitions, days, or tables without rescanning."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import tokens  # noqa: F401
+    from realtime_change_data_capture_streaming_spark.operators.stats import _HLL_CAP, _HLL_M
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events").select("user_id").distinct()
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    rest = F.shiftrightunsigned(h, 6)
+    rho = F.when(rest == 0, F.lit(_HLL_CAP)).otherwise(
+        (F.log2((rest.bitwiseAND(-rest)).cast("double")) + F.lit(1.0)).cast("int")
+    )
+    tagged = e.select((h % F.lit(_HLL_M)).alias("j"), rho.alias("rho"), (F.col("user_id") % 2).alias("half"))
+
+    def regs(df):
+        return {r["j"]: r["r"] for r in df.groupBy("j").agg(F.max("rho").alias("r")).collect()}
+
+    whole = regs(tagged)
+    h0 = regs(tagged.filter(F.col("half") == 0))
+    h1 = regs(tagged.filter(F.col("half") == 1))
+    merged = {j: max(h0.get(j, 0), h1.get(j, 0)) for j in set(h0) | set(h1)}
+    assert merged == whole
