@@ -39,12 +39,14 @@ BENCH_QUERIES = (
     "text_token_stats",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_substring_spans",
     "ann_cosine_topk",
     "embedding_quantize_int8",
     "ann_pq_adc_topk",
     # build-once/serve-many split: rep 1 may pay the one-time index build,
     # min-of-reps reports the steady-state search cost (the production shape)
     "ann_pq_persisted_topk",
+    "ann_ivfpq_persisted_topk",
     "text_bigram_lm_score",
     "layout_zorder_topk",
     "curation_pack_shards",
@@ -56,6 +58,8 @@ BENCH_QUERIES = (
     "graph_pagerank_purchases",
     "events_gapfill_locf",
     "events_ewma_value",
+    "events_time_weighted_avg",
+    "sketch_hll_users",
     "join_interval_overlap_daily",
     "stream_tumbling_hourly",
     "stream_topk_terms",
