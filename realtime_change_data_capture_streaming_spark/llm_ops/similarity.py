@@ -1001,6 +1001,19 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     on identical inputs, and the whole iteration replays bit-exact in
     DuckDB.  Output: per-dim loading of the unit component plus the
     Rayleigh-quotient eigenvalue (variance along the component)."""
+    mu, v, lam = _pca_fit(spark, sf_dir)
+    out = spark.createDataFrame(
+        [(i, v[i]) for i in range(EMB_DIM)], "dim int, loading double"
+    )
+    return out.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round("loading", 6).alias("loading"),
+        F.round(F.lit(lam), 6).alias("eigenvalue"),
+    )
+
+
+def _pca_fit(spark: SparkSession, sf_dir: str) -> tuple[list, list, float]:
+    """Power-iteration fit: (mean, unit component, Rayleigh eigenvalue)."""
     e = load_table(spark, sf_dir, "embeddings")
     xd = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
     xd = xd.localCheckpoint(eager=True)  # scanned 2x per iteration
@@ -1048,13 +1061,53 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm = norm_sq**0.5
         lam = norm / n  # Rayleigh estimate: ||C v|| for unit v
         v = [x / norm for x in w]
-    out = spark.createDataFrame(
-        [(i, v[i]) for i in range(EMB_DIM)], "dim int, loading double"
+    return mu, v, lam
+
+
+def embedding_pca_outliers(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Embedding QA by PCA residual: vectors whose distance from the
+    1-component model is largest — corrupt / off-manifold embeddings a
+    curation pipeline should quarantine before they poison ANN indexes
+    or dedup thresholds.  score = (x - mu) . v (the PC1 coordinate),
+    residual = ||x - mu - score*v||^2; top-k by residual.  One extra
+    O(n*d) pass over the fitted component (the fit literals broadcast
+    inside the plan); index-order folds keep both numbers engine-exact,
+    and the oracle replays fit + projection end to end."""
+    mu, v, _ = _pca_fit(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    v_lit = F.array(*[F.lit(x) for x in v])
+    c = F.zip_with("v", mu_lit, lambda x, m: x - m)
+    score = F.aggregate(
+        F.zip_with(c, v_lit, lambda cc, vv: cc * vv), F.lit(0.0), lambda a, t: a + t
     )
-    return out.select(
-        F.col("dim").cast("bigint").alias("dim"),
-        F.round("loading", 6).alias("loading"),
-        F.round(F.lit(lam), 6).alias("eigenvalue"),
+    scored = xd.select("vec_id", score.alias("score"))
+    joined = scored.join(xd, "vec_id")
+    resid_vec = F.zip_with(
+        F.zip_with("v", mu_lit, lambda x, m: x - m),
+        v_lit,
+        lambda cc, vv: cc - F.col("score") * vv,
+    )
+    r2 = F.aggregate(
+        F.transform(resid_vec, lambda t: t * t), F.lit(0.0), lambda a, t: a + t
+    )
+    from pyspark.sql import Window
+
+    # global top-k: TakeOrderedAndProject via orderBy+limit (per-partition
+    # top-k then a k-row driver merge — never a whole-table single-partition
+    # window), then rank the k survivors
+    top = (
+        joined.select("vec_id", "score", r2.alias("residual"))
+        .orderBy(F.desc("residual"), F.asc("vec_id"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("residual"), F.asc("vec_id"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "vec_id",
+        F.round("score", 6).alias("score"),
+        F.round("residual", 6).alias("residual"),
+        F.col("rk").cast("bigint").alias("rk"),
     )
 
 
@@ -1099,6 +1152,35 @@ FROM {prev}, nrm{_PCA_ITERS - 1}, nn, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
 
 
 PCA_POWER_SQL = _pca_sql()
+
+
+def _pca_outliers_sql(k: int = 20) -> str:
+    """Fit chain shared verbatim with _pca_sql, then per-vector PC1 score
+    and squared residual, global top-k by residual."""
+    base = _pca_sql()
+    chain = base[: base.rindex("SELECT CAST(t.i - 1 AS BIGINT)")]
+    vn = f"v{_PCA_ITERS}"
+    return f"""{chain}, proj AS (
+  SELECT x.vec_id, x.v,
+         list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                  i -> (x.v[i] - mul.ml[i]) * {vn}.vl[i])) AS score
+  FROM xd x, mul, {vn}
+), res AS (
+  SELECT p.vec_id, p.score,
+         list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                  i -> ((p.v[i] - mul.ml[i]) - p.score * {vn}.vl[i])
+                       * ((p.v[i] - mul.ml[i]) - p.score * {vn}.vl[i]))) AS residual
+  FROM proj p, mul, {vn}
+)
+SELECT vec_id, ROUND(score, 6) AS score, ROUND(residual, 6) AS residual,
+       CAST(ROW_NUMBER() OVER (ORDER BY residual DESC, vec_id ASC) AS BIGINT) AS rk
+FROM res
+ORDER BY residual DESC, vec_id ASC
+LIMIT {k}
+"""
+
+
+PCA_OUTLIERS_SQL = _pca_outliers_sql()
 
 
 def _pq_sql() -> str:
@@ -1284,6 +1366,7 @@ QUERIES = {
     "ann_pq_persisted_topk": ann_pq_persisted_topk,
     "ann_ivfpq_persisted_topk": ann_ivfpq_persisted_topk,
     "embedding_pca_power": embedding_pca_power,
+    "embedding_pca_outliers": embedding_pca_outliers,
 }
 
 ORACLE = {
@@ -1299,4 +1382,5 @@ ORACLE = {
     "ann_pq_persisted_topk": ANN_PQ_SQL,
     "ann_ivfpq_persisted_topk": ANN_IVFPQ_SQL,
     "embedding_pca_power": PCA_POWER_SQL,
+    "embedding_pca_outliers": PCA_OUTLIERS_SQL,
 }

@@ -432,3 +432,32 @@ def test_hll_registers_merge_by_max(spark):
     h1 = regs(tagged.filter(F.col("half") == 1))
     merged = {j: max(h0.get(j, 0), h1.get(j, 0)) for j in set(h0) | set(h1)}
     assert merged == whole
+
+
+def test_pca_outliers_match_numpy_residuals(spark):
+    """The reported top-k must be exactly the k largest PCA residuals as
+    computed independently with numpy from the operator's own component
+    (residual identity: ||c||^2 - score^2 for a unit component)."""
+    import numpy as np
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
+        embedding_pca_outliers,
+        embedding_pca_power,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    comp = sorted(embedding_pca_power(spark, sf).collect(), key=lambda r: r["dim"])
+    v = np.array([r["loading"] for r in comp])
+    rows = load_table(spark, sf, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    C = X - X.mean(axis=0)
+    s = C @ v
+    resid = (C**2).sum(axis=1) - s**2  # unit v: ||c - s v||^2 = ||c||^2 - s^2
+    order = sorted(range(len(ids)), key=lambda i: (-resid[i], ids[i]))[:20]
+    expect = [int(ids[i]) for i in order]
+    got = [r["vec_id"] for r in sorted(embedding_pca_outliers(spark, sf).collect(), key=lambda r: r["rk"])]
+    assert got == expect
+    got_res = {r["vec_id"]: r["residual"] for r in embedding_pca_outliers(spark, sf).collect()}
+    for i in order:
+        assert abs(got_res[int(ids[i])] - resid[i]) < 1e-3, (ids[i], got_res[int(ids[i])], resid[i])
