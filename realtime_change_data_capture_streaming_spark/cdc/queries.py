@@ -698,7 +698,13 @@ def cdc_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     including perfectly delivered inserts — must be absent from the
     output (the oracle's NOT IN clause)."""
     events, meta = txn_change_events(spark, sf_dir)
-    parsed = parse_envelope(events, decimal_mode="string", capture_txn=True)
+    # the gate is inherently two passes over the events (count, then
+    # filter); materialize the parsed form once so the JSON decode does
+    # not run per branch — the same buffered-pending shape the streaming
+    # variant persists to parquet
+    parsed = parse_envelope(events, decimal_mode="string", capture_txn=True).localCheckpoint(
+        eager=True
+    )
     arrived = (
         parsed.select("txn_id", "key", "lsn")
         .distinct()
