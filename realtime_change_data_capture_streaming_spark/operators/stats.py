@@ -236,6 +236,15 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an in-bounds flag (<= 3 standard errors), the oracle discipline
     of the other sketch operators."""
     e = load_table(spark, sf_dir, "events")
+    regs = hll_registers(e)
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return hll_finalize(regs, exact)
+
+
+def hll_registers(e: DataFrame) -> DataFrame:
+    """(event_type, j, r): the m max-rank registers per group — the
+    MERGEABLE state: registers of any union of event sets are the
+    elementwise max of the parts' registers."""
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15), 16, 10
     ).cast("bigint")
@@ -248,11 +257,16 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(rest == 0, F.lit(_HLL_CAP))
         .otherwise((F.log2((rest.bitwiseAND(-rest)).cast("double")) + F.lit(1.0)).cast("int"))
     )
-    regs = (
+    return (
         e.select("event_type", (h % F.lit(_HLL_M)).alias("j"), rho.alias("rho"))
         .groupBy("event_type", "j")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def hll_finalize(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Registers -> estimate (+ exact count and the 3-standard-error
+    in-bounds flag, the oracle discipline of the sketch operators)."""
     per = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("nonzero"),
         # SQL shiftleft: the Python API only takes a literal shift amount
@@ -265,7 +279,6 @@ def sketch_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M) / harm
     e_lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double"))
     est = F.when((e_raw <= F.lit(2.5 * _HLL_M)) & (v > 0), e_lc).otherwise(e_raw)
-    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
     return (
         per.join(exact, "event_type")
         .select(

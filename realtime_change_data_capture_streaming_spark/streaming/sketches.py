@@ -1,0 +1,95 @@
+"""Streaming sketch maintenance: distinct-count monitoring with O(m)
+state per group, demonstrated by merging portable-HLL registers across
+real micro-batches.
+
+The monitoring problem: "how many distinct users per event type so far"
+over an unbounded stream.  Exact distinct state grows with cardinality;
+the HLL register table is a FIXED m rows per group, and its merge is an
+elementwise max — commutative, associative, idempotent — so replayed or
+reordered micro-batches cannot corrupt it (the same effectively-once
+shape as the keyed CDC merge, but for aggregate state).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.operators.stats import (
+    _HLL_SQL,
+    hll_finalize,
+    hll_registers,
+)
+from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+
+def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type maintained ACROSS micro-batches by
+    register merge: each batch computes its own HLL register table (one
+    partial-agg max per (group, register)), which is max-merged into a
+    persistent register store of exactly groups x m rows — the state
+    volume is independent of how many users or events the stream has
+    seen.  The store is tiny by construction, so the merge collects it
+    driver-side (bounded: n_groups * m rows) and rewrites it atomically
+    per batch.
+
+    The input is staged as two files (two real micro-batches) split by
+    user-id parity, so every group's final registers MUST combine state
+    from both batches.  Oracle: the batch HLL over the whole table —
+    register merge makes the batch split invisible, the mergeability
+    property `tests/test_sketches.py` pins in isolation, here proven
+    through the real engine."""
+    work = scratch_dir(prefix="stream_hll_")
+    e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    staged = f"{work}/staged"
+    e.filter(F.col("user_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        f"{staged}/p1"
+    )
+    e.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
+        f"{staged}/p2"
+    )
+    os.makedirs(f"{staged}/in", exist_ok=True)
+    now = time.time()
+    for i, phase in enumerate(("p1", "p2")):
+        (part,) = [x for x in os.listdir(f"{staged}/{phase}") if x.startswith("part-")]
+        dst = f"{staged}/in/{i}-{part}"
+        os.rename(f"{staged}/{phase}/{part}", dst)
+        os.utime(dst, (now + i, now + i))  # file-stream orders by mtime
+
+    store = f"{work}/registers"
+
+    def merge_registers(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        br = hll_registers(batch)
+        if os.path.exists(store):
+            br = br.unionByName(sp.read.parquet(store))
+        merged = br.groupBy("event_type", "j").agg(F.max("r").alias("r"))
+        rows = merged.collect()  # bounded: n_groups * m registers
+        sp.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(store)
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(f"{staged}/in")
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_registers)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    regs = spark.read.parquet(store)
+    exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
+    return hll_finalize(regs, exact)
+
+
+QUERIES = {"stream_hll_distinct_users": stream_hll_distinct_users}
+ORACLE = {"stream_hll_distinct_users": _HLL_SQL}
