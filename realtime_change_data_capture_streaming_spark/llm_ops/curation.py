@@ -591,6 +591,124 @@ FROM chunks
 """
 
 
+_COVERAGE_DROP = 0.5  # drop docs with >= 50% of tokens inside cross-doc repeated spans
+
+
+def curation_pipeline_summary(spark, sf_dir: str):
+    """The curation FUNNEL, end to end in one query — per language, the
+    document counts surviving each staged gate, composed from the same
+    primitives the standalone operators use (so the composite cannot
+    drift from its parts):
+
+      n_raw -> n_tokenized (drop zero-token docs)
+             -> n_quality  (top-half type-token ratio per language)
+             -> n_unique   (exact dedup among survivors: keep min doc_id
+                            per md5(text) — dedup AFTER quality, so a
+                            high-quality copy survives even when its
+                            duplicate scored lower)
+             -> n_span_clean (drop docs >= 50% covered by cross-document
+                              repeated spans — the substring tier's
+                              deletion criterion), plus tokens_kept.
+
+    One pass computes per-doc flags (two windows: the per-lang quality
+    rank, the per-fingerprint min-id), one left join attaches span
+    coverage, one hash agg folds the funnel — the fact table is scanned
+    once, the spans pipeline once."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import dedup_span_coverage
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("score"),
+    )
+    wq = Window.partitionBy("lang").orderBy("score", "doc_id")
+    flagged = (
+        base.withColumn("is_tok", F.col("n_tokens") > 0)
+        .withColumn(
+            "pr",
+            F.when(
+                F.col("is_tok"),
+                F.percent_rank().over(
+                    Window.partitionBy("lang", "is_tok").orderBy("score", "doc_id")
+                ),
+            ),
+        )
+        .withColumn("is_q", F.col("is_tok") & (F.col("pr") >= 0.5))
+    )
+    wf = Window.partitionBy("fp", "is_q")
+    flagged = flagged.withColumn(
+        "is_uniq", F.col("is_q") & (F.col("doc_id") == F.min("doc_id").over(wf))
+    )
+    cov = dedup_span_coverage(spark, sf_dir).select("doc_id", "coverage")
+    j = flagged.join(cov, "doc_id", "left").withColumn(
+        "is_clean",
+        F.col("is_uniq") & (F.coalesce("coverage", F.lit(0.0)) < F.lit(_COVERAGE_DROP)),
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint").alias(c.replace("is_", "n_"))
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        cnt("is_tok"),
+        cnt("is_q"),
+        cnt("is_uniq"),
+        cnt("is_clean"),
+        F.sum(F.when(F.col("is_clean"), F.col("n_tokens")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_kept"),
+    ).select(
+        "lang",
+        "n_raw",
+        F.col("n_tok").alias("n_tokenized"),
+        F.col("n_q").alias("n_quality"),
+        F.col("n_uniq").alias("n_unique"),
+        F.col("n_clean").alias("n_span_clean"),
+        "tokens_kept",
+    )
+
+
+def _pipeline_sql() -> str:
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import SPAN_COVERAGE_SQL
+
+    tok = "list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')"
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang, md5(text) AS fp,
+         CAST(LEN({tok}) AS BIGINT) AS n_tokens,
+         CAST(LEN(list_distinct({tok})) AS DOUBLE) / NULLIF(LEN({tok}), 0) AS score
+  FROM documents
+), flagged AS (
+  SELECT *, (n_tokens > 0) AS is_tok,
+         CASE WHEN n_tokens > 0 THEN
+           percent_rank() OVER (PARTITION BY lang, (n_tokens > 0) ORDER BY score, doc_id)
+         END AS pr
+  FROM base
+), q AS (
+  SELECT *, (is_tok AND pr >= 0.5) AS is_q FROM flagged
+), u AS (
+  SELECT *, (is_q AND doc_id = MIN(doc_id) OVER (PARTITION BY fp, is_q)) AS is_uniq FROM q
+), cov AS (
+  SELECT doc_id, coverage FROM ({SPAN_COVERAGE_SQL})
+), j AS (
+  SELECT u.*, (is_uniq AND COALESCE(cov.coverage, 0.0) < {_COVERAGE_DROP}) AS is_clean
+  FROM u LEFT JOIN cov ON cov.doc_id = u.doc_id
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(CASE WHEN is_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_tokenized,
+       CAST(SUM(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN is_uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT) AS n_span_clean,
+       CAST(SUM(CASE WHEN is_clean THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM j GROUP BY lang
+"""
+
+
+CURATION_PIPELINE_SQL = _pipeline_sql()
+
+
 QUERIES = {
     "curation_split_counts": curation_split_counts,
     "curation_cluster_safe_split": curation_cluster_safe_split,
@@ -598,6 +716,7 @@ QUERIES = {
     "curation_stratified_sample": curation_stratified_sample,
     "curation_pack_shards": curation_pack_shards,
     "curation_scrub_pii": curation_scrub_pii,
+    "curation_pipeline_summary": curation_pipeline_summary,
     "curation_quality_filter": curation_quality_filter,
     "curation_boilerplate_ngrams": curation_boilerplate_ngrams,
     "curation_contamination_overlap": curation_contamination_overlap,
@@ -612,6 +731,7 @@ ORACLE = {
     "curation_stratified_sample": CURATION_SAMPLE_SQL,
     "curation_pack_shards": CURATION_PACK_SQL,
     "curation_scrub_pii": CURATION_PII_SQL,
+    "curation_pipeline_summary": CURATION_PIPELINE_SQL,
     "curation_quality_filter": CURATION_QUALITY_SQL,
     "curation_boilerplate_ngrams": CURATION_BOILERPLATE_SQL,
     "curation_contamination_overlap": CURATION_CONTAMINATION_SQL,

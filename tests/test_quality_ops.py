@@ -330,3 +330,27 @@ def test_twap_exact_on_constructed_timeline(spark, monkeypatch):
     assert got["a"]["n_events"] == 3
     assert got["b"]["twap_value"] == 7.25
     assert got["b"]["span_us"] == 0
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark):
+    """Each funnel stage can only shrink the survivor set, stages must
+    agree with the standalone operators they compose, and tokens_kept
+    must not exceed the tokenized total."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.curation import (
+        curation_pipeline_summary,
+        curation_quality_filter,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = curation_pipeline_summary(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["n_raw"] >= r["n_tokenized"] >= r["n_quality"] >= r["n_unique"] >= r["n_span_clean"]
+        ), r
+        assert r["tokens_kept"] >= 0
+    # stage 3 must equal the standalone quality filter per lang
+    q = curation_quality_filter(spark, sf).groupBy("lang").count().collect()
+    standalone = {r["lang"]: r["count"] for r in q}
+    composite = {r["lang"]: r["n_quality"] for r in rows}
+    assert composite == standalone
