@@ -625,7 +625,6 @@ def curation_pipeline_summary(spark, sf_dir: str):
         F.size(toks).cast("bigint").alias("n_tokens"),
         (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("score"),
     )
-    wq = Window.partitionBy("lang").orderBy("score", "doc_id")
     flagged = (
         base.withColumn("is_tok", F.col("n_tokens") > 0)
         .withColumn(

@@ -423,27 +423,48 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per machine per sf) and return the PERSISTED IVF index:
-    ``<dir>/vectors`` partitioned by cluster id + ``<dir>/centroids``.
-    Fit and search are separate jobs in production ANN — the index is
-    written by a build pipeline and served by many search queries; the
-    deterministic fixed-point quantizer makes the cached artifact safe to
-    reuse (identical on every rebuild)."""
+def _index_cache(prefix: str, spark: SparkSession, sf_dir: str, build) -> str:
+    """Build-once/serve-many cache shared by the persisted ANN indexes.
+
+    The key folds the SOURCE CONTENT fingerprint (size + mtime of
+    embeddings.parquet) in with the path, so a regenerated fixture —
+    the driver rewrites the parquet between rounds — invalidates the
+    cached index instead of silently serving one fit to the old data.
+    ``build(root)`` writes the artifact dirs; the ``_SUCCESS`` sentinel
+    commits them.  The deterministic fixed-point quantizers make a
+    cached artifact identical to a rebuild."""
     import hashlib
     import os
     import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{key}")
+    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}{key}")
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
+        build(root)
+        open(os.path.join(root, "_SUCCESS"), "w").close()
+    return root
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per machine per fixture content) and return the
+    PERSISTED IVF index: ``<dir>/vectors`` partitioned by cluster id +
+    ``<dir>/centroids``.  Fit and search are separate jobs in production
+    ANN — the index is written by a build pipeline and served by many
+    search queries."""
+    import os
+
+    def build(root: str) -> None:
         assigned, cents = ivf_model(spark, sf_dir)
         assigned.write.mode("overwrite").partitionBy("cluster").parquet(
             os.path.join(root, "vectors")
         )
         cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "centroids"))
-        open(os.path.join(root, "_SUCCESS"), "w").close()
-    return root
+
+    return _index_cache("spark_graft_ivf_", spark, sf_dir, build)
 
 
 def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -858,26 +879,19 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_index_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once per machine per sf) and return the PERSISTED PQ index:
-    ``<dir>/codes`` (the M-codes-per-vector table, the 32x-compressed
-    artifact an ADC scan reads) + ``<dir>/codebook`` (M*K codewords).
-    Same production split as ``_ivf_index_dir``: fit is a build pipeline
-    that runs once per corpus; search jobs read the cached artifact.  The
-    fixed-point k-means makes the artifact identical on every rebuild."""
-    import hashlib
+    """PERSISTED PQ index: ``<dir>/codes`` (the M-codes-per-vector table,
+    the 32x-compressed artifact an ADC scan reads) + ``<dir>/codebook``
+    (M*K codewords).  Same production split as ``_ivf_index_dir``."""
     import os
-    import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_pq_{key}")
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+    def build(root: str) -> None:
         codes, cb = pq_codebook(spark, sf_dir)
         codes.select("vec_id", "s", "code").write.mode("overwrite").parquet(
             os.path.join(root, "codes")
         )
         cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "codebook"))
-        open(os.path.join(root, "_SUCCESS"), "w").close()
-    return root
+
+    return _index_cache("spark_graft_pq_", spark, sf_dir, build)
 
 
 def ann_pq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,13 +920,9 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
     ``<dir>/codebook`` = the PQ codewords.  At production scale a search
     reads n_probe/k of a table that is already 32x smaller than the
     vectors — the two prunings compose multiplicatively."""
-    import hashlib
     import os
-    import tempfile
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_ivfpq_{key}")
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+    def build(root: str) -> None:
         assigned, cents = ivf_model(spark, sf_dir)
         codes, cb = pq_codebook(spark, sf_dir)
         (
@@ -924,8 +934,8 @@ def _ivfpq_index_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "centroids"))
         cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "codebook"))
-        open(os.path.join(root, "_SUCCESS"), "w").close()
-    return root
+
+    return _index_cache("spark_graft_ivfpq_", spark, sf_dir, build)
 
 
 def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,12 +976,19 @@ def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     wp = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
-    probes = (
+    # one evaluation of the probe ranking serves both consumers: the
+    # collected rows give the cluster union for partition pruning AND are
+    # rebuilt into the (tiny) probe frame the semi-join broadcasts —
+    # without this the queries x centroids crossJoin + window would run a
+    # second time inside the search plan
+    probe_rows = (
         qd.withColumn("prk", F.row_number().over(wp))
         .filter(F.col("prk") <= N_PROBE)
         .select("query_id", "cluster")
+        .collect()
     )
-    probed_ids = sorted({r["cluster"] for r in probes.select("cluster").distinct().collect()})
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cluster bigint")
+    probed_ids = sorted({r["cluster"] for r in probe_rows})
     pruned = codes.filter(F.col("cluster").isin(probed_ids))
     lut = _adc_lut(_subvectors(e.filter(F.col("vec_id") < N_QUERY_VECS)), cb)
     return _adc_search(spark, sf_dir, lut, pruned, probes=probes)

@@ -47,6 +47,28 @@ def stage_chaos_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     return root, max(1, len(glob.glob(f"{root}/part-*")))
 
 
+def stage_ordered_batches(frames, staged: str) -> str:
+    """Write each frame as ONE parquet file under ``staged`` and arrange
+    mtimes so a ``maxFilesPerTrigger=1`` file stream consumes them as
+    ordered micro-batches (the file source orders by mtime).  Returns
+    the directory to stream from.  Shared by every cross-batch scenario
+    (schema evolution, the transaction gate, the HLL monitor) so the
+    fiddly single-part + mtime contract lives in one place."""
+    import os
+    import time
+
+    for i, f in enumerate(frames):
+        f.coalesce(1).write.mode("overwrite").parquet(f"{staged}/p{i}")
+    os.makedirs(f"{staged}/in", exist_ok=True)
+    now = time.time()
+    for i in range(len(frames)):
+        (part,) = [e for e in os.listdir(f"{staged}/p{i}") if e.startswith("part-")]
+        dst = f"{staged}/in/{i}-{part}"
+        os.rename(f"{staged}/p{i}/{part}", dst)
+        os.utime(dst, (now + i, now + i))
+    return f"{staged}/in"
+
+
 def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = scratch_dir(prefix="stream_cdc_")
     # maxFilesPerTrigger splits the staged files into two micro-batches so
@@ -89,26 +111,14 @@ def stream_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two phases; one file per trigger makes the phase boundary a real
     micro-batch boundary.  Oracle = the batch closed form
     (CDC_EVOLUTION_SQL): the batch split must be invisible."""
-    import os
-    import time
-
     work = scratch_dir(prefix="stream_cdc_evo_")
-    staged = f"{work}/staged"
     phase1, phase2 = schema_evolution_events(spark, sf_dir)
-    phase1.coalesce(1).write.mode("overwrite").parquet(f"{staged}/p1")
-    phase2.coalesce(1).write.mode("overwrite").parquet(f"{staged}/p2")
-    os.makedirs(f"{staged}/in", exist_ok=True)
-    now = time.time()
-    for i, phase in enumerate(("p1", "p2")):
-        (part,) = [e for e in os.listdir(f"{staged}/{phase}") if e.startswith("part-")]
-        dst = f"{staged}/in/{i}-{part}"
-        os.rename(f"{staged}/{phase}/{part}", dst)
-        os.utime(dst, (now + i, now + i))  # file-stream orders by mtime
+    in_dir = stage_ordered_batches([phase1, phase2], f"{work}/staged")
     stream = (
         spark.readStream.schema("key string, value string")
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
-        .parquet(f"{staged}/in")
+        .parquet(in_dir)
     )
     parsed = parse_envelope(stream, decimal_mode="string", capture_extras=True)
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
@@ -158,24 +168,14 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the same closed-form CDC_TXN_APPLY_SQL as the batch variant —
     the batch split must be invisible in the final state."""
-    import os
-    import time
-
     from realtime_change_data_capture_streaming_spark.cdc.queries import txn_change_events
 
     work = scratch_dir(prefix="stream_txn_")
     events, meta = txn_change_events(spark, sf_dir)
-    staged = f"{work}/staged"
     op = F.get_json_object(F.col("value"), "$.op")
-    events.filter(op == "c").coalesce(1).write.mode("overwrite").parquet(f"{staged}/p1")
-    events.filter(op != "c").coalesce(1).write.mode("overwrite").parquet(f"{staged}/p2")
-    os.makedirs(f"{staged}/in", exist_ok=True)
-    now = time.time()
-    for i, phase in enumerate(("p1", "p2")):
-        (part,) = [e for e in os.listdir(f"{staged}/{phase}") if e.startswith("part-")]
-        dst = f"{staged}/in/{i}-{part}"
-        os.rename(f"{staged}/{phase}/{part}", dst)
-        os.utime(dst, (now + i, now + i))  # file-stream orders by mtime
+    in_dir = stage_ordered_batches(
+        [events.filter(op == "c"), events.filter(op != "c")], f"{work}/staged"
+    )
     meta_pq = f"{work}/meta"
     meta.write.mode("overwrite").parquet(meta_pq)
 
@@ -201,8 +201,12 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n_arrived") == F.col("n_expected"))
             .select("txn_id")
         )
-        released = pend.join(complete, "txn_id", "left_semi").drop(
-            "tb", "txn_id", "txn_order"
+        # materialize once: isEmpty + merge would otherwise each re-run
+        # the pending read, the distinct count, and both joins
+        released = (
+            pend.join(complete, "txn_id", "left_semi")
+            .drop("tb", "txn_id", "txn_order")
+            .localCheckpoint(eager=True)
         )
         if released.isEmpty():
             return
@@ -212,7 +216,7 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("key string, value string")
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
-        .parquet(f"{staged}/in")
+        .parquet(in_dir)
     )
     parsed = parse_envelope(stream, decimal_mode="string", capture_txn=True)
     q = (

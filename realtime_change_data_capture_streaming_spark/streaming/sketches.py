@@ -13,7 +13,6 @@ shape as the keyed CDC merge, but for aggregate state).
 from __future__ import annotations
 
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -43,22 +42,18 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     register merge makes the batch split invisible, the mergeability
     property `tests/test_sketches.py` pins in isolation, here proven
     through the real engine."""
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
+
     work = scratch_dir(prefix="stream_hll_")
     e = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    staged = f"{work}/staged"
-    e.filter(F.col("user_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
-        f"{staged}/p1"
+    # pmod, not %: a signed remainder would drop negative ids from BOTH halves
+    in_dir = stage_ordered_batches(
+        [
+            e.filter(F.pmod(F.col("user_id"), F.lit(2)) == 0),
+            e.filter(F.pmod(F.col("user_id"), F.lit(2)) == 1),
+        ],
+        f"{work}/staged",
     )
-    e.filter(F.col("user_id") % 2 == 1).coalesce(1).write.mode("overwrite").parquet(
-        f"{staged}/p2"
-    )
-    os.makedirs(f"{staged}/in", exist_ok=True)
-    now = time.time()
-    for i, phase in enumerate(("p1", "p2")):
-        (part,) = [x for x in os.listdir(f"{staged}/{phase}") if x.startswith("part-")]
-        dst = f"{staged}/in/{i}-{part}"
-        os.rename(f"{staged}/{phase}/{part}", dst)
-        os.utime(dst, (now + i, now + i))  # file-stream orders by mtime
 
     store = f"{work}/registers"
 
@@ -77,7 +72,7 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema("event_type string, user_id bigint")
         .option("maxFilesPerTrigger", "1")
         .option("latestFirst", "false")
-        .parquet(f"{staged}/in")
+        .parquet(in_dir)
     )
     q = (
         stream.writeStream.foreachBatch(merge_registers)
