@@ -433,16 +433,14 @@ def _index_cache(prefix: str, spark: SparkSession, sf_dir: str, build) -> str:
     ``build(root)`` writes the artifact dirs; the ``_SUCCESS`` sentinel
     commits them.  The deterministic fixed-point quantizers make a
     cached artifact identical to a rebuild."""
-    import hashlib
     import os
     import tempfile
 
-    src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:12]
-    root = os.path.join(tempfile.gettempdir(), f"{prefix}{key}")
+    from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"{prefix}{fixture_fingerprint(sf_dir, 'embeddings')}"
+    )
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
         build(root)
         open(os.path.join(root, "_SUCCESS"), "w").close()

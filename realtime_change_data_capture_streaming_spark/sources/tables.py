@@ -67,6 +67,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+
+def fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """12-hex CONTENT key for build-once caches derived from a fixture
+    table (persisted ANN indexes, staged change events, LSH history
+    index): path + size + mtime_ns, so a regenerated fixture invalidates
+    the cache instead of silently serving an artifact built on old data
+    (the driver rewrites the fixture parquet between rounds)."""
+    import hashlib
+    import os
+
+    src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    st = os.stat(src)
+    return hashlib.md5(f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
 

@@ -40,7 +40,9 @@ def stage_chaos_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     per run only re-benchmarks fixture creation, not the engine.  Returns
     (dir, n_files).  Parquet staging — the envelope JSON lives in the
     value column; the container just needs to move strings fast."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
+
+    key = fixture_fingerprint(sf_dir, "orders")
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_staged_{key}")
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
         order_change_events(spark, sf_dir, chaos=True).write.mode("overwrite").parquet(root)

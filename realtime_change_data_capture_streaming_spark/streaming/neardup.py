@@ -40,7 +40,9 @@ def _history_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per machine per sf) the history band-bucket index —
     deterministic (md5-derived), so the cached artifact is identical on
     every rebuild."""
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
+
+    key = fixture_fingerprint(sf_dir, "documents")
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_lshidx_{key}")
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
         hist = load_table(spark, sf_dir, "documents").filter(
