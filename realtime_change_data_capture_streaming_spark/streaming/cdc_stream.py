@@ -14,7 +14,6 @@ batch paths must agree exactly.
 from __future__ import annotations
 
 import glob
-import hashlib
 import os
 import tempfile
 

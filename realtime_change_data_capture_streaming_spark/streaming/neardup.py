@@ -20,7 +20,6 @@ index grows by exactly the admitted documents' buckets.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import tempfile
 
