@@ -94,3 +94,29 @@ def test_cluster_safe_split_never_splits_a_cluster(spark):
         .count()
     )
     assert spans == 0
+
+
+def test_bm25_ranks_term_dense_short_docs_first(spark, monkeypatch):
+    """A short doc saturated with all three query terms must outrank a
+    long doc that mentions one term once, and docs without any query
+    term must not appear; tf saturation: 10x more term hits must not
+    give 10x the score (k1 bounds the contribution)."""
+    import realtime_change_data_capture_streaming_spark.llm_ops.text as tx
+
+    q = "data hash merge"
+    rows = [
+        (1, (q + " ") * 5),                              # dense + short
+        (2, " ".join(f"w{i}" for i in range(200)) + " data"),  # long, 1 hit
+        (3, " ".join(f"x{i}" for i in range(50))),       # no hits
+        (4, (q + " ") * 50 + " ".join(f"y{i}" for i in range(5))),  # 10x tf of doc 1
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(tx, "load_table", lambda s_, sf_, n_: d)
+    got = {r["doc_id"]: r for r in tx.text_bm25_topk(spark, "x").collect()}
+    assert 3 not in got
+    assert got[1]["rk"] < got[2]["rk"]
+    assert got[4]["bm25"] < 10 * got[1]["bm25"] * 0.5, "no tf saturation"
+    fused = {r["doc_id"]: r for r in tx.text_rrf_fusion_topk(spark, "x").collect()}
+    assert 3 not in fused
+    # RRF of identical rankings preserves the order
+    assert sorted(fused, key=lambda k: fused[k]["rk"])[0] in (1, 4)
