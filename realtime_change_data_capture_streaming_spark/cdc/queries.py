@@ -681,6 +681,26 @@ def txn_change_events(spark: SparkSession, sf_dir: str):
     return events, meta
 
 
+def gate_complete_transactions(parsed: DataFrame, meta: DataFrame) -> DataFrame:
+    """Keep only events of COMPLETE transactions: count distinct
+    delivered (key, lsn) per txn_id (redelivery-proof) against the END
+    metadata's expected count, then one txn-keyed semi-join.  Shared by
+    the batch operator and the property tests so the all-or-nothing
+    semantics cannot drift from what is verified."""
+    arrived = (
+        parsed.select("txn_id", "key", "lsn")
+        .distinct()
+        .groupBy("txn_id")
+        .agg(F.count(F.lit(1)).alias("n_arrived"))
+    )
+    complete = (
+        arrived.join(meta, "txn_id")
+        .filter(F.col("n_arrived") == F.col("n_expected"))
+        .select("txn_id")
+    )
+    return parsed.join(complete, "txn_id", "left_semi")
+
+
 def cdc_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactionally consistent apply — the multi-event atomicity layer
     over latest-wins: an upstream transaction's events are applied ALL or
@@ -705,19 +725,7 @@ def cdc_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_envelope(events, decimal_mode="string", capture_txn=True).localCheckpoint(
         eager=True
     )
-    arrived = (
-        parsed.select("txn_id", "key", "lsn")
-        .distinct()
-        .groupBy("txn_id")
-        .agg(F.count(F.lit(1)).alias("n_arrived"))
-    )
-    complete = (
-        arrived.join(meta, "txn_id")
-        .filter(F.col("n_arrived") == F.col("n_expected"))
-        .select("txn_id")
-    )
-    gated = parsed.join(complete, "txn_id", "left_semi")
-    final = apply_changes_batch(gated)
+    final = apply_changes_batch(gate_complete_transactions(parsed, meta))
     return final.select(
         F.col("transaction_id"),
         F.col("user_id"),

@@ -78,3 +78,54 @@ def test_effectively_once_for_arbitrary_histories(hspark, history, dup_mod, part
     )
     got = _state(apply_changes_batch(chaos))
     assert got == baseline
+
+
+# ------------------------- transaction-gate all-or-nothing property --------
+
+txn_specs = st.lists(
+    st.tuples(
+        st.integers(1, 4),          # events intended in this txn
+        st.integers(0, 4),          # events actually delivered (capped below)
+        st.booleans(),              # redeliver the delivered prefix?
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(spec=txn_specs)
+def test_txn_gate_is_all_or_nothing(hspark, spec):
+    """For ARBITRARY transactions with arbitrary delivery truncation and
+    redelivery, the gate must release exactly the transactions whose
+    full event set arrived — never a strict subset of a transaction."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import gate_complete_transactions
+
+    rows, meta_rows, expect_released = [], [], set()
+    lsn = 0
+    for t, (n_intended, n_deliv, redeliver) in enumerate(spec):
+        n_deliv = min(n_deliv, n_intended)
+        meta_rows.append((f"t{t}", n_intended))
+        if n_deliv == n_intended:
+            expect_released.add(f"t{t}")
+        for i in range(n_deliv):
+            r = (f"t{t}", f"k{t}_{i}", lsn)
+            rows.append(r)
+            if redeliver:
+                rows.append(r)  # duplicate delivery must not inflate counts
+            lsn += 1
+    if not rows:
+        return
+    parsed = hspark.createDataFrame(rows, "txn_id string, key string, lsn long")
+    meta = hspark.createDataFrame(meta_rows, "txn_id string, n_expected long")
+    got = gate_complete_transactions(parsed, meta).collect()
+    got_txns = {r["txn_id"] for r in got}
+    assert got_txns == expect_released
+    # released transactions come through complete (dedup restores each
+    # event exactly as many times as delivered, never truncated)
+    per_txn = {}
+    for r in got:
+        per_txn.setdefault(r["txn_id"], set()).add((r["key"], r["lsn"]))
+    for t, (n_intended, n_deliv, _rd) in enumerate(spec):
+        if f"t{t}" in expect_released:
+            assert len(per_txn[f"t{t}"]) == n_intended
