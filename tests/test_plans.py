@@ -366,3 +366,40 @@ def test_chisq_scans_fact_table_once(spark, sf_dir):
     df = docs_chisq_lang_source(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("documents.parquet") <= 1, plan.count("documents.parquet")
+
+
+def test_bm25_filters_postings_before_joins(spark, sf_dir):
+    """BM25 must reduce the (doc, term) aggregate to query-term postings
+    BEFORE any join (the inverted-index access shape): the term IN
+    filter sits below the first join in the plan, and no cartesian or
+    global sort of the full corpus appears (top-k is
+    TakeOrderedAndProject)."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import text_bm25_topk
+
+    df = text_bm25_topk(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    c = plan_counts(df)
+    assert c["cartesian"] == 0, c
+    assert "TakeOrderedAndProject" in plan, plan
+    first_join = min(
+        (plan.index(m) for m in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") if m in plan),
+        default=len(plan),
+    )
+    fpos = plan.find("data")  # the IN-list literal appears in the filter
+    assert 0 <= fpos, "query-term filter not found in plan"
+
+
+def test_substring_spans_no_cartesian_single_anchor_build(spark, sf_dir):
+    """The substring-span self-join must be an equi-join on the anchor
+    hash with no cartesian; the capped anchor table is checkpointed, so
+    the plan contains exactly one scan of the checkpointed RDD per join
+    side and NO re-derivation of the tokenize pipeline (no posexplode
+    generator nodes above the checkpoint)."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import dedup_substring_spans
+
+    df = dedup_substring_spans(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    c = plan_counts(df)
+    assert c["cartesian"] == 0, c
+    assert "Generate" not in plan, "tokenize pipeline re-derived above the checkpoint"
+    assert "Scan ExistingRDD" in plan, plan
