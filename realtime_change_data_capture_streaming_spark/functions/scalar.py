@@ -358,6 +358,48 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise surface: per-row shifts/masks/popcount plus the bit_and /
+    bit_or / bit_xor AGGREGATES per order status — flag-mask analytics
+    (feature bitmaps, permission masks) without UDFs.  All integer ops:
+    engine-exact by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    per_row = o.select(
+        "o_orderstatus",
+        k.bitwiseAND(F.lit(0xFF)).alias("low_byte"),
+        F.shiftrightunsigned(k, 8).bitwiseAND(F.lit(0xFF)).alias("mid_byte"),
+        F.bit_count(k).alias("popcount"),
+        k.bitwiseXOR(F.shiftleft(F.col("o_custkey"), 1)).alias("mix"),
+    )
+    return per_row.groupBy("o_orderstatus").agg(
+        F.bit_and("low_byte").cast("bigint").alias("and_low"),
+        F.bit_or("low_byte").cast("bigint").alias("or_low"),
+        F.bit_xor("mix").cast("bigint").alias("xor_mix"),
+        F.sum("popcount").cast("bigint").alias("sum_popcount"),
+        F.max("mid_byte").cast("bigint").alias("max_mid"),
+    )
+
+
+BITWISE_SQL = """
+WITH per_row AS (
+  SELECT o_orderstatus,
+         o_orderkey & 255 AS low_byte,
+         (o_orderkey >> 8) & 255 AS mid_byte,
+         bit_count(o_orderkey) AS popcount,
+         xor(o_orderkey, o_custkey << 1) AS mix
+  FROM orders
+)
+SELECT o_orderstatus,
+       CAST(BIT_AND(low_byte) AS BIGINT) AS and_low,
+       CAST(BIT_OR(low_byte) AS BIGINT) AS or_low,
+       CAST(BIT_XOR(mix) AS BIGINT) AS xor_mix,
+       CAST(SUM(popcount) AS BIGINT) AS sum_popcount,
+       CAST(MAX(mid_byte) AS BIGINT) AS max_mid
+FROM per_row GROUP BY 1
+"""
+
+
 QUERIES = {
     "fn_string": string_functions,
     "fn_url": url_functions,
@@ -369,6 +411,7 @@ QUERIES = {
     "fn_array": array_functions,
     "fn_conditional": conditional_functions,
     "fn_nulls": null_semantics,
+    "fn_bitwise": bitwise_functions,
 }
 
 ORACLE = {
@@ -382,4 +425,5 @@ ORACLE = {
     "fn_array": ARRAY_SQL,
     "fn_conditional": CONDITIONAL_SQL,
     "fn_nulls": NULLS_SQL,
+    "fn_bitwise": BITWISE_SQL,
 }
