@@ -578,7 +578,98 @@ LIMIT {_PATH_TOP}
 """
 
 
+_MAD_K = 3.0  # outlier threshold in robust sigmas
+_MAD_SIGMA = 1.4826  # MAD -> sigma consistency constant (normal)
+
+
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly counts per event_type by MEDIAN absolute deviation
+    — the heavy-tail-safe complement to the z-score scan (mean/std are
+    themselves dragged by the outliers they are supposed to find; median
+    and MAD have a 50% breakdown point).
+
+    Engine-exactness: both medians are RANK-BASED on integer cents with
+    a deterministic total order (value, event_id) — nearest-rank at
+    ceil(n/2), no interpolation, no float statistics anywhere until the
+    one threshold comparison, which is done in EXACT integer arithmetic:
+    |x - med| > K * SIGMA * MAD is evaluated as
+    |x - med| * 10000 > K_SIGMA_SCALED * MAD with both sides bigint
+    (K*SIGMA = 4.4478 scales to the integer 44478 at 1e4).  Two windows
+    over the same event_type partitioning — one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+    wt = Window.partitionBy("event_type")
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    d = (
+        ev.select("event_type", "event_id", cents.alias("cents"))
+        .withColumn("n", F.count(F.lit(1)).over(wt))
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    med = d.filter(F.col("rk") == F.ceil(F.col("n") / 2)).select(
+        "event_type", F.col("cents").alias("med")
+    )
+    dev = d.join(med, "event_type").withColumn("adev", F.abs(F.col("cents") - F.col("med")))
+    wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    dev = dev.withColumn("drk", F.row_number().over(wd))
+    mad = dev.filter(F.col("drk") == F.ceil(F.col("n") / 2)).select(
+        "event_type", F.col("adev").alias("mad")
+    )
+    k_scaled = int(round(_MAD_K * _MAD_SIGMA * 10000))  # 44478
+    out = (
+        dev.join(mad, "event_type")
+        .withColumn("is_out", F.col("adev") * 10000 > F.lit(k_scaled) * F.col("mad"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("is_out"), 1).otherwise(0)).cast("bigint").alias("n_outliers"),
+            F.max(F.when(F.col("is_out"), F.col("adev"))).cast("bigint").alias("max_out_dev_cents"),
+        )
+    )
+    return out.join(med, "event_type").join(mad, "event_type").select(
+        "event_type",
+        "n_events",
+        (F.col("med").cast("double") / 100).alias("median_value"),
+        (F.col("mad").cast("double") / 100).alias("mad_value"),
+        "n_outliers",
+        F.coalesce("max_out_dev_cents", F.lit(0)).cast("bigint").alias("max_out_dev_cents"),
+    )
+
+
+_MAD_SQL = f"""
+WITH d AS (
+  SELECT event_type, event_id,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), event_id) AS rk
+  FROM events
+), med AS (
+  SELECT event_type, cents AS med FROM d WHERE rk = CAST(CEIL(n / 2.0) AS BIGINT)
+), dev AS (
+  SELECT d.event_type, d.event_id, d.cents, d.n, ABS(d.cents - m.med) AS adev
+  FROM d JOIN med m ON m.event_type = d.event_type
+), devr AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS drk FROM dev
+), mad AS (
+  SELECT event_type, adev AS mad FROM devr WHERE drk = CAST(CEIL(n / 2.0) AS BIGINT)
+), flagged AS (
+  SELECT dv.event_type, dv.n, dv.adev, (dv.adev * 10000 > {int(round(_MAD_K * _MAD_SIGMA * 10000))} * md.mad) AS is_out
+  FROM dev dv JOIN mad md ON md.event_type = dv.event_type
+)
+SELECT f.event_type,
+       CAST(MAX(f.n) AS BIGINT) AS n_events,
+       CAST(MAX(m.med) AS DOUBLE) / 100 AS median_value,
+       CAST(MAX(md.mad) AS DOUBLE) / 100 AS mad_value,
+       CAST(SUM(CASE WHEN f.is_out THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(COALESCE(MAX(CASE WHEN f.is_out THEN f.adev END), 0) AS BIGINT) AS max_out_dev_cents
+FROM flagged f
+JOIN med m ON m.event_type = f.event_type
+JOIN mad md ON md.event_type = f.event_type
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "events_mad_outliers": events_mad_outliers,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_pattern_match": events_pattern_match,
     "events_sliding_windows": events_sliding_windows,
@@ -595,6 +686,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_mad_outliers": _MAD_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_pattern_match": PATTERN_MATCH_SQL,
     "events_sliding_windows": SLIDING_SQL,

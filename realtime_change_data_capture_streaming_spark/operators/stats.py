@@ -212,6 +212,82 @@ FROM cells
 """
 
 
+# ----------------------------------------------------- ABC / Pareto
+
+_ABC_A, _ABC_B = 80, 95  # cumulative-revenue percent thresholds
+
+
+def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue: class A = parts
+    covering the first 80% of cumulative revenue, B to 95%, C the tail —
+    the inventory-prioritization classic.
+
+    The fact-table scan reduces to a per-part DECIMAL revenue aggregate
+    first (part-cardinality, metadata-scale next to lineitem); the
+    cumulative share is a window over the deterministic (revenue DESC,
+    partkey) total order of THAT aggregate.  Classification compares
+    exact decimals — ``cum_prev * 100 < total * THRESH`` — so no float
+    enters until the output revenue column; using the cumulative BEFORE
+    each part means the part whose inclusion crosses 80% still lands in
+    A (textbook convention)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev).alias("revenue"))
+    total = per_part.agg(F.sum("revenue").alias("total"))
+    # a part is classed by the cumulative BEFORE it: the part whose
+    # inclusion crosses 80% still belongs to A (textbook convention)
+    wprev = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    classed = (
+        per_part.withColumn("cum_prev", F.coalesce(F.sum("revenue").over(wprev), F.lit(0).cast("decimal(28,4)")))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_prev") * 100 < F.col("total") * _ABC_A, "A")
+            .when(F.col("cum_prev") * 100 < F.col("total") * _ABC_B, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("revenue").cast("double").alias("class_revenue"),
+        F.min("l_partkey").cast("bigint").alias("min_partkey"),
+    )
+
+
+_ABC_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                  AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS revenue
+  FROM lineitem GROUP BY 1
+), t AS (SELECT SUM(revenue) AS total FROM per_part),
+c AS (
+  SELECT l_partkey, revenue,
+         COALESCE(SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS cum_prev
+  FROM per_part
+), classed AS (
+  SELECT l_partkey, revenue,
+         CASE WHEN cum_prev * 100 < t.total * {_ABC_A} THEN 'A'
+              WHEN cum_prev * 100 < t.total * {_ABC_B} THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM c CROSS JOIN t
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(revenue) AS DOUBLE) AS class_revenue,
+       CAST(MIN(l_partkey) AS BIGINT) AS min_partkey
+FROM classed GROUP BY 1
+"""
+
+
 # ------------------------------------------------- portable HyperLogLog
 
 _HLL_M = 64  # registers (p=6); relative std error 1.04/sqrt(64) ~ 13%
@@ -340,6 +416,7 @@ QUERIES = {
     "basket_part_pairs": basket_part_pairs,
     "docs_chisq_lang_source": docs_chisq_lang_source,
     "sketch_hll_users": sketch_hll_users,
+    "parts_abc_analysis": parts_abc_analysis,
 }
 
 ORACLE = {
@@ -348,4 +425,5 @@ ORACLE = {
     "basket_part_pairs": _BASKET_SQL,
     "docs_chisq_lang_source": _CHISQ_SQL,
     "sketch_hll_users": _HLL_SQL,
+    "parts_abc_analysis": _ABC_SQL,
 }
