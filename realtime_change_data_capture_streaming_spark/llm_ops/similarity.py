@@ -1169,6 +1169,109 @@ FROM {prev}, nrm{_PCA_ITERS - 1}, nn, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
 PCA_POWER_SQL = _pca_sql()
 
 
+def embedding_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top TWO principal components by power iteration + DEFLATION: after
+    the first component converges, every centered row is projected out of
+    its span (c' = c - (c.v1) v1) and the same iteration runs on the
+    deflated rows — the classic sequential eigensolver, each component
+    two O(n*d) passes per iteration.  The deflated rows are materialized
+    once (localCheckpoint) for the second component's passes.  Same
+    fixed-point accumulations and bounded d-double collects as the
+    1-component fit; the whole two-stage solve replays in DuckDB.
+    Output: (component, dim, loading, eigenvalue) rows."""
+    mu, v1, lam1 = _pca_fit(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    xd = e.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    v1_lit = F.array(*[F.lit(x) for x in v1])
+    c = F.zip_with("v", mu_lit, lambda x, m: x - m)
+    pr = F.aggregate(F.zip_with(c, v1_lit, lambda cc, vv: cc * vv), F.lit(0.0), lambda a, t: a + t)
+    ce = F.zip_with(c, v1_lit, lambda cc, vv: cc - pr * vv)
+    ced = xd.select("vec_id", ce.alias("c")).localCheckpoint(eager=True)
+    n = ced.count()
+    u = [1.0 / 8.0] * EMB_DIM
+    lam2 = 0.0
+    for _ in range(_PCA_ITERS):
+        u_lit = F.array(*[F.lit(x) for x in u])
+        s = F.aggregate(
+            F.zip_with("c", u_lit, lambda cc, uu: cc * uu), F.lit(0.0), lambda a, t: a + t
+        )
+        rows = ced.select(s.alias("s"), F.posexplode("c").alias("dim", "cv"))
+        w_rows = (
+            rows.withColumn("tfp", F.floor(F.col("s") * F.col("cv") * F.lit(_PCA_FP)))
+            .groupBy("dim")
+            .agg(F.sum("tfp").alias("w"))
+            .collect()
+        )
+        w = [r["w"] / _PCA_FP for r in sorted(w_rows, key=lambda r: r["dim"])]
+        norm_sq = 0.0
+        for x in w:
+            norm_sq += x * x
+        norm = norm_sq**0.5
+        lam2 = norm / n
+        u = [x / norm for x in w]
+    out = spark.createDataFrame(
+        [(1, i, v1[i], lam1) for i in range(EMB_DIM)]
+        + [(2, i, u[i], lam2) for i in range(EMB_DIM)],
+        "component int, dim int, loading double, eigenvalue double",
+    )
+    return out.select(
+        F.col("component").cast("bigint").alias("component"),
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round("loading", 6).alias("loading"),
+        F.round("eigenvalue", 6).alias("eigenvalue"),
+    )
+
+
+def _pca_top2_sql() -> str:
+    """DuckDB replay of the deflated second component: the shared
+    1-component chain, a projection/deflation CTE, then the same
+    iteration unrolled over the deflated row lists."""
+    base = _pca_sql()
+    chain = base[: base.rindex("SELECT CAST(t.i - 1 AS BIGINT)")]
+    vf = f"v{_PCA_ITERS}"
+    chain += f""", ce AS (
+  SELECT x.vec_id,
+         list_transform(range(1, {EMB_DIM} + 1),
+                        i -> (x.v[i] - mul.ml[i])
+                             - list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                                        j -> (x.v[j] - mul.ml[j]) * {vf}.vl[j])) * {vf}.vl[i]) AS c
+  FROM xd x, mul, {vf}
+), u0 AS (SELECT {"[" + ", ".join(["0.125"] * EMB_DIM) + "]"}::DOUBLE[] AS vl)"""
+    prev = "u0"
+    for t in range(_PCA_ITERS):
+        chain += f""",
+s2_{t} AS (
+  SELECT ce.vec_id, ce.c,
+         list_sum(list_transform(range(1, {EMB_DIM} + 1), i -> ce.c[i] * {prev}.vl[i])) AS s
+  FROM ce, {prev}
+), w2_{t} AS (
+  SELECT dim, CAST(SUM(CAST(FLOOR(s * cv * {_PCA_FP}) AS BIGINT)) AS BIGINT) AS w
+  FROM (SELECT s2_{t}.s, t.i - 1 AS dim, s2_{t}.c[t.i] AS cv
+        FROM s2_{t}, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i))
+  GROUP BY dim
+), wl2_{t} AS (SELECT list(CAST(w AS DOUBLE) / {_PCA_FP} ORDER BY dim) AS wl FROM w2_{t}),
+nrm2_{t} AS (SELECT SQRT(list_sum(list_transform(wl, x -> x * x))) AS nrm FROM wl2_{t}),
+u{t + 1} AS (SELECT list_transform(wl2_{t}.wl, x -> x / nrm2_{t}.nrm) AS vl FROM wl2_{t}, nrm2_{t})"""
+        prev = f"u{t + 1}"
+    last_n1 = f"nrm{_PCA_ITERS - 1}"
+    last_n2 = f"nrm2_{_PCA_ITERS - 1}"
+    return f"""{chain}
+SELECT CAST(1 AS BIGINT) AS component, CAST(t.i - 1 AS BIGINT) AS dim,
+       ROUND({vf}.vl[t.i], 6) AS loading,
+       ROUND({last_n1}.nrm / nn.n, 6) AS eigenvalue
+FROM {vf}, {last_n1}, nn, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
+UNION ALL
+SELECT CAST(2 AS BIGINT), CAST(t.i - 1 AS BIGINT),
+       ROUND({prev}.vl[t.i], 6),
+       ROUND({last_n2}.nrm / nn.n, 6)
+FROM {prev}, {last_n2}, nn, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
+"""
+
+
+PCA_TOP2_SQL = _pca_top2_sql()
+
+
 def _pca_outliers_sql(k: int = 20) -> str:
     """Fit chain shared verbatim with _pca_sql, then per-vector PC1 score
     and squared residual, global top-k by residual."""
@@ -1382,6 +1485,7 @@ QUERIES = {
     "ann_ivfpq_persisted_topk": ann_ivfpq_persisted_topk,
     "embedding_pca_power": embedding_pca_power,
     "embedding_pca_outliers": embedding_pca_outliers,
+    "embedding_pca_top2": embedding_pca_top2,
 }
 
 ORACLE = {
@@ -1398,4 +1502,5 @@ ORACLE = {
     "ann_ivfpq_persisted_topk": ANN_IVFPQ_SQL,
     "embedding_pca_power": PCA_POWER_SQL,
     "embedding_pca_outliers": PCA_OUTLIERS_SQL,
+    "embedding_pca_top2": PCA_TOP2_SQL,
 }

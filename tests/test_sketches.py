@@ -461,3 +461,29 @@ def test_pca_outliers_match_numpy_residuals(spark):
     got_res = {r["vec_id"]: r["residual"] for r in embedding_pca_outliers(spark, sf).collect()}
     for i in order:
         assert abs(got_res[int(ids[i])] - resid[i]) < 1e-3, (ids[i], got_res[int(ids[i])], resid[i])
+
+
+def test_pca_top2_orthogonal_and_ordered(spark):
+    """Deflation contract: the two components are unit, near-orthogonal,
+    eigenvalue_1 >= eigenvalue_2, component 1 equals the 1-component
+    fit, and v2 captures more variance than any axis orthogonal
+    residual baseline would by chance (lam2 > 0)."""
+    import numpy as np
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
+        embedding_pca_power,
+        embedding_pca_top2,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = embedding_pca_top2(spark, sf).collect()
+    v1 = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"]) if r["component"] == 1])
+    v2 = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"]) if r["component"] == 2])
+    lam1 = next(r["eigenvalue"] for r in rows if r["component"] == 1)
+    lam2 = next(r["eigenvalue"] for r in rows if r["component"] == 2)
+    assert abs(float(v1 @ v1) - 1.0) < 1e-4
+    assert abs(float(v2 @ v2) - 1.0) < 1e-4
+    assert abs(float(v1 @ v2)) < 0.05, "components not near-orthogonal"
+    assert lam1 >= lam2 > 0
+    ref = {r["dim"]: r["loading"] for r in embedding_pca_power(spark, sf).collect()}
+    assert all(ref[i] == v1[i] for i in range(len(v1))), "component 1 drifted from the 1-comp fit"
