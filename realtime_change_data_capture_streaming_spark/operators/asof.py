@@ -182,13 +182,82 @@ SELECT user_id, purchase_ts, view_ts, gap_us FROM (
 """
 
 
+def events_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of: for every purchase, the user's closest view
+    in EITHER direction (pandas merge_asof direction='nearest') — the
+    variant backward/forward alone cannot express.  Composed as a full
+    outer merge of the two directional as-ofs on the purchase identity:
+    min |gap| wins, ties (equidistant before/after) go to the BEFORE
+    match, purchases with only one side take it.  No new join machinery
+    — the directional operators stay the single source of as-of
+    semantics, and the combiner is pure column logic."""
+    b = events_asof_view_before_purchase(spark, sf_dir).select(
+        "user_id",
+        "purchase_ts",
+        F.col("view_ts").alias("b_ts"),
+        F.col("gap_us").alias("b_gap"),
+        F.col("view_value").alias("b_val"),
+    )
+    f = events_asof_next_view_after_purchase(spark, sf_dir).select(
+        "user_id",
+        "purchase_ts",
+        F.col("view_ts").alias("f_ts"),
+        F.col("gap_us").alias("f_gap"),
+        F.col("view_value").alias("f_val"),
+    )
+    j = b.join(f, ["user_id", "purchase_ts"], "full_outer")
+    take_b = F.col("f_gap").isNull() | (
+        F.col("b_gap").isNotNull() & (F.col("b_gap") <= F.col("f_gap"))
+    )
+    return j.select(
+        "user_id",
+        "purchase_ts",
+        F.when(take_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias("view_ts"),
+        F.when(take_b, F.col("b_gap")).otherwise(F.col("f_gap")).cast("bigint").alias("abs_gap_us"),
+        F.when(take_b, F.lit("before")).otherwise(F.lit("after")).alias("direction"),
+        F.when(take_b, F.col("b_val")).otherwise(F.col("f_val")).cast("double").alias("view_value"),
+    )
+
+
+ASOF_NEAREST_SQL = """
+WITH b AS (
+  SELECT p.user_id, p.ts AS purchase_ts, v.ts AS b_ts,
+         CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS b_gap,
+         CAST(v.value AS DOUBLE) AS b_val
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+), f AS (
+  SELECT p.user_id, p.ts AS purchase_ts, v.ts AS f_ts,
+         CAST(epoch_us(v.ts) - epoch_us(p.ts) AS BIGINT) AS f_gap,
+         CAST(v.value AS DOUBLE) AS f_val
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts <= v.ts
+)
+SELECT COALESCE(b.user_id, f.user_id) AS user_id,
+       COALESCE(b.purchase_ts, f.purchase_ts) AS purchase_ts,
+       CASE WHEN f.f_gap IS NULL OR (b.b_gap IS NOT NULL AND b.b_gap <= f.f_gap)
+            THEN b.b_ts ELSE f.f_ts END AS view_ts,
+       CAST(CASE WHEN f.f_gap IS NULL OR (b.b_gap IS NOT NULL AND b.b_gap <= f.f_gap)
+            THEN b.b_gap ELSE f.f_gap END AS BIGINT) AS abs_gap_us,
+       CASE WHEN f.f_gap IS NULL OR (b.b_gap IS NOT NULL AND b.b_gap <= f.f_gap)
+            THEN 'before' ELSE 'after' END AS direction,
+       CASE WHEN f.f_gap IS NULL OR (b.b_gap IS NOT NULL AND b.b_gap <= f.f_gap)
+            THEN b.b_val ELSE f.f_val END AS view_value
+FROM b FULL OUTER JOIN f USING (user_id, purchase_ts)
+"""
+
+
 QUERIES = {
     "events_asof_view_before_purchase": events_asof_view_before_purchase,
     "events_asof_next_view_after_purchase": events_asof_next_view_after_purchase,
     "events_asof_view_within_1h": events_asof_view_within_1h,
+    "events_asof_nearest_view": events_asof_nearest_view,
 }
 ORACLE = {
     "events_asof_view_before_purchase": ASOF_SQL,
     "events_asof_next_view_after_purchase": ASOF_FWD_SQL,
     "events_asof_view_within_1h": ASOF_TOL_SQL,
+    "events_asof_nearest_view": ASOF_NEAREST_SQL,
 }

@@ -81,3 +81,40 @@ def test_join_asof_matches_bruteforce(spark, left, right, direction, tol_s):
         r["row_id"]: int(r["_match"]["rts"].timestamp()) for r in got_df.collect()
     }
     assert got == _reference(left, right, direction, tol_s)
+
+
+def test_nearest_asof_matches_bruteforce_on_fixture(spark):
+    """events_asof_nearest_view vs a driver-side nearest computation on
+    the sf0.001 fixture: min |gap| across both directions, ties to the
+    BEFORE match, single-sided purchases keep their only match."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.operators.asof import events_asof_nearest_view
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events").select("user_id", "event_type", "ts").collect()
+    views = {}
+    for r in ev:
+        if r["event_type"] == "view":
+            views.setdefault(r["user_id"], []).append(r["ts"])
+    expect = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        vs = views.get(r["user_id"], [])
+        before = [t for t in vs if t <= r["ts"]]
+        after = [t for t in vs if t >= r["ts"]]
+        b = max(before) if before else None
+        f = min(after) if after else None
+        if b is None and f is None:
+            continue
+        if f is None or (b is not None and (r["ts"] - b) <= (f - r["ts"])):
+            expect[(r["user_id"], r["ts"])] = ("before", b)
+        else:
+            expect[(r["user_id"], r["ts"])] = ("after", f)
+    got = {
+        (r["user_id"], r["purchase_ts"]): (r["direction"], r["view_ts"])
+        for r in events_asof_nearest_view(spark, sf).collect()
+    }
+    assert got == expect
