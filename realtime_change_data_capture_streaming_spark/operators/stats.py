@@ -410,6 +410,175 @@ FROM fin f JOIN ex ON ex.event_type = f.event_type
 """
 
 
+_KMV_K = 64  # bottom-k sketch size; rse ~ 1/sqrt(k-2) ~ 13%
+_KMV_SCALE = float(1 << 60)  # hash domain for the [0,1) normalization
+
+
+def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-set algebra between event audiences via BOTTOM-K (KMV /
+    theta) sketches — the mergeable structure warehouse engines ship for
+    COUNT(DISTINCT) set operations: a set's sketch is its k smallest
+    md5-derived hashes, the union sketch is the k smallest of a merged
+    bag (min-merge, commutative/associative/idempotent), and the
+    intersection estimate counts common hashes below theta =
+    min(theta_a, theta_b) scaled by 1/theta.
+
+    For every event-type pair: estimated |A|, |B|, |A union B|,
+    |A intersect B| with the exact values alongside and in-bounds flags
+    (<= 3 relative standard errors; the intersection inherits the union
+    bound via inclusion-exclusion).  Sets smaller than k are estimated
+    EXACTLY (the sketch holds the whole set; both engines take the same
+    branch).  All hash ranks are integer; estimates are single double
+    divisions of exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = e.select("event_type", h.alias("h")).distinct()
+    wr = Window.partitionBy("event_type").orderBy("h")
+    sk = hashed.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= _KMV_K)
+    sizes = hashed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+
+    a = sk.select(F.col("event_type").alias("ta"), F.col("h").alias("ha"), F.col("rk").alias("ra"))
+    b = sk.select(F.col("event_type").alias("tb"), F.col("h").alias("hb"), F.col("rk").alias("rb"))
+
+    theta = sk.filter(F.col("rk") == _KMV_K).select(
+        "event_type", F.col("h").alias("theta")
+    )
+    per_set = sizes.join(theta, "event_type", "left")
+
+    pa = per_set.select(
+        F.col("event_type").alias("ta"),
+        F.col("n_exact").alias("na"),
+        F.col("theta").alias("theta_a"),
+    )
+    pb = per_set.select(
+        F.col("event_type").alias("tb"),
+        F.col("n_exact").alias("nb"),
+        F.col("theta").alias("theta_b"),
+    )
+    pairs = pa.crossJoin(pb).filter(F.col("ta") < F.col("tb"))
+    # union sketch: k smallest of both sketches' merged hash bag — built
+    # pair-wise by fanning each sketch out to its partner types (the fan
+    # is types-cardinality, metadata-scale)
+    ua = a.crossJoin(b.select("tb").distinct()).filter(F.col("ta") < F.col("tb")).select("ta", "tb", F.col("ha").alias("h"))
+    ub = b.crossJoin(a.select("ta").distinct()).filter(F.col("ta") < F.col("tb")).select("ta", "tb", F.col("hb").alias("h"))
+    ubag = ua.unionByName(ub).distinct()
+    wu = Window.partitionBy("ta", "tb").orderBy("h")
+    usk = ubag.withColumn("urk", F.row_number().over(wu))
+    utheta = usk.filter(F.col("urk") == _KMV_K).select("ta", "tb", F.col("h").alias("theta_u"))
+    ucnt = ubag.groupBy("ta", "tb").agg(F.count(F.lit(1)).alias("cu"))
+    # common sketch hashes below min(theta): the theta-sketch intersection
+    common = (
+        a.join(b, (F.col("ha") == F.col("hb")) & (F.col("ta") < F.col("tb")))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("cc"))
+    )
+    exact_pairs = (
+        hashed.select(F.col("event_type").alias("ta"), F.col("h").alias("h"))
+        .join(hashed.select(F.col("event_type").alias("tb"), F.col("h").alias("h")), "h")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    j = (
+        pairs.join(utheta, ["ta", "tb"], "left")
+        .join(ucnt, ["ta", "tb"], "left")
+        .join(common, ["ta", "tb"], "left")
+        .join(exact_pairs, ["ta", "tb"], "left")
+    )
+    min_theta = F.least(
+        F.coalesce("theta_a", F.lit(1 << 62)), F.coalesce("theta_b", F.lit(1 << 62))
+    )
+    est_u = F.when(F.col("cu") < _KMV_K, F.col("cu").cast("double")).otherwise(
+        F.lit(_KMV_K - 1) * F.lit(_KMV_SCALE) / F.col("theta_u").cast("double")
+    )
+    # common-below-theta count scaled by the hash domain / min theta
+    cc_below = F.coalesce("cc", F.lit(0))
+    est_i = F.when(
+        F.col("theta_a").isNull() | F.col("theta_b").isNull(),
+        cc_below.cast("double"),
+    ).otherwise(cc_below.cast("double") * F.lit(_KMV_SCALE) / min_theta.cast("double"))
+    exact_union = F.col("na") + F.col("nb") - F.coalesce("exact_inter", F.lit(0))
+    rse3 = 3.0 / (_KMV_K - 2) ** 0.5
+    return j.select(
+        "ta",
+        "tb",
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        exact_union.cast("bigint").alias("exact_union"),
+        F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(est_i, 4).alias("est_inter"),
+        (F.abs(est_u - exact_union.cast("double")) / exact_union <= F.lit(rse3)).alias(
+            "union_within_3se"
+        ),
+    )
+
+
+_KMV_SQL = f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM events
+), sk AS (
+  SELECT event_type, h, rk FROM (
+    SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM hashed
+  ) WHERE rk <= {_KMV_K}
+), sizes AS (
+  SELECT event_type, COUNT(*) AS n_exact FROM hashed GROUP BY 1
+), theta AS (
+  SELECT event_type, h AS theta FROM sk WHERE rk = {_KMV_K}
+), per_set AS (
+  SELECT s.event_type, s.n_exact, t.theta
+  FROM sizes s LEFT JOIN theta t ON t.event_type = s.event_type
+), pairs AS (
+  SELECT a.event_type AS ta, a.n_exact AS na, a.theta AS theta_a,
+         b.event_type AS tb, b.n_exact AS nb, b.theta AS theta_b
+  FROM per_set a CROSS JOIN per_set b
+  WHERE a.event_type < b.event_type
+), ubag AS (
+  SELECT DISTINCT p.ta, p.tb, s.h
+  FROM pairs p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+), usk AS (
+  SELECT ta, tb, h, ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS urk FROM ubag
+), utheta AS (
+  SELECT ta, tb, h AS theta_u FROM usk WHERE urk = {_KMV_K}
+), ucnt AS (
+  SELECT ta, tb, COUNT(*) AS cu FROM ubag GROUP BY 1, 2
+), common AS (
+  SELECT sa.event_type AS ta, sb.event_type AS tb, COUNT(*) AS cc
+  FROM sk sa JOIN sk sb ON sa.h = sb.h AND sa.event_type < sb.event_type
+  GROUP BY 1, 2
+), exact_pairs AS (
+  SELECT ha.event_type AS ta, hb.event_type AS tb, COUNT(*) AS exact_inter
+  FROM hashed ha JOIN hashed hb ON ha.h = hb.h AND ha.event_type < hb.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb,
+       CAST(p.na AS BIGINT) AS n_a,
+       CAST(p.nb AS BIGINT) AS n_b,
+       CAST(p.na + p.nb - COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_union,
+       CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter,
+       ROUND(CASE WHEN uc.cu < {_KMV_K} THEN CAST(uc.cu AS DOUBLE)
+                  ELSE {_KMV_K - 1} * {_KMV_SCALE} / CAST(ut.theta_u AS DOUBLE) END, 4) AS est_union,
+       ROUND(CASE WHEN p.theta_a IS NULL OR p.theta_b IS NULL THEN CAST(COALESCE(c.cc, 0) AS DOUBLE)
+                  ELSE CAST(COALESCE(c.cc, 0) AS DOUBLE) * {_KMV_SCALE}
+                       / CAST(LEAST(COALESCE(p.theta_a, {1 << 62}), COALESCE(p.theta_b, {1 << 62})) AS DOUBLE)
+             END, 4) AS est_inter,
+       (ABS(CASE WHEN uc.cu < {_KMV_K} THEN CAST(uc.cu AS DOUBLE)
+                 ELSE {_KMV_K - 1} * {_KMV_SCALE} / CAST(ut.theta_u AS DOUBLE) END
+            - CAST(p.na + p.nb - COALESCE(e.exact_inter, 0) AS DOUBLE))
+        / (p.na + p.nb - COALESCE(e.exact_inter, 0)) <= {3.0 / (_KMV_K - 2) ** 0.5}) AS union_within_3se
+FROM pairs p
+LEFT JOIN utheta ut ON ut.ta = p.ta AND ut.tb = p.tb
+LEFT JOIN ucnt uc ON uc.ta = p.ta AND uc.tb = p.tb
+LEFT JOIN common c ON c.ta = p.ta AND c.tb = p.tb
+LEFT JOIN exact_pairs e ON e.ta = p.ta AND e.tb = p.tb
+"""
+
+
 QUERIES = {
     "docs_crosstab_lang_source": docs_crosstab_lang_source,
     "orders_equidepth_histogram": orders_equidepth_histogram,
@@ -417,6 +586,7 @@ QUERIES = {
     "docs_chisq_lang_source": docs_chisq_lang_source,
     "sketch_hll_users": sketch_hll_users,
     "parts_abc_analysis": parts_abc_analysis,
+    "sketch_kmv_set_ops": sketch_kmv_set_ops,
 }
 
 ORACLE = {
@@ -426,4 +596,5 @@ ORACLE = {
     "docs_chisq_lang_source": _CHISQ_SQL,
     "sketch_hll_users": _HLL_SQL,
     "parts_abc_analysis": _ABC_SQL,
+    "sketch_kmv_set_ops": _KMV_SQL,
 }

@@ -487,3 +487,23 @@ def test_pca_top2_orthogonal_and_ordered(spark):
     assert lam1 >= lam2 > 0
     ref = {r["dim"]: r["loading"] for r in embedding_pca_power(spark, sf).collect()}
     assert all(ref[i] == v1[i] for i in range(len(v1))), "component 1 drifted from the 1-comp fit"
+
+
+def test_kmv_estimates_partial_overlap(spark, monkeypatch):
+    """Constructed HALF-overlapping audiences (A=1..100, B=51..150):
+    union estimate within 3 rse of 150, intersection estimate within a
+    looser band of 50 (theta-sketch intersections inherit both sets'
+    error), and the union sketch must equal the bottom-k min-merge of
+    the two sketches (mergeability)."""
+    import realtime_change_data_capture_streaming_spark.operators.stats as stm
+
+    rows = [("A", u) for u in range(1, 101)] + [("B", u) for u in range(51, 151)]
+    d = spark.createDataFrame(rows, "event_type string, user_id long")
+    monkeypatch.setattr(stm, "load_table", lambda s_, sf_, n_: d)
+    (r,) = stm.sketch_kmv_set_ops(spark, "x").collect()
+    assert (r["ta"], r["tb"]) == ("A", "B")
+    assert (r["n_a"], r["n_b"], r["exact_union"], r["exact_inter"]) == (100, 100, 150, 50)
+    rse = 1.0 / (stm._KMV_K - 2) ** 0.5
+    assert abs(r["est_union"] - 150) / 150 <= 3 * rse, r["est_union"]
+    assert abs(r["est_inter"] - 50) / 50 <= 6 * rse, r["est_inter"]
+    assert r["union_within_3se"] is True
