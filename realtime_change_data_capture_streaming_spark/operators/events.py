@@ -668,8 +668,67 @@ GROUP BY 1
 """
 
 
+def events_daily_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: active users, NEW users (first-ever
+    activity that day), returning users, and the cumulative distinct
+    user count — the DAU/new/returning panel.
+
+    A running COUNT(DISTINCT) is not windowable directly; the standard
+    re-expression is first-seen attribution: one (user -> min day)
+    aggregate, new_users = count of first-seens per day, and the
+    cumulative distinct count is the running SUM of new_users — exact,
+    and every step a partial-agg-friendly hash agg plus one ordered
+    window over day-cardinality rows (metadata-scale)."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(F.to_date("ts").alias("day"), "user_id")
+    daily = d.groupBy("day").agg(F.countDistinct("user_id").alias("n_active_users"))
+    events_per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    first_seen = d.groupBy("user_id").agg(F.min("day").alias("day"))
+    new_users = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        daily.join(events_per_day, "day")
+        .join(new_users, "day", "left")
+        .withColumn("n_new_users", F.coalesce("n_new_users", F.lit(0)))
+        .withColumn("cum_users", F.sum("n_new_users").over(w))
+    )
+    return out.select(
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_active_users").cast("bigint").alias("n_active_users"),
+        F.col("n_new_users").cast("bigint").alias("n_new_users"),
+        (F.col("n_active_users") - F.col("n_new_users")).cast("bigint").alias("n_returning_users"),
+        F.col("cum_users").cast("bigint").alias("cum_users"),
+    )
+
+
+_GROWTH_SQL = """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+), daily AS (
+  SELECT day, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_active_users
+  FROM d GROUP BY 1
+), first_seen AS (
+  SELECT user_id, MIN(day) AS day FROM d GROUP BY 1
+), new_users AS (
+  SELECT day, COUNT(*) AS n_new_users FROM first_seen GROUP BY 1
+)
+SELECT daily.day,
+       CAST(daily.n_events AS BIGINT) AS n_events,
+       CAST(daily.n_active_users AS BIGINT) AS n_active_users,
+       CAST(COALESCE(new_users.n_new_users, 0) AS BIGINT) AS n_new_users,
+       CAST(daily.n_active_users - COALESCE(new_users.n_new_users, 0) AS BIGINT) AS n_returning_users,
+       CAST(SUM(COALESCE(new_users.n_new_users, 0)) OVER (ORDER BY daily.day
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM daily LEFT JOIN new_users ON new_users.day = daily.day
+"""
+
+
 QUERIES = {
     "events_mad_outliers": events_mad_outliers,
+    "events_daily_user_growth": events_daily_user_growth,
     "events_tumbling_hourly": events_tumbling_hourly,
     "events_pattern_match": events_pattern_match,
     "events_sliding_windows": events_sliding_windows,
@@ -687,6 +746,7 @@ QUERIES = {
 
 ORACLE = {
     "events_mad_outliers": _MAD_SQL,
+    "events_daily_user_growth": _GROWTH_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,
     "events_pattern_match": PATTERN_MATCH_SQL,
     "events_sliding_windows": SLIDING_SQL,
