@@ -541,128 +541,18 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 _BM25_QUERY = ("data", "hash", "merge")  # fixed demo query terms
 _BM25_TOP = 20
-_BM25_FP = float(1 << 30)
+_BM25_FP = float(1 << 15)  # per-factor fixed-point scale (idf and saturation)
+_BM25_OUT = float(1 << 30)  # product scale: idf_fp * sat_fp
 _RRF_K = 60
 
 
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 lexical retrieval over the corpus for a fixed query — the
-    keyword half of hybrid (lexical + vector) RAG retrieval.
-
-    score(d) = sum over query terms of
-      idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
-    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the Lucene/BM25+ form —
-    always positive).  ln() runs once per QUERY TERM (a handful of call
-    sites, the PSI discipline); per-doc term contributions enter the
-    final sum as floor(score * 2^30) integers so the cross-term fold is
-    order-independent.  Shape: the (doc, term) aggregate is filtered to
-    the query terms BEFORE any join (the scan reduces to query-term
-    postings, exactly an inverted-index lookup), doc lengths ride a
-    broadcast; one window for the global top-k tie-broken on doc_id."""
-    from pyspark.sql import Window
-
-    d = load_table(spark, sf_dir, "documents")
-    tok_rows = with_tokens(d).select(
-        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
-    )
-    tf = tok_rows.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    stats = d.select(
-        F.countDistinct("doc_id").alias("n_docs")
-    ).crossJoin(
-        with_tokens(d).select("doc_id", F.size("_toks").alias("dl")).agg(
-            F.sum("dl").cast("double").alias("sum_dl"), F.count(F.lit(1)).alias("n_len")
-        )
-    )
-    postings = tf.filter(F.col("term").isin(*_BM25_QUERY))
-    dfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (
-        postings.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("avgdl", F.col("sum_dl") / F.col("n_len"))
-        .withColumn(
-            "idf",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-            ),
-        )
-        .withColumn(
-            "contrib",
-            F.col("idf")
-            * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
-            / (
-                F.col("tf")
-                + F.lit(_BM25_K1)
-                * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .withColumn("c_fp", F.floor(F.col("contrib") * F.lit(_BM25_FP)))
-    )
-    per_doc = scored.groupBy("doc_id").agg(
-        F.sum("c_fp").alias("s_fp"), F.count(F.lit(1)).cast("bigint").alias("n_terms_hit")
-    )
-    w = Window.orderBy(F.desc("s_fp"), F.asc("doc_id"))
-    top = per_doc.orderBy(F.desc("s_fp"), F.asc("doc_id")).limit(_BM25_TOP)
-    return top.withColumn("rk", F.row_number().over(w)).select(
-        "doc_id",
-        "n_terms_hit",
-        F.round(F.col("s_fp").cast("double") / F.lit(_BM25_FP), 6).alias("bm25"),
-        F.col("rk").cast("bigint").alias("rk"),
-    )
-
-
-_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
-
-BM25_SQL = f"""
-WITH tk AS (
-  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
-  FROM documents
-), lens AS (
-  SELECT doc_id, LEN(ts) AS dl FROM tk
-), stats AS (
-  SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_docs,
-         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
-  FROM lens
-), tf AS (
-  SELECT u.doc_id, l.dl, u.term, COUNT(*) AS tf
-  FROM (SELECT doc_id, UNNEST(ts) AS term FROM tk) u
-  JOIN lens l ON l.doc_id = u.doc_id
-  WHERE u.term IN ({_BM25_TERMS_SQL})
-  GROUP BY 1, 2, 3
-), dfreq AS (
-  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
-), contrib AS (
-  SELECT tf.doc_id,
-         CAST(FLOOR(
-           LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-           * (tf.tf * {_BM25_K1 + 1.0})
-           / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
-           * {_BM25_FP}) AS BIGINT) AS c_fp
-  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
-), per_doc AS (
-  SELECT doc_id, CAST(SUM(c_fp) AS BIGINT) AS s_fp, CAST(COUNT(*) AS BIGINT) AS n_terms_hit
-  FROM contrib GROUP BY 1
-)
-SELECT doc_id, n_terms_hit,
-       ROUND(CAST(s_fp AS DOUBLE) / {_BM25_FP}, 6) AS bm25,
-       CAST(ROW_NUMBER() OVER (ORDER BY s_fp DESC, doc_id ASC) AS BIGINT) AS rk
-FROM per_doc
-ORDER BY s_fp DESC, doc_id ASC
-LIMIT {_BM25_TOP}
-"""
-
-
-def text_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion of two retrieval rankings — the standard
-    hybrid-search combiner (score = sum of 1/(K + rank_i)): here the
-    BM25 ranking fused with the tf-idf-keyword ranking for the same
-    query terms, over full per-doc ranks (not just each ranker's
-    top-k, so the fusion sees every doc either ranker scores).  RRF
-    works on RANKS, so engine float differences cannot reorder it; the
-    fused score is a sum of two exact rationals evaluated identically.
-    Output: top-k docs with both ranks and the fused score."""
-    from pyspark.sql import Window
-
+def _bm25_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-term postings with scoring inputs attached: (doc_id, term,
+    tf, dl, df, n_docs, avgdl).  The (doc, term) aggregate filters to
+    the query terms BEFORE any join — the inverted-index access shape —
+    and df counts from the POSTINGS, never the full vocabulary.  Shared
+    by the BM25 and RRF operators so the two rankings the fusion
+    combines cannot drift apart."""
     d = load_table(spark, sf_dir, "documents")
     tok_rows = with_tokens(d).select(
         "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
@@ -672,32 +562,87 @@ def text_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    stats = with_tokens(d).select(F.size("_toks").alias("dl")).agg(
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    stats = d.agg(F.countDistinct("doc_id").alias("n_docs")).crossJoin(
+        with_tokens(d)
+        .select(F.size("_toks").alias("dl"))
+        .agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
     )
-    base = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(stats))
+    return tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+
+
+def _bm25_fp_columns():
+    """(idf_fp, sat_fp) fixed-point factor expressions over a postings
+    row.  The ln() is confined to idf_fp — ONE floor per query term
+    corpus-wide (the PSI-class libm exposure, minimized); the
+    saturation factor is pure rational arithmetic on exact integers
+    (IEEE division is correctly rounded, so sat_fp is deterministic
+    across engines BY CONSTRUCTION, not by accident).  The per-doc
+    score is then the exact integer sum of idf_fp * sat_fp."""
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
-    bm25_c = (
-        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
-        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + F.lit(_BM25_K1)
-            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+    sat = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1) * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl"))
+    )
+    return F.floor(idf * F.lit(_BM25_FP)), F.floor(sat * F.lit(_BM25_FP))
+
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quantized BM25 score (s_fp, exact bigint) + the tf-idf
+    fixed-point score (t_fp) for the same postings."""
+    postings = _bm25_postings(spark, sf_dir)
+    idf_fp, sat_fp = _bm25_fp_columns()
+    tfidf_fp = F.floor(
+        (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df") * F.lit(_BM25_OUT)
+    )
+    return (
+        postings.select(
+            "doc_id", (idf_fp * sat_fp).alias("c_fp"), tfidf_fp.alias("t1_fp")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_fp").alias("s_fp"),
+            F.sum("t1_fp").alias("t_fp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
         )
     )
-    tfidf_c = (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")
-    per_doc = base.select(
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval for a fixed query — the keyword half of
+    hybrid (lexical + vector) RAG retrieval, with QUANTIZED scoring:
+    score = sum over query terms of floor(idf * 2^15) * floor(sat * 2^15)
+    — an exact integer, deterministic under any partitioning or engine
+    (see ``_bm25_fp_columns`` for why only the 3 per-term idf floors
+    carry any libm exposure).  Global top-k via orderBy+limit
+    (TakeOrderedAndProject), ranks tie-broken on doc_id."""
+    from pyspark.sql import Window
+
+    per_doc = _bm25_doc_scores(spark, sf_dir)
+    w = Window.orderBy(F.desc("s_fp"), F.asc("doc_id"))
+    top = per_doc.orderBy(F.desc("s_fp"), F.asc("doc_id")).limit(_BM25_TOP)
+    return top.withColumn("rk", F.row_number().over(w)).select(
         "doc_id",
-        F.floor(bm25_c * F.lit(_BM25_FP)).alias("b_fp"),
-        F.floor(tfidf_c * F.lit(_BM25_FP)).alias("t_fp"),
-    ).groupBy("doc_id").agg(F.sum("b_fp").alias("b_fp"), F.sum("t_fp").alias("t_fp"))
-    wb = Window.orderBy(F.desc("b_fp"), F.asc("doc_id"))
+        "n_terms_hit",
+        F.round(F.col("s_fp").cast("double") / F.lit(_BM25_OUT), 6).alias("bm25"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+def text_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrieval rankings — the standard
+    hybrid-search combiner (score = sum of 1/(K + rank_i)): the BM25
+    ranking fused with the tf-idf ranking for the same query terms,
+    both derived from ONE shared postings/scoring pipeline
+    (``_bm25_doc_scores``) so the fused rankings cannot drift from the
+    standalone operator.  RRF works on RANKS, so float differences
+    cannot reorder it."""
+    from pyspark.sql import Window
+
+    per_doc = _bm25_doc_scores(spark, sf_dir)
+    wb = Window.orderBy(F.desc("s_fp"), F.asc("doc_id"))
     wt = Window.orderBy(F.desc("t_fp"), F.asc("doc_id"))
     ranked = per_doc.withColumn("rank_bm25", F.row_number().over(wb)).withColumn(
         "rank_tfidf", F.row_number().over(wt)
@@ -721,7 +666,10 @@ def text_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RRF_SQL = f"""
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+#: shared oracle CTE chain mirroring _bm25_doc_scores
+_BM25_CHAIN_SQL = f"""
 WITH tk AS (
   SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
   FROM documents
@@ -741,18 +689,29 @@ WITH tk AS (
   SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
 ), per_doc AS (
   SELECT tf.doc_id,
-         CAST(SUM(CAST(FLOOR(
-           LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-           * (tf.tf * {_BM25_K1 + 1.0})
-           / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
-           * {_BM25_FP}) AS BIGINT)) AS BIGINT) AS b_fp,
-         CAST(SUM(CAST(FLOOR(
-           CAST(tf.tf * s.n_docs AS DOUBLE) / d.df * {_BM25_FP}) AS BIGINT)) AS BIGINT) AS t_fp
+         CAST(SUM(
+           CAST(FLOOR(LN(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * {_BM25_FP}) AS BIGINT)
+           * CAST(FLOOR((tf.tf * {_BM25_K1 + 1.0})
+                 / (tf.tf + {_BM25_K1} * ({1.0 - _BM25_B} + {_BM25_B} * tf.dl / s.avgdl))
+                 * {_BM25_FP}) AS BIGINT)) AS BIGINT) AS s_fp,
+         CAST(SUM(CAST(FLOOR(CAST(tf.tf * s.n_docs AS DOUBLE) / d.df * {_BM25_OUT}) AS BIGINT)) AS BIGINT) AS t_fp,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
   FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
   GROUP BY 1
-), ranked AS (
+)"""
+
+BM25_SQL = f"""{_BM25_CHAIN_SQL}
+SELECT doc_id, n_terms_hit,
+       ROUND(CAST(s_fp AS DOUBLE) / {_BM25_OUT}, 6) AS bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY s_fp DESC, doc_id ASC) AS BIGINT) AS rk
+FROM per_doc
+ORDER BY s_fp DESC, doc_id ASC
+LIMIT {_BM25_TOP}
+"""
+
+RRF_SQL = f"""{_BM25_CHAIN_SQL}, ranked AS (
   SELECT doc_id,
-         CAST(ROW_NUMBER() OVER (ORDER BY b_fp DESC, doc_id ASC) AS BIGINT) AS rank_bm25,
+         CAST(ROW_NUMBER() OVER (ORDER BY s_fp DESC, doc_id ASC) AS BIGINT) AS rank_bm25,
          CAST(ROW_NUMBER() OVER (ORDER BY t_fp DESC, doc_id ASC) AS BIGINT) AS rank_tfidf
   FROM per_doc
 )

@@ -681,16 +681,18 @@ def events_daily_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over day-cardinality rows (metadata-scale)."""
     e = load_table(spark, sf_dir, "events")
     d = e.select(F.to_date("ts").alias("day"), "user_id")
-    daily = d.groupBy("day").agg(F.countDistinct("user_id").alias("n_active_users"))
-    events_per_day = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n_events")
+    # ONE scan computes both daily aggregates (a second scan joined inner
+    # on day would also structurally diverge from the single-CTE oracle
+    # on a hypothetical null day: inner joins don't match null = null)
+    daily = d.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_active_users"),
     )
     first_seen = d.groupBy("user_id").agg(F.min("day").alias("day"))
     new_users = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("n_new_users"))
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     out = (
-        daily.join(events_per_day, "day")
-        .join(new_users, "day", "left")
+        daily.join(new_users, "day", "left")
         .withColumn("n_new_users", F.coalesce("n_new_users", F.lit(0)))
         .withColumn("cum_users", F.sum("n_new_users").over(w))
     )

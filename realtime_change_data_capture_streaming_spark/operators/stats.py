@@ -495,8 +495,14 @@ def sketch_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # common-below-theta count scaled by the hash domain / min theta
     cc_below = F.coalesce("cc", F.lit(0))
+    # BOTH sketches whole (both sets < k): the common count IS the exact
+    # intersection.  With one side sampled, the otherwise-branch scaling
+    # by min(theta) is still correct (the nulls coalesce to the domain
+    # max, so min(theta) is the sampled side's theta) — an OR here would
+    # return the unscaled count for mixed small/large pairs and bias the
+    # estimate toward zero.
     est_i = F.when(
-        F.col("theta_a").isNull() | F.col("theta_b").isNull(),
+        F.col("theta_a").isNull() & F.col("theta_b").isNull(),
         cc_below.cast("double"),
     ).otherwise(cc_below.cast("double") * F.lit(_KMV_SCALE) / min_theta.cast("double"))
     exact_union = F.col("na") + F.col("nb") - F.coalesce("exact_inter", F.lit(0))
@@ -563,7 +569,7 @@ SELECT p.ta, p.tb,
        CAST(COALESCE(e.exact_inter, 0) AS BIGINT) AS exact_inter,
        ROUND(CASE WHEN uc.cu < {_KMV_K} THEN CAST(uc.cu AS DOUBLE)
                   ELSE {_KMV_K - 1} * {_KMV_SCALE} / CAST(ut.theta_u AS DOUBLE) END, 4) AS est_union,
-       ROUND(CASE WHEN p.theta_a IS NULL OR p.theta_b IS NULL THEN CAST(COALESCE(c.cc, 0) AS DOUBLE)
+       ROUND(CASE WHEN p.theta_a IS NULL AND p.theta_b IS NULL THEN CAST(COALESCE(c.cc, 0) AS DOUBLE)
                   ELSE CAST(COALESCE(c.cc, 0) AS DOUBLE) * {_KMV_SCALE}
                        / CAST(LEAST(COALESCE(p.theta_a, {1 << 62}), COALESCE(p.theta_b, {1 << 62})) AS DOUBLE)
              END, 4) AS est_inter,

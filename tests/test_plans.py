@@ -385,8 +385,12 @@ def test_bm25_filters_postings_before_joins(spark, sf_dir):
         (plan.index(m) for m in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") if m in plan),
         default=len(plan),
     )
-    fpos = plan.find("data")  # the IN-list literal appears in the filter
-    assert 0 <= fpos, "query-term filter not found in plan"
+    fpos = plan.find("IN (data,hash,merge)")
+    assert 0 <= fpos, "query-term IN filter not found in plan"
+    # the plan string nests children BELOW parents, so a filter applied
+    # before the join prints after it — the filter must NOT appear above
+    # (textually before) every join, i.e. some join precedes it
+    assert first_join < fpos, "query-term filter runs above the joins (full-vocab shuffle)"
 
 
 def test_substring_spans_no_cartesian_single_anchor_build(spark, sf_dir):

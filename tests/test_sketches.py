@@ -507,3 +507,21 @@ def test_kmv_estimates_partial_overlap(spark, monkeypatch):
     assert abs(r["est_union"] - 150) / 150 <= 3 * rse, r["est_union"]
     assert abs(r["est_inter"] - 50) / 50 <= 6 * rse, r["est_inter"]
     assert r["union_within_3se"] is True
+
+
+def test_kmv_intersection_scales_for_mixed_small_large_audiences(spark, monkeypatch):
+    """A small audience (< k, sketch = whole set) fully contained in a
+    large one: the intersection estimate must scale the common-below-
+    theta count by the sampled side's theta, not return it raw (the
+    OR-vs-AND null-branch regression this test pins)."""
+    import realtime_change_data_capture_streaming_spark.operators.stats as stm
+
+    small = [("S", u) for u in range(1, 41)]            # 40 users, < k
+    large = [("L", u) for u in range(1, 2001)]          # 2000 users, contains S
+    d = spark.createDataFrame(small + large, "event_type string, user_id long")
+    monkeypatch.setattr(stm, "load_table", lambda s_, sf_, n_: d)
+    (r,) = stm.sketch_kmv_set_ops(spark, "x").collect()
+    assert (r["exact_inter"], r["n_a"]) == (40, 2000) or (r["exact_inter"], r["n_b"]) == (40, 2000)
+    # true intersection 40; raw common-below-theta would be ~ 40*64/2000 ~ 1
+    assert r["est_inter"] >= 15, r["est_inter"]
+    assert r["est_inter"] <= 100, r["est_inter"]
