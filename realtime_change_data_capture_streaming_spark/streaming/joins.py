@@ -125,13 +125,35 @@ def stream_left_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     # default on in case the hosting session disabled it
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
-        return _left_outer_run(spark, sf_dir, d, raw_schema)
+        return _outer_run(spark, sf_dir, d, raw_schema, "leftOuter")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
 
 
-def _left_outer_run(spark: SparkSession, sf_dir: str, d: str, raw_schema) -> DataFrame:
+def stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — the last outer mode: every view
+    AND every purchase appears, matched within the interval or emitted
+    with nulls once the watermark proves the partner cannot arrive.
+    Same bounded-state machinery and deterministic flush schedule as the
+    left-outer variant (shared ``_outer_run``); the unmatched-purchase
+    side additionally proves the RIGHT-side state eviction path."""
+    import os
+
+    d = _flush_padded_events_dir(sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        return _outer_run(spark, sf_dir, d, raw_schema, "fullOuter")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
+
+
+def _outer_run(spark: SparkSession, sf_dir: str, d: str, raw_schema, how: str) -> DataFrame:
     stream = (
         spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", "1")
@@ -160,8 +182,14 @@ def _left_outer_run(spark: SparkSession, sf_dir: str, d: str, raw_schema) -> Dat
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("purchase_ts") > F.col("view_ts"))
         & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("interval 30 minutes")),
-        "leftOuter",
-    ).select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+        how,
+    ).select(
+        F.coalesce("user_id", "p_user_id").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+    )
     return _run_to_table(joined, "append").filter(F.col("user_id") >= 0)
 
 
@@ -177,11 +205,24 @@ WHERE v.event_type = 'view'
 """
 
 
+STREAM_FULL_OUTER_SQL = """
+SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+       v.event_id AS view_id, p.event_id AS purchase_id,
+       v.ts AS view_ts, p.ts AS purchase_ts
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+"""
+
+
 QUERIES = {
     "stream_view_purchase_join": stream_view_purchase_join,
     "stream_left_outer_attribution": stream_left_outer_attribution,
+    "stream_full_outer_attribution": stream_full_outer_attribution,
 }
 ORACLE = {
     "stream_view_purchase_join": STREAM_JOIN_SQL,
     "stream_left_outer_attribution": STREAM_LEFT_OUTER_SQL,
+    "stream_full_outer_attribution": STREAM_FULL_OUTER_SQL,
 }
