@@ -593,6 +593,67 @@ FROM orders
 """
 
 
+_FORGET_MOD = 50  # users with o_custkey % 50 == 0 file erasure requests
+
+
+def cdc_forget_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten, CDC-native: erasure requests enter the
+    pipeline as SYNTHETIC DELETE envelopes at a super-LSN above any real
+    WAL position — one delete per key owned by a requesting user — and
+    the unchanged latest-wins apply erases them like any other delete.
+    No special-case purge path: the erasure is idempotent under replay,
+    ordered after every real change by construction, and the sink's
+    tombstone mechanics (compaction grace, change feed 'delete' rows)
+    apply unchanged.  The synthetic envelope carries NO payload (null
+    before/after images beyond the key) — the request must not itself
+    re-materialize the data it erases.  Output: the purged final state;
+    oracle = the closed-form final state minus the requesting users'
+    rows."""
+    o = load_table(spark, sf_dir, "orders")
+    requests = o.filter(F.col("o_custkey") % _FORGET_MOD == 0)
+    ts_ms = F.unix_timestamp("o_orderdate") * 1000
+    erasure = requests.select(
+        F.col("o_orderkey").cast("string").alias("key"),
+        F.to_json(
+            F.struct(
+                F.lit(None).cast("string").alias("before"),
+                F.lit(None).cast("string").alias("after"),
+                F.lit("d").alias("op"),
+                (ts_ms + 10).alias("ts_ms"),
+                F.struct(
+                    (F.col("o_orderkey") * 3 + 10).alias("lsn"),
+                    F.lit("transactions").alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+            )
+        ).alias("value"),
+    )
+    events = order_change_events(spark, sf_dir, chaos=True).unionByName(erasure)
+    parsed = parse_envelope(events, decimal_mode="string")
+    final = apply_changes_batch(parsed)
+    return final.select(
+        F.col("transaction_id"),
+        F.col("user_id"),
+        F.col("amount").cast("double").alias("amount"),
+        F.col("currency"),
+        F.col("merchant_name"),
+        F.col("voucher_code"),
+    )
+
+
+CDC_FORGET_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(o_custkey AS VARCHAR) AS user_id,
+       CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP} ELSE o_totalprice END
+            AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       o_orderstatus AS currency,
+       o_orderpriority AS merchant_name,
+       '' AS voucher_code
+FROM orders
+WHERE o_orderkey % 97 != 0 AND o_custkey % {_FORGET_MOD} != 0
+"""
+
+
 _TXN_GROUP = 8  # orders per upstream transaction group
 _TXN_DROP = 13  # update events for keys %13 are "in flight" (never delivered)
 
@@ -767,6 +828,7 @@ QUERIES = {
     "cdc_snapshot_then_stream": cdc_snapshot_then_stream,
     "cdc_change_feed": cdc_change_feed,
     "cdc_txn_consistent_apply": cdc_txn_consistent_apply,
+    "cdc_forget_users": cdc_forget_users,
 }
 
 ORACLE = {
@@ -782,4 +844,5 @@ ORACLE = {
     "cdc_schema_evolution": CDC_EVOLUTION_SQL,
     "cdc_snapshot_then_stream": CDC_SNAPSHOT_SQL,
     "cdc_txn_consistent_apply": CDC_TXN_APPLY_SQL,
+    "cdc_forget_users": CDC_FORGET_SQL,
 }
