@@ -535,6 +535,101 @@ SELECT doc_id, term, tf, df_docs, score, rk FROM (
 """
 
 
+# --------------------------------------------------------- collocations
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+def text_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top bigrams by pointwise mutual
+    information, PMI = ln( p(ab) / (p(a)p(b)) ) — word pairs that
+    co-occur far more than their parts' frequencies predict.
+
+    Determinism discipline: the RANKING never touches ln — it orders by
+    the exact ratio c_ab * N_uni^2 / (c_a * c_b * N_big), a single
+    IEEE-correctly-rounded division of exact integers (identical on any
+    engine), with the bigram string as tie-break; ln() runs once per
+    OUTPUT row on identical inputs and is rounded at the boundary.  A
+    minimum pair count filters the unstable low-frequency tail.  One
+    tokenize pass feeds both the bigram and unigram counts."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tokp = with_tokens(d).select(
+        "doc_id", F.posexplode("_toks").alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        tokp.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("tok", "nxt")
+    )
+    bcnt = big.groupBy("tok", "nxt").agg(F.count(F.lit(1)).alias("c_ab"))
+    ucnt = tokp.groupBy("tok").agg(F.count(F.lit(1)).alias("c_u"))
+    n_uni = tokp.agg(F.count(F.lit(1)).alias("n_uni"))
+    n_big = big.agg(F.count(F.lit(1)).alias("n_big"))
+    scored = (
+        bcnt.filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .join(F.broadcast(ucnt.withColumnRenamed("tok", "a").withColumnRenamed("c_u", "c_a")),
+              F.col("tok") == F.col("a"))
+        .join(F.broadcast(ucnt.withColumnRenamed("tok", "b").withColumnRenamed("c_u", "c_b")),
+              F.col("nxt") == F.col("b"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .withColumn(
+            "ratio",
+            (F.col("c_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+            / (F.col("c_a") * F.col("c_b") * F.col("n_big")).cast("double"),
+        )
+        .withColumn("bigram", F.concat_ws(" ", "tok", "nxt"))
+    )
+    wr = Window.orderBy(F.desc("ratio"), F.asc("bigram"))
+    top = scored.orderBy(F.desc("ratio"), F.asc("bigram")).limit(_PMI_TOP)
+    return top.withColumn("rk", F.row_number().over(wr)).select(
+        "bigram",
+        F.col("c_ab").cast("bigint").alias("c_ab"),
+        F.col("c_a").cast("bigint").alias("c_a"),
+        F.col("c_b").cast("bigint").alias("c_b"),
+        F.round(F.log("ratio"), 6).alias("pmi"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+_PMI_SQL_TEXT = f"""
+WITH tk AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), toks AS (
+  SELECT doc_id, t.i AS pos, ts[t.i] AS tok, ts[t.i + 1] AS nxt, LEN(ts) AS n
+  FROM tk, UNNEST(range(1, GREATEST(LEN(ts), 0) + 1)) AS t(i)
+), big AS (
+  SELECT tok, nxt FROM toks WHERE nxt IS NOT NULL AND pos < n
+), bcnt AS (
+  SELECT tok, nxt, COUNT(*) AS c_ab FROM big GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+), ucnt AS (
+  SELECT tok, COUNT(*) AS c_u FROM toks GROUP BY 1
+), nu AS (SELECT COUNT(*) AS n_uni FROM toks),
+nb AS (SELECT COUNT(*) AS n_big FROM big),
+scored AS (
+  SELECT b.tok || ' ' || b.nxt AS bigram, b.c_ab, ua.c_u AS c_a, ub.c_u AS c_b,
+         CAST(b.c_ab * nu.n_uni * nu.n_uni AS DOUBLE)
+         / CAST(ua.c_u * ub.c_u * nb.n_big AS DOUBLE) AS ratio
+  FROM bcnt b
+  JOIN ucnt ua ON ua.tok = b.tok
+  JOIN ucnt ub ON ub.tok = b.nxt
+  CROSS JOIN nu CROSS JOIN nb
+)
+SELECT bigram,
+       CAST(c_ab AS BIGINT) AS c_ab, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       ROUND(LN(ratio), 6) AS pmi,
+       CAST(ROW_NUMBER() OVER (ORDER BY ratio DESC, bigram ASC) AS BIGINT) AS rk
+FROM scored
+ORDER BY ratio DESC, bigram ASC
+LIMIT {_PMI_TOP}
+"""
+
+
 # ------------------------------------------------------- lexical retrieval
 
 _BM25_K1 = 1.2
@@ -736,6 +831,7 @@ QUERIES = {
     "text_gopher_rules": gopher_rules,
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_bm25_topk": text_bm25_topk,
+    "text_bigram_pmi": text_bigram_pmi,
     "text_rrf_fusion_topk": text_rrf_fusion_topk,
     "text_bigram_lm_score": bigram_lm_score,
     "text_heavy_hitters": heavy_hitter_terms,
@@ -751,6 +847,7 @@ ORACLE = {
     "text_gopher_rules": GOPHER_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
     "text_bm25_topk": BM25_SQL,
+    "text_bigram_pmi": _PMI_SQL_TEXT,
     "text_rrf_fusion_topk": RRF_SQL,
     "text_bigram_lm_score": BIGRAM_LM_SQL,
     "text_heavy_hitters": HEAVY_HITTERS_SQL,
