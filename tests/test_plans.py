@@ -407,3 +407,33 @@ def test_substring_spans_no_cartesian_single_anchor_build(spark, sf_dir):
     assert c["cartesian"] == 0, c
     assert "Generate" not in plan, "tokenize pipeline re-derived above the checkpoint"
     assert "Scan ExistingRDD" in plan, plan
+
+
+def test_round6_analytics_ops_no_cartesian(spark, sf_dir):
+    """Blanket shuffle-hygiene pin for the round-6 analytics additions:
+    no cartesian products anywhere (1-row broadcast scalar attaches
+    plan as BroadcastNestedLoopJoin and are allowed)."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import cdc_forget_users
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import text_bigram_pmi, text_rrf_fusion_topk
+    from realtime_change_data_capture_streaming_spark.operators.events import (
+        events_daily_user_growth,
+        events_mad_outliers,
+    )
+    from realtime_change_data_capture_streaming_spark.operators.stats import (
+        parts_abc_analysis,
+        sketch_hll_users,
+        sketch_kmv_set_ops,
+    )
+
+    for op in (
+        events_daily_user_growth,
+        events_mad_outliers,
+        parts_abc_analysis,
+        sketch_hll_users,
+        sketch_kmv_set_ops,
+        text_bigram_pmi,
+        text_rrf_fusion_topk,
+        cdc_forget_users,
+    ):
+        c = plan_counts(op(spark, sf_dir))
+        assert c["cartesian"] == 0, (op.__name__, c)
