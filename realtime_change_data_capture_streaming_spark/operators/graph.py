@@ -188,11 +188,97 @@ SELECT part, COUNT(*) AS n_triangles FROM nodes GROUP BY part
 """
 
 
+_LPA_ITERS = 3
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    frequent co-purchase graph: every node starts as its own label; each
+    round it adopts the most frequent label among its neighbors (ties ->
+    smallest label, isolated ties impossible since labels are ints), run
+    for a FIXED iteration count — the determinism discipline that makes
+    an otherwise order-sensitive heuristic replay exactly in the oracle
+    (async LPA is run-order-dependent; sync + min-label tie-break is a
+    pure function of the graph).
+
+    Per iteration: one join of the symmetric edge list to the label
+    table (edge-cardinality shuffle) + one (node, label) count agg + one
+    min_by pick — the textbook Pregel round as DataFrame ops.  Output:
+    per COMMUNITY member count and smallest member (communities of the
+    converged labeling)."""
+    edges = (
+        co_purchase_pairs(spark, sf_dir)
+        .groupBy(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRI_SUPPORT)
+        .select("pa", "pb")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).localCheckpoint(eager=True)  # loop-invariant adjacency, built once
+    labels = sym.select(F.col("pa").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(_LPA_ITERS):
+        nbr = sym.join(labels, sym["pb"] == labels["node"]).select(
+            F.col("pa").alias("node"), "label"
+        )
+        counts = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min_by(F.struct("label"), F.struct(-F.col("c"), F.col("label"))).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+    return labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").cast("bigint").alias("min_member"),
+    ).select(F.col("label").cast("bigint").alias("community"), "n_members", "min_member")
+
+
+def _lpa_sql() -> str:
+    chain = f"""
+WITH {CO_PURCHASE_PAIRS_SQL},
+e AS (
+  SELECT part_a AS pa, part_b AS pb
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_SUPPORT}
+), sym AS (
+  SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e
+), l0 AS (
+  SELECT DISTINCT pa AS node, pa AS label FROM sym
+)"""
+    prev = "l0"
+    for t in range(_LPA_ITERS):
+        chain += f""",
+n{t} AS (
+  SELECT s.pa AS node, l.label, COUNT(*) AS c
+  FROM sym s JOIN {prev} l ON l.node = s.pb
+  GROUP BY 1, 2
+), l{t + 1} AS (
+  SELECT node, label FROM (
+    SELECT node, label, ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rk
+    FROM n{t}
+  ) WHERE rk = 1
+)"""
+        prev = f"l{t + 1}"
+    return f"""{chain}
+SELECT CAST(label AS BIGINT) AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(MIN(node) AS BIGINT) AS min_member
+FROM {prev} GROUP BY 1
+"""
+
+
+LPA_SQL = _lpa_sql()
+
+
 QUERIES = {
     "graph_pagerank_purchases": graph_pagerank_purchases,
     "graph_triangle_counts": graph_triangle_counts,
+    "graph_label_propagation": graph_label_propagation,
 }
 ORACLE = {
     "graph_pagerank_purchases": PAGERANK_SQL,
     "graph_triangle_counts": TRIANGLE_SQL,
+    "graph_label_propagation": LPA_SQL,
 }

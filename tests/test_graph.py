@@ -39,3 +39,38 @@ def test_pagerank_mass_and_floor_invariants(spark):
     assert sup and cust
     assert sum(sup) / len(sup) > sum(cust) / len(cust)
     _ = ITERATIONS  # imported to assert the constant stays exported
+
+
+def test_label_propagation_on_known_communities(spark, monkeypatch):
+    """Two dense cliques joined by one bridge edge must resolve to (at
+    most) two communities whose labels are each clique's minimum id —
+    the deterministic sync-LPA outcome on a known topology."""
+    import realtime_change_data_capture_streaming_spark.operators.graph as g
+
+    # cliques {1,2,3,4} and {10,11,12,13}, bridge 4-10; co_purchase_pairs
+    # derives edges from lineitem with support >= 2, so emit each pair on
+    # two distinct orders
+    cliq1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    cliq2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    pairs = cliq1 + cliq2 + [(4, 10)]
+    rows = []
+    order = 0
+    for a, b in pairs:
+        for _ in range(2):  # support threshold
+            rows += [(order, a), (order, b)]
+            order += 1
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    # co_purchase_pairs (imported into graph.py from operators.stats)
+    # reads lineitem via stats.load_table - patch that
+    import realtime_change_data_capture_streaming_spark.operators.stats as stm
+
+    monkeypatch.setattr(stm, "load_table", lambda s_, sf_, n_: li)
+    out = {r["community"]: r for r in g.graph_label_propagation(spark, "x").collect()}
+    members = sum(r["n_members"] for r in out.values())
+    assert members == 8, out  # every node labeled exactly once
+    # community labels must be clique minima: all of clique 1 labeled 1,
+    # and clique 2's nodes labeled by one of its own minima (the bridge
+    # can pull node 10 toward clique 1, but never nodes 11..13)
+    assert 1 in out and out[1]["min_member"] == 1 and out[1]["n_members"] >= 4, out
+    c2 = {c: r for c, r in out.items() if c >= 10}
+    assert c2 and all(r["min_member"] >= 10 for r in c2.values()), out
