@@ -69,3 +69,74 @@ FROM exploded
 
 QUERIES = {"udtf_split_sentences": udtf_split_sentences}
 ORACLE = {"udtf_split_sentences": UDTF_SENTENCES_SQL}
+
+
+_TOPK_N = 3
+
+
+class TopTokensWide:
+    """POLYMORPHIC UDTF (Spark 4 ``analyze``): output schema computed at
+    PLAN time from the constant k argument — (doc_id, tok_1..tok_k).
+    The dynamic-schema path is what static ``returnType`` UDTFs cannot
+    express: the same class serves any k without code changes, the
+    engine resolving the schema per call site.  Ties break (count DESC,
+    token ASC); docs with fewer than k distinct tokens pad with NULLs;
+    tokenization is the engine-portable regex shared with the text ops."""
+
+    @staticmethod
+    def analyze(doc_id, text, k):
+        from pyspark.sql.types import LongType, StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        n = int(k.value)
+        schema = StructType().add("doc_id", LongType())
+        for i in range(n):
+            schema = schema.add(f"tok_{i + 1}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, doc_id: int, text: str, k: int):
+        import re
+        from collections import Counter
+
+        toks = [t for t in re.sub(r"[^a-z0-9 ]", "", (text or "").lower()).split() if t]
+        top = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        yield (doc_id, *[t for t, _ in top], *([None] * (k - len(top))))
+
+
+def udtf_top_tokens_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k tokens AS COLUMNS through the polymorphic UDTF
+    (k = 3 at this call site; the schema is resolved by ``analyze``)."""
+    from pyspark.sql.functions import lit
+
+    spark.udtf.register("top_tokens_wide", udtf(TopTokensWide))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf2")
+    return spark.sql(
+        f"""
+        SELECT t.doc_id, t.tok_1, t.tok_2, t.tok_3
+        FROM _docs_udtf2 d, LATERAL top_tokens_wide(d.doc_id, d.text, {_TOPK_N}) t
+        """
+    )
+
+
+UDTF_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '')) AS tok
+  FROM documents
+), c AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+), r AS (
+  SELECT doc_id, tok, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, tok ASC) AS rk
+  FROM c
+), wide AS (
+  SELECT doc_id,
+         MAX(CASE WHEN rk = 1 THEN tok END) AS tok_1,
+         MAX(CASE WHEN rk = 2 THEN tok END) AS tok_2,
+         MAX(CASE WHEN rk = 3 THEN tok END) AS tok_3
+  FROM r GROUP BY doc_id
+)
+SELECT d.doc_id, w.tok_1, w.tok_2, w.tok_3
+FROM documents d LEFT JOIN wide w ON w.doc_id = d.doc_id
+"""
+
+QUERIES["udtf_top_tokens_wide"] = udtf_top_tokens_wide
+ORACLE["udtf_top_tokens_wide"] = UDTF_TOPK_SQL
