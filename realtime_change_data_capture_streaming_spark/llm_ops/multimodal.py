@@ -123,12 +123,15 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         if b[:8] == b"\x89PNG\r\n\x1a\n":
             w, h, rgb = decode_png(b)
             maxval = 255
+        elif b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, rgb = decode_gif(b)
+            maxval = 255
         elif b[:2] == b"P6":
             w, h, maxval, rgb = decode_ppm(b)
         else:
             raise NotImplementedError(
                 f"image decode for magic {b[:4]!r} requires PIL/libvips, not "
-                "present in this environment; PPM (P6) and PNG decode natively"
+                "present in this environment; PPM (P6), PNG and GIF decode natively"
             )
         if maxval > 255:
             import struct
@@ -791,11 +794,240 @@ FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
 """
 
 
+# ------------------------------------------------------------------ GIF
+
+# GIF is the second compressed format decodable without media libraries:
+# the pixel stream is LZW (implemented here from the spec — variable-width
+# codes, clear/end codes, the KwKwK case), the container is a fixed
+# header + palette + sub-blocked data.
+
+
+def encode_gif(w: int, h: int, idx: bytes) -> bytes:
+    """Minimal GIF89a encoder: grayscale identity palette (index i ->
+    (i,i,i)), 8-bit codes, and the classic 'uncompressed GIF' LZW stream
+    (periodic CLEAR codes keep the code width fixed) — valid LZW the
+    decoder must still fully interpret."""
+    import struct
+
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # global palette, 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(mcs)
+    # bit-pack codes LSB-first at fixed width mcs+1, CLEAR every 200 pixels
+    codes = []
+    for i, px in enumerate(idx):
+        if i % 200 == 0:
+            codes.append(clear)
+        codes.append(px)
+    codes.append(end)
+    acc = n_bits = 0
+    data = bytearray()
+    for c in codes:
+        acc |= c << n_bits
+        n_bits += mcs + 1
+        while n_bits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        data.append(acc & 0xFF)
+    for off in range(0, len(data), 255):
+        blk = data[off : off + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free GIF decode (single image, global palette, no
+    interlace): full variable-width LZW with dictionary growth, CLEAR
+    resets, and the KwKwK special case; palette expansion to raw RGB.
+    Returns (width, height, rgb_bytes)."""
+    import struct
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF (magic {buf[:6]!r})")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        palette = buf[pos : pos + 3 * n]
+        pos += 3 * n
+    w = h = None
+    while pos < len(buf):
+        b0 = buf[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while buf[pos] != 0:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            _l, _t, w, h, iflags = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
+            pos += 10
+            if iflags & 0x80:
+                n = 2 ** ((iflags & 7) + 1)
+                palette = buf[pos : pos + 3 * n]
+                pos += 3 * n
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF unsupported")
+            mcs = buf[pos]
+            pos += 1
+            data = bytearray()
+            while buf[pos] != 0:
+                ln = buf[pos]
+                data += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            break
+        elif b0 == 0x3B:
+            raise ValueError("GIF trailer before image data")
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    if w is None or palette is None:
+        raise ValueError("GIF missing image descriptor or palette")
+
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = {i: bytes([i]) for i in range(clear)}
+    nxt = end + 1
+    acc = n_bits = 0
+    prev = None
+    out = bytearray()
+    i = 0
+    while True:
+        while n_bits < width:
+            if i >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[i] << n_bits
+            n_bits += 8
+            i += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table = {k: bytes([k]) for k in range(clear)}
+            nxt, width, prev = end + 1, mcs + 1, None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == nxt and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out += entry
+        if prev is not None:
+            table[nxt] = prev + entry[:1]
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != w * h:
+        raise ValueError(f"GIF: want {w * h} pixels, decoded {len(out)}")
+    rgb = bytearray(w * h * 3)
+    for j, px in enumerate(out):
+        rgb[3 * j : 3 * j + 3] = palette[3 * px : 3 * px + 3]
+    return w, h, bytes(rgb)
+
+
+def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode through the production mapInPandas path: per
+    document an 8-bit GIF is encoded (palette indices analytic in
+    doc_id: idx(x,y) = (fill + 3x + 7y) % 256 over a grayscale identity
+    palette), run through the full variable-width LZW decoder, and the
+    features come from the RECONSTRUCTED pixels — grayscale palette
+    makes every pixel contribute 3 identical samples, so the oracle's
+    analytic sum is 3x the index sum."""
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append((int(doc_id), None, None, None, None, None))
+                    continue
+                w = 1 + int(doc_id) % 8
+                h = 1 + int(doc_id) % 6
+                fill = 32 + int(doc_id) % 95
+                idx = bytes((fill + 3 * x + 7 * y) % 256 for y in range(h) for x in range(w))
+                got_w, got_h, rgb = decode_gif(encode_gif(w, h, idx))
+                expect = bytes(v for px in idx for v in (px, px, px))
+                if (got_w, got_h, rgb) != (w, h, expect):
+                    raise ValueError(f"GIF round-trip failed for doc {doc_id}")
+                total = sum(rgb)
+                rows.append(
+                    (
+                        int(doc_id),
+                        got_w,
+                        got_h,
+                        len(rgb),
+                        int(total % (1 << 31)),
+                        float(total) / len(rgb),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixel_bytes", "checksum", "mean_val"],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "n_pixel_bytes": "Int64",
+                    "checksum": "Int64",
+                    "mean_val": "float64",
+                }
+            )
+
+    schema = (
+        "doc_id long, width int, height int, n_pixel_bytes long, "
+        "checksum long, mean_val double"
+    )
+    return d.mapInPandas(run, schema=schema)
+
+
+MULTIMODAL_GIF_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST(1 + d.doc_id % 8 AS BIGINT) AS w,
+         CAST(1 + d.doc_id % 6 AS BIGINT) AS h,
+         CAST(32 + d.doc_id % 95 AS BIGINT) AS fill
+  FROM documents d WHERE d.text IS NOT NULL
+), sums AS (
+  SELECT doc_id, w, h,
+         3 * SUM((fill + 3 * x.i + 7 * y.i) % 256) AS total
+  FROM px,
+       UNNEST(range(0, w)) AS x(i),
+       UNNEST(range(0, h)) AS y(i)
+  GROUP BY 1, 2, 3
+)
+SELECT d.doc_id,
+       CAST(s.w AS INTEGER) AS width,
+       CAST(s.h AS INTEGER) AS height,
+       CAST(s.w * s.h * 3 AS BIGINT) AS n_pixel_bytes,
+       CAST(s.total % 2147483648 AS BIGINT) AS checksum,
+       CAST(s.total AS DOUBLE) / (s.w * s.h * 3) AS mean_val
+FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_features": multimodal_features,
     "multimodal_png_features": multimodal_png_features,
+    "multimodal_gif_features": multimodal_gif_features,
     "multimodal_features_meta": multimodal_features_meta,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -806,6 +1038,7 @@ ORACLE = {
     "multimodal_audio_features": MULTIMODAL_AUDIO_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_png_features": MULTIMODAL_PNG_SQL,
+    "multimodal_gif_features": MULTIMODAL_GIF_SQL,
     "multimodal_features_meta": MULTIMODAL_FEATURES_META_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
