@@ -585,6 +585,134 @@ LEFT JOIN exact_pairs e ON e.ta = p.ta AND e.tb = p.tb
 """
 
 
+_BKQ_K = 256  # bottom-k sample size
+#: DKW(delta=0.05) rank-error bound for k=256: sup |F_sample - F| <= eps w.p. 95%
+_BKQ_EPS = 0.08488134473378872
+
+
+def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a BOTTOM-K uniform sample — the third portable
+    mergeable sketch (with the HLL distinct counter and the KMV set
+    algebra): the k rows with the smallest md5(event_id) are a uniform
+    random-but-DETERMINISTIC sample whose merge is min-merge (take the k
+    smallest of any union), so per-partition samples combine exactly
+    like production quantile sketches ship.
+
+    Per event_type: nearest-rank p50/p90 of ``value`` in the sample,
+    the exact population quantiles alongside, and a DKW-bound flag —
+    the population CDF evaluated AT the sampled quantile must sit
+    within eps of p (rank arithmetic on exact integers; the only
+    doubles are the output values themselves)."""
+    e = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    rows = e.select("event_type", "event_id", F.col("value").cast("double").alias("v"), h.alias("h"))
+    wr = Window.partitionBy("event_type").orderBy("h", "event_id")
+    sample = rows.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= _BKQ_K)
+    wn = Window.partitionBy("event_type")
+    wv = Window.partitionBy("event_type").orderBy("v", "event_id")
+    sq = (
+        sample.withColumn("n_s", F.count(F.lit(1)).over(wn))
+        .withColumn("vrk", F.row_number().over(wv))
+    )
+
+    s50 = sq.filter(F.col("vrk") == F.greatest(F.lit(1), F.ceil(F.col("n_s") * F.lit(0.5)))).select(
+        "event_type", F.col("v").alias("sample_p50")
+    )
+    s90 = sq.filter(F.col("vrk") == F.greatest(F.lit(1), F.ceil(F.col("n_s") * F.lit(0.9)))).select(
+        "event_type", F.col("v").alias("sample_p90")
+    )
+    eq = (
+        rows.withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("vrk", F.row_number().over(wv))
+    )
+    e50 = eq.filter(F.col("vrk") == F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(0.5)))).select(
+        "event_type", F.col("v").alias("exact_p50")
+    )
+    e90 = eq.filter(F.col("vrk") == F.greatest(F.lit(1), F.ceil(F.col("n") * F.lit(0.9)))).select(
+        "event_type", F.col("v").alias("exact_p90")
+    )
+    cdf = (
+        rows.join(s50, "event_type")
+        .join(s90, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v") <= F.col("sample_p50"), 1).otherwise(0)).alias("le50"),
+            F.sum(F.when(F.col("v") <= F.col("sample_p90"), 1).otherwise(0)).alias("le90"),
+        )
+    )
+    j = (
+        s50.join(s90, "event_type")
+        .join(e50, "event_type")
+        .join(e90, "event_type")
+        .join(cdf, "event_type")
+    )
+    ok50 = F.abs(F.col("le50").cast("double") / F.col("n") - F.lit(0.5)) <= F.lit(_BKQ_EPS)
+    ok90 = F.abs(F.col("le90").cast("double") / F.col("n") - F.lit(0.9)) <= F.lit(_BKQ_EPS)
+    return j.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_events"),
+        F.round("sample_p50", 2).alias("sample_p50"),
+        F.round("exact_p50", 2).alias("exact_p50"),
+        F.round("sample_p90", 2).alias("sample_p90"),
+        F.round("exact_p90", 2).alias("exact_p90"),
+        (ok50 & ok90).alias("within_dkw"),
+    )
+
+
+_BKQ_SQL = """
+WITH rows_ AS (
+  SELECT event_type, event_id, CAST(value AS DOUBLE) AS v,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::UBIGINT AS BIGINT) AS h
+  FROM events
+), sample_ AS (
+  SELECT event_type, event_id, v FROM (
+    SELECT event_type, event_id, v,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rk
+    FROM rows_
+  ) WHERE rk <= KVAL
+), sq AS (
+  SELECT event_type, v,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_s,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS vrk
+  FROM sample_
+), s50 AS (
+  SELECT event_type, v AS sample_p50 FROM sq WHERE vrk = GREATEST(1, CAST(CEIL(n_s * 0.5) AS BIGINT))
+), s90 AS (
+  SELECT event_type, v AS sample_p90 FROM sq WHERE vrk = GREATEST(1, CAST(CEIL(n_s * 0.9) AS BIGINT))
+), eqr AS (
+  SELECT event_type, v,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, event_id) AS vrk
+  FROM rows_
+), e50 AS (
+  SELECT event_type, v AS exact_p50 FROM eqr WHERE vrk = GREATEST(1, CAST(CEIL(n * 0.5) AS BIGINT))
+), e90 AS (
+  SELECT event_type, v AS exact_p90 FROM eqr WHERE vrk = GREATEST(1, CAST(CEIL(n * 0.9) AS BIGINT))
+), cdf AS (
+  SELECT r.event_type, COUNT(*) AS n,
+         SUM(CASE WHEN r.v <= s50.sample_p50 THEN 1 ELSE 0 END) AS le50,
+         SUM(CASE WHEN r.v <= s90.sample_p90 THEN 1 ELSE 0 END) AS le90
+  FROM rows_ r JOIN s50 ON s50.event_type = r.event_type
+               JOIN s90 ON s90.event_type = r.event_type
+  GROUP BY 1
+)
+SELECT s50.event_type,
+       CAST(cdf.n AS BIGINT) AS n_events,
+       ROUND(s50.sample_p50, 2) AS sample_p50,
+       ROUND(e50.exact_p50, 2) AS exact_p50,
+       ROUND(s90.sample_p90, 2) AS sample_p90,
+       ROUND(e90.exact_p90, 2) AS exact_p90,
+       (ABS(CAST(cdf.le50 AS DOUBLE) / cdf.n - 0.5) <= EPSVAL
+        AND ABS(CAST(cdf.le90 AS DOUBLE) / cdf.n - 0.9) <= EPSVAL) AS within_dkw
+FROM s50 JOIN s90 USING (event_type)
+JOIN e50 USING (event_type) JOIN e90 USING (event_type)
+JOIN cdf ON cdf.event_type = s50.event_type
+""".replace("KVAL", str(_BKQ_K)).replace("EPSVAL", repr(_BKQ_EPS))
+
+
 QUERIES = {
     "docs_crosstab_lang_source": docs_crosstab_lang_source,
     "orders_equidepth_histogram": orders_equidepth_histogram,
@@ -593,6 +721,7 @@ QUERIES = {
     "sketch_hll_users": sketch_hll_users,
     "parts_abc_analysis": parts_abc_analysis,
     "sketch_kmv_set_ops": sketch_kmv_set_ops,
+    "sketch_bottomk_quantiles": sketch_bottomk_quantiles,
 }
 
 ORACLE = {
@@ -603,4 +732,5 @@ ORACLE = {
     "sketch_hll_users": _HLL_SQL,
     "parts_abc_analysis": _ABC_SQL,
     "sketch_kmv_set_ops": _KMV_SQL,
+    "sketch_bottomk_quantiles": _BKQ_SQL,
 }

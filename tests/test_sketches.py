@@ -525,3 +525,23 @@ def test_kmv_intersection_scales_for_mixed_small_large_audiences(spark, monkeypa
     # true intersection 40; raw common-below-theta would be ~ 40*64/2000 ~ 1
     assert r["est_inter"] >= 15, r["est_inter"]
     assert r["est_inter"] <= 100, r["est_inter"]
+
+
+def test_bottomk_sample_merges_by_min(spark):
+    """Bottom-k mergeability: the union's k smallest hashes = the k
+    smallest of the halves' bottom-k sets — the property that lets
+    per-partition quantile samples combine without rescanning."""
+    from realtime_change_data_capture_streaming_spark.operators.stats import _BKQ_K
+
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+    rows = e.select("event_id", h.alias("h"), (F.col("event_id") % 2).alias("half"))
+
+    def bottomk(df):
+        return sorted(r["h"] for r in df.orderBy("h").limit(_BKQ_K).collect())
+
+    whole = bottomk(rows)
+    merged = sorted(bottomk(rows.filter(F.col("half") == 0)) + bottomk(rows.filter(F.col("half") == 1)))[:_BKQ_K]
+    assert merged == whole
