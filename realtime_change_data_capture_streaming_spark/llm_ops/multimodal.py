@@ -126,12 +126,15 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         elif b[:6] in (b"GIF87a", b"GIF89a"):
             w, h, rgb = decode_gif(b)
             maxval = 255
+        elif b[:2] == b"BM":
+            w, h, rgb = decode_bmp(b)
+            maxval = 255
         elif b[:2] == b"P6":
             w, h, maxval, rgb = decode_ppm(b)
         else:
             raise NotImplementedError(
                 f"image decode for magic {b[:4]!r} requires PIL/libvips, not "
-                "present in this environment; PPM (P6), PNG and GIF decode natively"
+                "present in this environment; PPM (P6), PNG, GIF and BMP decode natively"
             )
         if maxval > 255:
             import struct
@@ -936,6 +939,53 @@ def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
     for j, px in enumerate(out):
         rgb[3 * j : 3 * j + 3] = palette[3 * px : 3 * px + 3]
     return w, h, bytes(rgb)
+
+
+def decode_bmp(buf: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free BMP decode (BITMAPINFOHEADER, 24-bit BI_RGB): the
+    content here is the container's two traps — rows are stored
+    BOTTOM-UP and padded to 4-byte boundaries, and samples are BGR.
+    Returns (width, height, rgb_bytes) in top-down RGB order."""
+    import struct
+
+    if buf[:2] != b"BM":
+        raise ValueError(f"not a BMP (magic {buf[:2]!r})")
+    (data_off,) = struct.unpack("<I", buf[10:14])
+    hdr_sz, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", buf[14:34])
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    out = bytearray(w * h * 3)
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        line = buf[data_off + src_row * stride : data_off + src_row * stride + w * 3]
+        if len(line) < w * 3:
+            raise ValueError("truncated BMP pixel data")
+        for x in range(w):
+            b, g, r = line[3 * x : 3 * x + 3]
+            out[(row * w + x) * 3 : (row * w + x) * 3 + 3] = bytes((r, g, b))
+    return w, h, bytes(out)
+
+
+def encode_bmp(w: int, h: int, rgb: bytes) -> bytes:
+    """Minimal bottom-up 24-bit BMP encoder (the storage order real BMP
+    writers produce)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in range(h - 1, -1, -1):
+        line = bytearray()
+        for x in range(w):
+            r, g, b = rgb[(row * w + x) * 3 : (row * w + x) * 3 + 3]
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - w * 3)
+        body += line
+    info = struct.pack("<IiihHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    off = 14 + 40
+    return b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off) + info + bytes(body)
 
 
 def multimodal_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
