@@ -726,6 +726,33 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: per-ranker shortlist size for RRF fusion.  A doc absent from a
+#: shortlist has rank >= N+1 in that ranking, so its fused score is at
+#: most 1/(K+1) + 1/(K+N+1) ~= 0.0180 (K=60, N=200) — below the
+#: 2/(K+top_k) ~= 0.025 a doc ranked top_k in BOTH lists scores, so the
+#: true fused top-k survives shortlist truncation whenever the two
+#: rankings are even mildly correlated (they share s_fp/t_fp inputs
+#: here; exact equality to the full-rank form is pinned at sf0.01 and
+#: sf0.001 in tests/test_text_ops.py).
+_RRF_SHORTLIST = 200
+
+
+def _ranked_shortlist(per_doc: DataFrame, score_col: str, rank_name: str) -> DataFrame:
+    """Global top-N of ``per_doc`` by (score desc, doc_id) with its exact
+    global rank attached.  orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort); the
+    row_number window then runs over the N-row LIMITED result — for a
+    shortlist member, rank within the global top-N IS the exact global
+    rank, so no corpus-wide window is ever needed."""
+    from pyspark.sql import Window
+
+    top = per_doc.orderBy(F.desc(score_col), F.asc("doc_id")).limit(_RRF_SHORTLIST)
+    w = Window.orderBy(F.desc(score_col), F.asc("doc_id"))
+    return top.withColumn(rank_name, F.row_number().over(w).cast("bigint")).select(
+        "doc_id", rank_name
+    )
+
+
 def text_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two retrieval rankings — the standard
     hybrid-search combiner (score = sum of 1/(K + rank_i)): the BM25
@@ -733,22 +760,27 @@ def text_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     both derived from ONE shared postings/scoring pipeline
     (``_bm25_doc_scores``) so the fused rankings cannot drift from the
     standalone operator.  RRF works on RANKS, so float differences
-    cannot reorder it."""
+    cannot reorder it.
+
+    Scale shape: each ranking is reduced to a top-N SHORTLIST first
+    (``_ranked_shortlist`` — TakeOrderedAndProject, then a window over
+    the N-row limited result), and the shortlists are full-outer-joined;
+    a doc missing from one shortlist takes the rank-beyond-N bound N+1
+    for that side (see ``_RRF_SHORTLIST`` for why the bound cannot
+    displace the true top-k).  No window ever sees more than N rows, so
+    the plan carries no corpus-scale single-partition stage."""
     from pyspark.sql import Window
 
-    per_doc = _bm25_doc_scores(spark, sf_dir)
-    wb = Window.orderBy(F.desc("s_fp"), F.asc("doc_id"))
-    wt = Window.orderBy(F.desc("t_fp"), F.asc("doc_id"))
-    ranked = per_doc.withColumn("rank_bm25", F.row_number().over(wb)).withColumn(
-        "rank_tfidf", F.row_number().over(wt)
-    )
-    rrf = (
-        F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_bm25"))
-        + F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_tfidf"))
-    )
+    per_doc = _bm25_doc_scores(spark, sf_dir).localCheckpoint(eager=True)
+    b = _ranked_shortlist(per_doc, "s_fp", "rank_bm25")
+    t = _ranked_shortlist(per_doc, "t_fp", "rank_tfidf")
+    fused = b.join(t, "doc_id", "full_outer")
+    rb = F.coalesce(F.col("rank_bm25"), F.lit(_RRF_SHORTLIST + 1))
+    rt = F.coalesce(F.col("rank_tfidf"), F.lit(_RRF_SHORTLIST + 1))
+    rrf = F.lit(1.0) / (F.lit(_RRF_K) + rb) + F.lit(1.0) / (F.lit(_RRF_K) + rt)
     w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     top = (
-        ranked.withColumn("rrf", F.round(rrf, 8))
+        fused.withColumn("rrf", F.round(rrf, 8))
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(_BM25_TOP)
     )

@@ -9,8 +9,12 @@ every bucket holds the same row count.
 Scale shape: crosstab is one hash agg on (a, b) followed by a pivot of a
 bounded-cardinality domain (the contract: both columns are dimension-like;
 a high-cardinality crosstab is a user error at any scale).  The equi-depth
-histogram is a single window sort on the value — the one global sort the
-semantic genuinely requires — followed by a hash agg on the bucket id.
+histogram computes EXACT ntile semantics without any global sort: coarse
+range-partition the value domain on approximate quantile boundaries
+(balance only — any boundary set is correct), count each coarse range
+(bounded collect, <= _COARSE rows), turn the running offsets into exact
+global positions via per-range windows, then apply the closed-form ntile
+bucket formula.  No window ever spans more than ~1/_COARSE of the data.
 """
 
 from __future__ import annotations
@@ -45,14 +49,75 @@ FROM documents GROUP BY lang
 )
 
 
-def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equi-depth (quantile-bucketed) histogram of order totals: ntile(8)
-    with a deterministic total order (value, key), then per-bucket count /
-    bounds / exact sum."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+_COARSE = 64  # coarse range-partitions for the distributed exact ntile
+
+
+def exact_ntile(df: DataFrame, value_col: str, key_col: str, n_buckets: int) -> DataFrame:
+    """EXACT ``ntile(n_buckets) OVER (ORDER BY value, key)`` without a
+    global single-partition window — the distributed two-pass form:
+
+    1. approx-quantile boundaries split the value domain into ~_COARSE
+       coarse ranges (boundary quality affects BALANCE only, never
+       correctness — rows with equal values always land in one range,
+       and range id is monotone in value, so (range, value, key) orders
+       identically to (value, key));
+    2. one tiny agg counts each range — collected driver-side (bounded:
+       <= _COARSE+1 rows, metadata-scale) to form exact running offsets;
+    3. a window PARTITIONED BY range computes local row_number; global
+       position = range offset + local row_number, exact;
+    4. the closed-form ntile bucket of a 1-based position p over n rows
+       (first n%B buckets hold n//B+1 rows) is pure arithmetic.
+
+    Returns ``df`` plus a ``bucket`` int column matching SQL NTILE."""
+    vdbl = F.col(value_col).cast("double")
+    probs = [i / _COARSE for i in range(1, _COARSE)]
+    bnds = sorted(set(df.approxQuantile(value_col, probs, 0.001)))
+    if bnds:
+        barr = F.array(*[F.lit(float(b)) for b in bnds])
+        rng = F.size(F.filter(barr, lambda x: x < vdbl))
+    else:
+        rng = F.lit(0)
+    with_rng = df.withColumn("_rng", rng)
+    counts = {
+        r["_rng"]: r["n"]
+        for r in with_rng.groupBy("_rng").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # bounded collect: at most _COARSE+1 rows
+    n = sum(counts.values())
+    off, offsets = 0, {}
+    for c in sorted(counts):
+        offsets[c] = off
+        off += counts[c]
+    off_map = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.create_map()
+    lw = Window.partitionBy("_rng").orderBy(value_col, key_col)
+    pos = (off_map[F.col("_rng")] + F.row_number().over(lw)).cast("bigint")
+    q, r = divmod(n, n_buckets)
+    if q == 0:  # fewer rows than buckets: bucket == position
+        bucket_expr = "CAST(_pos AS INT)"
+    else:
+        bucket_expr = (
+            f"CAST(CASE WHEN _pos <= {(q + 1) * r} THEN (_pos - 1) DIV {q + 1} + 1 "
+            f"ELSE {r} + (_pos - 1 - {(q + 1) * r}) DIV {q} + 1 END AS INT)"
+        )
     return (
-        o.select("o_orderkey", "o_totalprice", F.ntile(_N_BUCKETS).over(w).alias("bucket"))
+        with_rng.withColumn("_pos", pos)
+        .withColumn("bucket", F.expr(bucket_expr))
+        .drop("_rng", "_pos")
+    )
+
+
+def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucketed) histogram of order totals: exact
+    ntile(8) with a deterministic total order (value, key), then
+    per-bucket count / bounds / exact sum.  The ntile is the distributed
+    two-pass ``exact_ntile`` — no full-table single-partition window
+    (equality to the single-window form is pinned in
+    tests/test_stats_ops.py; the DuckDB NTILE oracle is the cross-engine
+    check)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return (
+        exact_ntile(o, "o_totalprice", "o_orderkey", _N_BUCKETS)
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

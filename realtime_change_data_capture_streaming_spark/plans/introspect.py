@@ -69,6 +69,70 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+#: logical nodes that preserve (or shrink) their child's row bound, so a
+#: limit/1-row-aggregate anywhere below them still bounds the window input
+_ROW_PRESERVING = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Sort",
+        "SubqueryAlias",
+        "Repartition",
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Window",
+        "Deduplicate",
+        "Distinct",
+        "WithCTE",
+        "CTERelationDef",
+    }
+)
+
+
+def _simple_name(node) -> str:
+    return node.getClass().getSimpleName().rstrip("$")
+
+
+def _limit_bounded(node) -> bool:
+    """True if this logical subtree's row count is bounded independent of
+    data scale: a limit, or a global (no-key) aggregate, reached by
+    descending through row-preserving unary nodes."""
+    name = _simple_name(node)
+    if name in ("GlobalLimit", "LocalLimit"):
+        return True
+    if name == "Aggregate" and node.groupingExpressions().isEmpty():
+        return True  # global aggregate -> exactly one row
+    if name in _ROW_PRESERVING and node.children().size() == 1:
+        return _limit_bounded(node.children().apply(0))
+    return False
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Every Window in the optimized logical plan with an EMPTY partition
+    spec whose input is NOT provably bounded (by a preceding limit or a
+    global aggregate).  An unpartitioned window funnels its whole input
+    through one task — the single plan shape guaranteed to fall over at
+    100x data — so the engine's discipline is: never emit one unless the
+    input is limit-bounded.  ``tests/test_window_guard.py`` enforces this
+    over every registered query (with a documented whitelist for
+    dim-table-sized inputs, where the bound is a table-cardinality fact
+    the plan cannot express)."""
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if (
+            _simple_name(node) == "Window"
+            and node.partitionSpec().isEmpty()
+            and not _limit_bounded(node.child())
+        ):
+            out.append(node.simpleString(120))
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return out
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     c = plan_counts(df)
     assert c["cartesian"] == 0 and c["bnl_joins"] == 0, (

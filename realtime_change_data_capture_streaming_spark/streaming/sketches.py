@@ -8,15 +8,22 @@ the HLL register table is a FIXED m rows per group, and its merge is an
 elementwise max — commutative, associative, idempotent — so replayed or
 reordered micro-batches cannot corrupt it (the same effectively-once
 shape as the keyed CDC merge, but for aggregate state).
+
+The register store is a versioned-dir table (``cdc/commit.py``): each
+micro-batch reads the live version and publishes the merged registers as
+a NEW immutable version dir behind one atomic pointer flip.  That keeps
+the merge fully distributed — no driver round-trip of the state — so the
+state volume may grow with GROUP cardinality (a 10k-group key is
+exercised in tests/test_sketches.py) without ever passing through the
+driver; only the tiny manifest does.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 from realtime_change_data_capture_streaming_spark.operators.stats import (
     _HLL_SQL,
     hll_finalize,
@@ -32,9 +39,10 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg max per (group, register)), which is max-merged into a
     persistent register store of exactly groups x m rows — the state
     volume is independent of how many users or events the stream has
-    seen.  The store is tiny by construction, so the merge collects it
-    driver-side (bounded: n_groups * m rows) and rewrites it atomically
-    per batch.
+    seen (it grows only with GROUP cardinality).  Each batch publishes
+    the merged store as a new immutable version dir + atomic manifest
+    flip (``cdc/commit.py``), so the merge is executor-side end to end —
+    no driver collect, and the read side never races the overwrite.
 
     The input is staged as two files (two real micro-batches) split by
     user-id parity, so every group's final registers MUST combine state
@@ -60,13 +68,13 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge_registers(batch: DataFrame, _bid: int) -> None:
         sp = batch.sparkSession
         br = hll_registers(batch)
-        if os.path.exists(store):
-            br = br.unionByName(sp.read.parquet(store))
+        live = table_commit.resolve(store)
+        if live is not None:
+            br = br.unionByName(sp.read.parquet(live))
         merged = br.groupBy("event_type", "j").agg(F.max("r").alias("r"))
-        rows = merged.collect()  # bounded: n_groups * m registers
-        sp.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(store)
+        vdir, seq = table_commit.begin(store)
+        merged.write.mode("overwrite").parquet(vdir)
+        table_commit.commit(store, seq)
 
     stream = (
         spark.readStream.schema("event_type string, user_id bigint")
@@ -81,7 +89,7 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
-    regs = spark.read.parquet(store)
+    regs = spark.read.parquet(table_commit.resolve(store))
     exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
     return hll_finalize(regs, exact)
 

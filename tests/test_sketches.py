@@ -545,3 +545,24 @@ def test_bottomk_sample_merges_by_min(spark):
     whole = bottomk(rows)
     merged = sorted(bottomk(rows.filter(F.col("half") == 0)) + bottomk(rows.filter(F.col("half") == 1)))[:_BKQ_K]
     assert merged == whole
+
+
+def test_stream_hll_merge_scales_to_10k_groups(spark, monkeypatch):
+    """The versioned-dir register merge must stay correct when the GROUP
+    key is high-cardinality (10k event types): state is groups x m rows,
+    merged executor-side across micro-batches with no driver collect —
+    every group's registers must still combine both parity batches."""
+    import realtime_change_data_capture_streaming_spark.streaming.sketches as sk
+    from realtime_change_data_capture_streaming_spark.operators.stats import _HLL_M
+
+    n_groups = 10_000
+    rows = [(f"g{i % n_groups:05d}", i) for i in range(3 * n_groups)]
+    e = spark.createDataFrame(rows, "event_type string, user_id bigint")
+    monkeypatch.setattr(sk, "load_table", lambda s_, sf_, n_: e)
+    got = sk.stream_hll_distinct_users(spark, "unused")
+    assert got.count() == n_groups
+    # every group saw 3 users split across the two parity micro-batches;
+    # a merge that dropped a batch would undercount half the groups hard
+    bad = got.filter("n_exact != 3").count()
+    assert bad == 0
+    assert got.filter("hll_estimate <= 0").count() == 0

@@ -1,0 +1,74 @@
+"""Pins for the distributed exact ntile (equi-depth histogram): equality
+to the reference single-window form, NTILE edge semantics, and the plan
+guarantee that no corpus-scale single-partition window remains."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.operators.stats import (
+    _N_BUCKETS,
+    exact_ntile,
+    orders_equidepth_histogram,
+)
+from realtime_change_data_capture_streaming_spark.plans.introspect import (
+    unbounded_global_windows,
+)
+
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def test_equidepth_histogram_equals_single_window_form(spark):
+    """The two-pass distributed ntile is a plan optimization, never a
+    semantics change: row-identical to ntile() over one global window."""
+    from realtime_change_data_capture_streaming_spark.operators._util import dsum
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    got = [tuple(r) for r in orders_equidepth_histogram(spark, SF_DIR).orderBy("bucket").collect()]
+    o = load_table(spark, SF_DIR, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ref = (
+        o.select("o_orderkey", "o_totalprice", F.ntile(_N_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+            dsum("o_totalprice").alias("sum_total"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"), "n_orders", "lo", "hi", "sum_total"
+        )
+        .orderBy("bucket")
+    )
+    assert got == [tuple(r) for r in ref.collect()]
+
+
+@pytest.mark.parametrize(
+    "n,buckets",
+    [(1, 8), (7, 8), (8, 8), (9, 8), (100, 8), (103, 7), (64, 3)],
+)
+def test_exact_ntile_matches_sql_ntile(spark, n, buckets):
+    """Closed-form bucket assignment == SQL NTILE for uneven divisions,
+    n < buckets, and heavy duplicate values (ties broken by key)."""
+    rows = [(i, float((i * 7919) % 13)) for i in range(n)]  # many duplicate values
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    got = {
+        r["k"]: r["bucket"]
+        for r in exact_ntile(df, "v", "k", buckets).collect()
+    }
+    w = Window.orderBy("v", "k")
+    ref = {
+        r["k"]: r["bucket"]
+        for r in df.select("k", F.ntile(buckets).over(w).alias("bucket")).collect()
+    }
+    assert got == ref
+
+
+def test_equidepth_plan_has_no_unbounded_global_window(spark):
+    df = orders_equidepth_histogram(spark, "/root/testdata/sf0.001")
+    assert unbounded_global_windows(df) == []

@@ -120,3 +120,63 @@ def test_bm25_ranks_term_dense_short_docs_first(spark, monkeypatch):
     assert 3 not in fused
     # RRF of identical rankings preserves the order
     assert sorted(fused, key=lambda k: fused[k]["rk"])[0] in (1, 4)
+
+
+def test_rrf_shortlist_fusion_equals_full_rank_form(spark):
+    """The shortlist-fused RRF (per-ranker top-N via orderBy+limit, then
+    full-outer fusion) must be row-identical to the reference full-rank
+    form (two corpus-wide row_number windows) — the shortlist is a plan
+    optimization, never a semantics change.  Run at the driver's sf0.01
+    when PARITY_SF_DIR is set, else sf0.001."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import realtime_change_data_capture_streaming_spark.llm_ops.text as tx
+
+    sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+    per_doc = tx._bm25_doc_scores(spark, sf_dir)
+    wb = Window.orderBy(F.desc("s_fp"), F.asc("doc_id"))
+    wt = Window.orderBy(F.desc("t_fp"), F.asc("doc_id"))
+    ranked = per_doc.withColumn("rank_bm25", F.row_number().over(wb)).withColumn(
+        "rank_tfidf", F.row_number().over(wt)
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(tx._RRF_K) + F.col("rank_bm25"))
+        + F.lit(1.0) / (F.lit(tx._RRF_K) + F.col("rank_tfidf"))
+    )
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    full = (
+        ranked.withColumn("rrf", F.round(rrf, 8))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(tx._BM25_TOP)
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("rank_bm25").cast("bigint").alias("rank_bm25"),
+            F.col("rank_tfidf").cast("bigint").alias("rank_tfidf"),
+            "rrf",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+    expect = [tuple(r) for r in full.orderBy("rk").collect()]
+    got = [tuple(r) for r in tx.text_rrf_fusion_topk(spark, sf_dir).orderBy("rk").collect()]
+    assert got == expect
+    # and every fused top-k doc landed in BOTH shortlists (exact ranks,
+    # never the beyond-N bound)
+    assert all(r[1] is not None and r[2] is not None for r in got)
+    assert all(r[1] <= tx._RRF_SHORTLIST and r[2] <= tx._RRF_SHORTLIST for r in got)
+
+
+def test_rrf_plan_has_no_corpus_scale_unpartitioned_window(spark):
+    """Every unpartitioned window in the RRF plan must sit above a limit
+    (shortlist-sized input), never above the raw per-doc score table."""
+    import realtime_change_data_capture_streaming_spark.llm_ops.text as tx
+    from realtime_change_data_capture_streaming_spark.plans.introspect import (
+        unbounded_global_windows,
+    )
+
+    df = tx.text_rrf_fusion_topk(spark, "/root/testdata/sf0.001")
+    assert unbounded_global_windows(df) == []

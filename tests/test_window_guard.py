@@ -1,0 +1,100 @@
+"""Repo-wide plan guard: no registered query may carry an unpartitioned
+window over unbounded input — the one plan shape guaranteed to funnel the
+whole dataset through a single task at 100x data.
+
+``unbounded_global_windows`` walks every queries() optimized plan and
+flags Window nodes with an EMPTY partition spec whose child is not (a) a
+limit (global top-k shortlists: the window then ranks <= N rows), or (b)
+a no-key global aggregate (single-row input).  Windows over keyed
+AGGREGATE output deliberately do NOT count as bounded — an aggregate on a
+high-cardinality key (doc_id, user_id) is still corpus-sized, which is
+exactly the shape this guard exists to catch (the r6 RRF and equi-depth
+regressions); genuinely dimension-bounded cases are whitelisted below
+with the cardinality argument spelled out.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from realtime_change_data_capture_streaming_spark.plans.introspect import (
+    unbounded_global_windows,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose unpartitioned windows run over DIMENSION-bounded input —
+#: a table-cardinality fact the plan cannot express, so the guard cannot
+#: see it.  Each entry documents the bound.
+WHITELIST = {
+    # ranks the SUPPLIER dim table (TPC-H: 10k rows/SF vs 6M lineitems;
+    # dims are broadcast-class by definition in this engine)
+    "window_rank_dense_ntile",
+    # cumulative sum over one row PER DAY (post-aggregate on a calendar
+    # key: bounded by stream age in days, ~thousands at any data scale)
+    "events_daily_user_growth",
+    # Pareto running share over one row PER PART (the PART dim table,
+    # 200k rows/SF — dimension-sized, not fact-sized)
+    "parts_abc_analysis",
+}
+
+_QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_unbounded_global_window(spark, name):
+    if name in WHITELIST:
+        pytest.skip("documented dimension-bounded window input")
+    df = _QUERIES[name](spark, SF_DIR)
+    bad = unbounded_global_windows(df)
+    assert bad == [], (
+        f"{name} has unpartitioned window(s) over unbounded input "
+        f"(single-task at scale):\n" + "\n".join(bad)
+    )
+
+
+def test_guard_catches_full_table_ntile(spark):
+    """The guard itself must fire on the shape it exists to catch (the
+    pre-r7 equi-depth form): ntile over one global window on a fact
+    table."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    df = o.select(F.ntile(8).over(w).alias("bucket"))
+    assert unbounded_global_windows(df) != []
+
+
+def test_guard_catches_window_over_keyed_aggregate(spark):
+    """Keyed-aggregate output is still corpus-sized: the pre-r7 RRF shape
+    (row_number over all per-doc scores) must trip the guard."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("doc_id"))
+    df = d.withColumn("rk", F.row_number().over(w))
+    assert unbounded_global_windows(df) != []
+
+
+def test_guard_accepts_window_over_limit(spark):
+    """The sanctioned shortlist shape (window over orderBy+limit) must
+    pass: the window input is bounded by construction."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    top = d.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(50)
+    w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    df = top.withColumn("rk", F.row_number().over(w))
+    assert unbounded_global_windows(df) == []
