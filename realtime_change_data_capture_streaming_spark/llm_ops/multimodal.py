@@ -646,14 +646,18 @@ def decode_png(buf: bytes) -> tuple[int, int, bytes]:
 
     if buf[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError(f"not a PNG (magic {buf[:8]!r})")
-    pos, w = 8, None
+    pos, w, h, bpp = 8, None, None, None
     idat = bytearray()
     while pos + 8 <= len(buf):
         (ln,) = struct.unpack(">I", buf[pos : pos + 4])
         typ = buf[pos + 4 : pos + 8]
+        if pos + 8 + ln > len(buf):
+            raise ValueError(f"PNG chunk {typ!r} length {ln} overruns buffer")
         data = buf[pos + 8 : pos + 8 + ln]
         pos += 12 + ln
         if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError(f"PNG IHDR length {ln} != 13")
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
             if depth != 8 or color not in (0, 2, 6) or interlace != 0:
                 raise NotImplementedError(
@@ -661,12 +665,17 @@ def decode_png(buf: bytes) -> tuple[int, int, bytes]:
                 )
             bpp = {0: 1, 2: 3, 6: 4}[color]
         elif typ == b"IDAT":
+            if w is None:
+                raise ValueError("PNG IDAT before IHDR")
             idat += data
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"PNG IDAT stream corrupt: {exc}") from exc
     stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError(f"PNG pixel stream: want {h * (stride + 1)} bytes, have {len(raw)}")
@@ -856,6 +865,8 @@ def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
 
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError(f"not a GIF (magic {buf[:6]!r})")
+    if len(buf) < 13:
+        raise ValueError("GIF header truncated")
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
     pos = 13
     palette = None
@@ -868,10 +879,14 @@ def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
         b0 = buf[pos]
         if b0 == 0x21:  # extension: label + sub-blocks
             pos += 2
-            while buf[pos] != 0:
+            while pos < len(buf) and buf[pos] != 0:
                 pos += 1 + buf[pos]
+            if pos >= len(buf):
+                raise ValueError("GIF extension sub-blocks truncated")
             pos += 1
         elif b0 == 0x2C:
+            if pos + 10 > len(buf):
+                raise ValueError("GIF image descriptor truncated")
             _l, _t, w, h, iflags = struct.unpack("<HHHHB", buf[pos + 1 : pos + 10])
             pos += 10
             if iflags & 0x80:
@@ -880,13 +895,17 @@ def decode_gif(buf: bytes) -> tuple[int, int, bytes]:
                 pos += 3 * n
             if iflags & 0x40:
                 raise NotImplementedError("interlaced GIF unsupported")
+            if pos >= len(buf):
+                raise ValueError("GIF truncated before LZW min code size")
             mcs = buf[pos]
             pos += 1
             data = bytearray()
-            while buf[pos] != 0:
+            while pos < len(buf) and buf[pos] != 0:
                 ln = buf[pos]
                 data += buf[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
+            if pos >= len(buf):
+                raise ValueError("GIF image sub-blocks truncated")
             pos += 1
             break
         elif b0 == 0x3B:
@@ -950,13 +969,22 @@ def decode_bmp(buf: bytes) -> tuple[int, int, bytes]:
 
     if buf[:2] != b"BM":
         raise ValueError(f"not a BMP (magic {buf[:2]!r})")
+    if len(buf) < 34:
+        raise ValueError("BMP header truncated")
     (data_off,) = struct.unpack("<I", buf[10:14])
     hdr_sz, w, h, _planes, bpp, comp = struct.unpack("<IiiHHI", buf[14:34])
     if bpp != 24 or comp != 0:
         raise NotImplementedError(f"BMP bpp={bpp} compression={comp} unsupported")
+    if w <= 0:
+        raise ValueError(f"BMP width {w} invalid")
     top_down = h < 0
     h = abs(h)
     stride = (w * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    # the last row need not carry its padding, hence the w*3 tail
+    if data_off + (h - 1) * stride + w * 3 > len(buf):
+        raise ValueError(
+            f"BMP pixel data overruns buffer (offset {data_off}, {h} rows of stride {stride})"
+        )
     out = bytearray(w * h * 3)
     for row in range(h):
         src_row = row if top_down else h - 1 - row

@@ -186,32 +186,41 @@ def events_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-match as-of: for every purchase, the user's closest view
     in EITHER direction (pandas merge_asof direction='nearest') — the
     variant backward/forward alone cannot express.  Composed as a full
-    outer merge of the two directional as-ofs on the purchase identity:
-    min |gap| wins, ties (equidistant before/after) go to the BEFORE
-    match, purchases with only one side take it.  No new join machinery
-    — the directional operators stay the single source of as-of
-    semantics, and the combiner is pure column logic."""
-    b = events_asof_view_before_purchase(spark, sf_dir).select(
-        "user_id",
-        "purchase_ts",
-        F.col("view_ts").alias("b_ts"),
-        F.col("gap_us").alias("b_gap"),
-        F.col("view_value").alias("b_val"),
+    outer merge of the two directional as-ofs on the purchase EVENT
+    IDENTITY (event_id, carried through both sides) — never on
+    (user_id, ts), where two purchases at the same timestamp would
+    cross-product n^2 combiner rows: min |gap| wins, ties (equidistant
+    before/after) go to the BEFORE match, purchases with only one side
+    take it.  No new join machinery — ``join_asof`` stays the single
+    source of as-of semantics, and the combiner is pure column logic."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    f = events_asof_next_view_after_purchase(spark, sf_dir).select(
-        "user_id",
-        "purchase_ts",
-        F.col("view_ts").alias("f_ts"),
-        F.col("gap_us").alias("f_gap"),
-        F.col("view_value").alias("f_val"),
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    b = join_asof(purchases, views, on="user_id", direction="backward").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_pts"),
+        F.col("_match.ts").alias("b_ts"),
+        (F.unix_micros("ts") - F.unix_micros(F.col("_match.ts"))).alias("b_gap"),
+        F.col("_match.value").cast("double").alias("b_val"),
     )
-    j = b.join(f, ["user_id", "purchase_ts"], "full_outer")
+    f = join_asof(purchases, views, on="user_id", direction="forward").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_pts"),
+        F.col("_match.ts").alias("f_ts"),
+        (F.unix_micros(F.col("_match.ts")) - F.unix_micros("ts")).alias("f_gap"),
+        F.col("_match.value").cast("double").alias("f_val"),
+    )
+    j = b.join(f, "pid", "full_outer")
     take_b = F.col("f_gap").isNull() | (
         F.col("b_gap").isNotNull() & (F.col("b_gap") <= F.col("f_gap"))
     )
     return j.select(
-        "user_id",
-        "purchase_ts",
+        F.coalesce("b_user", "f_user").alias("user_id"),
+        F.coalesce("b_pts", "f_pts").alias("purchase_ts"),
         F.when(take_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias("view_ts"),
         F.when(take_b, F.col("b_gap")).otherwise(F.col("f_gap")).cast("bigint").alias("abs_gap_us"),
         F.when(take_b, F.lit("before")).otherwise(F.lit("after")).alias("direction"),
@@ -221,17 +230,17 @@ def events_asof_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ASOF_NEAREST_SQL = """
 WITH b AS (
-  SELECT p.user_id, p.ts AS purchase_ts, v.ts AS b_ts,
+  SELECT p.event_id AS pid, p.user_id, p.ts AS purchase_ts, v.ts AS b_ts,
          CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS b_gap,
          CAST(v.value AS DOUBLE) AS b_val
-  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
   ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
     ON p.user_id = v.user_id AND p.ts >= v.ts
 ), f AS (
-  SELECT p.user_id, p.ts AS purchase_ts, v.ts AS f_ts,
+  SELECT p.event_id AS pid, p.user_id, p.ts AS purchase_ts, v.ts AS f_ts,
          CAST(epoch_us(v.ts) - epoch_us(p.ts) AS BIGINT) AS f_gap,
          CAST(v.value AS DOUBLE) AS f_val
-  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
   ASOF JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'view') v
     ON p.user_id = v.user_id AND p.ts <= v.ts
 )
@@ -245,7 +254,7 @@ SELECT COALESCE(b.user_id, f.user_id) AS user_id,
             THEN 'before' ELSE 'after' END AS direction,
        CASE WHEN f.f_gap IS NULL OR (b.b_gap IS NOT NULL AND b.b_gap <= f.f_gap)
             THEN b.b_val ELSE f.f_val END AS view_value
-FROM b FULL OUTER JOIN f USING (user_id, purchase_ts)
+FROM b FULL OUTER JOIN f USING (pid)
 """
 
 

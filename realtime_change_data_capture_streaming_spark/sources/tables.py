@@ -71,15 +71,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def fixture_fingerprint(sf_dir: str, table: str) -> str:
     """12-hex CONTENT key for build-once caches derived from a fixture
     table (persisted ANN indexes, staged change events, LSH history
-    index): path + size + mtime_ns, so a regenerated fixture invalidates
-    the cache instead of silently serving an artifact built on old data
-    (the driver rewrites the fixture parquet between rounds)."""
+    index): path + size + mtime_ns + the parquet FOOTER bytes, so a
+    regenerated fixture invalidates the cache instead of silently
+    serving an artifact built on old data (the driver rewrites the
+    fixture parquet between rounds).  The footer digest closes the
+    mtime-preserving-swap hole (``cp -p``/rename of an equal-size
+    regeneration keeps size+mtime but the footer — row-group offsets,
+    column statistics, created_by — virtually always moves); reading
+    the last 64 KiB is O(1) regardless of table size, so the key stays
+    metadata-cost at any scale."""
     import hashlib
     import os
 
     src = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     st = os.stat(src)
-    return hashlib.md5(f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:12]
+    with open(src, "rb") as f:
+        f.seek(max(0, st.st_size - 65536))
+        tail = f.read(65536)
+    return hashlib.md5(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|".encode() + tail
+    ).hexdigest()[:12]
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

@@ -118,3 +118,30 @@ def test_nearest_asof_matches_bruteforce_on_fixture(spark):
         for r in events_asof_nearest_view(spark, sf).collect()
     }
     assert got == expect
+
+
+def test_nearest_asof_survives_duplicate_purchase_timestamps(spark, monkeypatch):
+    """Two purchases by one user at the SAME timestamp must yield exactly
+    one combiner row each (the full-outer merge keys on the purchase
+    event_id, not (user_id, ts) — a timestamp join would n^2 fan out)."""
+    import datetime as dt
+
+    import realtime_change_data_capture_streaming_spark.operators.asof as asof_mod
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "purchase", 10.0, None),
+        (2, t0, 7, "purchase", 20.0, None),  # same user, same ts
+        (3, t0 - dt.timedelta(minutes=5), 7, "view", 1.0, None),
+        (4, t0 + dt.timedelta(minutes=1), 7, "view", 2.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    monkeypatch.setattr(asof_mod, "load_table", lambda s_, sf_, n_: ev)
+    got = asof_mod.events_asof_nearest_view(spark, "unused").collect()
+    assert len(got) == 2, f"expected one row per purchase, got {len(got)}"
+    # both purchases pick the closer AFTER view (1 min < 5 min)
+    for r in got:
+        assert r["direction"] == "after" and r["abs_gap_us"] == 60_000_000

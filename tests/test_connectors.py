@@ -66,3 +66,32 @@ def test_format_roundtrip_exact(spark, sf_dir, tmp_path):
         write_format(src, path, fmt)
         back = read_format(spark, path, fmt, src.schema)
         assert sorted(map(str, back.collect())) == want, f"{fmt} round-trip lost data"
+
+
+def test_fixture_fingerprint_detects_mtime_preserving_swap(tmp_path):
+    """A fixture swapped in with equal size and preserved mtime (cp -p of
+    an equal-size regeneration) must still change the fingerprint — the
+    key folds in the parquet footer bytes, not just (path, size, mtime)."""
+    import os
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
+
+    p = tmp_path / "documents.parquet"
+
+    def write(vals):
+        pq.write_table(pa.table(pd.DataFrame({"doc_id": vals})), p)
+
+    write([1, 2, 3])
+    st = os.stat(p)
+    fp1 = fixture_fingerprint(str(tmp_path), "documents")
+    write([4, 5, 6])  # same schema/row count -> same size
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns))  # preserve mtime
+    st2 = os.stat(p)
+    assert (st.st_size, st.st_mtime_ns) == (st2.st_size, st2.st_mtime_ns)
+    fp2 = fixture_fingerprint(str(tmp_path), "documents")
+    assert fp1 != fp2
