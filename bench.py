@@ -47,6 +47,7 @@ BENCH_QUERIES = (
     # min-of-reps reports the steady-state search cost (the production shape)
     "ann_pq_persisted_topk",
     "ann_ivfpq_persisted_topk",
+    "text_bm25_persisted_topk",
     "text_bigram_lm_score",
     "layout_zorder_topk",
     "curation_pack_shards",

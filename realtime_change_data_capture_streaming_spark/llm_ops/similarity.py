@@ -423,23 +423,26 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _index_cache(prefix: str, spark: SparkSession, sf_dir: str, build) -> str:
-    """Build-once/serve-many cache shared by the persisted ANN indexes.
+def _index_cache(
+    prefix: str, spark: SparkSession, sf_dir: str, build, table: str = "embeddings"
+) -> str:
+    """Build-once/serve-many cache shared by the persisted indexes (ANN
+    tiers over embeddings; the BM25 inverted index over documents).
 
-    The key folds the SOURCE CONTENT fingerprint (size + mtime of
-    embeddings.parquet) in with the path, so a regenerated fixture —
-    the driver rewrites the parquet between rounds — invalidates the
-    cached index instead of silently serving one fit to the old data.
-    ``build(root)`` writes the artifact dirs; the ``_SUCCESS`` sentinel
-    commits them.  The deterministic fixed-point quantizers make a
-    cached artifact identical to a rebuild."""
+    The key folds the SOURCE CONTENT fingerprint (size + mtime + footer
+    digest of ``<table>.parquet``) in with the path, so a regenerated
+    fixture — the driver rewrites the parquet between rounds —
+    invalidates the cached index instead of silently serving one fit to
+    the old data.  ``build(root)`` writes the artifact dirs; the
+    ``_SUCCESS`` sentinel commits them.  The deterministic fixed-point
+    quantizers make a cached artifact identical to a rebuild."""
     import os
     import tempfile
 
     from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
 
     root = os.path.join(
-        tempfile.gettempdir(), f"{prefix}{fixture_fingerprint(sf_dir, 'embeddings')}"
+        tempfile.gettempdir(), f"{prefix}{fixture_fingerprint(sf_dir, table)}"
     )
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
         build(root)

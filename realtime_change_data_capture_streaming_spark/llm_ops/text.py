@@ -726,6 +726,115 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_IDX_BUCKETS = 64  # term-hash partitions of the persisted postings
+
+
+def _term_bucket_col(term_col) -> Column:
+    """Deterministic cross-engine term bucket: first 8 hex chars of
+    md5(term) mod _BM25_IDX_BUCKETS — computable identically in Spark
+    SQL (index build) and driver-side Python (query routing), so the
+    search can name its partitions without running a job."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("bigint"),
+        F.lit(_BM25_IDX_BUCKETS),
+    )
+
+
+def _term_bucket_py(term: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % _BM25_IDX_BUCKETS
+
+
+def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per machine per fixture content) the PERSISTED
+    inverted index over the FULL vocabulary, the build-once/serve-many
+    discipline the ANN tiers follow applied to lexical retrieval:
+
+    - ``postings/`` (doc_id, dl, term, tf) partitioned by term-hash
+      bucket — a query scans only its terms' buckets (q/64 of the index
+      for q distinct buckets), never the corpus;
+    - ``terms/`` (term, df) under the same bucketing;
+    - ``stats/`` one row (n_docs, avgdl).
+
+    Fit and serve are separate jobs in production retrieval — the index
+    is written by a build pipeline and served by many queries."""
+    import os
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _index_cache
+
+    def build(root: str) -> None:
+        d = load_table(spark, sf_dir, "documents")
+        tok_rows = with_tokens(d).select(
+            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
+        postings = tok_rows.groupBy("doc_id", "dl", "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        postings.withColumn("bucket", _term_bucket_col(F.col("term"))).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(root, "postings"))
+        dfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        dfreq.withColumn("bucket", _term_bucket_col(F.col("term"))).write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(root, "terms"))
+        stats = d.agg(F.countDistinct("doc_id").alias("n_docs")).crossJoin(
+            with_tokens(d)
+            .select(F.size("_toks").alias("dl"))
+            .agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(os.path.join(root, "stats"))
+
+    return _index_cache("spark_graft_bm25_", spark, sf_dir, build, table="documents")
+
+
+def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index: route the query
+    terms to their md5 buckets driver-side (pure arithmetic, no job),
+    scan ONLY those postings partitions (partition pruning does the
+    inverted-index seek), then apply the identical quantized scoring as
+    the refit operator — results are hash-identical to
+    ``text_bm25_topk``, so they share its oracle.  At production scale
+    the scan reads q/64 of the postings for a q-bucket query, and df /
+    n_docs / avgdl come from the tiny persisted side tables instead of
+    re-tokenizing the corpus per query."""
+    import os
+
+    from pyspark.sql import Window
+
+    root = _bm25_index_dir(spark, sf_dir)
+    buckets = sorted({_term_bucket_py(t) for t in _BM25_QUERY})
+    postings = (
+        spark.read.parquet(os.path.join(root, "postings"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(*_BM25_QUERY))
+        .select("doc_id", "dl", "term", "tf")
+    )
+    dfreq = (
+        spark.read.parquet(os.path.join(root, "terms"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(*_BM25_QUERY))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(os.path.join(root, "stats"))
+    enriched = postings.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf_fp, sat_fp = _bm25_fp_columns()
+    per_doc = (
+        enriched.select("doc_id", (idf_fp * sat_fp).alias("c_fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_fp").alias("s_fp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    w = Window.orderBy(F.desc("s_fp"), F.asc("doc_id"))
+    top = per_doc.orderBy(F.desc("s_fp"), F.asc("doc_id")).limit(_BM25_TOP)
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "n_terms_hit",
+        F.round(F.col("s_fp").cast("double") / F.lit(_BM25_OUT), 6).alias("bm25"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
 #: per-ranker shortlist size for RRF fusion.  A doc absent from a
 #: shortlist has rank >= N+1 in that ranking, so its fused score is at
 #: most 1/(K+1) + 1/(K+N+1) ~= 0.0180 (K=60, N=200) — below the
@@ -863,6 +972,7 @@ QUERIES = {
     "text_gopher_rules": gopher_rules,
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_bm25_topk": text_bm25_topk,
+    "text_bm25_persisted_topk": text_bm25_persisted_topk,
     "text_bigram_pmi": text_bigram_pmi,
     "text_rrf_fusion_topk": text_rrf_fusion_topk,
     "text_bigram_lm_score": bigram_lm_score,
@@ -879,6 +989,7 @@ ORACLE = {
     "text_gopher_rules": GOPHER_SQL,
     "text_tfidf_top_terms": TFIDF_SQL,
     "text_bm25_topk": BM25_SQL,
+    "text_bm25_persisted_topk": BM25_SQL,
     "text_bigram_pmi": _PMI_SQL_TEXT,
     "text_rrf_fusion_topk": RRF_SQL,
     "text_bigram_lm_score": BIGRAM_LM_SQL,

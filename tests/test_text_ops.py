@@ -180,3 +180,30 @@ def test_rrf_plan_has_no_corpus_scale_unpartitioned_window(spark):
 
     df = tx.text_rrf_fusion_topk(spark, "/root/testdata/sf0.001")
     assert unbounded_global_windows(df) == []
+
+
+def test_bm25_persisted_matches_refit_and_prunes_partitions(spark):
+    """The persisted-inverted-index BM25 must be row-identical to the
+    refit path (build-once/serve-many is a plan change, not a semantics
+    change), and its postings scan must carry a bucket partition filter
+    (the inverted-index seek)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    import realtime_change_data_capture_streaming_spark.llm_ops.text as tx
+    from realtime_change_data_capture_streaming_spark.plans.introspect import explain_str
+
+    sf_dir = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+    refit = [tuple(r) for r in tx.text_bm25_topk(spark, sf_dir).orderBy("rk").collect()]
+    served = tx.text_bm25_persisted_topk(spark, sf_dir)
+    assert [tuple(r) for r in served.orderBy("rk").collect()] == refit
+    plan = explain_str(served)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # and the spark-side bucket expression agrees with the python router
+    terms = spark.createDataFrame([(t,) for t in tx._BM25_QUERY], "term string")
+    got = {
+        r["term"]: r["b"]
+        for r in terms.select("term", tx._term_bucket_col(F.col("term")).alias("b")).collect()
+    }
+    assert got == {t: tx._term_bucket_py(t) for t in tx._BM25_QUERY}
