@@ -110,7 +110,9 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     big-endian byte pairs are folded first — mean_val is a pixel-sample
     mean at every maxval the parser accepts.  PNG (8-bit RGB/RGBA/gray,
     non-interlaced) decodes via the chunk-walk + stdlib-zlib decoder below;
-    remaining compressed formats (JPEG/WebP/...) raise
+    baseline-sequential JPEG (SOF0, 4:4:4/grayscale) decodes via the
+    marker-walk + canonical-Huffman + numpy-IDCT decoder below;
+    remaining compressed formats (WebP/progressive JPEG/...) raise
     ``NotImplementedError`` — their codecs are not in this environment.  The signature (pandas in, one output row per
     payload) is the production contract for mapInPandas workers.
     """
@@ -129,12 +131,16 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         elif b[:2] == b"BM":
             w, h, rgb = decode_bmp(b)
             maxval = 255
+        elif b[:2] == b"\xff\xd8":
+            w, h, rgb = decode_jpeg(b)
+            maxval = 255
         elif b[:2] == b"P6":
             w, h, maxval, rgb = decode_ppm(b)
         else:
             raise NotImplementedError(
                 f"image decode for magic {b[:4]!r} requires PIL/libvips, not "
-                "present in this environment; PPM (P6), PNG, GIF and BMP decode natively"
+                "present in this environment; PPM (P6), PNG, GIF, BMP and "
+                "baseline JPEG decode natively"
             )
         if maxval > 255:
             import struct
@@ -1100,12 +1106,485 @@ FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
 """
 
 
+# ----------------------------------------------------------------- JPEG
+
+# Baseline sequential JPEG (SOF0) is the last common image format
+# decodable without media libraries: the entropy layer is canonical
+# Huffman (tables carried in the file), the transform is the 8x8 DCT
+# (numpy matmuls against a precomputed orthonormal basis), and the
+# container is marker segments.  Progressive (SOF2), 12-bit, subsampled
+# chroma, arithmetic coding, and restart intervals raise
+# NotImplementedError — baseline 4:4:4 is the scope, which our own
+# encoder (and any encoder told to write 4:4:4) produces.
+
+
+def _jpeg_zigzag() -> list[int]:
+    """Natural (row-major) index of each position in JPEG zigzag order,
+    generated by the diagonal walk rather than transcribed."""
+    out = []
+    for s in range(15):
+        cells = [(c, s - c) for c in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2:
+            cells.reverse()
+        out += [8 * y + x for x, y in cells]
+    return out
+
+
+_JPEG_ZZ = _jpeg_zigzag()
+
+#: ITU T.81 Annex K example quantization tables (spec-published)
+_JPEG_STD_LUMA_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_STD_CHROMA_QT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+#: flat tables: DC quantizer 1 makes constant-per-block images round-trip
+#: EXACTLY (DC = 8*(v-128) is an integer; all ACs are 0), the property the
+#: analytic oracle relies on
+_JPEG_FLAT_QT = [1] * 64
+
+# encoder Huffman tables (simple valid canonical tables; the decoder reads
+# whatever DHT carries, so optimality is irrelevant): all 12 DC categories
+# at 4 bits, all 162 AC run/size symbols at 8 bits
+_JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_AC_COUNTS = [0] * 7 + [162] + [0] * 8
+_JPEG_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+
+
+def _jpeg_canonical(counts: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, bit length) for a canonical JPEG Huffman table."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[syms[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_decode_table(counts: list[int], syms: list[int]) -> dict[tuple[int, int], int]:
+    """(bit length, code) -> symbol, the decode orientation."""
+    return {(ln, c): s for s, (c, ln) in _jpeg_canonical(counts, syms).items()}
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) * np.sqrt(2.0 / 8.0)
+    c[0, :] = np.sqrt(1.0 / 8.0)
+    return c  # orthonormal: forward F = C @ B @ C.T, inverse B = C.T @ F @ C
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def finish(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def encode_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
+    """Minimal baseline-sequential 4:4:4 JPEG encoder: JFIF-less marker
+    stream (SOI/DQT/SOF0/DHT/SOS/EOI), RGB->YCbCr, per-block orthonormal
+    DCT + quantization (``quant`` = (luma, chroma) natural-order 64-lists;
+    default the Annex K example tables), DC-diff + run/size Huffman with
+    the fixed canonical tables above, byte stuffing.  With flat quant
+    tables, constant-per-block images encode losslessly."""
+    import struct
+
+    import numpy as np
+
+    qt_l = np.asarray(quant[0] if quant else _JPEG_STD_LUMA_QT, dtype=np.float64).reshape(8, 8)
+    qt_c = np.asarray(quant[1] if quant else _JPEG_STD_CHROMA_QT, dtype=np.float64).reshape(8, 8)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    planes = [
+        np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255),
+        np.clip(np.rint(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255),
+        np.clip(np.rint(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255),
+    ]
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    planes = [np.pad(p, ((0, h8 - h), (0, w8 - w)), mode="edge") for p in planes]
+    cmat = _jpeg_dct_matrix()
+    dc_codes = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+    for by in range(h8 // 8):
+        for bx in range(w8 // 8):
+            for ci, p in enumerate(planes):
+                qt = qt_l if ci == 0 else qt_c
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                fq = np.rint((cmat @ block @ cmat.T) / qt).astype(np.int64)
+                zz = fq.reshape(64)[_JPEG_ZZ]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                t = abs(diff).bit_length()
+                if t > 11:
+                    raise ValueError(f"DC coefficient category {t} exceeds baseline")
+                bw.write(*dc_codes[t])
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.write(*ac_codes[0xF0])
+                        run -= 16
+                    s = abs(v).bit_length()
+                    if s > 10:
+                        raise ValueError(f"AC coefficient size {s} exceeds baseline")
+                    bw.write(*ac_codes[(run << 4) | s])
+                    bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if run:
+                    bw.write(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    def zz_bytes(qt) -> bytes:
+        flat = qt.reshape(64)
+        return bytes(int(flat[_JPEG_ZZ[i]]) for i in range(64))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + zz_bytes(qt_l) + bytes([0x01]) + zz_bytes(qt_c))
+    out += seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMS),
+    )
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    out += bw.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, t: int) -> int:
+        v = 0
+        for _ in range(t):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free baseline JPEG decode (SOF0, 8-bit, 4:4:4 or
+    grayscale): marker walk, canonical-Huffman entropy decode with byte
+    unstuffing, dequantization, numpy IDCT, YCbCr->RGB.  Returns
+    (width, height, rgb_bytes)."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG (magic {buf[:2]!r})")
+    pos = 2
+    qts: dict[int, object] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    sof = None
+    scan_comps = None
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        m = buf[pos + 1]
+        if m == 0xD9:
+            raise ValueError("JPEG EOI before scan data")
+        if pos + 4 > len(buf):
+            raise ValueError("JPEG segment header truncated")
+        (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        if ln < 2 or pos + 2 + ln > len(buf):
+            raise ValueError(f"JPEG segment 0x{m:02x} length {ln} overruns buffer")
+        data = buf[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                if i + 65 > len(data):
+                    raise ValueError("JPEG DQT truncated")
+                tbl = np.zeros(64, dtype=np.float64)
+                for k in range(64):
+                    tbl[_JPEG_ZZ[k]] = data[i + 1 + k]
+                qts[tq] = tbl.reshape(8, 8)
+                i += 65
+        elif m == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                if i + 17 > len(data):
+                    raise ValueError("JPEG DHT truncated")
+                tc, th = data[i] >> 4, data[i] & 15
+                counts = list(data[i + 1 : i + 17])
+                n = sum(counts)
+                if i + 17 + n > len(data):
+                    raise ValueError("JPEG DHT symbols truncated")
+                huffs[(tc, th)] = _jpeg_decode_table(counts, list(data[i + 17 : i + 17 + n]))
+                i += 17 + n
+        elif m == 0xC0:  # SOF0 baseline
+            prec, hh, ww, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG (non-4:4:4) unsupported")
+                comps.append((cid, tq))
+            sof = (ww, hh, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF{m - 0xC0} (progressive/extended) unsupported")
+        elif m == 0xDD:
+            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif m == 0xDA:  # SOS: entropy data follows
+            ns = data[0]
+            scan_comps = [(data[1 + 2 * c], data[2 + 2 * c]) for c in range(ns)]
+            break
+        # else: APPn/COM — skip
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    w, h, comps = sof
+    # unstuff entropy bytes up to EOI
+    ent = bytearray()
+    i = pos
+    while i < len(buf):
+        b0 = buf[i]
+        if b0 == 0xFF:
+            if i + 1 >= len(buf):
+                raise ValueError("JPEG entropy stream truncated at 0xFF")
+            nxt = buf[i + 1]
+            if nxt == 0x00:
+                ent.append(0xFF)
+                i += 2
+                continue
+            if nxt == 0xD9:
+                break
+            raise NotImplementedError(f"JPEG marker 0x{nxt:02x} inside scan unsupported")
+        ent.append(b0)
+        i += 1
+    rd = _JpegBitReader(bytes(ent))
+
+    def huff_decode(table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | rd.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    cmat = _jpeg_dct_matrix()
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    nc = len(comps)
+    planes = [np.zeros((h8, w8), dtype=np.float64) for _ in range(nc)]
+    tq_of = {cid: tq for cid, tq in comps}
+    pred = [0] * nc
+    for by in range(h8 // 8):
+        for bx in range(w8 // 8):
+            for ci in range(nc):
+                cid, tsel = scan_comps[ci]
+                dc_t = huffs.get((0, tsel >> 4))
+                ac_t = huffs.get((1, tsel & 15))
+                qt = qts.get(tq_of.get(cid))
+                if dc_t is None or ac_t is None or qt is None:
+                    raise ValueError("JPEG scan references missing Huffman/quant table")
+                coef = np.zeros(64, dtype=np.float64)
+                t = huff_decode(dc_t)
+                pred[ci] += _jpeg_extend(rd.bits(t), t) if t else 0
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = huff_decode(ac_t)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past end of block")
+                    coef[_JPEG_ZZ[k]] = _jpeg_extend(rd.bits(s), s)
+                    k += 1
+                block = (coef * qt.reshape(64)).reshape(8, 8)
+                spatial = cmat.T @ block @ cmat + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+    planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
+    if nc == 1:
+        y = planes[0].astype(np.uint8)
+        rgb = np.repeat(y[:, :, None], 3, axis=2)
+    elif nc == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    else:
+        raise NotImplementedError(f"JPEG with {nc} components unsupported")
+    return w, h, rgb.tobytes()
+
+
+def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode through the production mapInPandas path:
+    per document a 4:4:4 SOF0 JPEG is encoded with FLAT quant tables and
+    constant-per-8x8-block gray pixels (block value analytic in doc_id:
+    v(bi) = (fill + 17*bi) % 256), so DC-only blocks survive the lossy
+    transform EXACTLY (DC quantizer 1; all ACs zero; gray pixels keep
+    Cb=Cr=128) — the full marker/Huffman/dequant/IDCT/color pipeline runs
+    and the features come from the RECONSTRUCTED pixels, which the
+    oracle recomputes analytically from doc_id."""
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append((int(doc_id), None, None, None, None, None))
+                    continue
+                w = 8 * (1 + int(doc_id) % 3)
+                h = 8 * (1 + int(doc_id) % 2)
+                fill = 16 + int(doc_id) % 200
+                bw = w // 8
+                rgb = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in ((fill + 17 * ((y // 8) * bw + x // 8)) % 256,) * 3
+                )
+                buf = encode_jpeg(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT))
+                got_w, got_h, rec = decode_jpeg(buf)
+                if (got_w, got_h, rec) != (w, h, rgb):
+                    raise ValueError(f"JPEG round-trip failed for doc {doc_id}")
+                total = sum(rec)
+                rows.append(
+                    (
+                        int(doc_id),
+                        got_w,
+                        got_h,
+                        len(rec),
+                        int(total % (1 << 31)),
+                        float(total) / len(rec),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_pixel_bytes", "checksum", "mean_val"],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "n_pixel_bytes": "Int64",
+                    "checksum": "Int64",
+                    "mean_val": "float64",
+                }
+            )
+
+    schema = (
+        "doc_id long, width int, height int, n_pixel_bytes long, "
+        "checksum long, mean_val double"
+    )
+    return d.mapInPandas(run, schema=schema)
+
+
+MULTIMODAL_JPEG_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST(8 * (1 + d.doc_id % 3) AS BIGINT) AS w,
+         CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS h,
+         CAST(16 + d.doc_id % 200 AS BIGINT) AS fill
+  FROM documents d WHERE d.text IS NOT NULL
+), sums AS (
+  SELECT doc_id, w, h,
+         3 * 64 * SUM((fill + 17 * b.i) % 256) AS total
+  FROM px,
+       UNNEST(range(0, (w // 8) * (h // 8))) AS b(i)
+  GROUP BY 1, 2, 3
+)
+SELECT d.doc_id,
+       CAST(s.w AS INTEGER) AS width,
+       CAST(s.h AS INTEGER) AS height,
+       CAST(s.w * s.h * 3 AS BIGINT) AS n_pixel_bytes,
+       CAST(s.total % 2147483648 AS BIGINT) AS checksum,
+       CAST(s.total AS DOUBLE) / (s.w * s.h * 3) AS mean_val
+FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_audio_features": multimodal_audio_features,
     "multimodal_features": multimodal_features,
     "multimodal_png_features": multimodal_png_features,
     "multimodal_gif_features": multimodal_gif_features,
+    "multimodal_jpeg_features": multimodal_jpeg_features,
     "multimodal_features_meta": multimodal_features_meta,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -1117,6 +1596,7 @@ ORACLE = {
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_png_features": MULTIMODAL_PNG_SQL,
     "multimodal_gif_features": MULTIMODAL_GIF_SQL,
+    "multimodal_jpeg_features": MULTIMODAL_JPEG_SQL,
     "multimodal_features_meta": MULTIMODAL_FEATURES_META_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
