@@ -33,6 +33,57 @@ WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
 """
 
 
+#: bit-space of the bloom-style runtime filter: the broadcast side is
+#: capped at this many DISTINCT hash positions no matter how many build
+#: keys exist — the property that makes the reduction scale-safe
+_BLOOM_BITS = 1 << 17
+
+
+def join_bloom_prefiltered_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a bloom-style runtime filter — the
+    100 TB technique for a big-fact x selective-dim join: hash the
+    build-side keys (urgent orders) into a bounded bit space, broadcast
+    the DISTINCT positions (<= _BLOOM_BITS rows regardless of key
+    count — the compaction a raw key broadcast lacks), semi-join the
+    fact scan against them BEFORE the shuffle join, and let the exact
+    join remove the false positives.  The filter is transparent to the
+    result, so the oracle is the plain join; the plan pin in
+    tests/test_plans.py asserts the broadcast semi-join sits below the
+    shuffle join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    positions = orders.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(_BLOOM_BITS)).alias("_b")
+    ).distinct()
+    pre = li.join(
+        F.broadcast(positions),
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(_BLOOM_BITS)) == F.col("_b"),
+        "left_semi",
+    )
+    joined = pre.join(orders.select("o_orderkey"), pre["l_orderkey"] == F.col("o_orderkey"))
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(3,2)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select("l_returnflag", "n_items", "revenue")
+    )
+
+
+JOIN_BLOOM_SQL = """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""
+
+
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI: customers with no orders at all (NOT EXISTS)."""
     cust = load_table(spark, sf_dir, "customer")
@@ -175,6 +226,33 @@ SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
        CAST(NTILE(4) OVER w AS BIGINT) AS bal_quartile
 FROM supplier
 WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC)
+"""
+
+
+def window_percentile_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist: each customer's relative balance
+    position WITHIN their nation — the distribution-position window pair
+    (rank-based and value-based CDF).  Partitioned by nation, so every
+    window task holds one nation's customers (~1/25 of the table at any
+    scale), never the corpus."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cume_dist"),
+    )
+
+
+WINDOW_PERCENTILE_SQL = """
+SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 8) AS cume_dist
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
 """
 
 
@@ -524,7 +602,9 @@ QUERIES = {
     "join_full_outer_nations": join_full_outer_nations,
     "join_range_theta": join_range_theta,
     "window_topk_per_group": window_topk_per_group,
+    "join_bloom_prefiltered_revenue": join_bloom_prefiltered_revenue,
     "window_rank_dense_ntile": window_rank_dense_ntile,
+    "window_percentile_positions": window_percentile_positions,
     "window_lag_lead": window_lag_lead,
     "window_running_sum": window_running_sum,
     "sort_topn_global": sort_topn_global,
@@ -545,7 +625,9 @@ ORACLE = {
     "join_full_outer_nations": JOIN_FULL_OUTER_SQL,
     "join_range_theta": JOIN_RANGE_SQL,
     "window_topk_per_group": WINDOW_TOPK_SQL,
+    "join_bloom_prefiltered_revenue": JOIN_BLOOM_SQL,
     "window_rank_dense_ntile": WINDOW_RANK_SQL,
+    "window_percentile_positions": WINDOW_PERCENTILE_SQL,
     "window_lag_lead": WINDOW_LAG_SQL,
     "window_running_sum": WINDOW_RUNNING_SQL,
     "sort_topn_global": SORT_TOPN_SQL,

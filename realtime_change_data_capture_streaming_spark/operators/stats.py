@@ -778,8 +778,119 @@ JOIN cdf ON cdf.event_type = s50.event_type
 """.replace("KVAL", str(_BKQ_K)).replace("EPSVAL", repr(_BKQ_EPS))
 
 
+# ------------------------------------------------- count-min sketch
+
+_CM_D = 4  # hash rows
+_CM_W = 512  # counters per row (power of two: the eps bound 2N/w stays float-exact)
+_CM_TOP = 20
+
+
+def _cm_col(key_col, r_col):
+    """Counter column for (key, row): md5-derived so the sketch replays
+    bit-identically in DuckDB (same discipline as the portable HLL)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(key_col.cast("string"), F.lit("|"), r_col.cast("string")).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(_CM_W))
+
+
+def cm_counters(e: DataFrame, key: str = "user_id") -> DataFrame:
+    """The count-min counter table (r, c, cnt): d*w rows of MERGEABLE
+    state — counters of any union of streams are the elementwise SUM of
+    the parts' counters (the additive dual of the HLL max-merge;
+    property-pinned in tests/test_sketches.py).  One explode(d) + one
+    partial-agg count per event: map-side combine collapses each task to
+    <= d*w partial rows before the shuffle, so the reduction is
+    O(tasks * d * w) regardless of event volume."""
+    rows = e.select(
+        F.col(key), F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("r")
+    )
+    return (
+        rows.select("r", _cm_col(F.col(key), F.col("r")).alias("c"))
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequency via a PORTABLE count-min sketch: estimate
+    = min over d rows of the (row, hash(key)) counter.  Reported for the
+    top-k exact-frequency users with the sketch's two contracts as
+    columns: ``never_under`` (CM error is ONE-SIDED — collisions only
+    add, so estimate >= truth deterministically) and ``within_eps``
+    (estimate <= truth + 2N/w, the Cormode-Muthukrishnan bound).  The
+    counter table is d*w rows total, broadcast to the probe join."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    counters = cm_counters(e)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
+    top = exact.orderBy(F.desc("n_exact"), F.asc("user_id")).limit(_CM_TOP)
+    total = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    probes = top.select(
+        "user_id",
+        "n_exact",
+        F.explode(F.array(*[F.lit(i) for i in range(_CM_D)])).alias("r"),
+    ).select("user_id", "n_exact", "r", _cm_col(F.col("user_id"), F.col("r")).alias("c"))
+    est = (
+        probes.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "n_exact",
+        F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+        (F.col("cm_estimate") >= F.col("n_exact")).alias("never_under"),
+        (
+            F.col("cm_estimate").cast("double")
+            <= F.col("n_exact").cast("double")
+            + F.lit(2.0) * F.col("n_total").cast("double") / F.lit(float(_CM_W))
+        ).alias("within_eps"),
+    )
+
+
+_CM_HASH_SQL = (
+    "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || '|' || CAST({r} AS VARCHAR)), 1, 15))"
+    f"::UBIGINT % {_CM_W} AS BIGINT)"
+)
+
+_CM_SQL = f"""
+WITH ev AS (SELECT user_id FROM events),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM ev),
+cells AS (
+  SELECT r.i AS r, {_CM_HASH_SQL.format(key="user_id", r="r.i")} AS c
+  FROM ev, UNNEST(range(0, {_CM_D})) AS r(i)
+), counters AS (
+  SELECT r, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2
+), exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM ev GROUP BY 1
+), top AS (
+  SELECT user_id, n_exact FROM exact ORDER BY n_exact DESC, user_id ASC LIMIT {_CM_TOP}
+), probes AS (
+  SELECT t.user_id, t.n_exact, r.i AS r, {_CM_HASH_SQL.format(key="t.user_id", r="r.i")} AS c
+  FROM top t, UNNEST(range(0, {_CM_D})) AS r(i)
+), est AS (
+  SELECT p.user_id, p.n_exact, MIN(co.cnt) AS cm_estimate
+  FROM probes p JOIN counters co USING (r, c) GROUP BY 1, 2
+)
+SELECT e.user_id, e.n_exact, CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       e.cm_estimate >= e.n_exact AS never_under,
+       CAST(e.cm_estimate AS DOUBLE)
+         <= CAST(e.n_exact AS DOUBLE) + 2.0 * t.n_total / {_CM_W} AS within_eps
+FROM est e CROSS JOIN tot t
+"""
+
+
 QUERIES = {
     "docs_crosstab_lang_source": docs_crosstab_lang_source,
+    "sketch_countmin_user_counts": sketch_countmin_user_counts,
     "orders_equidepth_histogram": orders_equidepth_histogram,
     "basket_part_pairs": basket_part_pairs,
     "docs_chisq_lang_source": docs_chisq_lang_source,
@@ -791,6 +902,7 @@ QUERIES = {
 
 ORACLE = {
     "docs_crosstab_lang_source": _CROSSTAB_SQL,
+    "sketch_countmin_user_counts": _CM_SQL,
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
     "basket_part_pairs": _BASKET_SQL,
     "docs_chisq_lang_source": _CHISQ_SQL,

@@ -437,3 +437,24 @@ def test_round6_analytics_ops_no_cartesian(spark, sf_dir):
     ):
         c = plan_counts(op(spark, sf_dir))
         assert c["cartesian"] == 0, (op.__name__, c)
+
+
+def test_bloom_prefilter_semi_join_below_shuffle_join(spark, sf_dir):
+    """join_bloom_prefiltered_revenue: the broadcast SEMI join against
+    the bounded position set must prune the fact scan BEFORE the exact
+    shuffle join (runtime-filter shape), and the exact join must still
+    be present to remove false positives."""
+    from realtime_change_data_capture_streaming_spark.operators.relational import (
+        join_bloom_prefiltered_revenue,
+    )
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    df = join_bloom_prefiltered_revenue(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan, plan[:1500]
+    # the semi join (probe-side reduction) appears deeper in the tree
+    # than the exact equi-join that consumes it
+    assert plan.index("LeftSemi") > plan.index("SortMergeJoin" if "SortMergeJoin" in plan else "Join"), (
+        "semi-join reduction must sit below the exact join"
+    )
+    assert_no_cartesian(df)

@@ -566,3 +566,36 @@ def test_stream_hll_merge_scales_to_10k_groups(spark, monkeypatch):
     bad = got.filter("n_exact != 3").count()
     assert bad == 0
     assert got.filter("hll_estimate <= 0").count() == 0
+
+
+def test_countmin_counters_merge_by_sum(spark):
+    """CM mergeability (the additive dual of HLL's max-merge): counters
+    of a union are the elementwise SUM of the parts' counters."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.operators.stats import cm_counters
+
+    rows = [(i % 97,) for i in range(3000)]
+    e = spark.createDataFrame(rows, "user_id bigint").withColumn(
+        "half", F.pmod(F.monotonically_increasing_id(), F.lit(2))
+    )
+    whole = {(r["r"], r["c"]): r["cnt"] for r in cm_counters(e).collect()}
+    h0 = {(r["r"], r["c"]): r["cnt"] for r in cm_counters(e.filter("half = 0")).collect()}
+    h1 = {(r["r"], r["c"]): r["cnt"] for r in cm_counters(e.filter("half = 1")).collect()}
+    merged = {k: h0.get(k, 0) + h1.get(k, 0) for k in set(h0) | set(h1)}
+    assert merged == whole
+
+
+def test_countmin_never_underestimates(spark, monkeypatch):
+    """One-sided error is the CM contract: even with heavy collisions
+    (synthetic keys >> w), every estimate must be >= the true count."""
+    import realtime_change_data_capture_streaming_spark.operators.stats as st
+
+    rows = [(i % 2000,) for i in range(10_000)]
+    e = spark.createDataFrame(rows, "user_id bigint").selectExpr(
+        "user_id", "'x' AS event_type"
+    )
+    monkeypatch.setattr(st, "load_table", lambda s_, sf_, n_: e)
+    got = st.sketch_countmin_user_counts(spark, "unused").collect()
+    assert len(got) == st._CM_TOP
+    assert all(r["never_under"] for r in got)
