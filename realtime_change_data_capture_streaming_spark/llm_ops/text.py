@@ -726,6 +726,160 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ BPE training
+
+_BPE_ROUNDS = 8
+
+
+def _bpe_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial BPE state: one row per DISTINCT word with its corpus
+    frequency and its character-symbol sequence — the Sennrich et al.
+    word-frequency formulation, which bounds the iterated state at
+    vocabulary size (millions) rather than corpus size (trillions)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = with_tokens(d).select(F.explode("_toks").alias("word"))
+    wd = toks.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    return wd.select(
+        F.col("word").alias("word_id"),
+        "cnt",
+        F.expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))").alias(
+            "syms"
+        ),
+    )
+
+
+def _bpe_apply(words: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one merge (a, b) -> ab to every symbol sequence: a JVM-side
+    left-to-right greedy fold (``aggregate``), the exact non-overlapping
+    replacement BPE specifies.  Cascades are impossible within a round:
+    the merged symbol a||b never equals a (b is non-empty), so a freshly
+    merged token can never be the left half of another merge this round."""
+    merged = a + b
+    return words.withColumn(
+        "syms",
+        F.expr(
+            "aggregate(syms, cast(array() as array<string>), (acc, x) -> "
+            f"IF(size(acc) > 0 AND element_at(acc, size(acc)) = '{a}' AND x = '{b}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+            "concat(acc, array(x))))"
+        ),
+    )
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE (byte-pair-encoding) tokenizer TRAINING — the
+    iterative vocabulary-learning loop of every modern LLM tokenizer,
+    run with the corpus-scale pieces distributed:
+
+    per round, (1) adjacent-pair counts weighted by word frequency via
+    arrays_zip-style transforms + one partial agg (state <= |alphabet +
+    merges|^2 groups), (2) the argmax pair — ONE 1-row collect per round,
+    the driver decision every BPE trainer makes (ties broken (count
+    desc, a, b), deterministic) — and (3) merge application as a
+    JVM-side fold over each word (``_bpe_apply``), map-only.  Words are
+    localCheckpointed per round to truncate the 8-round lineage, the
+    ``graph_label_propagation`` discipline.  Output: the learned merge
+    table.  Oracle: the ENTIRE iteration unrolled round-by-round into
+    DuckDB SQL (``_bpe_sql``) — same pair counts, same tie-break, same
+    non-overlapping merge semantics (run-parity formulation, provably
+    equal to the greedy fold) — so training replays cross-engine
+    bit-identically, the PCA-power-iteration discipline."""
+    words = _bpe_words(spark, sf_dir).localCheckpoint(eager=True)
+    out_rows = []
+    for r in range(_BPE_ROUNDS):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                "cnt",
+                # the inner IF guard is load-bearing: under whole-stage
+                # codegen the projection may evaluate before the filter,
+                # and sequence(1, 0) is DESCENDING in Spark, not empty
+                F.expr(
+                    "IF(size(syms) < 2, cast(array() as array<struct<a string, b string>>), "
+                    "transform(sequence(1, size(syms) - 1), "
+                    "i -> struct(element_at(syms, i) AS a, element_at(syms, i + 1) AS b)))"
+                ).alias("ps"),
+            )
+            .select(F.explode("ps").alias("p"), "cnt")
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+        best = pairs.orderBy(F.desc("pc"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not best:
+            break
+        a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pc"])
+        out_rows.append((r, a, b, a + b, pc))
+        words = _bpe_apply(words, a, b).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        out_rows,
+        "round bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Unrolled DuckDB replay of the whole BPE training run: per round a
+    pair-count CTE, a 1-row argmax CTE, and the merge application in the
+    run-parity formulation — matching positions grouped into consecutive
+    runs, odd positions within each run are the merge starts (for a != b
+    every match is its own run, so the rule is uniform), the right halves
+    of merges dropped, the rest re-assembled in order."""
+    parts = [
+        """tk AS MATERIALIZED (
+  SELECT list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), wd AS MATERIALIZED (
+  SELECT u.word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(ts) AS word FROM tk) u GROUP BY 1
+), w0 AS MATERIALIZED (
+  SELECT word AS word_id, cnt,
+         list_transform(range(1, length(word) + 1), i -> substr(word, CAST(i AS INT), 1)) AS syms
+  FROM wd
+)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT s.syms[CAST(t.i AS INT)] AS a, s.syms[CAST(t.i AS INT) + 1] AS b,
+         CAST(SUM(s.cnt) AS BIGINT) AS pc
+  FROM w{r} s, UNNEST(range(1, len(s.syms))) AS t(i)
+  GROUP BY 1, 2
+), best{r} AS MATERIALIZED (
+  SELECT a, b, pc FROM p{r} ORDER BY pc DESC, a ASC, b ASC LIMIT 1
+), pos{r} AS MATERIALIZED (
+  SELECT w.word_id, w.cnt, t.i AS i, w.syms[CAST(t.i AS INT)] AS sym,
+         (t.i < len(w.syms) AND w.syms[CAST(t.i AS INT)] = b.a
+          AND w.syms[CAST(t.i AS INT) + 1] = b.b) AS m
+  FROM w{r} w CROSS JOIN best{r} b, UNNEST(range(1, len(w.syms) + 1)) AS t(i)
+), runs{r} AS MATERIALIZED (
+  SELECT word_id, i, i - ROW_NUMBER() OVER (PARTITION BY word_id ORDER BY i) AS grp
+  FROM pos{r} WHERE m
+), starts{r} AS MATERIALIZED (
+  SELECT word_id, i FROM (
+    SELECT word_id, i, ROW_NUMBER() OVER (PARTITION BY word_id, grp ORDER BY i) AS rn
+    FROM runs{r}
+  ) WHERE rn % 2 = 1
+), w{r + 1} AS MATERIALIZED (
+  SELECT p.word_id, p.cnt,
+         list(CASE WHEN s.i IS NOT NULL THEN p.sym || b.b ELSE p.sym END ORDER BY p.i) AS syms
+  FROM pos{r} p
+  CROSS JOIN best{r} b
+  LEFT JOIN starts{r} s ON s.word_id = p.word_id AND s.i = p.i
+  LEFT JOIN starts{r} s2 ON s2.word_id = p.word_id AND s2.i = p.i - 1
+  WHERE s2.i IS NULL
+  GROUP BY 1, 2
+)"""
+        )
+        parts.append(
+            f"r{r} AS (SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, b AS right_sym, "
+            f"a || b AS merged, pc AS pair_count FROM best{r})"
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM r{r}" for r in range(rounds))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+_BPE_SQL = _bpe_sql()
+
+
 _BM25_IDX_BUCKETS = 64  # term-hash partitions of the persisted postings
 
 
@@ -973,6 +1127,7 @@ QUERIES = {
     "text_tfidf_top_terms": tfidf_top_terms,
     "text_bm25_topk": text_bm25_topk,
     "text_bm25_persisted_topk": text_bm25_persisted_topk,
+    "text_bpe_merges": text_bpe_merges,
     "text_bigram_pmi": text_bigram_pmi,
     "text_rrf_fusion_topk": text_rrf_fusion_topk,
     "text_bigram_lm_score": bigram_lm_score,
@@ -990,6 +1145,7 @@ ORACLE = {
     "text_tfidf_top_terms": TFIDF_SQL,
     "text_bm25_topk": BM25_SQL,
     "text_bm25_persisted_topk": BM25_SQL,
+    "text_bpe_merges": _BPE_SQL,
     "text_bigram_pmi": _PMI_SQL_TEXT,
     "text_rrf_fusion_topk": RRF_SQL,
     "text_bigram_lm_score": BIGRAM_LM_SQL,

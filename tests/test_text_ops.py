@@ -207,3 +207,57 @@ def test_bm25_persisted_matches_refit_and_prunes_partitions(spark):
         for r in terms.select("term", tx._term_bucket_col(F.col("term")).alias("b")).collect()
     }
     assert got == {t: tx._term_bucket_py(t) for t in tx._BM25_QUERY}
+
+
+def test_bpe_training_matches_pure_python_reference(spark, monkeypatch):
+    """The distributed BPE trainer must reproduce a from-scratch Python
+    reference (Sennrich-style word-frequency BPE with (count desc, pair
+    asc) tie-break and left-to-right non-overlapping merge application)
+    on a crafted corpus — independent of both the Spark and the DuckDB
+    formulations."""
+    import collections
+
+    import realtime_change_data_capture_streaming_spark.llm_ops.text as tx
+
+    corpus = [
+        "low low low lower lowest",
+        "new newer newest news",
+        "widest wide wider low",
+    ]
+    d = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id bigint, text string"
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s_, sf_, n_: d)
+    got = [
+        (r["round"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in tx.text_bpe_merges(spark, "unused").orderBy("round").collect()
+    ]
+
+    # pure-Python reference
+    words = collections.Counter(w for line in corpus for w in line.split())
+    seqs = {w: list(w) for w in words}
+    expect = []
+    for rnd in range(tx._BPE_ROUNDS):
+        pc: collections.Counter = collections.Counter()
+        for w, n in words.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        # deterministic tie-break: count desc, then pair asc
+        top = max(pc.values())
+        a, b = min(p for p, n in pc.items() if n == top)
+        expect.append((rnd, a, b, a + b, top))
+        for w in seqs:
+            s, out = seqs[w], []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    assert got == expect
