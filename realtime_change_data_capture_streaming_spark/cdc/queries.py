@@ -471,6 +471,47 @@ FROM orders WHERE o_orderkey % 97 = 0
 """
 
 
+def cdc_time_travel_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta/Iceberg-style TIME TRAVEL as a driver-checked query: two
+    real merge commits into the versioned sink (inserts, then
+    updates+deletes), then ``read(at_seq=0)`` against the superseded
+    manifest alongside the live read — the snapshot summary per version.
+    Version 0 must replay the pre-update table exactly even though the
+    second merge has already rewritten its buckets' successors (GC
+    retains the grace window; ``tests/test_sink_scale.py`` pins the
+    mechanism, this query pins the STATE against the closed-form
+    oracle)."""
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import BucketedParquetSink
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+
+    parsed = parse_envelope(
+        order_change_events(spark, sf_dir, chaos=False), decimal_mode="string"
+    )
+    sink = BucketedParquetSink(spark, scratch_dir(prefix="cdc_tt_") + "/t", n_buckets=16)
+    sink.merge(parsed.filter(F.col("op") == "c"))  # seq 0: initial snapshot
+    sink.merge(parsed.filter(F.col("op") != "c").repartition(17))  # seq 1: live
+
+    def summarize(df: DataFrame, seq: int) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("amount").cast("double").alias("sum_amount"),
+        ).select(F.lit(seq).cast("bigint").alias("version"), "n_rows", "sum_amount")
+
+    return summarize(sink.read(at_seq=0), 0).unionByName(summarize(sink.read(), 1))
+
+
+CDC_TIME_TRAVEL_SQL = f"""
+SELECT CAST(0 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_amount
+FROM orders
+UNION ALL
+SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP}
+                          ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+FROM orders WHERE o_orderkey % 97 != 0
+"""
+
+
 def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed events routed to a dead-letter projection instead of
     killing the pipeline (reference behavior is log-and-skip,
@@ -827,12 +868,14 @@ QUERIES = {
     "cdc_schema_evolution": cdc_schema_evolution,
     "cdc_snapshot_then_stream": cdc_snapshot_then_stream,
     "cdc_change_feed": cdc_change_feed,
+    "cdc_time_travel_summary": cdc_time_travel_summary,
     "cdc_txn_consistent_apply": cdc_txn_consistent_apply,
     "cdc_forget_users": cdc_forget_users,
 }
 
 ORACLE = {
     "cdc_change_feed": CDC_CHANGE_FEED_SQL,
+    "cdc_time_travel_summary": CDC_TIME_TRAVEL_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_scd2_pointintime_join": CDC_SCD2_PIT_SQL,
     "cdc_apply_changes": CDC_APPLY_SQL,

@@ -820,16 +820,14 @@ def cm_counters(e: DataFrame, key: str = "user_id") -> DataFrame:
     )
 
 
-def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event frequency via a PORTABLE count-min sketch: estimate
-    = min over d rows of the (row, hash(key)) counter.  Reported for the
-    top-k exact-frequency users with the sketch's two contracts as
-    columns: ``never_under`` (CM error is ONE-SIDED — collisions only
-    add, so estimate >= truth deterministically) and ``within_eps``
-    (estimate <= truth + 2N/w, the Cormode-Muthukrishnan bound).  The
-    counter table is d*w rows total, broadcast to the probe join."""
-    e = load_table(spark, sf_dir, "events").select("user_id")
-    counters = cm_counters(e)
+def cm_finalize(counters: DataFrame, e: DataFrame) -> DataFrame:
+    """Counter table + event stream -> the top-k frequency report with
+    the sketch's two contracts as columns: ``never_under`` (CM error is
+    ONE-SIDED — collisions only add, so estimate >= truth
+    deterministically) and ``within_eps`` (estimate <= truth + 2N/w, the
+    Cormode-Muthukrishnan bound).  The counter table is d*w rows,
+    broadcast to the probe join; the exact side exists only for the
+    oracle discipline (report estimate vs truth)."""
     exact = e.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_exact"))
     top = exact.orderBy(F.desc("n_exact"), F.asc("user_id")).limit(_CM_TOP)
     total = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
@@ -854,6 +852,15 @@ def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(2.0) * F.col("n_total").cast("double") / F.lit(float(_CM_W))
         ).alias("within_eps"),
     )
+
+
+def sketch_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequency via a PORTABLE count-min sketch: estimate
+    = min over d rows of the (row, hash(key)) counter (see
+    ``cm_counters`` / ``cm_finalize`` for the merge and bound
+    contracts)."""
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    return cm_finalize(cm_counters(e), e)
 
 
 _CM_HASH_SQL = (

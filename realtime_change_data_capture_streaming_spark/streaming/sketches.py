@@ -25,7 +25,10 @@ from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 from realtime_change_data_capture_streaming_spark.operators.stats import (
+    _CM_SQL,
     _HLL_SQL,
+    cm_counters,
+    cm_finalize,
     hll_finalize,
     hll_registers,
 )
@@ -94,5 +97,62 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_finalize(regs, exact)
 
 
-QUERIES = {"stream_hll_distinct_users": stream_hll_distinct_users}
-ORACLE = {"stream_hll_distinct_users": _HLL_SQL}
+def stream_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequency maintained ACROSS micro-batches by
+    counter merge — the additive dual of the HLL stream above: each
+    batch computes its own d*w count-min counter table, SUM-merged into
+    the persistent store through the same versioned-dir atomic-commit
+    machinery (executor-side end to end, no driver collect).  Staged as
+    two real micro-batches split by event parity, so every counter must
+    combine both batches; oracle: the batch count-min over the whole
+    table — sum-merge makes the batch split invisible."""
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
+
+    work = scratch_dir(prefix="stream_cm_")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    in_dir = stage_ordered_batches(
+        [
+            e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0).select("user_id"),
+            e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1).select("user_id"),
+        ],
+        f"{work}/staged",
+    )
+
+    store = f"{work}/counters"
+
+    def merge_counters(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        bc = cm_counters(batch)
+        live = table_commit.resolve(store)
+        if live is not None:
+            bc = bc.unionByName(sp.read.parquet(live))
+        merged = bc.groupBy("r", "c").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        vdir, seq = table_commit.begin(store)
+        merged.write.mode("overwrite").parquet(vdir)
+        table_commit.commit(store, seq)
+
+    stream = (
+        spark.readStream.schema("user_id bigint")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_counters)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    counters = spark.read.parquet(table_commit.resolve(store))
+    return cm_finalize(counters, e.select("user_id"))
+
+
+QUERIES = {
+    "stream_hll_distinct_users": stream_hll_distinct_users,
+    "stream_countmin_user_counts": stream_countmin_user_counts,
+}
+ORACLE = {
+    "stream_hll_distinct_users": _HLL_SQL,
+    "stream_countmin_user_counts": _CM_SQL,
+}
