@@ -1474,9 +1474,171 @@ SELECT query_id, cand_id, l2_dist, rk FROM (
 ANN_IVFPQ_SQL = _ivfpq_sql()
 
 
+# ------------------------------------------------ diversified rerank
+
+_MMR_SHORTLIST = 20
+_MMR_K = 8
+_MMR_FP = float(1 << 30)
+#: lambda = 0.7, held as the integer pair (7, 3): score = 7*rel - 3*max_sim
+#: in fixed point, so every MMR comparison is an exact bigint compare
+
+
+def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank of the cosine shortlist — the
+    standard diversified-retrieval combiner (select greedily by
+    lambda*relevance - (1-lambda)*max-similarity-to-already-selected).
+
+    Scale shape: MMR is inherently sequential in k, but every per-step
+    piece is shortlist-sized — the shortlist (top-N per query via a
+    query-partitioned window), the N^2-per-query candidate-candidate
+    similarity table, and k tiny argmax steps (query-partitioned
+    windows); the corpus is touched exactly once, by the shortlist scan.
+    Both relevance and pairwise sims are floor(cos * 2^30) integers and
+    the lambda weights are the integer pair (7, 3), so selection is
+    exact bigint arithmetic and the whole greedy iteration replays
+    bit-identically in DuckDB (``_MMR_SQL``, unrolled per step — the BPE
+    discipline)."""
+    from pyspark.sql import Window
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        _norm(F.col("q_emb")) * _norm(F.col("c_emb"))
+    )
+    scored = F.broadcast(q).crossJoin(c).select(
+        "query_id", "cand_id", F.floor(cos * F.lit(_MMR_FP)).cast("bigint").alias("rel_fp")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel_fp"), F.asc("cand_id"))
+    short = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _MMR_SHORTLIST)
+        .select("query_id", "cand_id", "rel_fp")
+        .localCheckpoint(eager=True)
+    )
+    emb = e.select("vec_id", "embedding")
+    withv = short.join(emb, short["cand_id"] == emb["vec_id"]).select(
+        "query_id", "cand_id", F.col("embedding").alias("emb")
+    )
+    x, y = withv.alias("x"), withv.alias("y")
+    pair_cos = _dot(F.col("x.emb"), F.col("y.emb")) / (
+        _norm(F.col("x.emb")) * _norm(F.col("y.emb"))
+    )
+    sims = (
+        x.join(
+            y,
+            (F.col("x.query_id") == F.col("y.query_id"))
+            & (F.col("x.cand_id") != F.col("y.cand_id")),
+        )
+        .select(
+            F.col("x.query_id").alias("query_id"),
+            F.col("x.cand_id").alias("cid"),
+            F.col("y.cand_id").alias("other"),
+            F.floor(pair_cos * F.lit(_MMR_FP)).cast("bigint").alias("sim_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wsel = Window.partitionBy("query_id").orderBy(F.desc("score_fp"), F.asc("cand_id"))
+    first = (
+        short.withColumn("score_fp", F.lit(7) * F.col("rel_fp"))
+        .withColumn("rn", F.row_number().over(wsel))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "cand_id", F.lit(0).cast("bigint").alias("step"), "score_fp")
+    )
+    out = first.localCheckpoint(eager=True)
+    for step in range(1, _MMR_K):
+        sel = out.select("query_id", "cand_id")
+        ms = (
+            sims.join(
+                sel.withColumnRenamed("cand_id", "other"), ["query_id", "other"]
+            )
+            .groupBy("query_id", "cid")
+            .agg(F.max("sim_fp").alias("m"))
+        )
+        cand = (
+            short.join(sel, ["query_id", "cand_id"], "left_anti")
+            .join(ms, (F.col("cid") == F.col("cand_id")) & (ms["query_id"] == short["query_id"]))
+            .select(short["query_id"], "cand_id", (F.lit(7) * F.col("rel_fp") - F.lit(3) * F.col("m")).alias("score_fp"))
+        )
+        pick = (
+            cand.withColumn("rn", F.row_number().over(wsel))
+            .filter(F.col("rn") == 1)
+            .select("query_id", "cand_id", F.lit(step).cast("bigint").alias("step"), "score_fp")
+        )
+        out = out.unionByName(pick).localCheckpoint(eager=True)
+    return out
+
+
+def _mmr_cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (SQRT(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * SQRT(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+def _mmr_sql(k: int = _MMR_K) -> str:
+    fp = int(_MMR_FP)
+    parts = [
+        f"""q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings WHERE vec_id >= {N_QUERY_VECS}
+), short AS MATERIALIZED (
+  SELECT query_id, cand_id, rel_fp FROM (
+    SELECT query_id, cand_id, rel_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel_fp DESC, cand_id ASC) AS rk
+    FROM (SELECT query_id, cand_id,
+                 CAST(FLOOR(({_mmr_cos_sql("q_emb", "c_emb")}) * {fp}) AS BIGINT) AS rel_fp
+          FROM q CROSS JOIN c)
+  ) WHERE rk <= {_MMR_SHORTLIST}
+), sims AS MATERIALIZED (
+  SELECT s1.query_id, s1.cand_id AS cid, s2.cand_id AS other,
+         CAST(FLOOR(({_mmr_cos_sql("e1.embedding", "e2.embedding")}) * {fp}) AS BIGINT) AS sim_fp
+  FROM short s1
+  JOIN short s2 ON s1.query_id = s2.query_id AND s1.cand_id <> s2.cand_id
+  JOIN embeddings e1 ON e1.vec_id = s1.cand_id
+  JOIN embeddings e2 ON e2.vec_id = s2.cand_id
+), sel0 AS MATERIALIZED (
+  SELECT query_id, cand_id, CAST(0 AS BIGINT) AS step, 7 * rel_fp AS score_fp FROM (
+    SELECT query_id, cand_id, rel_fp,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY 7 * rel_fp DESC, cand_id ASC) AS rn
+    FROM short
+  ) WHERE rn = 1
+), all0 AS (SELECT query_id, cand_id FROM sel0)"""
+    ]
+    for t in range(1, k):
+        parts.append(
+            f"""sel{t} AS MATERIALIZED (
+  SELECT query_id, cand_id, CAST({t} AS BIGINT) AS step, score_fp FROM (
+    SELECT r.query_id, r.cand_id, 7 * r.rel_fp - 3 * ms.m AS score_fp,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id
+                              ORDER BY 7 * r.rel_fp - 3 * ms.m DESC, r.cand_id ASC) AS rn
+    FROM short r
+    LEFT JOIN all{t - 1} sa ON sa.query_id = r.query_id AND sa.cand_id = r.cand_id
+    JOIN (SELECT s.query_id, s.cid, MAX(s.sim_fp) AS m
+          FROM sims s JOIN all{t - 1} p ON p.query_id = s.query_id AND p.cand_id = s.other
+          GROUP BY 1, 2) ms ON ms.query_id = r.query_id AND ms.cid = r.cand_id
+    WHERE sa.cand_id IS NULL
+  ) WHERE rn = 1
+), all{t} AS (SELECT query_id, cand_id FROM all{t - 1}
+              UNION ALL SELECT query_id, cand_id FROM sel{t})"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM sel{t}" for t in range(k))
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+_MMR_SQL = _mmr_sql()
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_mmr_diversified_topk": ann_mmr_diversified_topk,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe_topk": ann_ivf_multiprobe_topk,
@@ -1494,6 +1656,7 @@ QUERIES = {
 ORACLE = {
     "embedding_norms": EMBEDDING_NORMS_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
+    "ann_mmr_diversified_topk": _MMR_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_ivf_multiprobe_topk": ANN_IVF_MULTIPROBE_SQL,

@@ -272,12 +272,79 @@ FROM {prev} GROUP BY 1
 LPA_SQL = _lpa_sql()
 
 
+_BFS_DEPTH = 3
+
+
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS reachability over the frequent co-purchase
+    graph: min-hop distance from the smallest node to every node within
+    {_BFS_DEPTH} hops — the k-hop neighborhood query (fraud rings,
+    recommendation radius).
+
+    Distributed frontier expansion: per hop ONE join of the (new)
+    frontier to the loop-invariant adjacency + one left-anti against the
+    visited set, so each round's shuffle is frontier-sized and a node is
+    expanded exactly once — never the path-explosion form (paths grow
+    combinatorially; frontiers are bounded by |V|).  The seed is a 1-row
+    bounded collect (the BPE-argmax shape).  Oracle: DuckDB WITH
+    RECURSIVE in UNION (distinct) mode + MIN(hop), which dedups
+    (node, hop) states per round and therefore also avoids path
+    enumeration."""
+    edges = (
+        co_purchase_pairs(spark, sf_dir)
+        .groupBy(F.col("part_a").alias("pa"), F.col("part_b").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _TRI_SUPPORT)
+        .select("pa", "pb")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).localCheckpoint(eager=True)
+    seed = int(sym.agg(F.min("pa")).collect()[0][0])  # 1-row bounded collect
+    visited = spark.createDataFrame([(seed, 0)], "part bigint, hop bigint")
+    frontier = visited.select("part")
+    for h in range(1, _BFS_DEPTH + 1):
+        nxt = (
+            frontier.join(sym, frontier["part"] == sym["pa"])
+            .select(F.col("pb").alias("part"))
+            .distinct()
+            .join(visited.select("part"), "part", "left_anti")
+        )
+        visited = visited.unionByName(
+            nxt.withColumn("hop", F.lit(h).cast("bigint"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited
+
+
+BFS_SQL = f"""
+WITH RECURSIVE {CO_PURCHASE_PAIRS_SQL},
+e AS (
+  SELECT part_a AS pa, part_b AS pb
+  FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_SUPPORT}
+), sym AS (
+  SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e
+), seed AS (
+  SELECT MIN(pa) AS s FROM sym
+), bfs AS (
+  SELECT s AS part, 0 AS hop FROM seed
+  UNION
+  SELECT sym.pb, bfs.hop + 1 FROM bfs JOIN sym ON sym.pa = bfs.part
+  WHERE bfs.hop < {_BFS_DEPTH}
+)
+SELECT CAST(part AS BIGINT) AS part, CAST(MIN(hop) AS BIGINT) AS hop
+FROM bfs GROUP BY 1
+"""
+
+
 QUERIES = {
+    "graph_bfs_hops": graph_bfs_hops,
     "graph_pagerank_purchases": graph_pagerank_purchases,
     "graph_triangle_counts": graph_triangle_counts,
     "graph_label_propagation": graph_label_propagation,
 }
 ORACLE = {
+    "graph_bfs_hops": BFS_SQL,
     "graph_pagerank_purchases": PAGERANK_SQL,
     "graph_triangle_counts": TRIANGLE_SQL,
     "graph_label_propagation": LPA_SQL,

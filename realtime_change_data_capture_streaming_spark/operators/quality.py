@@ -544,7 +544,65 @@ FROM sums
 """
 
 
+#: Benford expected shares log10(1 + 1/d), precomputed driver-side so NO
+#: libm call happens at query time in either engine (the PSI discipline:
+#: both sides compare against the identical literal)
+_BENFORD_EXPECTED = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_TOL = 0.05
+
+
+def orders_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the
+    fraud/fabrication screen of data auditing: observed share per
+    leading digit vs the log10(1 + 1/d) expectation.
+
+    Determinism: the leading digit comes from the exact integer cents
+    (floor(x*100 + 0.5), exact for 2-dp decimals in double) rendered as
+    a string — never from float log10, whose last-ulp drift near powers
+    of ten could flip a digit between engines.  The expected shares are
+    Python-precomputed literals; the only floats are two exact int/int
+    divisions and literal compares."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("bigint")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    total = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    expected = F.create_map(
+        *[F.lit(v) for d in range(1, 10) for v in (d, _BENFORD_EXPECTED[d])]
+    )
+    share = F.col("n_orders").cast("double") / F.col("n_total")
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_orders",
+        share.alias("share"),
+        expected[F.col("digit")].alias("benford_expected"),
+        (F.abs(share - expected[F.col("digit")]) <= F.lit(_BENFORD_TOL)).alias("within_tol"),
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {_BENFORD_EXPECTED[d]!r}" for d in range(1, 10)
+)
+
+_BENFORD_SQL = f"""
+WITH d AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_orders FROM d GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
+SELECT c.digit, c.n_orders,
+       CAST(c.n_orders AS DOUBLE) / t.n_total AS share,
+       CASE c.digit {_BENFORD_CASE} END AS benford_expected,
+       ABS(CAST(c.n_orders AS DOUBLE) / t.n_total - CASE c.digit {_BENFORD_CASE} END) <= {_BENFORD_TOL} AS within_tol
+FROM counts c CROSS JOIN tot t
+"""
+
+
 QUERIES = {
+    "orders_benford_first_digit": orders_benford_first_digit,
     "dq_expectations": dq_expectations,
     "lineitem_distribution_profile": lineitem_distribution_profile,
     "events_ewma_value": events_ewma_value,
@@ -555,6 +613,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "orders_benford_first_digit": _BENFORD_SQL,
     "dq_expectations": _DQ_SQL,
     "lineitem_distribution_profile": _MOMENTS_SQL,
     "events_ewma_value": _EWMA_SQL,

@@ -599,3 +599,33 @@ def test_countmin_never_underestimates(spark, monkeypatch):
     got = st.sketch_countmin_user_counts(spark, "unused").collect()
     assert len(got) == st._CM_TOP
     assert all(r["never_under"] for r in got)
+
+
+def test_mmr_promotes_diverse_candidate_over_near_duplicate(spark, monkeypatch):
+    """MMR's reason to exist: when the two most relevant candidates are
+    near-duplicates of each other, the second selection must be the
+    DIVERSE candidate, not the duplicate — even though plain cosine
+    ranks the duplicate second."""
+    import realtime_change_data_capture_streaming_spark.llm_ops.similarity as sim
+
+    rows = [
+        (0, "q", [1.0, 0.0, 0.0, 0.0]),
+        # near-duplicate pair, both rel ~0.9 to the query
+        (8, "a", [0.9, 0.43589, 0.0, 0.0]),
+        (9, "a", [0.9, 0.4358, 0.01, 0.0]),
+        # diverse candidate: rel ~0.88 but far from the duplicates
+        (10, "b", [0.88, 0.0, 0.475, 0.0]),
+        # filler
+        (11, "c", [0.5, 0.5, 0.5, 0.5]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, label string, embedding array<float>")
+    monkeypatch.setattr(sim, "load_table", lambda s_, sf_, n_: e)
+    got = sorted(
+        (r["step"], r["cand_id"])
+        for r in sim.ann_mmr_diversified_topk(spark, "unused").filter("query_id = 0").collect()
+    )
+    assert got[0][1] in (8, 9), "step 0 must take the most relevant candidate"
+    assert got[1][1] == 10, f"step 1 must diversify to cand 10, got {got}"
+    # plain cosine would rank the other duplicate second
+    cos = {r["cand_id"]: r["rk"] for r in sim.ann_cosine_topk(spark, "unused").filter("query_id = 0").collect()}
+    assert cos[8] <= 2 and cos[9] <= 2, "sanity: duplicates dominate the cosine ranking"
