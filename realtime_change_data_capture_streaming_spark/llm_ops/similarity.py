@@ -1474,6 +1474,118 @@ SELECT query_id, cand_id, l2_dist, rk FROM (
 ANN_IVFPQ_SQL = _ivfpq_sql()
 
 
+# ----------------------------------------- random-projection sketch
+
+_JL_K = 16  # projected dimensionality (64 -> 16, 4x compression)
+_JL_PAIRS = 16  # deterministic sample pairs measured for distortion
+
+
+def _jl_signs() -> list[list[int]]:
+    """The +-1 projection matrix, md5-derived per (row, dim) so both
+    engines embed the IDENTICAL literals (the hyperplane-literal
+    discipline of ``ann_lsh_bucketed``) — achlioptas-style sign
+    projections satisfy the JL lemma without gaussians."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{j}|{d}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1
+            for d in range(EMB_DIM)
+        ]
+        for j in range(_JL_K)
+    ]
+
+
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64d -> 16d with the
+    squared-distance distortion measured on a deterministic pair sample
+    — the dimensionality-reduction primitive for cheap pre-filtering in
+    ANN pipelines (project once, shortlist in 16d, rerank in 64d).
+
+    One codegen pass per vector: y_j = (1/sqrt(k)) * <x, s_j> over the
+    literal sign rows; distances are index-ordered double folds (the
+    ``embedding_norms`` determinism contract), so ratio =
+    ||y_a - y_b||^2 / ||x_a - x_b||^2 replays bit-identically in the
+    oracle.  Pairs are (2i, 2i+1) for vec_id < 2*{_JL_PAIRS}."""
+    signs = _jl_signs()
+    e = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") < 2 * _JL_PAIRS
+    )
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(s)) for s in signs[j]]),
+                    lambda x, s: x.cast("double") * s,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(_JL_K) ** 0.5)
+        ).alias(f"y{j}")
+        for j in range(_JL_K)
+    ]
+    proj = e.select("vec_id", "embedding", *comps)
+    a = proj.alias("a")
+    b = proj.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.vec_id") % 2 == 0) & (F.col("b.vec_id") == F.col("a.vec_id") + 1),
+    )
+    d_orig = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"),
+            F.col("b.embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    d_proj = None
+    for j in range(_JL_K):
+        term = (F.col(f"a.y{j}") - F.col(f"b.y{j}")) * (F.col(f"a.y{j}") - F.col(f"b.y{j}"))
+        d_proj = term if d_proj is None else d_proj + term
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        d_orig.alias("d2_orig"),
+        d_proj.alias("d2_proj"),
+        (d_proj / d_orig).alias("ratio"),
+    )
+
+
+def _jl_sql() -> str:
+    signs = _jl_signs()
+    k_sqrt = float(_JL_K) ** 0.5
+
+    def ycol(alias: str, j: int) -> str:
+        lits = "[" + ", ".join(f"{float(s)!r}" for s in signs[j]) + "]"
+        return (
+            f"(list_sum(list_transform(list_zip({alias}.embedding, {lits}), "
+            f"p -> CAST(p[1] AS DOUBLE) * p[2])) / {k_sqrt!r})"
+        )
+
+    dproj = " + ".join(
+        f"(({ycol('a', j)}) - ({ycol('b', j)})) * (({ycol('a', j)}) - ({ycol('b', j)}))"
+        for j in range(_JL_K)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {2 * _JL_PAIRS})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS d2_orig,
+       {dproj} AS d2_proj,
+       ({dproj}) / list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))) AS ratio
+FROM v a JOIN v b ON a.vec_id % 2 = 0 AND b.vec_id = a.vec_id + 1
+"""
+
+
+_JL_SQL = _jl_sql()
+
+
 # ------------------------------------------------ diversified rerank
 
 _MMR_SHORTLIST = 20
@@ -1639,6 +1751,7 @@ QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_mmr_diversified_topk": ann_mmr_diversified_topk,
+    "embedding_jl_distortion": embedding_jl_distortion,
     "ann_lsh_bucketed": ann_lsh_bucketed,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_multiprobe_topk": ann_ivf_multiprobe_topk,
@@ -1657,6 +1770,7 @@ ORACLE = {
     "embedding_norms": EMBEDDING_NORMS_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "ann_mmr_diversified_topk": _MMR_SQL,
+    "embedding_jl_distortion": _JL_SQL,
     "ann_lsh_bucketed": ANN_LSH_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "ann_ivf_multiprobe_topk": ANN_IVF_MULTIPROBE_SQL,

@@ -728,7 +728,78 @@ FROM daily LEFT JOIN new_users ON new_users.day = daily.day
 """
 
 
+_SEAS_FP = 1 << 20
+_SEAS_TOP = 5
+
+
+def events_seasonal_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: per event type, the events deviating
+    most from their HOUR-OF-DAY baseline — the detrend-then-rank shape
+    (a spike at 3am is anomalous even if the same value at noon is
+    normal), complementing the global MAD/z outlier operators.
+
+    Determinism: values fold as floor(v * 2^20) integers (the TWAP
+    discipline), so the seasonal sums are exact bigints; the residual
+    v - mean is computed as the exact integer (v_fp*n - sum_fp) divided
+    once by the exact double n*2^20 (correctly rounded, engine-
+    identical).  Ranking is a window PARTITIONED by event type."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    vfp = F.floor(F.col("value") * F.lit(float(_SEAS_FP))).cast("bigint")
+    hour = F.hour("ts")
+    base = (
+        e.select("event_type", hour.alias("hh"), vfp.alias("vfp"))
+        .groupBy("event_type", "hh")
+        .agg(F.sum("vfp").alias("s_fp"), F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    j = e.select("event_id", "event_type", hour.alias("hh"), vfp.alias("vfp")).join(
+        F.broadcast(base), ["event_type", "hh"]
+    )
+    residual = (F.col("vfp") * F.col("n") - F.col("s_fp")).cast("double") / (
+        F.col("n").cast("double") * F.lit(float(_SEAS_FP))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("residual"))), F.asc("event_id")
+    )
+    return (
+        j.withColumn("residual", residual)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SEAS_TOP)
+        .select(
+            "event_type",
+            "event_id",
+            F.col("hh").cast("bigint").alias("hour_of_day"),
+            "residual",
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+_SEASONAL_SQL = f"""
+WITH v AS (
+  SELECT event_id, event_type, EXTRACT(hour FROM ts) AS hh,
+         CAST(FLOOR(value * {_SEAS_FP}) AS BIGINT) AS vfp
+  FROM events
+), base AS (
+  SELECT event_type, hh, CAST(SUM(vfp) AS BIGINT) AS s_fp, CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY 1, 2
+), r AS (
+  SELECT v.event_type, v.event_id, v.hh,
+         CAST(v.vfp * b.n - b.s_fp AS DOUBLE) / (CAST(b.n AS DOUBLE) * {_SEAS_FP}) AS residual
+  FROM v JOIN base b USING (event_type, hh)
+)
+SELECT event_type, event_id, CAST(hh AS BIGINT) AS hour_of_day, residual,
+       CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ABS(residual) DESC, event_id ASC) AS rk
+  FROM r
+) WHERE rk <= {_SEAS_TOP}
+"""
+
+
 QUERIES = {
+    "events_seasonal_residual_topk": events_seasonal_residual_topk,
     "events_mad_outliers": events_mad_outliers,
     "events_daily_user_growth": events_daily_user_growth,
     "events_tumbling_hourly": events_tumbling_hourly,
@@ -747,6 +818,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_seasonal_residual_topk": _SEASONAL_SQL,
     "events_mad_outliers": _MAD_SQL,
     "events_daily_user_growth": _GROWTH_SQL,
     "events_tumbling_hourly": TUMBLING_SQL,

@@ -229,6 +229,74 @@ WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey ASC)
 """
 
 
+def orders_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D skyline (Pareto front): orders minimizing (o_totalprice,
+    o_orderdate) — no other order is both cheaper-or-equal AND
+    earlier-or-equal with one strict.  The dominance-query operator
+    class (best-deal-earliest, multi-objective top results).
+
+    Scale shape: never the naive all-pairs check.  Pass 1 aggregates a
+    per-MONTH min price (calendar-bounded, <= ~100 rows collected —
+    metadata-scale) whose strict-prefix min gives a dominance threshold:
+    any row meeting ``price >= min price of a strictly earlier month``
+    is dominated (earlier month implies strictly earlier date) and is
+    filtered OUT in one scan.  2D-skyline survivors of n uniform points
+    number O(log n), so the exact pairwise dominance anti-join runs on a
+    vanishing fraction of the input; the proof that survivors need only
+    be checked against survivors (any same-month dominator of a
+    survivor beats the prefix threshold too, hence survives) keeps the
+    result exact."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.col("o_totalprice").cast("double").alias("price")
+    )
+    bucket = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("b")
+    mins = {
+        r["b"]: r["m"]
+        for r in o.select(bucket, "price").groupBy("b").agg(F.min("price").alias("m")).collect()
+    }  # bounded collect: one row per calendar month
+    thr, run = {}, None
+    for b in sorted(mins):
+        if run is not None:
+            thr[b] = run
+        run = mins[b] if run is None else min(run, mins[b])
+    thr_map = (
+        F.create_map(*[F.lit(v) for kv in thr.items() for v in kv]) if thr else F.create_map()
+    )
+    surv = o.withColumn("_b", bucket).filter(
+        F.col("price") < F.coalesce(thr_map[F.col("_b")], F.lit(float("inf")))
+    ).drop("_b").localCheckpoint(eager=True)
+    r, s = surv.alias("r"), surv.alias("s")
+    dominated = (
+        (F.col("s.price") <= F.col("r.price"))
+        & (F.col("s.o_orderdate") <= F.col("r.o_orderdate"))
+        & (
+            (F.col("s.price") < F.col("r.price"))
+            | (F.col("s.o_orderdate") < F.col("r.o_orderdate"))
+        )
+    )
+    return r.join(s, dominated, "left_anti").select(
+        "o_orderkey", "o_orderdate", F.col("price").alias("o_totalprice")
+    )
+
+
+# oracle: per-date min + strict-prefix min over the date spine (date
+# cardinality, not row cardinality), then the 3-clause dominance rule
+PARETO_SQL = """
+WITH perd AS (
+  SELECT o_orderdate AS d, MIN(CAST(o_totalprice AS DOUBLE)) AS mp
+  FROM orders GROUP BY 1
+), spine AS (
+  SELECT d, mp,
+         MIN(mp) OVER (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS before_mp
+  FROM perd
+)
+SELECT o.o_orderkey, o.o_orderdate, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+FROM orders o JOIN spine sp ON sp.d = o.o_orderdate
+WHERE (sp.before_mp IS NULL OR CAST(o.o_totalprice AS DOUBLE) < sp.before_mp)
+  AND CAST(o.o_totalprice AS DOUBLE) <= sp.mp
+"""
+
+
 def window_percentile_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist: each customer's relative balance
     position WITHIN their nation — the distribution-position window pair
@@ -603,6 +671,7 @@ QUERIES = {
     "join_range_theta": join_range_theta,
     "window_topk_per_group": window_topk_per_group,
     "join_bloom_prefiltered_revenue": join_bloom_prefiltered_revenue,
+    "orders_pareto_front": orders_pareto_front,
     "window_rank_dense_ntile": window_rank_dense_ntile,
     "window_percentile_positions": window_percentile_positions,
     "window_lag_lead": window_lag_lead,
@@ -626,6 +695,7 @@ ORACLE = {
     "join_range_theta": JOIN_RANGE_SQL,
     "window_topk_per_group": WINDOW_TOPK_SQL,
     "join_bloom_prefiltered_revenue": JOIN_BLOOM_SQL,
+    "orders_pareto_front": PARETO_SQL,
     "window_rank_dense_ntile": WINDOW_RANK_SQL,
     "window_percentile_positions": WINDOW_PERCENTILE_SQL,
     "window_lag_lead": WINDOW_LAG_SQL,

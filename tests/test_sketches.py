@@ -629,3 +629,18 @@ def test_mmr_promotes_diverse_candidate_over_near_duplicate(spark, monkeypatch):
     # plain cosine would rank the other duplicate second
     cos = {r["cand_id"]: r["rk"] for r in sim.ann_cosine_topk(spark, "unused").filter("query_id = 0").collect()}
     assert cos[8] <= 2 and cos[9] <= 2, "sanity: duplicates dominate the cosine ranking"
+
+
+def test_jl_distortion_concentrates_near_one(spark):
+    """JL lemma sanity: sign projections 64d->16d keep squared distances
+    within a moderate band around 1 for most pairs (eps ~ sqrt(ln n / k)
+    is large at k=16, so the pin is loose but must hold on the fixture:
+    all ratios positive, median within [0.4, 1.9])."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import embedding_jl_distortion
+
+    rows = embedding_jl_distortion(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    ratios = sorted(r["ratio"] for r in rows)
+    assert all(r > 0 for r in ratios)
+    med = ratios[len(ratios) // 2]
+    assert 0.4 <= med <= 1.9, f"median JL ratio {med}"
