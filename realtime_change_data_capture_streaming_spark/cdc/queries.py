@@ -512,6 +512,38 @@ FROM orders WHERE o_orderkey % 97 != 0
 """
 
 
+def cdc_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAL-continuity audit: per key, does the observed LSN sequence have
+    holes?  span = max-min+1 vs the observed event count — the capture-
+    completeness check a CDC operator runs when a connector restart or
+    topic retention may have dropped changes.  One agg per key, no
+    window.  On this feed the keys with a delete but no update (%97
+    without %10) genuinely skip one ordinal — the oracle enumerates
+    exactly those."""
+    events = order_change_events(spark, sf_dir, chaos=False)
+    parsed = parse_envelope(events, decimal_mode="string")
+    per_key = parsed.groupBy("key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("lsn") - F.min("lsn") + F.lit(1)).cast("bigint").alias("lsn_span"),
+    )
+    return per_key.select(
+        "key",
+        "n_events",
+        "lsn_span",
+        (F.col("lsn_span") - F.col("n_events")).alias("n_missing"),
+    ).filter(F.col("n_missing") > 0)
+
+
+CDC_LSN_GAP_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR) AS key,
+       CAST(2 AS BIGINT) AS n_events,
+       CAST(3 AS BIGINT) AS lsn_span,
+       CAST(1 AS BIGINT) AS n_missing
+FROM orders
+WHERE o_orderkey % 97 = 0 AND o_orderkey % 10 != 0
+"""
+
+
 def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed events routed to a dead-letter projection instead of
     killing the pipeline (reference behavior is log-and-skip,
@@ -869,6 +901,7 @@ QUERIES = {
     "cdc_snapshot_then_stream": cdc_snapshot_then_stream,
     "cdc_change_feed": cdc_change_feed,
     "cdc_time_travel_summary": cdc_time_travel_summary,
+    "cdc_lsn_gap_audit": cdc_lsn_gap_audit,
     "cdc_txn_consistent_apply": cdc_txn_consistent_apply,
     "cdc_forget_users": cdc_forget_users,
 }
@@ -876,6 +909,7 @@ QUERIES = {
 ORACLE = {
     "cdc_change_feed": CDC_CHANGE_FEED_SQL,
     "cdc_time_travel_summary": CDC_TIME_TRAVEL_SQL,
+    "cdc_lsn_gap_audit": CDC_LSN_GAP_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_scd2_pointintime_join": CDC_SCD2_PIT_SQL,
     "cdc_apply_changes": CDC_APPLY_SQL,

@@ -728,6 +728,75 @@ FROM daily LEFT JOIN new_users ON new_users.day = daily.day
 """
 
 
+_DECAY_HALF_LIFE = 7.0  # days
+_DECAY_NOW = "2024-02-01"  # fixed "as of" so the oracle can reproduce
+_DECAY_FP = 1 << 20
+_DECAY_MAX_D = 64
+#: per-day-age weight 0.5^(d/half_life), PRE-SCALED by 2^20 and computed
+#: Python-side once — both engines embed the identical literal, so no
+#: pow()/exp() libm call ever runs at query time (the PSI discipline)
+_DECAY_W = {d: (0.5 ** (d / _DECAY_HALF_LIFE)) * _DECAY_FP for d in range(_DECAY_MAX_D)}
+_DECAY_TOP = 20
+
+
+def events_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement scoring: per user, the exponentially
+    decayed sum of event values as of a fixed date (half-life 7 days) —
+    the recency-weighted counter behind trending/engagement rankings,
+    where yesterday's click outweighs last month's.
+
+    Determinism: each row contributes floor(value * w[age]) where w[age]
+    is the pre-scaled literal weight — ONE double multiply + floor per
+    row, then exact bigint sums; ages beyond the weight table decay to
+    zero.  Top-k via orderBy+limit."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    age = F.datediff(F.lit(_DECAY_NOW).cast("date"), F.col("ts").cast("date"))
+    wmap = F.create_map(*[F.lit(v) for d in range(_DECAY_MAX_D) for v in (d, _DECAY_W[d])])
+    contrib = F.floor(F.col("value") * F.coalesce(wmap[age], F.lit(0.0))).cast("bigint")
+    raw = F.floor(F.col("value") * F.lit(float(_DECAY_FP))).cast("bigint")
+    per_user = e.select("user_id", contrib.alias("c_fp"), raw.alias("r_fp")).groupBy(
+        "user_id"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("c_fp").alias("dec_fp"),
+        F.sum("r_fp").alias("raw_fp"),
+    )
+    return (
+        per_user.orderBy(F.desc("dec_fp"), F.asc("user_id"))
+        .limit(_DECAY_TOP)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("dec_fp").cast("double") / F.lit(float(_DECAY_FP))).alias("decayed_value"),
+            (F.col("raw_fp").cast("double") / F.lit(float(_DECAY_FP))).alias("raw_value"),
+        )
+    )
+
+
+_DECAY_VALUES = ", ".join(f"({d}, {_DECAY_W[d]!r})" for d in range(_DECAY_MAX_D))
+
+_DECAY_SQL = f"""
+WITH w(d, wt) AS (VALUES {_DECAY_VALUES}),
+c AS (
+  SELECT e.user_id,
+         CAST(FLOOR(e.value * COALESCE(w.wt, 0.0)) AS BIGINT) AS c_fp,
+         CAST(FLOOR(e.value * {float(_DECAY_FP)!r}) AS BIGINT) AS r_fp
+  FROM events e
+  LEFT JOIN w ON w.d = date_diff('day', CAST(e.ts AS DATE), DATE '{_DECAY_NOW}')
+), per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(c_fp) AS BIGINT) AS dec_fp, CAST(SUM(r_fp) AS BIGINT) AS raw_fp
+  FROM c GROUP BY 1
+)
+SELECT user_id, n_events,
+       CAST(dec_fp AS DOUBLE) / {float(_DECAY_FP)!r} AS decayed_value,
+       CAST(raw_fp AS DOUBLE) / {float(_DECAY_FP)!r} AS raw_value
+FROM per_user
+ORDER BY dec_fp DESC, user_id ASC
+LIMIT {_DECAY_TOP}
+"""
+
+
 _SEAS_FP = 1 << 20
 _SEAS_TOP = 5
 
@@ -799,6 +868,7 @@ FROM (
 
 
 QUERIES = {
+    "events_decayed_engagement": events_decayed_engagement,
     "events_seasonal_residual_topk": events_seasonal_residual_topk,
     "events_mad_outliers": events_mad_outliers,
     "events_daily_user_growth": events_daily_user_growth,
@@ -818,6 +888,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_decayed_engagement": _DECAY_SQL,
     "events_seasonal_residual_topk": _SEASONAL_SQL,
     "events_mad_outliers": _MAD_SQL,
     "events_daily_user_growth": _GROWTH_SQL,

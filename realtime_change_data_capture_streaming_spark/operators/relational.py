@@ -651,6 +651,66 @@ def join_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_resolve_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution END-TO-END: blocking -> pairwise match ->
+    transitive clustering -> canonicalization, the full dedupe-a-dirty-
+    dimension pipeline composed from machinery that is each separately
+    oracle-checked.
+
+    Stages: (1) distinct names with a stable numeric id (min p_partkey);
+    (2) the length-band-blocked levenshtein match (the
+    ``join_fuzzy_name_pairs`` shape — lossless blocking keeps the
+    comparator sub-quadratic); (3) ``connected_components`` min-label
+    clustering, because matches CHAIN (a~b, b~c without a~c) and pair-
+    level survivorship over-merges or over-splits; (4) survivorship: the
+    canonical name is the smallest-id member (deterministic, and exactly
+    the component label).  Output: one row per multi-name entity."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import connected_components
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = p.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+    a, b = names.alias("a"), names.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_name") < F.col("b.p_name"))
+        & (F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 3)
+        & (F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3),
+    ).select(F.col("a.nid").alias("na"), F.col("b.nid").alias("nb"))
+    comp = connected_components(pairs, "na", "nb")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).cast("bigint").alias("n_names"))
+    canon = names.select(F.col("nid").alias("component"), F.col("p_name").alias("canonical_name"))
+    return sizes.join(canon, "component").select(
+        F.col("component").cast("bigint").alias("component"), "n_names", "canonical_name"
+    )
+
+
+ER_RESOLVE_SQL = """
+WITH RECURSIVE names AS (
+  SELECT p_name, MIN(p_partkey) AS nid FROM part GROUP BY 1
+), pairs AS (
+  SELECT a.nid AS na, b.nid AS nb
+  FROM names a JOIN names b
+    ON a.p_name < b.p_name
+   AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 3
+   AND levenshtein(a.p_name, b.p_name) <= 3
+), edges AS (
+  SELECT na AS src, nb AS dst FROM pairs
+  UNION ALL
+  SELECT nb AS src, na AS dst FROM pairs
+), reach(node, r) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges) t
+  UNION
+  SELECT reach.node, e.dst FROM reach JOIN edges e ON e.src = reach.r
+), comp AS (
+  SELECT node, MIN(r) AS component FROM reach GROUP BY 1
+), agg AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS n_names FROM comp GROUP BY 1
+)
+SELECT CAST(g.component AS BIGINT) AS component, g.n_names, n.p_name AS canonical_name
+FROM agg g JOIN names n ON n.nid = g.component
+"""
+
+
 JOIN_FUZZY_SQL = """
 WITH t AS (SELECT DISTINCT p_name FROM part)
 SELECT a.p_name AS name_a, b.p_name AS name_b,
@@ -672,6 +732,7 @@ QUERIES = {
     "window_topk_per_group": window_topk_per_group,
     "join_bloom_prefiltered_revenue": join_bloom_prefiltered_revenue,
     "orders_pareto_front": orders_pareto_front,
+    "er_resolve_part_names": er_resolve_part_names,
     "window_rank_dense_ntile": window_rank_dense_ntile,
     "window_percentile_positions": window_percentile_positions,
     "window_lag_lead": window_lag_lead,
@@ -696,6 +757,7 @@ ORACLE = {
     "window_topk_per_group": WINDOW_TOPK_SQL,
     "join_bloom_prefiltered_revenue": JOIN_BLOOM_SQL,
     "orders_pareto_front": PARETO_SQL,
+    "er_resolve_part_names": ER_RESOLVE_SQL,
     "window_rank_dense_ntile": WINDOW_RANK_SQL,
     "window_percentile_positions": WINDOW_PERCENTILE_SQL,
     "window_lag_lead": WINDOW_LAG_SQL,
