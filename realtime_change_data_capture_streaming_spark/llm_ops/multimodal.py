@@ -453,6 +453,106 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUT_THRESHOLD = 32.0  # mean-abs-pixel-delta above this = scene cut
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut detection over the frame demuxer: per document a
+    multi-frame PPM stream whose fill JUMPS at an analytic cut point
+    (two constant scenes), demuxed by the real header-walk parser, then
+    consecutive-frame mean-absolute-pixel-delta thresholding — the
+    shot-boundary primitive of video curation (sample one frame per
+    scene, not per interval).  Deltas between constant frames are exact
+    integers, so the oracle recomputes cut position and magnitude
+    analytically from doc_id."""
+    d = spread(load_table(spark, sf_dir, "documents"))
+    doc = F.col("doc_id")
+    n_frames = (F.lit(4) + doc % 3).cast("int")
+    w = (F.lit(4) + doc % 4).cast("int")
+    h = F.lit(4)
+    base = (F.lit(20) + doc % 40).cast("int")
+    jump = (F.lit(50) + doc % 18).cast("int")
+    cut_idx = (F.lit(2) + doc % 2).cast("int")
+    header = F.concat(
+        F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"), F.lit("\n255\n")
+    )
+    frames_str = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_frames - F.lit(1)),
+            lambda i: F.concat(
+                header,
+                F.repeat(
+                    F.char(base + F.when(i >= cut_idx, jump).otherwise(F.lit(0))),
+                    w * h * F.lit(3),
+                ),
+            ),
+        ),
+        "",
+    )
+    payload = F.when(F.col("text").isNotNull(), F.encode(frames_str, "utf-8"))
+    media = d.select("doc_id", payload.alias("payload"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
+                buf = bytes(b)
+                frames = []
+                pos = 0
+                while pos < len(buf):
+                    _w, _h, _mv, rgb = decode_ppm(buf[pos:])
+                    hdr_len = buf.index(b"\n255\n", pos) + 5 - pos
+                    frames.append(rgb)
+                    pos += hdr_len + len(rgb)
+                cuts, max_delta = [], 0.0
+                for i in range(1, len(frames)):
+                    a, bb = frames[i - 1], frames[i]
+                    delta = sum(abs(x - y) for x, y in zip(a, bb)) / len(a)
+                    max_delta = max(max_delta, delta)
+                    if delta > _CUT_THRESHOLD:
+                        cuts.append(i)
+                rows.append(
+                    (
+                        doc_id,
+                        len(frames),
+                        len(cuts),
+                        cuts[0] if cuts else None,
+                        max_delta,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_frames", "n_cuts", "first_cut", "max_delta"]
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "n_frames": "Int32",
+                    "n_cuts": "Int64",
+                    "first_cut": "Int64",
+                    "max_delta": "float64",
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        schema="doc_id long, n_frames int, n_cuts long, first_cut long, max_delta double",
+    )
+
+
+MULTIMODAL_CUTS_SQL = """
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL THEN CAST(4 + doc_id % 3 AS INTEGER) END AS n_frames,
+       CASE WHEN text IS NOT NULL THEN CAST(1 AS BIGINT) END AS n_cuts,
+       CASE WHEN text IS NOT NULL THEN CAST(2 + doc_id % 2 AS BIGINT) END AS first_cut,
+       CASE WHEN text IS NOT NULL THEN CAST(50 + doc_id % 18 AS DOUBLE) END AS max_delta
+FROM documents
+"""
+
+
 MULTIMODAL_FRAMES_SQL = """
 SELECT doc_id,
        CASE WHEN text IS NOT NULL THEN CAST(1 + doc_id % 4 AS INTEGER) END AS n_frames,
@@ -1588,6 +1688,7 @@ QUERIES = {
     "multimodal_features_meta": multimodal_features_meta,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
+    "multimodal_scene_cuts": multimodal_scene_cuts,
 }
 
 ORACLE = {
@@ -1600,4 +1701,5 @@ ORACLE = {
     "multimodal_features_meta": MULTIMODAL_FEATURES_META_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
+    "multimodal_scene_cuts": MULTIMODAL_CUTS_SQL,
 }
