@@ -49,6 +49,8 @@ BENCH_QUERIES = (
     "ann_ivfpq_persisted_topk",
     "text_bm25_persisted_topk",
     "text_bigram_lm_score",
+    "orders_pareto_front",
+    "sketch_countmin_user_counts",
     "layout_zorder_topk",
     "curation_pack_shards",
     "curation_contamination_overlap",

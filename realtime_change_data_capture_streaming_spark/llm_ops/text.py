@@ -784,7 +784,12 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping merge semantics (run-parity formulation, provably
     equal to the greedy fold) — so training replays cross-engine
     bit-identically, the PCA-power-iteration discipline."""
-    words = _bpe_words(spark, sf_dir).localCheckpoint(eager=True)
+    # the iterated state is VOCABULARY-sized (distinct words), orders of
+    # magnitude below the corpus the tokenize pass scanned — re-shape it
+    # to a handful of partitions so the 8 small per-round jobs don't pay
+    # corpus-width task overhead (at a real 100 TB corpus the vocab is
+    # tens of millions of rows: still repartition, just to more than 4)
+    words = _bpe_words(spark, sf_dir).coalesce(4).localCheckpoint(eager=True)
     out_rows = []
     for r in range(_BPE_ROUNDS):
         pairs = (

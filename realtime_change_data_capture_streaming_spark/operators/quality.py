@@ -595,8 +595,8 @@ WITH d AS (
 ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d)
 SELECT c.digit, c.n_orders,
        CAST(c.n_orders AS DOUBLE) / t.n_total AS share,
-       CASE c.digit {_BENFORD_CASE} END AS benford_expected,
-       ABS(CAST(c.n_orders AS DOUBLE) / t.n_total - CASE c.digit {_BENFORD_CASE} END) <= {_BENFORD_TOL} AS within_tol
+       CAST(CASE c.digit {_BENFORD_CASE} END AS DOUBLE) AS benford_expected,
+       ABS(CAST(c.n_orders AS DOUBLE) / t.n_total - CAST(CASE c.digit {_BENFORD_CASE} END AS DOUBLE)) <= {_BENFORD_TOL} AS within_tol
 FROM counts c CROSS JOIN tot t
 """
 
