@@ -708,7 +708,54 @@ FROM j GROUP BY lang
 CURATION_PIPELINE_SQL = _pipeline_sql()
 
 
+_SHUFFLE_EPOCHS = (0, 1)
+_SHUFFLE_HEAD = 10
+
+
+def curation_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EPOCH-WISE training-order shuffle: a data loader
+    must visit every document once per epoch in a pseudorandom order
+    that (a) differs between epochs, (b) is identical on every re-run /
+    every worker topology — seeded RNG state does not survive
+    repartitioning, but ORDER BY md5(epoch || doc_id) does.  At scale
+    the order is realized by a range-partitioned sort on the hash key
+    (no global single-partition stage); here the query surfaces each
+    epoch's HEAD (orderBy+limit, then a window over the limited rows) so
+    the orders themselves are hash-checked cross-engine."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for epoch in _SHUFFLE_EPOCHS:
+        key = F.md5(
+            F.concat(F.lit(f"{epoch}|"), F.col("doc_id").cast("string")).cast("binary")
+        )
+        top = (
+            d.select(F.lit(epoch).cast("bigint").alias("epoch"), "doc_id", key.alias("k"))
+            .orderBy(F.asc("k"), F.asc("doc_id"))
+            .limit(_SHUFFLE_HEAD)
+        )
+        w = Window.orderBy(F.asc("k"), F.asc("doc_id"))
+        e = top.withColumn("position", F.row_number().over(w).cast("bigint")).select(
+            "epoch", "position", "doc_id"
+        )
+        out = e if out is None else out.unionByName(e)
+    return out
+
+
+_EPOCH_SHUFFLE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT * FROM (
+  SELECT CAST({epoch} AS BIGINT) AS epoch,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5('{epoch}|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS position,
+         doc_id
+  FROM documents
+  ORDER BY md5('{epoch}|' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+  LIMIT {_SHUFFLE_HEAD}
+)"""
+    for epoch in _SHUFFLE_EPOCHS
+)
+
+
 QUERIES = {
+    "curation_epoch_shuffle": curation_epoch_shuffle,
     "curation_split_counts": curation_split_counts,
     "curation_cluster_safe_split": curation_cluster_safe_split,
     "curation_domain_mixture": curation_domain_mixture,
@@ -724,6 +771,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "curation_epoch_shuffle": _EPOCH_SHUFFLE_SQL,
     "curation_split_counts": CURATION_SPLIT_SQL,
     "curation_cluster_safe_split": _cluster_split_sql(),
     "curation_domain_mixture": CURATION_MIXTURE_SQL,

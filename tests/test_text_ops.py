@@ -261,3 +261,22 @@ def test_bpe_training_matches_pure_python_reference(spark, monkeypatch):
                     i += 1
             seqs[w] = out
     assert got == expect
+
+
+def test_epoch_shuffle_orders_differ_but_membership_is_stable(spark):
+    """Epoch reshuffling contract: each epoch's order is a permutation
+    (no repeats), epochs produce DIFFERENT orders, and re-running yields
+    the identical order (md5 determinism, no RNG state)."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.curation import curation_epoch_shuffle
+
+    rows = curation_epoch_shuffle(spark, "/root/testdata/sf0.001").collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append((r["position"], r["doc_id"]))
+    assert set(by_epoch) == {0, 1}
+    seq0 = [d for _, d in sorted(by_epoch[0])]
+    seq1 = [d for _, d in sorted(by_epoch[1])]
+    assert len(seq0) == len(set(seq0)) and len(seq1) == len(set(seq1))
+    assert seq0 != seq1, "epochs must shuffle differently"
+    rerun = curation_epoch_shuffle(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
