@@ -52,9 +52,9 @@ FROM documents GROUP BY lang
 _COARSE = 64  # coarse range-partitions for the distributed exact ntile
 
 
-def exact_ntile(df: DataFrame, value_col: str, key_col: str, n_buckets: int) -> DataFrame:
-    """EXACT ``ntile(n_buckets) OVER (ORDER BY value, key)`` without a
-    global single-partition window — the distributed two-pass form:
+def with_global_positions(df: DataFrame, value_col: str, key_col: str) -> tuple[DataFrame, int]:
+    """EXACT 1-based global rank by (value, key) without a global
+    single-partition window — the distributed two-pass rank:
 
     1. approx-quantile boundaries split the value domain into ~_COARSE
        coarse ranges (boundary quality affects BALANCE only, never
@@ -64,11 +64,10 @@ def exact_ntile(df: DataFrame, value_col: str, key_col: str, n_buckets: int) -> 
     2. one tiny agg counts each range — collected driver-side (bounded:
        <= _COARSE+1 rows, metadata-scale) to form exact running offsets;
     3. a window PARTITIONED BY range computes local row_number; global
-       position = range offset + local row_number, exact;
-    4. the closed-form ntile bucket of a 1-based position p over n rows
-       (first n%B buckets hold n//B+1 rows) is pure arithmetic.
+       position = range offset + local row_number, exact.
 
-    Returns ``df`` plus a ``bucket`` int column matching SQL NTILE."""
+    Returns (df + ``_pos`` bigint column, total row count).  Shared by
+    the exact ntile (equi-depth histogram) and the Gini coefficient."""
     vdbl = F.col(value_col).cast("double")
     probs = [i / _COARSE for i in range(1, _COARSE)]
     bnds = sorted(set(df.approxQuantile(value_col, probs, 0.001)))
@@ -92,6 +91,16 @@ def exact_ntile(df: DataFrame, value_col: str, key_col: str, n_buckets: int) -> 
     ) if offsets else F.create_map()
     lw = Window.partitionBy("_rng").orderBy(value_col, key_col)
     pos = (off_map[F.col("_rng")] + F.row_number().over(lw)).cast("bigint")
+    return with_rng.withColumn("_pos", pos).drop("_rng"), n
+
+
+def exact_ntile(df: DataFrame, value_col: str, key_col: str, n_buckets: int) -> DataFrame:
+    """EXACT ``ntile(n_buckets) OVER (ORDER BY value, key)`` built on the
+    distributed two-pass rank (``with_global_positions``); the
+    closed-form ntile bucket of a 1-based position p over n rows (first
+    n%B buckets hold n//B+1 rows) is pure arithmetic.  Returns ``df``
+    plus a ``bucket`` int column matching SQL NTILE."""
+    with_pos, n = with_global_positions(df, value_col, key_col)
     q, r = divmod(n, n_buckets)
     if q == 0:  # fewer rows than buckets: bucket == position
         bucket_expr = "CAST(_pos AS INT)"
@@ -100,11 +109,7 @@ def exact_ntile(df: DataFrame, value_col: str, key_col: str, n_buckets: int) -> 
             f"CAST(CASE WHEN _pos <= {(q + 1) * r} THEN (_pos - 1) DIV {q + 1} + 1 "
             f"ELSE {r} + (_pos - 1 - {(q + 1) * r}) DIV {q} + 1 END AS INT)"
         )
-    return (
-        with_rng.withColumn("_pos", pos)
-        .withColumn("bucket", F.expr(bucket_expr))
-        .drop("_rng", "_pos")
-    )
+    return with_pos.withColumn("bucket", F.expr(bucket_expr)).drop("_pos")
 
 
 def orders_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,6 +144,102 @@ SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_orders,
        CAST(MIN(o_totalprice) AS DOUBLE) AS lo, CAST(MAX(o_totalprice) AS DOUBLE) AS hi,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
 FROM b GROUP BY bucket
+"""
+
+
+def customers_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — the inequality/concentration
+    profile (how top-heavy is revenue?).  Gini needs every value's exact
+    GLOBAL rank; this reuses the distributed two-pass rank
+    (``with_global_positions``), so no single-partition window touches
+    the customer table at any scale.
+
+    Exactness: per-order cents via floor(x*100+0.5) (exact for 2-dp
+    money in double), per-customer spend as exact bigint sums, the
+    rank-weighted sum folded in DECIMAL(38,0) (pos * spend products
+    overflow bigint at ~1e9 customers), ONE cast to double at the
+    output: gini = (2*S1 - (n+1)*S0) / (n*S0) over ascending spend."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    spend = o.select("o_custkey", cents.alias("c")).groupBy("o_custkey").agg(
+        F.sum("c").alias("spend")
+    )
+    ranked, n = with_global_positions(spend, "spend", "o_custkey")
+    agg = ranked.agg(
+        F.sum(
+            F.col("_pos").cast("decimal(19,0)") * F.col("spend").cast("decimal(19,0)")
+        ).alias("s1"),
+        F.sum(F.col("spend").cast("decimal(38,0)")).alias("s0"),
+    )
+    s1 = F.col("s1").cast("double")
+    s0 = F.col("s0").cast("double")
+    nn = F.lit(float(n))
+    return agg.select(
+        F.lit(n).cast("bigint").alias("n_customers"),
+        (s0 / F.lit(100.0)).alias("total_spend"),
+        ((F.lit(2.0) * s1 - (nn + F.lit(1.0)) * s0) / (nn * s0)).alias("gini"),
+    )
+
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spend
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT spend, ROW_NUMBER() OVER (ORDER BY spend ASC, o_custkey ASC) AS pos FROM spend
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(pos AS HUGEINT) * spend) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(spend AS HUGEINT)) AS DOUBLE) AS s0
+  FROM ranked
+)
+SELECT n AS n_customers,
+       s0 / 100.0 AS total_spend,
+       (2.0 * s1 - (CAST(n AS DOUBLE) + 1.0) * s0) / (CAST(n AS DOUBLE) * s0) AS gini
+FROM agg
+"""
+
+
+_SKEW_TOP = 10
+
+
+def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-skew diagnostic: the heaviest join keys on the
+    fact side, each with its share of all rows and its load ratio vs the
+    mean key — the check that decides between a plain shuffle join,
+    salting, and AQE skew handling BEFORE burning a cluster-hour.  One
+    hash agg + one metadata-sized top-k; exact int/int double divisions
+    so the report hash-checks."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    top = per_key.orderBy(F.desc("n"), F.asc("l_orderkey")).limit(_SKEW_TOP)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        F.col("n").alias("n_rows_key"),
+        (F.col("n").cast("double") / F.col("n_rows")).alias("share"),
+        (
+            F.col("n").cast("double") * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_ratio"),
+    )
+
+
+_SKEW_SQL = f"""
+WITH per_key AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows FROM per_key
+), top AS (
+  SELECT l_orderkey, n FROM per_key ORDER BY n DESC, l_orderkey ASC LIMIT {_SKEW_TOP}
+)
+SELECT t.l_orderkey, t.n AS n_rows_key,
+       CAST(t.n AS DOUBLE) / s.n_rows AS share,
+       CAST(t.n AS DOUBLE) * CAST(s.n_keys AS DOUBLE) / CAST(s.n_rows AS DOUBLE) AS skew_ratio
+FROM top t CROSS JOIN stats s
 """
 
 
@@ -898,6 +999,8 @@ FROM est e CROSS JOIN tot t
 QUERIES = {
     "docs_crosstab_lang_source": docs_crosstab_lang_source,
     "sketch_countmin_user_counts": sketch_countmin_user_counts,
+    "customers_gini_spend": customers_gini_spend,
+    "diag_join_key_skew": diag_join_key_skew,
     "orders_equidepth_histogram": orders_equidepth_histogram,
     "basket_part_pairs": basket_part_pairs,
     "docs_chisq_lang_source": docs_chisq_lang_source,
@@ -910,6 +1013,8 @@ QUERIES = {
 ORACLE = {
     "docs_crosstab_lang_source": _CROSSTAB_SQL,
     "sketch_countmin_user_counts": _CM_SQL,
+    "customers_gini_spend": _GINI_SQL,
+    "diag_join_key_skew": _SKEW_SQL,
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
     "basket_part_pairs": _BASKET_SQL,
     "docs_chisq_lang_source": _CHISQ_SQL,
