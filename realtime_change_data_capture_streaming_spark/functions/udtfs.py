@@ -140,3 +140,60 @@ FROM documents d LEFT JOIN wide w ON w.doc_id = d.doc_id
 
 QUERIES["udtf_top_tokens_wide"] = udtf_top_tokens_wide
 ORACLE["udtf_top_tokens_wide"] = UDTF_TOPK_SQL
+
+
+class LangProfile:
+    """TABLE-ARGUMENT UDTF (Spark 4 ``TABLE(...) PARTITION BY``): the
+    engine hash-partitions the input table by lang and feeds each
+    partition's rows to ONE class instance — eval() accumulates, the
+    single terminate() emits the partition summary.  This is the
+    custom-aggregation API a built-in agg cannot express (arbitrary
+    Python state per group), with the engine owning the shuffle; state
+    is O(1) per partition.  Cite: reference has no UDF surface at all
+    (psycopg2/confluent-kafka glue only); this is the Spark-native
+    extension point."""
+
+    def __init__(self) -> None:
+        self._lang = None
+        self._n = 0
+        self._toks = 0
+        self._maxc = 0
+
+    def eval(self, row) -> None:  # noqa: D102 - contract is the class doc
+        self._lang = row["lang"]
+        self._n += 1
+        t = row["text"]
+        if t is not None:
+            self._toks += len(t.split())
+            self._maxc = max(self._maxc, len(t))
+
+    def terminate(self):  # noqa: D102
+        if self._n:
+            yield (self._lang, self._n, self._toks, self._maxc)
+
+
+def udtf_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile through the TABLE-argument UDTF: the
+    SQL call site is ``lang_profile(TABLE(docs) PARTITION BY lang)`` —
+    the engine shuffles, the class aggregates."""
+    spark.udtf.register(
+        "lang_profile",
+        udtf(LangProfile, returnType="lang string, n_docs bigint, n_tokens bigint, max_chars bigint"),
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_udtf3")
+    return spark.sql(
+        "SELECT * FROM lang_profile(TABLE(_docs_udtf3) PARTITION BY lang)"
+    )
+
+
+UDTF_LANG_PROFILE_SQL = r"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN text IS NULL THEN 0
+                ELSE LEN(list_filter(string_split_regex(text, '\s+'), t -> t != '')) END) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(MAX(LENGTH(text)), 0) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+QUERIES["udtf_lang_profile"] = udtf_lang_profile
+ORACLE["udtf_lang_profile"] = UDTF_LANG_PROFILE_SQL
