@@ -200,6 +200,96 @@ FROM agg
 """
 
 
+_AQP_PCT = 64  # keep 1/64 of rows: md5 bucket 0 of 64 (power of two: exact)
+
+
+def aqp_revenue_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing (the BlinkDB shape): estimate total
+    revenue per returnflag from a DETERMINISTIC 1/64 row sample — at
+    100 TB the sample scan reads ~1.6% of the data for an answer whose
+    error the query itself reports.  The sample predicate is
+    md5(l_orderkey || '|' || l_linenumber) bucket 0 (replayable in the
+    oracle, unlike TABLESAMPLE), estimates scale by 64, and the output
+    carries exact value + relative error + a 3-standard-error bound
+    flag (sigma from the sample's own variance, the AQP discipline of
+    the sketch operators).  Exact side exists for the oracle check; a
+    production caller runs only the sample branch."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    rev_fp = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")  # exact cents
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("l_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("l_linenumber").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    rows = li.select("l_returnflag", rev_fp.alias("r"), F.pmod(h, F.lit(_AQP_PCT)).alias("b"))
+    sample = rows.filter(F.col("b") == 0)
+    est = sample.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("r").alias("s"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r").cast("decimal(38,0)")).alias("ss"),
+    )
+    exact = rows.groupBy("l_returnflag").agg(F.sum("r").alias("s_exact"))
+    j = est.join(exact, "l_returnflag")
+    n = F.col("n_sampled").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.col("ss").cast("double") / n - mean * mean
+    est_total = F.col("s").cast("double") * F.lit(float(_AQP_PCT))
+    exact_d = F.col("s_exact").cast("double")
+    # 3-sigma of the scaled-sum estimator, P*sqrt(n*var) for an n-of-N
+    # uniform sample (finite-population factor omitted: wider CI); the
+    # expression shape matches the oracle token-for-token so the one
+    # float comparison is engine-identical
+    bound = F.lit(3.0) * F.lit(float(_AQP_PCT)) * F.sqrt(n * var)
+    return j.select(
+        "l_returnflag",
+        "n_sampled",
+        F.round(est_total / F.lit(100.0), 2).alias("est_revenue"),
+        F.round(exact_d / F.lit(100.0), 2).alias("exact_revenue"),
+        (F.abs(est_total - exact_d) <= bound).alias("within_3se"),
+    )
+
+
+_AQP_SQL = f"""
+WITH rows AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS r,
+         CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)), 1, 15))::UBIGINT % {_AQP_PCT} AS BIGINT) AS b
+  FROM lineitem
+), est AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         CAST(SUM(r) AS BIGINT) AS s,
+         CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS ss
+  FROM rows WHERE b = 0 GROUP BY 1
+), exact AS (
+  SELECT l_returnflag, CAST(SUM(r) AS BIGINT) AS s_exact FROM rows GROUP BY 1
+)
+SELECT e.l_returnflag, e.n_sampled,
+       ROUND(CAST(e.s AS DOUBLE) * {_AQP_PCT} / 100.0, 2) AS est_revenue,
+       ROUND(CAST(x.s_exact AS DOUBLE) / 100.0, 2) AS exact_revenue,
+       ABS(CAST(e.s AS DOUBLE) * {_AQP_PCT} - CAST(x.s_exact AS DOUBLE))
+         <= 3.0 * {_AQP_PCT} * SQRT(CAST(e.n_sampled AS DOUBLE)
+            * (CAST(e.ss AS DOUBLE) / e.n_sampled
+               - (CAST(e.s AS DOUBLE) / e.n_sampled) * (CAST(e.s AS DOUBLE) / e.n_sampled)))
+         AS within_3se
+FROM est e JOIN exact x USING (l_returnflag)
+"""
+
+
 _SKEW_TOP = 10
 
 
@@ -1001,6 +1091,7 @@ QUERIES = {
     "sketch_countmin_user_counts": sketch_countmin_user_counts,
     "customers_gini_spend": customers_gini_spend,
     "diag_join_key_skew": diag_join_key_skew,
+    "aqp_revenue_estimate": aqp_revenue_estimate,
     "orders_equidepth_histogram": orders_equidepth_histogram,
     "basket_part_pairs": basket_part_pairs,
     "docs_chisq_lang_source": docs_chisq_lang_source,
@@ -1015,6 +1106,7 @@ ORACLE = {
     "sketch_countmin_user_counts": _CM_SQL,
     "customers_gini_spend": _GINI_SQL,
     "diag_join_key_skew": _SKEW_SQL,
+    "aqp_revenue_estimate": _AQP_SQL,
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
     "basket_part_pairs": _BASKET_SQL,
     "docs_chisq_lang_source": _CHISQ_SQL,
