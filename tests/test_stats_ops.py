@@ -72,3 +72,37 @@ def test_exact_ntile_matches_sql_ntile(spark, n, buckets):
 def test_equidepth_plan_has_no_unbounded_global_window(spark):
     df = orders_equidepth_histogram(spark, "/root/testdata/sf0.001")
     assert unbounded_global_windows(df) == []
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_NTILE_ROWS = st.lists(
+    st.integers(-50, 50),  # heavy duplicate values by design
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vals=_NTILE_ROWS, buckets=st.integers(2, 9))
+def test_exact_ntile_property_matches_reference(spark, vals, buckets):
+    """Property form of the distributed ntile pin: for arbitrary value
+    multisets (duplicates likely) and bucket counts, the two-pass rank +
+    closed-form bucket equals the Python reference NTILE (sizes
+    ceil-first, order (value, key))."""
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k bigint, v double")
+    got = {r["k"]: r["bucket"] for r in exact_ntile(df, "v", "k", buckets).collect()}
+    order = [k for k, _ in sorted(rows, key=lambda t: (t[1], t[0]))]
+    n = len(order)
+    q, rem = divmod(n, buckets)
+    expect = {}
+    pos = 0
+    for b in range(1, buckets + 1):
+        size = q + (1 if b <= rem else 0)
+        for _ in range(size):
+            if pos < n:
+                expect[order[pos]] = b
+                pos += 1
+    assert got == expect
