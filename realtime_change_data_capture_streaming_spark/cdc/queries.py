@@ -512,6 +512,90 @@ FROM orders WHERE o_orderkey % 97 != 0
 """
 
 
+#: Debezium's actual placeholder for columns whose value was not in the
+#: WAL record (Postgres TOAST columns on UPDATE, unchanged large values)
+_TOAST_SENTINEL = "__debezium_unavailable_value__"
+
+
+def cdc_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOAST-column repair every Postgres+Debezium pipeline needs:
+    UPDATE events arrive with ``__debezium_unavailable_value__`` in large
+    columns the WAL did not re-log, and a naive latest-wins merge
+    OVERWRITES the real value with the placeholder.  The repair: after
+    the latest-wins fold, fill sentinel columns from the key's latest
+    NON-sentinel image (one max_by(value, lsn) aggregate over the
+    filtered change stream — no window, replay-safe under duplication
+    since ties carry equal values).  Output pins that no placeholder
+    survives and flags which rows needed repair."""
+    o = load_table(spark, sf_dir, "orders")
+    base_lsn = F.col("o_orderkey") * 3
+    ts_ms = F.unix_timestamp("o_orderdate") * 1000
+
+    def env(before, after, op, lsn_off):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                (ts_ms + lsn_off).alias("ts_ms"),
+                F.struct(
+                    (base_lsn + lsn_off).alias("lsn"),
+                    F.lit("transactions").alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+            )
+        )
+
+    key = F.col("o_orderkey").cast("string").alias("key")
+    real_voucher = F.concat(F.lit("VC"), F.col("o_orderkey").cast("string"))
+    ins_img = _image(F.col("o_totalprice")).withField("voucher_code", real_voucher)
+    upd_img = _image(F.col("o_totalprice") + _AMOUNT_BUMP).withField(
+        "voucher_code", F.lit(_TOAST_SENTINEL)
+    )
+    null_img = F.when(F.lit(False), ins_img)
+    inserts = o.select(key, env(null_img, ins_img, "c", F.lit(0)).alias("value"))
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        key, env(ins_img, upd_img, "u", F.lit(1)).alias("value")
+    )
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        key, env(upd_img, F.when(F.lit(False), ins_img), "d", F.lit(2)).alias("value")
+    )
+    events = inserts.unionByName(updates).unionByName(deletes)
+    redelivered = events.filter(F.pmod(F.xxhash64("key"), F.lit(3)) == 0)
+    events = events.unionByName(redelivered).repartition(17)
+
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import latest_per_key
+
+    parsed = parse_envelope(events, decimal_mode="string")
+    last = latest_per_key(parsed, "key").filter(F.col("op") != "d")
+    fills = (
+        parsed.filter(
+            (F.col("after.voucher_code") != F.lit(_TOAST_SENTINEL)) & (F.col("op") != "d")
+        )
+        .groupBy("key")
+        .agg(F.max_by(F.col("after.voucher_code"), F.col("lsn")).alias("fill_voucher"))
+    )
+    toasted = F.col("after.voucher_code") == F.lit(_TOAST_SENTINEL)
+    return last.join(fills, "key", "left").select(
+        F.col("after.transaction_id").alias("transaction_id"),
+        F.col("after.amount").cast("double").alias("amount"),
+        F.when(toasted, F.col("fill_voucher"))
+        .otherwise(F.col("after.voucher_code"))
+        .alias("voucher_code"),
+        toasted.alias("was_toasted"),
+    )
+
+
+CDC_TOAST_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP}
+                      ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       'VC' || CAST(o_orderkey AS VARCHAR) AS voucher_code,
+       o_orderkey % 10 = 0 AS was_toasted
+FROM orders WHERE o_orderkey % 97 != 0
+"""
+
+
 def cdc_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL-continuity audit: per key, does the observed LSN sequence have
     holes?  span = max-min+1 vs the observed event count — the capture-
@@ -902,6 +986,7 @@ QUERIES = {
     "cdc_change_feed": cdc_change_feed,
     "cdc_time_travel_summary": cdc_time_travel_summary,
     "cdc_lsn_gap_audit": cdc_lsn_gap_audit,
+    "cdc_toast_column_fill": cdc_toast_column_fill,
     "cdc_txn_consistent_apply": cdc_txn_consistent_apply,
     "cdc_forget_users": cdc_forget_users,
 }
@@ -910,6 +995,7 @@ ORACLE = {
     "cdc_change_feed": CDC_CHANGE_FEED_SQL,
     "cdc_time_travel_summary": CDC_TIME_TRAVEL_SQL,
     "cdc_lsn_gap_audit": CDC_LSN_GAP_SQL,
+    "cdc_toast_column_fill": CDC_TOAST_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_scd2_pointintime_join": CDC_SCD2_PIT_SQL,
     "cdc_apply_changes": CDC_APPLY_SQL,
