@@ -517,16 +517,12 @@ FROM orders WHERE o_orderkey % 97 != 0
 _TOAST_SENTINEL = "__debezium_unavailable_value__"
 
 
-def cdc_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The TOAST-column repair every Postgres+Debezium pipeline needs:
-    UPDATE events arrive with ``__debezium_unavailable_value__`` in large
-    columns the WAL did not re-log, and a naive latest-wins merge
-    OVERWRITES the real value with the placeholder.  The repair: after
-    the latest-wins fold, fill sentinel columns from the key's latest
-    NON-sentinel image (one max_by(value, lsn) aggregate over the
-    filtered change stream — no window, replay-safe under duplication
-    since ties carry equal values).  Output pins that no placeholder
-    survives and flags which rows needed repair."""
+def toast_change_phases(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(inserts, updates+deletes) change phases for the TOAST scenario:
+    inserts carry the real voucher; updates re-log the amount but carry
+    Debezium's unavailable-value placeholder for the voucher (the column
+    Postgres did not re-log); deletes as usual.  Shared by the batch
+    repair query and the cross-batch streaming variant."""
     o = load_table(spark, sf_dir, "orders")
     base_lsn = F.col("o_orderkey") * 3
     ts_ms = F.unix_timestamp("o_orderdate") * 1000
@@ -560,7 +556,23 @@ def cdc_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(
         key, env(upd_img, F.when(F.lit(False), ins_img), "d", F.lit(2)).alias("value")
     )
-    events = inserts.unionByName(updates).unionByName(deletes)
+    return inserts, updates.unionByName(deletes)
+
+
+def cdc_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOAST-column repair every Postgres+Debezium pipeline needs:
+    UPDATE events arrive with ``__debezium_unavailable_value__`` in large
+    columns the WAL did not re-log, and a naive latest-wins merge
+    OVERWRITES the real value with the placeholder.  The repair: after
+    the latest-wins fold, fill sentinel columns from the key's latest
+    NON-sentinel image (one max_by(value, lsn) aggregate over the
+    filtered change stream — no window, replay-safe under duplication
+    since ties carry equal values).  Output pins that no placeholder
+    survives and flags which rows needed repair.
+    ``stream_toast_column_fill`` proves the cross-batch form, where the
+    fill source is the SINK's stored state, not the event set."""
+    ins, upd_del = toast_change_phases(spark, sf_dir)
+    events = ins.unionByName(upd_del)
     redelivered = events.filter(F.pmod(F.xxhash64("key"), F.lit(3)) == 0)
     events = events.unionByName(redelivered).repartition(17)
 

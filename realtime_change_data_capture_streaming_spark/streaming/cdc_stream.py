@@ -128,13 +128,100 @@ def stream_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evolution_result_columns(sink.read())
 
 
+def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TOAST repair in its PRODUCTION form — across micro-batches,
+    where the only source for the missing value is the SINK's stored
+    state (the insert arrived in an earlier batch; the event set in hand
+    has no non-placeholder image).  Per batch, before the merge: the
+    incoming keys' touched buckets are read from the sink (path-pruned,
+    batch-sized — the merge's own I/O shape), placeholder columns fill
+    from the stored row, and the repaired batch merges normally; a
+    ``was_toasted`` flag is persisted with the row since the stored
+    image is already repaired.  Oracle: the batch closed form — the
+    batch boundary must be invisible."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import (
+        _TOAST_SENTINEL,
+        toast_change_phases,
+    )
+
+    work = scratch_dir(prefix="stream_toast_")
+    ins, upd_del = toast_change_phases(spark, sf_dir)
+    in_dir = stage_ordered_batches([ins, upd_del.repartition(1)], f"{work}/staged")
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    parsed = parse_envelope(stream, decimal_mode="string")
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
+
+    def repair_and_merge(batch: DataFrame, _bid: int) -> None:
+        # materialize the flag BEFORE the repair: an expression over
+        # after.voucher_code would re-evaluate against the repaired
+        # column and always read False
+        batch = batch.withColumn(
+            "_toasted", F.col("after.voucher_code") == F.lit(_TOAST_SENTINEL)
+        )
+        toasted = F.col("_toasted")
+        repaired = batch
+        if sink.data_dir() is not None:
+            touched = sorted(
+                r["b"] for r in batch.select(sink._bucket().alias("b")).distinct().collect()
+            )  # metadata-scale: the merge's own touched-bucket discovery
+            fills = (
+                sink.read_raw(buckets=touched)
+                .filter(F.col("op") != "d")
+                .select("key", F.col("voucher_code").alias("_fill"))
+            )
+            repaired = (
+                batch.join(fills, "key", "left")
+                .withColumn(
+                    "after",
+                    F.when(
+                        toasted & F.col("_fill").isNotNull(),
+                        F.col("after").withField("voucher_code", F.col("_fill")),
+                    ).otherwise(F.col("after")),
+                )
+                .drop("_fill")
+            )
+        repaired = repaired.withColumn(
+            "after", F.col("after").withField("was_toasted", toasted)
+        ).drop("_toasted")
+        sink.merge(repaired)
+
+    q = (
+        parsed.writeStream.foreachBatch(repair_and_merge)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    return sink.read().select(
+        "transaction_id",
+        F.col("amount").cast("double").alias("amount"),
+        "voucher_code",
+        "was_toasted",
+    )
+
+
 QUERIES = {
     "stream_cdc_merge": stream_cdc_merge,
     "stream_cdc_schema_evolution": stream_cdc_schema_evolution,
+    "stream_toast_column_fill": stream_toast_column_fill,
 }
+
+
+def _toast_sql() -> str:
+    from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_TOAST_SQL
+
+    return CDC_TOAST_SQL
+
+
 ORACLE = {
     "stream_cdc_merge": CDC_APPLY_SQL,
     "stream_cdc_schema_evolution": CDC_EVOLUTION_SQL,
+    "stream_toast_column_fill": _toast_sql(),
 }
 
 
