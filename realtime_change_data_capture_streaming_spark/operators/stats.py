@@ -860,12 +860,37 @@ def sketch_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     within eps of p (rank arithmetic on exact integers; the only
     doubles are the output values themselves)."""
     e = load_table(spark, sf_dir, "events")
+    rows = bkq_rows(e)
+    sample = bkq_sample(rows)
+    return bkq_finalize(sample, rows)
+
+
+def bkq_rows(e: DataFrame) -> DataFrame:
+    """(event_type, event_id, v, h): the hashed row form the bottom-k
+    sample selects from — md5-derived so the sample replays in DuckDB."""
     h = F.conv(
         F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 15), 16, 10
     ).cast("bigint")
-    rows = e.select("event_type", "event_id", F.col("value").cast("double").alias("v"), h.alias("h"))
+    return e.select(
+        "event_type", "event_id", F.col("value").cast("double").alias("v"), h.alias("h")
+    )
+
+
+def bkq_sample(rows: DataFrame) -> DataFrame:
+    """Per-group k smallest-hash rows — the MERGEABLE sample state: the
+    bottom-k of any union is the bottom-k of the parts' bottom-ks
+    (min-merge), so per-partition / per-micro-batch samples combine
+    exactly (property-pinned in tests/test_sketches.py; cross-batch
+    merge proven through the real engine by stream_bottomk_quantiles)."""
     wr = Window.partitionBy("event_type").orderBy("h", "event_id")
-    sample = rows.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= _BKQ_K)
+    return (
+        rows.withColumn("rk", F.row_number().over(wr)).filter(F.col("rk") <= _BKQ_K).drop("rk")
+    )
+
+
+def bkq_finalize(sample: DataFrame, rows: DataFrame) -> DataFrame:
+    """Sample + full rows -> nearest-rank p50/p90 with exact quantiles
+    and the DKW in-bounds flag (the sketch-operator oracle discipline)."""
     wn = Window.partitionBy("event_type")
     wv = Window.partitionBy("event_type").orderBy("v", "event_id")
     sq = (

@@ -148,11 +148,78 @@ def stream_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm_finalize(counters, e.select("user_id"))
 
 
+def stream_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles maintained ACROSS micro-batches by bottom-k
+    MIN-merge — the third mergeable-sketch law proven through the real
+    engine (HLL = max-merge, count-min = sum-merge, bottom-k =
+    min-merge): each batch's per-group k smallest-hash rows union the
+    stored sample and the k smallest of the union are re-kept, all
+    executor-side through the versioned-dir store.  State is exactly
+    groups x k rows regardless of stream volume.  Oracle: the batch
+    bottom-k over the whole table — min-merge makes the batch split
+    invisible."""
+    from realtime_change_data_capture_streaming_spark.operators.stats import (
+        bkq_finalize,
+        bkq_rows,
+        bkq_sample,
+    )
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
+
+    work = scratch_dir(prefix="stream_bkq_")
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    in_dir = stage_ordered_batches(
+        [
+            e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 0),
+            e.filter(F.pmod(F.col("event_id"), F.lit(2)) == 1),
+        ],
+        f"{work}/staged",
+    )
+
+    store = f"{work}/sample"
+
+    def merge_sample(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        bs = bkq_sample(bkq_rows(batch))
+        live = table_commit.resolve(store)
+        if live is not None:
+            bs = bs.unionByName(sp.read.parquet(live))
+        merged = bkq_sample(bs)  # k smallest of the union: the min-merge
+        vdir, seq = table_commit.begin(store)
+        merged.write.mode("overwrite").parquet(vdir)
+        table_commit.commit(store, seq)
+
+    stream = (
+        spark.readStream.schema("event_type string, event_id bigint, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_sample)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    sample = spark.read.parquet(table_commit.resolve(store))
+    return bkq_finalize(sample, bkq_rows(e))
+
+
 QUERIES = {
     "stream_hll_distinct_users": stream_hll_distinct_users,
     "stream_countmin_user_counts": stream_countmin_user_counts,
+    "stream_bottomk_quantiles": stream_bottomk_quantiles,
 }
+
+
+def _bkq_oracle() -> str:
+    from realtime_change_data_capture_streaming_spark.operators.stats import _BKQ_SQL
+
+    return _BKQ_SQL
+
+
 ORACLE = {
     "stream_hll_distinct_users": _HLL_SQL,
     "stream_countmin_user_counts": _CM_SQL,
+    "stream_bottomk_quantiles": _bkq_oracle(),
 }
