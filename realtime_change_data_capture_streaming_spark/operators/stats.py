@@ -200,6 +200,82 @@ FROM agg
 """
 
 
+_RFM_ANCHOR = "1999-01-01"  # fixed "as of" date for recency
+
+
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic marketing-analytics scoring: per customer days-since-last-
+    order, order count, and exact spend, each quintiled with the
+    distributed two-pass ntile (``exact_ntile`` x3 — no global window
+    touches the customer table), then classified into the standard
+    segments.  Scores: 6 - recency quintile (recent = high), frequency
+    and monetary quintiles directly.  All ties break on c_custkey, so
+    the segmentation is a pure function of the data."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    per_cust = o.select("o_custkey", "o_orderdate", cents.alias("c")).groupBy(
+        "o_custkey"
+    ).agg(
+        F.datediff(F.lit(_RFM_ANCHOR).cast("date"), F.max("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum("c").alias("monetary_cents"),
+    )
+    d = exact_ntile(per_cust, "recency_days", "o_custkey", 5).withColumnRenamed(
+        "bucket", "_rb"
+    )
+    d = exact_ntile(d, "frequency", "o_custkey", 5).withColumnRenamed("bucket", "_fb")
+    d = exact_ntile(d, "monetary_cents", "o_custkey", 5).withColumnRenamed("bucket", "_mb")
+    r = (F.lit(6) - F.col("_rb")).cast("bigint")
+    f_ = F.col("_fb").cast("bigint")
+    m = F.col("_mb").cast("bigint")
+    segment = (
+        F.when((r >= 4) & (f_ >= 4) & (m >= 4), F.lit("champions"))
+        .when((r <= 2) & (f_ <= 2), F.lit("hibernating"))
+        .when((r <= 2) & (f_ >= 3), F.lit("at_risk"))
+        .when(f_ >= 4, F.lit("loyal"))
+        .otherwise(F.lit("others"))
+    )
+    return (
+        d.select(segment.alias("segment"), "monetary_cents")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.sum("monetary_cents").cast("double") / F.lit(100.0)).alias("total_spend"),
+        )
+    )
+
+
+_RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '{_RFM_ANCHOR}') AS BIGINT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_custkey, monetary_cents,
+         6 - NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+         NTILE(5) OVER (ORDER BY frequency ASC, o_custkey ASC) AS f,
+         NTILE(5) OVER (ORDER BY monetary_cents ASC, o_custkey ASC) AS m
+  FROM per_cust
+), seg AS (
+  SELECT monetary_cents,
+         CASE WHEN r >= 4 AND f >= 4 AND m >= 4 THEN 'champions'
+              WHEN r <= 2 AND f <= 2 THEN 'hibernating'
+              WHEN r <= 2 AND f >= 3 THEN 'at_risk'
+              WHEN f >= 4 THEN 'loyal'
+              ELSE 'others' END AS segment
+  FROM scored
+)
+SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary_cents AS HUGEINT)) AS DOUBLE) / 100.0 AS total_spend
+FROM seg GROUP BY 1
+"""
+
+
 _AQP_PCT = 64  # keep 1/64 of rows: md5 bucket 0 of 64 (power of two: exact)
 
 
@@ -1117,6 +1193,7 @@ QUERIES = {
     "customers_gini_spend": customers_gini_spend,
     "diag_join_key_skew": diag_join_key_skew,
     "aqp_revenue_estimate": aqp_revenue_estimate,
+    "customers_rfm_segments": customers_rfm_segments,
     "orders_equidepth_histogram": orders_equidepth_histogram,
     "basket_part_pairs": basket_part_pairs,
     "docs_chisq_lang_source": docs_chisq_lang_source,
@@ -1132,6 +1209,7 @@ ORACLE = {
     "customers_gini_spend": _GINI_SQL,
     "diag_join_key_skew": _SKEW_SQL,
     "aqp_revenue_estimate": _AQP_SQL,
+    "customers_rfm_segments": _RFM_SQL,
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
     "basket_part_pairs": _BASKET_SQL,
     "docs_chisq_lang_source": _CHISQ_SQL,
