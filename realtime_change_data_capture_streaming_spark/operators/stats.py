@@ -200,6 +200,136 @@ FROM agg
 """
 
 
+def customers_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers grouped by FIRST-order
+    year, cumulative spend per years-since-acquisition — the LTV grid
+    behind payback-period decisions (the revenue complement of the
+    event-side retention cohort).
+
+    One agg for first-order year per customer, one broadcast join back,
+    one (cohort, offset) agg in exact cents, then a running sum over a
+    window PARTITIONED by cohort whose input is one row per (cohort,
+    year offset) — calendar-bounded at any data scale."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    first = o.groupBy("o_custkey").agg(F.min(F.year("o_orderdate")).alias("cohort_year"))
+    grid = (
+        o.select("o_custkey", F.year("o_orderdate").alias("yr"), cents.alias("c"))
+        .join(F.broadcast(first), "o_custkey")
+        .groupBy("cohort_year", (F.col("yr") - F.col("cohort_year")).alias("year_offset"))
+        .agg(
+            F.sum("c").alias("spend_cents"),
+            F.countDistinct("o_custkey").cast("bigint").alias("n_active_customers"),
+        )
+    )
+    w = Window.partitionBy("cohort_year").orderBy("year_offset")
+    return grid.select(
+        F.col("cohort_year").cast("bigint").alias("cohort_year"),
+        F.col("year_offset").cast("bigint").alias("year_offset"),
+        "n_active_customers",
+        (F.col("spend_cents").cast("double") / F.lit(100.0)).alias("spend"),
+        (F.sum("spend_cents").over(w).cast("double") / F.lit(100.0)).alias("cumulative_ltv"),
+    )
+
+
+_COHORT_LTV_SQL = """
+WITH first AS (
+  SELECT o_custkey, MIN(EXTRACT(year FROM o_orderdate)) AS cohort_year
+  FROM orders GROUP BY 1
+), grid AS (
+  SELECT f.cohort_year,
+         EXTRACT(year FROM o.o_orderdate) - f.cohort_year AS year_offset,
+         CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS spend_cents,
+         CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active_customers
+  FROM orders o JOIN first f USING (o_custkey)
+  GROUP BY 1, 2
+)
+SELECT CAST(cohort_year AS BIGINT) AS cohort_year,
+       CAST(year_offset AS BIGINT) AS year_offset,
+       n_active_customers,
+       CAST(spend_cents AS DOUBLE) / 100.0 AS spend,
+       CAST(SUM(spend_cents) OVER (PARTITION BY cohort_year ORDER BY year_offset
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0 AS cumulative_ltv
+FROM grid
+"""
+
+
+_ANOVA_FP = float(1 << 20)
+
+
+def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test: does mean l_quantity differ by return flag? —
+    the continuous-response counterpart of the chi-square independence
+    test (same fixed-point fold discipline).
+
+    Group sums and squared sums are EXACT bigints (quantity is a small
+    int); the only fractional per-group term, S_g^2/n_g, folds as
+    floor(x * 2^20) so the cross-group reduction is an exact integer sum
+    (order-independent — a double sum across groups would drift with
+    aggregation order); the closed-form F from those integers is a
+    handful of correctly-rounded IEEE ops replayed token-for-token by
+    the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    )
+    per = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("q").alias("s_g"),
+        F.sum(F.col("q") * F.col("q")).alias("ss_g"),
+    )
+    contrib_fp = F.floor(
+        F.col("s_g").cast("double") * F.col("s_g").cast("double")
+        / F.col("n_g").cast("double")
+        * F.lit(_ANOVA_FP)
+    ).cast("bigint")
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_g").alias("n"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("sst"),
+        F.sum(contrib_fp).alias("cfp"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    cdbl = F.col("cfp").cast("double") / F.lit(_ANOVA_FP)
+    ssb = cdbl - F.col("s").cast("double") * F.col("s").cast("double") / n
+    ssw = F.col("sst").cast("double") - cdbl
+    f_stat = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    return agg.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_rows"),
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+
+
+_ANOVA_SQL = f"""
+WITH per AS (
+  SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_g,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ss_g
+  FROM lineitem GROUP BY 1
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(SUM(ss_g) AS BIGINT) AS sst,
+         CAST(SUM(CAST(FLOOR(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+              / CAST(n_g AS DOUBLE) * {_ANOVA_FP!r}) AS BIGINT)) AS BIGINT) AS cfp
+  FROM per
+)
+SELECT k AS n_groups, CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(cfp AS DOUBLE) / {_ANOVA_FP!r}
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS ss_between,
+       ROUND(CAST(sst AS DOUBLE) - CAST(cfp AS DOUBLE) / {_ANOVA_FP!r}, 4) AS ss_within,
+       ROUND(((CAST(cfp AS DOUBLE) / {_ANOVA_FP!r}
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((CAST(sst AS DOUBLE) - CAST(cfp AS DOUBLE) / {_ANOVA_FP!r}) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6) AS f_stat
+FROM agg
+"""
+
+
 _RFM_ANCHOR = "1999-01-01"  # fixed "as of" date for recency
 
 
@@ -1194,6 +1324,8 @@ QUERIES = {
     "diag_join_key_skew": diag_join_key_skew,
     "aqp_revenue_estimate": aqp_revenue_estimate,
     "customers_rfm_segments": customers_rfm_segments,
+    "customers_cohort_ltv": customers_cohort_ltv,
+    "lineitem_anova_returnflag": lineitem_anova_returnflag,
     "orders_equidepth_histogram": orders_equidepth_histogram,
     "basket_part_pairs": basket_part_pairs,
     "docs_chisq_lang_source": docs_chisq_lang_source,
@@ -1210,6 +1342,8 @@ ORACLE = {
     "diag_join_key_skew": _SKEW_SQL,
     "aqp_revenue_estimate": _AQP_SQL,
     "customers_rfm_segments": _RFM_SQL,
+    "customers_cohort_ltv": _COHORT_LTV_SQL,
+    "lineitem_anova_returnflag": _ANOVA_SQL,
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
     "basket_part_pairs": _BASKET_SQL,
     "docs_chisq_lang_source": _CHISQ_SQL,
