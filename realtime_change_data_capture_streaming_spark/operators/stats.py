@@ -601,6 +601,143 @@ LIMIT {_BASKET_TOP}
 
 
 
+_ASSOC_TOP = 15
+
+
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over the top co-purchase pairs: support,
+    confidence P(b|a), and lift P(ab)/(P(a)P(b)) — the decision layer on
+    the raw pair counts (a frequent pair of two individually-frequent
+    parts is uninteresting; lift > 1 is the signal).
+
+    Per-part basket counts are a second metadata-scale agg broadcast to
+    the pair table; every metric is an exact-integer ratio evaluated
+    with identical expression shapes in both engines."""
+    pairs = co_purchase_pairs(spark, sf_dir).groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ab")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n_p"))
+    n_orders = li.select("l_orderkey").distinct().count()  # 1 scalar, bounded
+    top = pairs.orderBy(F.desc("n_ab"), F.asc("part_a"), F.asc("part_b")).limit(_ASSOC_TOP)
+    j = (
+        top.join(
+            F.broadcast(per_part.withColumnRenamed("l_partkey", "part_a").withColumnRenamed("n_p", "n_a")),
+            "part_a",
+        )
+        .join(
+            F.broadcast(per_part.withColumnRenamed("l_partkey", "part_b").withColumnRenamed("n_p", "n_b")),
+            "part_b",
+        )
+    )
+    nn = F.lit(float(n_orders))
+    return j.select(
+        "part_a",
+        "part_b",
+        "n_ab",
+        F.round(F.col("n_ab").cast("double") / nn, 8).alias("support"),
+        F.round(F.col("n_ab").cast("double") / F.col("n_a").cast("double"), 8).alias("confidence"),
+        F.round(
+            F.col("n_ab").cast("double") * nn
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            6,
+        ).alias("lift"),
+    )
+
+
+_ASSOC_SQL = f"""
+WITH {CO_PURCHASE_PAIRS_SQL},
+pc AS (
+  SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_ab FROM pairs GROUP BY 1, 2
+), d2 AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), per_part AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_p FROM d2 GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n FROM d2
+), top AS (
+  SELECT part_a, part_b, n_ab FROM pc ORDER BY n_ab DESC, part_a ASC, part_b ASC LIMIT {_ASSOC_TOP}
+)
+SELECT t.part_a, t.part_b, t.n_ab,
+       ROUND(CAST(t.n_ab AS DOUBLE) / tot.n, 8) AS support,
+       ROUND(CAST(t.n_ab AS DOUBLE) / CAST(a.n_p AS DOUBLE), 8) AS confidence,
+       ROUND(CAST(t.n_ab AS DOUBLE) * tot.n / (CAST(a.n_p AS DOUBLE) * CAST(b.n_p AS DOUBLE)), 6) AS lift
+FROM top t
+JOIN per_part a ON a.l_partkey = t.part_a
+JOIN per_part b ON b.l_partkey = t.part_b
+CROSS JOIN tot
+"""
+
+
+def events_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on a deterministic A/B assignment: users
+    split by id parity, outcome = did-purchase; z = (p1-p2) /
+    sqrt(p(1-p)(1/n1+1/n2)) — the experiment-readout primitive, with
+    the null correctly not rejected on the synthetic feed.  All inputs
+    are exact integers; the z closed form is a few correctly-rounded
+    IEEE ops mirrored token-for-token by the oracle."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    # outcome must be non-degenerate (every fixture user purchases at
+    # least once, which would zero the pooled variance): converted =
+    # made a HIGH-VALUE purchase
+    per_user = e.groupBy("user_id").agg(
+        F.max(
+            ((F.col("event_type") == "purchase") & (F.col("value") > F.lit(150.0))).cast("int")
+        ).alias("converted")
+    )
+    grp = per_user.groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("variant")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    a = grp.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("c_a")
+    )
+    b = grp.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("c_b")
+    )
+    j = a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    p1, p2 = ca / na, cb / nb
+    pp = (ca + cb) / (na + nb)
+    z = (p1 - p2) / F.sqrt(pp * (F.lit(1.0) - pp) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    return j.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.round(p1, 8).alias("rate_a"),
+        F.round(p2, 8).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        (F.abs(z) < F.lit(1.96)).alias("null_retained"),
+    )
+
+
+_ABTEST_SQL = """
+WITH per_user AS (
+  SELECT user_id, MAX(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+), grp AS (
+  SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM per_user GROUP BY 1
+), a AS (SELECT n AS n_a, conv AS c_a FROM grp WHERE variant = 0),
+b AS (SELECT n AS n_b, conv AS c_b FROM grp WHERE variant = 1)
+SELECT n_a, c_a, n_b, c_b,
+       ROUND(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE), 8) AS rate_a,
+       ROUND(CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 8) AS rate_b,
+       ROUND((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / SQRT((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    * (1.0 - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 6) AS z_score,
+       ABS((CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / SQRT((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                  * (1.0 - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE)) / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                  * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))) < 1.96 AS null_retained
+FROM a CROSS JOIN b
+"""
+
+
 _CHI_FP = float(1 << 20)
 
 
@@ -1326,6 +1463,8 @@ QUERIES = {
     "customers_rfm_segments": customers_rfm_segments,
     "customers_cohort_ltv": customers_cohort_ltv,
     "lineitem_anova_returnflag": lineitem_anova_returnflag,
+    "basket_association_rules": basket_association_rules,
+    "events_ab_proportion_ztest": events_ab_proportion_ztest,
     "orders_equidepth_histogram": orders_equidepth_histogram,
     "basket_part_pairs": basket_part_pairs,
     "docs_chisq_lang_source": docs_chisq_lang_source,
@@ -1344,6 +1483,8 @@ ORACLE = {
     "customers_rfm_segments": _RFM_SQL,
     "customers_cohort_ltv": _COHORT_LTV_SQL,
     "lineitem_anova_returnflag": _ANOVA_SQL,
+    "basket_association_rules": _ASSOC_SQL,
+    "events_ab_proportion_ztest": _ABTEST_SQL,
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
     "basket_part_pairs": _BASKET_SQL,
     "docs_chisq_lang_source": _CHISQ_SQL,
