@@ -330,6 +330,53 @@ FROM agg
 """
 
 
+def orders_seasonal_naive_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting baseline: predicted revenue for month
+    m = actual revenue of the same month one year earlier — the
+    benchmark every real forecasting model must beat, evaluated here
+    with per-month absolute percentage error.  One exact-cents monthly
+    aggregate (calendar-bounded), then lag(1) over a window PARTITIONED
+    by month-of-year ordered by year — never a single-partition
+    window; errors are exact-integer ratios."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    monthly = o.select(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo"), cents.alias("c")
+    ).groupBy("yr", "mo").agg(F.sum("c").alias("rev_cents"))
+    w = Window.partitionBy("mo").orderBy("yr")
+    withf = monthly.withColumn("fc_cents", F.lag("rev_cents", 1).over(w)).filter(
+        F.col("fc_cents").isNotNull()
+    )
+    ape = F.abs(F.col("rev_cents") - F.col("fc_cents")).cast("double") / F.col(
+        "rev_cents"
+    ).cast("double")
+    return withf.select(
+        F.col("yr").cast("bigint").alias("yr"),
+        F.col("mo").cast("bigint").alias("mo"),
+        (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("actual"),
+        (F.col("fc_cents").cast("double") / F.lit(100.0)).alias("forecast"),
+        F.round(ape, 8).alias("abs_pct_err"),
+    )
+
+
+_SEAS_FC_SQL = """
+WITH monthly AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS yr, EXTRACT(month FROM o_orderdate) AS mo,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM orders GROUP BY 1, 2
+), withf AS (
+  SELECT yr, mo, rev_cents,
+         LAG(rev_cents, 1) OVER (PARTITION BY mo ORDER BY yr) AS fc_cents
+  FROM monthly
+)
+SELECT CAST(yr AS BIGINT) AS yr, CAST(mo AS BIGINT) AS mo,
+       CAST(rev_cents AS DOUBLE) / 100.0 AS actual,
+       CAST(fc_cents AS DOUBLE) / 100.0 AS forecast,
+       ROUND(CAST(ABS(rev_cents - fc_cents) AS DOUBLE) / CAST(rev_cents AS DOUBLE), 8) AS abs_pct_err
+FROM withf WHERE fc_cents IS NOT NULL
+"""
+
+
 _RFM_ANCHOR = "1999-01-01"  # fixed "as of" date for recency
 
 
@@ -599,6 +646,95 @@ LIMIT {_BASKET_TOP}
 """
 
 
+
+
+def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the optimizer surface: per
+    column exact NDV, null count, and min/max — the stats a cost-based
+    optimizer feeds on, computed in ONE scan (every counter is a branch
+    of a single aggregate; no per-column re-scan).  Min/max render
+    per-type deterministically (ints verbatim, money as exact cents,
+    timestamps via an explicit format) so one string schema serves all
+    columns without cross-engine float-formatting drift."""
+    o = load_table(spark, sf_dir, "orders")
+    cents_min = F.floor(F.min("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    cents_max = F.floor(F.max("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    renders = {
+        "o_orderkey": (F.min("o_orderkey").cast("string"), F.max("o_orderkey").cast("string")),
+        "o_custkey": (F.min("o_custkey").cast("string"), F.max("o_custkey").cast("string")),
+        "o_orderstatus": (F.min("o_orderstatus"), F.max("o_orderstatus")),
+        "o_totalprice": (cents_min.cast("string"), cents_max.cast("string")),
+        "o_orderdate": (
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd"),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd"),
+        ),
+    }
+    cols = tuple(renders)
+    agg = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        *[F.countDistinct(c).cast("bigint").alias(f"ndv_{i}") for i, c in enumerate(cols)],
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"nul_{i}")
+            for i, c in enumerate(cols)
+        ],
+        *[renders[c][0].alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[renders[c][1].alias(f"mx_{i}") for i, c in enumerate(cols)],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"ndv_{i}").alias("ndv"),
+                F.col(f"nul_{i}").alias("n_nulls"),
+                F.col(f"mn_{i}").alias("min_str"),
+                F.col(f"mx_{i}").alias("max_str"),
+            )
+            for i, c in enumerate(cols)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("s")).select("s.*")
+
+
+_TABLE_STATS_SQL = """
+WITH s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+)
+SELECT 'o_orderkey' AS column, s.n_rows,
+       (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS ndv,
+       (SELECT CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders) AS n_nulls,
+       (SELECT CAST(MIN(o_orderkey) AS VARCHAR) FROM orders) AS min_str,
+       (SELECT CAST(MAX(o_orderkey) AS VARCHAR) FROM orders) AS max_str
+FROM s
+UNION ALL
+SELECT 'o_custkey', s.n_rows,
+       (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders),
+       (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT CAST(MIN(o_custkey) AS VARCHAR) FROM orders),
+       (SELECT CAST(MAX(o_custkey) AS VARCHAR) FROM orders)
+FROM s
+UNION ALL
+SELECT 'o_orderstatus', s.n_rows,
+       (SELECT CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM orders),
+       (SELECT CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT MIN(o_orderstatus) FROM orders),
+       (SELECT MAX(o_orderstatus) FROM orders)
+FROM s
+UNION ALL
+SELECT 'o_totalprice', s.n_rows,
+       (SELECT CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) FROM orders),
+       (SELECT CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT CAST(CAST(FLOOR(MIN(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS VARCHAR) FROM orders),
+       (SELECT CAST(CAST(FLOOR(MAX(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS VARCHAR) FROM orders)
+FROM s
+UNION ALL
+SELECT 'o_orderdate', s.n_rows,
+       (SELECT CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) FROM orders),
+       (SELECT CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM orders),
+       (SELECT strftime(MIN(o_orderdate), '%Y-%m-%d') FROM orders),
+       (SELECT strftime(MAX(o_orderdate), '%Y-%m-%d') FROM orders)
+FROM s
+"""
 
 
 _ASSOC_TOP = 15
@@ -1465,6 +1601,8 @@ QUERIES = {
     "lineitem_anova_returnflag": lineitem_anova_returnflag,
     "basket_association_rules": basket_association_rules,
     "events_ab_proportion_ztest": events_ab_proportion_ztest,
+    "table_stats_orders": table_stats_orders,
+    "orders_seasonal_naive_forecast": orders_seasonal_naive_forecast,
     "orders_equidepth_histogram": orders_equidepth_histogram,
     "basket_part_pairs": basket_part_pairs,
     "docs_chisq_lang_source": docs_chisq_lang_source,
@@ -1485,6 +1623,8 @@ ORACLE = {
     "lineitem_anova_returnflag": _ANOVA_SQL,
     "basket_association_rules": _ASSOC_SQL,
     "events_ab_proportion_ztest": _ABTEST_SQL,
+    "table_stats_orders": _TABLE_STATS_SQL,
+    "orders_seasonal_naive_forecast": _SEAS_FC_SQL,
     "orders_equidepth_histogram": _EQUIDEPTH_SQL,
     "basket_part_pairs": _BASKET_SQL,
     "docs_chisq_lang_source": _CHISQ_SQL,
