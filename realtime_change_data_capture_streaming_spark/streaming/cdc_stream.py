@@ -137,8 +137,17 @@ def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-sized — the merge's own I/O shape), placeholder columns fill
     from the stored row, and the repaired batch merges normally; a
     ``was_toasted`` flag is persisted with the row since the stored
-    image is already repaired.  Oracle: the batch closed form — the
-    batch boundary must be invisible."""
+    image is already repaired.
+
+    A real Debezium feed routinely delivers a key's insert and its
+    sentinel-bearing update in the SAME micro-batch, where the sink has
+    no stored image yet — so before consulting the sink, each batch does
+    a BATCH-LOCAL repair (the batch form's max_by(voucher, lsn) over
+    non-sentinel images), and only still-unfilled sentinels fall back to
+    sink state.  The staging exercises both paths: half the updates ride
+    in the insert batch (batch-local path), the rest arrive a batch
+    later (sink-state path).  Oracle: the batch closed form — the batch
+    split must be invisible either way."""
     from realtime_change_data_capture_streaming_spark.cdc.queries import (
         _TOAST_SENTINEL,
         toast_change_phases,
@@ -146,7 +155,11 @@ def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = scratch_dir(prefix="stream_toast_")
     ins, upd_del = toast_change_phases(spark, sf_dir)
-    in_dir = stage_ordered_batches([ins, upd_del.repartition(1)], f"{work}/staged")
+    is_upd = F.get_json_object("value", "$.op") == "u"
+    same_batch = is_upd & (F.col("key").cast("long") % 20 == 0)
+    phase1 = ins.unionByName(upd_del.filter(same_batch))
+    phase2 = upd_del.filter(~same_batch)
+    in_dir = stage_ordered_batches([phase1, phase2.repartition(1)], f"{work}/staged")
     stream = (
         spark.readStream.schema("key string, value string")
         .option("maxFilesPerTrigger", "1")
@@ -164,6 +177,32 @@ def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "_toasted", F.col("after.voucher_code") == F.lit(_TOAST_SENTINEL)
         )
         toasted = F.col("_toasted")
+        # batch-local repair FIRST: if this batch itself carries a
+        # non-sentinel image for the key (insert + toasted update in one
+        # batch — normal in a real feed), fill from it; otherwise a
+        # latest-wins merge would store the sentinel permanently and
+        # later batches would "fill" from the stored sentinel.
+        local_fills = (
+            batch.filter(~toasted & (F.col("op") != "d"))
+            .groupBy("key")
+            .agg(F.max_by(F.col("after.voucher_code"), F.col("lsn")).alias("_lfill"))
+        )
+        batch = (
+            batch.join(local_fills, "key", "left")
+            .withColumn(
+                "after",
+                F.when(
+                    toasted & F.col("_lfill").isNotNull(),
+                    F.col("after").withField("voucher_code", F.col("_lfill")),
+                ).otherwise(F.col("after")),
+            )
+            .drop("_lfill")
+        )
+        # re-materialize AFTER the local repair (a lazy expr would read
+        # the repaired value); only still-sentinel rows hit the sink
+        batch = batch.withColumn(
+            "_unfilled", F.col("after.voucher_code") == F.lit(_TOAST_SENTINEL)
+        )
         repaired = batch
         if sink.data_dir() is not None:
             touched = sorted(
@@ -179,7 +218,7 @@ def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn(
                     "after",
                     F.when(
-                        toasted & F.col("_fill").isNotNull(),
+                        F.col("_unfilled") & F.col("_fill").isNotNull(),
                         F.col("after").withField("voucher_code", F.col("_fill")),
                     ).otherwise(F.col("after")),
                 )
@@ -187,7 +226,7 @@ def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         repaired = repaired.withColumn(
             "after", F.col("after").withField("was_toasted", toasted)
-        ).drop("_toasted")
+        ).drop("_toasted", "_unfilled")
         sink.merge(repaired)
 
     q = (
