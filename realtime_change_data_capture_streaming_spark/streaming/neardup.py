@@ -78,7 +78,10 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.countDistinct("hist_doc").alias("n_history_candidates"))
         )
-        flagged.write.mode("append").parquet(out_dir)
+        # per-batch-id subdir + overwrite, not append: foreachBatch is
+        # at-least-once, and a re-delivered batch must replace its own
+        # prior output instead of appending a duplicate copy
+        flagged.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
 
     q = (
         stream.writeStream.foreachBatch(_admit)
@@ -87,7 +90,7 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
-    return spark.read.parquet(out_dir)
+    return spark.read.parquet(out_dir).drop("batch")
 
 
 def _admission_sql() -> str:

@@ -36,6 +36,78 @@ from realtime_change_data_capture_streaming_spark.session import scratch_dir
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
 
+def _already_applied(store: str, bid: int) -> bool:
+    """Replay guard for foreachBatch sketch commits.
+
+    foreachBatch is at-least-once: a crash between ``table_commit.commit``
+    and the checkpoint advancing re-delivers the SAME batch id on restart.
+    The max-merge (HLL) absorbs that, but sum-merge double-counts and the
+    bottom-k sample would re-insert duplicate rows — so every store's
+    manifest records the last applied batch id and re-delivered batches
+    are skipped (idempotent commit keyed on the batch id, the same
+    effectively-once recipe as the keyed CDC merge).  Batch ids are
+    monotonically increasing within a checkpointed query, so ``<=`` is
+    exactly "already applied"."""
+    m = table_commit.read_manifest(store)
+    return m is not None and bid <= m.get("applied_bid", -1)
+
+
+def _merge_hll_registers(store: str, batch: DataFrame, bid: int) -> None:
+    """One micro-batch of the HLL register max-merge (module-level so
+    tests can replay a batch id against a real store)."""
+    if _already_applied(store, bid):
+        return
+    sp = batch.sparkSession
+    br = hll_registers(batch)
+    live = table_commit.resolve(store)
+    if live is not None:
+        br = br.unionByName(sp.read.parquet(live))
+    merged = br.groupBy("event_type", "j").agg(F.max("r").alias("r"))
+    vdir, seq = table_commit.begin(store)
+    merged.write.mode("overwrite").parquet(vdir)
+    table_commit.commit(store, seq, meta={"applied_bid": bid})
+
+
+def _merge_cm_counters(store: str, batch: DataFrame, bid: int) -> None:
+    """One micro-batch of the count-min SUM-merge.  Sum is NOT
+    idempotent: a batch re-delivered after a crash between commit and
+    checkpoint advance would double-count, so the commit is keyed on the
+    batch id via ``_already_applied``."""
+    if _already_applied(store, bid):
+        return
+    sp = batch.sparkSession
+    bc = cm_counters(batch)
+    live = table_commit.resolve(store)
+    if live is not None:
+        bc = bc.unionByName(sp.read.parquet(live))
+    merged = bc.groupBy("r", "c").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    vdir, seq = table_commit.begin(store)
+    merged.write.mode("overwrite").parquet(vdir)
+    table_commit.commit(store, seq, meta={"applied_bid": bid})
+
+
+def _merge_bkq_sample(store: str, batch: DataFrame, bid: int) -> None:
+    """One micro-batch of the bottom-k MIN-merge.  Min-merge of SETS is
+    idempotent, but re-inserting the same event ROW twice is not
+    (row_number keeps both copies and corrupts the quantile ranks) — so
+    re-delivered batch ids are skipped AND the union is deduped on its
+    row identity before re-sampling."""
+    from realtime_change_data_capture_streaming_spark.operators.stats import bkq_rows, bkq_sample
+
+    if _already_applied(store, bid):
+        return
+    sp = batch.sparkSession
+    bs = bkq_sample(bkq_rows(batch))
+    live = table_commit.resolve(store)
+    if live is not None:
+        bs = bs.unionByName(sp.read.parquet(live))
+    bs = bs.dropDuplicates(["event_type", "event_id"])
+    merged = bkq_sample(bs)  # k smallest of the union: the min-merge
+    vdir, seq = table_commit.begin(store)
+    merged.write.mode("overwrite").parquet(vdir)
+    table_commit.commit(store, seq, meta={"applied_bid": bid})
+
+
 def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event_type maintained ACROSS micro-batches by
     register merge: each batch computes its own HLL register table (one
@@ -67,17 +139,7 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     store = f"{work}/registers"
-
-    def merge_registers(batch: DataFrame, _bid: int) -> None:
-        sp = batch.sparkSession
-        br = hll_registers(batch)
-        live = table_commit.resolve(store)
-        if live is not None:
-            br = br.unionByName(sp.read.parquet(live))
-        merged = br.groupBy("event_type", "j").agg(F.max("r").alias("r"))
-        vdir, seq = table_commit.begin(store)
-        merged.write.mode("overwrite").parquet(vdir)
-        table_commit.commit(store, seq)
+    merge_registers = lambda batch, bid: _merge_hll_registers(store, batch, bid)
 
     stream = (
         spark.readStream.schema("event_type string, user_id bigint")
@@ -119,17 +181,7 @@ def stream_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     store = f"{work}/counters"
-
-    def merge_counters(batch: DataFrame, _bid: int) -> None:
-        sp = batch.sparkSession
-        bc = cm_counters(batch)
-        live = table_commit.resolve(store)
-        if live is not None:
-            bc = bc.unionByName(sp.read.parquet(live))
-        merged = bc.groupBy("r", "c").agg(F.sum("cnt").cast("bigint").alias("cnt"))
-        vdir, seq = table_commit.begin(store)
-        merged.write.mode("overwrite").parquet(vdir)
-        table_commit.commit(store, seq)
+    merge_counters = lambda batch, bid: _merge_cm_counters(store, batch, bid)
 
     stream = (
         spark.readStream.schema("user_id bigint")
@@ -176,17 +228,7 @@ def stream_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     store = f"{work}/sample"
-
-    def merge_sample(batch: DataFrame, _bid: int) -> None:
-        sp = batch.sparkSession
-        bs = bkq_sample(bkq_rows(batch))
-        live = table_commit.resolve(store)
-        if live is not None:
-            bs = bs.unionByName(sp.read.parquet(live))
-        merged = bkq_sample(bs)  # k smallest of the union: the min-merge
-        vdir, seq = table_commit.begin(store)
-        merged.write.mode("overwrite").parquet(vdir)
-        table_commit.commit(store, seq)
+    merge_sample = lambda batch, bid: _merge_bkq_sample(store, batch, bid)
 
     stream = (
         spark.readStream.schema("event_type string, event_id bigint, value double")

@@ -644,3 +644,72 @@ def test_jl_distortion_concentrates_near_one(spark):
     assert all(r > 0 for r in ratios)
     med = ratios[len(ratios) // 2]
     assert 0.4 <= med <= 1.9, f"median JL ratio {med}"
+
+
+def test_sketch_store_commits_are_replay_safe(spark, tmp_path):
+    """foreachBatch is at-least-once: a batch re-delivered after a crash
+    between the store commit and the checkpoint advance must NOT change
+    the store again.  Sum-merge (count-min) double-counts and the
+    bottom-k sample re-inserts duplicate rows without the guard — replay
+    each batch id twice against a real versioned store and assert the
+    state equals the once-each application."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+    from realtime_change_data_capture_streaming_spark.streaming.sketches import (
+        _merge_bkq_sample,
+        _merge_cm_counters,
+    )
+
+    users = spark.range(0, 500).select(F.col("id").alias("user_id"))
+    b0 = users.filter(F.col("user_id") % 2 == 0)
+    b1 = users.filter(F.col("user_id") % 2 == 1)
+
+    def cm_state(store):
+        return {
+            (r["r"], r["c"]): r["cnt"]
+            for r in spark.read.parquet(table_commit.resolve(store)).collect()
+        }
+
+    store = str(tmp_path / "cm")
+    _merge_cm_counters(store, b0, 0)
+    _merge_cm_counters(store, b0, 0)  # crash-replay of batch 0
+    _merge_cm_counters(store, b1, 1)
+    _merge_cm_counters(store, b1, 1)  # crash-replay of batch 1
+    final = cm_state(store)
+
+    ref = str(tmp_path / "cm_ref")
+    _merge_cm_counters(ref, b0, 0)
+    _merge_cm_counters(ref, b1, 1)
+    assert final == cm_state(ref), "replayed batches double-counted the sum-merge"
+
+    events = spark.range(0, 300).select(
+        F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1.5).alias("value"),
+    )
+    e0 = events.filter(F.col("event_id") % 2 == 0)
+    e1 = events.filter(F.col("event_id") % 2 == 1)
+    # source-level duplicate delivery: some batch-0 rows appear again in batch 1
+    e1_dup = e1.unionByName(e0.filter(F.col("event_id") % 10 == 0))
+
+    def bkq_state(store):
+        return sorted(
+            (r["event_type"], r["event_id"], r["v"], r["h"])
+            for r in spark.read.parquet(table_commit.resolve(store)).collect()
+        )
+
+    bstore = str(tmp_path / "bkq")
+    _merge_bkq_sample(bstore, e0, 0)
+    _merge_bkq_sample(bstore, e0, 0)  # crash-replay
+    _merge_bkq_sample(bstore, e1_dup, 1)
+    _merge_bkq_sample(bstore, e1_dup, 1)  # crash-replay
+    bref = str(tmp_path / "bkq_ref")
+    _merge_bkq_sample(bref, e0, 0)
+    _merge_bkq_sample(bref, e1, 1)
+    got, want = bkq_state(bstore), bkq_state(bref)
+    assert got == want, "replayed/duplicated rows corrupted the bottom-k sample"
+    n_per_group = {}
+    for t, *_ in got:
+        n_per_group[t] = n_per_group.get(t, 0) + 1
+    from realtime_change_data_capture_streaming_spark.operators.stats import _BKQ_K
+
+    assert all(v <= _BKQ_K for v in n_per_group.values())
