@@ -995,13 +995,18 @@ def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: per-ranker shortlist size for RRF fusion.  A doc absent from a
-#: shortlist has rank >= N+1 in that ranking, so its fused score is at
-#: most 1/(K+1) + 1/(K+N+1) ~= 0.0180 (K=60, N=200) — below the
-#: 2/(K+top_k) ~= 0.025 a doc ranked top_k in BOTH lists scores, so the
-#: true fused top-k survives shortlist truncation whenever the two
-#: rankings are even mildly correlated (they share s_fp/t_fp inputs
-#: here; exact equality to the full-rank form is pinned at sf0.01 and
-#: sf0.001 in tests/test_text_ops.py).
+#: shortlist coalesces to the rank-beyond-N bound N+1 for that side,
+#: which OVERESTIMATES its true fused score (its real rank may be far
+#: deeper).  With K=60, N=200, top_k=20: an absent doc scores at most
+#: 1/(K+1) + 1/(K+N+1) = 1/61 + 1/261 ~= 0.0202, while a doc ranked
+#: top_k in BOTH lists scores at least 2/(K+top_k) = 2/80 = 0.025 — so
+#: truncation can never displace a doc that is top-k on both sides.  A
+#: true fused top-k doc ranked DEEP in one list (say 150th) is NOT
+#: covered by that bound: the shortlist form is provably exact only
+#: when every true top-k doc appears in both shortlists.  That holds on
+#: this corpus because the two rankings share the s_fp/t_fp inputs;
+#: exact equality to the full-rank form is pinned empirically at
+#: sf0.001 and sf0.01 in tests/test_text_ops.py, not proven in general.
 _RRF_SHORTLIST = 200
 
 

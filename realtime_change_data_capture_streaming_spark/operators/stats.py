@@ -264,11 +264,20 @@ def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Group sums and squared sums are EXACT bigints (quantity is a small
     int); the only fractional per-group term, S_g^2/n_g, folds as
-    floor(x * 2^20) so the cross-group reduction is an exact integer sum
+    floor(x * 2^20) so the cross-group reduction is an integer sum
     (order-independent — a double sum across groups would drift with
     aggregation order); the closed-form F from those integers is a
     handful of correctly-rounded IEEE ops replayed token-for-token by
-    the oracle."""
+    the oracle.
+
+    Scale bounds, stated honestly: S_g^2 evaluates in double, so the
+    folded integer is bit-exact only while S_g^2 < 2^53; past that BOTH
+    engines replay the identical correctly-rounded IEEE product, so
+    cross-engine agreement holds even though the "exact" label no longer
+    does.  The fold itself dies when S_g^2/n_g reaches 2^43 (~n_g 3.5e9,
+    sf ~ 2-3k): the bigint cast would overflow, where non-ANSI Spark
+    silently NULLs while DuckDB errors — a latent divergence, so the
+    Spark side asserts the bound and fails as loudly as the oracle."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
     )
@@ -277,11 +286,20 @@ def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("s_g"),
         F.sum(F.col("q") * F.col("q")).alias("ss_g"),
     )
-    contrib_fp = F.floor(
+    contrib_dbl = (
         F.col("s_g").cast("double") * F.col("s_g").cast("double")
         / F.col("n_g").cast("double")
         * F.lit(_ANOVA_FP)
-    ).cast("bigint")
+    )
+    # loud overflow guard: past ~sf 2-3k the fold exceeds bigint; Spark's
+    # non-ANSI cast would silently NULL while the DuckDB oracle's CAST
+    # errors — assert_true makes the failure symmetric (coalesce forces
+    # the assertion to survive column pruning)
+    guard = F.coalesce(
+        F.assert_true(contrib_dbl < F.lit(float(1 << 63)), F.lit("anova fixed-point fold exceeds bigint; rerun with a smaller FP scale")).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    contrib_fp = F.floor(contrib_dbl).cast("bigint") + guard
     agg = per.agg(
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("n_g").alias("n"),
