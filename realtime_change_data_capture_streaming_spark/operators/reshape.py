@@ -39,9 +39,11 @@ def pivot_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("yr", list(PIVOT_YEARS))
         .agg(F.sum("rev").cast("double"))
     )
+    # no final orderBy: the result compare is order-insensitive, and a
+    # presentation sort is a needless range shuffle (global-sort guard)
     return wide.select(
         "l_returnflag", *[F.col(str(y)).alias(f"y{y}") for y in PIVOT_YEARS]
-    ).orderBy("l_returnflag")
+    )
 
 
 PIVOT_REVENUE_SQL = "\n".join(
@@ -52,7 +54,7 @@ PIVOT_REVENUE_SQL = "\n".join(
         " CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE) AS y{y},".format(y=y)
         for y in PIVOT_YEARS
     ]
-)[:-1] + "\nFROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+)[:-1] + "\nFROM lineitem GROUP BY l_returnflag"
 
 
 def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:

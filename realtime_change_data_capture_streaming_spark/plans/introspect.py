@@ -138,3 +138,39 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert c["cartesian"] == 0 and c["bnl_joins"] == 0, (
         f"plan contains a cartesian/nested-loop join:\n{executed_plan(df)[:2000]}"
     )
+
+
+def unbounded_global_sorts(df: DataFrame) -> list[str]:
+    """Every global Sort in the optimized logical plan that will NOT
+    compile to TakeOrderedAndProject and whose input is not provably
+    bounded — the sibling scale smell to the unpartitioned window: a
+    full range-shuffle (plus the range-boundary sampling pass) spent
+    materializing a total order nobody truncates.
+
+    A global Sort is sanctioned when (a) a Limit sits directly above it
+    (optionally through Project/SubqueryAlias — exactly the shape the
+    planner turns into TakeOrderedAndProject's per-partition heaps), or
+    (b) its child is limit-bounded (sorting an already-bounded set).
+    Everything else is flagged; ``tests/test_window_guard.py`` enforces
+    the discipline over every registered query with a documented
+    whitelist for group-cardinality-bounded outputs the plan cannot
+    express."""
+    out: list[str] = []
+
+    def walk(node, limited_above: bool) -> None:
+        name = _simple_name(node)
+        if name == "Sort" and getattr(node, "global")():
+            if not limited_above and not _limit_bounded(node.children().apply(0)):
+                out.append(node.simpleString(120))
+        if name in ("GlobalLimit", "LocalLimit"):
+            below = True
+        elif name in ("Project", "SubqueryAlias"):
+            below = limited_above  # TOAP forms through projection only
+        else:
+            below = False
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i), below)
+
+    walk(df._jdf.queryExecution().optimizedPlan(), False)
+    return out
