@@ -34,6 +34,16 @@ from pyspark.sql import functions as F
 from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 
 
+#: below this live-table size the merge skips bucket discovery and merges
+#: against the whole table: when everything fits in roughly one scan
+#: partition, the key-distinct discovery job + pruned read cost more than
+#: just reading it all, and the partitioned write produces the identical
+#: result either way.  Discovery/pruning engage exactly when they pay —
+#: once the table outgrows a partition (cf. maxPartitionBytes's 128 MB
+#: default; half that keeps the fast path conservative).
+_DISCOVERY_MIN_TABLE_BYTES = 64 << 20
+
+
 def _bucket_ids_in(vdir: str) -> list[int]:
     """Bucket ids physically present in a version directory."""
     return sorted(
@@ -306,13 +316,18 @@ class BucketedParquetSink:
         older than the source's maximum out-of-orderness.
 
         ``pre_write(old_touched, merged)`` folds downstream maintenance
-        into the merge transaction: it is called after the merge plan is
-        built but BEFORE the write replaces touched-bucket files, with the
-        pre-merge rows of the touched buckets (None on table creation) and
-        the post-merge rows, both flat.  ``merged`` is persisted, so
-        whatever the hook evaluates is reused by the write instead of
-        recomputed.  The hook MUST eagerly materialize anything derived
-        from ``old_touched`` (its files are rewritten right after).
+        into the merge transaction: it is called AFTER the merge output is
+        staged to the new (still-uncommitted) version dir but BEFORE the
+        manifest flip, with the pre-merge rows of the touched buckets
+        (None on table creation) and a read-back of the staged files.
+        The merge pipeline is therefore evaluated exactly once — by the
+        staging write — and the hook re-reads cheap parquet instead of
+        recomputing or caching the merge; ``old_touched`` stays readable
+        throughout because MVCC staging never rewrites the live version's
+        files (the manifest flip is what retires them, and GC retains the
+        grace window).  If the hook raises, the manifest is never
+        flipped, so the staged dir is invisible and a redelivery of the
+        batch re-stages the same seq.
         """
         if len(order_cols) != 2:
             raise ValueError(
@@ -350,31 +365,42 @@ class BucketedParquetSink:
             F.col("after"),
             *([F.col("_extra").cast(_extra_t)] if has_extra else []),
         )
-        # batch feeds bucket discovery and the union; persist so the
-        # upstream pipeline runs once
-        batch = batch.persist()
+        # NO batch.persist(): bucket discovery below projects only the key
+        # column, so Catalyst prunes the envelope parse out of that job (a
+        # key-only columnar scan) and the staging write is the single full
+        # evaluation of the batch pipeline.  A persist would force the
+        # discovery job to materialize every parsed column into cache —
+        # an extra full parse per micro-batch locally and a batch-sized
+        # memory footprint at scale, to save a scan pruning already made
+        # nearly free.
         current_touched: DataFrame | None = None
         touched: list[int] = []
         if self.exists():
-            touched = [
-                r["_bucket"]
-                for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()
-            ]
-            if not touched:
-                # empty batch against an existing table: a no-op, decided by
-                # the SAME job that fills the batch cache — callers don't
-                # need a separate isEmpty() pre-check (which would run the
-                # upstream parse once more per micro-batch)
-                batch.unpersist()
-                return
-            # path-level bucket pruning: only the touched buckets' files
-            # are listed/scanned, wherever their live version lives
-            current_touched = self.read_raw(buckets=touched)
-            if pre_write is not None:
-                # the hook reads the pre-merge rows AND the merge union
-                # reads them: persist so the touched buckets are parquet-
-                # scanned once per batch, not twice
-                current_touched = current_touched.persist()
+            if self.table_bytes() < _DISCOVERY_MIN_TABLE_BYTES:
+                # adaptive small-table path: when the whole table fits in
+                # roughly one scan partition, the bucket-discovery job +
+                # pruned read cost more than merging against everything —
+                # skip discovery, union the full table, and let the
+                # partitioned write rewrite it (same rows, same result;
+                # the manifest's bucket map is derived from what was
+                # written either way).  Discovery/pruning engage exactly
+                # when they pay: once the table outgrows a partition.
+                current_touched = self.read_raw()
+            else:
+                touched = [
+                    r["_bucket"]
+                    for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()
+                ]
+                if not touched:
+                    # empty batch against an existing table: a no-op,
+                    # decided by the key-only discovery job — callers don't
+                    # need a separate isEmpty() pre-check (which would run
+                    # the upstream parse once more per micro-batch)
+                    return
+                # path-level bucket pruning: only the touched buckets'
+                # files are listed/scanned, wherever their live version
+                # lives
+                current_touched = self.read_raw(buckets=touched)
             table_has_extra = "_extra" in current_touched.columns
             # schema widening on first sight: a batch carrying the evolution
             # map against a pre-evolution table (or vice versa) null-fills
@@ -420,58 +446,53 @@ class BucketedParquetSink:
             F.col("after.*"),
             *([F.col("_extra")] if has_extra else []),
         )
-        if pre_write is not None:
-            # the hook's evaluation fills this cache; the write reuses it
-            final = final.persist()
-        try:
-            if pre_write is not None:
-                pre_write(current_touched, final)
-            bucketed = final.withColumn("_bucket", self._bucket())
-            # MVCC commit, creation and merge alike: stage ONLY this
-            # merge's output (the touched buckets) as a fresh immutable
-            # version dir, then flip the manifest so each touched bucket
-            # points at the new version while untouched buckets keep
-            # serving from theirs.  Readers that resolved the previous
-            # manifest keep a consistent snapshot — no in-place rewrite,
-            # no torn reads, portable to object stores.
-            old = self._manifest() or {}
-            old_map = old.get("buckets")
-            if old_map is None and old:
-                # legacy single-dir manifest (pre-map table or an old
-                # compaction): seed the map from the live version's layout
-                live = table_commit.resolve(self.path)
-                old_map = {str(b): os.path.basename(live) for b in _bucket_ids_in(live)}
-            vdir, seq = table_commit.begin(self.path)
-            bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
-            vname = os.path.basename(vdir)
-            written = _bucket_ids_in(vdir)
-            if not written and not old:
-                # empty creation batch (possible now that streaming callers
-                # skip the per-batch isEmpty() job): nothing to publish —
-                # leave the table nonexistent rather than commit a
-                # zero-bucket version that read() could not infer a schema
-                # from
-                import shutil
+        bucketed = final.withColumn("_bucket", self._bucket())
+        # MVCC commit, creation and merge alike: stage ONLY this
+        # merge's output (the touched buckets) as a fresh immutable
+        # version dir, then flip the manifest so each touched bucket
+        # points at the new version while untouched buckets keep
+        # serving from theirs.  Readers that resolved the previous
+        # manifest keep a consistent snapshot — no in-place rewrite,
+        # no torn reads, portable to object stores.
+        old = self._manifest() or {}
+        old_map = old.get("buckets")
+        if old_map is None and old:
+            # legacy single-dir manifest (pre-map table or an old
+            # compaction): seed the map from the live version's layout
+            live = table_commit.resolve(self.path)
+            old_map = {str(b): os.path.basename(live) for b in _bucket_ids_in(live)}
+        vdir, seq = table_commit.begin(self.path)
+        bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
+        vname = os.path.basename(vdir)
+        written = _bucket_ids_in(vdir)
+        if not written and not old:
+            # empty creation batch (possible now that streaming callers
+            # skip the per-batch isEmpty() job): nothing to publish —
+            # leave the table nonexistent rather than commit a
+            # zero-bucket version that read() could not infer a schema
+            # from
+            import shutil
 
-                shutil.rmtree(vdir, ignore_errors=True)
-                return
-            bucket_map = {**(old_map or {}), **{str(b): vname for b in written}}
-            table_commit.commit(
-                self.path,
-                seq,
-                {
-                    "n_buckets": old.get("n_buckets", self.n_buckets),
-                    "buckets": bucket_map,
-                    "order_cols": list(order_cols),
-                },
-                keep=self.keep,
-            )
-        finally:
-            batch.unpersist()
-            if pre_write is not None:
-                final.unpersist()
-                if current_touched is not None:
-                    current_touched.unpersist()
+            shutil.rmtree(vdir, ignore_errors=True)
+            return
+        if pre_write is not None and written:
+            # staged-but-uncommitted: the hook sees the post-merge rows as
+            # a read-back of the files just written (no recompute, no
+            # cache) while ``current_touched``'s version is still the live
+            # manifest.  Raising here aborts the commit.
+            staged = self.spark.read.parquet(vdir).drop("_bucket")
+            pre_write(current_touched, staged)
+        bucket_map = {**(old_map or {}), **{str(b): vname for b in written}}
+        table_commit.commit(
+            self.path,
+            seq,
+            {
+                "n_buckets": old.get("n_buckets", self.n_buckets),
+                "buckets": bucket_map,
+                "order_cols": list(order_cols),
+            },
+            keep=self.keep,
+        )
 
 
 def compact_sink(

@@ -22,10 +22,13 @@ Design (Spark-first):
   matrix — recomputing after the sink absorbed the batch would yield a
   zero diff and corrupt the slot).  Contribution-based deltas
   (+after/−before per event) would double-count replays outright.
-- The hook runs before the write replaces the touched files, and the
-  merge persists its output, so maintenance shares the merge's own
-  bucket-pruned scan instead of repeating it.  (With a Delta/Iceberg
-  sink, time-travel reads would replace the in-hook delta write.)
+- The hook runs after the merge output is STAGED to the new
+  (uncommitted) version dir but before the manifest flip: the merge
+  pipeline is evaluated exactly once (by the staging write), the hook
+  reads the post-merge rows back as cheap parquet, and the pre-merge
+  rows stay readable because MVCC staging never rewrites the live
+  version's files.  (With a Delta/Iceberg sink, time-travel reads
+  would replace the in-hook delta write.)
 
 Scale notes (100 TB): each delta is O(changed groups); the log grows one
 tiny file per batch and is bounded by routine ``compact()``.  The only
@@ -130,22 +133,29 @@ class IncrementalAggView:
 
         The delta is ONE signed-union aggregation inside the merge's
         ``pre_write`` hook: -1 contributions from the touched buckets'
-        pre-merge rows, +1 from the post-merge rows, summed per group.
-        Untouched-key rows appear identically on both sides and cancel in
-        the partial aggregate — no joins, no broadcast, and the only
-        eager materialization is the delta itself, O(changed groups).
+        pre-merge rows, +1 from the post-merge rows (a parquet read-back
+        of the STAGED, not-yet-committed version — the merge pipeline is
+        never evaluated twice), summed per group.  Untouched-key rows
+        appear identically on both sides and cancel in the partial
+        aggregate — no joins, no broadcast, no caching.
 
         Crash-safety, every interleaving (the write ORDER is load-bearing —
-        the delta slot is written inside the hook, BEFORE the sink write):
+        the delta slot is written inside the hook, AFTER the sink staging
+        write but BEFORE the manifest flip that makes it live):
 
-        1. crash before the delta write — nothing durable happened; the
-           redelivered batch recomputes from scratch.
-        2. crash between delta write and sink write — redelivery sees its
-           slot exists, SKIPS the recompute (the durable delta was
-           computed against pre-merge state and is correct), and the
-           idempotent sink merge applies the batch.
-        3. crash after both — redelivery skips the recompute and the sink
-           merge is a no-op.
+        1. crash before the delta write (including mid-staging) — the
+           manifest never flipped, so the sink's live state is unchanged
+           and no slot exists; the redelivered batch recomputes from
+           scratch (``begin`` re-allocates the same seq, overwriting any
+           orphaned staging dir).
+        2. crash between delta write and manifest flip — redelivery sees
+           its slot exists, SKIPS the recompute (the durable delta was
+           computed against pre-merge state, which is still the live
+           manifest, so it is correct), and the idempotent sink merge
+           applies the batch.
+        3. crash after the flip — redelivery skips the recompute and the
+           sink merge is an idempotent re-apply (latest-wins lands on
+           identical state).
 
         Recomputing on redelivery instead would be WRONG in case 3: the
         sink has already absorbed the batch, so the state diff is zero and
@@ -169,8 +179,9 @@ class IncrementalAggView:
                 .agg(F.sum("d_n").alias("d_n"), F.sum("d_c").alias("d_c"))
                 .filter((F.col("d_n") != 0) | (F.col("d_c") != 0))
             )
-            # the write IS the eager materialization, and it runs BEFORE the
-            # sink write rewrites old_touched's files
+            # old_touched's files are immutable (MVCC: the staging write
+            # went to a NEW version dir) — this job just reads two sets of
+            # parquet and writes the tiny per-group delta
             delta.coalesce(1).write.mode("overwrite").parquet(slot)
 
         self.sink.merge(batch_df, order_cols, pre_write=_delta_hook)
@@ -219,7 +230,14 @@ def stream_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
     parsed = parse_envelope(stream, decimal_mode="string")
-    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
+    # state-partition sizing (the r5 stream_left_outer_attribution
+    # discipline): ~150k keys at sf0.1 across 8 buckets is ~19k rows per
+    # bucket — plenty under a scan partition.  The seed only matters at
+    # creation; a production table grows buckets via compact_sink's
+    # target_bucket_bytes, so a small seed is the right default for a
+    # fresh sink, and 32 creation buckets just multiplied tiny-file and
+    # task overhead by 4 in every micro-batch.
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
     view = IncrementalAggView(spark, sink, f"{work}/agg_view")
     q = apply_changes_with_view(parsed, view, f"{work}/ckpt", trigger={"availableNow": True})
     assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
