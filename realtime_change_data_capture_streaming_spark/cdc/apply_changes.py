@@ -34,14 +34,17 @@ from pyspark.sql import functions as F
 from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 
 
-#: below this live-table size the merge skips bucket discovery and merges
-#: against the whole table: when everything fits in roughly one scan
-#: partition, the key-distinct discovery job + pruned read cost more than
-#: just reading it all, and the partitioned write produces the identical
-#: result either way.  Discovery/pruning engage exactly when they pay —
-#: once the table outgrows a partition (cf. maxPartitionBytes's 128 MB
-#: default; half that keeps the fast path conservative).
+#: the merge skips bucket discovery and merges against the whole table
+#: when the table is small on BOTH axes: bytes (everything fits in
+#: roughly one scan partition, so the key-distinct discovery job + pruned
+#: read cost more than just reading it all — cf. maxPartitionBytes's
+#: 128 MB default, halved to stay conservative) and bucket count (the
+#: fast path rewrites every live bucket, so it is only cheap while there
+#: are few of them; a many-bucket table keeps the I/O-proportional-to-
+#: touched-buckets contract regardless of its byte size, which
+#: tests/test_sink_scale.py pins).  The result is identical either way.
 _DISCOVERY_MIN_TABLE_BYTES = 64 << 20
+_DISCOVERY_MIN_BUCKETS = 16
 
 
 def _bucket_ids_in(vdir: str) -> list[int]:
@@ -376,7 +379,10 @@ class BucketedParquetSink:
         current_touched: DataFrame | None = None
         touched: list[int] = []
         if self.exists():
-            if self.table_bytes() < _DISCOVERY_MIN_TABLE_BYTES:
+            if (
+                self.current_n_buckets() <= _DISCOVERY_MIN_BUCKETS
+                and self.table_bytes() < _DISCOVERY_MIN_TABLE_BYTES
+            ):
                 # adaptive small-table path: when the whole table fits in
                 # roughly one scan partition, the bucket-discovery job +
                 # pruned read cost more than merging against everything —

@@ -42,9 +42,15 @@ def stage_chaos_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
 
     key = fixture_fingerprint(sf_dir, "orders")
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_staged_{key}")
+    # v2 layout: 96 files, so every maxFilesPerTrigger split (2-batch merge,
+    # 3-batch incremental view) hands each micro-batch >= one file per core
+    # — the per-batch envelope parse was capped at 6-way parallelism by the
+    # generator's natural 17-file output
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_staged_v2_{key}")
     if not os.path.exists(os.path.join(root, "_SUCCESS")):
-        order_change_events(spark, sf_dir, chaos=True).write.mode("overwrite").parquet(root)
+        order_change_events(spark, sf_dir, chaos=True).repartition(96).write.mode(
+            "overwrite"
+        ).parquet(root)
     return root, max(1, len(glob.glob(f"{root}/part-*")))
 
 
@@ -81,7 +87,11 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(staged)
     )
     parsed = parse_envelope(stream, decimal_mode="string")
-    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
+    # creation-seed buckets stay small (state-partition sizing; compaction
+    # grows a production table toward target_bucket_bytes) so the 2-batch
+    # merge takes the small-table fast path instead of paying a discovery
+    # job + 32-way tiny-file write per micro-batch
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
     q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
     assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
     final = sink.read()
