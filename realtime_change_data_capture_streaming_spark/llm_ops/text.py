@@ -784,6 +784,18 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-overlapping merge semantics (run-parity formulation, provably
     equal to the greedy fold) — so training replays cross-engine
     bit-identically, the PCA-power-iteration discipline."""
+    _, out_rows = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        out_rows,
+        "round bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """The shared training loop: returns (final per-word symbol state,
+    merge rows).  ``text_bpe_merges`` publishes the merge table;
+    ``text_bpe_encode`` serves from the SAME final state, so train and
+    serve cannot drift (one ``_bpe_apply`` fold produces both)."""
     # the iterated state is VOCABULARY-sized (distinct words), orders of
     # magnitude below the corpus the tokenize pass scanned — re-shape it
     # to a handful of partitions so the 8 small per-round jobs don't pay
@@ -815,22 +827,65 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, pc = best[0]["a"], best[0]["b"], int(best[0]["pc"])
         out_rows.append((r, a, b, a + b, pc))
         words = _bpe_apply(words, a, b).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        out_rows,
-        "round bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    return words, out_rows
+
+
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE — the serving half of ``text_bpe_merges``: tokenize the
+    corpus with the learned merge table and report per-document token
+    counts and the compression ratio every tokenizer dashboard tracks.
+
+    The per-word tokenization IS the trainer's final symbol state
+    (``_bpe_train`` returns it), so serving replays the identical
+    ``_bpe_apply`` folds as training — the two cannot drift.  Documents
+    then join word -> token-count on the vocabulary table, which is
+    orders of magnitude smaller than the corpus (broadcast-class at any
+    realistic vocab; AQE would pick a shuffle join past that), and one
+    partial-agg groupBy per doc sums tokens/chars.  The ratio folds as
+    floor(chars * 1e6 / tokens) — exact integer fixed point, the
+    cross-engine float discipline.  Docs with zero alphanumeric tokens
+    drop out of the inner join on both engines alike."""
+    words, _ = _bpe_train(spark, sf_dir)
+    wtok = words.select(
+        "word_id",
+        F.size("syms").cast("bigint").alias("n_word_tokens"),
+        F.length("word_id").cast("bigint").alias("n_word_chars"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = with_tokens(d).select("doc_id", F.explode("_toks").alias("word_id"))
+    per_doc = (
+        doc_words.join(F.broadcast(wtok), "word_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_word_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("n_word_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.floor(F.col("n_chars") * F.lit(1000000) / F.col("n_tokens"))
+        .cast("bigint")
+        .alias("chars_per_token_fp"),
     )
 
 
-def _bpe_sql(rounds: int = _BPE_ROUNDS) -> str:
-    """Unrolled DuckDB replay of the whole BPE training run: per round a
-    pair-count CTE, a 1-row argmax CTE, and the merge application in the
-    run-parity formulation — matching positions grouped into consecutive
-    runs, odd positions within each run are the merge starts (for a != b
-    every match is its own run, so the rule is uniform), the right halves
-    of merges dropped, the rest re-assembled in order."""
+def _bpe_chain_parts(rounds: int = _BPE_ROUNDS) -> list[str]:
+    """Shared CTE chain replaying the whole BPE training run in DuckDB:
+    per round a pair-count CTE, a 1-row argmax CTE, and the merge
+    application in the run-parity formulation — matching positions
+    grouped into consecutive runs, odd positions within each run are the
+    merge starts (for a != b every match is its own run, so the rule is
+    uniform), the right halves of merges dropped, the rest re-assembled
+    in order.  Ends at ``w{rounds}``, the final symbol state — the train
+    oracle reads the ``best{r}`` rows, the encode oracle reads
+    ``w{rounds}``."""
     parts = [
         """tk AS MATERIALIZED (
-  SELECT list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
   FROM documents
 ), wd AS MATERIALIZED (
   SELECT u.word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -878,11 +933,45 @@ def _bpe_sql(rounds: int = _BPE_ROUNDS) -> str:
             f"r{r} AS (SELECT CAST({r} AS BIGINT) AS round, a AS left_sym, b AS right_sym, "
             f"a || b AS merged, pc AS pair_count FROM best{r})"
         )
+    return parts
+
+
+def _bpe_sql(rounds: int = _BPE_ROUNDS) -> str:
+    parts = _bpe_chain_parts(rounds)
     union = "\nUNION ALL\n".join(f"SELECT * FROM r{r}" for r in range(rounds))
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def _bpe_encode_sql(rounds: int = _BPE_ROUNDS) -> str:
+    """Encode oracle: the same materialized training replay, then the
+    vocabulary's final symbol state joined back onto per-doc tokens."""
+    parts = _bpe_chain_parts(rounds)
+    parts.append(
+        f"""wtok AS MATERIALIZED (
+  SELECT word_id, CAST(len(syms) AS BIGINT) AS n_word_tokens,
+         CAST(length(word_id) AS BIGINT) AS n_word_chars
+  FROM w{rounds}
+), dw AS MATERIALIZED (
+  SELECT doc_id, UNNEST(ts) AS word_id FROM tk
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(w.n_word_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.n_word_chars) AS BIGINT) AS n_chars,
+       CAST(FLOOR(CAST(SUM(w.n_word_chars) * 1000000 AS DOUBLE)
+                  / CAST(SUM(w.n_word_tokens) AS DOUBLE)) AS BIGINT) AS chars_per_token_fp
+FROM dw d JOIN wtok w USING (word_id)
+GROUP BY 1
+"""
+    )
+
+
 _BPE_SQL = _bpe_sql()
+_BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
 _BM25_IDX_BUCKETS = 64  # term-hash partitions of the persisted postings
@@ -1138,6 +1227,7 @@ QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "text_bm25_persisted_topk": text_bm25_persisted_topk,
     "text_bpe_merges": text_bpe_merges,
+    "text_bpe_encode": text_bpe_encode,
     "text_bigram_pmi": text_bigram_pmi,
     "text_rrf_fusion_topk": text_rrf_fusion_topk,
     "text_bigram_lm_score": bigram_lm_score,
@@ -1156,6 +1246,7 @@ ORACLE = {
     "text_bm25_topk": BM25_SQL,
     "text_bm25_persisted_topk": BM25_SQL,
     "text_bpe_merges": _BPE_SQL,
+    "text_bpe_encode": _BPE_ENCODE_SQL,
     "text_bigram_pmi": _PMI_SQL_TEXT,
     "text_rrf_fusion_topk": RRF_SQL,
     "text_bigram_lm_score": BIGRAM_LM_SQL,
