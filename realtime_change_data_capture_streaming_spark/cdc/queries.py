@@ -608,6 +608,113 @@ FROM orders WHERE o_orderkey % 97 != 0
 """
 
 
+#: DBLog-style incremental snapshot geometry: chunk size (keys per chunk
+#: window) and the ordinal bases that keep every event class in its own
+#: LSN region at any scale factor (orderkey < 2^30).  Stream-change
+#: ordinals live in DOUBLED space (2k) so each chunk's watermark — the
+#: odd number just below the chunk's midpoint ordinal — can sit strictly
+#: BETWEEN the first-half and second-half changes of its own chunk:
+#: first-half updates are already inside the chunk image (the 'r' event
+#: outranks their redundant stream copies), second-half updates arrive
+#: only via the stream and outrank the chunk image.  No two events of
+#: one key ever share an LSN, so latest-wins needs no tie rules.
+_ISNAP_CHUNK = 64
+_ISNAP_STREAM_BASE = 1 << 30
+_ISNAP_DELETE_BASE = 1 << 31
+
+
+def incremental_snapshot_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(chunk_reads, stream_events) for the incremental-snapshot scenario.
+
+    The reference's snapshot story is ``snapshot.mode=initial`` only
+    (``/root/reference/README.md:299-312``): stop the world, copy, then
+    stream.  Real Debezium re-snapshots LIVE tables incrementally
+    (DBLog): the table is walked in key-range chunks, each chunk emitted
+    as 'r' (read) events carrying the row image AS OF that chunk's
+    watermark, interleaved with the concurrent 'c'/'u'/'d' stream — and
+    the consumer must absorb the chunk/stream overlap per key.  Here a
+    chunk's 'r' events carry LSN = the chunk watermark, which makes
+    plain latest-wins BY LSN implement exactly the DBLog dedup rule:
+    a chunk image already containing a change outranks that change's
+    redundant stream copy; a change the chunk missed outranks the stale
+    chunk image."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ts_ms = F.unix_timestamp("o_orderdate") * 1000
+
+    def env(before, after, op, lsn):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                ts_ms.alias("ts_ms"),
+                F.struct(
+                    lsn.cast("bigint").alias("lsn"),
+                    F.lit("transactions").alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+            )
+        )
+
+    key = k.cast("string").alias("key")
+    base_img = _image(F.col("o_totalprice"))
+    upd_img = _image(F.col("o_totalprice") + _AMOUNT_BUMP)
+    null_img = F.when(F.lit(False), base_img)
+    c, half = _ISNAP_CHUNK, _ISNAP_CHUNK // 2
+    inserts = o.select(key, env(null_img, base_img, "c", k).alias("value"))
+    upd_lsn = F.lit(_ISNAP_STREAM_BASE) + k * 2
+    updates = o.filter(k % 5 == 0).select(
+        key, env(base_img, upd_img, "u", upd_lsn).alias("value")
+    )
+    deletes = o.filter(k % 97 == 0).select(
+        key, env(upd_img, null_img, "d", F.lit(_ISNAP_DELETE_BASE) + k).alias("value")
+    )
+    # chunk watermark: odd ordinal strictly between the chunk's first-
+    # and second-half stream changes; the chunk image reflects exactly
+    # the changes at or below it
+    w_lsn = F.lit(_ISNAP_STREAM_BASE) + (F.floor(k / c) * c + half) * 2 - 1
+    snapped = (k % 5 == 0) & (k % c < half)
+    reads = o.select(
+        key, env(null_img, F.when(snapped, upd_img).otherwise(base_img), "r", w_lsn).alias("value")
+    )
+    return reads, inserts.unionByName(updates).unionByName(deletes)
+
+
+def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold the interleaved chunk/stream feed (with redelivery chaos) into
+    final state: one latest-wins aggregate, no windows.  ``last_op``
+    exposes WHICH source won per key — 'r' where the chunk image was
+    authoritative (never-changed keys, and first-half updates the chunk
+    had already absorbed), 'u' where a post-watermark stream change beat
+    the chunk — so the oracle checks the interleaving itself, not just
+    the final amounts.  ``stream_cdc_incremental_snapshot`` proves the
+    same feed across real micro-batches."""
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import latest_per_key
+
+    reads, stream = incremental_snapshot_events(spark, sf_dir)
+    events = reads.unionByName(stream)
+    redelivered = events.filter(F.pmod(F.xxhash64("key"), F.lit(3)) == 0)
+    events = events.unionByName(redelivered).repartition(17)
+    parsed = parse_envelope(events, decimal_mode="string")
+    last = latest_per_key(parsed, "key").filter(F.col("op") != "d")
+    return last.select(
+        F.col("after.transaction_id").alias("transaction_id"),
+        F.col("after.amount").cast("double").alias("amount"),
+        F.col("op").alias("last_op"),
+    )
+
+
+CDC_ISNAP_SQL = f"""
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + {_AMOUNT_BUMP}
+                      ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % {_ISNAP_CHUNK} >= {_ISNAP_CHUNK // 2}
+            THEN 'u' ELSE 'r' END AS last_op
+FROM orders WHERE o_orderkey % 97 != 0
+"""
+
+
 def cdc_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL-continuity audit: per key, does the observed LSN sequence have
     holes?  span = max-min+1 vs the observed event count — the capture-
@@ -999,6 +1106,7 @@ QUERIES = {
     "cdc_time_travel_summary": cdc_time_travel_summary,
     "cdc_lsn_gap_audit": cdc_lsn_gap_audit,
     "cdc_toast_column_fill": cdc_toast_column_fill,
+    "cdc_incremental_snapshot": cdc_incremental_snapshot,
     "cdc_txn_consistent_apply": cdc_txn_consistent_apply,
     "cdc_forget_users": cdc_forget_users,
 }
@@ -1008,6 +1116,7 @@ ORACLE = {
     "cdc_time_travel_summary": CDC_TIME_TRAVEL_SQL,
     "cdc_lsn_gap_audit": CDC_LSN_GAP_SQL,
     "cdc_toast_column_fill": CDC_TOAST_SQL,
+    "cdc_incremental_snapshot": CDC_ISNAP_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_scd2_pointintime_join": CDC_SCD2_PIT_SQL,
     "cdc_apply_changes": CDC_APPLY_SQL,

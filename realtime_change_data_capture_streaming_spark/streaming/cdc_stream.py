@@ -254,10 +254,51 @@ def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DBLog incremental snapshot under the REAL streaming engine,
+    with chunks and concurrent changes in SEPARATE micro-batches — the
+    production arrival order Debezium actually produces: batch 1 carries
+    the pre-existing inserts plus the even-numbered chunk reads, batch 2
+    the concurrent updates/deletes plus the odd chunks.  The chunk/
+    stream overlap must therefore dedupe ACROSS the sink's copy-on-write
+    buckets, not within one event set: a chunk image arriving a batch
+    AFTER the change it absorbed (and vice versa) lands on the same
+    final state.  Oracle: the batch closed form (``CDC_ISNAP_SQL``) —
+    the batch boundary must be invisible."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import (
+        _ISNAP_CHUNK,
+        incremental_snapshot_events,
+    )
+
+    work = scratch_dir(prefix="stream_isnap_")
+    reads, stream_ev = incremental_snapshot_events(spark, sf_dir)
+    even_chunk = F.pmod(F.floor(F.col("key").cast("long") / _ISNAP_CHUNK), F.lit(2)) == 0
+    is_insert = F.get_json_object("value", "$.op") == "c"
+    phase1 = stream_ev.filter(is_insert).unionByName(reads.filter(even_chunk))
+    phase2 = stream_ev.filter(~is_insert).unionByName(reads.filter(~even_chunk))
+    in_dir = stage_ordered_batches([phase1, phase2.repartition(1)], f"{work}/staged")
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    parsed = parse_envelope(stream, decimal_mode="string")
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
+    q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    return sink.read_raw().filter(F.col("op") != "d").select(
+        "transaction_id",
+        F.col("amount").cast("double").alias("amount"),
+        F.col("op").alias("last_op"),
+    )
+
+
 QUERIES = {
     "stream_cdc_merge": stream_cdc_merge,
     "stream_cdc_schema_evolution": stream_cdc_schema_evolution,
     "stream_toast_column_fill": stream_toast_column_fill,
+    "stream_cdc_incremental_snapshot": stream_cdc_incremental_snapshot,
 }
 
 
@@ -267,10 +308,17 @@ def _toast_sql() -> str:
     return CDC_TOAST_SQL
 
 
+def _isnap_sql() -> str:
+    from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_ISNAP_SQL
+
+    return CDC_ISNAP_SQL
+
+
 ORACLE = {
     "stream_cdc_merge": CDC_APPLY_SQL,
     "stream_cdc_schema_evolution": CDC_EVOLUTION_SQL,
     "stream_toast_column_fill": _toast_sql(),
+    "stream_cdc_incremental_snapshot": _isnap_sql(),
 }
 
 
