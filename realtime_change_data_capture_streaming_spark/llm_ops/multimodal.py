@@ -1264,8 +1264,15 @@ _JPEG_FLAT_QT = [1] * 64
 # at 4 bits, all 162 AC run/size symbols at 8 bits
 _JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 _JPEG_DC_SYMS = list(range(12))
-_JPEG_AC_COUNTS = [0] * 7 + [162] + [0] * 8
-_JPEG_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+#: fixed all-8-bit AC table: EOB0, ZRL, the 160 run/size symbols, plus
+#: EOBn (n=1..14) band-end-run symbols progressive scans emit (harmless
+#: extras for baseline; 176 codes of 8 bits is a valid canonical table)
+_JPEG_AC_COUNTS = [0] * 7 + [176] + [0] * 8
+_JPEG_AC_SYMS = (
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [n << 4 for n in range(1, 15)]
+)
 
 
 def _jpeg_canonical(counts: list[int], syms: list[int]) -> dict[int, tuple[int, int]]:
@@ -1317,15 +1324,11 @@ class _JpegBitWriter:
         return bytes(self.out)
 
 
-def encode_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
-    """Minimal baseline-sequential 4:4:4 JPEG encoder: JFIF-less marker
-    stream (SOI/DQT/SOF0/DHT/SOS/EOI), RGB->YCbCr, per-block orthonormal
-    DCT + quantization (``quant`` = (luma, chroma) natural-order 64-lists;
-    default the Annex K example tables), DC-diff + run/size Huffman with
-    the fixed canonical tables above, byte stuffing.  With flat quant
-    tables, constant-per-block images encode losslessly."""
-    import struct
-
+def _jpeg_quantized(w: int, h: int, rgb: bytes, quant=None):
+    """Shared front half of both JPEG encoders: RGB -> YCbCr -> padded
+    8x8 blocks -> orthonormal DCT -> quantize.  Returns (qt_l, qt_c,
+    blocks_y, blocks_x, coefs) with ``coefs[ci][by][bx]`` an int64[64]
+    in ZIGZAG order."""
     import numpy as np
 
     qt_l = np.asarray(quant[0] if quant else _JPEG_STD_LUMA_QT, dtype=np.float64).reshape(8, 8)
@@ -1340,17 +1343,66 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
     h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     planes = [np.pad(p, ((0, h8 - h), (0, w8 - w)), mode="edge") for p in planes]
     cmat = _jpeg_dct_matrix()
+    coefs = []
+    for ci, p in enumerate(planes):
+        qt = qt_l if ci == 0 else qt_c
+        rows = []
+        for by in range(h8 // 8):
+            row = []
+            for bx in range(w8 // 8):
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                fq = np.rint((cmat @ block @ cmat.T) / qt).astype(np.int64)
+                row.append(fq.reshape(64)[_JPEG_ZZ])
+            rows.append(row)
+        coefs.append(rows)
+    return qt_l, qt_c, h8 // 8, w8 // 8, coefs
+
+
+def _jpeg_headers(w: int, h: int, qt_l, qt_c, sof_marker: int) -> bytearray:
+    """SOI + DQT + SOF + DHT marker prefix shared by both encoders."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    def zz_bytes(qt) -> bytes:
+        flat = qt.reshape(64)
+        return bytes(int(flat[_JPEG_ZZ[i]]) for i in range(64))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + zz_bytes(qt_l) + bytes([0x01]) + zz_bytes(qt_c))
+    out += seg(
+        sof_marker,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMS),
+    )
+    return out
+
+
+def encode_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
+    """Minimal baseline-sequential 4:4:4 JPEG encoder: JFIF-less marker
+    stream (SOI/DQT/SOF0/DHT/SOS/EOI), RGB->YCbCr, per-block orthonormal
+    DCT + quantization (``quant`` = (luma, chroma) natural-order 64-lists;
+    default the Annex K example tables), DC-diff + run/size Huffman with
+    the fixed canonical tables above, byte stuffing.  With flat quant
+    tables, constant-per-block images encode losslessly."""
+    import struct
+
+    qt_l, qt_c, nby, nbx, coefs = _jpeg_quantized(w, h, rgb, quant)
     dc_codes = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
     ac_codes = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
     bw = _JpegBitWriter()
     pred = [0, 0, 0]
-    for by in range(h8 // 8):
-        for bx in range(w8 // 8):
-            for ci, p in enumerate(planes):
-                qt = qt_l if ci == 0 else qt_c
-                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                fq = np.rint((cmat @ block @ cmat.T) / qt).astype(np.int64)
-                zz = fq.reshape(64)[_JPEG_ZZ]
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(3):
+                zz = coefs[ci][by][bx]
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
                 t = abs(diff).bit_length()
@@ -1377,28 +1429,168 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
                 if run:
                     bw.write(*ac_codes[0x00])  # EOB
 
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
-
-    def zz_bytes(qt) -> bytes:
-        flat = qt.reshape(64)
-        return bytes(int(flat[_JPEG_ZZ[i]]) for i in range(64))
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(0xDB, bytes([0x00]) + zz_bytes(qt_l) + bytes([0x01]) + zz_bytes(qt_c))
-    out += seg(
-        0xC0,
-        bytes([8])
-        + struct.pack(">HH", h, w)
-        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    out = _jpeg_headers(w, h, qt_l, qt_c, 0xC0)
+    out += bytes((0xFF, 0xDA)) + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
     )
-    out += seg(
-        0xC4,
-        bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMS)
-        + bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMS),
-    )
-    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
     out += bw.finish()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
+    """Progressive (SOF2) 4:4:4 JPEG encoder exercising BOTH progressive
+    mechanisms (ITU T.81 Annex G): spectral selection (DC scan, then the
+    luma AC band split 1-5 / 6-63, then each chroma band 1-63) and
+    successive approximation (every first pass sends coefficients at
+    point transform Al=1; refinement scans Ah=1, Al=0 deliver the final
+    bit — raw bits for DC, the correction-bit protocol for AC).  AC
+    band-end runs accumulate into true EOBn symbols.  Same quantized
+    coefficients as ``encode_jpeg``, so a progressive decode must equal
+    the baseline decode of the same pixels bit-for-bit."""
+    import struct
+
+    qt_l, qt_c, nby, nbx, coefs = _jpeg_quantized(w, h, rgb, quant)
+    dc_codes = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    blocks = [
+        [coefs[ci][by][bx] for by in range(nby) for bx in range(nbx)] for ci in range(3)
+    ]
+
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int, bw: "_JpegBitWriter") -> bytes:
+        hdr = bytes([len(comps)])
+        for cid in comps:
+            hdr += bytes([cid, 0x00])  # Td=0 / Ta=0: the fixed table pair
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return bytes((0xFF, 0xDA)) + struct.pack(">H", len(hdr) + 2) + hdr + bw.finish()
+
+    def dc_first(al: int) -> "_JpegBitWriter":
+        bw = _JpegBitWriter()
+        pred = [0, 0, 0]
+        for bi in range(nby * nbx):
+            for ci in range(3):
+                v = int(blocks[ci][bi][0]) >> al  # DC point transform: arithmetic shift
+                diff = v - pred[ci]
+                pred[ci] = v
+                t = abs(diff).bit_length()
+                bw.write(*dc_codes[t])
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        return bw
+
+    def dc_refine(al: int) -> "_JpegBitWriter":
+        bw = _JpegBitWriter()
+        for bi in range(nby * nbx):
+            for ci in range(3):
+                bw.write((int(blocks[ci][bi][0]) >> al) & 1, 1)
+        return bw
+
+    def _emit_eobrun(bw, state):
+        eobrun, buffered = state
+        if eobrun > 0:
+            n = eobrun.bit_length() - 1
+            bw.write(*ac_codes[n << 4])
+            if n:
+                bw.write(eobrun - (1 << n), n)
+        for bit in buffered:
+            bw.write(bit, 1)
+        state[0], state[1] = 0, []
+
+    def ac_first(ci: int, ss: int, se: int, al: int) -> "_JpegBitWriter":
+        bw = _JpegBitWriter()
+        state = [0, []]  # [eobrun, buffered-bits] (no buffered bits in first scans)
+        for bi in range(nby * nbx):
+            zz = blocks[ci][bi]
+            run = 0
+            for k in range(ss, se + 1):
+                c = int(zz[k])
+                v = (abs(c) >> al) * (1 if c >= 0 else -1)  # AC point transform
+                if v == 0:
+                    run += 1
+                    continue
+                _emit_eobrun(bw, state)
+                while run > 15:
+                    bw.write(*ac_codes[0xF0])
+                    run -= 16
+                s = abs(v).bit_length()
+                bw.write(*ac_codes[(run << 4) | s])
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                state[0] += 1
+                if state[0] == 0x7FFF:
+                    _emit_eobrun(bw, state)
+        _emit_eobrun(bw, state)
+        return bw
+
+    def ac_refine(ci: int, ss: int, se: int, al: int) -> "_JpegBitWriter":
+        # T.81 G.1.2.3 / the classic encode_mcu_AC_refine shape: newly
+        # nonzero coefficients (|c|>>Al == 1) are coded run/size with the
+        # run counting only zero-history positions; already-nonzero
+        # positions contribute one correction bit each, interleaved in
+        # order; band-end runs buffer their correction bits until the
+        # EOBn flush.
+        bw = _JpegBitWriter()
+        state = [0, []]
+        for bi in range(nby * nbx):
+            zz = blocks[ci][bi]
+            absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = 0  # index AFTER the last newly-nonzero coefficient
+            for i, a in enumerate(absv):
+                if a == 1:
+                    eob = i + 1
+            run = 0
+            pending: list[int] = []  # correction bits since last emitted symbol
+            for i, a in enumerate(absv):
+                if a == 0:
+                    run += 1
+                    continue
+                # ZRLs flush on reaching ANY nonzero position (correction
+                # bits buffered so far all lie before the 16-zero span, so
+                # the decoder's ZRL walk consumes exactly them) — but only
+                # before EOB; past the last newly-nonzero coefficient the
+                # run folds into the EOB run instead
+                while run > 15 and i < eob:
+                    _emit_eobrun(bw, state)
+                    bw.write(*ac_codes[0xF0])
+                    run -= 16
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                if a > 1:
+                    pending.append(a & 1)
+                    continue
+                # newly nonzero (a == 1)
+                _emit_eobrun(bw, state)
+                bw.write(*ac_codes[(run << 4) | 1])
+                bw.write(1 if int(zz[ss + i]) > 0 else 0, 1)
+                for bit in pending:
+                    bw.write(bit, 1)
+                pending = []
+                run = 0
+            # band end: an EOB is due only if the symbol walk did not end
+            # the band exactly (trailing zero-history run or buffered
+            # correction bits remain) — the decoder consumes no EOB for a
+            # block whose last placement sat at Se
+            if run > 0 or pending:
+                state[0] += 1
+                state[1].extend(pending)
+                if state[0] == 0x7FFF or len(state[1]) > 900:
+                    _emit_eobrun(bw, state)
+        _emit_eobrun(bw, state)
+        return bw
+
+    out = _jpeg_headers(w, h, qt_l, qt_c, 0xC2)
+    al = 1
+    out += sos([1, 2, 3], 0, 0, 0, al, dc_first(al))
+    out += sos([1], 1, 5, 0, al, ac_first(0, 1, 5, al))
+    out += sos([1], 6, 63, 0, al, ac_first(0, 6, 63, al))
+    out += sos([2], 1, 63, 0, al, ac_first(1, 1, 63, al))
+    out += sos([3], 1, 63, 0, al, ac_first(2, 1, 63, al))
+    out += sos([1, 2, 3], 0, 0, 1, 0, dc_refine(0))
+    out += sos([1], 1, 63, 1, 0, ac_refine(0, 1, 63, 0))
+    out += sos([2], 1, 63, 1, 0, ac_refine(1, 1, 63, 0))
+    out += sos([3], 1, 63, 1, 0, ac_refine(2, 1, 63, 0))
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1496,8 +1688,10 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                     raise NotImplementedError("subsampled JPEG (non-4:4:4) unsupported")
                 comps.append((cid, tq))
             sof = (ww, hh, comps)
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"JPEG SOF{m - 0xC0} (progressive/extended) unsupported")
+        elif m == 0xC2:  # SOF2 progressive: multi-scan path
+            return _decode_progressive_jpeg(buf)
+        elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF{m - 0xC0} (extended/lossless/arithmetic) unsupported")
         elif m == 0xDD:
             raise NotImplementedError("JPEG restart intervals unsupported")
         elif m == 0xDA:  # SOS: entropy data follows
@@ -1585,6 +1779,238 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
         rgb = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
     else:
         raise NotImplementedError(f"JPEG with {nc} components unsupported")
+    return w, h, rgb.tobytes()
+
+
+def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
+    """Progressive JPEG (SOF2, 8-bit, 4:4:4 or grayscale) decode: the
+    full multi-scan coefficient-accumulation model of ITU T.81 Annex G —
+    DC first/refinement scans (point transform = arithmetic shift, raw
+    refinement bits), AC first scans with EOBn band-end runs, and AC
+    refinement scans with the correction-bit protocol — then one
+    dequantize + IDCT + color convert over the accumulated coefficients.
+    Restart intervals and arithmetic coding remain unsupported."""
+    import struct
+
+    import numpy as np
+
+    pos = 2
+    qts: dict[int, object] = {}
+    huffs: dict[tuple[int, int], dict] = {}
+    sof = None
+    coef: list | None = None
+    nblocks = 0
+
+    def huff_decode(rd, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | rd.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def correction(rd, blk, z, p1, m1) -> None:
+        if rd.bit():
+            if (int(blk[z]) & p1) == 0:
+                blk[z] += p1 if blk[z] >= 0 else m1
+
+    def ac_first_block(rd, ac_t, blk, ss, se, al, eobrun) -> int:
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = huff_decode(rd, ac_t)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    return eobrun - 1  # this block is part of the run
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC run past end of band")
+            blk[_JPEG_ZZ[k]] = _jpeg_extend(rd.bits(s), s) << al
+            k += 1
+        return 0
+
+    def ac_refine_block(rd, ac_t, blk, ss, se, al, eobrun) -> int:
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = huff_decode(rd, ac_t)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.bits(r)
+                        break  # rest of band handled by the EOB walk below
+                    s_val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("bad AC refinement symbol")
+                    s_val = p1 if rd.bit() else m1
+                while k <= se:
+                    z = _JPEG_ZZ[k]
+                    if blk[z] != 0:
+                        correction(rd, blk, z, p1, m1)
+                    else:
+                        if r == 0:
+                            if s_val:
+                                blk[z] = s_val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                z = _JPEG_ZZ[k]
+                if blk[z] != 0:
+                    correction(rd, blk, z, p1, m1)
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    while pos + 2 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at offset {pos}")
+        m = buf[pos + 1]
+        if m == 0xD9:
+            break
+        if pos + 4 > len(buf):
+            raise ValueError("JPEG segment header truncated")
+        (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        if ln < 2 or pos + 2 + ln > len(buf):
+            raise ValueError(f"JPEG segment 0x{m:02x} length {ln} overruns buffer")
+        data = buf[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if m == 0xDB:
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.float64)
+                for k in range(64):
+                    tbl[_JPEG_ZZ[k]] = data[i + 1 + k]
+                qts[tq] = tbl
+                i += 65
+        elif m == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                counts = list(data[i + 1 : i + 17])
+                n = sum(counts)
+                huffs[(tc, th)] = _jpeg_decode_table(counts, list(data[i + 17 : i + 17 + n]))
+                i += 17 + n
+        elif m == 0xC2:
+            prec, hh, ww, nc = data[0], *struct.unpack(">HH", data[1:5]), data[5]
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} unsupported")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG (non-4:4:4) unsupported")
+                comps.append((cid, tq))
+            sof = (ww, hh, comps)
+            nblocks = ((hh + 7) // 8) * ((ww + 7) // 8)
+            coef = [np.zeros((nblocks, 64), dtype=np.int64) for _ in comps]
+        elif m == 0xDD:
+            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif m == 0xDA:
+            if sof is None or coef is None:
+                raise ValueError("JPEG SOS before SOF2")
+            ns = data[0]
+            scan_comps = [(data[1 + 2 * c], data[2 + 2 * c]) for c in range(ns)]
+            ss, se, aa = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            ah, al = aa >> 4, aa & 15
+            if (ss == 0) != (se == 0) or se > 63 or ss > 63:
+                # T.81 G.1.1.1: a progressive DC scan is exactly Ss=Se=0;
+                # catches SOF0 streams mislabeled as SOF2
+                raise ValueError(f"invalid progressive spectral range {ss}-{se}")
+            # unstuff this scan's entropy bytes; stop at the next marker
+            ent = bytearray()
+            i = pos
+            while i < len(buf):
+                b0 = buf[i]
+                if b0 == 0xFF:
+                    if i + 1 >= len(buf):
+                        raise ValueError("JPEG entropy stream truncated at 0xFF")
+                    nxt = buf[i + 1]
+                    if nxt == 0x00:
+                        ent.append(0xFF)
+                        i += 2
+                        continue
+                    break  # next marker (another SOS/DHT/EOI)
+                ent.append(b0)
+                i += 1
+            pos = i
+            rd = _JpegBitReader(bytes(ent))
+            cidx = {cid: j for j, (cid, _tq) in enumerate(sof[2])}
+            if ss == 0:
+                if ah == 0:
+                    preds = [0] * ns
+                    for bi in range(nblocks):
+                        for si, (cid, tsel) in enumerate(scan_comps):
+                            dc_t = huffs.get((0, tsel >> 4))
+                            if dc_t is None:
+                                raise ValueError("JPEG scan references missing DC table")
+                            t = huff_decode(rd, dc_t)
+                            preds[si] += _jpeg_extend(rd.bits(t), t) if t else 0
+                            coef[cidx[cid]][bi][0] = preds[si] << al
+                else:
+                    for bi in range(nblocks):
+                        for cid, _tsel in scan_comps:
+                            if rd.bit():
+                                coef[cidx[cid]][bi][0] |= 1 << al
+            else:
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be single-component")
+                cid, tsel = scan_comps[0]
+                ac_t = huffs.get((1, tsel & 15))
+                if ac_t is None:
+                    raise ValueError("JPEG scan references missing AC table")
+                blocks = coef[cidx[cid]]
+                eobrun = 0
+                step = ac_first_block if ah == 0 else ac_refine_block
+                for bi in range(nblocks):
+                    eobrun = step(rd, ac_t, blocks[bi], ss, se, al, eobrun)
+        # else: APPn/COM — skip
+    if sof is None or coef is None:
+        raise ValueError("JPEG missing SOF2 scan data")
+    w, h, comps = sof
+    cmat = _jpeg_dct_matrix()
+    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    nbx = w8 // 8
+    planes = []
+    for ci, (cid, tq) in enumerate(comps):
+        qt = qts.get(tq)
+        if qt is None:
+            raise ValueError("JPEG component references missing quant table")
+        plane = np.zeros((h8, w8), dtype=np.float64)
+        for bi in range(nblocks):
+            by, bx = divmod(bi, nbx)
+            block = (coef[ci][bi].astype(np.float64) * qt).reshape(8, 8)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = cmat.T @ block @ cmat + 128.0
+        planes.append(plane)
+    planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
+    if len(planes) == 1:
+        y = planes[0].astype(np.uint8)
+        rgb = np.repeat(y[:, :, None], 3, axis=2)
+    elif len(planes) == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        rgb = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    else:
+        raise NotImplementedError(f"JPEG with {len(planes)} components unsupported")
     return w, h, rgb.tobytes()
 
 
@@ -1678,6 +2104,93 @@ FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
 """
 
 
+def multimodal_progressive_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode through the production mapInPandas
+    path: per document the same analytic gray image as
+    ``multimodal_jpeg_features`` (constant-per-8x8-block pixels, flat
+    quant) is encoded as a 9-scan SOF2 stream — spectral selection plus
+    successive approximation, so the decoder's DC first/refine and AC
+    EOBn machinery all run — and the features come from the
+    RECONSTRUCTED pixels, which the oracle recomputes analytically.
+    The progressive-vs-baseline bit-identity on NON-trivial coefficient
+    patterns (random/gradient images, AC refinement correction bits) is
+    pinned in tests/test_multimodal.py; this query proves the decode
+    path end-to-end through Spark."""
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append((int(doc_id), None, None, None, None))
+                    continue
+                w = 8 * (1 + int(doc_id) % 3)
+                h = 8 * (1 + int(doc_id) % 2)
+                fill = 16 + int(doc_id) % 200
+                bw = w // 8
+                rgb = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in ((fill + 17 * ((y // 8) * bw + x // 8)) % 256,) * 3
+                )
+                buf = encode_progressive_jpeg(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT))
+                got_w, got_h, rec = decode_jpeg(buf)
+                if (got_w, got_h, rec) != (w, h, rgb):
+                    raise ValueError(f"progressive JPEG round-trip failed for doc {doc_id}")
+                total = sum(rec)
+                rows.append(
+                    (
+                        int(doc_id),
+                        buf.count(b"\xff\xda"),
+                        got_w * got_h * 3,
+                        int(total % (1 << 31)),
+                        float(total) / len(rec),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_scans", "n_pixel_bytes", "checksum", "mean_val"],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "n_scans": "Int32",
+                    "n_pixel_bytes": "Int64",
+                    "checksum": "Int64",
+                    "mean_val": "float64",
+                }
+            )
+
+    schema = "doc_id long, n_scans int, n_pixel_bytes long, checksum long, mean_val double"
+    return d.mapInPandas(run, schema=schema)
+
+
+MULTIMODAL_PROG_JPEG_SQL = """
+WITH px AS (
+  SELECT d.doc_id,
+         CAST(8 * (1 + d.doc_id % 3) AS BIGINT) AS w,
+         CAST(8 * (1 + d.doc_id % 2) AS BIGINT) AS h,
+         CAST(16 + d.doc_id % 200 AS BIGINT) AS fill
+  FROM documents d WHERE d.text IS NOT NULL
+), sums AS (
+  SELECT doc_id, w, h,
+         3 * 64 * SUM((fill + 17 * b.i) % 256) AS total
+  FROM px,
+       UNNEST(range(0, (w // 8) * (h // 8))) AS b(i)
+  GROUP BY 1, 2, 3
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN s.doc_id IS NULL THEN NULL ELSE 9 END AS INTEGER) AS n_scans,
+       CAST(s.w * s.h * 3 AS BIGINT) AS n_pixel_bytes,
+       CAST(s.total % 2147483648 AS BIGINT) AS checksum,
+       CAST(s.total AS DOUBLE) / (s.w * s.h * 3) AS mean_val
+FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_audio_features": multimodal_audio_features,
@@ -1685,6 +2198,7 @@ QUERIES = {
     "multimodal_png_features": multimodal_png_features,
     "multimodal_gif_features": multimodal_gif_features,
     "multimodal_jpeg_features": multimodal_jpeg_features,
+    "multimodal_progressive_jpeg_features": multimodal_progressive_jpeg_features,
     "multimodal_features_meta": multimodal_features_meta,
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
@@ -1698,6 +2212,7 @@ ORACLE = {
     "multimodal_png_features": MULTIMODAL_PNG_SQL,
     "multimodal_gif_features": MULTIMODAL_GIF_SQL,
     "multimodal_jpeg_features": MULTIMODAL_JPEG_SQL,
+    "multimodal_progressive_jpeg_features": MULTIMODAL_PROG_JPEG_SQL,
     "multimodal_features_meta": MULTIMODAL_FEATURES_META_SQL,
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
