@@ -216,13 +216,106 @@ FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 """
 
 
+
+
+def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING as-of enrichment — the CDC-consumer ask the reference's
+    sink sidesteps (`transaction_consumer.py:85-102` upserts rows and
+    never enriches): each purchase is decorated with the user's LATEST
+    view at or before it, within a 1-hour horizon.  An unbounded
+    streaming as-of is impossible (the latest-before version may be
+    arbitrarily old, so state would be infinite); the streaming analog
+    is as-of WITH TOLERANCE, and the tolerance is exactly what bounds
+    the state.
+
+    Two chained stateful operators, both watermark-bounded:
+    (1) a stream-stream interval join collects the candidate dimension
+    versions (views within (purchase_ts - 1h, purchase_ts]), each side's
+    state evicted by watermark + interval; (2) an event-time-keyed
+    aggregate picks max(struct(view_ts, ...)) per purchase —
+    latest-before — and finalizes in append mode once the watermark
+    passes the purchase timestamp.  Because a purchase's group emits
+    only at watermark close, a version arriving AFTER its purchase was
+    seen (but inside the watermark allowance) still wins if it is the
+    latest in the horizon — the late-arriving-dimension property; views
+    later than the allowance are dropped by the watermark like any
+    streaming aggregate's late data.  The sentinel flush schedule and
+    trailing no-data batch (see ``_flush_padded_events_dir``) make the
+    final eviction deterministic.  Oracle: the batch toleranced as-of
+    (``operators/asof.py::events_asof_view_within_1h`` semantics) — the
+    nearest match filtered to the horizon equals the windowed max."""
+    import os
+
+    d = _flush_padded_events_dir(sf_dir)
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+            stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("view_ts"))
+            .withWatermark("view_ts", "1 hour")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+            .withWatermark("purchase_ts", "1 hour")
+        )
+        cand = purchases.join(
+            views,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("interval 1 hour")),
+        )
+        enriched = (
+            cand.groupBy("p_user_id", "purchase_ts")
+            .agg(F.max(F.struct("view_ts")).alias("m"))
+            .select(
+                F.col("p_user_id").alias("user_id"),
+                "purchase_ts",
+                F.col("m.view_ts").alias("view_ts"),
+                (F.unix_micros("purchase_ts") - F.unix_micros(F.col("m.view_ts"))).alias(
+                    "gap_us"
+                ),
+            )
+        )
+        return _run_to_table(enriched, "append").filter(F.col("user_id") >= 0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
+
+
+STREAM_ASOF_SQL = """
+SELECT user_id, purchase_ts, view_ts, gap_us FROM (
+  SELECT p.user_id, p.ts AS purchase_ts, v.ts AS view_ts,
+         CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS gap_us
+  FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    ON p.user_id = v.user_id AND p.ts >= v.ts
+) WHERE gap_us <= 3600000000
+"""
+
+
 QUERIES = {
     "stream_view_purchase_join": stream_view_purchase_join,
     "stream_left_outer_attribution": stream_left_outer_attribution,
     "stream_full_outer_attribution": stream_full_outer_attribution,
+    "stream_asof_enrich": stream_asof_enrich,
 }
 ORACLE = {
     "stream_view_purchase_join": STREAM_JOIN_SQL,
     "stream_left_outer_attribution": STREAM_LEFT_OUTER_SQL,
     "stream_full_outer_attribution": STREAM_FULL_OUTER_SQL,
+    "stream_asof_enrich": STREAM_ASOF_SQL,
 }
