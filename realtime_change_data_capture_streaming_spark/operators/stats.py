@@ -418,6 +418,11 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("frequency"),
         F.sum("c").alias("monetary_cents"),
     )
+    # each exact_ntile issues two bounded driver actions (approxQuantile +
+    # range counts); three chained ntiles would otherwise re-run the
+    # orders scan + aggregate up to six times.  The frame is
+    # customer-cardinality — cache it once and every pass reuses it.
+    per_cust = per_cust.localCheckpoint(eager=True)
     d = exact_ntile(per_cust, "recency_days", "o_custkey", 5).withColumnRenamed(
         "bucket", "_rb"
     )
