@@ -1613,7 +1613,97 @@ FROM est e CROSS JOIN tot t
 """
 
 
+def events_mannwhitney_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test: do 'view' and 'click'
+    events draw their values from the same distribution? — the
+    nonparametric counterpart of the two-sample t/z tests, and the
+    rank-based sibling of ``lineitem_anova_returnflag``.
+
+    Rank-based means a GLOBAL ranking — computed with the distributed
+    two-pass rank (``with_global_positions``), never a single-partition
+    window.  Values fold to integer cents so ties are exact; midranks
+    come from one per-value aggregate over the positioned rows
+    ((min_pos + max_pos) per tie group — kept DOUBLED so everything
+    stays integer), and the whole reduction to (R1, tie term Σ(t³−t))
+    is exact bigints, order-independent.  2·U1 is emitted exactly; the
+    z statistic (tie-corrected variance) is a handful of IEEE ops from
+    those integers, replayed token-for-token by the oracle.  The tie
+    term t³ stays under 2^63 while no single tie group exceeds ~2M rows
+    (cents ties at this value range: far beyond any tested sf)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    rows = e.select(
+        (F.col("event_type") == "view").cast("int").alias("g1"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("v_cents"),
+        "event_id",
+    )
+    pos, _n = with_global_positions(rows, "v_cents", "event_id")
+    per_v = pos.groupBy("v_cents").agg(
+        F.min("_pos").alias("mn"),
+        F.max("_pos").alias("mx"),
+        F.sum("g1").cast("bigint").alias("n1v"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    agg = per_v.agg(
+        F.sum(F.col("n1v") * (F.col("mn") + F.col("mx"))).cast("bigint").alias("r1x2"),
+        F.sum("n1v").cast("bigint").alias("n1"),
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).cast("bigint").alias("ties"),
+    )
+    n1, n, r1x2, ties = F.col("n1"), F.col("n"), F.col("r1x2"), F.col("ties")
+    n2 = n - n1
+    u1x2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1x2
+    var = (
+        (n1 * n2).cast("double")
+        / F.lit(12.0)
+        * ((n + 1).cast("double") - ties.cast("double") / (n * (n - 1)).cast("double"))
+    )
+    z = ((u1x2 - n1 * n2).cast("double") / F.lit(2.0)) / F.sqrt(var)
+    return agg.select(
+        n1.alias("n1"),
+        n2.cast("bigint").alias("n2"),
+        u1x2.cast("bigint").alias("u1_x2"),
+        ties.alias("tie_term"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > F.lit(1.959964)).alias("significant_5pct"),
+    )
+
+
+_MWU_SQL = """
+WITH rows AS (
+  SELECT CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents, event_id
+  FROM events WHERE event_type IN ('view', 'click')
+), pos AS (
+  SELECT g1, v_cents, ROW_NUMBER() OVER (ORDER BY v_cents, event_id) AS p
+  FROM rows
+), pv AS (
+  SELECT v_cents, MIN(p) AS mn, MAX(p) AS mx,
+         CAST(SUM(g1) AS BIGINT) AS n1v, CAST(COUNT(*) AS BIGINT) AS t
+  FROM pos GROUP BY 1
+), agg AS (
+  SELECT CAST(SUM(n1v * (mn + mx)) AS BIGINT) AS r1x2,
+         CAST(SUM(n1v) AS BIGINT) AS n1,
+         CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS ties
+  FROM pv
+)
+SELECT n1, n - n1 AS n2,
+       CAST(2 * n1 * (n - n1) + n1 * (n1 + 1) - r1x2 AS BIGINT) AS u1_x2,
+       ties AS tie_term,
+       ROUND((CAST(2 * n1 * (n - n1) + n1 * (n1 + 1) - r1x2 - n1 * (n - n1) AS DOUBLE) / 2.0)
+             / SQRT(CAST(n1 * (n - n1) AS DOUBLE) / 12.0
+                    * (CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE))), 6) AS z_stat,
+       ABS((CAST(2 * n1 * (n - n1) + n1 * (n1 + 1) - r1x2 - n1 * (n - n1) AS DOUBLE) / 2.0)
+           / SQRT(CAST(n1 * (n - n1) AS DOUBLE) / 12.0
+                  * (CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)))) > 1.959964 AS significant_5pct
+FROM agg
+"""
+
+
 QUERIES = {
+    "events_mannwhitney_value": events_mannwhitney_value,
     "docs_crosstab_lang_source": docs_crosstab_lang_source,
     "sketch_countmin_user_counts": sketch_countmin_user_counts,
     "customers_gini_spend": customers_gini_spend,
@@ -1636,6 +1726,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_mannwhitney_value": _MWU_SQL,
     "docs_crosstab_lang_source": _CROSSTAB_SQL,
     "sketch_countmin_user_counts": _CM_SQL,
     "customers_gini_spend": _GINI_SQL,
