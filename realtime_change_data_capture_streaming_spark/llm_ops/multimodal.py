@@ -1385,22 +1385,33 @@ def _jpeg_headers(w: int, h: int, qt_l, qt_c, sof_marker: int) -> bytearray:
     return out
 
 
-def encode_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
+def encode_jpeg(w: int, h: int, rgb: bytes, quant=None, restart_interval: int | None = None) -> bytes:
     """Minimal baseline-sequential 4:4:4 JPEG encoder: JFIF-less marker
     stream (SOI/DQT/SOF0/DHT/SOS/EOI), RGB->YCbCr, per-block orthonormal
     DCT + quantization (``quant`` = (luma, chroma) natural-order 64-lists;
     default the Annex K example tables), DC-diff + run/size Huffman with
     the fixed canonical tables above, byte stuffing.  With flat quant
-    tables, constant-per-block images encode losslessly."""
+    tables, constant-per-block images encode losslessly.
+
+    ``restart_interval`` emits a DRI segment and an RST0-RST7 marker
+    every that many MCUs (byte-aligned, DC predictors reset) — the
+    error-resilience feature real camera JPEGs carry."""
     import struct
 
     qt_l, qt_c, nby, nbx, coefs = _jpeg_quantized(w, h, rgb, quant)
     dc_codes = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
     ac_codes = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    segments: list[bytes] = []
     bw = _JpegBitWriter()
     pred = [0, 0, 0]
+    mcu = 0
     for by in range(nby):
         for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                segments.append(bw.finish())  # pad to byte; RST goes between
+                bw = _JpegBitWriter()
+                pred = [0, 0, 0]  # DC predictors reset at every restart
+            mcu += 1
             for ci in range(3):
                 zz = coefs[ci][by][bx]
                 diff = int(zz[0]) - pred[ci]
@@ -1429,11 +1440,17 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
                 if run:
                     bw.write(*ac_codes[0x00])  # EOB
 
+    segments.append(bw.finish())
     out = _jpeg_headers(w, h, qt_l, qt_c, 0xC0)
+    if restart_interval:
+        out += bytes((0xFF, 0xDD)) + struct.pack(">HH", 4, restart_interval)
     out += bytes((0xFF, 0xDA)) + struct.pack(">H", 12) + bytes(
         [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
     )
-    out += bw.finish()
+    for i, seg in enumerate(segments):
+        if i:
+            out += bytes((0xFF, 0xD0 + ((i - 1) % 8)))  # RST markers cycle
+        out += seg
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1639,6 +1656,7 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     huffs: dict[tuple[int, int], dict] = {}
     sof = None
     scan_comps = None
+    restart_interval = 0
     while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at offset {pos}")
@@ -1692,8 +1710,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
             return _decode_progressive_jpeg(buf)
         elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG SOF{m - 0xC0} (extended/lossless/arithmetic) unsupported")
-        elif m == 0xDD:
-            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif m == 0xDD:  # DRI: restart interval in MCUs (0 = disabled)
+            (restart_interval,) = struct.unpack(">H", data[:2])
         elif m == 0xDA:  # SOS: entropy data follows
             ns = data[0]
             scan_comps = [(data[1 + 2 * c], data[2 + 2 * c]) for c in range(ns)]
@@ -1702,7 +1720,9 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     if sof is None or scan_comps is None:
         raise ValueError("JPEG missing SOF0 or SOS")
     w, h, comps = sof
-    # unstuff entropy bytes up to EOI
+    # unstuff entropy bytes up to EOI; RST0-7 markers split the stream
+    # into byte-aligned restart segments
+    segs: list[bytes] = []
     ent = bytearray()
     i = pos
     while i < len(buf):
@@ -1717,10 +1737,19 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 continue
             if nxt == 0xD9:
                 break
+            if 0xD0 <= nxt <= 0xD7:
+                segs.append(bytes(ent))
+                ent = bytearray()
+                i += 2
+                continue
             raise NotImplementedError(f"JPEG marker 0x{nxt:02x} inside scan unsupported")
         ent.append(b0)
         i += 1
-    rd = _JpegBitReader(bytes(ent))
+    segs.append(bytes(ent))
+    if len(segs) > 1 and not restart_interval:
+        raise ValueError("JPEG RST markers present without a DRI interval")
+    seg_iter = iter(segs)
+    rd = _JpegBitReader(next(seg_iter))
 
     def huff_decode(table: dict) -> int:
         code = 0
@@ -1737,8 +1766,17 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     planes = [np.zeros((h8, w8), dtype=np.float64) for _ in range(nc)]
     tq_of = {cid: tq for cid, tq in comps}
     pred = [0] * nc
+    mcu = 0
     for by in range(h8 // 8):
         for bx in range(w8 // 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # restart: next byte-aligned segment, DC predictors reset
+                try:
+                    rd = _JpegBitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("JPEG restart segment missing") from None
+                pred = [0] * nc
+            mcu += 1
             for ci in range(nc):
                 cid, tsel = scan_comps[ci]
                 dc_t = huffs.get((0, tsel >> 4))
