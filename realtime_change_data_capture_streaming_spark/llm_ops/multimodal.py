@@ -1455,6 +1455,121 @@ def encode_jpeg(w: int, h: int, rgb: bytes, quant=None, restart_interval: int | 
     return bytes(out)
 
 
+def encode_jpeg_420(w: int, h: int, rgb: bytes, quant=None, restart_interval: int | None = None) -> bytes:
+    """Baseline 4:2:0 chroma-subsampled JPEG encoder — the sampling shape
+    virtually every camera/web JPEG uses: 16x16 MCUs of 4 luma blocks +
+    one 2x2-box-averaged block each of Cb and Cr (half resolution both
+    axes).  Same fixed tables, DC-diff per component, optional restart
+    intervals.  For gray inputs (R=G=B) the chroma planes are constant
+    128, so subsampling is lossless and a 4:2:0 decode equals the 4:4:4
+    decode exactly — the fixture/oracle hook."""
+    import struct
+
+    import numpy as np
+
+    qt_l = np.asarray(quant[0] if quant else _JPEG_STD_LUMA_QT, dtype=np.float64).reshape(8, 8)
+    qt_c = np.asarray(quant[1] if quant else _JPEG_STD_CHROMA_QT, dtype=np.float64).reshape(8, 8)
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cb = np.clip(np.rint(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255)
+    cr = np.clip(np.rint(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    yw, yh = mcux * 16, mcuy * 16
+    y = np.pad(y, ((0, yh - h), (0, yw - w)), mode="edge")
+    cb = np.pad(cb, ((0, yh - h), (0, yw - w)), mode="edge")
+    cr = np.pad(cr, ((0, yh - h), (0, yw - w)), mode="edge")
+    # 2x2 box average then round: the standard chroma downsample
+    def down(p):
+        return np.rint((p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0)
+
+    cbs, crs = down(cb), down(cr)
+    cmat = _jpeg_dct_matrix()
+    dc_codes = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_codes = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+
+    def block_zz(plane, by, bx, qt):
+        import numpy as np
+
+        block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        fq = np.rint((cmat @ block @ cmat.T) / qt).astype(np.int64)
+        return fq.reshape(64)[_JPEG_ZZ]
+
+    segments: list[bytes] = []
+    bw = _JpegBitWriter()
+    pred = [0, 0, 0]
+
+    def emit(zz, ci):
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = abs(diff).bit_length()
+        bw.write(*dc_codes[t])
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.write(*ac_codes[0xF0])
+                run -= 16
+            sz = abs(v).bit_length()
+            bw.write(*ac_codes[(run << 4) | sz])
+            bw.write(v if v > 0 else v + (1 << sz) - 1, sz)
+            run = 0
+        if run:
+            bw.write(*ac_codes[0x00])
+
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                segments.append(bw.finish())
+                bw = _JpegBitWriter()
+                pred = [0, 0, 0]
+            mcu += 1
+            for v in range(2):
+                for hh in range(2):
+                    emit(block_zz(y, my * 2 + v, mx * 2 + hh, qt_l), 0)
+            emit(block_zz(cbs, my, mx, qt_c), 1)
+            emit(block_zz(crs, my, mx, qt_c), 2)
+    segments.append(bw.finish())
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    def zz_bytes(qt) -> bytes:
+        flat = qt.reshape(64)
+        return bytes(int(flat[_JPEG_ZZ[i]]) for i in range(64))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + zz_bytes(qt_l) + bytes([0x01]) + zz_bytes(qt_c))
+    out += seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMS),
+    )
+    if restart_interval:
+        out += bytes((0xFF, 0xDD)) + struct.pack(">HH", 4, restart_interval)
+    out += bytes((0xFF, 0xDA)) + struct.pack(">H", 12) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+    )
+    for i, sgm in enumerate(segments):
+        if i:
+            out += bytes((0xFF, 0xD0 + ((i - 1) % 8)))
+        out += sgm
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
     """Progressive (SOF2) 4:4:4 JPEG encoder exercising BOTH progressive
     mechanisms (ITU T.81 Annex G): spectral selection (DC scan, then the
@@ -1702,9 +1817,10 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
             comps = []
             for c in range(nc):
                 cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG (non-4:4:4) unsupported")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(f"JPEG sampling factors {hi}x{vi} unsupported")
+                comps.append((cid, hi, vi, tq))
             sof = (ww, hh, comps)
         elif m == 0xC2:  # SOF2 progressive: multi-scan path
             return _decode_progressive_jpeg(buf)
@@ -1761,14 +1877,24 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
         raise ValueError("invalid JPEG Huffman code")
 
     cmat = _jpeg_dct_matrix()
-    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     nc = len(comps)
-    planes = [np.zeros((h8, w8), dtype=np.float64) for _ in range(nc)]
-    tq_of = {cid: tq for cid, tq in comps}
+    # generic MCU geometry (T.81 A.2.3): MCU = Hi x Vi blocks per
+    # component; 4:4:4 degenerates to one block each, 4:2:0 is 4 luma +
+    # 1 of each chroma per 16x16 MCU
+    meta = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    hmax = max(hi for _cid, hi, _vi, _tq in comps)
+    vmax = max(vi for _cid, _hi, vi, _tq in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    order = [cid for cid, _h, _v, _t in comps]
+    planes_by_cid = {
+        cid: np.zeros((mcuy * 8 * vi, mcux * 8 * hi), dtype=np.float64)
+        for cid, hi, vi, _tq in comps
+    }
     pred = [0] * nc
     mcu = 0
-    for by in range(h8 // 8):
-        for bx in range(w8 // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # restart: next byte-aligned segment, DC predictors reset
                 try:
@@ -1779,32 +1905,47 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
             mcu += 1
             for ci in range(nc):
                 cid, tsel = scan_comps[ci]
+                hi, vi, tq = meta[cid]
                 dc_t = huffs.get((0, tsel >> 4))
                 ac_t = huffs.get((1, tsel & 15))
-                qt = qts.get(tq_of.get(cid))
+                qt = qts.get(tq)
                 if dc_t is None or ac_t is None or qt is None:
                     raise ValueError("JPEG scan references missing Huffman/quant table")
-                coef = np.zeros(64, dtype=np.float64)
-                t = huff_decode(dc_t)
-                pred[ci] += _jpeg_extend(rd.bits(t), t) if t else 0
-                coef[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = huff_decode(ac_t)
-                    r, s = rs >> 4, rs & 15
-                    if s == 0:
-                        if r == 15:
-                            k += 16
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC run past end of block")
-                    coef[_JPEG_ZZ[k]] = _jpeg_extend(rd.bits(s), s)
-                    k += 1
-                block = (coef * qt.reshape(64)).reshape(8, 8)
-                spatial = cmat.T @ block @ cmat + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+                for v in range(vi):
+                    for hh2 in range(hi):
+                        coef = np.zeros(64, dtype=np.float64)
+                        t = huff_decode(dc_t)
+                        pred[ci] += _jpeg_extend(rd.bits(t), t) if t else 0
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = huff_decode(ac_t)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past end of block")
+                            coef[_JPEG_ZZ[k]] = _jpeg_extend(rd.bits(s), s)
+                            k += 1
+                        block = (coef * qt.reshape(64)).reshape(8, 8)
+                        spatial = cmat.T @ block @ cmat + 128.0
+                        py, px = (my * vi + v) * 8, (mx * hi + hh2) * 8
+                        planes_by_cid[cid][py : py + 8, px : px + 8] = spatial
+    # upsample subsampled planes to full resolution (nearest replicate),
+    # then crop to the true image size
+    planes = []
+    for cid in order:
+        hi, vi, _tq = meta[cid]
+        p = planes_by_cid[cid]
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        planes.append(p)
     planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
     if nc == 1:
         y = planes[0].astype(np.uint8)
@@ -2060,7 +2201,11 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform EXACTLY (DC quantizer 1; all ACs zero; gray pixels keep
     Cb=Cr=128) — the full marker/Huffman/dequant/IDCT/color pipeline runs
     and the features come from the RECONSTRUCTED pixels, which the
-    oracle recomputes analytically from doc_id."""
+    oracle recomputes analytically from doc_id.  Odd doc_ids encode
+    4:2:0 CHROMA-SUBSAMPLED (r8: the shape virtually every real JPEG
+    uses — 16x16 MCUs, 4 luma + 2 half-resolution chroma blocks), which
+    is lossless on gray fixtures (chroma constant 128), so BOTH sampling
+    paths are driver-checked against the same analytic oracle."""
     d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2082,7 +2227,8 @@ def multimodal_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for x in range(w)
                     for v in ((fill + 17 * ((y // 8) * bw + x // 8)) % 256,) * 3
                 )
-                buf = encode_jpeg(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT))
+                enc = encode_jpeg_420 if int(doc_id) % 2 else encode_jpeg
+                buf = enc(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT))
                 got_w, got_h, rec = decode_jpeg(buf)
                 if (got_w, got_h, rec) != (w, h, rgb):
                     raise ValueError(f"JPEG round-trip failed for doc {doc_id}")
