@@ -715,6 +715,64 @@ FROM orders WHERE o_orderkey % 97 != 0
 """
 
 
+_RECONCILE_SHARDS = 16
+
+
+def cdc_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink<->source RECONCILIATION — the audit every CDC operator runs
+    on a live replica: shard the key space, compute per-shard
+    (row count, exact amount-cents sum, key-fingerprint sum) over the
+    SINK's materialized state, and compare against the same checksums
+    computed independently from the SOURCE.  Here the full chaos feed is
+    merged into a real BucketedParquetSink and the query emits the
+    sink-side checksums; the oracle computes the source-side expectation
+    closed-form from orders — so the driver's hash match IS the
+    reconciliation passing.  Shards and fingerprints are md5-derived
+    (portable-hash discipline), sums are exact bigints; with 48-bit
+    fingerprints the per-shard sum stays under 2^63 to ~30T rows/shard.
+    At scale this is one bucket-pruned scan of the sink + one
+    shard-cardinality aggregate — no source-side join, which is the
+    point: the two sides are computed independently and compared small."""
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import BucketedParquetSink
+    from realtime_change_data_capture_streaming_spark.llm_ops.curation import hash_bucket
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+
+    events = order_change_events(spark, sf_dir, chaos=True)
+    parsed = parse_envelope(events, decimal_mode="string")
+    work = scratch_dir(prefix="cdc_reconcile_")
+    sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
+    sink.merge(parsed)
+    state = sink.read()
+    shard = hash_bucket(F.col("transaction_id"), _RECONCILE_SHARDS)
+    fp = F.conv(F.substring(F.md5(F.col("transaction_id")), 1, 12), 16, 10).cast("bigint")
+    cents = (F.col("amount").cast(AMOUNT_TYPE) * 100).cast("bigint")
+    return (
+        state.select(shard.alias("shard"), cents.alias("c"), fp.alias("fp"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+            F.sum("fp").cast("bigint").alias("key_fingerprint"),
+        )
+    )
+
+
+CDC_RECONCILE_SQL = f"""
+WITH expected AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS k,
+         CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP}
+                        ELSE o_totalprice END AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % 97 != 0
+)
+SELECT CAST(('0x' || substr(md5(k), 1, 8))::UBIGINT % {_RECONCILE_SHARDS} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(c) AS BIGINT) AS sum_cents,
+       CAST(SUM(CAST(('0x' || substr(md5(k), 1, 12))::UBIGINT AS BIGINT)) AS BIGINT) AS key_fingerprint
+FROM expected
+GROUP BY 1
+"""
+
+
 def cdc_lsn_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WAL-continuity audit: per key, does the observed LSN sequence have
     holes?  span = max-min+1 vs the observed event count — the capture-
@@ -1107,6 +1165,7 @@ QUERIES = {
     "cdc_lsn_gap_audit": cdc_lsn_gap_audit,
     "cdc_toast_column_fill": cdc_toast_column_fill,
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
+    "cdc_reconcile_checksums": cdc_reconcile_checksums,
     "cdc_txn_consistent_apply": cdc_txn_consistent_apply,
     "cdc_forget_users": cdc_forget_users,
 }
@@ -1117,6 +1176,7 @@ ORACLE = {
     "cdc_lsn_gap_audit": CDC_LSN_GAP_SQL,
     "cdc_toast_column_fill": CDC_TOAST_SQL,
     "cdc_incremental_snapshot": CDC_ISNAP_SQL,
+    "cdc_reconcile_checksums": CDC_RECONCILE_SQL,
     "cdc_scd2_history": CDC_SCD2_SQL,
     "cdc_scd2_pointintime_join": CDC_SCD2_PIT_SQL,
     "cdc_apply_changes": CDC_APPLY_SQL,

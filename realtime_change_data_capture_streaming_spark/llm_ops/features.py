@@ -217,14 +217,92 @@ GROUP BY 1, 2, 3
 """
 
 
+# ------------------------------------------------- linear model inference
+
+_LOGIT_W_RANGE = 1001  # bucket weights in [-500, +500]
+
+
+def _bucket_weight(bucket: F.Column) -> F.Column:
+    """Signed integer weight per feature bucket, md5-derived so the
+    "trained model" is a pure function both engines materialize
+    identically (the repo-wide portable-hash discipline)."""
+    raw = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8), 16, 10
+    ).cast("bigint")
+    return (raw % _LOGIT_W_RANGE) - ((_LOGIT_W_RANGE - 1) // 2)
+
+
+def _bucket_weight_sql(expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('w:' || CAST({expr} AS VARCHAR)), 1, 8))::UBIGINT "
+        f"% {_LOGIT_W_RANGE} AS BIGINT) - {(_LOGIT_W_RANGE - 1) // 2}"
+    )
+
+
+def quality_logit_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale — the
+    fastText-shaped filter every web-scale curation pipeline runs (CCNet
+    / LLaMA-style "quality model" pass), with the trained weights
+    standing in as a deterministic md5-derived weight per hashed feature
+    bucket so the whole inference replays cross-engine.
+
+    Scale shape: one tokenize pass, bucket = md5 hash (the vocabulary
+    never materializes), the sparse dot product is ONE per-doc hash
+    aggregate of exact bigint weight contributions — no model broadcast
+    even needed, since the weight is a pure function of the bucket.  The
+    per-token mean logit folds as floor(logit*2^20/n) exact fixed point;
+    keep = logit >= 0 is the filter decision.  A real trained model
+    swaps ``_bucket_weight`` for a broadcast weight-table join; nothing
+    else changes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    contrib = toks.select(
+        "doc_id", _bucket_weight(hash_bucket(F.col("tok"), N_HASH_BUCKETS)).alias("w")
+    )
+    per_doc = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        F.sum("w").cast("bigint").alias("logit"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        "logit",
+        F.floor(F.col("logit") * F.lit(1 << 20) / F.col("n_toks"))
+        .cast("bigint")
+        .alias("mean_logit_fp"),
+        (F.col("logit") >= 0).alias("keep"),
+    )
+
+
+_QUALITY_LOGIT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_filter(
+           string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'),
+           t -> t != '')) AS tok
+  FROM documents
+), contrib AS (
+  SELECT doc_id, {_bucket_weight_sql(_bucket_sql("tok", N_HASH_BUCKETS))} AS w
+  FROM toks
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+       CAST(SUM(w) AS BIGINT) AS logit,
+       CAST(FLOOR(CAST(SUM(w) * {1 << 20} AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_logit_fp,
+       SUM(w) >= 0 AS keep
+FROM contrib
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "feature_target_encode": feature_target_encode,
     "feature_hashing_counts": feature_hashing_counts,
     "events_psi_drift": events_psi_drift,
+    "quality_logit_scores": quality_logit_scores,
 }
 
 ORACLE = {
     "feature_target_encode": _TARGET_ENCODE_SQL,
     "feature_hashing_counts": _FEATURE_HASH_SQL,
     "events_psi_drift": _PSI_SQL,
+    "quality_logit_scores": _QUALITY_LOGIT_SQL,
 }
