@@ -69,6 +69,13 @@ BENCH_QUERIES = (
     "stream_left_outer_attribution",
     "stream_cdc_merge",
     "stream_cdc_incremental_agg",
+    # round-8 additions: the DBLog incremental snapshot (chunk/stream
+    # dedup through latest-wins), the chained-stateful streaming as-of
+    # (interval join -> event-time-keyed max), and the linear
+    # quality-classifier inference (hashed features, codegen-only)
+    "cdc_incremental_snapshot",
+    "stream_asof_enrich",
+    "quality_logit_scores",
 )
 
 
