@@ -1570,24 +1570,96 @@ def encode_jpeg_420(w: int, h: int, rgb: bytes, quant=None, restart_interval: in
     return bytes(out)
 
 
-def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
-    """Progressive (SOF2) 4:4:4 JPEG encoder exercising BOTH progressive
+def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None, subsampling: str = "444") -> bytes:
+    """Progressive (SOF2) JPEG encoder exercising BOTH progressive
     mechanisms (ITU T.81 Annex G): spectral selection (DC scan, then the
     luma AC band split 1-5 / 6-63, then each chroma band 1-63) and
     successive approximation (every first pass sends coefficients at
     point transform Al=1; refinement scans Ah=1, Al=0 deliver the final
     bit — raw bits for DC, the correction-bit protocol for AC).  AC
     band-end runs accumulate into true EOBn symbols.  Same quantized
-    coefficients as ``encode_jpeg``, so a progressive decode must equal
-    the baseline decode of the same pixels bit-for-bit."""
+    coefficients as the matching baseline encoder, so a progressive
+    decode must equal the baseline decode of the same pixels
+    bit-for-bit.
+
+    ``subsampling="420"`` produces the default real-world progressive
+    shape (``cjpeg -progressive``): the interleaved DC scans walk 16x16
+    MCUs (4 luma + 1 of each chroma block) over the MCU-padded grid,
+    while the non-interleaved AC scans cover exactly each component's
+    TRUE block grid (T.81 A.2.4) — the geometry split the decoder must
+    honor."""
     import struct
 
-    qt_l, qt_c, nby, nbx, coefs = _jpeg_quantized(w, h, rgb, quant)
+    import numpy as np
+
     dc_codes = _jpeg_canonical(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
     ac_codes = _jpeg_canonical(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
-    blocks = [
-        [coefs[ci][by][bx] for by in range(nby) for bx in range(nbx)] for ci in range(3)
-    ]
+    qt_l = np.asarray(quant[0] if quant else _JPEG_STD_LUMA_QT, dtype=np.float64).reshape(8, 8)
+    qt_c = np.asarray(quant[1] if quant else _JPEG_STD_CHROMA_QT, dtype=np.float64).reshape(8, 8)
+    cmat = _jpeg_dct_matrix()
+
+    def plane_blocks(plane, qt):
+        """Row-major zigzag coefficient list over the plane's block grid."""
+        bh, bwd = plane.shape[0] // 8, plane.shape[1] // 8
+        out = []
+        for by in range(bh):
+            for bx in range(bwd):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                fq = np.rint((cmat @ block @ cmat.T) / qt).astype(np.int64)
+                out.append(fq.reshape(64)[_JPEG_ZZ])
+        return out
+
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    yp = np.clip(np.rint(0.299 * r + 0.587 * g + 0.114 * b), 0, 255)
+    cbp = np.clip(np.rint(128 - 0.168736 * r - 0.331264 * g + 0.5 * b), 0, 255)
+    crp = np.clip(np.rint(128 + 0.5 * r - 0.418688 * g - 0.081312 * b), 0, 255)
+    if subsampling == "444":
+        h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+        pads = [np.pad(p, ((0, h8 - h), (0, w8 - w)), mode="edge") for p in (yp, cbp, crp)]
+        specs = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+        mcux, mcuy = w8 // 8, h8 // 8
+        blocks = {cid: plane_blocks(pads[i], qt_l if i == 0 else qt_c) for i, (cid, _h, _v) in enumerate(specs)}
+        geom = {cid: (mcux, mcuy, mcux, mcuy) for cid, _h, _v in specs}
+    elif subsampling == "420":
+        mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+        yw, yh = mcux * 16, mcuy * 16
+        ypad = np.pad(yp, ((0, yh - h), (0, yw - w)), mode="edge")
+        cbpad = np.pad(cbp, ((0, yh - h), (0, yw - w)), mode="edge")
+        crpad = np.pad(crp, ((0, yh - h), (0, yw - w)), mode="edge")
+
+        def down(p):
+            return np.rint((p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0)
+
+        specs = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        blocks = {
+            1: plane_blocks(ypad, qt_l),
+            2: plane_blocks(down(cbpad), qt_c),
+            3: plane_blocks(down(crpad), qt_c),
+        }
+        geom = {
+            1: (2 * mcux, 2 * mcuy, (w + 7) // 8, (h + 7) // 8),
+            2: (mcux, mcuy, ((w + 1) // 2 + 7) // 8, ((h + 1) // 2 + 7) // 8),
+            3: (mcux, mcuy, ((w + 1) // 2 + 7) // 8, ((h + 1) // 2 + 7) // 8),
+        }
+    else:
+        raise ValueError(f"subsampling must be '444' or '420', got {subsampling!r}")
+    hv_of = {cid: (hi, vi) for cid, hi, vi in specs}
+
+    def mcu_order():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for cid, hi, vi in specs:
+                    bw_pad = geom[cid][0]
+                    for v in range(vi):
+                        for hh2 in range(hi):
+                            yield cid, (my * vi + v) * bw_pad + mx * hi + hh2
+
+    def true_order(cid):
+        bw_pad, _bh, bw_true, bh_true = geom[cid]
+        for by in range(bh_true):
+            for bx in range(bw_true):
+                yield by * bw_pad + bx
 
     def sos(comps: list[int], ss: int, se: int, ah: int, al: int, bw: "_JpegBitWriter") -> bytes:
         hdr = bytes([len(comps)])
@@ -1598,23 +1670,21 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
 
     def dc_first(al: int) -> "_JpegBitWriter":
         bw = _JpegBitWriter()
-        pred = [0, 0, 0]
-        for bi in range(nby * nbx):
-            for ci in range(3):
-                v = int(blocks[ci][bi][0]) >> al  # DC point transform: arithmetic shift
-                diff = v - pred[ci]
-                pred[ci] = v
-                t = abs(diff).bit_length()
-                bw.write(*dc_codes[t])
-                if t:
-                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        pred = {cid: 0 for cid, _h, _v in specs}
+        for cid, bi in mcu_order():
+            v = int(blocks[cid][bi][0]) >> al  # DC point transform: arithmetic shift
+            diff = v - pred[cid]
+            pred[cid] = v
+            t = abs(diff).bit_length()
+            bw.write(*dc_codes[t])
+            if t:
+                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
         return bw
 
     def dc_refine(al: int) -> "_JpegBitWriter":
         bw = _JpegBitWriter()
-        for bi in range(nby * nbx):
-            for ci in range(3):
-                bw.write((int(blocks[ci][bi][0]) >> al) & 1, 1)
+        for cid, bi in mcu_order():
+            bw.write((int(blocks[cid][bi][0]) >> al) & 1, 1)
         return bw
 
     def _emit_eobrun(bw, state):
@@ -1628,11 +1698,11 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
             bw.write(bit, 1)
         state[0], state[1] = 0, []
 
-    def ac_first(ci: int, ss: int, se: int, al: int) -> "_JpegBitWriter":
+    def ac_first(cid: int, ss: int, se: int, al: int) -> "_JpegBitWriter":
         bw = _JpegBitWriter()
         state = [0, []]  # [eobrun, buffered-bits] (no buffered bits in first scans)
-        for bi in range(nby * nbx):
-            zz = blocks[ci][bi]
+        for bi in true_order(cid):
+            zz = blocks[cid][bi]
             run = 0
             for k in range(ss, se + 1):
                 c = int(zz[k])
@@ -1655,7 +1725,7 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
         _emit_eobrun(bw, state)
         return bw
 
-    def ac_refine(ci: int, ss: int, se: int, al: int) -> "_JpegBitWriter":
+    def ac_refine(cid: int, ss: int, se: int, al: int) -> "_JpegBitWriter":
         # T.81 G.1.2.3 / the classic encode_mcu_AC_refine shape: newly
         # nonzero coefficients (|c|>>Al == 1) are coded run/size with the
         # run counting only zero-history positions; already-nonzero
@@ -1664,8 +1734,8 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
         # EOBn flush.
         bw = _JpegBitWriter()
         state = [0, []]
-        for bi in range(nby * nbx):
-            zz = blocks[ci][bi]
+        for bi in true_order(cid):
+            zz = blocks[cid][bi]
             absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
             eob = 0  # index AFTER the last newly-nonzero coefficient
             for i, a in enumerate(absv):
@@ -1712,17 +1782,34 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None) -> bytes:
         _emit_eobrun(bw, state)
         return bw
 
-    out = _jpeg_headers(w, h, qt_l, qt_c, 0xC2)
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    def zz_bytes(qt) -> bytes:
+        flat = qt.reshape(64)
+        return bytes(int(flat[_JPEG_ZZ[i]]) for i in range(64))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + zz_bytes(qt_l) + bytes([0x01]) + zz_bytes(qt_c))
+    sof_comps = b"".join(
+        bytes([cid, (hi << 4) | vi, 0 if cid == 1 else 1]) for cid, hi, vi in specs
+    )
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([3]) + sof_comps)
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMS)
+        + bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMS),
+    )
     al = 1
     out += sos([1, 2, 3], 0, 0, 0, al, dc_first(al))
-    out += sos([1], 1, 5, 0, al, ac_first(0, 1, 5, al))
-    out += sos([1], 6, 63, 0, al, ac_first(0, 6, 63, al))
-    out += sos([2], 1, 63, 0, al, ac_first(1, 1, 63, al))
-    out += sos([3], 1, 63, 0, al, ac_first(2, 1, 63, al))
+    out += sos([1], 1, 5, 0, al, ac_first(1, 1, 5, al))
+    out += sos([1], 6, 63, 0, al, ac_first(1, 6, 63, al))
+    out += sos([2], 1, 63, 0, al, ac_first(2, 1, 63, al))
+    out += sos([3], 1, 63, 0, al, ac_first(3, 1, 63, al))
     out += sos([1, 2, 3], 0, 0, 1, 0, dc_refine(0))
-    out += sos([1], 1, 63, 1, 0, ac_refine(0, 1, 63, 0))
-    out += sos([2], 1, 63, 1, 0, ac_refine(1, 1, 63, 0))
-    out += sos([3], 1, 63, 1, 0, ac_refine(2, 1, 63, 0))
+    out += sos([1], 1, 63, 1, 0, ac_refine(1, 1, 63, 0))
+    out += sos([2], 1, 63, 1, 0, ac_refine(2, 1, 63, 0))
+    out += sos([3], 1, 63, 1, 0, ac_refine(3, 1, 63, 0))
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -1962,7 +2049,8 @@ def decode_jpeg(buf: bytes) -> tuple[int, int, bytes]:
 
 
 def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
-    """Progressive JPEG (SOF2, 8-bit, 4:4:4 or grayscale) decode: the
+    """Progressive JPEG (SOF2, 8-bit; 4:4:4, 4:2:0/4:2:2, or grayscale)
+    decode: the
     full multi-scan coefficient-accumulation model of ITU T.81 Annex G —
     DC first/refinement scans (point transform = arithmetic shift, raw
     refinement bits), AC first scans with EOBn band-end runs, and AC
@@ -2094,12 +2182,29 @@ def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
             comps = []
             for c in range(nc):
                 cid, samp, tq = data[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
-                    raise NotImplementedError("subsampled JPEG (non-4:4:4) unsupported")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 15
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise NotImplementedError(f"JPEG sampling factors {hi}x{vi} unsupported")
+                comps.append((cid, hi, vi, tq))
             sof = (ww, hh, comps)
-            nblocks = ((hh + 7) // 8) * ((ww + 7) // 8)
-            coef = [np.zeros((nblocks, 64), dtype=np.int64) for _ in comps]
+            # per-component geometry (T.81 A.1.1/A.2.4): coefficients are
+            # stored on the MCU-PADDED grid (interleaved DC scans cover
+            # it), while NON-interleaved scans iterate only the
+            # component's TRUE block grid derived from its own dimensions
+            hmax = max(hi for _c, hi, _v, _t in comps)
+            vmax = max(vi for _c, _h, vi, _t in comps)
+            mcux = (ww + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (hh + 8 * vmax - 1) // (8 * vmax)
+            geom = {}
+            for cid, hi, vi, _tq in comps:
+                bw_pad, bh_pad = mcux * hi, mcuy * vi
+                compw = (ww * hi + hmax - 1) // hmax
+                comph = (hh * vi + vmax - 1) // vmax
+                geom[cid] = (bw_pad, bh_pad, (compw + 7) // 8, (comph + 7) // 8)
+            coef = {
+                cid: np.zeros((geom[cid][0] * geom[cid][1], 64), dtype=np.int64)
+                for cid, _h, _v, _t in comps
+            }
         elif m == 0xDD:
             raise NotImplementedError("JPEG restart intervals unsupported")
         elif m == 0xDA:
@@ -2131,23 +2236,42 @@ def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 i += 1
             pos = i
             rd = _JpegBitReader(bytes(ent))
-            cidx = {cid: j for j, (cid, _tq) in enumerate(sof[2])}
+            meta = {cid: (hi, vi) for cid, hi, vi, _tq in sof[2]}
+
+            def dc_block_order(interleaved_comps):
+                """(cid, block-index) sequence: MCU-interleaved when the
+                scan has several components, the component's true block
+                grid (row-major) when non-interleaved."""
+                if len(interleaved_comps) > 1:
+                    for my in range(mcuy):
+                        for mx in range(mcux):
+                            for cid, _tsel in interleaved_comps:
+                                hi, vi = meta[cid]
+                                bw_pad = geom[cid][0]
+                                for v in range(vi):
+                                    for hh2 in range(hi):
+                                        yield cid, (my * vi + v) * bw_pad + mx * hi + hh2
+                else:
+                    (cid, _tsel) = interleaved_comps[0]
+                    bw_pad, _bh, bw_true, bh_true = geom[cid]
+                    for by in range(bh_true):
+                        for bx in range(bw_true):
+                            yield cid, by * bw_pad + bx
             if ss == 0:
                 if ah == 0:
-                    preds = [0] * ns
-                    for bi in range(nblocks):
-                        for si, (cid, tsel) in enumerate(scan_comps):
-                            dc_t = huffs.get((0, tsel >> 4))
-                            if dc_t is None:
-                                raise ValueError("JPEG scan references missing DC table")
-                            t = huff_decode(rd, dc_t)
-                            preds[si] += _jpeg_extend(rd.bits(t), t) if t else 0
-                            coef[cidx[cid]][bi][0] = preds[si] << al
+                    preds = {cid: 0 for cid, _t in scan_comps}
+                    tsel_of = dict(scan_comps)
+                    for cid, bi in dc_block_order(scan_comps):
+                        dc_t = huffs.get((0, tsel_of[cid] >> 4))
+                        if dc_t is None:
+                            raise ValueError("JPEG scan references missing DC table")
+                        t = huff_decode(rd, dc_t)
+                        preds[cid] += _jpeg_extend(rd.bits(t), t) if t else 0
+                        coef[cid][bi][0] = preds[cid] << al
                 else:
-                    for bi in range(nblocks):
-                        for cid, _tsel in scan_comps:
-                            if rd.bit():
-                                coef[cidx[cid]][bi][0] |= 1 << al
+                    for cid, bi in dc_block_order(scan_comps):
+                        if rd.bit():
+                            coef[cid][bi][0] |= 1 << al
             else:
                 if ns != 1:
                     raise ValueError("progressive AC scan must be single-component")
@@ -2155,28 +2279,31 @@ def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 ac_t = huffs.get((1, tsel & 15))
                 if ac_t is None:
                     raise ValueError("JPEG scan references missing AC table")
-                blocks = coef[cidx[cid]]
+                blocks = coef[cid]
                 eobrun = 0
                 step = ac_first_block if ah == 0 else ac_refine_block
-                for bi in range(nblocks):
+                for _cid, bi in dc_block_order(scan_comps):
                     eobrun = step(rd, ac_t, blocks[bi], ss, se, al, eobrun)
         # else: APPn/COM — skip
     if sof is None or coef is None:
         raise ValueError("JPEG missing SOF2 scan data")
     w, h, comps = sof
     cmat = _jpeg_dct_matrix()
-    h8, w8 = (h + 7) // 8 * 8, (w + 7) // 8 * 8
-    nbx = w8 // 8
     planes = []
-    for ci, (cid, tq) in enumerate(comps):
+    for cid, hi, vi, tq in comps:
         qt = qts.get(tq)
         if qt is None:
             raise ValueError("JPEG component references missing quant table")
-        plane = np.zeros((h8, w8), dtype=np.float64)
-        for bi in range(nblocks):
-            by, bx = divmod(bi, nbx)
-            block = (coef[ci][bi].astype(np.float64) * qt).reshape(8, 8)
+        bw_pad, bh_pad, _bw_t, _bh_t = geom[cid]
+        plane = np.zeros((bh_pad * 8, bw_pad * 8), dtype=np.float64)
+        for bi in range(bw_pad * bh_pad):
+            by, bx = divmod(bi, bw_pad)
+            block = (coef[cid][bi].astype(np.float64) * qt).reshape(8, 8)
             plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = cmat.T @ block @ cmat + 128.0
+        if vi < vmax:
+            plane = np.repeat(plane, vmax // vi, axis=0)
+        if hi < hmax:
+            plane = np.repeat(plane, hmax // hi, axis=1)
         planes.append(plane)
     planes = [np.clip(np.rint(p[:h, :w]), 0, 255) for p in planes]
     if len(planes) == 1:
