@@ -2423,8 +2423,11 @@ def multimodal_progressive_jpeg_features(spark: SparkSession, sf_dir: str) -> Da
     successive approximation, so the decoder's DC first/refine and AC
     EOBn machinery all run — and the features come from the
     RECONSTRUCTED pixels, which the oracle recomputes analytically.
-    The progressive-vs-baseline bit-identity on NON-trivial coefficient
-    patterns (random/gradient images, AC refinement correction bits) is
+    Odd doc_ids additionally encode progressive 4:2:0 (lossless on the
+    gray fixture), so both sampling geometries of the progressive path
+    are driver-checked.  The progressive-vs-baseline bit-identity on
+    NON-trivial coefficient patterns (random/gradient images, AC
+    refinement correction bits, subsampled dummy-block geometry) is
     pinned in tests/test_multimodal.py; this query proves the decode
     path end-to-end through Spark."""
     d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
@@ -2448,7 +2451,10 @@ def multimodal_progressive_jpeg_features(spark: SparkSession, sf_dir: str) -> Da
                     for x in range(w)
                     for v in ((fill + 17 * ((y // 8) * bw + x // 8)) % 256,) * 3
                 )
-                buf = encode_progressive_jpeg(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT))
+                sub = "420" if int(doc_id) % 2 else "444"
+                buf = encode_progressive_jpeg(
+                    w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT), subsampling=sub
+                )
                 got_w, got_h, rec = decode_jpeg(buf)
                 if (got_w, got_h, rec) != (w, h, rgb):
                     raise ValueError(f"progressive JPEG round-trip failed for doc {doc_id}")
