@@ -1570,7 +1570,10 @@ def encode_jpeg_420(w: int, h: int, rgb: bytes, quant=None, restart_interval: in
     return bytes(out)
 
 
-def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None, subsampling: str = "444") -> bytes:
+def encode_progressive_jpeg(
+    w: int, h: int, rgb: bytes, quant=None, subsampling: str = "444",
+    restart_interval: int | None = None,
+) -> bytes:
     """Progressive (SOF2) JPEG encoder exercising BOTH progressive
     mechanisms (ITU T.81 Annex G): spectral selection (DC scan, then the
     luma AC band split 1-5 / 6-63, then each chroma band 1-63) and
@@ -1587,7 +1590,9 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None, subsampling:
     MCUs (4 luma + 1 of each chroma block) over the MCU-padded grid,
     while the non-interleaved AC scans cover exactly each component's
     TRUE block grid (T.81 A.2.4) — the geometry split the decoder must
-    honor."""
+    honor.  ``restart_interval`` emits DRI + per-scan RST0-7 markers
+    (byte-aligned, predictors and EOBRUN reset; the band-end run is
+    flushed before every restart)."""
     import struct
 
     import numpy as np
@@ -1661,31 +1666,62 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None, subsampling:
             for bx in range(bw_true):
                 yield by * bw_pad + bx
 
-    def sos(comps: list[int], ss: int, se: int, ah: int, al: int, bw: "_JpegBitWriter") -> bytes:
+    def sos(comps: list[int], ss: int, se: int, ah: int, al: int, segs: list[bytes]) -> bytes:
         hdr = bytes([len(comps)])
         for cid in comps:
             hdr += bytes([cid, 0x00])  # Td=0 / Ta=0: the fixed table pair
         hdr += bytes([ss, se, (ah << 4) | al])
-        return bytes((0xFF, 0xDA)) + struct.pack(">H", len(hdr) + 2) + hdr + bw.finish()
+        body = b""
+        for i, sg in enumerate(segs):
+            if i:  # RSTm cycles modulo 8 within each scan (T.81 E.2.4)
+                body += bytes((0xFF, 0xD0 + ((i - 1) % 8)))
+            body += sg
+        return bytes((0xFF, 0xDA)) + struct.pack(">H", len(hdr) + 2) + hdr + body
 
-    def dc_first(al: int) -> "_JpegBitWriter":
-        bw = _JpegBitWriter()
+    ri = restart_interval or 0
+
+    def mcu_units():
+        """Blocks grouped per MCU — the restart-interval unit of an
+        interleaved scan."""
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for cid, hi, vi in specs:
+                    bw_pad = geom[cid][0]
+                    for v in range(vi):
+                        for hh2 in range(hi):
+                            unit.append((cid, (my * vi + v) * bw_pad + mx * hi + hh2))
+                yield unit
+
+    def dc_first(al: int) -> list[bytes]:
+        segs, bw = [], _JpegBitWriter()
         pred = {cid: 0 for cid, _h, _v in specs}
-        for cid, bi in mcu_order():
-            v = int(blocks[cid][bi][0]) >> al  # DC point transform: arithmetic shift
-            diff = v - pred[cid]
-            pred[cid] = v
-            t = abs(diff).bit_length()
-            bw.write(*dc_codes[t])
-            if t:
-                bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-        return bw
+        for ui, unit in enumerate(mcu_units()):
+            if ri and ui and ui % ri == 0:
+                segs.append(bw.finish())
+                bw = _JpegBitWriter()
+                pred = {cid: 0 for cid, _h, _v in specs}
+            for cid, bi in unit:
+                v = int(blocks[cid][bi][0]) >> al  # DC point transform: arithmetic shift
+                diff = v - pred[cid]
+                pred[cid] = v
+                t = abs(diff).bit_length()
+                bw.write(*dc_codes[t])
+                if t:
+                    bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        segs.append(bw.finish())
+        return segs
 
-    def dc_refine(al: int) -> "_JpegBitWriter":
-        bw = _JpegBitWriter()
-        for cid, bi in mcu_order():
-            bw.write((int(blocks[cid][bi][0]) >> al) & 1, 1)
-        return bw
+    def dc_refine(al: int) -> list[bytes]:
+        segs, bw = [], _JpegBitWriter()
+        for ui, unit in enumerate(mcu_units()):
+            if ri and ui and ui % ri == 0:
+                segs.append(bw.finish())
+                bw = _JpegBitWriter()
+            for cid, bi in unit:
+                bw.write((int(blocks[cid][bi][0]) >> al) & 1, 1)
+        segs.append(bw.finish())
+        return segs
 
     def _emit_eobrun(bw, state):
         eobrun, buffered = state
@@ -1698,10 +1734,17 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None, subsampling:
             bw.write(bit, 1)
         state[0], state[1] = 0, []
 
-    def ac_first(cid: int, ss: int, se: int, al: int) -> "_JpegBitWriter":
+    def ac_first(cid: int, ss: int, se: int, al: int) -> list[bytes]:
+        segs = []
         bw = _JpegBitWriter()
         state = [0, []]  # [eobrun, buffered-bits] (no buffered bits in first scans)
-        for bi in true_order(cid):
+        for ui, bi in enumerate(true_order(cid)):
+            if ri and ui and ui % ri == 0:
+                # restart: flush the pending band-end run, byte-align,
+                # fresh entropy state (a non-interleaved MCU = one block)
+                _emit_eobrun(bw, state)
+                segs.append(bw.finish())
+                bw = _JpegBitWriter()
             zz = blocks[cid][bi]
             run = 0
             for k in range(ss, se + 1):
@@ -1723,18 +1766,24 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None, subsampling:
                 if state[0] == 0x7FFF:
                     _emit_eobrun(bw, state)
         _emit_eobrun(bw, state)
-        return bw
+        segs.append(bw.finish())
+        return segs
 
-    def ac_refine(cid: int, ss: int, se: int, al: int) -> "_JpegBitWriter":
+    def ac_refine(cid: int, ss: int, se: int, al: int) -> list[bytes]:
         # T.81 G.1.2.3 / the classic encode_mcu_AC_refine shape: newly
         # nonzero coefficients (|c|>>Al == 1) are coded run/size with the
         # run counting only zero-history positions; already-nonzero
         # positions contribute one correction bit each, interleaved in
         # order; band-end runs buffer their correction bits until the
         # EOBn flush.
+        segs = []
         bw = _JpegBitWriter()
         state = [0, []]
-        for bi in true_order(cid):
+        for ui, bi in enumerate(true_order(cid)):
+            if ri and ui and ui % ri == 0:
+                _emit_eobrun(bw, state)
+                segs.append(bw.finish())
+                bw = _JpegBitWriter()
             zz = blocks[cid][bi]
             absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
             eob = 0  # index AFTER the last newly-nonzero coefficient
@@ -1780,7 +1829,8 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None, subsampling:
                 if state[0] == 0x7FFF or len(state[1]) > 900:
                     _emit_eobrun(bw, state)
         _emit_eobrun(bw, state)
-        return bw
+        segs.append(bw.finish())
+        return segs
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
@@ -1800,6 +1850,8 @@ def encode_progressive_jpeg(w: int, h: int, rgb: bytes, quant=None, subsampling:
         bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMS)
         + bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMS),
     )
+    if ri:
+        out += bytes((0xFF, 0xDD)) + struct.pack(">HH", 4, ri)
     al = 1
     out += sos([1, 2, 3], 0, 0, 0, al, dc_first(al))
     out += sos([1], 1, 5, 0, al, ac_first(1, 1, 5, al))
@@ -2056,7 +2108,9 @@ def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     refinement bits), AC first scans with EOBn band-end runs, and AC
     refinement scans with the correction-bit protocol — then one
     dequantize + IDCT + color convert over the accumulated coefficients.
-    Restart intervals and arithmetic coding remain unsupported."""
+    Restart intervals are honored per scan (byte-aligned RST segments,
+    DC-predictor + EOBRUN reset); arithmetic coding remains
+    unsupported."""
     import struct
 
     import numpy as np
@@ -2065,8 +2119,8 @@ def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
     qts: dict[int, object] = {}
     huffs: dict[tuple[int, int], dict] = {}
     sof = None
-    coef: list | None = None
-    nblocks = 0
+    coef: dict | None = None
+    restart_interval = 0
 
     def huff_decode(rd, table: dict) -> int:
         code = 0
@@ -2205,8 +2259,8 @@ def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 cid: np.zeros((geom[cid][0] * geom[cid][1], 64), dtype=np.int64)
                 for cid, _h, _v, _t in comps
             }
-        elif m == 0xDD:
-            raise NotImplementedError("JPEG restart intervals unsupported")
+        elif m == 0xDD:  # DRI: restart interval in MCUs (0 = disabled)
+            (restart_interval,) = struct.unpack(">H", data[:2])
         elif m == 0xDA:
             if sof is None or coef is None:
                 raise ValueError("JPEG SOS before SOF2")
@@ -2218,7 +2272,9 @@ def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 # T.81 G.1.1.1: a progressive DC scan is exactly Ss=Se=0;
                 # catches SOF0 streams mislabeled as SOF2
                 raise ValueError(f"invalid progressive spectral range {ss}-{se}")
-            # unstuff this scan's entropy bytes; stop at the next marker
+            # unstuff this scan's entropy bytes; RST0-7 split the scan
+            # into byte-aligned restart segments; stop at any other marker
+            segs: list[bytes] = []
             ent = bytearray()
             i = pos
             while i < len(buf):
@@ -2231,47 +2287,72 @@ def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                         ent.append(0xFF)
                         i += 2
                         continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segs.append(bytes(ent))
+                        ent = bytearray()
+                        i += 2
+                        continue
                     break  # next marker (another SOS/DHT/EOI)
                 ent.append(b0)
                 i += 1
             pos = i
-            rd = _JpegBitReader(bytes(ent))
+            segs.append(bytes(ent))
+            if len(segs) > 1 and not restart_interval:
+                raise ValueError("JPEG RST markers present without a DRI interval")
+            seg_iter = iter(segs)
+            rd = _JpegBitReader(next(seg_iter))
+
+            def next_segment():
+                try:
+                    return _JpegBitReader(next(seg_iter))
+                except StopIteration:
+                    raise ValueError("JPEG restart segment missing") from None
             meta = {cid: (hi, vi) for cid, hi, vi, _tq in sof[2]}
 
-            def dc_block_order(interleaved_comps):
-                """(cid, block-index) sequence: MCU-interleaved when the
-                scan has several components, the component's true block
-                grid (row-major) when non-interleaved."""
+            def scan_units(interleaved_comps):
+                """Restart-unit (MCU) groups of (cid, block-index): one
+                MCU's Hi x Vi blocks per component when interleaved, one
+                true-grid block when non-interleaved (T.81 A.2.4 — a
+                non-interleaved MCU is a single block)."""
                 if len(interleaved_comps) > 1:
                     for my in range(mcuy):
                         for mx in range(mcux):
+                            unit = []
                             for cid, _tsel in interleaved_comps:
                                 hi, vi = meta[cid]
                                 bw_pad = geom[cid][0]
                                 for v in range(vi):
                                     for hh2 in range(hi):
-                                        yield cid, (my * vi + v) * bw_pad + mx * hi + hh2
+                                        unit.append((cid, (my * vi + v) * bw_pad + mx * hi + hh2))
+                            yield unit
                 else:
                     (cid, _tsel) = interleaved_comps[0]
                     bw_pad, _bh, bw_true, bh_true = geom[cid]
                     for by in range(bh_true):
                         for bx in range(bw_true):
-                            yield cid, by * bw_pad + bx
+                            yield [(cid, by * bw_pad + bx)]
             if ss == 0:
                 if ah == 0:
                     preds = {cid: 0 for cid, _t in scan_comps}
                     tsel_of = dict(scan_comps)
-                    for cid, bi in dc_block_order(scan_comps):
-                        dc_t = huffs.get((0, tsel_of[cid] >> 4))
-                        if dc_t is None:
-                            raise ValueError("JPEG scan references missing DC table")
-                        t = huff_decode(rd, dc_t)
-                        preds[cid] += _jpeg_extend(rd.bits(t), t) if t else 0
-                        coef[cid][bi][0] = preds[cid] << al
+                    for ui, unit in enumerate(scan_units(scan_comps)):
+                        if restart_interval and ui and ui % restart_interval == 0:
+                            rd = next_segment()  # byte-aligned; predictors reset
+                            preds = {cid: 0 for cid, _t in scan_comps}
+                        for cid, bi in unit:
+                            dc_t = huffs.get((0, tsel_of[cid] >> 4))
+                            if dc_t is None:
+                                raise ValueError("JPEG scan references missing DC table")
+                            t = huff_decode(rd, dc_t)
+                            preds[cid] += _jpeg_extend(rd.bits(t), t) if t else 0
+                            coef[cid][bi][0] = preds[cid] << al
                 else:
-                    for cid, bi in dc_block_order(scan_comps):
-                        if rd.bit():
-                            coef[cid][bi][0] |= 1 << al
+                    for ui, unit in enumerate(scan_units(scan_comps)):
+                        if restart_interval and ui and ui % restart_interval == 0:
+                            rd = next_segment()
+                        for cid, bi in unit:
+                            if rd.bit():
+                                coef[cid][bi][0] |= 1 << al
             else:
                 if ns != 1:
                     raise ValueError("progressive AC scan must be single-component")
@@ -2282,8 +2363,12 @@ def _decode_progressive_jpeg(buf: bytes) -> tuple[int, int, bytes]:
                 blocks = coef[cid]
                 eobrun = 0
                 step = ac_first_block if ah == 0 else ac_refine_block
-                for _cid, bi in dc_block_order(scan_comps):
-                    eobrun = step(rd, ac_t, blocks[bi], ss, se, al, eobrun)
+                for ui, unit in enumerate(scan_units(scan_comps)):
+                    if restart_interval and ui and ui % restart_interval == 0:
+                        rd = next_segment()  # entropy state reset incl. EOBRUN
+                        eobrun = 0
+                    for _cid, bi in unit:
+                        eobrun = step(rd, ac_t, blocks[bi], ss, se, al, eobrun)
         # else: APPn/COM — skip
     if sof is None or coef is None:
         raise ValueError("JPEG missing SOF2 scan data")
