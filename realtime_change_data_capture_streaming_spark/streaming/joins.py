@@ -250,6 +250,10 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    # state-partition sizing (the r5 discipline): TWO chained stateful
+    # operators here commit join + aggregate state stores per shuffle
+    # partition per micro-batch, so oversized partitioning is pure fixed
+    # cost at this state volume
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
