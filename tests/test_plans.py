@@ -458,3 +458,30 @@ def test_bloom_prefilter_semi_join_below_shuffle_join(spark, sf_dir):
         "semi-join reduction must sit below the exact join"
     )
     assert_no_cartesian(df)
+
+
+def test_round8_ops_plan_shapes(spark, sf_dir):
+    """Round-8 operators keep their scale contracts: the BPE encode
+    vocabulary join broadcasts (corpus side never shuffles on the join
+    key), the quality-logit inference is pure codegen with no Python
+    eval and no join at all, and the Mann-Whitney reduction carries no
+    cartesian or nested-loop join."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.features import quality_logit_scores
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import text_bpe_encode
+    from realtime_change_data_capture_streaming_spark.operators.stats import (
+        events_mannwhitney_value,
+    )
+
+    enc = text_bpe_encode(spark, sf_dir)
+    assert broadcast_join_count(enc) >= 1, "BPE vocab join must broadcast"
+    assert_no_cartesian(enc)
+
+    logit = quality_logit_scores(spark, sf_dir)
+    c = plan_counts(logit)
+    assert c["python_evals"] == 0, "logit inference must stay JVM-side"
+    assert c["broadcast_joins"] + c["sort_merge_joins"] + c["shuffled_hash_joins"] == 0
+    assert_no_cartesian(logit)
+
+    mwu = events_mannwhitney_value(spark, sf_dir)
+    assert_no_cartesian(mwu)
+    assert plan_counts(mwu)["python_evals"] == 0
