@@ -391,6 +391,15 @@ class BucketedParquetSink:
                 # the manifest's bucket map is derived from what was
                 # written either way).  Discovery/pruning engage exactly
                 # when they pay: once the table outgrows a partition.
+                # Empty batches must still short-circuit HERE (the
+                # discovery path decides via `touched`): without this
+                # probe an idle trigger would rewrite the whole table as
+                # a new committed version plus an empty view-delta slot,
+                # churning versions/GC for zero rows.  The probe is a
+                # key-only limit(1) scan of the batch — cheap, and only
+                # paid on the small-table path.
+                if batch.select(self.key_col).limit(1).isEmpty():
+                    return
                 current_touched = self.read_raw()
             else:
                 touched = [

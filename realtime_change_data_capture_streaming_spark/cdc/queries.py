@@ -728,8 +728,16 @@ def cdc_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink-side checksums; the oracle computes the source-side expectation
     closed-form from orders — so the driver's hash match IS the
     reconciliation passing.  Shards and fingerprints are md5-derived
-    (portable-hash discipline), sums are exact bigints; with 48-bit
-    fingerprints the per-shard sum stays under 2^63 to ~30T rows/shard.
+    (portable-hash discipline), sums are exact bigints.  Fingerprints
+    are 32-bit (md5 hex chars 9-16, a slice DISJOINT from the shard's
+    chars 1-8, so the fingerprint sum carries information the shard id
+    does not): max fp < 2^32, so the per-shard bigint sum is guaranteed
+    safe to 2^31 rows/shard (~2.1B rows/shard, ~34B keys at 16 shards;
+    raise ``_RECONCILE_SHARDS`` past that).  A 48-bit fingerprint would
+    wrap a bigint at only ~2^15 rows/shard — and asymmetrically: Spark's
+    non-ANSI SUM wraps silently while the DuckDB oracle's HUGEINT-
+    promoted SUM fails its BIGINT cast.  The assert_true guard below
+    makes any future overflow loud and symmetric instead.
     At scale this is one bucket-pruned scan of the sink + one
     shard-cardinality aggregate — no source-side join, which is the
     point: the two sides are computed independently and compared small."""
@@ -744,9 +752,9 @@ def cdc_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink.merge(parsed)
     state = sink.read()
     shard = hash_bucket(F.col("transaction_id"), _RECONCILE_SHARDS)
-    fp = F.conv(F.substring(F.md5(F.col("transaction_id")), 1, 12), 16, 10).cast("bigint")
+    fp = F.conv(F.substring(F.md5(F.col("transaction_id")), 9, 8), 16, 10).cast("bigint")
     cents = (F.col("amount").cast(AMOUNT_TYPE) * 100).cast("bigint")
-    return (
+    agged = (
         state.select(shard.alias("shard"), cents.alias("c"), fp.alias("fp"))
         .groupBy("shard")
         .agg(
@@ -754,6 +762,22 @@ def cdc_reconcile_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").cast("bigint").alias("sum_cents"),
             F.sum("fp").cast("bigint").alias("key_fingerprint"),
         )
+    )
+    # loud overflow guard (the ANOVA discipline, stats.py): past 2^31
+    # rows/shard the fingerprint sum could exceed bigint — fail the
+    # Spark side as loudly as the oracle would, never wrap silently
+    guard = F.coalesce(
+        F.assert_true(
+            F.col("n_rows") < F.lit(1 << 31),
+            F.lit("reconcile fingerprint sum may exceed bigint; raise _RECONCILE_SHARDS"),
+        ).cast("bigint"),
+        F.lit(0).cast("bigint"),
+    )
+    return agged.select(
+        "shard",
+        "n_rows",
+        "sum_cents",
+        (F.col("key_fingerprint") + guard).alias("key_fingerprint"),
     )
 
 
@@ -767,7 +791,7 @@ WITH expected AS (
 SELECT CAST(('0x' || substr(md5(k), 1, 8))::UBIGINT % {_RECONCILE_SHARDS} AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(c) AS BIGINT) AS sum_cents,
-       CAST(SUM(CAST(('0x' || substr(md5(k), 1, 12))::UBIGINT AS BIGINT)) AS BIGINT) AS key_fingerprint
+       CAST(SUM(CAST(('0x' || substr(md5(k), 9, 8))::UBIGINT AS BIGINT)) AS BIGINT) AS key_fingerprint
 FROM expected
 GROUP BY 1
 """

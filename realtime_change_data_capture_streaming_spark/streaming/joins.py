@@ -239,11 +239,24 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen (but inside the watermark allowance) still wins if it is the
     latest in the horizon — the late-arriving-dimension property; views
     later than the allowance are dropped by the watermark like any
-    streaming aggregate's late data.  The sentinel flush schedule and
-    trailing no-data batch (see ``_flush_padded_events_dir``) make the
-    final eviction deterministic.  Oracle: the batch toleranced as-of
-    (``operators/asof.py::events_asof_view_within_1h`` semantics) — the
-    nearest match filtered to the horizon equals the windowed max."""
+    streaming aggregate's late data.  Grouping is per purchase EVENT
+    (event_id carried through the join), not per (user, ts): two
+    purchases by one user at the same timestamp each get their own
+    enrichment row, exactly like the batch ASOF oracle.
+
+    Trigger schedule (r9): the fixture + sentinel files are consumed in
+    ONE micro-batch (no maxFilesPerTrigger split).  An inner interval
+    join needs no cross-batch isolation — matches emit as soon as both
+    sides are in state — and the append-mode agg only needs the
+    watermark to pass each purchase, which the sentinels provide at the
+    END of that single batch; the engine's trailing no-data micro-batch
+    (see ``_flush_padded_events_dir``) then finalizes every real group.
+    Two chained stateful operators commit state per partition per batch,
+    so one data batch + one no-data flush is the minimal schedule —
+    the multi-batch split only paid fixed cost.  Oracle: the batch
+    toleranced as-of (``operators/asof.py::events_asof_view_within_1h``
+    semantics) — the nearest match filtered to the horizon equals the
+    windowed max."""
     import os
 
     d = _flush_padded_events_dir(sf_dir)
@@ -252,16 +265,15 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     # state-partition sizing (the r5 discipline): TWO chained stateful
     # operators here commit join + aggregate state stores per shuffle
-    # partition per micro-batch, so oversized partitioning is pure fixed
-    # cost at this state volume
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # partition per micro-batch — 4 store families total — so this query
+    # pays 2x the per-partition fixed cost of a single stateful op and
+    # earns the smallest partition count of the streaming suite.  At the
+    # fixture's state volume (tens of KB per store) 2 partitions is
+    # honest; at production volume this knob scales up with state size.
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(d)
-        )
+        stream = spark.readStream.schema(raw_schema).parquet(d)
         if dict(stream.dtypes).get("ts") == "bigint":
             stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
@@ -273,7 +285,11 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         purchases = (
             stream.filter(F.col("event_type") == "purchase")
-            .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+            .select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("event_id").alias("purchase_id"),
+            )
             .withWatermark("purchase_ts", "1 hour")
         )
         cand = purchases.join(
@@ -283,7 +299,7 @@ def stream_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("interval 1 hour")),
         )
         enriched = (
-            cand.groupBy("p_user_id", "purchase_ts")
+            cand.groupBy("p_user_id", "purchase_ts", "purchase_id")
             .agg(F.max(F.struct("view_ts")).alias("m"))
             .select(
                 F.col("p_user_id").alias("user_id"),
