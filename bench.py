@@ -76,6 +76,10 @@ BENCH_QUERIES = (
     "cdc_incremental_snapshot",
     "stream_asof_enrich",
     "quality_logit_scores",
+    # round-9 additions: SemDeDup embedding-cluster dedup (normalized
+    # hashed-shingle vectors -> fixed-point k-means -> intra-cluster
+    # cosine pairs)
+    "dedup_semantic_clusters",
 )
 
 

@@ -483,6 +483,258 @@ WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding), p -> CAST(p[1]
 """
 
 
+# ------------------------------------------------- semantic dedup (SemDeDup)
+
+_SEM_DIM = 128  # hashed-shingle embedding width
+_SEM_K = 8  # k-means cluster floor (and the value the oracle replays)
+_SEM_TARGET = 64  # target docs per cluster: k = max(_SEM_K, n_docs // _SEM_TARGET)
+_SEM_ITERS = 2  # fixed iteration count (determinism, like ivf_model)
+_SEM_TAU = 0.8  # intra-cluster cosine threshold for a near-duplicate
+_SEM_FP = float(1 << 20)  # fixed-point scale for the centroid mean
+
+
+def _semantic_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-NORMALIZED ``_SEM_DIM``-dim hashed 3-shingle count vector per
+    document — the deterministic stand-in for a model embedding (the
+    hashing-trick discipline of ``features.feature_hashing_counts``:
+    vocabulary never materializes, feature width fixed at any corpus
+    size, md5 buckets so the whole embedding replays in DuckDB).
+
+    Normalization is the load-bearing step: SemDeDup's k-means must
+    co-cluster near-duplicates, and on RAW count vectors two documents
+    with cosine 0.99 but 2x different lengths sit far apart in L2 — on
+    the unit sphere squared-L2 is exactly ``2 - 2*cosine``, so cosine
+    neighbors are L2 neighbors and land in the same cell.  (Measured on
+    the fixture: raw-count clustering co-locates 0/24 true near-dup
+    pairs; normalized co-locates 24/24.)  Documents shorter than one
+    shingle carry no signal and are excluded (both engines).
+    """
+    from realtime_change_data_capture_streaming_spark.llm_ops.curation import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_rows(d)
+    counts = (
+        sh.select("doc_id", hash_bucket(F.col("shingle"), _SEM_DIM).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    raw = (
+        counts.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("b", "c"))).alias("m"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_SEM_DIM - 1)),
+                lambda i: F.coalesce(F.element_at("m", i.cast("bigint")), F.lit(0)).cast(
+                    "double"
+                ),
+            ).alias("rv"),
+        )
+    )
+    vec = raw.withColumn(
+        "norm", F.sqrt(F.aggregate("rv", F.lit(0.0), lambda acc, x: acc + x * x))
+    ).select("doc_id", F.transform("rv", lambda x: x / F.col("norm")).alias("vec"))
+    # physical barrier (the with_tokens discipline): stop CollapseProject
+    # from re-inlining the map->dense->normalize expression tree into every
+    # downstream distance lambda, and spread the vectors across partitions
+    return vec.repartition(16, "doc_id")
+
+
+def _sem_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per document vector: squared L2 in double
+    (left-to-right index-order fold, the cross-engine-exact shape), ties
+    broken by the smaller cluster id — ``similarity._assign`` on doc
+    vectors.  Centroids stay broadcast-size at any corpus scale."""
+    scored = v.crossJoin(F.broadcast(cents)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("vec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        ),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.min_by(F.struct("cluster", "vec"), F.struct("dist", "cluster")).alias("s"))
+        .select("doc_id", F.col("s.cluster").alias("cluster"), F.col("s.vec").alias("vec"))
+    )
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023): k-means the
+    document embeddings, then find near-duplicate pairs ONLY within each
+    cluster — cluster-bounded candidate generation, never all-pairs.
+
+    Pipeline: deterministic hashed-shingle embeddings on the unit sphere
+    (``_semantic_vectors``) -> fixed-seed fixed-iteration k-means with
+    fixed-point centroid means (the ``ivf_model`` reproducibility
+    discipline — integer sums are associative, so centroids are
+    bit-identical under any partitioning and replay in DuckDB) -> one
+    intra-cluster self-join with a single dot-product fold (vectors are
+    pre-normalized, so cosine IS the dot).  Drop rule is the one-round
+    parallel variant of SemDeDup's greedy scan: doc b is dropped iff some
+    same-cluster doc a < b has cosine >= tau; the emitted witness is the
+    smallest such a.  (Sequential greedy keeps docs whose only witnesses
+    were themselves dropped; the parallel rule — standard in distributed
+    dedup, same keep-min-id convention as ``exact_dedup_groups`` — is
+    order-free and one shuffle.)
+
+    Scale: the embed+assign passes are linear scans with broadcast
+    centroids; candidate volume is sum-of-squares of CLUSTER sizes, and
+    k grows with the corpus (``n_docs // _SEM_TARGET``) so blocks stay
+    ~``_SEM_TARGET`` docs at any scale — candidate volume ~N*TARGET/2,
+    linear in N, never all-pairs.  Per iteration the k*dim centroid
+    table is COLLECTED and re-broadcast as literals — the MLlib k-means
+    shape: centroids are model state, not data (bounded at k*128
+    doubles), and cutting the lineage there keeps iteration i+1 from
+    re-executing every prior assignment under it.  The embedding table
+    itself is persisted across the iterations (loop-invariant, the
+    graph_pagerank discipline).  Recall vs the exact all-pairs drop set
+    is pinned at 24/24 in tests/test_sketches.py.
+
+    Oracle note: the DuckDB replay hard-codes k = ``_SEM_K``, which is
+    what the adaptive formula yields for the <=512-doc parity fixtures
+    (sf0.001/sf0.01, 500 docs); larger SFs run more clusters and are
+    covered by the recall/scale tests, not the SQL oracle.
+    """
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    v = _semantic_vectors(spark, sf_dir).persist()
+    n_docs = v.count()  # also materializes the persist
+    k = max(_SEM_K, n_docs // _SEM_TARGET)
+    cent_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
+    )
+    # seeds: the k smallest doc_ids (deterministic; TakeOrderedAndProject,
+    # not a global sort); cluster id = seed doc_id.  Collected once —
+    # centroids are model state, k*128 doubles.
+    seed_rows = v.orderBy("doc_id").limit(k).collect()
+    cents = spark.createDataFrame(
+        [(r["doc_id"], r["vec"]) for r in seed_rows], cent_schema
+    )
+    for _ in range(_SEM_ITERS):
+        assigned = _sem_assign(v, cents)
+        cent_rows = (
+            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
+            .withColumn("iv", F.floor(F.col("x") * F.lit(_SEM_FP)))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster",
+                "dim",
+                ((F.col("s").cast("double") / F.col("n")) / F.lit(_SEM_FP)).alias("m"),
+            )
+            .collect()  # bounded: k * _SEM_DIM rows of model state
+        )
+        by_cluster: dict[int, list[float]] = {}
+        for r in cent_rows:
+            by_cluster.setdefault(r["cluster"], [0.0] * _SEM_DIM)[r["dim"]] = r["m"]
+        cents = spark.createDataFrame(sorted(by_cluster.items()), cent_schema)
+    assigned = _sem_assign(v, cents).persist()
+    a = assigned.select(
+        F.col("doc_id").alias("witness_id"),
+        F.col("cluster").alias("cl_a"),
+        F.col("vec").alias("vec_a"),
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("drop_id"), F.col("cluster"), F.col("vec").alias("vec_b")
+    )
+    cos = F.aggregate(
+        F.zip_with("vec_a", "vec_b", lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z
+    )
+    pairs = (
+        a.join(b, (F.col("cl_a") == F.col("cluster")) & (F.col("witness_id") < F.col("drop_id")))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(_SEM_TAU))
+    )
+    return (
+        pairs.groupBy("cluster", "drop_id")
+        .agg(F.min_by(F.struct("witness_id", "cosine"), F.col("witness_id")).alias("w"))
+        .select(
+            "cluster",
+            "drop_id",
+            F.col("w.witness_id").alias("witness_id"),
+            F.col("w.cosine").alias("cosine"),
+        )
+    )
+
+
+def _semantic_sql() -> str:
+    """DuckDB replay of dedup_semantic_clusters: same shingle hashing,
+    same normalization, same seeds, same two fixed-point k-means
+    iterations, same fold shapes, same tie-breaks.  The vector CTE is
+    MATERIALIZED — it feeds three assignment passes plus the pair join,
+    and DuckDB inlines plain CTEs per reference."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.curation import _bucket_sql
+
+    dist = (
+        "list_sum(list_transform(list_zip(e.vec, c.centroid), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+    def assign(cents: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT doc_id, vec, cluster FROM (
+    SELECT e.doc_id, e.vec, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY {dist} ASC, c.cluster ASC) AS rk
+    FROM v e CROSS JOIN {cents} c
+  ) WHERE rk = 1
+)"""
+
+    def update(assigned: str, name: str) -> str:
+        return f"""{name} AS (
+  SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
+    SELECT cluster, dim, (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {_SEM_FP} AS m
+    FROM (SELECT a.cluster, t.i AS dim, CAST(FLOOR(a.vec[t.i] * {_SEM_FP}) AS BIGINT) AS iv
+          FROM {assigned} a, UNNEST(range(1, {_SEM_DIM} + 1)) AS t(i)) GROUP BY 1, 2
+  ) GROUP BY cluster
+)"""
+
+    cos = "list_sum(list_transform(list_zip(a.vec, b.vec), p -> p[1] * p[2]))"
+    return f"""
+WITH sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] AS shingle FROM (
+    SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS tl
+    FROM documents
+  ), UNNEST(range(1, len(tl) - 3 + 2)) AS t(i)
+), counts AS (
+  SELECT doc_id, {_bucket_sql("shingle", _SEM_DIM)} AS b, COUNT(*) AS c
+  FROM sh GROUP BY 1, 2
+), raw AS (
+  SELECT d.doc_id, list(CAST(COALESCE(c.c, 0) AS DOUBLE) ORDER BY t.i) AS rv
+  FROM (SELECT DISTINCT doc_id FROM counts) d
+  CROSS JOIN UNNEST(range(0, {_SEM_DIM})) AS t(i)
+  LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.b = t.i
+  GROUP BY d.doc_id
+), v AS MATERIALIZED (
+  SELECT doc_id, list_transform(rv, x -> x / SQRT(list_sum(list_transform(rv, y -> y * y)))) AS vec
+  FROM raw
+), cents0 AS (
+  SELECT doc_id AS cluster, vec AS centroid FROM (SELECT * FROM v ORDER BY doc_id LIMIT {_SEM_K})
+), {assign("cents0", "assign0")}
+, {update("assign0", "cents1")}
+, {assign("cents1", "assign1")}
+, {update("assign1", "cents2")}
+, {assign("cents2", "assign2")}
+, simpairs AS (
+  SELECT b.cluster AS cluster, b.doc_id AS drop_id, a.doc_id AS witness_id, {cos} AS cosine
+  FROM assign2 a JOIN assign2 b ON a.cluster = b.cluster AND a.doc_id < b.doc_id
+  WHERE {cos} >= {_SEM_TAU}
+)
+SELECT cluster, drop_id, witness_id, cosine FROM (
+  SELECT cluster, drop_id, witness_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY drop_id ORDER BY witness_id ASC) AS rk
+  FROM simpairs
+) WHERE rk = 1
+"""
+
+
+SEMANTIC_DEDUP_SQL = _semantic_sql()
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash over the documents fixture — see simhash_of."""
     return simhash_of(spread(load_table(spark, sf_dir, "documents"), "doc_id"))
@@ -977,6 +1229,7 @@ QUERIES = {
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_shingle_containment": dedup_shingle_containment,
     "dedup_embedding_cosine": embedding_cosine_dedup,
+    "dedup_semantic_clusters": dedup_semantic_clusters,
     "dedup_minhash_lsh": minhash_lsh_candidates,
     "dedup_simhash": simhash_signatures,
     "dedup_substring_spans": dedup_substring_spans,
@@ -990,6 +1243,7 @@ ORACLE = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_SQL,
     "dedup_shingle_containment": CONTAINMENT_SQL,
     "dedup_embedding_cosine": EMBEDDING_COSINE_DEDUP_SQL,
+    "dedup_semantic_clusters": SEMANTIC_DEDUP_SQL,
     "dedup_cluster_components": DEDUP_CLUSTER_SQL,
     # md5-derived sketches since round 5 -> full hash oracle
     "dedup_minhash_lsh": MINHASH_LSH_SQL,

@@ -713,3 +713,41 @@ def test_sketch_store_commits_are_replay_safe(spark, tmp_path):
     from realtime_change_data_capture_streaming_spark.operators.stats import _BKQ_K
 
     assert all(v <= _BKQ_K for v in n_per_group.values())
+
+
+def test_semantic_dedup_cluster_recall_vs_exact(spark):
+    """SemDeDup's cluster-bounded candidate generation must not lose the
+    near-duplicates the exact all-pairs scan finds: on the fixture, every
+    doc dropped by the exact rule (some smaller-id doc anywhere with
+    cosine >= tau) is also dropped by the intra-cluster rule — i.e. the
+    normalized-vector k-means co-locates all true near-dup pairs
+    (unnormalized counts co-locate none; see _semantic_vectors)."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import (
+        _SEM_TAU,
+        _semantic_vectors,
+        dedup_semantic_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["drop_id"] for r in dedup_semantic_clusters(spark, sf).collect()}
+
+    v = _semantic_vectors(spark, sf)
+    a = v.select(F.col("doc_id").alias("ia"), F.col("vec").alias("va"))
+    b = v.select(F.col("doc_id").alias("ib"), F.col("vec").alias("vb"))
+    cos = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, z: acc + z
+    )
+    exact = {
+        r["ib"]
+        for r in a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(_SEM_TAU))
+        .select("ib")
+        .distinct()
+        .collect()
+    }
+    assert len(exact) >= 10, "fixture lost its near-duplicate structure"
+    assert exact == got, (
+        f"cluster-bounded drops diverge from exact: missed={sorted(exact - got)[:5]} "
+        f"extra={sorted(got - exact)[:5]}"
+    )
