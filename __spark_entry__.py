@@ -33,6 +33,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return cdc_apply_changes(spark, "/root/testdata/sf0.001")
 
 
+# Queries registered this round BEYOND the window budget (window = 50
+# slots; r9 budget = 3 new so the full 47-query r4-stale cohort rotates
+# through, per VERDICT r8 task 1).  Deferred queries sort AFTER every
+# already-verified query, so they take their first driver check next
+# round; until then the local tests/test_oracle_parity.py mirror pins
+# them against DuckDB on every pytest run.
+_DEFER_FIRST_CHECK = frozenset(
+    {
+        "cdc_multitable_fk_apply",
+        "stream_multitable_fk_apply",
+        "text_unigram_segment",
+    }
+)
+
+
 def _verification_order(names, with_oracle=frozenset()):
     """Sort key that self-rotates registration order across rounds.
 
@@ -124,6 +139,8 @@ def _verification_order(names, with_oracle=frozenset()):
 
     def key(nm):
         if nm not in history:
+            if nm in _DEFER_FIRST_CHECK:
+                return (3, 0, order[nm])
             return (1, priority.get(nm, len(priority)), order[nm])
         rnd, ok, hash_checked = history[nm]
         if not ok:

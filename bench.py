@@ -78,8 +78,10 @@ BENCH_QUERIES = (
     "quality_logit_scores",
     # round-9 additions: SemDeDup embedding-cluster dedup (normalized
     # hashed-shingle vectors -> fixed-point k-means -> intra-cluster
-    # cosine pairs)
+    # cosine pairs), and real-MJPEG scene cuts (marker-walk demux +
+    # mixed 4:4:4/4:2:0 JPEG decode per frame)
     "dedup_semantic_clusters",
+    "multimodal_mjpeg_scene_cuts",
 )
 
 

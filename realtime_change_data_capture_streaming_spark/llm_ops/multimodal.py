@@ -2593,6 +2593,159 @@ FROM documents d LEFT JOIN sums s ON s.doc_id = d.doc_id
 """
 
 
+def demux_mjpeg(buf: bytes) -> list[bytes]:
+    """Split a motion-JPEG stream (concatenated JPEG images — the actual
+    wire format of MJPG-fourcc AVI video streams) into individual JPEG
+    frames by a REAL marker walk: length-prefixed segments are skipped
+    by their declared length, entropy-coded scan data is scanned
+    honoring 0xFF00 byte stuffing and RST0-7 restart markers, and a
+    frame ends at its own EOI.  A naive split on the FFD9 byte pair
+    would mis-split whenever a quant/Huffman table happens to contain
+    that pair; the marker walk cannot."""
+    frames: list[bytes] = []
+    pos, n = 0, len(buf)
+    while pos < n:
+        if buf[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG: expected SOI at offset {pos}")
+        start = pos
+        pos += 2
+        in_scan = False
+        while True:
+            if in_scan:
+                nxt = buf.index(b"\xff", pos)
+                m = buf[nxt + 1]
+                if m == 0x00 or 0xD0 <= m <= 0xD7:
+                    pos = nxt + 2  # stuffed byte / restart marker
+                    continue
+                in_scan, pos = False, nxt
+                continue
+            if buf[pos] != 0xFF:
+                raise ValueError(f"MJPEG: expected marker at offset {pos}")
+            m = buf[pos + 1]
+            if m == 0xFF:  # optional fill byte before a marker
+                pos += 1
+                continue
+            pos += 2
+            if m == 0xD9:  # EOI: frame complete
+                frames.append(buf[start:pos])
+                break
+            if m == 0x01 or 0xD0 <= m <= 0xD8:
+                continue  # standalone markers carry no length
+            seg_len = int.from_bytes(buf[pos : pos + 2], "big")
+            pos += seg_len
+            if m == 0xDA:  # SOS header consumed; entropy data follows
+                in_scan = True
+    return frames
+
+
+def multimodal_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MJPEG video scene-cut detection: per document a motion-JPEG
+    stream of 4-6 constant-gray JPEG frames (flat quant tables keep
+    DC-only blocks exact, so reconstruction is analytic in doc_id) whose
+    fill jumps at an analytic cut point; frames alternate baseline 4:4:4
+    and 4:2:0 encodings WITHIN one stream, so the demuxer walks mixed
+    frame geometries.  ``demux_mjpeg`` splits by marker walk,
+    ``decode_jpeg`` reconstructs each frame, and consecutive-frame
+    mean-absolute-pixel-delta thresholding finds the cut — the
+    shot-boundary primitive of video curation, now over the codec real
+    MJPEG files use (vs the PPM analog in ``multimodal_scene_cuts``).
+    scene_checksum sums one representative (first) frame per detected
+    scene.  Parity target: the multimodal mandate of SURVEY §2.5 /
+    BASELINE.json; reference repo has no media path (its 6 files are
+    Kafka/Postgres glue), so this is north-star surface."""
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append((int(doc_id), None, None, None, None, None))
+                    continue
+                doc = int(doc_id)
+                n_frames = 4 + doc % 3
+                w = 8 * (1 + doc % 3)
+                h = 8 * (1 + doc % 2)
+                base = 20 + doc % 40
+                jump = 50 + doc % 18
+                cut_idx = 2 + doc % 2
+                stream = bytearray()
+                for i in range(n_frames):
+                    fill = base + (jump if i >= cut_idx else 0)
+                    rgb = bytes([fill]) * (w * h * 3)
+                    enc = encode_jpeg_420 if (doc + i) % 2 else encode_jpeg
+                    stream += enc(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT))
+                frames = []
+                for fb in demux_mjpeg(bytes(stream)):
+                    got_w, got_h, rec = decode_jpeg(fb)
+                    if (got_w, got_h) != (w, h):
+                        raise ValueError(f"MJPEG frame size mismatch for doc {doc}")
+                    frames.append(rec)
+                cuts, max_delta = [], 0.0
+                for i in range(1, len(frames)):
+                    a, bb = frames[i - 1], frames[i]
+                    delta = sum(abs(x - y) for x, y in zip(a, bb)) / len(a)
+                    max_delta = max(max_delta, delta)
+                    if delta > _CUT_THRESHOLD:
+                        cuts.append(i)
+                scene_starts = [0] + cuts
+                checksum = int(sum(sum(frames[i]) for i in scene_starts) % (1 << 31))
+                rows.append(
+                    (
+                        doc,
+                        len(frames),
+                        len(cuts),
+                        cuts[0] if cuts else None,
+                        max_delta,
+                        checksum,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "n_cuts",
+                    "first_cut",
+                    "max_delta",
+                    "scene_checksum",
+                ],
+            ).astype(
+                {
+                    "doc_id": "int64",
+                    "n_frames": "Int32",
+                    "n_cuts": "Int64",
+                    "first_cut": "Int64",
+                    "max_delta": "float64",
+                    "scene_checksum": "Int64",
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_frames int, n_cuts long, first_cut long, "
+            "max_delta double, scene_checksum long"
+        ),
+    )
+
+
+MULTIMODAL_MJPEG_CUTS_SQL = """
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL THEN CAST(4 + doc_id % 3 AS INTEGER) END AS n_frames,
+       CASE WHEN text IS NOT NULL THEN CAST(1 AS BIGINT) END AS n_cuts,
+       CASE WHEN text IS NOT NULL THEN CAST(2 + doc_id % 2 AS BIGINT) END AS first_cut,
+       CASE WHEN text IS NOT NULL THEN CAST(50 + doc_id % 18 AS DOUBLE) END AS max_delta,
+       CASE WHEN text IS NOT NULL THEN CAST(
+           (2 * (20 + doc_id % 40) + (50 + doc_id % 18))
+           * (8 * (1 + doc_id % 3)) * (8 * (1 + doc_id % 2)) * 3
+           AS BIGINT) END AS scene_checksum
+FROM documents
+"""
+
+
 QUERIES = {
     "multimodal_metadata": multimodal_metadata,
     "multimodal_audio_features": multimodal_audio_features,
@@ -2605,6 +2758,7 @@ QUERIES = {
     "multimodal_resize": multimodal_resize,
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_scene_cuts": multimodal_scene_cuts,
+    "multimodal_mjpeg_scene_cuts": multimodal_mjpeg_scene_cuts,
 }
 
 ORACLE = {
@@ -2619,4 +2773,5 @@ ORACLE = {
     "multimodal_resize": MULTIMODAL_RESIZE_SQL,
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "multimodal_scene_cuts": MULTIMODAL_CUTS_SQL,
+    "multimodal_mjpeg_scene_cuts": MULTIMODAL_MJPEG_CUTS_SQL,
 }
