@@ -82,6 +82,9 @@ BENCH_QUERIES = (
     # mixed 4:4:4/4:2:0 JPEG decode per frame)
     "dedup_semantic_clusters",
     "multimodal_mjpeg_scene_cuts",
+    # ... and WebP-lossless (VP8L) decode: all four transforms, color
+    # cache, LZ77, meta-prefix groups cycled across fixture variants
+    "multimodal_webp_lossless_features",
 )
 
 

@@ -1,9 +1,18 @@
 """LLM-training-data pipeline operators: dedup, similarity search,
 multimodal columns, text analysis."""
 
-from realtime_change_data_capture_streaming_spark.llm_ops import curation, dedup, features, ml_lsh, multimodal, similarity, text
+from realtime_change_data_capture_streaming_spark.llm_ops import (
+    curation,
+    dedup,
+    features,
+    ml_lsh,
+    multimodal,
+    similarity,
+    text,
+    webp,
+)
 
-_MODULES = (text, dedup, similarity, multimodal, ml_lsh, curation, features)
+_MODULES = (text, dedup, similarity, multimodal, webp, ml_lsh, curation, features)
 
 
 def all_queries():

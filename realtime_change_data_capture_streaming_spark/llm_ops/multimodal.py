@@ -110,11 +110,13 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     big-endian byte pairs are folded first — mean_val is a pixel-sample
     mean at every maxval the parser accepts.  PNG (8-bit RGB/RGBA/gray,
     non-interlaced) decodes via the chunk-walk + stdlib-zlib decoder below;
-    baseline-sequential JPEG (SOF0, 4:4:4/grayscale) decodes via the
-    marker-walk + canonical-Huffman + numpy-IDCT decoder below;
-    remaining compressed formats (WebP/progressive JPEG/...) raise
-    ``NotImplementedError`` — their codecs are not in this environment.  The signature (pandas in, one output row per
-    payload) is the production contract for mapInPandas workers.
+    JPEG (baseline SOF0 and progressive SOF2, 4:4:4/4:2:0/4:2:2/4:4:0)
+    decodes via the marker-walk + canonical-Huffman + numpy-IDCT decoder
+    below; WebP-lossless (VP8L) via the codec in ``llm_ops/webp.py``;
+    remaining compressed formats (lossy WebP/AVIF/...) raise
+    ``NotImplementedError`` — their codecs are not in this environment.
+    The signature (pandas in, one output row per payload) is the
+    production contract for mapInPandas workers.
     """
     rows = []
     for b in payloads:
@@ -134,13 +136,18 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         elif b[:2] == b"\xff\xd8":
             w, h, rgb = decode_jpeg(b)
             maxval = 255
+        elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            from realtime_change_data_capture_streaming_spark.llm_ops.webp import decode_webp_lossless
+
+            w, h, rgb = decode_webp_lossless(b)
+            maxval = 255
         elif b[:2] == b"P6":
             w, h, maxval, rgb = decode_ppm(b)
         else:
             raise NotImplementedError(
                 f"image decode for magic {b[:4]!r} requires PIL/libvips, not "
-                "present in this environment; PPM (P6), PNG, GIF, BMP and "
-                "baseline JPEG decode natively"
+                "present in this environment; PPM (P6), PNG, GIF, BMP, "
+                "baseline+progressive JPEG and WebP-lossless decode natively"
             )
         if maxval > 255:
             import struct
