@@ -1173,6 +1173,198 @@ WHERE txn NOT IN (SELECT txn FROM incomplete) AND o_orderkey % 97 != 0
 """
 
 
+_FK_PARENT_MISS = 89  # parent inserts withheld (a skipped snapshot chunk)
+_FK_CHILD_DEL = 53  # child deletes: first line item of every 53rd order
+
+
+def multitable_change_events(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two FK-linked envelope feeds (orders -> lineitem), both
+    transactions-shaped on the wire with ``source.table`` naming the
+    upstream table — the multi-table form of the reference's single
+    financialDB.transactions topic (transaction_consumer.py:23-70).
+
+    Parent feed: inserts for every order EXCEPT %_FK_PARENT_MISS == 0
+    (those never arrive — the missed-chunk case a referential consumer
+    must tolerate), +10 amount updates for %10, deletes for %97.
+    Child feed: one event per lineitem ROW, key = l_orderkey*8 +
+    l_linenumber (l_linenumber in 1..7), user_id carries the FK.  The
+    fixture's lineitem holds DUPLICATE (orderkey, linenumber) pairs —
+    those become a real per-key UPDATE CHAIN: versions are LSN-ordered
+    by l_extendedprice (unique within every pair at all fixture SFs,
+    loud-guarded at <= 8 versions), so the child apply's latest-wins
+    does real work, keeping the max-extendedprice version.  The first
+    line of every %_FK_CHILD_DEL order is then deleted at a past-any-
+    version LSN.  Both feeds get the standard chaos (1/3 redelivery +
+    arrival reorder)."""
+    o = load_table(spark, sf_dir, "orders")
+    base_lsn = F.col("o_orderkey") * 3
+    ts_ms = F.unix_timestamp("o_orderdate") * 1000
+
+    def env(before, after, op, lsn_off, table):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                F.lit(op).alias("op"),
+                (ts_ms + lsn_off).alias("ts_ms"),
+                F.struct(
+                    (base_lsn + lsn_off).alias("lsn"),
+                    F.lit(table).alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+            )
+        )
+
+    key = F.col("o_orderkey").cast("string").alias("key")
+    null_img = F.when(F.lit(False), _image(F.col("o_totalprice")))
+    arrived = o.filter(F.col("o_orderkey") % _FK_PARENT_MISS != 0)
+    p_ins = arrived.select(
+        key, env(null_img, _image(F.col("o_totalprice")), "c", F.lit(0), "orders").alias("value")
+    )
+    p_upd = arrived.filter(F.col("o_orderkey") % 10 == 0).select(
+        key,
+        env(
+            _image(F.col("o_totalprice")),
+            _image(F.col("o_totalprice") + _AMOUNT_BUMP),
+            "u",
+            F.lit(1),
+            "orders",
+        ).alias("value"),
+    )
+    p_del = arrived.filter(F.col("o_orderkey") % 97 == 0).select(
+        key,
+        env(
+            _image(F.col("o_totalprice") + _AMOUNT_BUMP),
+            F.when(F.lit(False), _image(F.col("o_totalprice"))),
+            "d",
+            F.lit(2),
+            "orders",
+        ).alias("value"),
+    )
+    parent = p_ins.unionByName(p_upd).unionByName(p_del)
+
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "_version",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey", "l_linenumber").orderBy("l_extendedprice")
+        ),
+    )
+    # 8-version headroom per key; anything past it would collide with the
+    # delete LSN, so fail loudly instead of silently mis-ordering
+    li = li.withColumn(
+        "_version",
+        F.when(F.col("_version") <= 8, F.col("_version")).otherwise(
+            F.assert_true(F.lit(False), F.lit(">8 versions per lineitem key")).cast("int")
+        ),
+    )
+    child_key_num = F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    c_lsn = child_key_num * 27 + F.col("_version") * 3
+    c_ts = F.unix_timestamp("l_shipdate") * 1000
+
+    def child_image():
+        return F.struct(
+            child_key_num.cast("string").alias("transaction_id"),
+            F.col("l_orderkey").cast("string").alias("user_id"),  # the FK
+            F.date_format("l_shipdate", "yyyy-MM-dd HH:mm:ss").alias("timestamp"),
+            F.col("l_extendedprice").cast(AMOUNT_TYPE).cast("string").alias("amount"),
+            F.col("l_returnflag").alias("currency"),
+            F.lit("city").alias("city"),
+            F.lit("country").alias("country"),
+            F.col("l_linestatus").alias("merchant_name"),
+            F.lit("credit_card").alias("payment_method"),
+            F.lit("0.0.0.0").alias("ip_address"),
+            F.lit("").alias("voucher_code"),
+            F.col("l_orderkey").cast("string").alias("affiliate_id"),
+        )
+
+    def cenv(before, after, op, lsn):
+        return F.to_json(
+            F.struct(
+                before.alias("before"),
+                after.alias("after"),
+                op.alias("op"),
+                (c_ts + F.col("_version")).alias("ts_ms"),
+                F.struct(
+                    lsn.alias("lsn"),
+                    F.lit("lineitem").alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+            )
+        )
+
+    ckey = child_key_num.cast("string").alias("key")
+    c_null = F.when(F.lit(False), child_image())
+    c_op = F.when(F.col("_version") == 1, F.lit("c")).otherwise(F.lit("u"))
+    c_ins = li.select(ckey, cenv(c_null, child_image(), c_op, c_lsn).alias("value"))
+    # one delete per PAIR (version-1 row), at an LSN past any version
+    c_del = li.filter(
+        (F.col("l_orderkey") % _FK_CHILD_DEL == 0)
+        & (F.col("l_linenumber") == 1)
+        & (F.col("_version") == 1)
+    ).select(
+        ckey,
+        cenv(child_image(), c_null, F.lit("d"), child_key_num * 27 + 26).alias("value"),
+    )
+    child = c_ins.unionByName(c_del)
+
+    def chaos(ev):
+        redelivered = ev.filter(F.pmod(F.xxhash64("key"), F.lit(3)) == 0)
+        return ev.unionByName(redelivered).repartition(17)
+
+    return chaos(parent), chaos(child)
+
+
+def cdc_multitable_fk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table referential apply — parent-before-child across
+    FK-linked tables.  The reference's sink is single-table
+    (transaction_consumer.py:23-70); every real CDC consumer fans one
+    connector out to many tables and must not expose a child row whose
+    parent is absent (missed snapshot chunk, deleted parent, or
+    not-yet-arrived insert).  Batch form: latest-wins apply per table,
+    then ONE left-semi gate of the child final state against the parent
+    final state keyed on the FK.
+
+    Scale shape: each table's apply is the unchanged one-shuffle
+    latest-wins; the gate is a single semi-join on the FK (parent side
+    is orders-cardinality — AQE broadcasts it when small, shuffles when
+    not).  No per-row Python, no iteration."""
+    parent_ev, child_ev = multitable_change_events(spark, sf_dir)
+    parent = apply_changes_batch(parse_envelope(parent_ev, decimal_mode="string"))
+    child = apply_changes_batch(parse_envelope(child_ev, decimal_mode="string"))
+    gated = child.join(
+        parent.select(F.col("transaction_id").alias("user_id")), "user_id", "left_semi"
+    )
+    return gated.select(
+        F.col("transaction_id").alias("child_id"),
+        F.col("user_id").alias("parent_id"),
+        F.col("amount").cast("double").alias("amount"),
+        F.col("currency").alias("return_flag"),
+        F.col("merchant_name").alias("line_status"),
+    )
+
+
+CDC_MULTITABLE_SQL = f"""
+WITH v AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY l_orderkey, l_linenumber
+           ORDER BY l_extendedprice DESC) AS rn
+  FROM lineitem
+)
+SELECT CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS child_id,
+       CAST(l_orderkey AS VARCHAR) AS parent_id,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       l_returnflag AS return_flag,
+       l_linestatus AS line_status
+FROM v
+WHERE rn = 1
+  AND l_orderkey % {_FK_PARENT_MISS} != 0
+  AND l_orderkey % 97 != 0
+  AND NOT (l_orderkey % {_FK_CHILD_DEL} = 0 AND l_linenumber = 1)
+"""
+
+
 QUERIES = {
     "cdc_apply_changes": cdc_apply_changes,
     "cdc_scd2_history": cdc_scd2_history,
@@ -1191,6 +1383,7 @@ QUERIES = {
     "cdc_incremental_snapshot": cdc_incremental_snapshot,
     "cdc_reconcile_checksums": cdc_reconcile_checksums,
     "cdc_txn_consistent_apply": cdc_txn_consistent_apply,
+    "cdc_multitable_fk_apply": cdc_multitable_fk_apply,
     "cdc_forget_users": cdc_forget_users,
 }
 
@@ -1212,5 +1405,6 @@ ORACLE = {
     "cdc_schema_evolution": CDC_EVOLUTION_SQL,
     "cdc_snapshot_then_stream": CDC_SNAPSHOT_SQL,
     "cdc_txn_consistent_apply": CDC_TXN_APPLY_SQL,
+    "cdc_multitable_fk_apply": CDC_MULTITABLE_SQL,
     "cdc_forget_users": CDC_FORGET_SQL,
 }

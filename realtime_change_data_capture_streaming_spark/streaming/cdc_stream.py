@@ -426,3 +426,85 @@ from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_TXN_APP
 
 QUERIES["stream_txn_consistent_apply"] = stream_txn_consistent_apply
 ORACLE["stream_txn_consistent_apply"] = CDC_TXN_APPLY_SQL
+
+
+def stream_multitable_fk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity ACROSS micro-batches — the streaming form of
+    ``cdc.queries.cdc_multitable_fk_apply``: a child row must not reach
+    the child table until its parent key exists in the parent's final
+    state, even when the child's envelope arrives a batch BEFORE the
+    parent's (the staging here forces exactly that: batch 1 is the whole
+    child feed, batch 2 the whole parent feed).
+
+    State layout per micro-batch (foreachBatch):
+      1. route the batch by the envelope's ``source.table`` and merge
+         parent events into the parent sink (unchanged latest-wins);
+      2. append child events to a PENDING parquet store, FK
+         materialized (``coalesce(after.user_id, before.user_id)``);
+      3. release = pending LEFT-SEMI parent-final-keys on the FK, merged
+         into the child sink — latest-wins makes re-release idempotent,
+         so the pending store needs no compaction for correctness (at
+         scale you prune released rows by rewriting touched FK-hash
+         buckets, the same shape as the TOAST pending store above).
+
+    Oracle: the batch closed form (CDC_MULTITABLE_SQL) — the batch split
+    must be invisible in the final child state."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import multitable_change_events
+
+    work = scratch_dir(prefix="stream_fk_")
+    parent_ev, child_ev = multitable_change_events(spark, sf_dir)
+    in_dir = stage_ordered_batches([child_ev, parent_ev], f"{work}/staged")
+    pending = f"{work}/pending"
+    parent_sink = BucketedParquetSink(spark, f"{work}/parent", n_buckets=8)
+    child_sink = BucketedParquetSink(spark, f"{work}/child", n_buckets=8)
+
+    def gate(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        tbl = F.get_json_object(F.col("value"), "$.source.table")
+        parents = parse_envelope(batch.filter(tbl == "orders"), decimal_mode="string")
+        children = parse_envelope(batch.filter(tbl == "lineitem"), decimal_mode="string")
+        if not parents.isEmpty():
+            parent_sink.merge(parents)
+        children.withColumn(
+            "fk", F.coalesce("after.user_id", "before.user_id")
+        ).write.mode("append").parquet(pending)
+        if not parent_sink.exists():
+            return  # no parent state yet: everything stays pending
+        parent_keys = parent_sink.read().select(F.col("transaction_id").alias("fk"))
+        released = (
+            sp.read.parquet(pending)
+            .join(parent_keys, "fk", "left_semi")
+            .drop("fk")
+            .localCheckpoint(eager=True)
+        )
+        if released.isEmpty():
+            return
+        child_sink.merge(released)
+
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    final = child_sink.read()
+    return final.select(
+        F.col("transaction_id").alias("child_id"),
+        F.col("user_id").alias("parent_id"),
+        F.col("amount").cast("double").alias("amount"),
+        F.col("currency").alias("return_flag"),
+        F.col("merchant_name").alias("line_status"),
+    )
+
+
+from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_MULTITABLE_SQL  # noqa: E402
+
+QUERIES["stream_multitable_fk_apply"] = stream_multitable_fk_apply
+ORACLE["stream_multitable_fk_apply"] = CDC_MULTITABLE_SQL
