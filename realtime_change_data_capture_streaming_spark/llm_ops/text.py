@@ -1215,6 +1215,208 @@ LIMIT {_BM25_TOP}
 """
 
 
+_UNI_TOPK = 64  # multi-char pieces kept in the unigram vocab
+_UNI_MAXLEN = 3  # longest piece; bounds the DP lookback
+_UNI_MISS = -(10**12)  # sentinel for pieces outside the vocab
+
+
+def _unigram_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+    """The fixed unigram-LM vocabulary, SentencePiece-style: EVERY single
+    character seen in the corpus (coverage — any word stays segmentable)
+    plus the top-``_UNI_TOPK`` substrings of length 2..3 by word-frequency-
+    weighted count (ties: count desc, piece asc).  Scores are fixed-point
+    log-likelihoods, floor(1e6 * ln(cnt/total)) — ONE floor per piece,
+    the idf_fp discipline, so the Viterbi sums below are exact bigint
+    arithmetic cross-engine.  Bounded driver collect: |alphabet| + 64
+    rows, the broadcast-vocab shape of ``_bpe_apply``."""
+    words = _bpe_words(spark, sf_dir)  # distinct word + corpus frequency
+
+    def grams(length: int) -> DataFrame:
+        return words.filter(F.length("word_id") >= length).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(word_id) - {length} + 1), "
+                    f"i -> substring(word_id, i, {length}))"
+                )
+            ).alias("piece"),
+        )
+
+    chars = (
+        grams(1)
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("pc"))
+    )
+    multi = (
+        grams(2)
+        .unionByName(grams(3))
+        .groupBy("piece")
+        .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        .orderBy(F.desc("pc"), F.asc("piece"))
+        .limit(_UNI_TOPK)
+    )
+    rows = chars.unionByName(multi).collect()
+    total = sum(int(r["pc"]) for r in rows)
+    # floor(1e6 * ln(cnt/total)) via the platform libm — the same call
+    # DuckDB's ln() makes, so the injected literals equal the oracle's
+    # recomputed scores bit-for-bit (the idf_fp discipline)
+    import math
+
+    scored = [
+        (r["piece"], math.floor(1e6 * math.log(int(r["pc"]) / total))) for r in rows
+    ]
+    return sorted(scored)
+
+
+def _unigram_segment_words(words: DataFrame, vocab: list[tuple[str, int]]) -> DataFrame:
+    """The Viterbi fold over a ``word_id`` column: per word the best
+    (fixed-point score, piece count) under ``vocab``.  Shared by the
+    query and its reference test so the expression cannot drift."""
+    pairs = ", ".join(f"'{p}', {s}L" for p, s in vocab)
+
+    def cand(lag: int) -> str:
+        piece = f"substring(word_id, CAST(i AS INT) - {lag - 1}, {lag})"
+        score = f"coalesce(element_at(_vocab, {piece}), {_UNI_MISS}L)"
+        return (
+            f"IF(i >= {lag}, named_struct("
+            f"'s', element_at(acc, CAST(i AS INT) - {lag - 1}).s + {score}, "
+            f"'l', {lag}, "
+            f"'n', element_at(acc, CAST(i AS INT) - {lag - 1}).n + 1L), "
+            f"named_struct('s', {2 * _UNI_MISS}L, 'l', 0, 'n', 0L))"
+        )
+
+    best = f"greatest({cand(1)}, {cand(2)}, {cand(3)})"
+    dp = (
+        "aggregate(sequence(1, length(word_id)), "
+        "array(named_struct('s', 0L, 'l', 0, 'n', 0L)), "
+        f"(acc, i) -> array_append(acc, {best}))"
+    )
+    return (
+        words.withColumn("_vocab", F.expr(f"map({pairs})"))
+        .withColumn("_dp", F.expr(f"element_at({dp}, -1)"))
+        .select(
+            "word_id",
+            F.col("_dp.s").alias("w_score"),
+            F.col("_dp.n").alias("w_pieces"),
+        )
+    )
+
+
+def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer scoring (the SentencePiece serving half):
+    segment every distinct word into the maximum-likelihood piece
+    sequence over a fixed corpus-derived vocabulary, by TRUE Viterbi —
+    dp[i] = max over piece lengths l<=3 of dp[i-l] + score(word[i-l+1..i])
+    — run as a JVM-side ``aggregate`` fold over character positions
+    (whole-stage codegen; no Python in the hot path, the ``_bpe_apply``
+    discipline).  Scores are exact fixed-point bigints; the argmax is
+    tie-broken (score, last-piece length) via struct comparison, so the
+    path choice is deterministic cross-engine.  The DuckDB oracle
+    replays the identical fold with ``list_reduce``.
+
+    Per document (vocabulary join, broadcast-class like
+    ``text_bpe_encode``): word count, total piece count, summed
+    log-likelihood, and fixed-point pieces-per-word — the fertility
+    metric tokenizer dashboards track.  Parity target: SURVEY §2.5
+    LLM-ops mandate (reference has no tokenizer; north-star surface)."""
+    vocab = _unigram_vocab(spark, sf_dir)
+    words = _bpe_words(spark, sf_dir).select("word_id", "cnt")
+    seg = _unigram_segment_words(words, vocab)
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = with_tokens(d).select("doc_id", F.explode("_toks").alias("word_id"))
+    per_doc = (
+        doc_words.join(F.broadcast(seg), "word_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("w_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("w_score").cast("bigint").alias("loglik_fp"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        "loglik_fp",
+        F.floor(F.col("n_pieces") * F.lit(1000000) / F.col("n_words"))
+        .cast("bigint")
+        .alias("pieces_per_word_fp"),
+    )
+
+
+def _unigram_cand_sql(lag: int) -> str:
+    """One Viterbi candidate (piece of length ``lag`` ending at position
+    x[1].pos) for the DuckDB fold — mirrors ``cand`` above exactly."""
+    prev = f"acc[CAST(x[1].pos AS INT) - {lag} + 1]"
+    piece = f"substr(word, CAST(x[1].pos AS INT) - {lag} + 1, {lag})"
+    score = f"coalesce(m[{piece}][1], CAST({_UNI_MISS} AS BIGINT))"
+    return (
+        f"CASE WHEN x[1].pos >= {lag} THEN "
+        f"{{'pos': x[1].pos, 's': {prev}.s + {score}, 'l': {lag}, 'n': {prev}.n + 1}} "
+        f"ELSE {{'pos': x[1].pos, 's': CAST({2 * _UNI_MISS} AS BIGINT), 'l': 0, "
+        f"'n': CAST(0 AS BIGINT)}} END"
+    )
+
+
+UNIGRAM_SQL = f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), wd AS MATERIALIZED (
+  SELECT u.word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(ts) AS word FROM tk) u GROUP BY 1
+), chars AS (
+  SELECT substr(word, CAST(t.i AS INT), 1) AS piece, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM wd, UNNEST(range(1, length(word) + 1)) AS t(i)
+  GROUP BY 1
+), multi AS (
+  SELECT piece, pc FROM (
+    SELECT substr(word, CAST(t.i AS INT), l.l) AS piece, CAST(SUM(cnt) AS BIGINT) AS pc
+    FROM wd, (VALUES (2), (3)) AS l(l),
+         UNNEST(range(1, length(word) - l.l + 2)) AS t(i)
+    WHERE length(word) >= l.l
+    GROUP BY 1
+  ) ORDER BY pc DESC, piece ASC LIMIT {_UNI_TOPK}
+), vocab AS (
+  SELECT piece, pc FROM chars UNION ALL SELECT piece, pc FROM multi
+), scored AS (
+  SELECT piece,
+         CAST(floor(1e6 * ln(CAST(pc AS DOUBLE) / (SELECT SUM(pc) FROM vocab))) AS BIGINT) AS s
+  FROM vocab
+), vmap AS (
+  SELECT MAP(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m FROM scored
+), seg AS MATERIALIZED (
+  SELECT word,
+         dp[len(dp)].s AS w_score,
+         dp[len(dp)].n AS w_pieces
+  FROM (
+    SELECT word,
+           list_reduce(
+             list_concat(
+               [[{{'pos': CAST(0 AS BIGINT), 's': CAST(0 AS BIGINT), 'l': 0, 'n': CAST(0 AS BIGINT)}}]],
+               list_transform(range(1, length(word) + 1),
+                 i -> [{{'pos': i, 's': CAST(0 AS BIGINT), 'l': 0, 'n': CAST(0 AS BIGINT)}}])
+             ),
+             (acc, x) -> list_append(acc, list_aggregate([
+               {_unigram_cand_sql(1)},
+               {_unigram_cand_sql(2)},
+               {_unigram_cand_sql(3)}
+             ], 'max'))
+           ) AS dp
+    FROM wd CROSS JOIN vmap
+  )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(s.w_pieces) AS BIGINT) AS n_pieces,
+       CAST(SUM(s.w_score) AS BIGINT) AS loglik_fp,
+       CAST(floor(SUM(s.w_pieces) * 1000000 / COUNT(*)) AS BIGINT) AS pieces_per_word_fp
+FROM (SELECT doc_id, UNNEST(ts) AS word FROM tk) t
+JOIN seg s USING (word)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_bigram_frequencies": bigram_frequencies,
@@ -1232,6 +1434,7 @@ QUERIES = {
     "text_rrf_fusion_topk": text_rrf_fusion_topk,
     "text_bigram_lm_score": bigram_lm_score,
     "text_heavy_hitters": heavy_hitter_terms,
+    "text_unigram_segment": text_unigram_segment,
 }
 
 ORACLE = {
@@ -1251,4 +1454,5 @@ ORACLE = {
     "text_rrf_fusion_topk": RRF_SQL,
     "text_bigram_lm_score": BIGRAM_LM_SQL,
     "text_heavy_hitters": HEAVY_HITTERS_SQL,
+    "text_unigram_segment": UNIGRAM_SQL,
 }

@@ -280,3 +280,64 @@ def test_epoch_shuffle_orders_differ_but_membership_is_stable(spark):
     assert seq0 != seq1, "epochs must shuffle differently"
     rerun = curation_epoch_shuffle(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rerun))
+
+
+def test_unigram_segment_matches_reference_viterbi(spark):
+    """The JVM-side aggregate fold IS Viterbi: per distinct word, the
+    fold's (score, piece count) must equal a plain-Python reference DP
+    over the same vocab — including tie-breaks (score, then longer last
+    piece).  A greedy longest-match implementation diverges on words
+    where a shorter piece now enables a better piece later; assert the
+    fixture contains at least one such word so the test has teeth."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import (
+        _UNI_MISS,
+        _bpe_words,
+        _unigram_vocab,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    vocab = dict(_unigram_vocab(spark, sf))
+
+    def ref_viterbi(word):
+        dp = [(0, 0)]
+        for i in range(1, len(word) + 1):
+            best = None
+            for lag in (1, 2, 3):
+                if lag > i:
+                    continue
+                s = dp[i - lag][0] + vocab.get(word[i - lag : i], _UNI_MISS)
+                c = (s, lag, dp[i - lag][1] + 1)
+                if best is None or c[:2] > best[:2]:
+                    best = c
+            dp.append((best[0], best[2]))
+        return dp[-1]
+
+    def ref_greedy(word):
+        score = n = 0
+        i = len(word)
+        while i > 0:
+            for lag in (3, 2, 1):
+                if lag <= i and word[i - lag : i] in vocab:
+                    score += vocab[word[i - lag : i]]
+                    n += 1
+                    i -= lag
+                    break
+        return score, n
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import _unigram_segment_words
+
+    got = {
+        r["word_id"]: (r["w_score"], r["w_pieces"])
+        for r in _unigram_segment_words(
+            _bpe_words(spark, sf).select("word_id"), sorted(vocab.items())
+        ).collect()
+    }
+    assert got, "no words in fixture"
+    diverging = 0
+    for w, (s, n) in got.items():
+        assert (s, n) == ref_viterbi(w), w
+        if ref_greedy(w)[0] < s:
+            diverging += 1
+    assert diverging > 0, "fixture never separates Viterbi from greedy"
