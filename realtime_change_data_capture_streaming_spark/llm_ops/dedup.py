@@ -537,7 +537,9 @@ def _semantic_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # physical barrier (the with_tokens discipline): stop CollapseProject
     # from re-inlining the map->dense->normalize expression tree into every
     # downstream distance lambda, and spread the vectors across partitions
-    return vec.repartition(16, "doc_id")
+    # (32-way: the per-pair cosine folds downstream are the hot stage and
+    # inherit this partitioning — match the core count)
+    return vec.repartition(32, "doc_id")
 
 
 def _sem_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
@@ -553,11 +555,13 @@ def _sem_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
             lambda acc, z: acc + z,
         ),
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(F.min_by(F.struct("cluster", "vec"), F.struct("dist", "cluster")).alias("s"))
-        .select("doc_id", F.col("s.cluster").alias("cluster"), F.col("s.vec").alias("vec"))
+    # argmin shuffles (doc_id, cluster, dist) ONLY — carrying the 128-dim
+    # vector through the k-way-fanned-out aggregation moved ~k*|v| doubles
+    # per pass; joining it back from the persisted vector table moves |v|
+    assign = scored.groupBy("doc_id").agg(
+        F.min_by("cluster", F.struct("dist", "cluster")).alias("cluster")
     )
+    return v.join(assign, "doc_id").select("doc_id", "cluster", "vec")
 
 
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
