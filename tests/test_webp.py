@@ -208,3 +208,67 @@ def test_roundtrip_property(w, h, seed, variant):
         )[variant]
     buf = encode_webp_lossless(w, h, img, **opts)
     assert decode_webp_lossless(buf) == (w, h, img)
+
+
+def test_prefix_code_max_symbol_early_stop():
+    """The use_max_symbol branch of the code-length-coded form — our
+    encoder never emits it, so pin the decoder against a hand-built
+    bitstream: lengths for symbols 0..3 = [1, 2, 3, 3], max_symbol = 4,
+    everything past it implicitly zero."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.webp import (
+        _CODE_LENGTH_ORDER,
+        _read_prefix_code,
+    )
+
+    bw = _BitWriter()
+    bw.bits(0, 1)  # not simple
+    # code-length code over symbols {1, 2, 3}: lengths 1=1, 2=2, 3=2
+    cl = {1: 1, 2: 2, 3: 2}
+    order_lens = [cl.get(s, 0) for s in _CODE_LENGTH_ORDER]
+    num = max(4, max(i + 1 for i, ln in enumerate(order_lens) if ln))
+    bw.bits(num - 4, 4)
+    for i in range(num):
+        bw.bits(order_lens[i], 3)
+    bw.bits(1, 1)  # USE max_symbol
+    bw.bits(0, 3)  # length_nbits = 2 + 2*0 = 2
+    bw.bits(2, 2)  # max_symbol = 2 + 2 = 4
+    cl_codes = _canon_codes(cl)
+    for ln in (1, 2, 3, 3):  # lengths for symbols 0..3
+        bw.code(*cl_codes[ln])
+    rd = _BitReader(bw.finish())
+    dec = _read_prefix_code(rd, 256)
+    codes = {s: (c, ln) for (ln, c), s in dec.table.items()}
+    assert set(codes) == {0, 1, 2, 3}
+    assert codes[0][1] == 1 and codes[1][1] == 2
+    assert codes[2][1] == 3 and codes[3][1] == 3
+
+
+def test_prefix_code_repeat16_before_any_literal_uses_length_8():
+    """Spec quirk: a 16-repeat arriving before any literal repeats the
+    DEFAULT previous length, 8 — a decoder initializing prev to 0 emits
+    an empty code here."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.webp import (
+        _CODE_LENGTH_ORDER,
+        _read_prefix_code,
+    )
+
+    bw = _BitWriter()
+    bw.bits(0, 1)  # not simple
+    cl = {16: 1, 0: 1}  # code-length code over {0, 16}
+    order_lens = [cl.get(s, 0) for s in _CODE_LENGTH_ORDER]
+    num = max(4, max(i + 1 for i, ln in enumerate(order_lens) if ln))
+    bw.bits(num - 4, 4)
+    for i in range(num):
+        bw.bits(order_lens[i], 3)
+    bw.bits(1, 1)  # use max_symbol so we can stop after one token
+    bw.bits(0, 3)  # length_nbits = 2
+    bw.bits(0, 2)  # max_symbol = 2: at most two code reads
+    cl_codes = _canon_codes(cl)
+    bw.code(*cl_codes[16])  # FIRST token is a 16-repeat
+    bw.bits(0, 2)  # repeat 3 + 0 = 3 times
+    bw.code(*cl_codes[0])  # consumed? no - max_symbol hits 0 first
+    rd = _BitReader(bw.finish())
+    dec = _read_prefix_code(rd, 256)
+    codes = {s: (c, ln) for (ln, c), s in dec.table.items()}
+    # symbols 0,1,2 all got the default prev length 8
+    assert {s: ln for s, (c, ln) in codes.items()} == {0: 8, 1: 8, 2: 8}
