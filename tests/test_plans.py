@@ -485,3 +485,53 @@ def test_round8_ops_plan_shapes(spark, sf_dir):
     mwu = events_mannwhitney_value(spark, sf_dir)
     assert_no_cartesian(mwu)
     assert plan_counts(mwu)["python_evals"] == 0
+
+
+def test_round9_ops_plan_shapes(spark, sf_dir):
+    """Round-9 operators keep their scale contracts: the unigram
+    segmentation is a codegen fold with a broadcast vocabulary join and
+    zero Python evals; the multi-table FK gate is ONE semi-join (no
+    cartesian) after per-table latest-wins; the semantic-dedup pair
+    stage carries no cartesian (cluster-key equi-join only) and no
+    Python; the MJPEG/WebP queries are single-scan mapInPandas with no
+    joins at all."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import cdc_multitable_fk_apply
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import dedup_semantic_clusters
+    from realtime_change_data_capture_streaming_spark.llm_ops.multimodal import (
+        multimodal_mjpeg_scene_cuts,
+    )
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import text_unigram_segment
+    from realtime_change_data_capture_streaming_spark.llm_ops.webp import (
+        multimodal_webp_lossless_features,
+    )
+
+    uni = text_unigram_segment(spark, sf_dir)
+    assert broadcast_join_count(uni) >= 1, "unigram vocab join must broadcast"
+    assert plan_counts(uni)["python_evals"] == 0, "Viterbi fold must stay JVM-side"
+    assert_no_cartesian(uni)
+
+    fk = cdc_multitable_fk_apply(spark, sf_dir)
+    assert_no_cartesian(fk)
+    assert "LeftSemi" in fk._jdf.queryExecution().executedPlan().toString(), (
+        "the FK gate must be a semi-join"
+    )
+
+    # semantic dedup: the only nested-loop joins allowed are the broadcast
+    # crossJoins against the k-row centroid table (bounded model state, the
+    # _sem_assign design) — the persisted assignment's lineage appears under
+    # BOTH sides of the pair self-join, so the scoring BNL shows twice; the
+    # PAIR stage itself must be an equi-join on the cluster key
+    sem = dedup_semantic_clusters(spark, sf_dir)
+    c = plan_counts(sem)
+    assert c["python_evals"] == 0, "cosine folds must stay JVM-side"
+    assert c["cartesian"] == 0
+    assert c["bnl_joins"] <= 2, "only the broadcast centroid scoring may nested-loop"
+    assert c["sort_merge_joins"] + c["shuffled_hash_joins"] + c["broadcast_joins"] >= 1, (
+        "the pair stage must be an equi-join on the cluster key"
+    )
+
+    for q in (multimodal_mjpeg_scene_cuts, multimodal_webp_lossless_features):
+        df = q(spark, sf_dir)
+        c = plan_counts(df)
+        assert c["broadcast_joins"] + c["sort_merge_joins"] + c["shuffled_hash_joins"] == 0
+        assert_no_cartesian(df)
