@@ -44,6 +44,7 @@ _DEFER_FIRST_CHECK = frozenset(
         "cdc_multitable_fk_apply",
         "stream_multitable_fk_apply",
         "text_unigram_segment",
+        "multimodal_flac_features",
     }
 )
 

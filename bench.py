@@ -85,6 +85,9 @@ BENCH_QUERIES = (
     # ... and WebP-lossless (VP8L) decode: all four transforms, color
     # cache, LZ77, meta-prefix groups cycled across fixture variants
     "multimodal_webp_lossless_features",
+    # ... and FLAC decode: fixed/LPC predictors, Rice/Rice2/escape
+    # residuals, all four stereo assignments, CRC-verified frames
+    "multimodal_flac_features",
 )
 
 

@@ -5,6 +5,7 @@ from realtime_change_data_capture_streaming_spark.llm_ops import (
     curation,
     dedup,
     features,
+    flac,
     ml_lsh,
     multimodal,
     similarity,
@@ -12,7 +13,7 @@ from realtime_change_data_capture_streaming_spark.llm_ops import (
     webp,
 )
 
-_MODULES = (text, dedup, similarity, multimodal, webp, ml_lsh, curation, features)
+_MODULES = (text, dedup, similarity, multimodal, webp, flac, ml_lsh, curation, features)
 
 
 def all_queries():

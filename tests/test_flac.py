@@ -1,0 +1,158 @@
+"""FLAC codec unit tests: round-trip properties across every subframe
+family / channel assignment / residual form, hand-checked coding
+vectors, and clean failures on malformed streams.  The driver's oracle
+row (`multimodal_flac_features`) covers the Spark path."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from realtime_change_data_capture_streaming_spark.llm_ops.flac import (
+    _Reader,
+    _Writer,
+    _crc8,
+    _crc16,
+    _rice_read,
+    _rice_write,
+    _utf8_decode,
+    _utf8_encode,
+    decode_flac,
+    encode_flac,
+)
+
+
+def _noise(n, lo=-2000, hi=2000, seed=0):
+    rnd = random.Random(seed)
+    return [rnd.randrange(lo, hi) for _ in range(n)]
+
+
+def test_crc_check_vectors():
+    # published check vectors for FLAC's two CRCs ("123456789")
+    assert _crc8(b"123456789") == 0xF4
+    assert _crc16(b"123456789") == 0xFEE8
+
+
+def test_utf8_frame_number_coding():
+    # standard UTF-8 code points encode identically...
+    assert _utf8_encode(0x24) == b"\x24"
+    assert _utf8_encode(0xA2) == b"\xc2\xa2"
+    assert _utf8_encode(0x20AC) == b"\xe2\x82\xac"
+    assert _utf8_encode(0x10348) == b"\xf0\x90\x8d\x88"
+    # ...and the extension reaches 36 bits (7-byte form, 0xFE lead)
+    assert _utf8_encode(2**36 - 1)[0] == 0xFE
+    for v in (0, 127, 128, 2047, 2048, 65535, 2**21, 2**26, 2**31, 2**36 - 1):
+        assert _utf8_decode(_Reader(_utf8_encode(v))) == v, v
+    with pytest.raises(ValueError, match="36 bits"):
+        _utf8_encode(2**36)
+
+
+def test_rice_coding_roundtrip_and_bit_shape():
+    for param in (0, 1, 4, 10):
+        vals = _noise(200, -500, 500, seed=param)
+        bw = _Writer()
+        _rice_write(bw, vals, param)
+        assert _rice_read(_Reader(bw.finish()), len(vals), param) == vals
+    # zigzag order: 0, -1, 1, -2, 2 ... (0->0, -1->1, 1->2, -2->3)
+    bw = _Writer()
+    _rice_write(bw, [0], 0)
+    assert bw.finish() == b"\x80"  # unary 0 = single 1 bit
+
+
+def test_roundtrip_every_subframe_family():
+    ramp = [((3 * i * i + 5 * i) % 4000) - 2000 for i in range(300)]
+    for kind, kw in (
+        ("constant", {}),
+        ("verbatim", {}),
+        ("fixed", {"fixed_order": 0}),
+        ("fixed", {"fixed_order": 1}),
+        ("fixed", {"fixed_order": 2}),
+        ("fixed", {"fixed_order": 3}),
+        ("fixed", {"fixed_order": 4}),
+        ("lpc", {"lpc_coefs": [3, -3, 1], "lpc_shift": 1}),
+        ("lpc", {"lpc_coefs": [2, -1], "lpc_shift": 0}),
+    ):
+        chan = [[7] * 300] if kind == "constant" else [ramp]
+        buf = encode_flac(chan, subframe=kind, **kw)
+        assert decode_flac(buf)[3] == chan, (kind, kw)
+
+
+def test_roundtrip_every_channel_assignment():
+    L, R = _noise(512, seed=1), _noise(512, seed=2)
+    for st_ in ("independent", "left_side", "right_side", "mid_side"):
+        buf = encode_flac([L, R], subframe="fixed", fixed_order=1, stereo=st_)
+        rate, nch, bps, ch = decode_flac(buf)
+        assert (rate, nch, bps) == (44100, 2, 16)
+        assert ch == [L, R], st_
+
+
+def test_roundtrip_residual_forms_and_wasted_bits():
+    x = _noise(512, seed=3)
+    for po in (0, 1, 2, 4):
+        buf = encode_flac([x], subframe="fixed", fixed_order=2, partition_order=po)
+        assert decode_flac(buf)[3] == [x], po
+    buf = encode_flac(
+        [_noise(512, -30000, 30000, seed=4)], subframe="fixed", fixed_order=2, rice2=True
+    )
+    assert decode_flac(buf)[3][0] == _noise(512, -30000, 30000, seed=4)
+    shifted = [v * 8 for v in _noise(256, -200, 200, seed=5)]
+    buf = encode_flac([shifted], subframe="fixed", fixed_order=1, wasted=3)
+    assert decode_flac(buf)[3] == [shifted]
+    buf = encode_flac([x[:256]], subframe="fixed", fixed_order=2, escape_bps=15)
+    assert decode_flac(buf)[3] == [x[:256]]
+
+
+def test_short_last_frame_and_many_frames():
+    x = _noise(777, seed=6)  # 777 = 6*128 + 9: short last frame
+    buf = encode_flac([x], blocksize=128, subframe="fixed", fixed_order=3)
+    assert decode_flac(buf)[3] == [x]
+
+
+def test_malformed_streams_raise_value_error():
+    good = encode_flac([_noise(256, seed=7)], subframe="fixed", fixed_order=2)
+    with pytest.raises(ValueError, match="marker"):
+        decode_flac(b"fLaX" + good[4:])
+    with pytest.raises(ValueError):
+        decode_flac(good[:30])
+    # corrupt one frame-body byte: CRC-16 must catch it
+    bad = bytearray(good)
+    bad[-10] ^= 0x40
+    with pytest.raises(ValueError, match="CRC"):
+        decode_flac(bytes(bad))
+    # corrupt a frame-header byte: CRC-8 must catch it
+    frame_at = 4 + 4 + 34  # fLaC + block header + STREAMINFO
+    bad = bytearray(good)
+    bad[frame_at + 3] ^= 0x02
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+
+
+@given(
+    n=st.integers(1, 600),
+    seed=st.integers(0, 10_000),
+    variant=st.integers(0, 6),
+)
+@settings(max_examples=50, deadline=None)
+def test_roundtrip_property(n, seed, variant):
+    """Any length x content x encoder configuration: lossless."""
+    rnd = random.Random(seed)
+    x = [rnd.randrange(-2000, 2000) for _ in range(n)]
+    opts = (
+        {"subframe": "verbatim"},
+        {"subframe": "fixed", "fixed_order": min(rnd.randrange(5), n)},
+        {"subframe": "lpc", "lpc_coefs": [3, -3, 1][: max(1, min(3, n))], "lpc_shift": rnd.randrange(3)},
+        {"subframe": "fixed", "fixed_order": min(2, n), "rice2": True},
+        {"subframe": "fixed", "fixed_order": min(1, n), "stereo": "mid_side"},
+        {"subframe": "verbatim", "stereo": "left_side"},
+        {"subframe": "fixed", "fixed_order": min(2, n), "escape_bps": 15},
+    )[variant]
+    channels = [x]
+    if opts.get("stereo"):
+        channels.append([rnd.randrange(-2000, 2000) for _ in range(n)])
+    bs = rnd.choice((64, 128, 256))
+    buf = encode_flac(channels, blocksize=bs, **opts)
+    rate, nch, bps, got = decode_flac(buf)
+    assert got == channels
