@@ -604,6 +604,37 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("no data chunk")
 
 
+def decode_audio(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """Audio router (the audio counterpart of ``decode_image_batch``'s
+    magic dispatch): RIFF/WAVE PCM and fLaC payloads decode natively to
+    (sample_rate, n_channels, bits_per_sample, per-channel sample
+    lists); genuinely-absent codecs (MP3/Opus/AAC) raise
+    ``NotImplementedError``.  WAV samples are folded to signed ints
+    (8-bit PCM is unsigned on the wire, wider widths little-endian
+    signed) so both formats present identical sample semantics."""
+    if buf[:4] == b"fLaC":
+        from realtime_change_data_capture_streaming_spark.llm_ops.flac import decode_flac
+
+        return decode_flac(buf)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        rate, n_ch, bits, data = decode_wav(buf)
+        step = bits // 8
+        frames = len(data) // (step * n_ch)
+        channels: list[list[int]] = [[] for _ in range(n_ch)]
+        for f in range(frames):
+            for c in range(n_ch):
+                raw = data[(f * n_ch + c) * step : (f * n_ch + c + 1) * step]
+                if bits == 8:
+                    channels[c].append(raw[0] - 128)  # unsigned on the wire
+                else:
+                    channels[c].append(int.from_bytes(raw, "little", signed=True))
+        return rate, n_ch, bits, channels
+    raise NotImplementedError(
+        f"audio decode for magic {buf[:4]!r} requires external codecs; "
+        "WAV/PCM and FLAC decode natively"
+    )
+
+
 def _synth_wav(doc_id: int) -> bytes:
     """Deterministic mono 8-bit PCM WAV for doc_id — the fixture stand-in
     for real audio blobs.  Sample i = (doc_id*31 + i*7) % 256 (unsigned

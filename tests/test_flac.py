@@ -156,3 +156,17 @@ def test_roundtrip_property(n, seed, variant):
     buf = encode_flac(channels, blocksize=bs, **opts)
     rate, nch, bps, got = decode_flac(buf)
     assert got == channels
+
+
+def test_audio_router_dispatches_wav_and_flac():
+    from realtime_change_data_capture_streaming_spark.llm_ops.multimodal import _synth_wav, decode_audio
+
+    x = _noise(300, seed=9)
+    buf = encode_flac([x], subframe="fixed", fixed_order=2)
+    assert decode_audio(buf) == (44100, 1, 16, [x])
+    # WAV: 8-bit unsigned on the wire folds to signed samples
+    rate, nch, bits, ch = decode_audio(_synth_wav(3))
+    assert (rate, nch, bits) == (8000, 1, 8)
+    assert ch[0][:3] == [(3 * 31 + i * 7) % 256 - 128 for i in range(3)]
+    with pytest.raises(NotImplementedError, match="magic"):
+        decode_audio(b"ID3\x04junkjunkjunk")
