@@ -38,9 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # through, per VERDICT r8 task 1).  Deferred queries sort AFTER every
 # already-verified query, so they take their first driver check next
 # round; until then the local tests/test_oracle_parity.py mirror pins
-# them against DuckDB on every pytest run.  r10 note: these 4 + the
-# 48-query r5-stale cohort = 52 > 50, so 2 r5 queries slip one extra
-# round — clear this set when registering r10 queries.
+# them against DuckDB on every pytest run.  The deferral is round-
+# stamped: it only applies while the newest CORRECTNESS artifact is
+# older than _DEFER_UNTIL_AFTER_ROUND, so once the round-9 results land
+# these four automatically rejoin the never-checked tier (tier 1) and
+# take their first driver check in r10 — no manual clearing needed.
+# r10 note: these 4 + the 48-query r5-stale cohort = 52 > 50, so 2 r5
+# queries slip one extra round.
 _DEFER_FIRST_CHECK = frozenset(
     {
         "cdc_multitable_fk_apply",
@@ -49,6 +53,7 @@ _DEFER_FIRST_CHECK = frozenset(
         "multimodal_flac_features",
     }
 )
+_DEFER_UNTIL_AFTER_ROUND = 9
 
 
 def _verification_order(names, with_oracle=frozenset()):
@@ -140,9 +145,11 @@ def _verification_order(names, with_oracle=frozenset()):
         )
     }
 
+    newest_round = max((rec[0] for rec in history.values()), default=0)
+
     def key(nm):
         if nm not in history:
-            if nm in _DEFER_FIRST_CHECK:
+            if nm in _DEFER_FIRST_CHECK and newest_round < _DEFER_UNTIL_AFTER_ROUND:
                 return (3, 0, order[nm])
             return (1, priority.get(nm, len(priority)), order[nm])
         rnd, ok, hash_checked = history[nm]

@@ -1190,9 +1190,12 @@ def multitable_change_events(spark: SparkSession, sf_dir: str) -> tuple[DataFram
     l_linenumber (l_linenumber in 1..7), user_id carries the FK.  The
     fixture's lineitem holds DUPLICATE (orderkey, linenumber) pairs —
     those become a real per-key UPDATE CHAIN: versions are LSN-ordered
-    by l_extendedprice (unique within every pair at all fixture SFs,
-    loud-guarded at <= 8 versions), so the child apply's latest-wins
-    does real work, keeping the max-extendedprice version.  The first
+    by (l_extendedprice, l_returnflag, l_linestatus, l_shipdate) — the
+    full set of row-dependent output/timestamp columns, so even a price
+    TIE within a pair orders identically on both engines (and a tie on
+    all four makes the rows interchangeable for every derived field);
+    version count is loud-guarded at <= 8.  The child apply's
+    latest-wins does real work, keeping the max-extendedprice version.  The first
     line of every %_FK_CHILD_DEL order is then deleted at a past-any-
     version LSN.  Both feeds get the standard chaos (1/3 redelivery +
     arrival reorder)."""
@@ -1248,7 +1251,9 @@ def multitable_change_events(spark: SparkSession, sf_dir: str) -> tuple[DataFram
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "_version",
         F.row_number().over(
-            Window.partitionBy("l_orderkey", "l_linenumber").orderBy("l_extendedprice")
+            Window.partitionBy("l_orderkey", "l_linenumber").orderBy(
+                "l_extendedprice", "l_returnflag", "l_linestatus", "l_shipdate"
+            )
         ),
     )
     # 8-version headroom per key; anything past it would collide with the
@@ -1349,7 +1354,8 @@ CDC_MULTITABLE_SQL = f"""
 WITH v AS (
   SELECT *, row_number() OVER (
            PARTITION BY l_orderkey, l_linenumber
-           ORDER BY l_extendedprice DESC) AS rn
+           ORDER BY l_extendedprice DESC, l_returnflag DESC,
+                    l_linestatus DESC, l_shipdate DESC) AS rn
   FROM lineitem
 )
 SELECT CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS child_id,

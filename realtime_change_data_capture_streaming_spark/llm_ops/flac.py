@@ -305,7 +305,10 @@ def decode_flac(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
 
     channels: list[list[int]] = [[] for _ in range(n_ch)]
     done = 0
-    while done < total:
+    # STREAMINFO total_samples == 0 means "unknown length" (common for
+    # streamed/live encodes) — in that case decode frames until the
+    # stream ends instead of treating the file as empty.
+    while done < total if total else pos < len(buf):
         frame_start = pos
         rd = _Reader(buf, pos * 8)
         if rd.bits(14) != 0b11111111111110:
@@ -326,11 +329,21 @@ def decode_flac(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
             blocksize = rd.bits(16) + 1
         else:
             blocksize = _BLOCKSIZE_CODES[bs_code]
-        if sr_code == 12:
-            rd.bits(8)
-        elif sr_code in (13, 14):
-            rd.bits(16)
-        elif sr_code == 15:
+        if sr_code == 0:
+            pass  # rate comes from STREAMINFO
+        elif sr_code <= 11:
+            if _SAMPLE_RATE_CODES[sr_code] != rate:
+                raise ValueError("FLAC: frame sample rate contradicts STREAMINFO")
+        elif sr_code == 12:  # 8-bit rate in kHz at header end
+            if rd.bits(8) * 1000 != rate:
+                raise ValueError("FLAC: frame sample rate contradicts STREAMINFO")
+        elif sr_code == 13:  # 16-bit rate in Hz
+            if rd.bits(16) != rate:
+                raise ValueError("FLAC: frame sample rate contradicts STREAMINFO")
+        elif sr_code == 14:  # 16-bit rate in tens of Hz
+            if rd.bits(16) * 10 != rate:
+                raise ValueError("FLAC: frame sample rate contradicts STREAMINFO")
+        else:
             raise ValueError("FLAC: invalid sample rate code")
         f_bps = bps if ss_code == 0 else _SAMPLE_SIZE_CODES.get(ss_code)
         if f_bps is None:
@@ -377,7 +390,7 @@ def decode_flac(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
             channels[c].extend(subs[c])
         done += blocksize
         pos = rd.pos // 8
-    if done != total:
+    if total and done != total:
         raise ValueError("FLAC: frame samples exceed STREAMINFO total")
     return rate, n_ch, bps, channels
 
@@ -424,10 +437,19 @@ def _write_residual(
         part = residual[idx : idx + n]
         idx += n
         if escape_bps is not None and p == 0:
-            # escape-to-raw form for the first partition
+            # escape-to-raw form for the first partition; raw residuals
+            # are escape_bps-bit two's complement, so out-of-range values
+            # would truncate into a CRC-valid stream that decodes to the
+            # WRONG samples — guard loudly instead
+            lo = -(1 << (escape_bps - 1)) if escape_bps else 0
+            hi = (1 << (escape_bps - 1)) - 1 if escape_bps else 0
             bw.bits(escape, pbits)
             bw.bits(escape_bps, 5)
             for r in part:
+                if not lo <= r <= hi:
+                    raise ValueError(
+                        "encode_flac: residual out of escape_bps range"
+                    )
                 bw.bits(r & ((1 << escape_bps) - 1), escape_bps)
             continue
         param = _best_rice_param(part, pbits)

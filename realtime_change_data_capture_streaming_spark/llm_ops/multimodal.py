@@ -2650,13 +2650,17 @@ def demux_mjpeg(buf: bytes) -> list[bytes]:
         in_scan = False
         while True:
             if in_scan:
-                nxt = buf.index(b"\xff", pos)
+                nxt = buf.find(b"\xff", pos)
+                if nxt < 0 or nxt + 1 >= n:
+                    raise ValueError("MJPEG: truncated scan data")
                 m = buf[nxt + 1]
                 if m == 0x00 or 0xD0 <= m <= 0xD7:
                     pos = nxt + 2  # stuffed byte / restart marker
                     continue
                 in_scan, pos = False, nxt
                 continue
+            if pos + 1 >= n:
+                raise ValueError("MJPEG: truncated frame (no EOI)")
             if buf[pos] != 0xFF:
                 raise ValueError(f"MJPEG: expected marker at offset {pos}")
             m = buf[pos + 1]
@@ -2669,7 +2673,11 @@ def demux_mjpeg(buf: bytes) -> list[bytes]:
                 break
             if m == 0x01 or 0xD0 <= m <= 0xD8:
                 continue  # standalone markers carry no length
+            if pos + 2 > n:
+                raise ValueError("MJPEG: truncated segment header")
             seg_len = int.from_bytes(buf[pos : pos + 2], "big")
+            if seg_len < 2 or pos + seg_len > n:
+                raise ValueError("MJPEG: bad segment length")
             pos += seg_len
             if m == 0xDA:  # SOS header consumed; entropy data follows
                 in_scan = True

@@ -1220,7 +1220,9 @@ _UNI_MAXLEN = 3  # longest piece; bounds the DP lookback
 _UNI_MISS = -(10**12)  # sentinel for pieces outside the vocab
 
 
-def _unigram_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
+def _unigram_vocab(
+    spark: SparkSession, sf_dir: str, words: DataFrame | None = None
+) -> list[tuple[str, int]]:
     """The fixed unigram-LM vocabulary, SentencePiece-style: EVERY single
     character seen in the corpus (coverage — any word stays segmentable)
     plus the top-``_UNI_TOPK`` substrings of length 2..3 by word-frequency-
@@ -1229,7 +1231,8 @@ def _unigram_vocab(spark: SparkSession, sf_dir: str) -> list[tuple[str, int]]:
     the idf_fp discipline, so the Viterbi sums below are exact bigint
     arithmetic cross-engine.  Bounded driver collect: |alphabet| + 64
     rows, the broadcast-vocab shape of ``_bpe_apply``."""
-    words = _bpe_words(spark, sf_dir)  # distinct word + corpus frequency
+    if words is None:  # distinct word + corpus frequency
+        words = _bpe_words(spark, sf_dir)
 
     def grams(length: int) -> DataFrame:
         return words.filter(F.length("word_id") >= length).select(
@@ -1319,9 +1322,12 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-likelihood, and fixed-point pieces-per-word — the fertility
     metric tokenizer dashboards track.  Parity target: SURVEY §2.5
     LLM-ops mandate (reference has no tokenizer; north-star surface)."""
-    vocab = _unigram_vocab(spark, sf_dir)
-    words = _bpe_words(spark, sf_dir).select("word_id", "cnt")
-    seg = _unigram_segment_words(words, vocab)
+    # one corpus-wide tokenize+groupBy, checkpointed and REUSED by both
+    # the vocab collect and the segmentation (the text_bpe_encode
+    # discipline at :804 — without this the heaviest scan runs twice)
+    words = _bpe_words(spark, sf_dir).coalesce(4).localCheckpoint(eager=True)
+    vocab = _unigram_vocab(spark, sf_dir, words)
+    seg = _unigram_segment_words(words.select("word_id", "cnt"), vocab)
     d = load_table(spark, sf_dir, "documents")
     doc_words = with_tokens(d).select("doc_id", F.explode("_toks").alias("word_id"))
     per_doc = (

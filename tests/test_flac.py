@@ -130,6 +130,59 @@ def test_malformed_streams_raise_value_error():
         decode_flac(bytes(bad))
 
 
+def test_unknown_total_samples_decodes_to_eof():
+    """STREAMINFO total_samples == 0 means 'unknown length' (streamed /
+    live encodes), NOT 'no samples': the decoder must walk frames until
+    the stream ends rather than returning empty audio."""
+    x = _noise(300, seed=8)
+    good = encode_flac([x], blocksize=128, subframe="fixed", fixed_order=2)
+    bad = bytearray(good)
+    # the 36-bit total field spans bits 108..143 of the STREAMINFO body
+    # (body starts at byte 8: fLaC + 4-byte block header)
+    bad[8 + 13] &= 0xF0
+    bad[8 + 14 : 8 + 18] = b"\x00\x00\x00\x00"
+    rate, nch, bps, ch = decode_flac(bytes(bad))
+    assert ch == [x]
+
+
+def test_frame_rate_code_validated_against_streaminfo():
+    """A frame header carrying an explicit sample-rate code must agree
+    with STREAMINFO; a contradiction is corruption, not a preference."""
+    good = encode_flac([_noise(256, seed=9)], subframe="fixed", fixed_order=2)
+    frame_at = 4 + 4 + 34
+    # encoder layout: sync(2) + bs/sr byte + ch/ss byte + utf8 frame#(1,
+    # frame 0) + 8-bit blocksize-1 (bs_code 6) -> CRC-8 at frame_at + 6
+    hdr_end = frame_at + 6
+
+    def with_sr_code(code):
+        b = bytearray(good)
+        b[frame_at + 2] = (b[frame_at + 2] & 0xF0) | code
+        b[hdr_end] = _crc8(bytes(b[frame_at:hdr_end]))
+        # the frame CRC-16 (last 2 bytes of the single frame) covers the
+        # header too — recompute it over the patched bytes
+        b[-2:] = _crc16(bytes(b[frame_at:-2])).to_bytes(2, "big")
+        return bytes(b)
+
+    # code 9 = 44100 Hz: MATCHES the STREAMINFO default -> decodes fine
+    assert decode_flac(with_sr_code(9))[3] == decode_flac(good)[3]
+    # code 10 = 48000 Hz: contradicts STREAMINFO -> loud failure
+    with pytest.raises(ValueError, match="contradicts"):
+        decode_flac(with_sr_code(10))
+
+
+def test_escape_residual_out_of_range_is_loud():
+    """Raw escape residuals are escape_bps-bit two's complement; values
+    outside that range would silently truncate into a CRC-valid stream
+    that decodes to the WRONG samples — the encoder must refuse."""
+    x = _noise(256, seed=10)  # fixed(2) residuals far exceed 4 bits
+    with pytest.raises(ValueError, match="escape_bps range"):
+        encode_flac([x], subframe="fixed", fixed_order=2, escape_bps=4)
+    # in-range escape still round-trips (pinned above at escape_bps=15)
+    flat = [5] * 256  # fixed(2) residuals are 0 after warm-up
+    buf = encode_flac(flat_ch := [flat], subframe="fixed", fixed_order=2, escape_bps=3)
+    assert decode_flac(buf)[3] == flat_ch
+
+
 @given(
     n=st.integers(1, 600),
     seed=st.integers(0, 10_000),
