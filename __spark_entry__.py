@@ -43,7 +43,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # older than _DEFER_UNTIL_AFTER_ROUND, so once the round-9 results land
 # these four automatically rejoin the never-checked tier (tier 1) and
 # take their first driver check in r10 — no manual clearing needed.
-# r10 note: these 4 + the 48-query r5-stale cohort = 52 > 50, so 2 r5
+# r10 note: these 5 + the 48-query r5-stale cohort = 53 > 50, so 3 r5
 # queries slip one extra round.
 _DEFER_FIRST_CHECK = frozenset(
     {
@@ -51,6 +51,8 @@ _DEFER_FIRST_CHECK = frozenset(
         "stream_multitable_fk_apply",
         "text_unigram_segment",
         "multimodal_flac_features",
+        "events_ks_test_value",
+        "multimodal_avi_scene_cuts",
     }
 )
 _DEFER_UNTIL_AFTER_ROUND = 9

@@ -1,0 +1,256 @@
+"""Dependency-free AVI (RIFF) container mux/demux for MJPEG video.
+
+The MJPEG tier so far decodes the raw elementary stream (concatenated
+JPEGs, ``multimodal.demux_mjpeg``); real motion-JPEG files wrap that
+stream in the RIFF-AVI container (the `MJPG` fourcc).  This module walks
+the container itself, per the published AVI RIFF form (Microsoft
+"AVI RIFF File Reference" / OpenDML): the ``hdrl`` header list
+(``avih`` MainAVIHeader + per-stream ``strl`` with ``strh``
+AVIStreamHeader and ``strf`` BITMAPINFOHEADER), the ``movi`` payload
+list whose ``##dc`` chunks each hold one complete JPEG (optionally
+grouped under ``rec `` interleave lists), word alignment of every odd
+chunk, and the ``idx1`` index whose entries are validated against the
+actual chunk layout (both published offset conventions: relative to the
+``movi`` fourcc, or absolute file offsets — real muxers emit both).
+
+Parity target: the multimodal mandate of SURVEY §2.5 / BASELINE.json —
+the reference repo (`transaction_producer.py` / `transaction_consumer.py`)
+has no media path, so this is north-star training-data-pipeline surface;
+the container walk upgrades ``multimodal_mjpeg_scene_cuts``'s elementary
+stream to the actual on-disk file format.
+
+Scale shape: pure per-row byte walking inside mapInPandas batches —
+embarrassingly parallel, no shuffle, no state; malformed containers
+raise a clean ValueError instead of misdecoding.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def _chunk(fourcc: bytes, payload: bytes) -> bytes:
+    """One RIFF chunk: fourcc + little-endian size + payload + pad byte
+    to word alignment (the declared size EXCLUDES the pad)."""
+    out = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        out += b"\x00"
+    return out
+
+
+def _list(list_type: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + payload)
+
+
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 25
+) -> bytes:
+    """Mux JPEG frames into a minimal spec-correct AVI: RIFF('AVI ')
+    { LIST hdrl { avih, LIST strl { strh(vids/MJPG), strf(BITMAPINFOHEADER
+    biCompression='MJPG') } }, LIST movi { 00dc... }, idx1 }.  idx1
+    offsets use the common convention: relative to the position of the
+    ``movi`` fourcc (first chunk at offset 4)."""
+    if not frames:
+        raise ValueError("AVI: need at least one frame")
+    for f in frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("AVI: frame is not a JPEG (no SOI)")
+    n = len(frames)
+    max_bytes = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        _AVIF_HASINDEX,  # dwFlags
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+        0,
+        0,
+        0,
+        0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIII",
+            0,  # dwFlags
+            0,  # wPriority
+            0,  # wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate (rate/scale = fps)
+            0,  # dwStart
+            n,  # dwLength (in frames)
+            max_bytes,  # dwSuggestedBufferSize
+            0xFFFFFFFF,  # dwQuality (-1: default)
+            0,  # dwSampleSize (0: variable-size samples)
+            0,  # rcFrame left/top
+        )
+        + struct.pack("<hh", width, height)  # rcFrame right/bottom
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        width * height * 3,  # biSizeImage
+        0,
+        0,
+        0,
+        0,
+    )
+    hdrl = _list(
+        b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    )
+    movi_payload = bytearray()
+    idx = bytearray()
+    for f in frames:
+        # idx1 offset: from the 'movi' fourcc to this chunk's ckid; the
+        # fourcc itself is 4 bytes, so the first chunk sits at offset 4
+        idx += b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, 4 + len(movi_payload), len(f))
+        movi_payload += _chunk(b"00dc", f)
+    movi = _list(b"movi", bytes(movi_payload))
+    riff_payload = b"AVI " + hdrl + movi + _chunk(b"idx1", bytes(idx))
+    return _chunk(b"RIFF", riff_payload)
+
+
+def _walk(buf: bytes, pos: int, end: int):
+    """Yield (fourcc, payload_start, payload_size) for each chunk in
+    [pos, end), enforcing word alignment and bounds."""
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("AVI: truncated chunk header")
+        fourcc = buf[pos : pos + 4]
+        size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(f"AVI: chunk {fourcc!r} overruns its parent")
+        yield fourcc, body, size
+        pos = body + size + (size % 2)
+
+
+def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
+    """Parse an AVI container carrying one MJPG video stream; returns
+    (meta, frames) where meta has width/height/fps/total_frames from the
+    headers and frames are the raw JPEG payloads of the ``##dc`` chunks
+    (in file order, ``rec `` interleave lists flattened).  The ``idx1``
+    index, when present, is validated entry-by-entry against the actual
+    chunk layout; any structural lie raises ValueError."""
+    if len(buf) < 12 or buf[:4] != b"RIFF":
+        raise ValueError("AVI: not a RIFF file")
+    riff_size = struct.unpack("<I", buf[4:8])[0]
+    if 8 + riff_size > len(buf):
+        raise ValueError("AVI: RIFF size overruns the buffer")
+    if buf[8:12] != b"AVI ":
+        raise ValueError("AVI: RIFF form is not 'AVI '")
+    end = 8 + riff_size
+    meta: dict = {}
+    frames: list[bytes] = []
+    frame_positions: list[tuple[int, int]] = []  # (ckid pos, payload size)
+    movi_fourcc_pos = -1
+    vid_stream = -1
+    idx_payload = None
+
+    def parse_hdrl(body: int, size: int) -> None:
+        nonlocal vid_stream
+        stream_no = 0
+        for cc, b2, s2 in _walk(buf, body, body + size):
+            if cc == b"avih":
+                if s2 < 40:
+                    raise ValueError("AVI: avih too short")
+                f = struct.unpack("<10I", buf[b2 : b2 + 40])
+                meta["total_frames"] = f[4]
+                meta["n_streams"] = f[6]
+                meta["width"] = f[8]
+                meta["height"] = f[9]
+                if f[0] > 0:
+                    meta["fps"] = round(1_000_000 / f[0])
+            elif cc == b"LIST" and buf[b2 : b2 + 4] == b"strl":
+                is_vids = False
+                for cc3, b3, s3 in _walk(buf, b2 + 4, b2 + s2):
+                    if cc3 == b"strh":
+                        if s3 < 36:
+                            raise ValueError("AVI: strh too short")
+                        if buf[b3 : b3 + 4] == b"vids":
+                            is_vids = True
+                            if buf[b3 + 4 : b3 + 8] not in (b"MJPG", b"mjpg"):
+                                raise ValueError("AVI: video stream is not MJPG")
+                            scale, rate = struct.unpack("<II", buf[b3 + 20 : b3 + 28])
+                            if scale > 0:
+                                meta["fps"] = round(rate / scale)
+                    elif cc3 == b"strf" and is_vids:
+                        if s3 < 40:
+                            raise ValueError("AVI: strf too short")
+                        comp = buf[b3 + 16 : b3 + 20]
+                        if comp not in (b"MJPG", b"mjpg"):
+                            raise ValueError("AVI: BITMAPINFOHEADER is not MJPG")
+                if is_vids and vid_stream < 0:
+                    vid_stream = stream_no
+                stream_no += 1
+
+    def collect_movi(body: int, size: int) -> None:
+        want = b"%02ddc" % vid_stream if vid_stream >= 0 else b"00dc"
+        want_db = want[:2] + b"db"
+        for cc, b2, s2 in _walk(buf, body, body + size):
+            if cc == b"LIST" and buf[b2 : b2 + 4] == b"rec ":
+                collect_movi(b2 + 4, s2 - 4)
+            elif cc in (want, want_db):
+                payload = buf[b2 : b2 + s2]
+                if payload[:2] != b"\xff\xd8":
+                    raise ValueError("AVI: MJPG chunk does not start with SOI")
+                frames.append(payload)
+                frame_positions.append((b2 - 8, s2))
+
+    for cc, body, size in _walk(buf, 12, end):
+        if cc == b"LIST":
+            lt = buf[body : body + 4]
+            if lt == b"hdrl":
+                parse_hdrl(body + 4, size - 4)
+            elif lt == b"movi":
+                movi_fourcc_pos = body
+                collect_movi(body + 4, size - 4)
+        elif cc == b"idx1":
+            idx_payload = (body, size)
+
+    if movi_fourcc_pos < 0:
+        raise ValueError("AVI: no movi list")
+    if "width" not in meta:
+        raise ValueError("AVI: no avih header")
+    if idx_payload is not None:
+        body, size = idx_payload
+        if size % 16:
+            raise ValueError("AVI: idx1 size not a multiple of 16")
+        entries = [
+            struct.unpack_from("<4sIII", buf, body + 16 * i) for i in range(size // 16)
+        ]
+        vid_entries = [e for e in entries if e[0].endswith((b"dc", b"db"))]
+        if len(vid_entries) != len(frame_positions):
+            raise ValueError("AVI: idx1 video entry count != movi chunk count")
+        if vid_entries:
+            # detect the offset convention from the first entry: relative
+            # to the 'movi' fourcc (spec text) or absolute (common in the
+            # wild) — then hold every entry to it
+            first_pos = frame_positions[0][0]
+            if vid_entries[0][2] == first_pos - movi_fourcc_pos:
+                absolute = False
+            elif vid_entries[0][2] == first_pos:
+                absolute = True
+            else:
+                raise ValueError("AVI: idx1 offset matches neither convention")
+            for (ckid, _flags, off, ln), (pos, s2) in zip(vid_entries, frame_positions):
+                expect = pos if absolute else pos - movi_fourcc_pos
+                if off != expect or ln != s2:
+                    raise ValueError("AVI: idx1 entry disagrees with chunk layout")
+    return meta, frames

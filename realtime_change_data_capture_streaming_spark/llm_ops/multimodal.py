@@ -2778,6 +2778,126 @@ def multimodal_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI video scene-cut detection — the container upgrade of
+    ``multimodal_mjpeg_scene_cuts``: per document the same analytic
+    mixed-4:4:4/4:2:0 JPEG frames are muxed into a spec-correct RIFF-AVI
+    file (``llm_ops/avi.py``: hdrl/avih/strl/strh/strf headers, movi
+    ``00dc`` chunks with word alignment, validated idx1 index), then
+    demuxed by the real container walk instead of the elementary-stream
+    marker walk.  The header metadata (width/height from avih, fps from
+    strh dwRate/dwScale, total_frames) is emitted alongside the cut
+    analysis, and the demuxer cross-checks it against the decoded
+    frames, so a header/payload disagreement fails loudly.  Parity
+    target: the multimodal mandate of SURVEY §2.5 / BASELINE.json; the
+    reference repo has no media path — north-star surface."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.avi import (
+        demux_avi_mjpeg,
+        encode_avi_mjpeg,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "doc_id",
+            "n_frames",
+            "width",
+            "height",
+            "fps",
+            "n_cuts",
+            "first_cut",
+            "scene_checksum",
+        ]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append((int(doc_id),) + (None,) * 7)
+                    continue
+                doc = int(doc_id)
+                n_frames = 4 + doc % 3
+                w = 8 * (1 + doc % 3)
+                h = 8 * (1 + doc % 2)
+                base = 20 + doc % 40
+                jump = 50 + doc % 18
+                cut_idx = 2 + doc % 2
+                fps = 24 + doc % 8
+                jpegs = []
+                for i in range(n_frames):
+                    fill = base + (jump if i >= cut_idx else 0)
+                    rgb = bytes([fill]) * (w * h * 3)
+                    enc = encode_jpeg_420 if (doc + i) % 2 else encode_jpeg
+                    jpegs.append(enc(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT)))
+                meta, frames_b = demux_avi_mjpeg(encode_avi_mjpeg(jpegs, w, h, fps))
+                if meta["total_frames"] != len(frames_b):
+                    raise ValueError(f"AVI header/movi frame count mismatch for doc {doc}")
+                frames = []
+                for fb in frames_b:
+                    got_w, got_h, rec = decode_jpeg(fb)
+                    if (got_w, got_h) != (meta["width"], meta["height"]):
+                        raise ValueError(f"AVI header/frame size mismatch for doc {doc}")
+                    frames.append(rec)
+                cuts = []
+                for i in range(1, len(frames)):
+                    a, bb = frames[i - 1], frames[i]
+                    delta = sum(abs(x - y) for x, y in zip(a, bb)) / len(a)
+                    if delta > _CUT_THRESHOLD:
+                        cuts.append(i)
+                scene_starts = [0] + cuts
+                checksum = int(sum(sum(frames[i]) for i in scene_starts) % (1 << 31))
+                rows.append(
+                    (
+                        doc,
+                        len(frames),
+                        meta["width"],
+                        meta["height"],
+                        meta["fps"],
+                        len(cuts),
+                        cuts[0] if cuts else None,
+                        checksum,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols).astype(
+                {
+                    "doc_id": "int64",
+                    "n_frames": "Int32",
+                    "width": "Int32",
+                    "height": "Int32",
+                    "fps": "Int32",
+                    "n_cuts": "Int64",
+                    "first_cut": "Int64",
+                    "scene_checksum": "Int64",
+                }
+            )
+
+    return d.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_frames int, width int, height int, fps int, "
+            "n_cuts long, first_cut long, scene_checksum long"
+        ),
+    )
+
+
+MULTIMODAL_AVI_CUTS_SQL = """
+SELECT doc_id,
+       CASE WHEN text IS NOT NULL THEN CAST(4 + doc_id % 3 AS INTEGER) END AS n_frames,
+       CASE WHEN text IS NOT NULL THEN CAST(8 * (1 + doc_id % 3) AS INTEGER) END AS width,
+       CASE WHEN text IS NOT NULL THEN CAST(8 * (1 + doc_id % 2) AS INTEGER) END AS height,
+       CASE WHEN text IS NOT NULL THEN CAST(24 + doc_id % 8 AS INTEGER) END AS fps,
+       CASE WHEN text IS NOT NULL THEN CAST(1 AS BIGINT) END AS n_cuts,
+       CASE WHEN text IS NOT NULL THEN CAST(2 + doc_id % 2 AS BIGINT) END AS first_cut,
+       CASE WHEN text IS NOT NULL THEN CAST(
+           (2 * (20 + doc_id % 40) + (50 + doc_id % 18))
+           * (8 * (1 + doc_id % 3)) * (8 * (1 + doc_id % 2)) * 3
+           AS BIGINT) END AS scene_checksum
+FROM documents
+"""
+
+
 MULTIMODAL_MJPEG_CUTS_SQL = """
 SELECT doc_id,
        CASE WHEN text IS NOT NULL THEN CAST(4 + doc_id % 3 AS INTEGER) END AS n_frames,
@@ -2805,6 +2925,7 @@ QUERIES = {
     "multimodal_frame_sample": multimodal_frame_sample,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_mjpeg_scene_cuts": multimodal_mjpeg_scene_cuts,
+    "multimodal_avi_scene_cuts": multimodal_avi_scene_cuts,
 }
 
 ORACLE = {
@@ -2820,4 +2941,5 @@ ORACLE = {
     "multimodal_frame_sample": MULTIMODAL_FRAMES_SQL,
     "multimodal_scene_cuts": MULTIMODAL_CUTS_SQL,
     "multimodal_mjpeg_scene_cuts": MULTIMODAL_MJPEG_CUTS_SQL,
+    "multimodal_avi_scene_cuts": MULTIMODAL_AVI_CUTS_SQL,
 }

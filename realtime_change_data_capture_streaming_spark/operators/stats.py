@@ -1702,8 +1702,118 @@ FROM agg
 """
 
 
+def events_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: do 'view' and 'purchase'
+    events draw their values from the same distribution? — the
+    distribution-SHAPE counterpart of the rank-based Mann-Whitney U
+    (``events_mannwhitney_value``): MWU detects location shift, KS
+    detects ANY ECDF divergence (D = sup_x |F1(x) - F2(x)|).
+
+    The supremum over a continuous x reduces to a max over the pooled
+    DISTINCT values, so the distributed shape is: one hash agg to
+    per-value counts (the result is bounded by the value DOMAIN — cents
+    in a fixed price range — not the row count), then EXACT cumulative
+    counts by the same two-pass discipline as ``with_global_positions``:
+    approx-quantile boundaries coarse-range the per-value table (balance
+    only, never correctness), per-range sums are collected driver-side
+    (bounded: <= _COARSE+1 rows of metadata) to form exact running
+    offsets, and a window PARTITIONED BY range finishes the prefix sums
+    — no single-partition window at any scale.  The divergence is kept
+    as the exact bigint ``d_num = |cum1*n2 - cum2*n1|`` (max of exact
+    integers, order-independent); it stays under 2^63 while
+    n1*n2 < 2^63, i.e. ~3e9 rows per sample — the same published bound
+    as the MWU's 2*n1*n2 term.  ks_d / ks_stat are then a handful of
+    correctly-rounded IEEE ops from those integers, replayed
+    token-for-token by the oracle; 1.358102 is the 5% two-sample
+    critical value of the Kolmogorov distribution (c(0.05) = 1.3581)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    pv = (
+        e.select(
+            (F.col("event_type") == "view").cast("bigint").alias("g1"),
+            F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint").alias("v_cents"),
+        )
+        .groupBy("v_cents")
+        .agg(F.sum("g1").alias("n1v"), F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    probs = [i / _COARSE for i in range(1, _COARSE)]
+    bnds = sorted(set(pv.approxQuantile("v_cents", probs, 0.001)))
+    if bnds:
+        barr = F.array(*[F.lit(float(b)) for b in bnds])
+        rng = F.size(F.filter(barr, lambda x: x < F.col("v_cents").cast("double")))
+    else:
+        rng = F.lit(0)
+    with_rng = pv.withColumn("_rng", rng)
+    per_rng = {
+        r["_rng"]: (r["s1"], r["st"])
+        for r in with_rng.groupBy("_rng")
+        .agg(F.sum("n1v").alias("s1"), F.sum("t").alias("st"))
+        .collect()
+    }  # bounded collect: at most _COARSE+1 rows of (range, two sums)
+    n1 = sum(s1 for s1, _ in per_rng.values())
+    n = sum(st for _, st in per_rng.values())
+    n2 = n - n1
+    if n1 == 0 or n2 == 0:
+        raise ValueError("ks test needs both samples non-empty")
+    if n1 * n2 >= 1 << 63:
+        # loud, not silent-wrap (the ANOVA discipline, stats.py:294):
+        # past this bound Spark's non-ANSI bigint product would wrap
+        # while the DuckDB HUGEINT oracle keeps going — fail instead.
+        raise OverflowError("ks d_num bound exceeded: n1*n2 >= 2^63")
+    off1, offt, o1, ot = {}, {}, 0, 0
+    for r in sorted(per_rng):
+        off1[r], offt[r] = o1, ot
+        o1 += per_rng[r][0]
+        ot += per_rng[r][1]
+    m1 = F.create_map(*[F.lit(v) for kv in off1.items() for v in kv])
+    mt = F.create_map(*[F.lit(v) for kv in offt.items() for v in kv])
+    lw = Window.partitionBy("_rng").orderBy("v_cents")
+    cum1 = (m1[F.col("_rng")] + F.sum("n1v").over(lw)).cast("bigint")
+    cumn = (mt[F.col("_rng")] + F.sum("t").over(lw)).cast("bigint")
+    d_num = F.abs(cum1 * F.lit(n2) - (cumn - cum1) * F.lit(n1))
+    agg = with_rng.select(d_num.alias("d_num")).agg(F.max("d_num").alias("d_num"))
+    ks_d = F.col("d_num").cast("double") / F.lit(float(n1) * float(n2))
+    ks_stat = F.sqrt(F.lit(float(n1) * float(n2) / float(n))) * ks_d
+    return agg.select(
+        F.lit(n1).cast("bigint").alias("n1"),
+        F.lit(n2).cast("bigint").alias("n2"),
+        F.col("d_num").cast("bigint").alias("d_num"),
+        F.round(ks_d, 6).alias("ks_d"),
+        F.round(ks_stat, 6).alias("ks_stat"),
+        (ks_stat > F.lit(1.358102)).alias("significant_5pct"),
+    )
+
+
+_KS_SQL = """
+WITH pv AS (
+  SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(t) AS BIGINT) AS n FROM pv
+), c AS (
+  SELECT CAST(SUM(n1v) OVER (ORDER BY v_cents) AS BIGINT) AS cum1,
+         CAST(SUM(t) OVER (ORDER BY v_cents) AS BIGINT) AS cumn
+  FROM pv
+), d AS (
+  SELECT MAX(ABS(cum1 * (SELECT n - n1 FROM tot) - (cumn - cum1) * (SELECT n1 FROM tot))) AS d_num
+  FROM c
+)
+SELECT t.n1, t.n - t.n1 AS n2, d.d_num,
+       ROUND(CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE)), 6) AS ks_d,
+       ROUND(SQRT(CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * (CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE))), 6) AS ks_stat,
+       SQRT(CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE) / CAST(t.n AS DOUBLE))
+       * (CAST(d.d_num AS DOUBLE) / (CAST(t.n1 AS DOUBLE) * CAST(t.n - t.n1 AS DOUBLE))) > 1.358102 AS significant_5pct
+FROM tot t, d
+"""
+
+
 QUERIES = {
     "events_mannwhitney_value": events_mannwhitney_value,
+    "events_ks_test_value": events_ks_test_value,
     "docs_crosstab_lang_source": docs_crosstab_lang_source,
     "sketch_countmin_user_counts": sketch_countmin_user_counts,
     "customers_gini_spend": customers_gini_spend,
@@ -1727,6 +1837,7 @@ QUERIES = {
 
 ORACLE = {
     "events_mannwhitney_value": _MWU_SQL,
+    "events_ks_test_value": _KS_SQL,
     "docs_crosstab_lang_source": _CROSSTAB_SQL,
     "sketch_countmin_user_counts": _CM_SQL,
     "customers_gini_spend": _GINI_SQL,

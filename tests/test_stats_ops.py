@@ -106,3 +106,56 @@ def test_exact_ntile_property_matches_reference(spark, vals, buckets):
                 expect[order[pos]] = b
                 pos += 1
     assert got == expect
+
+
+def test_ks_test_matches_bruteforce_ecdf(spark):
+    """events_ks_test_value equals the textbook two-sample KS computed
+    by a brute-force Python ECDF sweep over the same cents-folded
+    values — exact d_num, and ks_d/ks_stat to the emitted rounding."""
+    import math
+
+    from realtime_change_data_capture_streaming_spark.operators.stats import (
+        events_ks_test_value,
+    )
+
+    got = events_ks_test_value(spark, SF_DIR).collect()[0]
+    rows = (
+        spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "value")
+        .collect()
+    )
+    s1 = sorted(math.floor(r["value"] * 100.0 + 0.5) for r in rows if r["event_type"] == "view")
+    s2 = sorted(math.floor(r["value"] * 100.0 + 0.5) for r in rows if r["event_type"] != "view")
+    n1, n2 = len(s1), len(s2)
+    points = sorted(set(s1) | set(s2))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(s1, v) * n2 - bisect.bisect_right(s2, v) * n1)
+        for v in points
+    )
+    assert (got["n1"], got["n2"]) == (n1, n2)
+    assert got["d_num"] == d_num
+    ks_d = d_num / (float(n1) * float(n2))
+    assert got["ks_d"] == pytest.approx(ks_d, abs=1e-6)
+    assert got["ks_stat"] == pytest.approx(
+        math.sqrt(n1 * n2 / (n1 + n2)) * ks_d, abs=1e-6
+    )
+
+
+def test_ks_test_plan_shape(spark):
+    """The KS reduction keeps the two-pass discipline: every window is
+    range-partitioned (no single-partition window over the per-value
+    table), no Python evals, no cartesian join."""
+    from realtime_change_data_capture_streaming_spark.operators.stats import (
+        events_ks_test_value,
+    )
+    from realtime_change_data_capture_streaming_spark.plans.introspect import (
+        unbounded_global_windows,
+    )
+
+    df = events_ks_test_value(spark, SF_DIR)
+    assert unbounded_global_windows(df) == []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BatchEvalPython" not in plan
