@@ -88,6 +88,12 @@ BENCH_QUERIES = (
     # ... and FLAC decode: fixed/LPC predictors, Rice/Rice2/escape
     # residuals, all four stereo assignments, CRC-verified frames
     "multimodal_flac_features",
+    # late round-9 additions: the two-sample Kolmogorov-Smirnov test
+    # (two-pass range-partitioned exact ECDF prefix sums), and scene
+    # cuts over a real RIFF-AVI container (hdrl/movi/idx1 walk wrapping
+    # the MJPEG elementary stream)
+    "events_ks_test_value",
+    "multimodal_avi_scene_cuts",
 )
 
 

@@ -1736,6 +1736,11 @@ def events_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("v_cents")
         .agg(F.sum("g1").alias("n1v"), F.count(F.lit(1)).cast("bigint").alias("t"))
+        # three actions read this table (quantile boundaries, per-range
+        # offsets, the final max) — persist so the corpus-scale scan and
+        # shuffle run once; the table itself is domain-bounded (one row
+        # per distinct cent value), so the cache is metadata-scale
+        .persist()
     )
     probs = [i / _COARSE for i in range(1, _COARSE)]
     bnds = sorted(set(pv.approxQuantile("v_cents", probs, 0.001)))
