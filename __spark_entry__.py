@@ -53,6 +53,8 @@ _DEFER_FIRST_CHECK = frozenset(
         "multimodal_flac_features",
         "events_ks_test_value",
         "multimodal_avi_scene_cuts",
+        "cdc_outbox_publish",
+        "stream_outbox_publish",
     }
 )
 _DEFER_UNTIL_AFTER_ROUND = 9

@@ -1371,6 +1371,173 @@ WHERE rn = 1
 """
 
 
+_OUTBOX_GAP = 41  # the seq-2 event of every 41st aggregate is never captured
+_OUTBOX_DUP = 7  # every 7th aggregate's events are redelivered (same event id)
+
+# the Debezium Outbox Event Router table contract: id / aggregatetype /
+# aggregateid / type / payload columns on the after-image of an
+# insert-only capture (op 'c'); seq is the per-aggregate event sequence
+_OUTBOX_SCHEMA = (
+    "struct<after:struct<id:string,aggregatetype:string,aggregateid:bigint,"
+    "type:string,payload:string,seq:int>,op:string,ts_ms:bigint,"
+    "source:struct<lsn:bigint,table:string,db:string>>"
+)
+
+
+def outbox_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-outbox capture feed (deterministic, from orders):
+    each order is an AGGREGATE that wrote 1 + o_orderkey%3 domain events
+    (OrderCreated, OrderUpdated, OrderCompleted) to an outbox table in
+    the same transaction as the business row; Debezium captures the
+    outbox INSERTS — the Outbox Event Router contract (id /
+    aggregatetype / aggregateid / type / payload), insert-only op 'c',
+    routed by aggregatetype (priority orders to their own destination).
+
+    Injected realities: the seq-2 event of every ``_OUTBOX_GAP``-th
+    aggregate is never captured (a lost event — its successors must be
+    HELD, not published out of order), and every ``_OUTBOX_DUP``-th
+    aggregate's events are redelivered at a later LSN (at-least-once:
+    same event id, must collapse).  The payload is the canonical string
+    ``aggregateid:type:amount_cents`` so its fingerprint replays in the
+    oracle straight from orders."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    ev = o.select(
+        "*",
+        F.explode(F.sequence(F.lit(1), (F.lit(1) + F.col("o_orderkey") % 3).cast("int"))).alias(
+            "seq"
+        ),
+    ).filter(~((F.col("seq") == 2) & (F.col("o_orderkey") % _OUTBOX_GAP == 0)))
+    etype = (
+        F.when(F.col("seq") == 1, "OrderCreated")
+        .when(F.col("seq") == 2, "OrderUpdated")
+        .otherwise("OrderCompleted")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    payload = F.concat_ws(
+        ":", F.col("o_orderkey").cast("string"), etype, cents.cast("string")
+    )
+
+    def env(lsn_off):
+        return F.to_json(
+            F.struct(
+                F.struct(
+                    F.concat_ws(
+                        "-", F.col("o_orderkey").cast("string"), F.col("seq").cast("string")
+                    ).alias("id"),
+                    F.when(F.col("o_orderpriority").startswith("1"), "priority-order")
+                    .otherwise("standard-order")
+                    .alias("aggregatetype"),
+                    F.col("o_orderkey").cast("bigint").alias("aggregateid"),
+                    etype.alias("type"),
+                    payload.alias("payload"),
+                    F.col("seq").alias("seq"),
+                ).alias("after"),
+                F.lit("c").alias("op"),
+                (F.col("o_orderkey") * 8 + F.col("seq")).alias("ts_ms"),
+                F.struct(
+                    (F.col("o_orderkey") * 8 + F.col("seq") + lsn_off).alias("lsn"),
+                    F.lit("outbox").alias("table"),
+                    F.lit("financialDB").alias("db"),
+                ).alias("source"),
+            )
+        )
+
+    key = F.concat_ws("-", F.col("o_orderkey").cast("string"), F.col("seq").cast("string"))
+    firsts = ev.select(key.alias("key"), env(F.lit(0)).alias("value"))
+    redelivered = ev.filter(F.col("o_orderkey") % _OUTBOX_DUP == 0).select(
+        key.alias("key"), env(F.lit(4)).alias("value")
+    )
+    return firsts.unionByName(redelivered)
+
+
+def outbox_rows(ev: DataFrame) -> DataFrame:
+    """Parse outbox envelopes to flat rows (insert-only guard applied:
+    an outbox topic carries only op 'c'; anything else is upstream
+    corruption and is excluded here, counted by the dead-letter path in
+    a production wiring)."""
+    p = ev.select(F.from_json("value", _OUTBOX_SCHEMA).alias("e")).filter(
+        F.col("e.op") == "c"
+    )
+    return p.select(
+        F.col("e.after.id").alias("event_id"),
+        F.col("e.after.aggregatetype").alias("dest"),
+        F.col("e.after.aggregateid").alias("aggregate_id"),
+        F.col("e.after.seq").alias("event_seq"),
+        F.col("e.after.type").alias("event_type"),
+        F.col("e.after.payload").alias("payload"),
+        F.col("e.source.lsn").alias("lsn"),
+    )
+
+
+def outbox_gate(rows: DataFrame) -> DataFrame:
+    """Exactly-once, per-aggregate-in-order publish gate: collapse
+    redeliveries to the first-seen LSN per event id (one shuffle on the
+    id), then release only each aggregate's CONTIGUOUS event prefix —
+    for strictly increasing deduped seqs, ``seq == row_number`` over the
+    (aggregate, seq)-ordered window characterizes the prefix exactly
+    (s_i >= i always, and s_i == i forces s_j == j for all j < i), so a
+    lost event holds all its successors without any explicit frontier
+    state.  The window is PARTITIONED BY aggregate — per-aggregate event
+    counts are bounded (an aggregate's lifecycle), so no skew class at
+    any corpus scale."""
+    from pyspark.sql import Window
+
+    cols = [c for c in rows.columns if c != "event_id"]
+    first = (
+        rows.groupBy("event_id")
+        .agg(F.min_by(F.struct(*cols), "lsn").alias("r"))
+        .select("event_id", "r.*")
+    )
+    w = Window.partitionBy("aggregate_id").orderBy("event_seq")
+    return first.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("event_seq") == F.col("rn")
+    )
+
+
+def cdc_outbox_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional-outbox publish — the canonical application pattern
+    of the reference's pipeline (the README's app -> PostgreSQL ->
+    Debezium -> Kafka flow, `README.md:40-53`, applied to domain events
+    instead of table rows): capture outbox INSERTS, dedup at-least-once
+    redelivery by event id, and publish each aggregate's events
+    IN ORDER, holding everything behind a lost event.  Emits the routed
+    stream: destination (from aggregatetype), aggregate, sequence, type,
+    and a payload fingerprint.
+
+    Scale shape: one shuffle on event_id (dedup), one on aggregate_id
+    (the per-aggregate window — bounded group size); no global window,
+    no join.  Oracle: the closed form over orders — published iff
+    seq == 1 OR the aggregate is not gapped."""
+    rows = outbox_rows(outbox_change_events(spark, sf_dir))
+    return outbox_gate(rows).select(
+        "dest",
+        F.col("aggregate_id").cast("bigint").alias("aggregate_id"),
+        F.col("event_seq").cast("int").alias("event_seq"),
+        "event_type",
+        F.substring(F.md5("payload"), 1, 16).alias("payload_fp"),
+    )
+
+
+CDC_OUTBOX_SQL = f"""
+SELECT CASE WHEN o_orderpriority LIKE '1%' THEN 'priority-order'
+            ELSE 'standard-order' END AS dest,
+       CAST(o_orderkey AS BIGINT) AS aggregate_id,
+       CAST(s.seq AS INTEGER) AS event_seq,
+       CASE s.seq WHEN 1 THEN 'OrderCreated' WHEN 2 THEN 'OrderUpdated'
+            ELSE 'OrderCompleted' END AS event_type,
+       SUBSTR(MD5(CAST(o_orderkey AS VARCHAR) || ':' ||
+                  CASE s.seq WHEN 1 THEN 'OrderCreated' WHEN 2 THEN 'OrderUpdated'
+                       ELSE 'OrderCompleted' END || ':' ||
+                  CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)),
+              1, 16) AS payload_fp
+FROM orders, (SELECT UNNEST([1, 2, 3]) AS seq) s
+WHERE s.seq <= 1 + o_orderkey % 3
+  AND (s.seq = 1 OR o_orderkey % {_OUTBOX_GAP} != 0)
+"""
+
+
 QUERIES = {
     "cdc_apply_changes": cdc_apply_changes,
     "cdc_scd2_history": cdc_scd2_history,
@@ -1390,6 +1557,7 @@ QUERIES = {
     "cdc_reconcile_checksums": cdc_reconcile_checksums,
     "cdc_txn_consistent_apply": cdc_txn_consistent_apply,
     "cdc_multitable_fk_apply": cdc_multitable_fk_apply,
+    "cdc_outbox_publish": cdc_outbox_publish,
     "cdc_forget_users": cdc_forget_users,
 }
 
@@ -1412,5 +1580,6 @@ ORACLE = {
     "cdc_snapshot_then_stream": CDC_SNAPSHOT_SQL,
     "cdc_txn_consistent_apply": CDC_TXN_APPLY_SQL,
     "cdc_multitable_fk_apply": CDC_MULTITABLE_SQL,
+    "cdc_outbox_publish": CDC_OUTBOX_SQL,
     "cdc_forget_users": CDC_FORGET_SQL,
 }

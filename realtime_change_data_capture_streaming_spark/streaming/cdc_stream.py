@@ -508,3 +508,80 @@ from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_MULTITA
 
 QUERIES["stream_multitable_fk_apply"] = stream_multitable_fk_apply
 ORACLE["stream_multitable_fk_apply"] = CDC_MULTITABLE_SQL
+
+
+def stream_outbox_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outbox publish ACROSS micro-batches — the streaming form of
+    ``cdc.queries.cdc_outbox_publish``: an aggregate's later events
+    arrive a batch BEFORE its OrderCreated (the staging forces exactly
+    that: batch 1 is every seq>=2 event, batch 2 the seq-1 events), so
+    the in-order gate must HOLD them in state and release once the
+    prefix completes.
+
+    State layout per micro-batch (foreachBatch):
+      1. parse the batch's outbox envelopes and append to a PENDING
+         parquet store;
+      2. re-gate the full pending set (dedup by event id, contiguous
+         prefix per aggregate) and publish only rows not already in the
+         PUBLISH LOG (anti-join on event id) — the replay-safety
+         discipline: an at-least-once redelivery of a whole batch
+         changes neither the pending dedup nor the log append.
+    At scale the pending store is pruned by rewriting published
+    aggregates' hash buckets (the TOAST pending-store shape); the
+    full-set re-gate here is the bounded-fixture form of that.
+
+    Oracle: the batch closed form (CDC_OUTBOX_SQL) — the batch split
+    must be invisible in the published stream."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import (
+        outbox_change_events,
+        outbox_gate,
+        outbox_rows,
+    )
+
+    work = scratch_dir(prefix="stream_outbox_")
+    ev = outbox_change_events(spark, sf_dir)
+    seq = F.get_json_object("value", "$.after.seq").cast("int")
+    in_dir = stage_ordered_batches(
+        [ev.filter(seq >= 2), ev.filter(seq == 1)], f"{work}/staged"
+    )
+    pending = f"{work}/pending"
+    publog = f"{work}/publog"
+
+    def gate(batch: DataFrame, _bid: int) -> None:
+        sp = batch.sparkSession
+        outbox_rows(batch).write.mode("append").parquet(pending)
+        pub = outbox_gate(sp.read.parquet(pending)).drop("rn")
+        if os.path.exists(publog):
+            seen = sp.read.parquet(publog).select("event_id")
+            pub = pub.join(seen, "event_id", "left_anti")
+        pub = pub.localCheckpoint(eager=True)
+        if pub.isEmpty():
+            return
+        pub.write.mode("append").parquet(publog)
+
+    stream = (
+        spark.readStream.schema("key string, value string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    return spark.read.parquet(publog).select(
+        "dest",
+        F.col("aggregate_id").cast("bigint").alias("aggregate_id"),
+        F.col("event_seq").cast("int").alias("event_seq"),
+        "event_type",
+        F.substring(F.md5("payload"), 1, 16).alias("payload_fp"),
+    )
+
+
+from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_OUTBOX_SQL  # noqa: E402
+
+QUERIES["stream_outbox_publish"] = stream_outbox_publish
+ORACLE["stream_outbox_publish"] = CDC_OUTBOX_SQL
