@@ -43,8 +43,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # older than _DEFER_UNTIL_AFTER_ROUND, so once the round-9 results land
 # these four automatically rejoin the never-checked tier (tier 1) and
 # take their first driver check in r10 — no manual clearing needed.
-# r10 note: these 5 + the 48-query r5-stale cohort = 53 > 50, so 3 r5
-# queries slip one extra round.
+# r10 note: these 8 + the 48-query r5-stale cohort = 56 > 50, so 6 r5
+# queries slip one extra round; r9 therefore closes the round's
+# registrations at 11 (7 early + 4 late) — freeze until the window
+# catches up.
 _DEFER_FIRST_CHECK = frozenset(
     {
         "cdc_multitable_fk_apply",

@@ -142,3 +142,35 @@ def test_avi_strf_compression_checked():
     buf[strf + 8 + 16 : strf + 8 + 20] = b"DIB "  # biCompression
     with pytest.raises(ValueError, match="BITMAPINFOHEADER is not MJPG"):
         demux_avi_mjpeg(bytes(buf))
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(1, 6),
+    wi=st.integers(1, 3),
+    hi=st.integers(1, 2),
+    fps=st.integers(1, 60),
+    fills=st.lists(st.integers(0, 255), min_size=6, max_size=6),
+    use_420=st.booleans(),
+)
+def test_avi_roundtrip_property(n, wi, hi, fps, fills, use_420):
+    """Mux/demux is exact for arbitrary frame counts, geometries, frame
+    rates, and frame contents (both JPEG encoders)."""
+    w, h = 8 * wi, 8 * hi
+    frames = []
+    for i in range(n):
+        rgb = bytes([fills[i]]) * (w * h * 3)
+        enc = encode_jpeg_420 if use_420 else encode_jpeg
+        frames.append(enc(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT)))
+    meta, got = demux_avi_mjpeg(encode_avi_mjpeg(frames, w, h, fps))
+    assert got == frames
+    assert (meta["width"], meta["height"], meta["fps"], meta["total_frames"]) == (
+        w,
+        h,
+        fps,
+        n,
+    )

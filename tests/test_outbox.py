@@ -100,3 +100,51 @@ def test_outbox_plan_shape(spark):
     assert unbounded_global_windows(df) == []
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "BatchEvalPython" not in plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 4),  # aggregate
+        st.integers(1, 5),  # seq
+        st.integers(0, 99),  # lsn
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events=_EVENTS)
+def test_gate_property_matches_reference(spark, events):
+    """For arbitrary (aggregate, seq, lsn) multisets — duplicates and
+    redeliveries likely — the gate equals the Python reference: dedup
+    event ids to min lsn, then keep each aggregate's contiguous prefix
+    from seq 1."""
+    rows = [
+        (f"{a}-{s}", "d", a, s, "t", "p", lsn) for a, s, lsn in events
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id string, dest string, aggregate_id long, event_seq int, "
+        "event_type string, payload string, lsn long",
+    )
+    got = {
+        (r["aggregate_id"], r["event_seq"]): r["lsn"]
+        for r in outbox_gate(df).collect()
+    }
+    # reference: min-lsn per id, then the contiguous prefix per aggregate
+    first: dict[tuple[int, int], int] = {}
+    for a, s, lsn in events:
+        k = (a, s)
+        first[k] = min(first.get(k, lsn), lsn)
+    expect = {}
+    for a in {a for a, _, _ in events}:
+        seqs = sorted(s for (ag, s) in first if ag == a)
+        k = 0
+        while k < len(seqs) and seqs[k] == k + 1:
+            expect[(a, k + 1)] = first[(a, k + 1)]
+            k += 1
+    assert got == expect
