@@ -154,11 +154,14 @@ def stream_full_outer_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def _outer_run(spark: SparkSession, sf_dir: str, d: str, raw_schema, how: str) -> DataFrame:
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(d)
-    )
+    # one data batch (fixture + far-future sentinels together), then the
+    # trailing no-data micro-batch evicts under the sentinel-advanced
+    # watermark — the stream_asof_enrich schedule (r9): the watermark
+    # only updates at batch END, so in-batch sentinels cannot suppress
+    # any real join output, and each dropped micro-batch saves the
+    # per-state-store commit cost (4 store families for a stream-stream
+    # join)
+    stream = spark.readStream.schema(raw_schema).parquet(d)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
