@@ -2684,6 +2684,43 @@ def demux_mjpeg(buf: bytes) -> list[bytes]:
     return frames
 
 
+def _mjpeg_fixture_jpegs(doc: int) -> tuple[list, int, int]:
+    """The SHARED analytic video fixture of ``multimodal_mjpeg_scene_cuts``
+    and ``multimodal_avi_scene_cuts`` (and their SQL oracles): 4-6
+    constant-fill JPEG frames alternating baseline 4:4:4 and 4:2:0
+    encodings, whose fill jumps by an analytic amount at an analytic cut
+    index.  One definition — the two queries and two oracles cannot
+    drift apart on the fixture constants.  Returns (jpegs, w, h)."""
+    n_frames = 4 + doc % 3
+    w = 8 * (1 + doc % 3)
+    h = 8 * (1 + doc % 2)
+    base = 20 + doc % 40
+    jump = 50 + doc % 18
+    cut_idx = 2 + doc % 2
+    jpegs = []
+    for i in range(n_frames):
+        fill = base + (jump if i >= cut_idx else 0)
+        rgb = bytes([fill]) * (w * h * 3)
+        enc = encode_jpeg_420 if (doc + i) % 2 else encode_jpeg
+        jpegs.append(enc(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT)))
+    return jpegs, w, h
+
+
+def _scene_cut_stats(frames: list) -> tuple[list, float, int]:
+    """Consecutive-frame mean-abs-pixel-delta thresholding + the
+    one-representative-frame-per-scene checksum, shared by both video
+    scene-cut queries.  Returns (cut indices, max delta, checksum)."""
+    cuts, max_delta = [], 0.0
+    for i in range(1, len(frames)):
+        a, bb = frames[i - 1], frames[i]
+        delta = sum(abs(x - y) for x, y in zip(a, bb)) / len(a)
+        max_delta = max(max_delta, delta)
+        if delta > _CUT_THRESHOLD:
+            cuts.append(i)
+    checksum = int(sum(sum(frames[i]) for i in [0] + cuts) % (1 << 31))
+    return cuts, max_delta, checksum
+
+
 def multimodal_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL MJPEG video scene-cut detection: per document a motion-JPEG
     stream of 4-6 constant-gray JPEG frames (flat quant tables keep
@@ -2711,33 +2748,15 @@ def multimodal_mjpeg_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((int(doc_id), None, None, None, None, None))
                     continue
                 doc = int(doc_id)
-                n_frames = 4 + doc % 3
-                w = 8 * (1 + doc % 3)
-                h = 8 * (1 + doc % 2)
-                base = 20 + doc % 40
-                jump = 50 + doc % 18
-                cut_idx = 2 + doc % 2
-                stream = bytearray()
-                for i in range(n_frames):
-                    fill = base + (jump if i >= cut_idx else 0)
-                    rgb = bytes([fill]) * (w * h * 3)
-                    enc = encode_jpeg_420 if (doc + i) % 2 else encode_jpeg
-                    stream += enc(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT))
+                jpegs, w, h = _mjpeg_fixture_jpegs(doc)
+                stream = b"".join(jpegs)
                 frames = []
-                for fb in demux_mjpeg(bytes(stream)):
+                for fb in demux_mjpeg(stream):
                     got_w, got_h, rec = decode_jpeg(fb)
                     if (got_w, got_h) != (w, h):
                         raise ValueError(f"MJPEG frame size mismatch for doc {doc}")
                     frames.append(rec)
-                cuts, max_delta = [], 0.0
-                for i in range(1, len(frames)):
-                    a, bb = frames[i - 1], frames[i]
-                    delta = sum(abs(x - y) for x, y in zip(a, bb)) / len(a)
-                    max_delta = max(max_delta, delta)
-                    if delta > _CUT_THRESHOLD:
-                        cuts.append(i)
-                scene_starts = [0] + cuts
-                checksum = int(sum(sum(frames[i]) for i in scene_starts) % (1 << 31))
+                cuts, max_delta, checksum = _scene_cut_stats(frames)
                 rows.append(
                     (
                         doc,
@@ -2818,19 +2837,8 @@ def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((int(doc_id),) + (None,) * 7)
                     continue
                 doc = int(doc_id)
-                n_frames = 4 + doc % 3
-                w = 8 * (1 + doc % 3)
-                h = 8 * (1 + doc % 2)
-                base = 20 + doc % 40
-                jump = 50 + doc % 18
-                cut_idx = 2 + doc % 2
+                jpegs, w, h = _mjpeg_fixture_jpegs(doc)
                 fps = 24 + doc % 8
-                jpegs = []
-                for i in range(n_frames):
-                    fill = base + (jump if i >= cut_idx else 0)
-                    rgb = bytes([fill]) * (w * h * 3)
-                    enc = encode_jpeg_420 if (doc + i) % 2 else encode_jpeg
-                    jpegs.append(enc(w, h, rgb, quant=(_JPEG_FLAT_QT, _JPEG_FLAT_QT)))
                 meta, frames_b = demux_avi_mjpeg(encode_avi_mjpeg(jpegs, w, h, fps))
                 if meta["total_frames"] != len(frames_b):
                     raise ValueError(f"AVI header/movi frame count mismatch for doc {doc}")
@@ -2840,14 +2848,7 @@ def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     if (got_w, got_h) != (meta["width"], meta["height"]):
                         raise ValueError(f"AVI header/frame size mismatch for doc {doc}")
                     frames.append(rec)
-                cuts = []
-                for i in range(1, len(frames)):
-                    a, bb = frames[i - 1], frames[i]
-                    delta = sum(abs(x - y) for x, y in zip(a, bb)) / len(a)
-                    if delta > _CUT_THRESHOLD:
-                        cuts.append(i)
-                scene_starts = [0] + cuts
-                checksum = int(sum(sum(frames[i]) for i in scene_starts) % (1 << 31))
+                cuts, _max_delta, checksum = _scene_cut_stats(frames)
                 rows.append(
                     (
                         doc,

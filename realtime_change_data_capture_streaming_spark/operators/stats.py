@@ -52,22 +52,26 @@ FROM documents GROUP BY lang
 _COARSE = 64  # coarse range-partitions for the distributed exact ntile
 
 
-def with_global_positions(df: DataFrame, value_col: str, key_col: str) -> tuple[DataFrame, int]:
-    """EXACT 1-based global rank by (value, key) without a global
-    single-partition window — the distributed two-pass rank:
+def _range_offsets(df: DataFrame, value_col: str, sums: dict):
+    """The shared FIRST PASS of the distributed two-pass prefix
+    discipline (exact rank, exact prefix sums — never a global
+    single-partition window):
 
     1. approx-quantile boundaries split the value domain into ~_COARSE
        coarse ranges (boundary quality affects BALANCE only, never
        correctness — rows with equal values always land in one range,
-       and range id is monotone in value, so (range, value, key) orders
-       identically to (value, key));
-    2. one tiny agg counts each range — collected driver-side (bounded:
-       <= _COARSE+1 rows, metadata-scale) to form exact running offsets;
-    3. a window PARTITIONED BY range computes local row_number; global
-       position = range offset + local row_number, exact.
+       and range id is monotone in value, so (range, ...) orders
+       identically to the value order);
+    2. one tiny agg evaluates each measure per range — collected
+       driver-side (bounded: <= _COARSE+1 rows, metadata-scale) and
+       turned into exact per-measure RUNNING OFFSETS in range order.
 
-    Returns (df + ``_pos`` bigint column, total row count).  Shared by
-    the exact ntile (equi-depth histogram) and the Gini coefficient."""
+    ``sums`` maps measure name -> aggregate Column.  Returns
+    (df + ``_rng`` column, {name: offsets map Column}, {name: total}).
+    Callers finish the second pass with a window PARTITIONED BY ``_rng``
+    (offset + local rank / local running sum = exact global value).
+    Shared by the exact rank (``with_global_positions``) and the KS
+    cumulative ECDFs."""
     vdbl = F.col(value_col).cast("double")
     probs = [i / _COARSE for i in range(1, _COARSE)]
     bnds = sorted(set(df.approxQuantile(value_col, probs, 0.001)))
@@ -77,21 +81,41 @@ def with_global_positions(df: DataFrame, value_col: str, key_col: str) -> tuple[
     else:
         rng = F.lit(0)
     with_rng = df.withColumn("_rng", rng)
-    counts = {
-        r["_rng"]: r["n"]
-        for r in with_rng.groupBy("_rng").agg(F.count(F.lit(1)).alias("n")).collect()
-    }  # bounded collect: at most _COARSE+1 rows
-    n = sum(counts.values())
-    off, offsets = 0, {}
-    for c in sorted(counts):
-        offsets[c] = off
-        off += counts[c]
-    off_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    ) if offsets else F.create_map()
+    per_rng = {
+        r["_rng"]: r
+        for r in with_rng.groupBy("_rng")
+        .agg(*[c.alias(nm) for nm, c in sums.items()])
+        .collect()
+    }  # bounded collect: at most _COARSE+1 rows of (range, measures)
+    maps, totals = {}, {}
+    for nm in sums:
+        off, offsets = 0, {}
+        for r in sorted(per_rng):
+            offsets[r] = off
+            off += per_rng[r][nm] or 0
+        totals[nm] = off
+        maps[nm] = (
+            F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+            if offsets
+            else F.create_map()
+        )
+    return with_rng, maps, totals
+
+
+def with_global_positions(df: DataFrame, value_col: str, key_col: str) -> tuple[DataFrame, int]:
+    """EXACT 1-based global rank by (value, key) without a global
+    single-partition window — the distributed two-pass rank: coarse
+    ranges + exact per-range offsets (``_range_offsets``), then a window
+    PARTITIONED BY range computes local row_number; global position =
+    range offset + local row_number, exact.
+
+    Returns (df + ``_pos`` bigint column, total row count).  Shared by
+    the exact ntile (equi-depth histogram), the Gini coefficient, and
+    the Mann-Whitney ranks."""
+    with_rng, maps, totals = _range_offsets(df, value_col, {"n": F.count(F.lit(1))})
     lw = Window.partitionBy("_rng").orderBy(value_col, key_col)
-    pos = (off_map[F.col("_rng")] + F.row_number().over(lw)).cast("bigint")
-    return with_rng.withColumn("_pos", pos).drop("_rng"), n
+    pos = (maps["n"][F.col("_rng")] + F.row_number().over(lw)).cast("bigint")
+    return with_rng.withColumn("_pos", pos).drop("_rng"), totals["n"]
 
 
 def exact_ntile(df: DataFrame, value_col: str, key_col: str, n_buckets: int) -> DataFrame:
@@ -1728,6 +1752,11 @@ def events_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     critical value of the Kolmogorov distribution (c(0.05) = 1.3581)."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "purchase")
+        # NULL values carry no distribution information AND order
+        # differently across engines (Spark windows put NULLS FIRST,
+        # DuckDB's running sums NULLS LAST) — exclude them explicitly on
+        # both sides so a null row can never shift the cumulative counts
+        & F.col("value").isNotNull()
     )
     pv = (
         e.select(
@@ -1742,22 +1771,10 @@ def events_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per distinct cent value), so the cache is metadata-scale
         .persist()
     )
-    probs = [i / _COARSE for i in range(1, _COARSE)]
-    bnds = sorted(set(pv.approxQuantile("v_cents", probs, 0.001)))
-    if bnds:
-        barr = F.array(*[F.lit(float(b)) for b in bnds])
-        rng = F.size(F.filter(barr, lambda x: x < F.col("v_cents").cast("double")))
-    else:
-        rng = F.lit(0)
-    with_rng = pv.withColumn("_rng", rng)
-    per_rng = {
-        r["_rng"]: (r["s1"], r["st"])
-        for r in with_rng.groupBy("_rng")
-        .agg(F.sum("n1v").alias("s1"), F.sum("t").alias("st"))
-        .collect()
-    }  # bounded collect: at most _COARSE+1 rows of (range, two sums)
-    n1 = sum(s1 for s1, _ in per_rng.values())
-    n = sum(st for _, st in per_rng.values())
+    with_rng, maps, totals = _range_offsets(
+        pv, "v_cents", {"s1": F.sum("n1v"), "st": F.sum("t")}
+    )
+    n1, n = totals["s1"], totals["st"]
     n2 = n - n1
     if n1 == 0 or n2 == 0:
         raise ValueError("ks test needs both samples non-empty")
@@ -1766,16 +1783,9 @@ def events_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         # past this bound Spark's non-ANSI bigint product would wrap
         # while the DuckDB HUGEINT oracle keeps going — fail instead.
         raise OverflowError("ks d_num bound exceeded: n1*n2 >= 2^63")
-    off1, offt, o1, ot = {}, {}, 0, 0
-    for r in sorted(per_rng):
-        off1[r], offt[r] = o1, ot
-        o1 += per_rng[r][0]
-        ot += per_rng[r][1]
-    m1 = F.create_map(*[F.lit(v) for kv in off1.items() for v in kv])
-    mt = F.create_map(*[F.lit(v) for kv in offt.items() for v in kv])
     lw = Window.partitionBy("_rng").orderBy("v_cents")
-    cum1 = (m1[F.col("_rng")] + F.sum("n1v").over(lw)).cast("bigint")
-    cumn = (mt[F.col("_rng")] + F.sum("t").over(lw)).cast("bigint")
+    cum1 = (maps["s1"][F.col("_rng")] + F.sum("n1v").over(lw)).cast("bigint")
+    cumn = (maps["st"][F.col("_rng")] + F.sum("t").over(lw)).cast("bigint")
     d_num = F.abs(cum1 * F.lit(n2) - (cumn - cum1) * F.lit(n1))
     agg = with_rng.select(d_num.alias("d_num")).agg(F.max("d_num").alias("d_num"))
     ks_d = F.col("d_num").cast("double") / F.lit(float(n1) * float(n2))
@@ -1795,7 +1805,7 @@ WITH pv AS (
   SELECT CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents,
          CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n1v,
          CAST(COUNT(*) AS BIGINT) AS t
-  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY 1
+  FROM events WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL GROUP BY 1
 ), tot AS (
   SELECT CAST(SUM(n1v) AS BIGINT) AS n1, CAST(SUM(t) AS BIGINT) AS n FROM pv
 ), c AS (

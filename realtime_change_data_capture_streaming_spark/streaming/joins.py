@@ -52,20 +52,25 @@ JOIN events p
 
 
 def _flush_padded_events_dir(sf_dir: str) -> str:
-    """Stream dir that makes LEFT-OUTER state eviction deterministic.
+    """Stream dir that makes watermark-gated state eviction deterministic.
 
-    Outer-join null rows only emit when the watermark passes a row's
-    join horizon, and the watermark used by batch N derives from data seen
-    through batch N-1 — so a single-batch source would never flush any
-    unmatched row.  Layout: the fixture file (batch 1), then ONE sentinel
-    file with far-future timestamps (batch 2, one file per trigger).  The
-    sentinels push both sides' watermarks past every real row's horizon,
-    and the engine's trailing no-data micro-batch (noDataMicroBatches,
-    on by default; observed to run under availableNow) performs the final
-    eviction under that watermark.  Each batch carries per-state-store
-    fixed cost, so one sentinel batch + the no-data flush is the minimal
-    deterministic schedule.  Sentinels carry negative user_ids and are
-    filtered from the result.
+    Watermark-finalized rows (outer-join nulls, append-mode aggregate
+    closes) only emit once the watermark passes their horizon, and the
+    watermark used by batch N derives from data seen through batch N-1 —
+    so a data-only schedule would never flush the tail.  Layout: the
+    fixture file plus ONE sentinel file with far-future timestamps, all
+    consumed in a SINGLE data micro-batch (the consumers set no
+    maxFilesPerTrigger): the watermark only updates at batch END, so the
+    in-batch sentinels cannot suppress any real output, they just push
+    both sides' watermarks past every real row's horizon; the engine's
+    trailing no-data micro-batch (noDataMicroBatches, on by default;
+    observed to run under availableNow) then performs the final eviction.
+    Each micro-batch carries per-state-store fixed cost, so one data
+    batch + the no-data flush is the minimal deterministic schedule
+    (shared by the as-of enrichment and both outer attributions).  The
+    staggered mtimes only keep file order deterministic if a future
+    consumer re-splits per file.  Sentinels carry negative user_ids and
+    are filtered from the result.
     """
     import os
     from realtime_change_data_capture_streaming_spark.session import scratch_dir

@@ -121,7 +121,7 @@ def test_ks_test_matches_bruteforce_ecdf(spark):
     got = events_ks_test_value(spark, SF_DIR).collect()[0]
     rows = (
         spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        .filter(F.col("event_type").isin("view", "purchase"))
+        .filter(F.col("event_type").isin("view", "purchase") & F.col("value").isNotNull())
         .select("event_type", "value")
         .collect()
     )
