@@ -172,6 +172,11 @@ def main() -> None:
     from realtime_change_data_capture_streaming_spark.cdc import apply_changes_batch, parse_envelope
     from realtime_change_data_capture_streaming_spark.sources import synthetic_change_events
 
+    # shed whatever the last queries left persisted (KS per-value table,
+    # semantic-dedup vectors): the throughput number should measure the
+    # pipeline, not leftover cache pressure from an ever-growing suite —
+    # measured 13% drag at 50 queries (r9 back-to-back audit)
+    spark.catalog.clearCache()
     n_keys = 30_000
     events = synthetic_change_events(spark, n_keys, updates_per_key=2, seed=11)
     _force(events)  # generation warm, excluded from the measured window
