@@ -573,18 +573,60 @@ FROM documents
 """
 
 
-def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a RIFF/WAVE PCM payload: (sample_rate, n_channels,
-    bits_per_sample, sample_bytes).  Dependency-free struct parsing of the
-    canonical container: RIFF header, fmt chunk (PCM only), chunk walk to
-    the data chunk.  Raises ValueError on malformed input — corrupt audio
-    surfaces as an error, never as wrong features (same contract as
-    ``decode_ppm``)."""
+def _g711_alaw_table() -> list[int]:
+    """The 256-entry ITU-T G.711 A-law -> 16-bit-linear expansion,
+    computed from the published segment formula (the reference decoder
+    every telephony stack ships): XOR 0x55, quantized mantissa << 4,
+    segment 0 adds 8, higher segments add 0x108 then shift.  Max
+    magnitude 32256 — the published A-law constant."""
+    out = []
+    for code in range(256):
+        a = code ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t += 0x108
+            t <<= seg - 1
+        out.append(t if a & 0x80 else -t)
+    return out
+
+
+def _g711_ulaw_table() -> list[int]:
+    """The 256-entry ITU-T G.711 mu-law -> 16-bit-linear expansion:
+    complement, biased mantissa ((m << 3) + 0x84) shifted by the
+    segment, bias removed, sign from bit 7.  Max magnitude 32124 — the
+    published mu-law constant; codes 0x7F and 0xFF are the two zeros."""
+    out = []
+    for code in range(256):
+        u = ~code & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        out.append((0x84 - t) if u & 0x80 else (t - 0x84))
+    return out
+
+
+_G711_ALAW = _g711_alaw_table()
+_G711_ULAW = _g711_ulaw_table()
+
+
+def decode_wav(buf: bytes) -> tuple[int, int, int, int, bytes]:
+    """Decode a RIFF/WAVE payload: (sample_rate, n_channels,
+    bits_per_sample, format_tag, sample_bytes).  Dependency-free struct
+    parsing of the canonical container: RIFF header, fmt chunk, chunk
+    walk to the data chunk.  Format tags 1 (linear PCM), 6 (G.711
+    A-law), and 7 (G.711 mu-law) are accepted — the three WAVE codecs
+    with published closed-form decoders; anything else raises.  Raises
+    ValueError on malformed input — corrupt audio surfaces as an error,
+    never as wrong features (same contract as ``decode_ppm``)."""
     import struct
 
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE payload (magic {buf[:4]!r})")
-    pos, rate, n_ch, bits = 12, None, None, None
+    pos, fmt, rate, n_ch, bits = 12, None, None, None, None
     while pos + 8 <= len(buf):
         cid, clen = buf[pos : pos + 4], struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
         body = buf[pos + 8 : pos + 8 + clen]
@@ -592,32 +634,48 @@ def decode_wav(buf: bytes) -> tuple[int, int, int, bytes]:
             if len(body) < 16:
                 raise ValueError("truncated fmt chunk")
             fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
-            if fmt != 1:
-                raise ValueError(f"only PCM (fmt=1) decodes natively, got fmt={fmt}")
+            if fmt not in (1, 6, 7):
+                raise ValueError(
+                    f"only PCM (fmt=1) and G.711 (fmt=6/7) decode natively, got fmt={fmt}"
+                )
+            if fmt in (6, 7) and bits != 8:
+                raise ValueError(f"G.711 samples are 8-bit on the wire, got {bits}")
         elif cid == b"data":
             if len(body) != clen:
                 raise ValueError(f"truncated data chunk: want {clen}, have {len(body)}")
             if rate is None:
                 raise ValueError("data chunk before fmt chunk")
-            return rate, n_ch, bits, body
+            return rate, n_ch, bits, fmt, body
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     raise ValueError("no data chunk")
 
 
 def decode_audio(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
     """Audio router (the audio counterpart of ``decode_image_batch``'s
-    magic dispatch): RIFF/WAVE PCM and fLaC payloads decode natively to
-    (sample_rate, n_channels, bits_per_sample, per-channel sample
-    lists); genuinely-absent codecs (MP3/Opus/AAC) raise
-    ``NotImplementedError``.  WAV samples are folded to signed ints
-    (8-bit PCM is unsigned on the wire, wider widths little-endian
-    signed) so both formats present identical sample semantics."""
+    magic dispatch): RIFF/WAVE (linear PCM and G.711 A-law/mu-law) and
+    fLaC payloads decode natively to (sample_rate, n_channels,
+    bits_per_sample, per-channel sample lists); genuinely-absent codecs
+    (MP3/Opus/AAC) raise ``NotImplementedError``.  WAV samples are
+    folded to signed ints (8-bit PCM is unsigned on the wire, wider
+    widths little-endian signed); G.711 bytes expand through the
+    published companding tables to 16-bit linear, reported at the
+    decoded width — so every format presents identical sample
+    semantics."""
     if buf[:4] == b"fLaC":
         from realtime_change_data_capture_streaming_spark.llm_ops.flac import decode_flac
 
         return decode_flac(buf)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
-        rate, n_ch, bits, data = decode_wav(buf)
+        rate, n_ch, bits, fmt, data = decode_wav(buf)
+        if fmt in (6, 7):
+            # G.711 companded audio: one byte per sample on the wire,
+            # expanded through the published A-law/mu-law tables to
+            # 16-bit linear — report the decoded width like FLAC does
+            table = _G711_ALAW if fmt == 6 else _G711_ULAW
+            channels = [
+                [table[b] for b in data[c :: n_ch]] for c in range(n_ch)
+            ]
+            return rate, n_ch, 16, channels
         step = bits // 8
         frames = len(data) // (step * n_ch)
         channels: list[list[int]] = [[] for _ in range(n_ch)]
@@ -666,7 +724,7 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if text is None:
                     rows.append((doc_id, None, None, None, None))
                     continue
-                rate, n_ch, bits, data = decode_wav(_synth_wav(int(doc_id)))
+                rate, n_ch, bits, _fmt, data = decode_wav(_synth_wav(int(doc_id)))
                 assert n_ch == 1 and bits == 8
                 rows.append(
                     (
