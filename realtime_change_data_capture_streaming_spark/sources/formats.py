@@ -69,8 +69,14 @@ def roundtrip_formats(spark: SparkSession, sf_dir: str, table: str = "orders") -
     timestamp truncation, JSON number widening, ORC decimal mapping)
     shows up as a fingerprint mismatch against the parquet original —
     which is exactly what the DuckDB oracle computes."""
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+
+    avro_ocf.register(spark)
     src = load_table(spark, sf_dir, table)
-    fmts = ["parquet", "orc", "csv", "json"]
+    # pyavro is the dependency-free Avro OCF DataSource (sources/avro_ocf.py)
+    # — always present, closing the jar-gated gap; the JVM spark-avro
+    # reader still joins the matrix when its jar exists
+    fmts = ["parquet", "orc", "csv", "json", "pyavro"]
     if _avro_available(spark):
         fmts.append("avro")
     root = os.path.join(tempfile.gettempdir(), "spark_graft_formats", table)
@@ -98,14 +104,14 @@ WITH fp AS (
   FROM orders
 )
 SELECT f.fmt, fp.n_rows, fp.n_keys, fp.sum_total, fp.max_date
-FROM (VALUES ('parquet'), ('orc'), ('csv'), ('json')) f(fmt), fp
+FROM (VALUES ('parquet'), ('orc'), ('csv'), ('json'), ('pyavro')) f(fmt), fp
 """
 
 
 def format_roundtrip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = roundtrip_formats(spark, sf_dir, "orders")
     # oracle enumerates the always-present formats; drop the gated extras
-    return df.filter(F.col("fmt").isin("parquet", "orc", "csv", "json"))
+    return df.filter(F.col("fmt").isin("parquet", "orc", "csv", "json", "pyavro"))
 
 
 QUERIES = {"format_roundtrip_counts": format_roundtrip_counts}

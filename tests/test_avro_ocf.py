@@ -1,0 +1,147 @@
+"""Pins for the dependency-free Avro OCF codec + the pyavro DataSource:
+binary-encoding round-trips (incl. pre-epoch timestamps, decimals,
+unicode, both container codecs), corruption detection, Spark write/read
+exactness, and header-based schema inference."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import tempfile
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from realtime_change_data_capture_streaming_spark.sources.avro_ocf import (
+    read_ocf,
+    write_ocf,
+)
+
+_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "dt", "type": {"type": "int", "logicalType": "date"}},
+        {"name": "ts", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+        {"name": "dec", "type": {"type": "bytes", "logicalType": "decimal", "precision": 18, "scale": 2}},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+    ],
+}
+
+_ROW = st.fixed_dictionaries(
+    {
+        "k": st.integers(-(2**62), 2**62),
+        "s": st.one_of(st.none(), st.text(max_size=12)),
+        "d": st.floats(allow_nan=False, width=64),
+        "b": st.booleans(),
+        "dt": st.dates(datetime.date(1900, 1, 1), datetime.date(2200, 1, 1)),
+        "ts": st.one_of(
+            st.none(),
+            st.datetimes(datetime.datetime(1950, 1, 1), datetime.datetime(2100, 1, 1)),
+        ),
+        "dec": st.decimals(
+            min_value=Decimal("-99999.99"), max_value=Decimal("99999.99"), places=2
+        ),
+        "arr": st.lists(st.integers(-100, 100), max_size=5),
+    }
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(_ROW, max_size=8), codec=st.sampled_from(["null", "deflate"]))
+def test_ocf_roundtrip_property(rows, codec):
+    """Arbitrary rows of the mixed-type schema round-trip exactly under
+    both container codecs, including multi-block files."""
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_ocf(p, _SCHEMA, rows, codec=codec, block_rows=3)
+        schema, back = read_ocf(p)
+        assert schema == _SCHEMA
+        assert back == rows
+
+
+def test_ocf_pre_epoch_timestamp_exact():
+    """int(ts.timestamp()) truncates toward zero and flips sub-second
+    signs before 1970 — the timedelta path must be exact."""
+    row = {
+        "k": 1,
+        "s": None,
+        "d": 0.0,
+        "b": False,
+        "dt": datetime.date(1969, 12, 25),
+        "ts": datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),
+        "dec": Decimal("0.01"),
+        "arr": [],
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_ocf(p, _SCHEMA, [row])
+        _, (back,) = read_ocf(p)
+        assert back == row
+
+
+def test_ocf_corruption_detected():
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_ocf(p, _SCHEMA, [])
+        buf = open(p, "rb").read()
+        open(p, "wb").write(b"JUNK" + buf[4:])
+        with pytest.raises(ValueError, match="bad magic"):
+            read_ocf(p)
+        write_ocf(p, _SCHEMA, [{"k": 1, "s": "x", "d": 1.0, "b": True,
+                                "dt": datetime.date(2000, 1, 1), "ts": None,
+                                "dec": Decimal("1.00"), "arr": [1]}])
+        buf = bytearray(open(p, "rb").read())
+        buf[-1] ^= 0xFF  # clobber the trailing sync marker
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="sync marker"):
+            read_ocf(p)
+
+
+def test_pyavro_spark_roundtrip_exact(spark, sf_dir):
+    """orders written through the pyavro DataSource read back row-exact
+    (explicit schema), and header-based schema inference agrees."""
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    avro_ocf.register(spark)
+    src = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "orders_avro")
+        src.write.mode("overwrite").format("pyavro").save(path)
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
+        back = spark.read.format("pyavro").schema(src.schema).load(path)
+        assert back.exceptAll(src).count() == 0
+        assert src.exceptAll(back).count() == 0
+        inferred = spark.read.format("pyavro").load(path)
+        assert [f.name for f in inferred.schema.fields] == [
+            f.name for f in src.schema.fields
+        ]
+        assert inferred.count() == src.count()
+
+
+def test_pyavro_deflate_codec(spark, sf_dir):
+    """codec=deflate writes smaller files that still read back exact."""
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    avro_ocf.register(spark)
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    with tempfile.TemporaryDirectory() as d:
+        raw, packed = os.path.join(d, "raw"), os.path.join(d, "deflate")
+        src.coalesce(1).write.mode("overwrite").format("pyavro").save(raw)
+        src.coalesce(1).write.mode("overwrite").format("pyavro").option(
+            "codec", "deflate"
+        ).save(packed)
+        size = lambda p: sum(
+            os.path.getsize(os.path.join(p, e)) for e in os.listdir(p) if e.endswith(".avro")
+        )
+        assert size(packed) < size(raw)
+        back = spark.read.format("pyavro").schema(src.schema).load(packed)
+        assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
