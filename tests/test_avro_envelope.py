@@ -1,0 +1,132 @@
+"""Pins for the Confluent-framed Avro envelope wire format: frame
+round-trip, JSON-path equivalence through the SHARED parser and merge,
+and dead-lettering of undecodable frames."""
+
+from __future__ import annotations
+
+import datetime
+import json
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.cdc.avro_envelope import (
+    ENVELOPE_AVRO_SCHEMA,
+    avro_envelopes_to_json,
+    decode_confluent,
+    encode_confluent,
+)
+
+
+def _image(k: int, amount: str):
+    return {
+        "transaction_id": str(k),
+        "user_id": str(k % 17),
+        "timestamp": datetime.datetime(2024, 3, 1, 12, 0, 0) + datetime.timedelta(minutes=k),
+        "amount": Decimal(amount),
+        "currency": "USD",
+        "city": "city",
+        "country": "country",
+        "merchant_name": f"m{k % 5}",
+        "payment_method": "credit_card",
+        "ip_address": "0.0.0.0",
+        "voucher_code": "",
+        "affiliate_id": str(k),
+    }
+
+
+def _events(n=120):
+    """insert for every key, +10 update for %10, delete for %29 — the
+    repo's standard change pattern, as Avro envelope records."""
+    evs = []
+    for k in range(n):
+        base = _image(k, f"{100 + k}.25")
+        evs.append((str(k), {"before": None, "after": base, "op": "c", "ts_ms": k * 10,
+                             "source": {"lsn": k * 3, "table": "transactions", "db": "financialDB"}}))
+        if k % 10 == 0:
+            evs.append((str(k), {"before": base, "after": _image(k, f"{110 + k}.25"),
+                                 "op": "u", "ts_ms": k * 10 + 1,
+                                 "source": {"lsn": k * 3 + 1, "table": "transactions", "db": "financialDB"}}))
+        if k % 29 == 0:
+            evs.append((str(k), {"before": _image(k, f"{110 + k}.25"), "after": None,
+                                 "op": "d", "ts_ms": k * 10 + 2,
+                                 "source": {"lsn": k * 3 + 2, "table": "transactions", "db": "financialDB"}}))
+    return evs
+
+
+def test_confluent_frame_roundtrip():
+    _, rec = _events(3)[1][1], _events(3)[0][1]
+    buf = encode_confluent(rec, ENVELOPE_AVRO_SCHEMA, schema_id=7)
+    sid, back = decode_confluent(buf, {7: ENVELOPE_AVRO_SCHEMA})
+    assert sid == 7 and back == rec
+    with pytest.raises(ValueError, match="bad magic"):
+        decode_confluent(b"\x01" + buf[1:], {7: ENVELOPE_AVRO_SCHEMA})
+    with pytest.raises(ValueError, match="unregistered schema id"):
+        decode_confluent(buf, {8: ENVELOPE_AVRO_SCHEMA})
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_confluent(buf + b"\x00", {7: ENVELOPE_AVRO_SCHEMA})
+
+
+def test_avro_and_json_paths_agree_through_the_merge(spark):
+    """The SAME change set encoded as Confluent-Avro and as JSON must
+    produce the identical final table through the shared
+    parse_envelope -> apply_changes_batch pipeline."""
+    from realtime_change_data_capture_streaming_spark.cdc import apply_changes_batch, parse_envelope
+
+    evs = _events()
+
+    def to_json_value(rec):
+        out = {
+            "before": _jsonify(rec["before"]),
+            "after": _jsonify(rec["after"]),
+            "op": rec["op"],
+            "ts_ms": rec["ts_ms"],
+            "source": rec["source"],
+        }
+        return json.dumps(out, separators=(",", ":"))
+
+    def _jsonify(img):
+        if img is None:
+            return None
+        o = dict(img)
+        o["timestamp"] = o["timestamp"].strftime("%Y-%m-%d %H:%M:%S")
+        o["amount"] = str(o["amount"])
+        return o
+
+    json_df = spark.createDataFrame(
+        [(k, to_json_value(r)) for k, r in evs], "key string, value string"
+    )
+    avro_df = spark.createDataFrame(
+        [(k.encode(), encode_confluent(r, ENVELOPE_AVRO_SCHEMA, 1)) for k, r in evs],
+        "key binary, value binary",
+    )
+    want = apply_changes_batch(parse_envelope(json_df, decimal_mode="string"))
+    got = apply_changes_batch(
+        parse_envelope(avro_envelopes_to_json(avro_df), decimal_mode="string")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_undecodable_frames_reach_the_dead_letter_path(spark):
+    """Bad magic / unknown schema id frames become non-JSON markers that
+    parse_envelope(keep_corrupt=True) captures instead of dropping."""
+    from realtime_change_data_capture_streaming_spark.cdc import parse_envelope
+
+    k, rec = _events(2)[0]
+    good = encode_confluent(rec, ENVELOPE_AVRO_SCHEMA, 1)
+    bad_magic = b"\x01" + good[1:]
+    unknown_id = b"\x00" + (99).to_bytes(4, "big") + good[5:]
+    df = spark.createDataFrame(
+        [(k.encode(), good), (b"x", bad_magic), (b"y", unknown_id)],
+        "key binary, value binary",
+    )
+    parsed = parse_envelope(avro_envelopes_to_json(df), keep_corrupt=True)
+    rows = parsed.collect()
+    corrupt = [r for r in rows if r["_corrupt"] is not None]
+    ok = [r for r in rows if r["op"] is not None]
+    assert len(ok) == 1 and ok[0]["key"] == k
+    assert len(corrupt) == 2
+    assert all("confluent-decode-error" in r["_corrupt"] for r in corrupt)
