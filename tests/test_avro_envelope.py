@@ -130,3 +130,60 @@ def test_undecodable_frames_reach_the_dead_letter_path(spark):
     assert len(ok) == 1 and ok[0]["key"] == k
     assert len(corrupt) == 2
     assert all("confluent-decode-error" in r["_corrupt"] for r in corrupt)
+
+
+def test_avro_stream_merges_like_json_batch(spark, tmp_path):
+    """Confluent-Avro envelopes consumed as a REAL two-micro-batch file
+    stream (foreachBatch adapter -> shared parser -> bucketed merge)
+    produce the same final state as the JSON batch path."""
+    from realtime_change_data_capture_streaming_spark.cdc import apply_changes_batch, parse_envelope
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import BucketedParquetSink
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import (
+        stage_ordered_batches,
+    )
+
+    evs = _events(90)
+    rows = [(k.encode(), encode_confluent(r, ENVELOPE_AVRO_SCHEMA, 1)) for k, r in evs]
+    half = len(rows) // 2
+    df1 = spark.createDataFrame(rows[:half], "key binary, value binary")
+    df2 = spark.createDataFrame(rows[half:], "key binary, value binary")
+    in_dir = stage_ordered_batches([df1, df2], str(tmp_path / "staged"))
+    sink = BucketedParquetSink(spark, str(tmp_path / "sink"), n_buckets=4)
+
+    def merge(batch, _bid):
+        sink.merge(parse_envelope(avro_envelopes_to_json(batch), decimal_mode="string"))
+
+    q = (
+        spark.readStream.schema("key binary, value binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    json_rows = [
+        (k, json.dumps({"before": _j(r["before"]), "after": _j(r["after"]),
+                        "op": r["op"], "ts_ms": r["ts_ms"], "source": r["source"]},
+                       separators=(",", ":")))
+        for k, r in evs
+    ]
+    want = apply_changes_batch(
+        parse_envelope(
+            spark.createDataFrame(json_rows, "key string, value string"),
+            decimal_mode="string",
+        )
+    )
+    got = sink.read().select(*want.columns)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def _j(img):
+    if img is None:
+        return None
+    o = dict(img)
+    o["timestamp"] = o["timestamp"].strftime("%Y-%m-%d %H:%M:%S")
+    o["amount"] = str(o["amount"])
+    return o
