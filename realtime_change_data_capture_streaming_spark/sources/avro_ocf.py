@@ -244,6 +244,86 @@ def decode_value(schema, buf: bytes, pos: int):
     raise ValueError(f"avro: unsupported type {t!r}")
 
 
+# ------------------------------------------------------- schema resolution
+
+
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def decode_resolved(writer, reader, buf: bytes, pos: int):
+    """Decode bytes written with ``writer`` as the ``reader`` schema —
+    the Avro spec's Schema Resolution rules for this codec's subset:
+
+    - records match fields BY NAME: writer fields absent from the reader
+      are decoded and discarded; reader fields absent from the writer
+      take their declared ``default`` (required, else ValueError);
+    - numeric promotions int->long/float/double, long->float/double,
+      float->double, and string<->bytes;
+    - unions: the writer's branch is decoded, then resolved against the
+      reader type (first matching reader branch if the reader is also a
+      union).
+
+    This is the mechanism that lets a consumer with schema v2 read files
+    an upstream producer wrote with v1 — the Avro evolution story CDC
+    pipelines rely on."""
+    wt, rt = _type_name(writer), _type_name(reader)
+    if isinstance(writer, list):  # writer union: decode the branch, resolve it
+        i, pos = _dec_long(buf, pos)
+        if not 0 <= i < len(writer):
+            raise ValueError("avro: union branch out of range")
+        return decode_resolved(writer[i], reader, buf, pos)
+    if isinstance(reader, list):  # reader union: first branch that accepts
+        for branch in reader:
+            if _resolvable(writer, branch):
+                return decode_resolved(writer, branch, buf, pos)
+        raise ValueError(f"avro: no reader union branch accepts writer {wt!r}")
+    if wt == "record" and rt == "record":
+        by_name = {f["name"]: f for f in reader["fields"]}
+        out = {}
+        for wf in writer["fields"]:
+            rf = by_name.get(wf["name"])
+            if rf is None:  # dropped field: decode to advance, discard
+                _, pos = decode_value(wf["type"], buf, pos)
+            else:
+                out[wf["name"]], pos = decode_resolved(wf["type"], rf["type"], buf, pos)
+        wnames = {f["name"] for f in writer["fields"]}
+        for rf in reader["fields"]:
+            if rf["name"] not in wnames:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"avro: reader field {rf['name']!r} missing from writer and has no default"
+                    )
+                out[rf["name"]] = rf["default"]
+        return out, pos
+    if wt == rt:
+        return decode_value(writer, buf, pos)
+    if rt in _PROMOTIONS.get(wt, ()):
+        v, pos = decode_value(writer, buf, pos)
+        if rt == "bytes" and isinstance(v, str):
+            return v.encode("utf-8"), pos
+        if rt == "string" and isinstance(v, (bytes, bytearray)):
+            return bytes(v).decode("utf-8"), pos
+        if rt in ("float", "double"):
+            return float(v), pos
+        return v, pos
+    raise ValueError(f"avro: cannot resolve writer {wt!r} as reader {rt!r}")
+
+
+def _resolvable(writer, reader) -> bool:
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt == rt:
+        return True
+    if isinstance(writer, list):
+        return any(_resolvable(b, reader) for b in writer)
+    return rt in _PROMOTIONS.get(wt, ())
+
+
 # ---------------------------------------------------------------- container
 
 
@@ -289,10 +369,13 @@ def write_ocf(path: str, schema: dict, rows, codec: str = "null", block_rows: in
         flush()
 
 
-def read_ocf(path: str):
+def read_ocf(path: str, reader_schema: dict | None = None):
     """Read an OCF back: returns (schema dict, list of row dicts).
-    Raises ValueError on bad magic, metadata, codec, or a sync-marker
-    mismatch after any block (torn/corrupt file)."""
+    With ``reader_schema``, rows are decoded through the spec's Schema
+    Resolution rules (``decode_resolved``) — the evolution path — and
+    the returned schema is the reader's.  Raises ValueError on bad
+    magic, metadata, codec, or a sync-marker mismatch after any block
+    (torn/corrupt file)."""
     with open(path, "rb") as f:
         buf = f.read()
     if buf[:4] != MAGIC:
@@ -328,11 +411,14 @@ def read_ocf(path: str):
             payload = zlib.decompress(payload, -15)
         p = 0
         for _ in range(count):
-            row, p = decode_value(schema, payload, p)
+            if reader_schema is not None:
+                row, p = decode_resolved(schema, reader_schema, payload, p)
+            else:
+                row, p = decode_value(schema, payload, p)
             rows.append(row)
         if p != len(payload):
             raise ValueError("avro: trailing bytes in block")
-    return schema, rows
+    return (reader_schema if reader_schema is not None else schema), rows
 
 
 # ------------------------------------------------------- Spark schema bridge
@@ -465,6 +551,10 @@ class _AvroReader(DataSourceReader):
         if not self.path:
             raise ValueError("pyavro requires a path")
         self.field_names = [f.name for f in schema.fields]
+        # option("readerSchema", <json>): decode through the spec's
+        # Schema Resolution rules — read v1 files with a v2 schema
+        rs = options.get("readerschema") or options.get("readerSchema")
+        self.reader_schema = json.loads(rs) if rs else None
 
     def partitions(self):
         files = sorted(
@@ -477,7 +567,7 @@ class _AvroReader(DataSourceReader):
     def read(self, partition: _FilePartition):
         if not partition.path:
             return
-        _, rows = read_ocf(partition.path)
+        _, rows = read_ocf(partition.path, reader_schema=self.reader_schema)
         for r in rows:
             yield tuple(r.get(n) for n in self.field_names)
 

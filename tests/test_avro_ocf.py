@@ -145,3 +145,71 @@ def test_pyavro_deflate_codec(spark, sf_dir):
         assert size(packed) < size(raw)
         back = spark.read.format("pyavro").schema(src.schema).load(packed)
         assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_schema_resolution_evolution():
+    """The spec's Schema Resolution rules: a v2 reader (field added with
+    default, field dropped, fields reordered, int promoted to long,
+    float to double) reads v1 files exactly; a defaultless new field is
+    a loud error, as is an impossible promotion."""
+    v1 = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "int"},
+        {"name": "gone", "type": "string"},
+        {"name": "f", "type": "float"},
+        {"name": "u", "type": ["null", "int"]},
+    ]}
+    v2 = {"type": "record", "name": "r", "fields": [
+        {"name": "f", "type": "double"},          # reordered + promoted
+        {"name": "a", "type": "long"},            # promoted
+        {"name": "added", "type": "string", "default": "dflt"},
+        {"name": "u", "type": ["null", "long"]},  # union member promoted
+    ]}
+    rows = [{"a": 7, "gone": "x", "f": 1.5, "u": None},
+            {"a": -3, "gone": "y", "f": -0.25, "u": 42}]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "v1.avro")
+        write_ocf(p, v1, rows)
+        schema, back = read_ocf(p, reader_schema=v2)
+        assert schema == v2
+        assert back == [
+            {"f": 1.5, "a": 7, "added": "dflt", "u": None},
+            {"f": -0.25, "a": -3, "added": "dflt", "u": 42},
+        ]
+        assert all(isinstance(r["a"], int) and isinstance(r["f"], float) for r in back)
+        # defaultless new field: loud
+        v_bad = {"type": "record", "name": "r", "fields": [
+            {"name": "a", "type": "long"}, {"name": "new", "type": "string"}]}
+        with pytest.raises(ValueError, match="no default"):
+            read_ocf(p, reader_schema=v_bad)
+        # impossible promotion (string field read as long): loud
+        v_bad2 = {"type": "record", "name": "r", "fields": [
+            {"name": "gone", "type": "long"}]}
+        with pytest.raises(ValueError, match="cannot resolve"):
+            read_ocf(p, reader_schema=v_bad2)
+
+
+def test_pyavro_reader_schema_option(spark):
+    """format('pyavro').option('readerSchema', v2) reads v1 files with
+    the evolved schema through Spark — defaults filled, promotions
+    applied."""
+    import json as _json
+
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+
+    avro_ocf.register(spark)
+    v1 = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "int"}, {"name": "s", "type": "string"}]}
+    v2 = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "tag", "type": "string", "default": "legacy"}]}
+    with tempfile.TemporaryDirectory() as d:
+        write_ocf(os.path.join(d, "part-0.avro"), v1, [{"k": 1, "s": "a"}, {"k": 2, "s": "b"}])
+        got = (
+            spark.read.format("pyavro")
+            .schema("k bigint, s string, tag string")
+            .option("readerSchema", _json.dumps(v2))
+            .load(d)
+        )
+        rows = {r["k"]: (r["s"], r["tag"]) for r in got.collect()}
+        assert rows == {1: ("a", "legacy"), 2: ("b", "legacy")}
