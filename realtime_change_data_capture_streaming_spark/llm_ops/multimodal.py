@@ -689,7 +689,7 @@ def decode_audio(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
         return rate, n_ch, bits, channels
     raise NotImplementedError(
         f"audio decode for magic {buf[:4]!r} requires external codecs; "
-        "WAV/PCM and FLAC decode natively"
+        "WAV (PCM + G.711) and FLAC decode natively"
     )
 
 

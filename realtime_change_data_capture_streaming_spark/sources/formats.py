@@ -8,8 +8,10 @@ and ORC; CSV/JSON are schema-on-read with explicit StructTypes (never
 inferSchema in production: it triggers an extra full scan).
 
 Avro is Spark-built-in-but-external (spark-avro jar); this container
-doesn't ship it, so ``FORMATS`` probes for it and the surface degrades
-to the other three — same gating pattern as streaming/transform_state.
+doesn't ship it, so the JVM reader is probed and joins the matrix only
+when present — but the Avro CAPABILITY no longer degrades: ``pyavro``
+(the dependency-free OCF codec + Python DataSource in
+``sources/avro_ocf.py``) is always in the matrix.
 
 Scale notes (100 TB):
 - Round-trip queries here are correctness probes on a small dim table.
