@@ -125,7 +125,11 @@ def _image_to_json(img: dict | None):
     out = dict(img)
     ts = out.get("timestamp")
     if ts is not None:
-        out["timestamp"] = ts.strftime("%Y-%m-%d %H:%M:%S")
+        # keep the micros timestamp-micros carries (the JSON parser
+        # accepts fractional seconds); whole seconds stay in the
+        # fixture-canonical short form
+        frac = f".{ts.microsecond:06d}" if ts.microsecond else ""
+        out["timestamp"] = ts.strftime("%Y-%m-%d %H:%M:%S") + frac
     amt = out.get("amount")
     if amt is not None:
         # JSON "string" decimal mode: the scale-2 Decimal prints exactly
@@ -171,7 +175,10 @@ def avro_envelopes_to_json(
                             separators=(",", ":"),
                         )
                     )
-                except ValueError as e:
+                except Exception as e:  # noqa: BLE001 — dead-letter contract:
+                    # NO byte pattern may crash the task; torn payloads can
+                    # surface as more than ValueError through arbitrary
+                    # registry schemas (KeyError/struct.error/...)
                     values.append(_CORRUPT_PREFIX + f"{e}:" + bytes(buf)[:16].hex())
             yield pd.DataFrame({"key": keys, "value": values})
 

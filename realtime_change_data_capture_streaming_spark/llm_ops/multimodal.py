@@ -670,8 +670,11 @@ def decode_audio(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
         if fmt in (6, 7):
             # G.711 companded audio: one byte per sample on the wire,
             # expanded through the published A-law/mu-law tables to
-            # 16-bit linear — report the decoded width like FLAC does
+            # 16-bit linear — report the decoded width like FLAC does.
+            # Truncate to whole frames (the PCM path below does the same
+            # via integer division) so channels stay equal-length.
             table = _G711_ALAW if fmt == 6 else _G711_ULAW
+            data = data[: (len(data) // n_ch) * n_ch]
             channels = [
                 [table[b] for b in data[c :: n_ch]] for c in range(n_ch)
             ]

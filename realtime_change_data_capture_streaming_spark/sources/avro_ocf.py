@@ -115,7 +115,7 @@ def encode_value(schema, v) -> bytes:
 
             v = (v - datetime.date(1970, 1, 1)).days
         elif lt in ("timestamp-micros", "local-timestamp-micros"):
-            v = _ts_to_micros(v)
+            v = _ts_to_micros(v, wall_clock=(lt == "local-timestamp-micros"))
         return _enc_long(int(v))
     if t == "float":
         return struct.pack("<f", v)
@@ -125,14 +125,23 @@ def encode_value(schema, v) -> bytes:
         return _enc_bytes(v.encode("utf-8"))
     if t == "bytes":
         if isinstance(schema, dict) and schema.get("logicalType") == "decimal":
-            unscaled = int(Decimal(v).scaleb(schema["scale"]))
+            scaled = Decimal(v).scaleb(schema["scale"])
+            if scaled != scaled.to_integral_value():
+                # silent truncation here is monetary corruption — the
+                # spec requires the value to carry exactly the scale
+                raise ValueError(
+                    f"avro: decimal {v} has more fractional digits than scale {schema['scale']}"
+                )
+            unscaled = int(scaled)
             size = max(1, (unscaled.bit_length() + 8) // 8)
             return _enc_bytes(unscaled.to_bytes(size, "big", signed=True))
         return _enc_bytes(bytes(v))
     if t == "record":
+        if not isinstance(v, dict):
+            raise ValueError(f"avro: record value must be a dict, got {type(v).__name__}")
         out = bytearray()
         for f in schema["fields"]:
-            out += encode_value(f["type"], v[f["name"]] if isinstance(v, dict) else v)
+            out += encode_value(f["type"], v[f["name"]])
         return bytes(out)
     if t == "array":
         out = bytearray()
@@ -155,19 +164,59 @@ def encode_value(schema, v) -> bytes:
 
 
 def _matches(branch, v) -> bool:
+    """Type-directed union branch selection (null/non-null alone is not
+    enough for multi-branch unions — the wrong branch index silently
+    corrupts the stream or crashes mid-encode)."""
+    import datetime
+
     t = _type_name(branch)
     if t == "null":
         return v is None
-    return v is not None
+    if v is None:
+        return False
+    if t == "boolean":
+        return isinstance(v, bool)
+    if t in ("int", "long"):
+        lt = isinstance(branch, dict) and branch.get("logicalType")
+        if lt == "date":
+            return isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
+        if lt in ("timestamp-micros", "local-timestamp-micros"):
+            return isinstance(v, (datetime.datetime, int)) and not isinstance(v, bool)
+        return isinstance(v, int) and not isinstance(v, bool)
+    if t in ("float", "double"):
+        return isinstance(v, (float, int)) and not isinstance(v, bool)
+    if t == "string":
+        return isinstance(v, str)
+    if t == "bytes":
+        if isinstance(branch, dict) and branch.get("logicalType") == "decimal":
+            return isinstance(v, Decimal)
+        return isinstance(v, (bytes, bytearray))
+    if t == "record":
+        return isinstance(v, dict)
+    if t == "array":
+        return isinstance(v, (list, tuple))
+    if t == "map":
+        return isinstance(v, dict)
+    return False
 
 
-def _ts_to_micros(v) -> int:
+def _ts_to_micros(v, wall_clock: bool = False) -> int:
+    """datetime -> micros since epoch.  For ``timestamp-micros`` (an
+    INSTANT) a naive datetime is interpreted in the SYSTEM timezone —
+    that is what PySpark's TimestampType hands Python workers
+    (``fromInternal`` uses ``fromtimestamp``), so an aware conversion
+    keeps the wire instant correct on non-UTC hosts.  For
+    ``local-timestamp-micros`` (a WALL CLOCK) the naive fields encode
+    directly with no zone interpretation."""
     import datetime
 
     if isinstance(v, int):
         return v
     if v.tzinfo is None:
-        v = v.replace(tzinfo=datetime.timezone.utc)
+        if wall_clock:
+            v = v.replace(tzinfo=datetime.timezone.utc)  # fields-as-written
+        else:
+            v = v.astimezone()  # naive = system-local instant
     # timedelta arithmetic, not timestamp(): exact for pre-epoch values
     # (int() truncates toward zero, which would flip sub-second signs)
     d = v - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
@@ -184,24 +233,41 @@ def decode_value(schema, buf: bytes, pos: int):
     if t == "null":
         return None, pos
     if t == "boolean":
+        if pos >= len(buf):
+            raise ValueError("avro: truncated boolean")
         return buf[pos] == 1, pos + 1
     if t in ("int", "long"):
         n, pos = _dec_long(buf, pos)
         lt = isinstance(schema, dict) and schema.get("logicalType")
-        if lt == "date":
+        if lt in ("date", "timestamp-micros", "local-timestamp-micros"):
             import datetime
 
-            return datetime.date(1970, 1, 1) + datetime.timedelta(days=n), pos
-        if lt in ("timestamp-micros", "local-timestamp-micros"):
-            import datetime
-
-            return (
-                datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=n)
-            ), pos
+            try:
+                if lt == "date":
+                    return datetime.date(1970, 1, 1) + datetime.timedelta(days=n), pos
+                if lt == "timestamp-micros":
+                    # an INSTANT: return it timezone-AWARE so consumers
+                    # (incl. Spark's toInternal, which treats naive as
+                    # system-local) cannot mis-zone it on non-UTC hosts
+                    return (
+                        datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+                        + datetime.timedelta(microseconds=n)
+                    ), pos
+                # local-timestamp-micros — a WALL CLOCK: naive by definition
+                return (
+                    datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=n)
+                ), pos
+            except OverflowError:
+                # garbage varints must keep the codec's ValueError contract
+                raise ValueError(f"avro: {lt} value out of datetime range") from None
         return n, pos
     if t == "float":
+        if pos + 4 > len(buf):
+            raise ValueError("avro: truncated float")
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if t == "double":
+        if pos + 8 > len(buf):
+            raise ValueError("avro: truncated double")
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t == "string":
         b, pos = _dec_bytes(buf, pos)
@@ -301,6 +367,33 @@ def decode_resolved(writer, reader, buf: bytes, pos: int):
                     )
                 out[rf["name"]] = rf["default"]
         return out, pos
+    if wt == "array" and rt == "array":
+        # resolution recurses into items — nested defaults/promotions
+        out = []
+        while True:
+            n, pos = _dec_long(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                _, pos = _dec_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                item, pos = decode_resolved(writer["items"], reader["items"], buf, pos)
+                out.append(item)
+    if wt == "map" and rt == "map":
+        out = {}
+        while True:
+            n, pos = _dec_long(buf, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                _, pos = _dec_long(buf, pos)
+                n = -n
+            for _ in range(n):
+                k, pos = _dec_bytes(buf, pos)
+                out[k.decode("utf-8")], pos = decode_resolved(
+                    writer["values"], reader["values"], buf, pos
+                )
     if wt == rt:
         return decode_value(writer, buf, pos)
     if rt in _PROMOTIONS.get(wt, ()):
@@ -403,6 +496,10 @@ def read_ocf(path: str, reader_schema: dict | None = None):
     while pos < len(buf):
         count, pos = _dec_long(buf, pos)
         size, pos = _dec_long(buf, pos)
+        if count < 0 or size < 0 or pos + size > len(buf):
+            # a negative size would walk pos BACKWARD onto the previous
+            # sync marker and loop forever — corrupt headers must raise
+            raise ValueError("avro: corrupt block header (count/size)")
         payload, pos = buf[pos : pos + size], pos + size
         if buf[pos : pos + 16] != sync:
             raise ValueError("avro: sync marker mismatch (corrupt block)")

@@ -23,7 +23,10 @@ def _image(k: int, amount: str):
     return {
         "transaction_id": str(k),
         "user_id": str(k % 17),
-        "timestamp": datetime.datetime(2024, 3, 1, 12, 0, 0) + datetime.timedelta(minutes=k),
+        # tz-aware instants (timestamp-micros is an instant); every 7th
+        # image carries sub-second precision to pin the fractional path
+        "timestamp": datetime.datetime(2024, 3, 1, 12, 0, 0, tzinfo=datetime.timezone.utc)
+        + datetime.timedelta(minutes=k, microseconds=250_000 * (k % 7 == 0)),
         "amount": Decimal(amount),
         "currency": "USD",
         "city": "city",
@@ -90,7 +93,9 @@ def test_avro_and_json_paths_agree_through_the_merge(spark):
         if img is None:
             return None
         o = dict(img)
-        o["timestamp"] = o["timestamp"].strftime("%Y-%m-%d %H:%M:%S")
+        ts = o["timestamp"]
+        frac = f".{ts.microsecond:06d}" if ts.microsecond else ""
+        o["timestamp"] = ts.strftime("%Y-%m-%d %H:%M:%S") + frac
         o["amount"] = str(o["amount"])
         return o
 
@@ -184,6 +189,8 @@ def _j(img):
     if img is None:
         return None
     o = dict(img)
-    o["timestamp"] = o["timestamp"].strftime("%Y-%m-%d %H:%M:%S")
+    ts = o["timestamp"]
+    frac = f".{ts.microsecond:06d}" if ts.microsecond else ""
+    o["timestamp"] = ts.strftime("%Y-%m-%d %H:%M:%S") + frac
     o["amount"] = str(o["amount"])
     return o

@@ -43,7 +43,11 @@ _ROW = st.fixed_dictionaries(
         "dt": st.dates(datetime.date(1900, 1, 1), datetime.date(2200, 1, 1)),
         "ts": st.one_of(
             st.none(),
-            st.datetimes(datetime.datetime(1950, 1, 1), datetime.datetime(2100, 1, 1)),
+            st.datetimes(
+                datetime.datetime(1950, 1, 1),
+                datetime.datetime(2100, 1, 1),
+                timezones=st.just(datetime.timezone.utc),
+            ),
         ),
         "dec": st.decimals(
             min_value=Decimal("-99999.99"), max_value=Decimal("99999.99"), places=2
@@ -75,7 +79,7 @@ def test_ocf_pre_epoch_timestamp_exact():
         "d": 0.0,
         "b": False,
         "dt": datetime.date(1969, 12, 25),
-        "ts": datetime.datetime(1969, 12, 31, 23, 59, 59, 500000),
+        "ts": datetime.datetime(1969, 12, 31, 23, 59, 59, 500000, tzinfo=datetime.timezone.utc),
         "dec": Decimal("0.01"),
         "arr": [],
     }
@@ -213,3 +217,79 @@ def test_pyavro_reader_schema_option(spark):
         )
         rows = {r["k"]: (r["s"], r["tag"]) for r in got.collect()}
         assert rows == {1: ("a", "legacy"), 2: ("b", "legacy")}
+
+
+def test_codec_hostile_inputs_raise_valueerror():
+    """Every hostile-byte class raises ValueError (never hangs, never a
+    foreign exception type): negative block size (would walk pos
+    backward and loop forever), truncated boolean/float/double,
+    out-of-range timestamp varints, multi-branch union with no matching
+    branch, decimal finer than the declared scale, and non-dict record
+    values."""
+    from realtime_change_data_capture_streaming_spark.sources.avro_ocf import (
+        decode_value,
+        encode_value,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_ocf(p, _SCHEMA, [])
+        buf = bytearray(open(p, "rb").read())
+        # craft a block header after the file header: count=0, size=-18
+        from realtime_change_data_capture_streaming_spark.sources.avro_ocf import _enc_long
+
+        open(p, "wb").write(bytes(buf) + _enc_long(0) + _enc_long(-18))
+        with pytest.raises(ValueError, match="corrupt block header"):
+            read_ocf(p)
+    with pytest.raises(ValueError, match="truncated boolean"):
+        decode_value("boolean", b"", 0)
+    with pytest.raises(ValueError, match="truncated double"):
+        decode_value("double", b"\x00\x01", 0)
+    with pytest.raises(ValueError, match="truncated float"):
+        decode_value("float", b"\x00", 0)
+    ts_schema = {"type": "long", "logicalType": "timestamp-micros"}
+    huge = encode_value("long", 2**62)
+    with pytest.raises(ValueError, match="out of datetime range"):
+        decode_value(ts_schema, huge, 0)
+    # multi-branch union: value routed by TYPE, not first-non-null
+    u = ["null", "string", "long"]
+    assert decode_value(u, encode_value(u, 42), 0)[0] == 42
+    assert decode_value(u, encode_value(u, "x"), 0)[0] == "x"
+    with pytest.raises(ValueError, match="no union branch"):
+        encode_value(u, 1.5)
+    dec_schema = {"type": "bytes", "logicalType": "decimal", "precision": 18, "scale": 2}
+    with pytest.raises(ValueError, match="fractional digits"):
+        encode_value(dec_schema, Decimal("1.005"))
+    rec_schema = {"type": "record", "name": "r", "fields": [{"name": "a", "type": "long"}]}
+    with pytest.raises(ValueError, match="must be a dict"):
+        encode_value(rec_schema, (1,))
+
+
+def test_schema_resolution_recurses_into_arrays_and_maps():
+    """Nested evolution: records inside arrays/maps get reader defaults
+    and promotions; incompatible nested item types are loud."""
+    w = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array", "items":
+            {"type": "record", "name": "e", "fields": [{"name": "a", "type": "int"}]}}},
+        {"name": "m", "type": {"type": "map", "values": "int"}},
+    ]}
+    r = {"type": "record", "name": "r", "fields": [
+        {"name": "xs", "type": {"type": "array", "items":
+            {"type": "record", "name": "e", "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "b", "type": "string", "default": "d"}]}}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+    ]}
+    rows = [{"xs": [{"a": 1}, {"a": 2}], "m": {"k": 3}}]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_ocf(p, w, rows)
+        _, back = read_ocf(p, reader_schema=r)
+        assert back == [{"xs": [{"a": 1, "b": "d"}, {"a": 2, "b": "d"}], "m": {"k": 3}}]
+        bad = {"type": "record", "name": "r", "fields": [
+            {"name": "xs", "type": {"type": "array", "items":
+                {"type": "record", "name": "e", "fields": [{"name": "a", "type": "string"}]}}},
+            {"name": "m", "type": {"type": "map", "values": "long"}},
+        ]}
+        with pytest.raises(ValueError, match="cannot resolve"):
+            read_ocf(p, reader_schema=bad)
