@@ -310,6 +310,127 @@ def decode_value(schema, buf: bytes, pos: int):
     raise ValueError(f"avro: unsupported type {t!r}")
 
 
+# ------------------------------------------------------------ snappy codec
+
+
+def snappy_decompress(buf: bytes) -> bytes:
+    """Pure-Python decoder for the published Snappy block format (the
+    Avro ``snappy`` codec's payload): uvarint uncompressed length, then
+    a tag stream — literals (2-bit tag 00, lengths 60-63 escape to
+    1/2/3/4 length bytes) and back-references (copy-1/2/4 with 3+8,
+    16, or 32-bit little-endian offsets).  Overlapping copies
+    (offset < length) replay byte-at-a-time — the RLE idiom.  Raises
+    ValueError on any malformed stream."""
+    n, pos, shift = 0, 0, 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("snappy: truncated length varint")
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+        if shift > 35:
+            raise ValueError("snappy: length varint too long")
+    out = bytearray()
+    while pos < len(buf):
+        tag = buf[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:
+                nb = ln - 59
+                if pos + nb > len(buf):
+                    raise ValueError("snappy: truncated literal length")
+                ln = int.from_bytes(buf[pos : pos + nb], "little")
+                pos += nb
+            ln += 1
+            if pos + ln > len(buf):
+                raise ValueError("snappy: truncated literal")
+            out += buf[pos : pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy with 1-byte offset
+            ln = ((tag >> 2) & 0x7) + 4
+            if pos >= len(buf):
+                raise ValueError("snappy: truncated copy-1")
+            off = ((tag >> 5) << 8) | buf[pos]
+            pos += 1
+        elif kind == 2:  # copy with 2-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 2 > len(buf):
+                raise ValueError("snappy: truncated copy-2")
+            off = int.from_bytes(buf[pos : pos + 2], "little")
+            pos += 2
+        else:  # copy with 4-byte offset
+            ln = (tag >> 2) + 1
+            if pos + 4 > len(buf):
+                raise ValueError("snappy: truncated copy-4")
+            off = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        start = len(out) - off
+        for i in range(ln):  # byte-wise: overlapping copies must replay
+            out.append(out[start + i])
+    if len(out) != n:
+        raise ValueError(f"snappy: length mismatch (header {n}, got {len(out)})")
+    return bytes(out)
+
+
+def snappy_compress(buf: bytes) -> bytes:
+    """Snappy encoder: greedy 4-byte-prefix hash matching (the reference
+    implementation's own strategy, simplified), emitting copy-2 tags and
+    literals.  Any compliant decoder reads it; ``snappy_decompress``
+    round-trips it exactly."""
+    out = bytearray()
+    n = len(buf)
+    v = n
+    while True:  # uvarint length
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            break
+
+    def emit_literal(lo: int, hi: int) -> None:
+        while lo < hi:
+            ln = min(hi - lo, 0x10000)
+            if ln <= 60:
+                out.append((ln - 1) << 2)
+            elif ln <= 0x100:
+                out.append(60 << 2)
+                out.append(ln - 1)
+            else:
+                out.append(61 << 2)
+                out.extend((ln - 1).to_bytes(2, "little"))
+            out.extend(buf[lo : lo + ln])
+            lo += ln
+
+    table: dict = {}
+    i = lit = 0
+    while i + 4 <= n:
+        key = buf[i : i + 4]
+        j = table.get(key, -1)
+        table[key] = i
+        if j >= 0 and i - j <= 0xFFFF:
+            # extend the match
+            ln = 4
+            while i + ln < n and ln < 64 and buf[j + ln] == buf[i + ln]:
+                ln += 1
+            emit_literal(lit, i)
+            out.append(((ln - 1) << 2) | 2)  # copy-2
+            out += (i - j).to_bytes(2, "little")
+            i += ln
+            lit = i
+        else:
+            i += 1
+    emit_literal(lit, n)
+    return bytes(out)
+
+
 # ------------------------------------------------------- schema resolution
 
 
@@ -420,13 +541,59 @@ def _resolvable(writer, reader) -> bool:
 # ---------------------------------------------------------------- container
 
 
+def _compress_block(codec: str, payload: bytes) -> bytes:
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        return zlib.compress(payload, 6)[2:-4]  # raw stream, wbits=-15
+    if codec == "snappy":
+        # per the Avro spec: snappy block + 4-byte BIG-endian CRC32 of
+        # the UNCOMPRESSED data
+        return snappy_compress(payload) + (zlib.crc32(payload) & 0xFFFFFFFF).to_bytes(4, "big")
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.compress(payload)
+    if codec == "xz":
+        import lzma
+
+        return lzma.compress(payload, format=lzma.FORMAT_XZ)
+    raise ValueError(f"avro: unsupported codec {codec!r}")
+
+
+def _decompress_block(codec: str, payload: bytes) -> bytes:
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        return zlib.decompress(payload, -15)
+    if codec == "snappy":
+        if len(payload) < 4:
+            raise ValueError("avro: snappy block too short for its CRC")
+        data = snappy_decompress(payload[:-4])
+        if (zlib.crc32(data) & 0xFFFFFFFF) != int.from_bytes(payload[-4:], "big"):
+            raise ValueError("avro: snappy block CRC mismatch")
+        return data
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(payload)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(payload)
+    raise ValueError(f"avro: unsupported codec {codec!r}")
+
+
+_CODECS = ("null", "deflate", "snappy", "bzip2", "xz")
+
+
 def write_ocf(path: str, schema: dict, rows, codec: str = "null", block_rows: int = 4096) -> None:
     """Write an Object Container File: header (magic, metadata map with
     avro.schema/avro.codec, sync marker), then blocks of up to
     ``block_rows`` records each, every block followed by the sync."""
     import hashlib
 
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise ValueError(f"avro: unsupported codec {codec!r}")
     schema_json = json.dumps(schema, sort_keys=True, separators=(",", ":"))
     sync = hashlib.md5(schema_json.encode() + b"|spark-graft-ocf").digest()
@@ -445,9 +612,7 @@ def write_ocf(path: str, schema: dict, rows, codec: str = "null", block_rows: in
             nonlocal buf, count
             if not count:
                 return
-            payload = bytes(buf)
-            if codec == "deflate":
-                payload = zlib.compress(payload, 6)[2:-4]  # raw stream, wbits=-15
+            payload = _compress_block(codec, bytes(buf))
             f.write(_enc_long(count))
             f.write(_enc_long(len(payload)))
             f.write(payload)
@@ -489,7 +654,7 @@ def read_ocf(path: str, reader_schema: dict | None = None):
         raise ValueError("avro: missing avro.schema metadata")
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
-    if codec not in ("null", "deflate"):
+    if codec not in _CODECS:
         raise ValueError(f"avro: unsupported codec {codec!r}")
     sync, pos = buf[pos : pos + 16], pos + 16
     rows = []
@@ -504,8 +669,7 @@ def read_ocf(path: str, reader_schema: dict | None = None):
         if buf[pos : pos + 16] != sync:
             raise ValueError("avro: sync marker mismatch (corrupt block)")
         pos += 16
-        if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
+        payload = _decompress_block(codec, payload)
         p = 0
         for _ in range(count):
             if reader_schema is not None:

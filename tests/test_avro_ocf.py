@@ -58,7 +58,7 @@ _ROW = st.fixed_dictionaries(
 
 
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
-@given(rows=st.lists(_ROW, max_size=8), codec=st.sampled_from(["null", "deflate"]))
+@given(rows=st.lists(_ROW, max_size=8), codec=st.sampled_from(["null", "deflate", "snappy", "bzip2", "xz"]))
 def test_ocf_roundtrip_property(rows, codec):
     """Arbitrary rows of the mixed-type schema round-trip exactly under
     both container codecs, including multi-block files."""
@@ -293,3 +293,67 @@ def test_schema_resolution_recurses_into_arrays_and_maps():
         ]}
         with pytest.raises(ValueError, match="cannot resolve"):
             read_ocf(p, reader_schema=bad)
+
+
+def test_snappy_codec_format_and_crc():
+    """The pure-Python snappy implements the published block format:
+    hand-crafted streams with all three copy-tag widths and an
+    overlapping (RLE) back-reference decode correctly; repetitive data
+    actually compresses; Avro's appended big-endian CRC32 of the
+    uncompressed block is verified (a flipped byte is loud)."""
+    from realtime_change_data_capture_streaming_spark.sources.avro_ocf import (
+        snappy_compress,
+        snappy_decompress,
+    )
+
+    # copy-2 with overlap (offset < length): the RLE idiom
+    hand = bytes([12, (2 - 1) << 2]) + b"ab" + bytes([((10 - 1) << 2) | 2]) + (2).to_bytes(2, "little")
+    assert snappy_decompress(hand) == b"ab" * 6
+    # copy-1 and copy-4 tags
+    lit = bytes([8, (4 - 1) << 2]) + b"abcd"
+    assert snappy_decompress(lit + bytes([((4 - 4) << 2) | 1, 4])) == b"abcdabcd"
+    assert snappy_decompress(lit + bytes([((4 - 1) << 2) | 3]) + (4).to_bytes(4, "little")) == b"abcdabcd"
+    data = b"the quick brown fox jumps over the lazy dog " * 400
+    z = snappy_compress(data)
+    assert snappy_decompress(z) == data and len(z) < len(data) // 2
+    for bad in (b"", bytes([200]), bytes([4, ((4 - 1) << 2) | 1, 9])):
+        with pytest.raises(ValueError):
+            snappy_decompress(bad)
+    # Avro-layer CRC: flip one payload byte inside a snappy OCF block
+    rows = [{"k": 1, "s": "x" * 50, "d": 1.0, "b": True,
+             "dt": datetime.date(2000, 1, 1), "ts": None,
+             "dec": Decimal("1.00"), "arr": [1, 2]}]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_ocf(p, _SCHEMA, rows, codec="snappy")
+        _, back = read_ocf(p)
+        assert back == rows
+        buf = bytearray(open(p, "rb").read())
+        buf[-21] ^= 0x01  # a byte inside the compressed payload
+        open(p, "wb").write(bytes(buf))
+        with pytest.raises(ValueError, match="CRC mismatch|snappy|corrupt"):
+            read_ocf(p)
+
+
+def test_pyavro_compressed_codecs_through_spark(spark, sf_dir):
+    """snappy/bzip2/xz OCFs written through the DataSource read back
+    exact and smaller than the uncompressed form."""
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    avro_ocf.register(spark)
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    with tempfile.TemporaryDirectory() as d:
+        size = lambda p: sum(
+            os.path.getsize(os.path.join(p, e)) for e in os.listdir(p) if e.endswith(".avro")
+        )
+        raw = os.path.join(d, "raw")
+        src.coalesce(1).write.mode("overwrite").format("pyavro").save(raw)
+        for codec in ("snappy", "bzip2", "xz"):
+            path = os.path.join(d, codec)
+            src.coalesce(1).write.mode("overwrite").format("pyavro").option(
+                "codec", codec
+            ).save(path)
+            assert size(path) < size(raw), codec
+            back = spark.read.format("pyavro").schema(src.schema).load(path)
+            assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
