@@ -768,6 +768,7 @@ def _avro_field_ddl(t) -> str:
 from pyspark.sql.datasource import (  # noqa: E402
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -802,6 +803,9 @@ class AvroOCFDataSource(DataSource):
     def reader(self, schema):
         return _AvroReader(self.options, schema)
 
+    def streamReader(self, schema):
+        return _AvroStreamReader(self.options, schema)
+
     def writer(self, schema, overwrite: bool):
         return _AvroWriter(self.options, schema, overwrite)
 
@@ -831,6 +835,61 @@ class _AvroReader(DataSourceReader):
         _, rows = read_ocf(partition.path, reader_schema=self.reader_schema)
         for r in rows:
             yield tuple(r.get(n) for n in self.field_names)
+
+
+class _AvroStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("pyavro").load(dir)`` — an Avro OCF
+    directory as a streaming source: the offset is the sorted-filename
+    frontier (append-only dirs, the Kafka-stand-in contract the repo's
+    file streams use), each micro-batch fans newly-arrived files out one
+    partition per file, and ``read()`` runs on executors.  Checkpoint
+    restart replays the last planned batch (the engine re-plans it), so
+    the frontier never regresses; a ``readerSchema`` option applies the
+    spec's schema resolution per file, letting a stream consume a mixed
+    v1/v2 directory with one evolved schema."""
+
+    def __init__(self, options, schema):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("pyavro requires a path")
+        self.field_names = [f.name for f in schema.fields]
+        rs = options.get("readerschema") or options.get("readerSchema")
+        self.reader_schema = json.loads(rs) if rs else None
+        self.batch_files = max(
+            1, int(options.get("maxfilespertrigger", options.get("maxFilesPerTrigger", 1 << 30)))
+        )
+        self._frontier: str | None = None  # end of the last PLANNED batch
+
+    def _files(self):
+        return sorted(e for e in os.listdir(self.path) if e.endswith(".avro"))
+
+    def initialOffset(self) -> dict:
+        return {"frontier": ""}
+
+    def latestOffset(self) -> dict:
+        # the cap bounds how far the OFFSET advances (never which files a
+        # planned range yields — that would silently skip data)
+        if self._frontier is None:
+            self._frontier = ""
+        pending = [f for f in self._files() if f > self._frontier][: self.batch_files]
+        return {"frontier": pending[-1] if pending else self._frontier}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["frontier"], end["frontier"]
+        # seeds restart state: the engine replays the last logged batch's
+        # plan before asking for a new latestOffset
+        if self._frontier is None or hi > self._frontier:
+            self._frontier = hi
+        batch = [f for f in self._files() if lo < f <= hi]
+        return [_FilePartition(os.path.join(self.path, f)) for f in batch]
+
+    def read(self, partition: _FilePartition):
+        _, rows = read_ocf(partition.path, reader_schema=self.reader_schema)
+        for r in rows:
+            yield tuple(r.get(n) for n in self.field_names)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 @dataclass

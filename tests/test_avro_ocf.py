@@ -357,3 +357,51 @@ def test_pyavro_compressed_codecs_through_spark(spark, sf_dir):
             assert size(path) < size(raw), codec
             back = spark.read.format("pyavro").schema(src.schema).load(path)
             assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+
+
+def test_pyavro_stream_reader(spark, sf_dir, tmp_path):
+    """An OCF directory consumed as a STREAM with filename-frontier
+    offsets: run 1 drains the two files present; a third file arrives
+    and run 2 RESUMES FROM THE CHECKPOINT, reading only the new file —
+    offsets persist, nothing re-reads, the union equals the batch
+    read.  (Under availableNow the engine snapshots latestOffset once,
+    so the per-run drain is one batch; the frontier is what carries
+    across runs.)"""
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+    from realtime_change_data_capture_streaming_spark.sources.avro_ocf import (
+        spark_to_avro_schema,
+    )
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    avro_ocf.register(spark)
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus").limit(90)
+    rows = [{"o_orderkey": r["o_orderkey"], "o_orderstatus": r["o_orderstatus"]}
+            for r in src.collect()]
+    schema = spark_to_avro_schema(src.schema)
+    d = tmp_path / "stream_in"
+    d.mkdir()
+    out = tmp_path / "out"
+
+    def run_once():
+        q = (
+            spark.readStream.format("pyavro")
+            .schema(src.schema)
+            .load(str(d))
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    for i in range(2):
+        write_ocf(str(d / f"part-{i:05d}.avro"), schema, rows[i * 30 : (i + 1) * 30])
+    run_once()
+    assert spark.read.parquet(str(out)).count() == 60
+    # a new file arrives; the restarted stream must read ONLY it
+    write_ocf(str(d / "part-00002.avro"), schema, rows[60:90])
+    run_once()
+    back = spark.read.parquet(str(out))
+    assert back.count() == 90  # 60 + 30, no re-reads
+    assert back.exceptAll(spark.read.format("pyavro").schema(src.schema).load(str(d))).count() == 0
