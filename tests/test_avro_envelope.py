@@ -194,3 +194,26 @@ def _j(img):
     o["timestamp"] = ts.strftime("%Y-%m-%d %H:%M:%S") + frac
     o["amount"] = str(o["amount"])
     return o
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(payloads=st.lists(st.one_of(st.none(), st.binary(max_size=64)), min_size=1, max_size=8))
+def test_adapter_never_crashes_on_arbitrary_bytes(spark, payloads):
+    """The dead-letter contract, fuzzed: ANY byte string (or null
+    tombstone) through the adapter yields either a JSON envelope, a
+    corrupt marker, or a null passthrough — never a task crash."""
+    df = spark.createDataFrame(
+        [(b"k%d" % i, p) for i, p in enumerate(payloads)], "key binary, value binary"
+    )
+    rows = avro_envelopes_to_json(df).collect()
+    assert len(rows) == len(payloads)
+    for r, p in zip(sorted(rows, key=lambda r: r["key"]), payloads):
+        v = r["value"]
+        if p is None:
+            assert v is None
+        else:
+            assert v is None or v.startswith("\x00confluent-decode-error") or v.startswith("{")
