@@ -8,9 +8,11 @@ the container itself, per the published AVI RIFF form (Microsoft
 (``avih`` MainAVIHeader + per-stream ``strl`` with ``strh``
 AVIStreamHeader and ``strf`` BITMAPINFOHEADER), the ``movi`` payload
 list whose ``##dc`` chunks each hold one complete JPEG (optionally
-grouped under ``rec `` interleave lists), word alignment of every odd
-chunk, and the ``idx1`` index whose entries are validated against the
-actual chunk layout (both published offset conventions: relative to the
+grouped under ``rec `` interleave lists) and whose ``##wb`` chunks carry
+an optional second ``auds`` stream (PCM or G.711, PCMWAVEFORMAT strf,
+one slice interleaved per video frame — the real AV-interleave shape),
+word alignment of every odd chunk, and the ``idx1`` index whose entries
+— video AND audio — are validated against the actual chunk layout (both published offset conventions: relative to the
 ``movi`` fourcc, or absolute file offsets — real muxers emit both).
 
 Parity target: the multimodal mandate of SURVEY §2.5 / BASELINE.json —
@@ -46,18 +48,31 @@ def _list(list_type: bytes, payload: bytes) -> bytes:
 
 
 def encode_avi_mjpeg(
-    frames: list[bytes], width: int, height: int, fps: int = 25
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 25,
+    audio: tuple[bytes, int] | None = None,
+    audio_format: int = 1,
 ) -> bytes:
     """Mux JPEG frames into a minimal spec-correct AVI: RIFF('AVI ')
     { LIST hdrl { avih, LIST strl { strh(vids/MJPG), strf(BITMAPINFOHEADER
     biCompression='MJPG') } }, LIST movi { 00dc... }, idx1 }.  idx1
     offsets use the common convention: relative to the position of the
-    ``movi`` fourcc (first chunk at offset 4)."""
+    ``movi`` fourcc (first chunk at offset 4).
+
+    ``audio=(sample_bytes, sample_rate)`` adds a second ``auds`` stream
+    (mono, 8-bit samples, wave format tag ``audio_format``: 1 = PCM,
+    6/7 = G.711 A-law/mu-law) whose ``01wb`` chunks interleave with the
+    video — one audio slice after each frame, the real AV-interleave
+    shape."""
     if not frames:
         raise ValueError("AVI: need at least one frame")
     for f in frames:
         if f[:2] != b"\xff\xd8":
             raise ValueError("AVI: frame is not a JPEG (no SOI)")
+    if audio is not None and audio_format not in (1, 6, 7):
+        raise ValueError(f"AVI: unsupported audio format tag {audio_format}")
     n = len(frames)
     max_bytes = max(len(f) for f in frames)
     avih = struct.pack(
@@ -68,7 +83,7 @@ def encode_avi_mjpeg(
         _AVIF_HASINDEX,  # dwFlags
         n,  # dwTotalFrames
         0,  # dwInitialFrames
-        1,  # dwStreams
+        2 if audio is not None else 1,  # dwStreams
         max_bytes,  # dwSuggestedBufferSize
         width,
         height,
@@ -111,16 +126,49 @@ def encode_avi_mjpeg(
         0,
         0,
     )
-    hdrl = _list(
-        b"hdrl", _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
-    )
+    strls = _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf))
+    audio_slices: list[bytes] = []
+    if audio is not None:
+        pcm, a_rate = audio
+        a_strh = (
+            b"auds"
+            + b"\x00\x00\x00\x00"  # fccHandler: 0 for waveform audio
+            + struct.pack(
+                "<IHHIIIIIIIII",
+                0,
+                0,
+                0,
+                0,
+                1,  # dwScale
+                a_rate,  # dwRate (samples/s)
+                0,
+                len(pcm),  # dwLength (in samples: 1 byte each)
+                max(1, len(pcm) // n),  # dwSuggestedBufferSize
+                0xFFFFFFFF,
+                1,  # dwSampleSize (fixed-size samples: 1 byte)
+                0,
+            )
+            + struct.pack("<hh", 0, 0)
+        )
+        # strf for audio = PCMWAVEFORMAT (16 bytes): tag 1/6/7, mono, 8-bit
+        a_strf = struct.pack("<HHIIHH", audio_format, 1, a_rate, a_rate, 1, 8)
+        strls += _list(b"strl", _chunk(b"strh", a_strh) + _chunk(b"strf", a_strf))
+        per = -(-len(pcm) // n)  # ceil split: one slice per video frame
+        audio_slices = [pcm[i * per : (i + 1) * per] for i in range(n)]
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
     movi_payload = bytearray()
     idx = bytearray()
-    for f in frames:
+
+    def add(ckid: bytes, payload: bytes) -> None:
         # idx1 offset: from the 'movi' fourcc to this chunk's ckid; the
         # fourcc itself is 4 bytes, so the first chunk sits at offset 4
-        idx += b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, 4 + len(movi_payload), len(f))
-        movi_payload += _chunk(b"00dc", f)
+        idx.extend(ckid + struct.pack("<III", _AVIIF_KEYFRAME, 4 + len(movi_payload), len(payload)))
+        movi_payload.extend(_chunk(ckid, payload))
+
+    for i, f in enumerate(frames):
+        add(b"00dc", f)
+        if audio_slices and audio_slices[i]:
+            add(b"01wb", audio_slices[i])
     movi = _list(b"movi", bytes(movi_payload))
     riff_payload = b"AVI " + hdrl + movi + _chunk(b"idx1", bytes(idx))
     return _chunk(b"RIFF", riff_payload)
@@ -159,12 +207,15 @@ def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
     meta: dict = {}
     frames: list[bytes] = []
     frame_positions: list[tuple[int, int]] = []  # (ckid pos, payload size)
+    audio_chunks: list[bytes] = []
+    audio_positions: list[tuple[int, int]] = []
     movi_fourcc_pos = -1
     vid_stream = -1
+    aud_stream = -1
     idx_payload = None
 
     def parse_hdrl(body: int, size: int) -> None:
-        nonlocal vid_stream
+        nonlocal vid_stream, aud_stream
         stream_no = 0
         for cc, b2, s2 in _walk(buf, body, body + size):
             if cc == b"avih":
@@ -178,31 +229,54 @@ def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
                 if f[0] > 0:
                     meta["fps"] = round(1_000_000 / f[0])
             elif cc == b"LIST" and buf[b2 : b2 + 4] == b"strl":
-                is_vids = False
+                is_vids = is_auds = False
                 for cc3, b3, s3 in _walk(buf, b2 + 4, b2 + s2):
                     if cc3 == b"strh":
                         if s3 < 36:
                             raise ValueError("AVI: strh too short")
-                        if buf[b3 : b3 + 4] == b"vids":
+                        ftype = buf[b3 : b3 + 4]
+                        if ftype == b"vids":
                             is_vids = True
                             if buf[b3 + 4 : b3 + 8] not in (b"MJPG", b"mjpg"):
                                 raise ValueError("AVI: video stream is not MJPG")
                             scale, rate = struct.unpack("<II", buf[b3 + 20 : b3 + 28])
                             if scale > 0:
                                 meta["fps"] = round(rate / scale)
+                        elif ftype == b"auds":
+                            is_auds = True
                     elif cc3 == b"strf" and is_vids:
                         if s3 < 40:
                             raise ValueError("AVI: strf too short")
                         comp = buf[b3 + 16 : b3 + 20]
                         if comp not in (b"MJPG", b"mjpg"):
                             raise ValueError("AVI: BITMAPINFOHEADER is not MJPG")
+                    elif cc3 == b"strf" and is_auds:
+                        # PCMWAVEFORMAT: tag, channels, rate, avg, align, bits
+                        if s3 < 16:
+                            raise ValueError("AVI: audio strf too short")
+                        tag, a_ch, a_rate, _, _, a_bits = struct.unpack(
+                            "<HHIIHH", buf[b3 : b3 + 16]
+                        )
+                        if tag not in (1, 6, 7):
+                            raise ValueError(
+                                f"AVI: audio format tag {tag} not PCM/G.711"
+                            )
+                        meta["audio"] = {
+                            "format": tag,
+                            "channels": a_ch,
+                            "rate": a_rate,
+                            "bits": a_bits,
+                        }
                 if is_vids and vid_stream < 0:
                     vid_stream = stream_no
+                if is_auds and aud_stream < 0:
+                    aud_stream = stream_no
                 stream_no += 1
 
     def collect_movi(body: int, size: int) -> None:
         want = b"%02ddc" % vid_stream if vid_stream >= 0 else b"00dc"
         want_db = want[:2] + b"db"
+        want_wb = b"%02dwb" % aud_stream if aud_stream >= 0 else None
         for cc, b2, s2 in _walk(buf, body, body + size):
             if cc == b"LIST" and buf[b2 : b2 + 4] == b"rec ":
                 collect_movi(b2 + 4, s2 - 4)
@@ -212,6 +286,9 @@ def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
                     raise ValueError("AVI: MJPG chunk does not start with SOI")
                 frames.append(payload)
                 frame_positions.append((b2 - 8, s2))
+            elif want_wb is not None and cc == want_wb:
+                audio_chunks.append(buf[b2 : b2 + s2])
+                audio_positions.append((b2 - 8, s2))
 
     for cc, body, size in _walk(buf, 12, end):
         if cc == b"LIST":
@@ -253,4 +330,13 @@ def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
                 expect = pos if absolute else pos - movi_fourcc_pos
                 if off != expect or ln != s2:
                     raise ValueError("AVI: idx1 entry disagrees with chunk layout")
+            aud_entries = [e for e in entries if e[0].endswith(b"wb")]
+            if len(aud_entries) != len(audio_positions):
+                raise ValueError("AVI: idx1 audio entry count != movi chunk count")
+            for (ckid, _flags, off, ln), (pos, s2) in zip(aud_entries, audio_positions):
+                expect = pos if absolute else pos - movi_fourcc_pos
+                if off != expect or ln != s2:
+                    raise ValueError("AVI: idx1 audio entry disagrees with chunk layout")
+    if aud_stream >= 0 and "audio" in meta:
+        meta["audio"]["data"] = b"".join(audio_chunks)
     return meta, frames

@@ -174,3 +174,50 @@ def test_avi_roundtrip_property(n, wi, hi, fps, fills, use_420):
         fps,
         n,
     )
+
+
+def test_avi_audio_stream_roundtrip():
+    """A second auds stream: PCM bytes interleave as 01wb chunks (one
+    slice per frame), idx1 covers BOTH chunk kinds, and the demuxer
+    reassembles the exact audio with its header metadata."""
+    frames = _frames(4)
+    pcm = bytes((i * 7) % 256 for i in range(1001))  # non-divisible length
+    buf = encode_avi_mjpeg(frames, 16, 8, fps=25, audio=(pcm, 8000))
+    meta, got = demux_avi_mjpeg(buf)
+    assert got == frames
+    assert meta["n_streams"] == 2
+    a = meta["audio"]
+    assert (a["format"], a["channels"], a["rate"], a["bits"]) == (1, 1, 8000, 8)
+    assert a["data"] == pcm
+
+
+def test_avi_g711_audio_stream():
+    """G.711 mu-law audio in the container: format tag 7 survives the
+    header round-trip and the payload expands through the same tables
+    the WAV path uses."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.multimodal import _G711_ULAW
+
+    frames = _frames(2)
+    ulaw = bytes([0x00, 0x7F, 0x80, 0xFF, 0x12, 0xA3])
+    meta, _ = demux_avi_mjpeg(encode_avi_mjpeg(frames, 16, 8, audio=(ulaw, 8000), audio_format=7))
+    a = meta["audio"]
+    assert a["format"] == 7 and a["data"] == ulaw
+    assert [_G711_ULAW[b] for b in a["data"]] == [_G711_ULAW[b] for b in ulaw]
+    with pytest.raises(ValueError, match="unsupported audio format"):
+        encode_avi_mjpeg(frames, 16, 8, audio=(ulaw, 8000), audio_format=85)
+
+
+def test_avi_idx1_audio_entry_lie_raises():
+    buf = bytearray(encode_avi_mjpeg(_frames(2), 16, 8, audio=(b"\x01" * 64, 8000)))
+    idx_pos = buf.find(b"idx1")
+    n = struct.unpack("<I", buf[idx_pos + 4 : idx_pos + 8])[0] // 16
+    for i in range(n):
+        at = idx_pos + 8 + 16 * i
+        if buf[at : at + 4].endswith(b"wb"):
+            ln_at = at + 12
+            buf[ln_at : ln_at + 4] = struct.pack(
+                "<I", struct.unpack("<I", buf[ln_at : ln_at + 4])[0] + 1
+            )
+            break
+    with pytest.raises(ValueError, match="idx1 audio entry disagrees"):
+        demux_avi_mjpeg(bytes(buf))
