@@ -2868,7 +2868,14 @@ def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker walk.  The header metadata (width/height from avih, fps from
     strh dwRate/dwScale, total_frames) is emitted alongside the cut
     analysis, and the demuxer cross-checks it against the decoded
-    frames, so a header/payload disagreement fails loudly.  Parity
+    frames, so a header/payload disagreement fails loudly.
+
+    The container is genuinely AUDIO+VIDEO: a second ``auds`` stream
+    (G.711 mu-law, ``01wb`` chunks interleaved one slice per frame)
+    carries 40 + doc%25 analytic companded samples; the demuxer
+    reassembles them, the shared G.711 tables expand them, and the query
+    emits the audio sample count plus the expanded-amplitude checksum —
+    per-row AV demux + audio decode + video decode in one pass.  Parity
     target: the multimodal mandate of SURVEY §2.5 / BASELINE.json; the
     reference repo has no media path — north-star surface."""
     from realtime_change_data_capture_streaming_spark.llm_ops.avi import (
@@ -2888,6 +2895,8 @@ def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cuts",
             "first_cut",
             "scene_checksum",
+            "audio_n_samples",
+            "audio_checksum",
         ]
         for pdf in batches:
             if pdf.empty:
@@ -2895,12 +2904,15 @@ def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
-                    rows.append((int(doc_id),) + (None,) * 7)
+                    rows.append((int(doc_id),) + (None,) * 9)
                     continue
                 doc = int(doc_id)
                 jpegs, w, h = _mjpeg_fixture_jpegs(doc)
                 fps = 24 + doc % 8
-                meta, frames_b = demux_avi_mjpeg(encode_avi_mjpeg(jpegs, w, h, fps))
+                abytes = bytes((doc * 13 + i * 11) % 256 for i in range(40 + doc % 25))
+                meta, frames_b = demux_avi_mjpeg(
+                    encode_avi_mjpeg(jpegs, w, h, fps, audio=(abytes, 8000), audio_format=7)
+                )
                 if meta["total_frames"] != len(frames_b):
                     raise ValueError(f"AVI header/movi frame count mismatch for doc {doc}")
                 frames = []
@@ -2910,6 +2922,10 @@ def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                         raise ValueError(f"AVI header/frame size mismatch for doc {doc}")
                     frames.append(rec)
                 cuts, _max_delta, checksum = _scene_cut_stats(frames)
+                aud = meta["audio"]
+                if aud["format"] != 7:
+                    raise ValueError(f"AVI audio format mismatch for doc {doc}")
+                samples = [_G711_ULAW[b] for b in aud["data"]]
                 rows.append(
                     (
                         doc,
@@ -2920,6 +2936,8 @@ def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                         len(cuts),
                         cuts[0] if cuts else None,
                         checksum,
+                        len(samples),
+                        sum(samples),
                     )
                 )
             yield pd.DataFrame(rows, columns=cols).astype(
@@ -2932,6 +2950,8 @@ def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_cuts": "Int64",
                     "first_cut": "Int64",
                     "scene_checksum": "Int64",
+                    "audio_n_samples": "Int32",
+                    "audio_checksum": "Int64",
                 }
             )
 
@@ -2939,12 +2959,18 @@ def multimodal_avi_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema=(
             "doc_id long, n_frames int, width int, height int, fps int, "
-            "n_cuts long, first_cut long, scene_checksum long"
+            "n_cuts long, first_cut long, scene_checksum long, "
+            "audio_n_samples int, audio_checksum long"
         ),
     )
 
 
-MULTIMODAL_AVI_CUTS_SQL = """
+# the G.711 mu-law expansion inlined as a 256-row mapping so the audio
+# checksum replays in DuckDB (the table is spec-normative, not data)
+_G711_ULAW_SQL_ROWS = ", ".join(f"({c}, {v})" for c, v in enumerate(_G711_ULAW))
+
+MULTIMODAL_AVI_CUTS_SQL = f"""
+WITH g711(code, v) AS (VALUES {_G711_ULAW_SQL_ROWS})
 SELECT doc_id,
        CASE WHEN text IS NOT NULL THEN CAST(4 + doc_id % 3 AS INTEGER) END AS n_frames,
        CASE WHEN text IS NOT NULL THEN CAST(8 * (1 + doc_id % 3) AS INTEGER) END AS width,
@@ -2955,7 +2981,14 @@ SELECT doc_id,
        CASE WHEN text IS NOT NULL THEN CAST(
            (2 * (20 + doc_id % 40) + (50 + doc_id % 18))
            * (8 * (1 + doc_id % 3)) * (8 * (1 + doc_id % 2)) * 3
-           AS BIGINT) END AS scene_checksum
+           AS BIGINT) END AS scene_checksum,
+       CASE WHEN text IS NOT NULL THEN CAST(40 + doc_id % 25 AS INTEGER) END AS audio_n_samples,
+       CASE WHEN text IS NOT NULL THEN CAST(
+           (SELECT SUM(m.v)
+            FROM range(0, 65) AS g(i)
+            JOIN g711 m ON m.code = (documents.doc_id * 13 + g.i * 11) % 256
+            WHERE g.i < 40 + documents.doc_id % 25)
+           AS BIGINT) END AS audio_checksum
 FROM documents
 """
 
