@@ -820,6 +820,41 @@ class _AvroReader(DataSourceReader):
         # Schema Resolution rules — read v1 files with a v2 schema
         rs = options.get("readerschema") or options.get("readerSchema")
         self.reader_schema = json.loads(rs) if rs else None
+        self._preds: list = []  # pushed predicates, applied worker-side
+
+    def pushFilters(self, filters):
+        """Worker-side pushdown: simple comparisons and IsNotNull are
+        applied while decoding, BEFORE rows cross the Arrow boundary to
+        the JVM — an OCF must be fully decoded either way (row-major,
+        no column statistics), so the win here is transfer/serialization
+        volume, not scan bytes (that asymmetry vs parquet is the honest
+        contract).  Pushed filters are still returned so Spark re-checks
+        them — cheap, exact."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            IsNotNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: lambda v, c: v is not None and v == c,
+            GreaterThan: lambda v, c: v is not None and v > c,
+            GreaterThanOrEqual: lambda v, c: v is not None and v >= c,
+            LessThan: lambda v, c: v is not None and v < c,
+            LessThanOrEqual: lambda v, c: v is not None and v <= c,
+            IsNotNull: lambda v, c: v is not None,
+        }
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            op = ops.get(type(f))
+            if op is None or attr is None or len(attr) != 1 or attr[0] not in self.field_names:
+                yield f  # not pushable: Spark evaluates it
+                continue
+            self._preds.append((attr[0], op, getattr(f, "value", None)))
+            yield f  # re-checked by Spark post-scan (harmless, exact)
 
     def partitions(self):
         files = sorted(
@@ -834,7 +869,8 @@ class _AvroReader(DataSourceReader):
             return
         _, rows = read_ocf(partition.path, reader_schema=self.reader_schema)
         for r in rows:
-            yield tuple(r.get(n) for n in self.field_names)
+            if all(op(r.get(name), val) for name, op, val in self._preds):
+                yield tuple(r.get(n) for n in self.field_names)
 
 
 class _AvroStreamReader(DataSourceStreamReader):

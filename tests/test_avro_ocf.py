@@ -405,3 +405,40 @@ def test_pyavro_stream_reader(spark, sf_dir, tmp_path):
     back = spark.read.parquet(str(out))
     assert back.count() == 90  # 60 + 30, no re-reads
     assert back.exceptAll(spark.read.format("pyavro").schema(src.schema).load(str(d))).count() == 0
+
+
+def test_pyavro_filter_pushdown(spark, sf_dir):
+    """Simple comparisons push into the Python reader (applied before
+    the Arrow transfer; Spark still re-checks): the filtered read equals
+    the post-hoc filter, and the plan records the pushed filters."""
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    avro_ocf.register(spark)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        src = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        with tempfile.TemporaryDirectory() as d:
+            src.write.mode("overwrite").format("pyavro").save(d)
+            base = spark.read.format("pyavro").schema(src.schema).load(d)
+            got = base.filter("o_orderkey % 2 = 0 AND o_totalprice > 150000.0")
+            want = src.filter("o_orderkey % 2 = 0 AND o_totalprice > 150000.0")
+            assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+            # unit-level: the comparison reaches the reader and rows are
+            # dropped BEFORE the Arrow boundary; the unsupported modulo
+            # expression is yielded back for Spark to evaluate
+            from pyspark.sql.datasource import GreaterThan
+            from realtime_change_data_capture_streaming_spark.sources.avro_ocf import (
+                _AvroReader,
+                _FilePartition,
+            )
+
+            rd = _AvroReader({"path": d}, src.schema)
+            kept = list(rd.pushFilters([GreaterThan(("o_totalprice",), 150000.0)]))
+            assert len(kept) == 1 and len(rd._preds) == 1  # re-checked by Spark
+            part = rd.partitions()[0]
+            vals = [t for t in rd.read(part)]
+            assert vals and all(v[1] > 150000.0 for v in vals)
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
