@@ -250,7 +250,10 @@ def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
                         comp = buf[b3 + 16 : b3 + 20]
                         if comp not in (b"MJPG", b"mjpg"):
                             raise ValueError("AVI: BITMAPINFOHEADER is not MJPG")
-                    elif cc3 == b"strf" and is_auds:
+                    elif cc3 == b"strf" and is_auds and aud_stream < 0:
+                        # FIRST auds stream only: its strf must describe the
+                        # chunks we collect; later audio streams are left
+                        # unread (their headers must not overwrite this one)
                         # PCMWAVEFORMAT: tag, channels, rate, avg, align, bits
                         if s3 < 16:
                             raise ValueError("AVI: audio strf too short")
@@ -315,28 +318,31 @@ def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
         vid_entries = [e for e in entries if e[0].endswith((b"dc", b"db"))]
         if len(vid_entries) != len(frame_positions):
             raise ValueError("AVI: idx1 video entry count != movi chunk count")
-        if vid_entries:
+        # only the COLLECTED audio stream's entries are held to the movi
+        # layout — a second audio stream's wb entries are its own business
+        want_wb = b"%02dwb" % aud_stream if aud_stream >= 0 else None
+        aud_entries = [e for e in entries if want_wb is not None and e[0] == want_wb]
+        if len(aud_entries) != len(audio_positions):
+            raise ValueError("AVI: idx1 audio entry count != movi chunk count")
+        pairs = list(zip(vid_entries, frame_positions)) + list(
+            zip(aud_entries, audio_positions)
+        )
+        if pairs:
             # detect the offset convention from the first entry: relative
             # to the 'movi' fourcc (spec text) or absolute (common in the
-            # wild) — then hold every entry to it
-            first_pos = frame_positions[0][0]
-            if vid_entries[0][2] == first_pos - movi_fourcc_pos:
+            # wild) — then hold EVERY entry (video and audio) to it
+            first_pos = pairs[0][1][0]
+            if pairs[0][0][2] == first_pos - movi_fourcc_pos:
                 absolute = False
-            elif vid_entries[0][2] == first_pos:
+            elif pairs[0][0][2] == first_pos:
                 absolute = True
             else:
                 raise ValueError("AVI: idx1 offset matches neither convention")
-            for (ckid, _flags, off, ln), (pos, s2) in zip(vid_entries, frame_positions):
+            for (ckid, _flags, off, ln), (pos, s2) in pairs:
                 expect = pos if absolute else pos - movi_fourcc_pos
                 if off != expect or ln != s2:
-                    raise ValueError("AVI: idx1 entry disagrees with chunk layout")
-            aud_entries = [e for e in entries if e[0].endswith(b"wb")]
-            if len(aud_entries) != len(audio_positions):
-                raise ValueError("AVI: idx1 audio entry count != movi chunk count")
-            for (ckid, _flags, off, ln), (pos, s2) in zip(aud_entries, audio_positions):
-                expect = pos if absolute else pos - movi_fourcc_pos
-                if off != expect or ln != s2:
-                    raise ValueError("AVI: idx1 audio entry disagrees with chunk layout")
+                    kind = "audio entry" if ckid.endswith(b"wb") else "entry"
+                    raise ValueError(f"AVI: idx1 {kind} disagrees with chunk layout")
     if aud_stream >= 0 and "audio" in meta:
         meta["audio"]["data"] = b"".join(audio_chunks)
     return meta, frames

@@ -373,8 +373,11 @@ def snappy_decompress(buf: bytes) -> bytes:
         if off == 0 or off > len(out):
             raise ValueError("snappy: copy offset out of range")
         start = len(out) - off
-        for i in range(ln):  # byte-wise: overlapping copies must replay
-            out.append(out[start + i])
+        if off >= ln:  # non-overlapping (the common case): one slice copy
+            out += out[start : start + ln]
+        else:
+            for i in range(ln):  # overlapping (RLE): must replay byte-wise
+                out.append(out[start + i])
     if len(out) != n:
         raise ValueError(f"snappy: length mismatch (header {n}, got {len(out)})")
     return bytes(out)
@@ -878,11 +881,20 @@ class _AvroStreamReader(DataSourceStreamReader):
     directory as a streaming source: the offset is the sorted-filename
     frontier (append-only dirs, the Kafka-stand-in contract the repo's
     file streams use), each micro-batch fans newly-arrived files out one
-    partition per file, and ``read()`` runs on executors.  Checkpoint
-    restart replays the last planned batch (the engine re-plans it), so
-    the frontier never regresses; a ``readerSchema`` option applies the
-    spec's schema resolution per file, letting a stream consume a mixed
-    v1/v2 directory with one evolved schema."""
+    partition per file, and ``read()`` runs on executors.  A
+    ``readerSchema`` option applies the spec's schema resolution per
+    file, letting a stream consume a mixed v1/v2 directory with one
+    evolved schema.
+
+    ``latestOffset`` always reports the MAX visible filename — monotone
+    by construction over an append-only dir, so a restart after a clean
+    commit can never regress below the checkpointed frontier.  (A
+    capped "N files per trigger" offset WOULD regress: after a
+    committed drain, a fresh reader instance has no memory of the
+    checkpoint and would offer an old filename back, which the engine
+    then commits, re-reading files — so no such cap is offered.)  Files
+    named below the frontier after the fact are never read: increasing
+    filenames are the source's append-only contract."""
 
     def __init__(self, options, schema):
         self.path = options.get("path")
@@ -891,10 +903,6 @@ class _AvroStreamReader(DataSourceStreamReader):
         self.field_names = [f.name for f in schema.fields]
         rs = options.get("readerschema") or options.get("readerSchema")
         self.reader_schema = json.loads(rs) if rs else None
-        self.batch_files = max(
-            1, int(options.get("maxfilespertrigger", options.get("maxFilesPerTrigger", 1 << 30)))
-        )
-        self._frontier: str | None = None  # end of the last PLANNED batch
 
     def _files(self):
         return sorted(e for e in os.listdir(self.path) if e.endswith(".avro"))
@@ -903,19 +911,11 @@ class _AvroStreamReader(DataSourceStreamReader):
         return {"frontier": ""}
 
     def latestOffset(self) -> dict:
-        # the cap bounds how far the OFFSET advances (never which files a
-        # planned range yields — that would silently skip data)
-        if self._frontier is None:
-            self._frontier = ""
-        pending = [f for f in self._files() if f > self._frontier][: self.batch_files]
-        return {"frontier": pending[-1] if pending else self._frontier}
+        files = self._files()
+        return {"frontier": files[-1] if files else ""}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["frontier"], end["frontier"]
-        # seeds restart state: the engine replays the last logged batch's
-        # plan before asking for a new latestOffset
-        if self._frontier is None or hi > self._frontier:
-            self._frontier = hi
         batch = [f for f in self._files() if lo < f <= hi]
         return [_FilePartition(os.path.join(self.path, f)) for f in batch]
 
