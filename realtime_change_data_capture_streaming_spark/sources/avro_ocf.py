@@ -16,8 +16,14 @@ gap from first principles, per the published Avro 1.11 specification:
   two's-complement big-endian unscaled value);
 - the container: ``Obj\\x01`` magic, file-metadata map carrying
   ``avro.schema`` / ``avro.codec``, a 16-byte sync marker, then blocks
-  of (record count, byte size, payload, sync) — codecs ``null`` and
-  ``deflate`` (raw zlib, the spec's wbits=-15 stream) both supported.
+  of (record count, byte size, payload, sync) — five of the spec's six
+  codecs: ``null``, ``deflate`` (raw zlib, wbits=-15), ``snappy``
+  (pure-Python block format + the spec's big-endian CRC32-of-
+  uncompressed framing), ``bzip2`` and ``xz`` (stdlib); ``zstandard``
+  is the one loud exclusion (no stdlib codec);
+- schema RESOLUTION (reader vs writer schema) and, at the DataSource
+  layer, schema inference, worker-side filter pushdown, a streaming
+  reader with filename-frontier offsets, and a two-phase-commit writer.
 
 Scale shape: the DataSource reads one partition per data FILE (the
 fixture shape); a production split would additionally scan for sync
