@@ -442,3 +442,83 @@ def test_pyavro_filter_pushdown(spark, sf_dir):
             assert vals and all(v[1] > 150000.0 for v in vals)
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+_FIELD_POOL = [
+    ("a", "int", 0),
+    ("b", "long", 7),
+    ("c", "string", "x"),
+    ("d", "double", 1.5),
+    ("e", "boolean", True),
+]
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    writer_idx=st.lists(st.integers(0, 4), min_size=1, max_size=5, unique=True),
+    reader_idx=st.lists(st.integers(0, 4), min_size=1, max_size=5, unique=True),
+    n_rows=st.integers(0, 4),
+    seed=st.integers(0, 999),
+)
+def test_schema_resolution_property(writer_idx, reader_idx, n_rows, seed):
+    """Random writer/reader field subsets in random orders: resolution
+    always equals the reference projection — writer-only fields dropped,
+    reader-only fields defaulted, common fields carried (with int->long
+    promotion applied when the pair differs)."""
+    import random
+
+    rng = random.Random(seed)
+
+    def field(i, promote):
+        name, t, dflt = _FIELD_POOL[i]
+        if promote and t == "int":
+            t = "long"
+        return {"name": name, "type": t, "default": dflt}
+
+    writer = {"type": "record", "name": "r",
+              "fields": [field(i, promote=False) for i in writer_idx]}
+    reader = {"type": "record", "name": "r",
+              "fields": [field(i, promote=True) for i in reader_idx]}
+
+    def sample(t):
+        return {"int": rng.randrange(-99, 99), "long": rng.randrange(-99, 99),
+                "string": str(rng.randrange(99)), "double": float(rng.randrange(99)),
+                "boolean": rng.random() < 0.5}[t]
+
+    rows = [
+        {_FIELD_POOL[i][0]: sample(_FIELD_POOL[i][1]) for i in writer_idx}
+        for _ in range(n_rows)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_ocf(p, writer, rows)
+        _, back = read_ocf(p, reader_schema=reader)
+    wnames = {_FIELD_POOL[i][0] for i in writer_idx}
+    expect = [
+        {
+            _FIELD_POOL[i][0]: (
+                r[_FIELD_POOL[i][0]] if _FIELD_POOL[i][0] in wnames else _FIELD_POOL[i][2]
+            )
+            for i in reader_idx
+        }
+        for r in rows
+    ]
+    assert back == expect
+
+
+def test_pyavro_writer_abort_removes_staged(spark, sf_dir):
+    """The 2PC writer's abort path deletes staged .tmp files so a failed
+    job leaves no partial output behind."""
+    import glob
+
+    from realtime_change_data_capture_streaming_spark.sources.avro_ocf import _AvroCommit, _AvroWriter
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    with tempfile.TemporaryDirectory() as d:
+        w = _AvroWriter({"path": d}, src.schema, overwrite=True)
+        staged = os.path.join(d, ".part-00000.avro.deadbeef.tmp")
+        open(staged, "wb").write(b"partial")
+        w.abort([_AvroCommit(staged=staged, final="part-00000.avro"), None])
+        assert glob.glob(os.path.join(d, "*.tmp")) == []
+        assert not os.path.exists(os.path.join(d, "_SUCCESS"))
