@@ -97,6 +97,12 @@ BENCH_QUERIES = (
 )
 
 
+#: queries whose plan is a driver-side iteration over many short Spark
+#: jobs — cold-start (JIT of the loop body, page cache) spans their first
+#: TWO runs, so they report min-of-3 like streaming queries do
+_ITERATIVE_QUERIES = frozenset({"graph_pagerank_purchases", "dedup_semantic_clusters"})
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -156,9 +162,13 @@ def main() -> None:
         # checkpoint-dir setup + micro-batch scheduling, the noisiest
         # component observed across same-code runs.  A fixed "rerun only
         # if fast" threshold is a cliff: a query drifting past it gets
-        # charged its cold run.
+        # charged its cold run.  Iterative queries (many short stages,
+        # loop-carried persists) ALSO get a third rep: their first run is
+        # dominated by page-cache + JIT warm-up of the whole loop body
+        # (graph_pagerank_purchases measured 5.8 s cold vs 2.1-2.9 s
+        # steady-state, r9 audit) and rep 2 still pays stragglers of it.
         t = float("inf")
-        reps = 3 if name.startswith("stream_") else 2
+        reps = 3 if name.startswith("stream_") or name in _ITERATIVE_QUERIES else 2
         for _ in range(reps):
             spark.catalog.clearCache()
             t0 = time.perf_counter()

@@ -1787,13 +1787,22 @@ def events_ks_test_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum1 = (maps["s1"][F.col("_rng")] + F.sum("n1v").over(lw)).cast("bigint")
     cumn = (maps["st"][F.col("_rng")] + F.sum("t").over(lw)).cast("bigint")
     d_num = F.abs(cum1 * F.lit(n2) - (cumn - cum1) * F.lit(n1))
-    agg = with_rng.select(d_num.alias("d_num")).agg(F.max("d_num").alias("d_num"))
-    ks_d = F.col("d_num").cast("double") / F.lit(float(n1) * float(n2))
+    # the final max is ONE row of model-scale state: collect it (the
+    # bounded-collect discipline — same class as the <=65-row range
+    # offsets above) so pv's cache is released HERE instead of leaking
+    # into the caller's session; bench used to clearCache() around this
+    # query to compensate (ADVICE r9).  A localCheckpoint would stay
+    # registered in block storage itself, just moving the leak.
+    d_val = int(
+        with_rng.select(d_num.alias("d_num")).agg(F.max("d_num")).collect()[0][0]
+    )
+    pv.unpersist()
+    ks_d = F.lit(d_val).cast("double") / F.lit(float(n1) * float(n2))
     ks_stat = F.sqrt(F.lit(float(n1) * float(n2) / float(n))) * ks_d
-    return agg.select(
+    return spark.range(1).select(
         F.lit(n1).cast("bigint").alias("n1"),
         F.lit(n2).cast("bigint").alias("n2"),
-        F.col("d_num").cast("bigint").alias("d_num"),
+        F.lit(d_val).cast("bigint").alias("d_num"),
         F.round(ks_d, 6).alias("ks_d"),
         F.round(ks_stat, 6).alias("ks_stat"),
         (ks_stat > F.lit(1.358102)).alias("significant_5pct"),

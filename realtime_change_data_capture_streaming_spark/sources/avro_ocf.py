@@ -188,7 +188,12 @@ def _matches(branch, v) -> bool:
             return isinstance(v, datetime.date) and not isinstance(v, datetime.datetime)
         if lt in ("timestamp-micros", "local-timestamp-micros"):
             return isinstance(v, (datetime.datetime, int)) and not isinstance(v, bool)
-        return isinstance(v, int) and not isinstance(v, bool)
+        if not (isinstance(v, int) and not isinstance(v, bool)):
+            return False
+        # a plain "int" branch only holds 32-bit values — in a
+        # ["int","long"] union an oversized value must fall through to
+        # the long branch or strict readers see a spec-invalid stream
+        return t == "long" or -(1 << 31) <= v < 1 << 31
     if t in ("float", "double"):
         return isinstance(v, (float, int)) and not isinstance(v, bool)
     if t == "string":
@@ -452,6 +457,50 @@ _PROMOTIONS = {
 }
 
 
+def _typed_default(rtype, raw):
+    """Convert a reader field's raw JSON ``default`` through the field's
+    TYPE, so a default-filled column carries the same Python types the
+    decoded path produces (ADVICE r9): per the Avro spec bytes/fixed
+    defaults are ISO-8859-1 strings and logical-type defaults are raw
+    ints/strings, but a reader of a date/decimal/bytes column must see
+    date/Decimal/bytes either way or the Arrow boundary type-errors."""
+    if isinstance(rtype, list):  # spec: a union default matches the FIRST branch
+        return _typed_default(rtype[0], raw)
+    t = _type_name(rtype)
+    if raw is None or t == "null":
+        return None
+    import datetime
+
+    if t in ("int", "long"):
+        lt = isinstance(rtype, dict) and rtype.get("logicalType")
+        if lt == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(days=raw)
+        if lt == "timestamp-micros":
+            return datetime.datetime(
+                1970, 1, 1, tzinfo=datetime.timezone.utc
+            ) + datetime.timedelta(microseconds=raw)
+        if lt == "local-timestamp-micros":
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(microseconds=raw)
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t == "bytes":
+        b = raw.encode("latin-1") if isinstance(raw, str) else bytes(raw)
+        if isinstance(rtype, dict) and rtype.get("logicalType") == "decimal":
+            return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(-rtype["scale"])
+        return b
+    if t == "record":
+        return {
+            f["name"]: _typed_default(f["type"], raw.get(f["name"], f.get("default")))
+            for f in rtype["fields"]
+        }
+    if t == "array":
+        return [_typed_default(rtype["items"], x) for x in raw]
+    if t == "map":
+        return {k: _typed_default(rtype["values"], x) for k, x in raw.items()}
+    return raw  # boolean / string pass through unchanged
+
+
 def decode_resolved(writer, reader, buf: bytes, pos: int):
     """Decode bytes written with ``writer`` as the ``reader`` schema —
     the Avro spec's Schema Resolution rules for this codec's subset:
@@ -495,7 +544,7 @@ def decode_resolved(writer, reader, buf: bytes, pos: int):
                     raise ValueError(
                         f"avro: reader field {rf['name']!r} missing from writer and has no default"
                     )
-                out[rf["name"]] = rf["default"]
+                out[rf["name"]] = _typed_default(rf["type"], rf["default"])
         return out, pos
     if wt == "array" and rt == "array":
         # resolution recurses into items — nested defaults/promotions
@@ -803,6 +852,13 @@ class AvroOCFDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("pyavro requires a path")
+        # with a readerSchema option, rows decode RESOLVED to the reader
+        # schema — infer the DDL from it, not from the first file's
+        # writer schema (which would silently drop reader-added default
+        # fields and null out writer-only fields — ADVICE r9)
+        rs = self.options.get("readerschema") or self.options.get("readerSchema")
+        if rs:
+            return avro_to_spark_ddl(json.loads(rs))
         for e in sorted(os.listdir(path)):
             if e.endswith(".avro"):
                 schema, _ = read_ocf(os.path.join(path, e))

@@ -522,3 +522,91 @@ def test_pyavro_writer_abort_removes_staged(spark, sf_dir):
         w.abort([_AvroCommit(staged=staged, final="part-00000.avro"), None])
         assert glob.glob(os.path.join(d, "*.tmp")) == []
         assert not os.path.exists(os.path.join(d, "_SUCCESS"))
+
+
+def test_typed_defaults_match_decoded_types():
+    """Reader defaults convert through the field TYPE (ADVICE r10):
+    bytes defaults are ISO-8859-1 strings per the spec but must decode
+    to bytes; date/timestamp/decimal defaults are raw ints/strings but
+    must come back as date/datetime/Decimal — same Python types as the
+    decoded path, or the Arrow boundary type-errors on mixed files."""
+    v1 = {"type": "record", "name": "r", "fields": [{"name": "k", "type": "long"}]}
+    v2 = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "raw", "type": "bytes", "default": "\u00ff\u0001"},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}, "default": 19723},
+            {
+                "name": "at",
+                "type": {"type": "long", "logicalType": "timestamp-micros"},
+                "default": 1_700_000_000_000_000,
+            },
+            {
+                "name": "amt",
+                "type": {"type": "bytes", "logicalType": "decimal", "precision": 9, "scale": 2},
+                # two's-complement big-endian unscaled 0x04D2 = 1234 -> 12.34
+                "default": "\u0004\u00d2",
+            },
+            {"name": "u", "type": ["null", "long"], "default": None},
+            {"name": "xs", "type": {"type": "array", "items": "double"}, "default": [1, 2]},
+        ],
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "v1.avro")
+        write_ocf(p, v1, [{"k": 1}])
+        _, back = read_ocf(p, reader_schema=v2)
+        (r,) = back
+    assert r["raw"] == b"\xff\x01"
+    assert r["day"] == datetime.date(1970, 1, 1) + datetime.timedelta(days=19723)
+    assert r["at"] == datetime.datetime(
+        1970, 1, 1, tzinfo=datetime.timezone.utc
+    ) + datetime.timedelta(microseconds=1_700_000_000_000_000)
+    assert r["amt"] == Decimal("12.34")
+    assert r["u"] is None
+    assert r["xs"] == [1.0, 2.0] and all(isinstance(x, float) for x in r["xs"])
+
+
+def test_int_union_branch_range_checked():
+    """In a ["int","long"] union a value outside 32 bits must encode
+    under the LONG branch (ADVICE r10): the int branch is range-checked
+    so strict third-party readers never see a spec-invalid stream."""
+    from realtime_change_data_capture_streaming_spark.sources.avro_ocf import decode_value, encode_value
+
+    u = ["int", "long"]
+    small = encode_value(u, 7)
+    big = encode_value(u, 1 << 40)
+    assert small[0] == 0  # zigzag(0): int branch
+    assert big[0] == 2  # zigzag(1): long branch
+    assert decode_value(u, small, 0)[0] == 7
+    assert decode_value(u, big, 0)[0] == 1 << 40
+    assert encode_value(u, -(1 << 31))[0] == 0  # boundary: still int
+    assert encode_value(u, 1 << 31)[0] == 2  # one past: long
+
+
+def test_pyavro_inferred_schema_honors_reader_schema(spark):
+    """With a readerSchema option and NO explicit .schema(), inference
+    derives the DDL from the READER schema (ADVICE r10): reader-added
+    default fields appear, writer-only fields are gone."""
+    import json as _json
+
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+
+    avro_ocf.register(spark)
+    v1 = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "int"},
+        {"name": "legacy_only", "type": "string"}]}
+    v2 = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "tag", "type": "string", "default": "legacy"}]}
+    with tempfile.TemporaryDirectory() as d:
+        write_ocf(os.path.join(d, "part-0.avro"), v1, [{"k": 5, "legacy_only": "x"}])
+        got = (
+            spark.read.format("pyavro")
+            .option("readerSchema", _json.dumps(v2))
+            .load(d)
+        )
+        assert [f.name for f in got.schema.fields] == ["k", "tag"]
+        assert got.schema["k"].dataType.simpleString() == "bigint"
+        assert [(r["k"], r["tag"]) for r in got.collect()] == [(5, "legacy")]
