@@ -34,32 +34,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries registered this round BEYOND the window budget (window = 50
-# slots; r9 budget = 3 new so the full 47-query r4-stale cohort rotates
-# through, per VERDICT r8 task 1).  Deferred queries sort AFTER every
-# already-verified query, so they take their first driver check next
-# round; until then the local tests/test_oracle_parity.py mirror pins
-# them against DuckDB on every pytest run.  The deferral is round-
-# stamped: it only applies while the newest CORRECTNESS artifact is
-# older than _DEFER_UNTIL_AFTER_ROUND, so once the round-9 results land
-# these four automatically rejoin the never-checked tier (tier 1) and
-# take their first driver check in r10 — no manual clearing needed.
-# r10 note: these 8 + the 48-query r5-stale cohort = 56 > 50, so 6 r5
-# queries slip one extra round; r9 therefore closes the round's
-# registrations at 11 (7 early + 4 late) — freeze until the window
-# catches up.
+# slots).  Deferred queries sort AFTER every already-verified query, so
+# they take their first driver check next round; until then the local
+# tests/test_oracle_parity.py mirror pins them against DuckDB on every
+# pytest run.  The deferral is round-stamped: it only applies while the
+# newest CORRECTNESS artifact is older than _DEFER_UNTIL_AFTER_ROUND,
+# so once this round's results land the deferred entries automatically
+# rejoin the never-checked tier — no manual clearing needed.
+# r10 window math (VERDICT r9 task 1): the 8 r9-late queries rejoined
+# tier 1 when CORRECTNESS_r09 landed and take their first driver check
+# THIS round; registrations are frozen at the verdict's 0-2 budget —
+# exactly quality_logit_train + text_unigram_train, deferred to r11 so
+# the full 50-slot window drains the r5-stale cohort: 8 + 42 leaves
+# <= 6 queries r5-stale after r10.
 _DEFER_FIRST_CHECK = frozenset(
     {
-        "cdc_multitable_fk_apply",
-        "stream_multitable_fk_apply",
-        "text_unigram_segment",
-        "multimodal_flac_features",
-        "events_ks_test_value",
-        "multimodal_avi_scene_cuts",
-        "cdc_outbox_publish",
-        "stream_outbox_publish",
+        "quality_logit_train",
+        "text_unigram_train",
     }
 )
-_DEFER_UNTIL_AFTER_ROUND = 9
+_DEFER_UNTIL_AFTER_ROUND = 10
 
 
 def _verification_order(names, with_oracle=frozenset()):

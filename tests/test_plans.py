@@ -476,10 +476,12 @@ def test_round8_ops_plan_shapes(spark, sf_dir):
     assert broadcast_join_count(enc) >= 1, "BPE vocab join must broadcast"
     assert_no_cartesian(enc)
 
+    # r10: inference consumes the TRAINED broadcast weight map, so the
+    # plan gains doc-scale equi-joins (totals + labels) — but it stays
+    # pure codegen (no Python eval) and carries no cartesian
     logit = quality_logit_scores(spark, sf_dir)
     c = plan_counts(logit)
     assert c["python_evals"] == 0, "logit inference must stay JVM-side"
-    assert c["broadcast_joins"] + c["sort_merge_joins"] + c["shuffled_hash_joins"] == 0
     assert_no_cartesian(logit)
 
     mwu = events_mannwhitney_value(spark, sf_dir)
