@@ -1271,11 +1271,14 @@ def _unigram_vocab(
     return sorted(scored)
 
 
-def _unigram_segment_words(words: DataFrame, vocab: list[tuple[str, int]]) -> DataFrame:
-    """The Viterbi fold over a ``word_id`` column: per word the best
-    (fixed-point score, piece count) under ``vocab``.  Shared by the
-    query and its reference test so the expression cannot drift."""
-    pairs = ", ".join(f"'{p}', {s}L" for p, s in vocab)
+def _unigram_dp_sql() -> str:
+    """THE Viterbi fold as a Spark SQL expression — dp[i] = max over
+    piece lengths l<=3 of dp[i-l] + score(word[i-l+1..i]), a JVM-side
+    ``aggregate`` over character positions reading scores from a
+    ``_vocab`` map column.  Serving (``text_unigram_segment``) takes the
+    last dp entry; training (``text_unigram_train``) backtracks over the
+    whole array — ONE expression builder for both, so the E-step and
+    the scorer cannot drift (the ``_bpe_train`` discipline)."""
 
     def cand(lag: int) -> str:
         piece = f"substring(word_id, CAST(i AS INT) - {lag - 1}, {lag})"
@@ -1289,19 +1292,56 @@ def _unigram_segment_words(words: DataFrame, vocab: list[tuple[str, int]]) -> Da
         )
 
     best = f"greatest({cand(1)}, {cand(2)}, {cand(3)})"
-    dp = (
+    return (
         "aggregate(sequence(1, length(word_id)), "
         "array(named_struct('s', 0L, 'l', 0, 'n', 0L)), "
         f"(acc, i) -> array_append(acc, {best}))"
     )
+
+
+#: backtrack over the dp array (``_dparr`` column): walk pos -> pos - l
+#: emitting each chosen piece; every step shrinks pos by >= 1, so
+#: length(word) fold steps always reach position 0
+_UNI_BT_SQL = (
+    "aggregate(sequence(1, length(word_id)), "
+    "named_struct('p', length(word_id), 'ps', array_repeat('', 0)), "
+    "(acc, i) -> IF(acc.p > 0, named_struct("
+    "'p', acc.p - element_at(_dparr, acc.p + 1).l, "
+    "'ps', array_append(acc.ps, substring(word_id, "
+    "acc.p - element_at(_dparr, acc.p + 1).l + 1, "
+    "element_at(_dparr, acc.p + 1).l))), acc)).ps"
+)
+
+
+def _vocab_map_expr(vocab: list[tuple[str, int]]) -> F.Column:
+    pairs = ", ".join(f"'{p}', {s}L" for p, s in vocab)
+    return F.expr(f"map({pairs})")
+
+
+def _unigram_segment_words(words: DataFrame, vocab: list[tuple[str, int]]) -> DataFrame:
+    """Per word the best (fixed-point score, piece count) under
+    ``vocab``.  Shared by the query and its reference test so the
+    expression cannot drift."""
     return (
-        words.withColumn("_vocab", F.expr(f"map({pairs})"))
-        .withColumn("_dp", F.expr(f"element_at({dp}, -1)"))
+        words.withColumn("_vocab", _vocab_map_expr(vocab))
+        .withColumn("_dp", F.expr(f"element_at({_unigram_dp_sql()}, -1)"))
         .select(
             "word_id",
             F.col("_dp.s").alias("w_score"),
             F.col("_dp.n").alias("w_pieces"),
         )
+    )
+
+
+def _unigram_segment_pieces(words: DataFrame, vocab: list[tuple[str, int]]) -> DataFrame:
+    """Per word the Viterbi PIECE LIST under ``vocab`` (the E-step's
+    sufficient statistics) — the same dp fold as serving plus the
+    backtrack fold, all JVM-side codegen."""
+    return (
+        words.withColumn("_vocab", _vocab_map_expr(vocab))
+        .withColumn("_dparr", F.expr(_unigram_dp_sql()))
+        .withColumn("pieces", F.expr(_UNI_BT_SQL))
+        .select("word_id", "cnt", "pieces")
     )
 
 
@@ -1347,6 +1387,66 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n_pieces") * F.lit(1000000) / F.col("n_words"))
         .cast("bigint")
         .alias("pieces_per_word_fp"),
+    )
+
+
+_UNI_EM_ROUNDS = 2  # fixed EM rounds; each is one distributed E-pass + one bounded M-agg
+
+
+def _unigram_em_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, int]]:
+    """SentencePiece-style unigram-LM TRAINING: Viterbi (hard) EM over
+    the fixed corpus vocabulary (Kudo 2018's E-step taken at its mode —
+    the standard scalable variant, since the mode's sufficient
+    statistics are exactly the serving fold's backtracked pieces).
+
+    Per round: E-step = Viterbi-segment every distinct word under the
+    current scores (the SHARED dp fold + backtrack — all JVM codegen,
+    weighted by corpus word count); M-step = one hash agg of piece usage
+    collected driver-side (bounded: |alphabet| + 64 rows of model
+    state), then score(p) = floor(1e6 * ln((c_p + 1) / sum(c + 1))) —
+    Laplace-smoothed so zero-usage pieces stay finite and the full
+    vocabulary survives (fixed-vocab re-estimation; pruning is the
+    documented non-goal).  math.log here and DuckDB's ln() are the same
+    libm call — the idf_fp literal-injection discipline.
+
+    Returns [(piece, expected_count, score_fp)] after the final round,
+    sorted by piece."""
+    import math
+
+    words = _bpe_words(spark, sf_dir).coalesce(4).localCheckpoint(eager=True)
+    vocab0 = _unigram_vocab(spark, sf_dir, words)
+    pieces_all = sorted(p for p, _ in vocab0)
+    scores: list[tuple[str, int]] = vocab0
+    exp_cnt: dict[str, int] = {}
+    for _ in range(_UNI_EM_ROUNDS):
+        seg = _unigram_segment_pieces(words.select("word_id", "cnt"), scores)
+        crows = (
+            seg.select("cnt", F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .collect()  # bounded: at most vocab-sized (chars + 64)
+        )
+        cmap = {r["piece"]: int(r["c"]) for r in crows}
+        exp_cnt = {p: cmap.get(p, 0) for p in pieces_all}
+        total = sum(exp_cnt.values()) + len(pieces_all)
+        scores = [
+            (p, math.floor(1e6 * math.log((exp_cnt[p] + 1) / total))) for p in pieces_all
+        ]
+    return [(p, exp_cnt[p], s) for p, s in scores]
+
+
+def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's TRAINING half (VERDICT r9 task 3):
+    publish the EM-re-estimated piece table — expected usage count under
+    the final Viterbi segmentation and the smoothed fixed-point score.
+    Serving (``text_unigram_segment``) and this trainer share the dp
+    fold via ``_unigram_dp_sql`` so E-step and scorer cannot drift; the
+    oracle replays both EM rounds as materialized CTEs (dp + backtrack
+    folds in ``list_reduce``, the ``text_bpe_merges`` unroll shape)."""
+    rows = _unigram_em_train(spark, sf_dir)
+    return spark.createDataFrame(
+        [(p, int(c), int(s)) for p, c, s in rows],
+        "piece string, exp_cnt bigint, score_fp bigint",
     )
 
 
@@ -1423,6 +1523,108 @@ GROUP BY 1
 """
 
 
+def _uni_train_dp_sql() -> str:
+    """The DuckDB dp fold (same as UNIGRAM_SQL's seg CTE body)."""
+    return f"""list_reduce(
+             list_concat(
+               [[{{'pos': CAST(0 AS BIGINT), 's': CAST(0 AS BIGINT), 'l': 0, 'n': CAST(0 AS BIGINT)}}]],
+               list_transform(range(1, length(word) + 1),
+                 i -> [{{'pos': i, 's': CAST(0 AS BIGINT), 'l': 0, 'n': CAST(0 AS BIGINT)}}])
+             ),
+             (acc, x) -> list_append(acc, list_aggregate([
+               {_unigram_cand_sql(1)},
+               {_unigram_cand_sql(2)},
+               {_unigram_cand_sql(3)}
+             ], 'max'))
+           )"""
+
+
+# DuckDB 1.0's list_reduce silently mangles a STRUCT accumulator that
+# carries a LIST field (each step loses the previous appends — verified
+# standalone), while a plain LIST accumulator folds correctly (the dp
+# fold above relies on it).  So the backtrack accumulator is a VARCHAR
+# list whose FIRST element is the current position; pieces follow and
+# the [2:] slice drops the header.
+_UNI_TRAIN_BT_SQL = """list_reduce(
+             list_concat([[CAST(length(word) AS VARCHAR)]],
+                         list_transform(range(1, length(word) + 1), i -> [''])),
+             (acc, x) -> CASE WHEN CAST(acc[1] AS INT) > 0 THEN
+                 list_concat(
+                   [CAST(CAST(acc[1] AS INT) - dp[CAST(acc[1] AS INT) + 1].l AS VARCHAR)],
+                   list_append(acc[2:], substr(word, CAST(acc[1] AS INT) - dp[CAST(acc[1] AS INT) + 1].l + 1, dp[CAST(acc[1] AS INT) + 1].l))
+                 )
+               ELSE acc END
+           )[2:]"""
+
+
+def _uni_train_round_sql(r: int) -> str:
+    """One EM round: seg{r} (dp + backtrack under vmap{r-1}) -> usage
+    counts -> Laplace-smoothed re-scored vocab -> vmap{r}.  seg/cnt are
+    MATERIALIZED (multi-referenced; plain CTEs inline per reference)."""
+    return f""", seg{r} AS MATERIALIZED (
+  SELECT word, cnt, {_UNI_TRAIN_BT_SQL} AS ps
+  FROM (
+    SELECT word, cnt, {_uni_train_dp_sql()} AS dp
+    FROM wd CROSS JOIN vmap{r - 1}
+  )
+), cnt{r} AS MATERIALIZED (
+  SELECT u.piece AS piece, CAST(SUM(s.cnt) AS BIGINT) AS c
+  FROM seg{r} s, UNNEST(s.ps) AS u(piece)
+  GROUP BY 1
+), tot{r} AS (
+  SELECT CAST(SUM(COALESCE(c.c, 0) + 1) AS BIGINT) AS tot
+  FROM vocab v LEFT JOIN cnt{r} c USING (piece)
+), scored{r} AS MATERIALIZED (
+  SELECT v.piece, CAST(COALESCE(c.c, 0) AS BIGINT) AS exp_cnt,
+         CAST(floor(1e6 * ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE) / t.tot)) AS BIGINT) AS s
+  FROM vocab v LEFT JOIN cnt{r} c USING (piece) CROSS JOIN tot{r} t
+), vmap{r} AS (
+  SELECT MAP(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m FROM scored{r}
+)"""
+
+
+def _unigram_train_sql() -> str:
+    """Full EM replay: the UNIGRAM_SQL vocabulary prefix (initial
+    counts + scores as vmap0), then _UNI_EM_ROUNDS unrolled rounds."""
+    prefix = f"""
+WITH tk AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
+  FROM documents
+), wd AS MATERIALIZED (
+  SELECT u.word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(ts) AS word FROM tk) u GROUP BY 1
+), chars AS (
+  SELECT substr(word, CAST(t.i AS INT), 1) AS piece, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM wd, UNNEST(range(1, length(word) + 1)) AS t(i)
+  GROUP BY 1
+), multi AS (
+  SELECT piece, pc FROM (
+    SELECT substr(word, CAST(t.i AS INT), l.l) AS piece, CAST(SUM(cnt) AS BIGINT) AS pc
+    FROM wd, (VALUES (2), (3)) AS l(l),
+         UNNEST(range(1, length(word) - l.l + 2)) AS t(i)
+    WHERE length(word) >= l.l
+    GROUP BY 1
+  ) ORDER BY pc DESC, piece ASC LIMIT {_UNI_TOPK}
+), vocab AS MATERIALIZED (
+  SELECT piece, pc FROM chars UNION ALL SELECT piece, pc FROM multi
+), scored0 AS (
+  SELECT piece,
+         CAST(floor(1e6 * ln(CAST(pc AS DOUBLE) / (SELECT SUM(pc) FROM vocab))) AS BIGINT) AS s
+  FROM vocab
+), vmap0 AS (
+  SELECT MAP(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m FROM scored0
+)"""
+    rounds = "".join(_uni_train_round_sql(r) for r in range(1, _UNI_EM_ROUNDS + 1))
+    return (
+        prefix
+        + rounds
+        + f"\nSELECT piece, exp_cnt, s AS score_fp FROM scored{_UNI_EM_ROUNDS}\n"
+    )
+
+
+UNIGRAM_TRAIN_SQL = _unigram_train_sql()
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_bigram_frequencies": bigram_frequencies,
@@ -1441,6 +1643,7 @@ QUERIES = {
     "text_bigram_lm_score": bigram_lm_score,
     "text_heavy_hitters": heavy_hitter_terms,
     "text_unigram_segment": text_unigram_segment,
+    "text_unigram_train": text_unigram_train,
 }
 
 ORACLE = {
@@ -1461,4 +1664,5 @@ ORACLE = {
     "text_bigram_lm_score": BIGRAM_LM_SQL,
     "text_heavy_hitters": HEAVY_HITTERS_SQL,
     "text_unigram_segment": UNIGRAM_SQL,
+    "text_unigram_train": UNIGRAM_TRAIN_SQL,
 }

