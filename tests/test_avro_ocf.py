@@ -585,6 +585,58 @@ def test_int_union_branch_range_checked():
     assert encode_value(u, 1 << 31)[0] == 2  # one past: long
 
 
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    cuts=st.lists(st.integers(0, 6000), max_size=6),
+    codec=st.sampled_from(["null", "deflate"]),
+)
+def test_split_tiling_reads_every_row_exactly_once(cuts, codec):
+    """Hadoop-style split semantics: ANY tiling of the file's byte range
+    into [0,c1),[c1,c2),...,[ck,size) reads every row exactly once —
+    cut points may land inside the header, inside a block, inside a
+    sync marker, anywhere."""
+    from realtime_change_data_capture_streaming_spark.sources.avro_ocf import iter_ocf_range
+
+    schema = {"type": "record", "name": "r", "fields": [{"name": "k", "type": "long"}]}
+    rows = [{"k": i} for i in range(400)]
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.avro")
+        write_ocf(p, schema, rows, codec=codec, block_rows=17)
+        size = os.path.getsize(p)
+        bounds = sorted({0, size, *(c % (size + 1) for c in cuts)})
+        got = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            got.extend(r["k"] for r in iter_ocf_range(p, lo, hi))
+        assert sorted(got) == list(range(400)), (bounds, len(got))
+
+
+def test_pyavro_split_reads_match_unsplit(spark):
+    """A large OCF file planned with a small splitSize reads as MANY
+    partitions with exactly the same rows as the unsplit read."""
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+
+    avro_ocf.register(spark)
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"}, {"name": "s", "type": "string"}]}
+    rows = [{"k": i, "s": f"row-{i:05d}-" + "x" * 40} for i in range(5000)]
+    ddl = "k bigint, s string"
+    with tempfile.TemporaryDirectory() as d:
+        avro_ocf.write_ocf(os.path.join(d, "part-0.avro"), schema, rows, block_rows=128)
+        whole = spark.read.format("pyavro").schema(ddl).load(d)
+        split = (
+            spark.read.format("pyavro")
+            .schema(ddl)
+            .option("splitSize", "16384")
+            .load(d)
+        )
+        n_parts = split.rdd.getNumPartitions()
+        assert n_parts >= 8, f"expected many byte-range splits, got {n_parts}"
+        assert whole.rdd.getNumPartitions() == 1
+        a = sorted((r["k"], r["s"]) for r in whole.collect())
+        b = sorted((r["k"], r["s"]) for r in split.collect())
+        assert a == b and len(a) == 5000
+
+
 def test_pyavro_inferred_schema_honors_reader_schema(spark):
     """With a readerSchema option and NO explicit .schema(), inference
     derives the DDL from the READER schema (ADVICE r10): reader-added
