@@ -33,6 +33,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 
 from realtime_change_data_capture_streaming_spark.sources.avro_ocf import (
+    decode_resolved,
     decode_value,
     encode_value,
 )
@@ -50,12 +51,17 @@ _STR_FIELDS = (
 
 
 def _image_schema(name: str) -> dict:
+    # every nullable field declares "default": null (matching the FIRST
+    # union branch, per spec), so this schema can serve as the READER in
+    # schema resolution: a v1 frame missing a later-added column decodes
+    # with that column null — the ALTER TABLE evolution story
     fields = [
-        {"name": "transaction_id", "type": ["null", "string"]},
-        {"name": "user_id", "type": ["null", "string"]},
+        {"name": "transaction_id", "type": ["null", "string"], "default": None},
+        {"name": "user_id", "type": ["null", "string"], "default": None},
         {
             "name": "timestamp",
             "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}],
+            "default": None,
         },
         {
             "name": "amount",
@@ -63,8 +69,9 @@ def _image_schema(name: str) -> dict:
                 "null",
                 {"type": "bytes", "logicalType": "decimal", "precision": 18, "scale": 2},
             ],
+            "default": None,
         },
-    ] + [{"name": n, "type": ["null", "string"]} for n in _STR_FIELDS]
+    ] + [{"name": n, "type": ["null", "string"], "default": None} for n in _STR_FIELDS]
     return {"type": "record", "name": name, "fields": fields}
 
 
@@ -102,9 +109,17 @@ def encode_confluent(record: dict, schema: dict, schema_id: int) -> bytes:
     return bytes([_MAGIC]) + schema_id.to_bytes(4, "big") + encode_value(schema, record)
 
 
-def decode_confluent(buf: bytes, registry: dict) -> tuple[int, dict]:
-    """Unframe + decode; ``registry`` maps schema id -> Avro schema.
-    Raises ValueError on bad magic, unknown id, or a torn payload."""
+def decode_confluent(
+    buf: bytes, registry: dict, reader_schema: dict | None = None
+) -> tuple[int, dict]:
+    """Unframe + decode; ``registry`` maps schema id -> WRITER schema.
+    With ``reader_schema``, each frame decodes through the Avro spec's
+    Schema Resolution rules (``avro_ocf.decode_resolved``) — the
+    schema-registry EVOLUTION path: a topic that mixes v1 and v2 ids
+    after an ALTER resolves to ONE canonical record shape, reader-added
+    fields taking their declared defaults and writer-only fields being
+    discarded.  Raises ValueError on bad magic, unknown id, or a torn
+    payload."""
     if not buf or buf[0] != _MAGIC:
         raise ValueError(f"confluent: bad magic byte {buf[:1]!r}")
     if len(buf) < 5:
@@ -113,7 +128,10 @@ def decode_confluent(buf: bytes, registry: dict) -> tuple[int, dict]:
     if sid not in registry:
         raise ValueError(f"confluent: unregistered schema id {sid}")
     schema = registry[sid]
-    rec, pos = decode_value(schema, buf, 5)
+    if reader_schema is not None:
+        rec, pos = decode_resolved(schema, reader_schema, buf, 5)
+    else:
+        rec, pos = decode_value(schema, buf, 5)
     if pos != len(buf):
         raise ValueError("confluent: trailing bytes after record")
     return sid, rec
@@ -138,13 +156,20 @@ def _image_to_json(img: dict | None):
 
 
 def avro_envelopes_to_json(
-    df: DataFrame, registry: dict | None = None, value_col: str = "value"
+    df: DataFrame,
+    registry: dict | None = None,
+    value_col: str = "value",
+    reader_schema: dict | None = None,
 ) -> DataFrame:
     """(key binary, value binary) Confluent-framed Avro envelopes ->
     (key string, value string) canonical JSON envelopes, ready for
-    ``parse_envelope``.  Frames that fail to decode become non-JSON
-    marker strings (magic NUL prefix + reason + hex head) so the
-    dead-letter path sees them."""
+    ``parse_envelope``.  With ``reader_schema``, every frame's writer
+    schema (looked up by id) resolves to that one canonical shape —
+    mixed v1/v2 topics after an ALTER decode to a single schema
+    (pinned == the all-v2 JSON path in tests/test_avro_envelope.py).
+    Frames that fail to decode become non-JSON marker strings (magic
+    NUL prefix + reason + hex head) so the dead-letter path sees
+    them."""
     import pandas as pd
 
     registry = registry if registry is not None else {1: ENVELOPE_AVRO_SCHEMA}
@@ -162,7 +187,7 @@ def avro_envelopes_to_json(
                     values.append(None)  # Kafka tombstone: pass through
                     continue
                 try:
-                    _, rec = decode_confluent(bytes(buf), registry)
+                    _, rec = decode_confluent(bytes(buf), registry, reader_schema)
                     values.append(
                         json.dumps(
                             {

@@ -217,3 +217,109 @@ def test_adapter_never_crashes_on_arbitrary_bytes(spark, payloads):
             assert v is None
         else:
             assert v is None or v.startswith("\x00confluent-decode-error") or v.startswith("{")
+
+
+def test_mixed_schema_versions_resolve_to_canonical_reader(spark):
+    """Schema-registry EVOLUTION (VERDICT r9 task 5): a topic mixing v1
+    frames (written before two columns existed, source lacking db) and
+    v2 frames, decoded with reader_schema = the canonical v2 envelope,
+    must equal the all-canonical JSON path through
+    parse_envelope -> apply_changes_batch — v1 rows with the added
+    columns null, field order and dropped fields invisible."""
+    import copy
+
+    from realtime_change_data_capture_streaming_spark.cdc import apply_changes_batch, parse_envelope
+
+    # v1: the envelope before an ALTER added voucher_code/affiliate_id
+    # to the row images and db to source; also a legacy writer-only
+    # field the v2 reader must discard; image fields REORDERED to prove
+    # by-name matching
+    v2 = ENVELOPE_AVRO_SCHEMA
+
+    def v1_image(name):
+        img = copy.deepcopy(
+            next(f for f in v2["fields"] if f["name"] == "before")["type"][1]
+        )
+        img["name"] = name
+        img["fields"] = [
+            f for f in img["fields"] if f["name"] not in ("voucher_code", "affiliate_id")
+        ]
+        img["fields"].reverse()
+        img["fields"].append({"name": "legacy_flag", "type": "string"})
+        return img
+
+    v1 = {
+        "type": "record",
+        "name": "envelope",
+        "fields": [
+            {"name": "before", "type": ["null", v1_image("before_image")], "default": None},
+            {"name": "after", "type": ["null", v1_image("after_image")], "default": None},
+            {"name": "op", "type": "string"},
+            {"name": "ts_ms", "type": "long"},
+            {
+                "name": "source",
+                "type": {
+                    "type": "record",
+                    "name": "source",
+                    "fields": [
+                        {"name": "lsn", "type": "long"},
+                        {"name": "table", "type": "string"},
+                    ],
+                },
+            },
+        ],
+    }
+    # v2's source.db has no default, so give the reader one for the test
+    reader = copy.deepcopy(v2)
+    src = next(f for f in reader["fields"] if f["name"] == "source")
+    next(f for f in src["type"]["fields"] if f["name"] == "db")["default"] = "financialDB"
+
+    evs = _events(80)
+
+    def strip_v1(rec):
+        out = copy.deepcopy(rec)
+        for side in ("before", "after"):
+            if out[side] is not None:
+                out[side].pop("voucher_code")
+                out[side].pop("affiliate_id")
+                out[side]["legacy_flag"] = "v1"
+        out["source"] = {k: v for k, v in rec["source"].items() if k != "db"}
+        return out
+
+    registry = {1: v1, 2: v2}
+    frames = []
+    for i, (k, rec) in enumerate(evs):
+        if i % 2 == 0:
+            frames.append((k.encode(), encode_confluent(strip_v1(rec), v1, 1)))
+        else:
+            frames.append((k.encode(), encode_confluent(rec, v2, 2)))
+    mixed = spark.createDataFrame(frames, "key binary, value binary")
+
+    # canonical truth: the SAME events all encoded v2, with the v1 rows'
+    # added columns nulled (what resolution must produce)
+    def canonicalize(i, rec):
+        if i % 2 != 0:
+            return rec
+        out = copy.deepcopy(rec)
+        for side in ("before", "after"):
+            if out[side] is not None:
+                out[side]["voucher_code"] = None
+                out[side]["affiliate_id"] = None
+        return out
+
+    allv2 = spark.createDataFrame(
+        [(k.encode(), encode_confluent(canonicalize(i, r), v2, 1)) for i, (k, r) in enumerate(evs)],
+        "key binary, value binary",
+    )
+    got = apply_changes_batch(
+        parse_envelope(
+            avro_envelopes_to_json(mixed, registry, reader_schema=reader),
+            decimal_mode="string",
+        )
+    )
+    want = apply_changes_batch(
+        parse_envelope(avro_envelopes_to_json(allv2), decimal_mode="string")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
