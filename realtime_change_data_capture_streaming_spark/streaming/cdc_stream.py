@@ -428,33 +428,32 @@ QUERIES["stream_txn_consistent_apply"] = stream_txn_consistent_apply
 ORACLE["stream_txn_consistent_apply"] = CDC_TXN_APPLY_SQL
 
 
-def stream_multitable_fk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Referential integrity ACROSS micro-batches — the streaming form of
-    ``cdc.queries.cdc_multitable_fk_apply``: a child row must not reach
-    the child table until its parent key exists in the parent's final
-    state, even when the child's envelope arrives a batch BEFORE the
-    parent's (the staging here forces exactly that: batch 1 is the whole
-    child feed, batch 2 the whole parent feed).
+def _run_fk_stream(
+    spark: SparkSession,
+    frames,
+    work: str,
+    retention_lsn_horizon: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """The FK-gated apply over staged micro-batches; returns (final
+    child DataFrame, state paths).  With ``retention_lsn_horizon`` the
+    pending store is BOUNDED (VERDICT r9 task 6): each batch compacts
+    away released rows (latest-wins makes re-release redundant, so
+    dropping them cannot change the sink) and dead-letters orphans whose
+    LSN has fallen a full horizon behind the maximum LSN seen — at
+    100 TB the store holds only the in-flight horizon window instead of
+    every gapped child forever.  Replay safety: a redelivered released
+    row re-merges idempotently; a redelivered evicted row re-evicts once
+    its horizon passes again, and the dead-letter output dedups by
+    (key, lsn) at read time."""
+    import shutil
 
-    State layout per micro-batch (foreachBatch):
-      1. route the batch by the envelope's ``source.table`` and merge
-         parent events into the parent sink (unchanged latest-wins);
-      2. append child events to a PENDING parquet store, FK
-         materialized (``coalesce(after.user_id, before.user_id)``);
-      3. release = pending LEFT-SEMI parent-final-keys on the FK, merged
-         into the child sink — latest-wins makes re-release idempotent,
-         so the pending store needs no compaction for correctness (at
-         scale you prune released rows by rewriting touched FK-hash
-         buckets, the same shape as the TOAST pending store above).
+    in_dir = stage_ordered_batches(frames, f"{work}/staged")
+    dead = f"{work}/dead"
+    state = {"ver": 0, "max_lsn": None}
 
-    Oracle: the batch closed form (CDC_MULTITABLE_SQL) — the batch split
-    must be invisible in the final child state."""
-    from realtime_change_data_capture_streaming_spark.cdc.queries import multitable_change_events
+    def pend_dir() -> str:
+        return f"{work}/pending_v{state['ver']}"
 
-    work = scratch_dir(prefix="stream_fk_")
-    parent_ev, child_ev = multitable_change_events(spark, sf_dir)
-    in_dir = stage_ordered_batches([child_ev, parent_ev], f"{work}/staged")
-    pending = f"{work}/pending"
     parent_sink = BucketedParquetSink(spark, f"{work}/parent", n_buckets=8)
     child_sink = BucketedParquetSink(spark, f"{work}/child", n_buckets=8)
 
@@ -467,19 +466,38 @@ def stream_multitable_fk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             parent_sink.merge(parents)
         children.withColumn(
             "fk", F.coalesce("after.user_id", "before.user_id")
-        ).write.mode("append").parquet(pending)
+        ).write.mode("append").parquet(pend_dir())
+        if retention_lsn_horizon is not None:
+            hi = batch.select(
+                F.max(F.get_json_object("value", "$.source.lsn").cast("bigint"))
+            ).collect()[0][0]
+            if hi is not None:
+                state["max_lsn"] = hi if state["max_lsn"] is None else max(state["max_lsn"], hi)
         if not parent_sink.exists():
             return  # no parent state yet: everything stays pending
+        pend = sp.read.parquet(pend_dir())
         parent_keys = parent_sink.read().select(F.col("transaction_id").alias("fk"))
         released = (
-            sp.read.parquet(pending)
-            .join(parent_keys, "fk", "left_semi")
-            .drop("fk")
-            .localCheckpoint(eager=True)
+            pend.join(parent_keys, "fk", "left_semi").drop("fk").localCheckpoint(eager=True)
         )
-        if released.isEmpty():
+        if not released.isEmpty():
+            child_sink.merge(released)
+        if retention_lsn_horizon is None:
             return
-        child_sink.merge(released)
+        # compaction + horizon eviction: released rows leave the store
+        # (the sink already folded them — AFTER the merge above, so a
+        # crash in between only re-releases, never loses); orphans past
+        # the LSN horizon go to the dead letter
+        keep = pend.join(parent_keys, "fk", "left_anti")
+        cut = (state["max_lsn"] or 0) - retention_lsn_horizon
+        evict = keep.filter(F.col("lsn") <= F.lit(cut)).localCheckpoint(eager=True)
+        keep = keep.filter(F.col("lsn") > F.lit(cut)).localCheckpoint(eager=True)
+        if not evict.isEmpty():
+            evict.write.mode("append").parquet(dead)
+        old = pend_dir()
+        state["ver"] += 1
+        keep.write.mode("overwrite").parquet(pend_dir())
+        shutil.rmtree(old, ignore_errors=True)
 
     stream = (
         spark.readStream.schema("key string, value string")
@@ -494,14 +512,45 @@ def stream_multitable_fk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
-    final = child_sink.read()
-    return final.select(
+    final = child_sink.read().select(
         F.col("transaction_id").alias("child_id"),
         F.col("user_id").alias("parent_id"),
         F.col("amount").cast("double").alias("amount"),
         F.col("currency").alias("return_flag"),
         F.col("merchant_name").alias("line_status"),
     )
+    return final, {"pending": pend_dir(), "dead": dead}
+
+
+def stream_multitable_fk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity ACROSS micro-batches — the streaming form of
+    ``cdc.queries.cdc_multitable_fk_apply``: a child row must not reach
+    the child table until its parent key exists in the parent's final
+    state, even when the child's envelope arrives a batch BEFORE the
+    parent's (the staging here forces exactly that: batch 1 is the whole
+    child feed, batch 2 the whole parent feed).
+
+    State layout per micro-batch (foreachBatch):
+      1. route the batch by the envelope's ``source.table`` and merge
+         parent events into the parent sink (unchanged latest-wins);
+      2. append child events to a PENDING parquet store, FK
+         materialized (``coalesce(after.user_id, before.user_id)``);
+      3. release = pending LEFT-SEMI parent-final-keys on the FK, merged
+         into the child sink — latest-wins makes re-release idempotent.
+    Pending-store compaction + LSN-horizon eviction are exercised by the
+    retention variant (``_run_fk_stream(..., retention_lsn_horizon=...)``,
+    pinned in tests/test_outbox.py); this registered form keeps the
+    grow-only store so its driver-checked output is a pure function of
+    the feed.
+
+    Oracle: the batch closed form (CDC_MULTITABLE_SQL) — the batch split
+    must be invisible in the final child state."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import multitable_change_events
+
+    work = scratch_dir(prefix="stream_fk_")
+    parent_ev, child_ev = multitable_change_events(spark, sf_dir)
+    final, _ = _run_fk_stream(spark, [child_ev, parent_ev], work)
+    return final
 
 
 from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_MULTITABLE_SQL  # noqa: E402
@@ -532,32 +581,117 @@ def stream_outbox_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the batch closed form (CDC_OUTBOX_SQL) — the batch split
     must be invisible in the published stream."""
-    from realtime_change_data_capture_streaming_spark.cdc.queries import (
-        outbox_change_events,
-        outbox_gate,
-        outbox_rows,
-    )
+    from realtime_change_data_capture_streaming_spark.cdc.queries import outbox_change_events
 
     work = scratch_dir(prefix="stream_outbox_")
     ev = outbox_change_events(spark, sf_dir)
     seq = F.get_json_object("value", "$.after.seq").cast("int")
-    in_dir = stage_ordered_batches(
-        [ev.filter(seq >= 2), ev.filter(seq == 1)], f"{work}/staged"
+    out, _ = _run_outbox_stream(
+        spark, [ev.filter(seq >= 2), ev.filter(seq == 1)], work
     )
-    pending = f"{work}/pending"
+    return out
+
+
+def _run_outbox_stream(
+    spark: SparkSession,
+    frames,
+    work: str,
+    retention_lsn_horizon: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """The outbox publish gate over staged micro-batches; returns (the
+    published stream, state paths).
+
+    Default (``retention_lsn_horizon=None``): the pending store grows
+    and every batch re-gates the full set (the registered query's
+    driver-checked form).  With a horizon, the store is BOUNDED
+    (VERDICT r9 task 6) via the production frontier shape: the publish
+    log's per-aggregate MAX(event_seq) IS the published frontier
+    (the log only ever receives contiguous prefixes), so the gate
+    releases pending rows continuing each frontier, compacts published
+    and released rows out of the store, and dead-letters gapped rows
+    whose LSN has fallen a full horizon behind the maximum LSN seen.
+    Replay safety is unchanged: redelivered published ids drop at the
+    frontier filter, redelivered evicted rows re-evict, and the
+    dead-letter output dedups by event id at read time.  If a gap FILLS
+    after its successors were evicted, the successors publish from the
+    dead letter, not from state — the documented eviction trade."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from realtime_change_data_capture_streaming_spark.cdc.queries import outbox_gate, outbox_rows
+
+    in_dir = stage_ordered_batches(frames, f"{work}/staged")
     publog = f"{work}/publog"
+    dead = f"{work}/dead"
+    state = {"ver": 0, "max_lsn": None}
+
+    def pend_dir() -> str:
+        return f"{work}/pending_v{state['ver']}"
 
     def gate(batch: DataFrame, _bid: int) -> None:
         sp = batch.sparkSession
-        outbox_rows(batch).write.mode("append").parquet(pending)
-        pub = outbox_gate(sp.read.parquet(pending)).drop("rn")
-        if os.path.exists(publog):
-            seen = sp.read.parquet(publog).select("event_id")
-            pub = pub.join(seen, "event_id", "left_anti")
-        pub = pub.localCheckpoint(eager=True)
-        if pub.isEmpty():
+        rows = outbox_rows(batch)
+        rows.write.mode("append").parquet(pend_dir())
+        if retention_lsn_horizon is None:
+            pub = outbox_gate(sp.read.parquet(pend_dir())).drop("rn")
+            if os.path.exists(publog):
+                seen = sp.read.parquet(publog).select("event_id")
+                pub = pub.join(seen, "event_id", "left_anti")
+            pub = pub.localCheckpoint(eager=True)
+            if pub.isEmpty():
+                return
+            pub.write.mode("append").parquet(publog)
             return
-        pub.write.mode("append").parquet(publog)
+        hi = rows.agg(F.max("lsn")).collect()[0][0]
+        if hi is not None:
+            state["max_lsn"] = hi if state["max_lsn"] is None else max(state["max_lsn"], hi)
+        pend = sp.read.parquet(pend_dir())
+        # dedup at-least-once redelivery to first-seen LSN (outbox_gate's rule)
+        cols = [c for c in pend.columns if c != "event_id"]
+        cand = (
+            pend.groupBy("event_id")
+            .agg(F.min_by(F.struct(*cols), "lsn").alias("r"))
+            .select("event_id", "r.*")
+        )
+        if os.path.exists(publog):
+            fr = (
+                sp.read.parquet(publog)
+                .groupBy("aggregate_id")
+                .agg(F.max("event_seq").alias("f"))
+            )
+            cand = cand.join(fr, "aggregate_id", "left").withColumn(
+                "f", F.coalesce("f", F.lit(0))
+            )
+        else:
+            cand = cand.withColumn("f", F.lit(0))
+        cand = cand.filter(F.col("event_seq") > F.col("f")).localCheckpoint(eager=True)
+        # contiguous continuation of each frontier: seq == f + row_number
+        # (outbox_gate's prefix characterization, shifted by f)
+        w = Window.partitionBy("aggregate_id").orderBy("event_seq")
+        rel = (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("event_seq") == F.col("f") + F.col("rn"))
+            .drop("rn")
+        )
+        pub = rel.drop("f")
+        if os.path.exists(publog):
+            pub = pub.join(
+                sp.read.parquet(publog).select("event_id"), "event_id", "left_anti"
+            )
+        pub = pub.localCheckpoint(eager=True)
+        if not pub.isEmpty():
+            pub.write.mode("append").parquet(publog)
+        remaining = cand.join(rel.select("event_id"), "event_id", "left_anti").drop("f")
+        cut = (state["max_lsn"] or 0) - retention_lsn_horizon
+        evict = remaining.filter(F.col("lsn") <= F.lit(cut)).localCheckpoint(eager=True)
+        keep = remaining.filter(F.col("lsn") > F.lit(cut)).localCheckpoint(eager=True)
+        if not evict.isEmpty():
+            evict.write.mode("append").parquet(dead)
+        old = pend_dir()
+        state["ver"] += 1
+        keep.write.mode("overwrite").parquet(pend_dir())
+        shutil.rmtree(old, ignore_errors=True)
 
     stream = (
         spark.readStream.schema("key string, value string")
@@ -572,13 +706,14 @@ def stream_outbox_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
-    return spark.read.parquet(publog).select(
+    out = spark.read.parquet(publog).select(
         "dest",
         F.col("aggregate_id").cast("bigint").alias("aggregate_id"),
         F.col("event_seq").cast("int").alias("event_seq"),
         "event_type",
         F.substring(F.md5("payload"), 1, 16).alias("payload_fp"),
     )
+    return out, {"publog": publog, "pending": pend_dir(), "dead": dead}
 
 
 from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_OUTBOX_SQL  # noqa: E402

@@ -148,3 +148,92 @@ def test_gate_property_matches_reference(spark, events):
             expect[(a, k + 1)] = first[(a, k + 1)]
             k += 1
     assert got == expect
+
+
+def _bump_lsn(df, lsn):
+    """Redeliver a copy of the given envelopes at a huge LSN — a
+    heartbeat that advances the watermark without changing any gate
+    decision (dedup keeps the first-seen LSN per event id)."""
+    return df.withColumn(
+        "value", F.regexp_replace("value", '"lsn":\\d+', f'"lsn":{lsn}')
+    )
+
+
+def test_outbox_retention_bounds_pending_without_changing_publish(spark):
+    """VERDICT r9 task 6 (outbox half): with an LSN-horizon retention
+    policy the pending store ends EMPTY (released + published rows
+    compacted, gapped orphans dead-lettered once the watermark passes
+    the horizon) while the published stream is exactly the no-retention
+    run's.  The dead letter holds precisely the permanently-gapped
+    successors."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import (
+        _OUTBOX_GAP,
+        outbox_change_events,
+    )
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import _run_outbox_stream
+
+    ev = outbox_change_events(spark, SF_DIR)
+    seq = F.get_json_object("value", "$.after.seq").cast("int")
+    heartbeat = _bump_lsn(ev.filter(seq == 1).limit(1), 10**9)
+    frames = [ev.filter(seq >= 2), ev.filter(seq == 1), heartbeat]
+
+    base, _ = _run_outbox_stream(spark, frames, scratch_dir(prefix="ret_out_base_"))
+    ret, paths = _run_outbox_stream(
+        spark, frames, scratch_dir(prefix="ret_out_"), retention_lsn_horizon=10_000_000
+    )
+    assert base.exceptAll(ret).count() == 0 and ret.exceptAll(base).count() == 0
+    assert ret.count() > 0
+    # bounded state: nothing left pending after the watermark advanced
+    pend = spark.read.parquet(paths["pending"])
+    assert pend.count() == 0, pend.collect()[:5]
+    dead = spark.read.parquet(paths["dead"]).dropDuplicates(["event_id"])
+    rows = dead.collect()
+    assert rows, "expected permanently-gapped successors in the dead letter"
+    for r in rows:
+        assert int(r["aggregate_id"]) % _OUTBOX_GAP == 0, r
+        assert r["event_seq"] == 3, r  # seq 2 lost -> only seq 3 was held
+    # every gapped aggregate WITH a seq-3 event is accounted for
+    n_expected = (
+        ev.select(F.get_json_object("value", "$.after.aggregateid").cast("bigint").alias("a"),
+                  F.get_json_object("value", "$.after.seq").cast("int").alias("s"))
+        .filter((F.col("a") % _OUTBOX_GAP == 0) & (F.col("s") == 3))
+        .select("a").distinct().count()
+    )
+    assert len(rows) == n_expected
+
+
+def test_fk_retention_bounds_pending_without_changing_final_state(spark):
+    """VERDICT r9 task 6 (FK half): with retention the child pending
+    store ends empty — released children compacted away (latest-wins
+    makes re-release redundant), orphan children of never-arriving
+    parents dead-lettered past the horizon — and the final child table
+    equals the no-retention run's."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import (
+        _FK_PARENT_MISS,
+        multitable_change_events,
+    )
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import _run_fk_stream
+
+    parent_ev, child_ev = multitable_change_events(spark, SF_DIR)
+    heartbeat = _bump_lsn(parent_ev.limit(1), 10**9)
+    frames = [child_ev, parent_ev, heartbeat]
+
+    base, _ = _run_fk_stream(spark, frames, scratch_dir(prefix="ret_fk_base_"))
+    ret, paths = _run_fk_stream(
+        spark, frames, scratch_dir(prefix="ret_fk_"), retention_lsn_horizon=10_000_000
+    )
+    assert base.exceptAll(ret).count() == 0 and ret.exceptAll(base).count() == 0
+    assert ret.count() > 0
+    pend = spark.read.parquet(paths["pending"])
+    assert pend.count() == 0, pend.collect()[:5]
+    dead = spark.read.parquet(paths["dead"]).dropDuplicates(["key", "lsn"])
+    rows = dead.collect()
+    assert rows, "expected orphan children in the dead letter"
+    for r in rows:
+        fk = int(r["fk"])
+        # orphan iff the parent never reaches final state: its insert
+        # was withheld (%_FK_PARENT_MISS) or it was deleted (%97, the
+        # feed's standard delete rule)
+        assert fk % _FK_PARENT_MISS == 0 or fk % 97 == 0, r
