@@ -509,9 +509,15 @@ def _semantic_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; normalized co-locates 24/24.)  Documents shorter than one
     shingle carry no signal and are excluded (both engines).
     """
+    return _semantic_vectors_of(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+def _semantic_vectors_of(d: DataFrame) -> DataFrame:
+    """The embedding pipeline over an arbitrary (doc_id, text) frame —
+    shared by the batch dedup, the streaming admission tier (history
+    index build + per-micro-batch probes), and the oracle replay."""
     from realtime_change_data_capture_streaming_spark.llm_ops.curation import hash_bucket
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     sh = shingle_rows(d)
     counts = (
         sh.select("doc_id", hash_bucket(F.col("shingle"), _SEM_DIM).alias("b"))
@@ -564,6 +570,51 @@ def _sem_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
     return v.join(assign, "doc_id").select("doc_id", "cluster", "vec")
 
 
+def _sem_fit_centroids(spark: SparkSession, v: DataFrame, k: int) -> DataFrame:
+    """Fixed-seed fixed-iteration k-means over a (persisted) vector
+    table, returning the final (cluster, centroid) frame.  Seeds: the k
+    smallest doc_ids (deterministic; TakeOrderedAndProject, not a
+    global sort); cluster id = seed doc_id.  Per iteration the k*dim
+    centroid table is COLLECTED and re-broadcast as literals — the
+    MLlib k-means shape: centroids are model state, not data, and
+    cutting the lineage there keeps iteration i+1 from re-executing
+    every prior assignment under it.  Fixed-point means make centroids
+    bit-identical under any partitioning (the ivf_model discipline).
+    Shared by the batch SemDeDup tier and the streaming admission
+    tier's history index build."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    cent_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
+    )
+    seed_rows = v.orderBy("doc_id").limit(k).collect()
+    cents = spark.createDataFrame(
+        [(r["doc_id"], r["vec"]) for r in seed_rows], cent_schema
+    )
+    for _ in range(_SEM_ITERS):
+        assigned = _sem_assign(v, cents)
+        cent_rows = (
+            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
+            .withColumn("iv", F.floor(F.col("x") * F.lit(_SEM_FP)))
+            .groupBy("cluster", "dim")
+            .agg(F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster",
+                "dim",
+                ((F.col("s").cast("double") / F.col("n")) / F.lit(_SEM_FP)).alias("m"),
+            )
+            .collect()  # bounded: k * _SEM_DIM rows of model state
+        )
+        by_cluster: dict[int, list[float]] = {}
+        for r in cent_rows:
+            by_cluster.setdefault(r["cluster"], [0.0] * _SEM_DIM)[r["dim"]] = r["m"]
+        cents = spark.createDataFrame(sorted(by_cluster.items()), cent_schema)
+    return cents
+
+
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup, SemDeDup-shaped (Abbas et al. 2023): k-means the
     document embeddings, then find near-duplicate pairs ONLY within each
@@ -601,42 +652,10 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sf0.001/sf0.01, 500 docs); larger SFs run more clusters and are
     covered by the recall/scale tests, not the SQL oracle.
     """
-    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
-
     v = _semantic_vectors(spark, sf_dir).persist()
     n_docs = v.count()  # also materializes the persist
     k = max(_SEM_K, n_docs // _SEM_TARGET)
-    cent_schema = StructType(
-        [
-            StructField("cluster", LongType()),
-            StructField("centroid", ArrayType(DoubleType())),
-        ]
-    )
-    # seeds: the k smallest doc_ids (deterministic; TakeOrderedAndProject,
-    # not a global sort); cluster id = seed doc_id.  Collected once —
-    # centroids are model state, k*128 doubles.
-    seed_rows = v.orderBy("doc_id").limit(k).collect()
-    cents = spark.createDataFrame(
-        [(r["doc_id"], r["vec"]) for r in seed_rows], cent_schema
-    )
-    for _ in range(_SEM_ITERS):
-        assigned = _sem_assign(v, cents)
-        cent_rows = (
-            assigned.select("cluster", F.posexplode("vec").alias("dim", "x"))
-            .withColumn("iv", F.floor(F.col("x") * F.lit(_SEM_FP)))
-            .groupBy("cluster", "dim")
-            .agg(F.sum("iv").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select(
-                "cluster",
-                "dim",
-                ((F.col("s").cast("double") / F.col("n")) / F.lit(_SEM_FP)).alias("m"),
-            )
-            .collect()  # bounded: k * _SEM_DIM rows of model state
-        )
-        by_cluster: dict[int, list[float]] = {}
-        for r in cent_rows:
-            by_cluster.setdefault(r["cluster"], [0.0] * _SEM_DIM)[r["dim"]] = r["m"]
-        cents = spark.createDataFrame(sorted(by_cluster.items()), cent_schema)
+    cents = _sem_fit_centroids(spark, v, k)
     assigned = _sem_assign(v, cents).persist()
     a = assigned.select(
         F.col("doc_id").alias("witness_id"),

@@ -751,3 +751,54 @@ def test_semantic_dedup_cluster_recall_vs_exact(spark):
         f"cluster-bounded drops diverge from exact: missed={sorted(exact - got)[:5]} "
         f"extra={sorted(got - exact)[:5]}"
     )
+
+
+def test_stream_semantic_admission_matches_batch_and_oracle(spark):
+    """VERDICT r9 task 8 (stretch): streaming semantic admission ==
+    the batch closed form exactly (per-doc decisions depend only on the
+    persisted history index, so the micro-batch split must be
+    invisible), the closed form replays in DuckDB, and admission recall
+    covers the batch SemDeDup tier's cross-split drops."""
+    import duckdb
+
+    from realtime_change_data_capture_streaming_spark.streaming.semantic import (
+        _admission_sql,
+        semantic_admission_batch,
+        stream_semantic_admission,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r["doc_id"]: (r["n_history_candidates"], r["witness_id"], round(r["cosine"], 9))
+        for r in semantic_admission_batch(spark, sf).collect()
+    }
+    streamed = {
+        r["doc_id"]: (r["n_history_candidates"], r["witness_id"], round(r["cosine"], 9))
+        for r in stream_semantic_admission(spark, sf).collect()
+    }
+    assert batch and streamed == batch
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    oracle = {
+        r[0]: (r[1], r[2], round(r[3], 9)) for r in con.execute(_admission_sql()).fetchall()
+    }
+    assert oracle == batch, (
+        f"oracle diverges: {[(k, batch[k], oracle.get(k)) for k in batch if oracle.get(k) != batch[k]][:3]}"
+    )
+
+    # recall: every cross-split near-dup pair the batch SemDeDup tier
+    # finds (history witness < 250 <= incoming drop) must be flagged
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import dedup_semantic_clusters
+    from realtime_change_data_capture_streaming_spark.streaming.neardup import HISTORY_MAX_DOC_ID
+
+    cross = {
+        r["drop_id"]
+        for r in dedup_semantic_clusters(spark, sf).collect()
+        if r["witness_id"] < HISTORY_MAX_DOC_ID <= r["drop_id"]
+    }
+    assert cross, "fixture lost its cross-split near-duplicate structure"
+    flagged = set(batch)
+    missed = cross - flagged
+    assert not missed, f"admission missed cross-split drops: {sorted(missed)[:5]}"
