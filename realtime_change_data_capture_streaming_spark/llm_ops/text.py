@@ -417,7 +417,15 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     conjunction — the pre-filter that runs before any distribution-
     relative filtering (curation_quality_filter).  All per-row codegen
     expressions; every ratio is a single int/int double division."""
-    d = with_tokens(load_table(spark, sf_dir, "documents"))
+    return gopher_flags_of(with_tokens(load_table(spark, sf_dir, "documents")))
+
+
+def gopher_flags_of(d: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """The gate over an arbitrary frame that already carries ``text``
+    and a materialized ``_toks`` token array — shared with the quality
+    classifier's labeling pass (features._logit_features), which reuses
+    one tokenize pass for features AND labels and rides its extra
+    doc-level columns (``extra_cols``) through the same projection."""
     toks = F.col("_toks")
     n_tok = F.size(toks)
     mean_len = (
@@ -435,6 +443,7 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # empty document cannot diverge the engines.
     out = d.select(
         "doc_id",
+        *extra_cols,
         (n_tok >= 50).alias("len_ok"),
         F.when(n_tok > 0, (mean_len >= 3.0) & (mean_len <= 10.0))
         .otherwise(F.lit(False))
