@@ -343,7 +343,12 @@ def _train_quality_logit(spark: SparkSession, sf_dir: str) -> tuple[tuple[int, i
     G[b] = sum_docs r_small * x (one hash agg, 66 rows collected);
     w_fp[b] -= (_LR_ETA_NUM * G[b]) // n_docs  (Python bigint floor
     division — exact, replayed by the oracle's positive-mod formula)."""
-    key = os.path.abspath(sf_dir)
+    from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
+
+    # keyed by CONTENT fingerprint, not path: the driver rewrites the
+    # fixture parquet between rounds, and weights trained on the old
+    # corpus must not serve against regenerated features/labels
+    key = fixture_fingerprint(sf_dir, "documents")
     if key in _LR_CACHE:
         return _LR_CACHE[key]
     contrib, _totals, labels = _logit_features(spark, sf_dir)

@@ -493,10 +493,24 @@ def _typed_default(rtype, raw):
             return Decimal(int.from_bytes(b, "big", signed=True)).scaleb(-rtype["scale"])
         return b
     if t == "record":
-        return {
-            f["name"]: _typed_default(f["type"], raw.get(f["name"], f.get("default")))
-            for f in rtype["fields"]
-        }
+        if not isinstance(raw, dict):
+            raise ValueError(f"avro: record default must be an object, got {type(raw).__name__}")
+        out = {}
+        for f in rtype["fields"]:
+            if f["name"] in raw:
+                sub = raw[f["name"]]
+            elif "default" in f:
+                sub = f["default"]
+            else:
+                # as loud as the top-level resolution path: a partial
+                # record default must not invent None for a non-defaulted
+                # subfield (silent nulls in non-nullable columns)
+                raise ValueError(
+                    f"avro: record default missing subfield {f['name']!r} "
+                    "which declares no default of its own"
+                )
+            out[f["name"]] = _typed_default(f["type"], sub)
+        return out
     if t == "array":
         return [_typed_default(rtype["items"], x) for x in raw]
     if t == "map":

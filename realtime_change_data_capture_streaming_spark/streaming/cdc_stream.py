@@ -462,17 +462,32 @@ def _run_fk_stream(
         tbl = F.get_json_object(F.col("value"), "$.source.table")
         parents = parse_envelope(batch.filter(tbl == "orders"), decimal_mode="string")
         children = parse_envelope(batch.filter(tbl == "lineitem"), decimal_mode="string")
-        if not parents.isEmpty():
-            parent_sink.merge(parents)
-        children.withColumn(
-            "fk", F.coalesce("after.user_id", "before.user_id")
-        ).write.mode("append").parquet(pend_dir())
         if retention_lsn_horizon is not None:
-            hi = batch.select(
-                F.max(F.get_json_object("value", "$.source.lsn").cast("bigint"))
-            ).collect()[0][0]
-            if hi is not None:
-                state["max_lsn"] = hi if state["max_lsn"] is None else max(state["max_lsn"], hi)
+            # one parse per feed per batch: the watermark max rides the
+            # SAME materialization the merge/append consume, instead of
+            # a second full re-parse of the raw JSON (r10 review)
+            parents = parents.persist()
+            children = children.persist()
+        try:
+            if not parents.isEmpty():
+                parent_sink.merge(parents)
+            children.withColumn(
+                "fk", F.coalesce("after.user_id", "before.user_id")
+            ).write.mode("append").parquet(pend_dir())
+            if retention_lsn_horizon is not None:
+                for side in (parents, children):
+                    hi = side.agg(F.max("lsn")).collect()[0][0]
+                    if hi is not None:
+                        state["max_lsn"] = (
+                            hi if state["max_lsn"] is None else max(state["max_lsn"], hi)
+                        )
+            _fk_release(sp)
+        finally:
+            if retention_lsn_horizon is not None:
+                parents.unpersist()
+                children.unpersist()
+
+    def _fk_release(sp: SparkSession) -> None:
         if not parent_sink.exists():
             return  # no parent state yet: everything stays pending
         pend = sp.read.parquet(pend_dir())
@@ -643,10 +658,13 @@ def _run_outbox_stream(
                 return
             pub.write.mode("append").parquet(publog)
             return
-        hi = rows.agg(F.max("lsn")).collect()[0][0]
+        pend = sp.read.parquet(pend_dir())
+        # watermark from the parquet just appended (column-pruned lsn
+        # scan of the already-compacted store), not a second re-parse of
+        # the raw envelope JSON (r10 review)
+        hi = pend.agg(F.max("lsn")).collect()[0][0]
         if hi is not None:
             state["max_lsn"] = hi if state["max_lsn"] is None else max(state["max_lsn"], hi)
-        pend = sp.read.parquet(pend_dir())
         # dedup at-least-once redelivery to first-seen LSN (outbox_gate's rule)
         cols = [c for c in pend.columns if c != "event_id"]
         cand = (

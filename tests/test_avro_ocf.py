@@ -662,3 +662,29 @@ def test_pyavro_inferred_schema_honors_reader_schema(spark):
         assert [f.name for f in got.schema.fields] == ["k", "tag"]
         assert got.schema["k"].dataType.simpleString() == "bigint"
         assert [(r["k"], r["tag"]) for r in got.collect()] == [(5, "legacy")]
+
+
+def test_partial_record_default_is_loud():
+    """A reader field with a record-typed PARTIAL default (subfield
+    missing, no default of its own) must raise — not invent None for a
+    non-nullable column (r10 review)."""
+    v1 = {"type": "record", "name": "r", "fields": [{"name": "k", "type": "long"}]}
+    v2 = {"type": "record", "name": "r", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "meta", "type": {"type": "record", "name": "m", "fields": [
+            {"name": "a", "type": "string"}]}, "default": {}},
+    ]}
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "v1.avro")
+        write_ocf(p, v1, [{"k": 1}])
+        with pytest.raises(ValueError, match="missing subfield 'a'"):
+            read_ocf(p, reader_schema=v2)
+        # a COMPLETE record default works, typed through the subfields
+        v3 = {"type": "record", "name": "r", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "meta", "type": {"type": "record", "name": "m2", "fields": [
+                {"name": "a", "type": "string"},
+                {"name": "b", "type": "double", "default": 2}]}, "default": {"a": "x"}},
+        ]}
+        _, (row,) = read_ocf(p, reader_schema=v3)
+        assert row["meta"] == {"a": "x", "b": 2.0} and isinstance(row["meta"]["b"], float)
