@@ -237,3 +237,40 @@ def test_fk_retention_bounds_pending_without_changing_final_state(spark):
         # was withheld (%_FK_PARENT_MISS) or it was deleted (%97, the
         # feed's standard delete rule)
         assert fk % _FK_PARENT_MISS == 0 or fk % 97 == 0, r
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_retention_gate_invariant_under_random_batch_splits(spark, seed):
+    """The frontier-based retention gate must publish EXACTLY the batch
+    closed form under arbitrary micro-batch arrival: the feed split
+    into 4 md5-random batches, delivered out of order, with one whole
+    batch redelivered — and a horizon too large to evict anything, so
+    this isolates the frontier/compaction logic itself."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import (
+        cdc_outbox_publish,
+        outbox_change_events,
+    )
+    from realtime_change_data_capture_streaming_spark.llm_ops.curation import hash_bucket
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import _run_outbox_stream
+
+    ev = outbox_change_events(spark, SF_DIR)
+    b = hash_bucket(F.concat(F.lit(str(seed)), F.col("value")), 4)
+    parts = [ev.filter(b == i) for i in range(4)]
+    frames = [parts[2], parts[0], parts[3], parts[1], parts[0]]  # out of order + redelivery
+    got, paths = _run_outbox_stream(
+        spark,
+        frames,
+        scratch_dir(prefix=f"ret_rand_{seed}_"),
+        retention_lsn_horizon=10**12,
+    )
+    want = cdc_outbox_publish(spark, SF_DIR)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    assert got.count() > 0
+    # with nothing evictable, pending holds ONLY the gapped successors
+    pend = spark.read.parquet(paths["pending"])
+    assert pend.count() == pend.select("event_id").distinct().count()  # compacted, deduped
+    held = {(r["aggregate_id"], r["event_seq"]) for r in pend.collect()}
+    pub = {(str(r["aggregate_id"]), r["event_seq"]) for r in got.collect()}
+    assert not (held & pub), "published rows must be compacted out of pending"
+    assert not os.path.exists(paths["dead"]), "nothing should evict under a huge horizon"
