@@ -16,11 +16,13 @@ gap from first principles, per the published Avro 1.11 specification:
   two's-complement big-endian unscaled value);
 - the container: ``Obj\\x01`` magic, file-metadata map carrying
   ``avro.schema`` / ``avro.codec``, a 16-byte sync marker, then blocks
-  of (record count, byte size, payload, sync) — five of the spec's six
+  of (record count, byte size, payload, sync) — ALL SIX of the spec's
   codecs: ``null``, ``deflate`` (raw zlib, wbits=-15), ``snappy``
   (pure-Python block format + the spec's big-endian CRC32-of-
-  uncompressed framing), ``bzip2`` and ``xz`` (stdlib); ``zstandard``
-  is the one loud exclusion (no stdlib codec);
+  uncompressed framing), ``bzip2`` and ``xz`` (stdlib), and
+  ``zstandard`` via the dependency-free RFC 8878 codec in ``zstd.py``
+  (full decoder + compressing encoder, cross-validated against the
+  zstd-jni library bundled in Spark's JVM);
 - schema RESOLUTION (reader vs writer schema) and, at the DataSource
   layer, schema inference, worker-side filter pushdown, a streaming
   reader with filename-frontier offsets, and a two-phase-commit writer.
@@ -633,6 +635,10 @@ def _compress_block(codec: str, payload: bytes) -> bytes:
         import lzma
 
         return lzma.compress(payload, format=lzma.FORMAT_XZ)
+    if codec == "zstandard":
+        from .zstd import zstd_compress
+
+        return zstd_compress(payload, level="fast")
     raise ValueError(f"avro: unsupported codec {codec!r}")
 
 
@@ -656,10 +662,14 @@ def _decompress_block(codec: str, payload: bytes) -> bytes:
         import lzma
 
         return lzma.decompress(payload)
+    if codec == "zstandard":
+        from .zstd import zstd_decompress
+
+        return zstd_decompress(payload)
     raise ValueError(f"avro: unsupported codec {codec!r}")
 
 
-_CODECS = ("null", "deflate", "snappy", "bzip2", "xz")
+_CODECS = ("null", "deflate", "snappy", "bzip2", "xz", "zstandard")
 
 
 def write_ocf(path: str, schema: dict, rows, codec: str = "null", block_rows: int = 4096) -> None:

@@ -1,0 +1,1211 @@
+"""Dependency-free Zstandard (RFC 8878) codec: full decoder + encoder.
+
+Closes the one remaining Avro OCF spec codec (``zstandard``) without a
+native library, mirroring the repo's pure-Python ``snappy`` discipline
+(`avro_ocf.py`): spec implementation, hostile-input hardening (every
+malformed stream raises ``ValueError``, never crashes or hangs), and
+bespoke-encoder-backed tests.  Cross-validated in ``tests/test_zstd.py``
+against the ``zstd-jni`` library bundled inside Spark's JVM (test-only;
+the runtime path has zero non-stdlib dependencies).
+
+Decoder — the complete RFC 8878 frame format:
+
+- frames: magic, frame-header descriptor (single-segment, content size,
+  dictionary id, checksum flag), window descriptor; skippable frames;
+  concatenated frames;
+- blocks: raw / RLE / compressed, block-size bounds;
+- literals: raw / RLE / Huffman-compressed / treeless (table reuse
+  across blocks), 1-stream and 4-stream layouts, direct (4-bit) and
+  FSE-compressed Huffman weight descriptions;
+- sequences: predefined / RLE / FSE-compressed / repeat table modes for
+  literal-length, offset and match-length codes, interleaved backward
+  bitstream, the three-slot repeat-offset history with the
+  ``literals_length == 0`` index shift, overlapping match replay;
+- XXH64 content checksum (pure-Python xxhash64 below).
+
+Encoder — a valid, compliant compressor (used by the Avro writer and by
+the test fixtures):
+
+- ``level="store"``: raw blocks only (the spec's uncompressed framing);
+- ``level="fast"``: greedy 4-byte-prefix hash matching (the same
+  strategy as ``snappy_compress``) emitting real compressed blocks:
+  Huffman-coded literals (direct or FSE-compressed weight description,
+  1 or 4 streams) and FSE-coded sequences against the spec's predefined
+  distributions.  Falls back to raw encodings wherever compression
+  would not help, so output is never larger than store + block headers.
+
+Scale shape: this codec runs inside Avro block decode on executors —
+per-block, embarrassingly parallel, row-linear; like the pure-Python
+snappy it trades single-core speed for zero native dependencies, and the
+documented production swap-in is any JVM/native zstd at the same block
+boundary.
+"""
+
+from __future__ import annotations
+
+_MASK64 = (1 << 64) - 1
+
+_P64_1 = 0x9E3779B185EBCA87
+_P64_2 = 0xC2B2AE3D27D4EB4F
+_P64_3 = 0x165667B19E3779F9
+_P64_4 = 0x85EBCA77C2B2AE63
+_P64_5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """Pure-Python XXH64 (the zstd content-checksum hash)."""
+    n = len(data)
+    pos = 0
+    if n >= 32:
+        a1 = (seed + _P64_1 + _P64_2) & _MASK64
+        a2 = (seed + _P64_2) & _MASK64
+        a3 = seed & _MASK64
+        a4 = (seed - _P64_1) & _MASK64
+        end = n - 32
+        while pos <= end:
+            a1 = (_rotl64((a1 + int.from_bytes(data[pos : pos + 8], "little") * _P64_2) & _MASK64, 31) * _P64_1) & _MASK64
+            a2 = (_rotl64((a2 + int.from_bytes(data[pos + 8 : pos + 16], "little") * _P64_2) & _MASK64, 31) * _P64_1) & _MASK64
+            a3 = (_rotl64((a3 + int.from_bytes(data[pos + 16 : pos + 24], "little") * _P64_2) & _MASK64, 31) * _P64_1) & _MASK64
+            a4 = (_rotl64((a4 + int.from_bytes(data[pos + 24 : pos + 32], "little") * _P64_2) & _MASK64, 31) * _P64_1) & _MASK64
+            pos += 32
+        acc = (_rotl64(a1, 1) + _rotl64(a2, 7) + _rotl64(a3, 12) + _rotl64(a4, 18)) & _MASK64
+        for a in (a1, a2, a3, a4):
+            acc ^= (_rotl64((a * _P64_2) & _MASK64, 31) * _P64_1) & _MASK64
+            acc = (acc * _P64_1 + _P64_4) & _MASK64
+    else:
+        acc = (seed + _P64_5) & _MASK64
+    acc = (acc + n) & _MASK64
+    while pos + 8 <= n:
+        lane = int.from_bytes(data[pos : pos + 8], "little")
+        acc ^= (_rotl64((lane * _P64_2) & _MASK64, 31) * _P64_1) & _MASK64
+        acc = (_rotl64(acc, 27) * _P64_1 + _P64_4) & _MASK64
+        pos += 8
+    if pos + 4 <= n:
+        acc ^= (int.from_bytes(data[pos : pos + 4], "little") * _P64_1) & _MASK64
+        acc = (_rotl64(acc, 23) * _P64_2 + _P64_3) & _MASK64
+        pos += 4
+    while pos < n:
+        acc ^= (data[pos] * _P64_5) & _MASK64
+        acc = (_rotl64(acc, 11) * _P64_1) & _MASK64
+        pos += 1
+    acc ^= acc >> 33
+    acc = (acc * _P64_2) & _MASK64
+    acc ^= acc >> 29
+    acc = (acc * _P64_3) & _MASK64
+    acc ^= acc >> 32
+    return acc
+
+
+# ------------------------------------------------------- bitstream readers
+
+
+class _BackwardBits:
+    """RFC 8878 backward bitstream: written forward, read from the last
+    byte toward the first.  The final byte carries a 1-bit sentinel in
+    its highest set bit; bits below the sentinel are the stream.
+
+    ``read`` past the start zero-fills and drives ``pos`` negative (the
+    FSE interleaved-weights termination signal); callers that require
+    exact consumption check ``pos == 0`` afterward.
+    """
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        if not buf:
+            raise ValueError("zstd: empty backward bitstream")
+        last = buf[-1]
+        if last == 0:
+            raise ValueError("zstd: backward bitstream missing sentinel bit")
+        # position (in bits from the start of buf) of the sentinel
+        self.buf = buf
+        self.pos = (len(buf) - 1) * 8 + last.bit_length() - 1
+
+    def read(self, n: int) -> int:
+        """Read n bits moving backward; zero-fill past the start."""
+        if n == 0:
+            return 0
+        pos = self.pos - n
+        self.pos = pos
+        if pos >= 0:
+            lo_byte = pos >> 3
+            hi_byte = (pos + n + 7) >> 3
+            window = int.from_bytes(self.buf[lo_byte:hi_byte], "little")
+            return (window >> (pos & 7)) & ((1 << n) - 1)
+        # partially (or fully) past the start: real bits occupy the high
+        # side of the result, zeros fill the low side
+        avail = pos + n  # number of real bits left (may be <= 0)
+        if avail <= 0:
+            return 0
+        hi_byte = (avail + 7) >> 3
+        window = int.from_bytes(self.buf[:hi_byte], "little")
+        return (window & ((1 << avail) - 1)) << (n - avail)
+
+
+class _ForwardBits:
+    """Forward LSB-first bit reader (FSE table descriptions only)."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        pos = self.pos
+        if pos + n > len(self.buf) * 8:
+            raise ValueError("zstd: FSE table description overruns its data")
+        lo = pos >> 3
+        hi = (pos + n + 7) >> 3
+        window = int.from_bytes(self.buf[lo:hi], "little")
+        self.pos = pos + n
+        return (window >> (pos & 7)) & ((1 << n) - 1)
+
+    def rewind(self, n: int) -> None:
+        self.pos -= n
+
+    def byte_pos(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+# ------------------------------------------------------------- FSE tables
+
+
+class _FSETable:
+    """FSE decode table: per-cell (symbol, nbits, baseline); plus the
+    per-symbol inverse map used for encoding."""
+
+    __slots__ = ("log", "symbols", "nbits", "base", "_enc")
+
+    def __init__(self, log: int, norm: list[int]):
+        size = 1 << log
+        symbols = [0] * size
+        nbits = [0] * size
+        base = [0] * size
+        high = size - 1
+        counts = list(norm)
+        for s, c in enumerate(counts):
+            if c == -1:
+                symbols[high] = s
+                high -= 1
+                counts[s] = 1
+        if log == 0:
+            # degenerate single-cell table (the RLE mode)
+            sym = next((s for s, c in enumerate(counts) if c > 0), 0)
+            symbols[0] = sym
+            nbits[0] = 0
+            base[0] = 0
+        else:
+            step = (size >> 1) + (size >> 3) + 3
+            mask = size - 1
+            pos = 0
+            for s, c in enumerate(norm):
+                if c <= 0:
+                    continue
+                for _ in range(c):
+                    symbols[pos] = s
+                    pos = (pos + step) & mask
+                    while pos > high:
+                        pos = (pos + step) & mask
+            if pos != 0:
+                raise ValueError("zstd: corrupted FSE normalized counts")
+            nxt = counts[:]
+            for i in range(size):
+                s = symbols[i]
+                x = nxt[s]
+                nxt[s] = x + 1
+                nb = log - (x.bit_length() - 1)
+                nbits[i] = nb
+                base[i] = (x << nb) - size
+        self.log = log
+        self.symbols = symbols
+        self.nbits = nbits
+        self.base = base
+        self._enc = None
+
+    # --- encoding support (the decode table's dual) ---
+    def _encode_map(self):
+        if self._enc is None:
+            per: dict[int, list[tuple[int, int, int]]] = {}
+            for cell in range(1 << self.log):
+                per.setdefault(self.symbols[cell], []).append(
+                    (self.base[cell], self.nbits[cell], cell)
+                )
+            for lst in per.values():
+                lst.sort()
+            self._enc = per
+        return self._enc
+
+    def enc_first_cell(self, symbol: int) -> int:
+        lst = self._encode_map().get(symbol)
+        if not lst:
+            raise ValueError(f"zstd: symbol {symbol} not encodable by this FSE table")
+        return lst[0][2]
+
+    def enc_step(self, symbol: int, next_state: int) -> tuple[int, int, int]:
+        """Cell for ``symbol`` whose update range covers ``next_state``.
+        Returns (cell, bits_value, bits_width)."""
+        lst = self._encode_map().get(symbol)
+        if not lst:
+            raise ValueError(f"zstd: symbol {symbol} not encodable by this FSE table")
+        lo, hi = 0, len(lst) - 1
+        while lo < hi:  # last base <= next_state
+            mid = (lo + hi + 1) >> 1
+            if lst[mid][0] <= next_state:
+                lo = mid
+            else:
+                hi = mid - 1
+        b, nb, cell = lst[lo]
+        if not (b <= next_state < b + (1 << nb)):
+            raise ValueError("zstd: internal FSE encode range error")
+        return cell, next_state - b, nb
+
+
+def _read_fse_table(fwd: _ForwardBits, max_log: int, max_symbol: int) -> _FSETable:
+    """Parse an FSE table description (RFC 8878 4.1.1): 4-bit accuracy
+    log (+5), then variable-bit normalized counts with the small-value
+    one-fewer-bit trick and 2-bit zero-run repeats."""
+    al = fwd.read(4) + 5
+    if al > max_log:
+        raise ValueError(f"zstd: FSE accuracy log {al} exceeds max {max_log}")
+    remaining = (1 << al) + 1
+    norm: list[int] = []
+    while remaining > 1:
+        if len(norm) > max_symbol:
+            raise ValueError("zstd: FSE table has too many symbols")
+        bits = remaining.bit_length()
+        val = fwd.read(bits)
+        threshold = 1 << (bits - 1)
+        maxlow = 2 * threshold - 1 - remaining
+        if (val & (threshold - 1)) < maxlow:
+            fwd.rewind(1)
+            val &= threshold - 1
+        elif val >= threshold:
+            val -= maxlow
+        proba = val - 1
+        remaining -= -proba if proba < 0 else proba
+        norm.append(proba)
+        if proba == 0:
+            while True:
+                rep = fwd.read(2)
+                norm.extend([0] * rep)
+                if rep != 3:
+                    break
+                if len(norm) > max_symbol + 1:
+                    raise ValueError("zstd: FSE zero-run overflows the alphabet")
+    if remaining != 1:
+        raise ValueError("zstd: FSE normalized counts do not sum to table size")
+    if len(norm) > max_symbol + 1:
+        raise ValueError("zstd: FSE table has too many symbols")
+    return _FSETable(al, norm)
+
+
+def _write_fse_table(norm: list[int], al: int) -> tuple[bytes, int]:
+    """Serialize normalized counts; returns (bytes, bit_count % 8 == 0
+    padded byte string)."""
+    acc = 0
+    pos = 0
+
+    def put(v: int, n: int) -> None:
+        nonlocal acc, pos
+        acc |= v << pos
+        pos += n
+
+    put(al - 5, 4)
+    remaining = (1 << al) + 1
+    i = 0
+    while remaining > 1 and i < len(norm):
+        proba = norm[i]
+        val = proba + 1
+        bits = remaining.bit_length()
+        threshold = 1 << (bits - 1)
+        maxlow = 2 * threshold - 1 - remaining
+        if val < maxlow:
+            put(val, bits - 1)
+        elif val < threshold:
+            put(val, bits)
+        else:
+            put(val + maxlow, bits)
+        remaining -= -proba if proba < 0 else proba
+        i += 1
+        if proba == 0:
+            # count the zero run that follows
+            run = 0
+            while i < len(norm) and norm[i] == 0 and remaining > 1:
+                run += 1
+                i += 1
+            while run >= 3:
+                put(3, 2)
+                run -= 3
+            put(run, 2)
+    if remaining != 1:
+        raise ValueError("zstd: cannot serialize FSE counts (bad normalization)")
+    nbytes = (pos + 7) >> 3
+    return acc.to_bytes(nbytes, "little"), pos
+
+
+# --------------------------------------------------------------- Huffman
+
+
+class _HuffTable:
+    __slots__ = ("max_bits", "symbols", "nbits", "codes", "lengths")
+
+    def __init__(self, weights: list[int]):
+        """Build the decode table from per-symbol weights (last weight
+        already made explicit by the caller)."""
+        total = sum(1 << (w - 1) for w in weights if w > 0)
+        if total == 0:
+            raise ValueError("zstd: Huffman table with no symbols")
+        max_bits = total.bit_length() - 1
+        if (1 << max_bits) != total:
+            raise ValueError("zstd: Huffman weights do not sum to a power of two")
+        if max_bits > 11:
+            raise ValueError("zstd: Huffman code length exceeds the spec max of 11")
+        size = 1 << max_bits
+        symbols = bytearray(size)
+        nbits = bytearray(size)
+        lengths = [0] * len(weights)
+        # cells sorted by weight ascending (longest codes first), then
+        # natural symbol order; symbol of weight w spans 2^(w-1) cells
+        rank_pos = [0] * (max_bits + 2)
+        for w in weights:
+            if w > 0:
+                rank_pos[w + 1] += 1 << (w - 1)
+        for w in range(1, max_bits + 2):
+            rank_pos[w] += rank_pos[w - 1]
+        codes = [0] * len(weights)
+        for s, w in enumerate(weights):
+            if w == 0:
+                continue
+            span = 1 << (w - 1)
+            start = rank_pos[w]
+            rank_pos[w] = start + span
+            nb = max_bits + 1 - w
+            lengths[s] = nb
+            codes[s] = start >> (max_bits - nb)
+            for i in range(start, start + span):
+                symbols[i] = s
+                nbits[i] = nb
+        self.max_bits = max_bits
+        self.symbols = symbols
+        self.nbits = nbits
+        self.codes = codes
+        self.lengths = lengths
+
+    def decode_stream(self, stream: bytes, count: int) -> bytearray:
+        if count == 0:
+            return bytearray()
+        bits = _BackwardBits(stream)
+        mb = self.max_bits
+        mask = (1 << mb) - 1
+        out = bytearray(count)
+        symbols = self.symbols
+        nbits = self.nbits
+        state = bits.read(mb)
+        for i in range(count):
+            out[i] = symbols[state]
+            state = ((state << nbits[state]) | bits.read(nbits[state])) & mask
+            if bits.pos < -mb:
+                raise ValueError("zstd: Huffman stream exhausted early")
+        # exact consumption: the sliding window ends flush with the
+        # final real bit (libzstd's end-of-stream invariant)
+        if bits.pos != -mb:
+            raise ValueError("zstd: Huffman stream not fully consumed")
+        return out
+
+    def encode_stream(self, data: bytes) -> bytes:
+        acc = 0
+        pos = 0
+        codes = self.codes
+        lengths = self.lengths
+        for b in data:
+            ln = lengths[b]
+            if ln == 0:
+                raise ValueError("zstd: Huffman-encoding a symbol with no code")
+            acc = (acc << ln) | codes[b]
+            pos += ln
+        acc |= 1 << pos  # sentinel above the payload bits
+        return acc.to_bytes((pos + 8) >> 3, "little")
+
+
+def _huff_weights_from_desc(data: bytes) -> tuple[list[int], int]:
+    """Parse a Huffman tree description; returns (weights incl. the
+    deduced last one, bytes consumed)."""
+    if not data:
+        raise ValueError("zstd: empty Huffman tree description")
+    hb = data[0]
+    if hb >= 128:
+        n = hb - 127
+        nbytes = (n + 1) >> 1
+        if 1 + nbytes > len(data):
+            raise ValueError("zstd: truncated direct Huffman weights")
+        weights = []
+        for i in range(n):
+            byte = data[1 + (i >> 1)]
+            weights.append((byte >> 4) if i % 2 == 0 else (byte & 0xF))
+        consumed = 1 + nbytes
+    else:
+        if 1 + hb > len(data):
+            raise ValueError("zstd: truncated FSE-compressed Huffman weights")
+        payload = data[1 : 1 + hb]
+        fwd = _ForwardBits(payload)
+        table = _read_fse_table(fwd, 6, 255)
+        stream = payload[fwd.byte_pos() :]
+        bits = _BackwardBits(stream)
+        s1 = bits.read(table.log)
+        s2 = bits.read(table.log)
+        if bits.pos < 0:
+            raise ValueError("zstd: Huffman weight stream too short for its states")
+        weights = []
+        while True:
+            if len(weights) > 254:
+                raise ValueError("zstd: too many Huffman weights")
+            weights.append(table.symbols[s1])
+            nb = table.nbits[s1]
+            s1 = table.base[s1] + bits.read(nb)
+            if bits.pos < 0:
+                weights.append(table.symbols[s2])
+                break
+            weights.append(table.symbols[s2])
+            nb = table.nbits[s2]
+            s2 = table.base[s2] + bits.read(nb)
+            if bits.pos < 0:
+                weights.append(table.symbols[s1])
+                break
+        consumed = 1 + hb
+    if any(w > 11 for w in weights):
+        raise ValueError("zstd: Huffman weight exceeds the spec max")
+    total = sum(1 << (w - 1) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: Huffman description has no nonzero weights")
+    # the last weight is deduced from the power-of-two completion; it is
+    # never zero, so an already-complete sum advances to the next power
+    is_pow2 = (total & (total - 1)) == 0
+    nextp2 = (total << 1) if is_pow2 else (1 << total.bit_length())
+    leftover = nextp2 - total
+    if leftover & (leftover - 1):
+        raise ValueError("zstd: Huffman weights leave a non-power-of-two gap")
+    weights.append(leftover.bit_length())
+    return weights, consumed
+
+
+# ----------------------------------------------------- sequence constants
+
+_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051, 4099, 8195, 16387, 32771, 65539]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16]
+
+_LL_DEFAULT = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+               2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+               -1, -1, -1, -1]
+_ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+               -1, -1, -1, -1, -1]
+_OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1]
+
+_LL_TABLE_DEFAULT = _FSETable(6, _LL_DEFAULT)
+_ML_TABLE_DEFAULT = _FSETable(6, _ML_DEFAULT)
+_OF_TABLE_DEFAULT = _FSETable(5, _OF_DEFAULT)
+
+_MAX_LOG = {"ll": 9, "of": 8, "ml": 9}
+_MAX_SYM = {"ll": 35, "of": 31, "ml": 52}
+_BLOCK_MAX = 128 * 1024
+
+
+def _ll_code(v: int) -> int:
+    if v < 16:
+        return v
+    for c in range(35, 15, -1):
+        if v >= _LL_BASE[c]:
+            return c
+    raise ValueError("zstd: literal length out of range")
+
+
+def _ml_code(v: int) -> int:
+    if v < 35:
+        return v - 3
+    for c in range(52, 31, -1):
+        if v >= _ML_BASE[c]:
+            return c
+    raise ValueError("zstd: match length out of range")
+
+
+# ---------------------------------------------------------------- decoder
+
+
+class _FrameCtx:
+    __slots__ = ("huff", "ll", "of", "ml", "reps")
+
+    def __init__(self):
+        self.huff: _HuffTable | None = None
+        self.ll: _FSETable | None = None
+        self.of: _FSETable | None = None
+        self.ml: _FSETable | None = None
+        self.reps = [1, 4, 8]
+
+
+def _decode_literals(block: bytes, ctx: _FrameCtx) -> tuple[bytes, int]:
+    """Decode the literals section; returns (literals, bytes consumed)."""
+    if not block:
+        raise ValueError("zstd: empty compressed block")
+    b0 = block[0]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype <= 1:  # raw / RLE
+        if sf in (0, 2):
+            regen = b0 >> 3
+            hlen = 1
+        elif sf == 1:
+            if len(block) < 2:
+                raise ValueError("zstd: truncated literals header")
+            regen = int.from_bytes(block[:2], "little") >> 4
+            hlen = 2
+        else:
+            if len(block) < 3:
+                raise ValueError("zstd: truncated literals header")
+            regen = int.from_bytes(block[:3], "little") >> 4
+            hlen = 3
+        if regen > _BLOCK_MAX:
+            raise ValueError("zstd: literals exceed the block size limit")
+        if ltype == 0:
+            if hlen + regen > len(block):
+                raise ValueError("zstd: truncated raw literals")
+            return block[hlen : hlen + regen], hlen + regen
+        if hlen + 1 > len(block):
+            raise ValueError("zstd: truncated RLE literal byte")
+        return bytes([block[hlen]]) * regen, hlen + 1
+    # compressed / treeless
+    if sf == 0:
+        hlen, rbits, streams = 3, 10, 1
+    elif sf == 1:
+        hlen, rbits, streams = 3, 10, 4
+    elif sf == 2:
+        hlen, rbits, streams = 4, 14, 4
+    else:
+        hlen, rbits, streams = 5, 18, 4
+    if len(block) < hlen:
+        raise ValueError("zstd: truncated literals header")
+    h = int.from_bytes(block[:hlen], "little")
+    regen = (h >> 4) & ((1 << rbits) - 1)
+    csize = (h >> (4 + rbits)) & ((1 << rbits) - 1)
+    if regen > _BLOCK_MAX:
+        raise ValueError("zstd: literals exceed the block size limit")
+    if hlen + csize > len(block):
+        raise ValueError("zstd: truncated compressed literals")
+    payload = block[hlen : hlen + csize]
+    if ltype == 2:
+        weights, consumed = _huff_weights_from_desc(payload)
+        ctx.huff = _HuffTable(weights)
+        payload = payload[consumed:]
+    elif ctx.huff is None:
+        raise ValueError("zstd: treeless literals with no previous Huffman table")
+    table = ctx.huff
+    if streams == 1:
+        lit = table.decode_stream(payload, regen)
+    else:
+        if len(payload) < 6:
+            raise ValueError("zstd: truncated 4-stream jump table")
+        s1 = int.from_bytes(payload[0:2], "little")
+        s2 = int.from_bytes(payload[2:4], "little")
+        s3 = int.from_bytes(payload[4:6], "little")
+        if 6 + s1 + s2 + s3 > len(payload):
+            raise ValueError("zstd: 4-stream jump table overruns the section")
+        part = (regen + 3) >> 2
+        lit = bytearray()
+        off = 6
+        for size, cnt in ((s1, part), (s2, part), (s3, part), (len(payload) - 6 - s1 - s2 - s3, regen - 3 * part)):
+            if cnt < 0:
+                raise ValueError("zstd: 4-stream literal count underflow")
+            lit += table.decode_stream(payload[off : off + size], cnt)
+            off += size
+    if len(lit) != regen:
+        raise ValueError("zstd: literal stream regenerated the wrong size")
+    return bytes(lit), hlen + csize
+
+
+def _read_seq_table(kind: str, mode: int, data: bytes, pos: int, ctx: _FrameCtx,
+                    default: _FSETable) -> tuple[_FSETable, int]:
+    if mode == 0:
+        table = default
+    elif mode == 1:
+        if pos >= len(data):
+            raise ValueError("zstd: truncated RLE sequence table byte")
+        sym = data[pos]
+        if sym > _MAX_SYM[kind]:
+            raise ValueError(f"zstd: RLE {kind} symbol out of range")
+        norm = [0] * (sym + 1)
+        norm[sym] = 1
+        table = _FSETable(0, norm)
+        pos += 1
+    elif mode == 2:
+        fwd = _ForwardBits(data[pos:])
+        table = _read_fse_table(fwd, _MAX_LOG[kind], _MAX_SYM[kind])
+        pos += fwd.byte_pos()
+    else:
+        table = getattr(ctx, kind)
+        if table is None:
+            raise ValueError(f"zstd: repeat {kind} table with no previous table")
+    setattr(ctx, kind, table)
+    return table, pos
+
+
+def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray, max_output: int) -> None:
+    literals, pos = _decode_literals(block, ctx)
+    data = block
+    if pos >= len(data):
+        raise ValueError("zstd: compressed block missing its sequences section")
+    b0 = data[pos]
+    if b0 < 128:
+        nseq = b0
+        pos += 1
+    elif b0 < 255:
+        if pos + 2 > len(data):
+            raise ValueError("zstd: truncated sequence count")
+        nseq = ((b0 - 128) << 8) + data[pos + 1]
+        pos += 2
+    else:
+        if pos + 3 > len(data):
+            raise ValueError("zstd: truncated sequence count")
+        nseq = data[pos + 1] + (data[pos + 2] << 8) + 0x7F00
+        pos += 3
+    if nseq == 0:
+        if pos != len(data):
+            raise ValueError("zstd: trailing bytes after an empty sequences section")
+        if len(out) + len(literals) > max_output:
+            raise ValueError("zstd: output exceeds the allowed maximum")
+        out += literals
+        return
+    if pos >= len(data):
+        raise ValueError("zstd: truncated sequence compression modes")
+    modes = data[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence mode bits set")
+    ll_t, pos = _read_seq_table("ll", (modes >> 6) & 3, data, pos, ctx, _LL_TABLE_DEFAULT)
+    of_t, pos = _read_seq_table("of", (modes >> 4) & 3, data, pos, ctx, _OF_TABLE_DEFAULT)
+    ml_t, pos = _read_seq_table("ml", (modes >> 2) & 3, data, pos, ctx, _ML_TABLE_DEFAULT)
+    bits = _BackwardBits(data[pos:])
+    ll_s = bits.read(ll_t.log)
+    of_s = bits.read(of_t.log)
+    ml_s = bits.read(ml_t.log)
+    if bits.pos < 0:
+        raise ValueError("zstd: sequence bitstream too short for its states")
+    reps = ctx.reps
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_t.symbols[of_s]
+        ml_code = ml_t.symbols[ml_s]
+        ll_code = ll_t.symbols[ll_s]
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        offset_val = (1 << of_code) + bits.read(of_code)
+        if ml_code > 52 or ll_code > 35:
+            raise ValueError("zstd: sequence code out of range")
+        ml = _ML_BASE[ml_code] + bits.read(_ML_BITS[ml_code])
+        ll = _LL_BASE[ll_code] + bits.read(_LL_BITS[ll_code])
+        if bits.pos < 0:
+            raise ValueError("zstd: sequence bitstream exhausted mid-sequence")
+        if offset_val > 3:
+            offset = offset_val - 3
+            reps[2] = reps[1]
+            reps[1] = reps[0]
+            reps[0] = offset
+        else:
+            idx = offset_val - 1
+            if ll == 0:
+                idx += 1
+            if idx == 0:
+                offset = reps[0]
+            else:
+                offset = reps[idx] if idx < 3 else reps[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: repeat offset resolved to zero")
+                if idx > 1:
+                    reps[2] = reps[1]
+                reps[1] = reps[0]
+                reps[0] = offset
+        if lit_pos + ll > len(literals):
+            raise ValueError("zstd: sequence consumes more literals than exist")
+        if len(out) + ll + ml > max_output:
+            raise ValueError("zstd: output exceeds the allowed maximum")
+        out += literals[lit_pos : lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out):
+            raise ValueError("zstd: match offset reaches before the frame start")
+        start = len(out) - offset
+        if offset >= ml:
+            out += out[start : start + ml]
+        else:
+            for j in range(ml):
+                out.append(out[start + j])
+        if i < nseq - 1:
+            ll_s = ll_t.base[ll_s] + bits.read(ll_t.nbits[ll_s])
+            ml_s = ml_t.base[ml_s] + bits.read(ml_t.nbits[ml_s])
+            of_s = of_t.base[of_s] + bits.read(of_t.nbits[of_s])
+            if bits.pos < 0:
+                raise ValueError("zstd: sequence bitstream exhausted mid-update")
+    if bits.pos != 0:
+        raise ValueError("zstd: sequence bitstream not fully consumed")
+    rest = len(literals) - lit_pos
+    if len(out) + rest > max_output:
+        raise ValueError("zstd: output exceeds the allowed maximum")
+    out += literals[lit_pos:]
+
+
+def zstd_decompress(buf: bytes, max_output: int = 1 << 31) -> bytes:
+    """Decode one or more concatenated zstd frames (skippable frames are
+    skipped).  Raises ValueError on any malformed input."""
+    out = bytearray()
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("zstd: truncated frame magic")
+        magic = int.from_bytes(buf[pos : pos + 4], "little")
+        pos += 4
+        if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable frame
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated skippable frame size")
+            size = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+            if pos + size > n:
+                raise ValueError("zstd: skippable frame overruns the input")
+            pos += size
+            continue
+        if magic != 0xFD2FB528:
+            raise ValueError("zstd: bad frame magic")
+        if pos >= n:
+            raise ValueError("zstd: truncated frame header")
+        fhd = buf[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ValueError("zstd: reserved frame header bit set")
+        single = (fhd >> 5) & 1
+        fcs_flag = fhd >> 6
+        did_flag = fhd & 3
+        checksum = (fhd >> 2) & 1
+        if not single:
+            if pos >= n:
+                raise ValueError("zstd: truncated window descriptor")
+            wd = buf[pos]
+            pos += 1
+            wbase = 1 << (10 + (wd >> 3))
+            window = wbase + (wbase >> 3) * (wd & 7)
+            if window > (1 << 31):
+                raise ValueError("zstd: window size beyond the supported maximum")
+        did_len = (0, 1, 2, 4)[did_flag]
+        if pos + did_len > n:
+            raise ValueError("zstd: truncated dictionary id")
+        if did_len and int.from_bytes(buf[pos : pos + did_len], "little"):
+            raise ValueError("zstd: dictionary frames are not supported")
+        pos += did_len
+        fcs_len = (1 if single else 0, 2, 4, 8)[fcs_flag]
+        fcs = None
+        if fcs_len:
+            if pos + fcs_len > n:
+                raise ValueError("zstd: truncated frame content size")
+            fcs = int.from_bytes(buf[pos : pos + fcs_len], "little")
+            if fcs_len == 2:
+                fcs += 256
+            pos += fcs_len
+        ctx = _FrameCtx()
+        frame_start = len(out)
+        while True:
+            if pos + 3 > n:
+                raise ValueError("zstd: truncated block header")
+            bh = int.from_bytes(buf[pos : pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 3:
+                raise ValueError("zstd: reserved block type")
+            if btype == 1:  # RLE
+                if pos >= n:
+                    raise ValueError("zstd: truncated RLE block byte")
+                if bsize > _BLOCK_MAX:
+                    raise ValueError("zstd: RLE block exceeds the size limit")
+                if len(out) + bsize > max_output:
+                    raise ValueError("zstd: output exceeds the allowed maximum")
+                out += bytes([buf[pos]]) * bsize
+                pos += 1
+            else:
+                if bsize > _BLOCK_MAX:
+                    raise ValueError("zstd: block exceeds the size limit")
+                if pos + bsize > n:
+                    raise ValueError("zstd: block overruns the input")
+                content = buf[pos : pos + bsize]
+                pos += bsize
+                if btype == 0:
+                    if len(out) + bsize > max_output:
+                        raise ValueError("zstd: output exceeds the allowed maximum")
+                    out += content
+                else:
+                    _decode_block(content, ctx, out, max_output)
+            if last:
+                break
+        if fcs is not None and len(out) - frame_start != fcs:
+            raise ValueError("zstd: frame content size mismatch")
+        if checksum:
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated content checksum")
+            want = int.from_bytes(buf[pos : pos + 4], "little")
+            pos += 4
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if want != got:
+                raise ValueError("zstd: content checksum mismatch")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _frame_header(content_size: int, checksum: bool) -> bytearray:
+    out = bytearray(0xFD2FB528 .to_bytes(4, "little"))
+    if content_size < 256:
+        fcs_flag, fcs_len = 0, 1
+    elif content_size < 65536 + 256:
+        fcs_flag, fcs_len = 1, 2
+    elif content_size < 1 << 32:
+        fcs_flag, fcs_len = 2, 4
+    else:
+        fcs_flag, fcs_len = 3, 8
+    fhd = (fcs_flag << 6) | (1 << 5) | ((1 if checksum else 0) << 2)
+    out.append(fhd)
+    v = content_size - 256 if fcs_flag == 1 else content_size
+    out += v.to_bytes(fcs_len, "little")
+    return out
+
+
+def _interleave_acc(values: list[tuple[int, int]]) -> bytes:
+    """Pack (value, width) pairs in decode-read order into a backward
+    bitstream (sentinel + byte padding)."""
+    acc = 0
+    pos = 0
+    for v, w in values:
+        acc = (acc << w) | v
+        pos += w
+    # sentinel 1-bit sits ABOVE the packed bits: the backward reader
+    # locates it as the highest set bit of the final byte and reads
+    # the first value from the bits immediately below it
+    acc |= 1 << pos
+    return acc.to_bytes((pos + 8) >> 3, "little")
+
+
+def _fse_encode_channel(table: _FSETable, codes: list[int]) -> tuple[int, list[tuple[int, int]]]:
+    """Backward FSE state planning; returns (init_state_cell,
+    per-step update (value,width) list in forward order)."""
+    n = len(codes)
+    state = table.enc_first_cell(codes[-1])
+    updates: list[tuple[int, int]] = [None] * (n - 1)  # type: ignore[list-item]
+    for i in range(n - 2, -1, -1):
+        cell, val, width = table.enc_step(codes[i], state)
+        updates[i] = (val, width)
+        state = cell
+    return state, updates
+
+
+def _huffman_weights(data: bytes) -> list[int] | None:
+    """Per-symbol zstd weights for ``data``; None if Huffman coding is
+    not applicable (single symbol, or code length would exceed 11)."""
+    freq = [0] * 256
+    for b in data:
+        freq[b] += 1
+    present = [(f, s) for s, f in enumerate(freq) if f]
+    if len(present) < 2:
+        return None
+    import heapq
+
+    heap = [(f, s, None) for f, s in present]
+    # standard Huffman to get code lengths
+    nodes: list[tuple] = []
+    heapq.heapify(heap)
+    counter = 256
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        merged = (a[0] + b[0], counter, (a, b))
+        counter += 1
+        heapq.heappush(heap, merged)
+    lengths = [0] * 256
+    stack = [(heap[0], 0)]
+    while stack:
+        (f, s, kids), depth = stack.pop()
+        if kids is None:
+            lengths[s] = max(depth, 1)
+        else:
+            stack.append((kids[0], depth + 1))
+            stack.append((kids[1], depth + 1))
+    max_len = max(lengths)
+    if max_len > 11:
+        return None  # rare for our block sizes; raw literals instead
+    return [max_len + 1 - ln if ln else 0 for ln in lengths]
+
+
+def _serialize_weights(weights: list[int]) -> bytes | None:
+    """Huffman tree description: direct nibbles when the alphabet allows,
+    else FSE-compressed; None if neither representation fits."""
+    last = max(s for s, w in enumerate(weights) if w)
+    stored = weights[:last]  # the last present symbol's weight is implied
+    if last <= 128:
+        out = bytearray([127 + last])
+        for i in range(0, last, 2):
+            hi = stored[i] << 4
+            lo = stored[i + 1] if i + 1 < last else 0
+            out.append(hi | lo)
+        return bytes(out)
+    # FSE-compressed weights (alphabet = weight values)
+    hist = [0] * 12
+    for w in stored:
+        hist[w] += 1
+    total = len(stored)
+    al = 6
+    size = 1 << al
+    norm = [0] * 12
+    rem = size
+    nz = [w for w in range(12) if hist[w]]
+    if len(nz) < 2:
+        return None
+    # cap every count at size/2 so every table cell reads >= 1 bit —
+    # a 0-bit state at the stream tail would let the decoder's
+    # exhaustion check slide past the final symbol pair
+    cap = size >> 1
+    for w in nz[:-1]:
+        c = min(cap, max(1, (hist[w] * size) // total))
+        norm[w] = c
+        rem -= c
+    if rem < 1 or rem > cap:
+        return None
+    norm[nz[-1]] = rem
+    table = _FSETable(al, norm)
+    desc, _bits = _write_fse_table(norm, al)
+    # two interleaved states: even indices via s1, odd via s2
+    ev = stored[0::2]
+    od = stored[1::2]
+    # plan states backward across the alternating emit order
+    order = []
+    for i in range(len(stored)):
+        order.append(stored[i])
+    # decoder emits: s1,s2,s1,s2,...; updates follow every emit except
+    # the final two (the overflow emits); so updates exist for emits
+    # 0..n-3, and the state for emit i propagates to emit i+2
+    n2 = len(order)
+    states = [0] * n2
+    # choose final states first
+    states[n2 - 1] = table.enc_first_cell(order[n2 - 1])
+    if n2 >= 2:
+        states[n2 - 2] = table.enc_first_cell(order[n2 - 2])
+    upd: list[tuple[int, int]] = [None] * max(0, n2 - 2)  # type: ignore[list-item]
+    for i in range(n2 - 3, -1, -1):
+        cell, val, width = table.enc_step(order[i], states[i + 2])
+        upd[i] = (val, width)
+        states[i] = cell
+    reads: list[tuple[int, int]] = [(states[0], al)]
+    if n2 >= 2:
+        reads.append((states[1], al))
+    reads.extend(upd)
+    stream = _interleave_acc(reads)
+    payload = desc + stream
+    if len(payload) > 127:
+        return None
+    out = bytes([len(payload)]) + payload
+    # belt-and-braces: replay through the decoder; weights descriptions
+    # are <= 128 bytes so this costs microseconds and guarantees the
+    # interleaved-termination invariant held
+    try:
+        back, _ = _huff_weights_from_desc(out)
+    except ValueError:
+        return None
+    if back[:-1] != stored or back[-1] != weights[last]:
+        return None
+    return out
+
+
+def _encode_literals_section(literals: bytes) -> bytes | None:
+    """Huffman-compressed literals section (header + tree + streams);
+    None when compression does not help."""
+    regen = len(literals)
+    if regen < 16:
+        return None
+    weights = _huffman_weights(literals)
+    if weights is None:
+        return None
+    # make the implicit-last-weight invariant hold: the serialized form
+    # drops the last present symbol's weight, deduced from the power-of-
+    # two completion — true for any complete Huffman code
+    desc = _serialize_weights(weights)
+    if desc is None:
+        return None
+    table = _HuffTable(weights)
+    if regen <= 1023:
+        stream = table.encode_stream(literals)
+        csize = len(desc) + len(stream)
+        if csize > 1023 or csize >= regen:
+            return None
+        h = 2 | (0 << 2) | (regen << 4) | (csize << 14)
+        return h.to_bytes(3, "little") + desc + stream
+    part = (regen + 3) >> 2
+    chunks = [literals[0:part], literals[part : 2 * part], literals[2 * part : 3 * part], literals[3 * part :]]
+    streams = [table.encode_stream(c) for c in chunks]
+    if any(len(s) > 0xFFFF for s in streams[:3]):
+        return None
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+    csize = len(desc) + 6 + sum(len(s) for s in streams)
+    if csize >= regen:
+        return None
+    if regen <= 16383 and csize <= 16383:
+        h = 2 | (2 << 2) | (regen << 4) | (csize << 18)
+        hlen = 4
+    elif regen <= 262143 and csize <= 262143:
+        h = 2 | (3 << 2) | (regen << 4) | (csize << 22)
+        hlen = 5
+    else:
+        return None
+    return h.to_bytes(hlen, "little") + desc + jump + b"".join(streams)
+
+
+def _raw_literals_section(literals: bytes) -> bytes:
+    regen = len(literals)
+    if regen and len(set(literals)) == 1:  # RLE literals
+        if regen < 32:
+            h = 1 | (regen << 3)
+            return bytes([h, literals[0]])
+        if regen <= 4095:
+            h = 1 | (1 << 2) | (regen << 4)
+            return h.to_bytes(2, "little") + literals[:1]
+        h = 1 | (3 << 2) | (regen << 4)
+        return h.to_bytes(3, "little") + literals[:1]
+    if regen < 32:
+        return bytes([0 | (regen << 3)]) + literals
+    if regen <= 4095:
+        h = 0 | (1 << 2) | (regen << 4)
+        return h.to_bytes(2, "little") + literals
+    h = 0 | (3 << 2) | (regen << 4)
+    return h.to_bytes(3, "little") + literals
+
+
+def _greedy_sequences(block: bytes) -> tuple[bytes, list[tuple[int, int, int]]]:
+    """Greedy 4-byte-prefix hash matcher (the snappy_compress strategy):
+    returns (literal bytes, [(ll, offset, ml), ...])."""
+    n = len(block)
+    table: dict[int, int] = {}
+    lits = bytearray()
+    seqs: list[tuple[int, int, int]] = []
+    anchor = 0
+    i = 0
+    max_off = 1 << 27  # keeps every offset code inside the predefined table
+    while i + 4 <= n:
+        key = int.from_bytes(block[i : i + 4], "little")
+        cand = table.get(key)
+        table[key] = i
+        if cand is not None and i - cand <= max_off and block[cand : cand + 4] == block[i : i + 4]:
+            ml = 4
+            while i + ml < n and block[cand + ml] == block[i + ml]:
+                ml += 1
+            lits += block[anchor:i]
+            seqs.append((i - anchor, i - cand, ml))
+            # index a couple of positions inside the match to find
+            # later overlaps without the full per-byte insert cost
+            step = i + ml
+            if i + 2 + 4 <= n:
+                table[int.from_bytes(block[i + 2 : i + 6], "little")] = i + 2
+            i = step
+            anchor = i
+        else:
+            i += 1
+    lits += block[anchor:]
+    return bytes(lits), seqs
+
+
+def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
+    nseq = len(seqs)
+    out = bytearray()
+    if nseq < 128:
+        out.append(nseq)
+    elif nseq < 0x7F00:
+        out.append(128 + (nseq >> 8))
+        out.append(nseq & 0xFF)
+    else:
+        out.append(255)
+        out += (nseq - 0x7F00).to_bytes(2, "little")
+    if nseq == 0:
+        return bytes(out)
+    out.append(0)  # all three channels: predefined FSE mode
+    ll_codes = [_ll_code(ll) for ll, _, _ in seqs]
+    of_vals = [off + 3 for _, off, _ in seqs]
+    of_codes = [v.bit_length() - 1 for v in of_vals]
+    ml_codes = [_ml_code(ml) for _, _, ml in seqs]
+    ll_init, ll_upd = _fse_encode_channel(_LL_TABLE_DEFAULT, ll_codes)
+    of_init, of_upd = _fse_encode_channel(_OF_TABLE_DEFAULT, of_codes)
+    ml_init, ml_upd = _fse_encode_channel(_ML_TABLE_DEFAULT, ml_codes)
+    reads: list[tuple[int, int]] = [
+        (ll_init, _LL_TABLE_DEFAULT.log),
+        (of_init, _OF_TABLE_DEFAULT.log),
+        (ml_init, _ML_TABLE_DEFAULT.log),
+    ]
+    for i, (ll, off, ml) in enumerate(seqs):
+        ofc = of_codes[i]
+        reads.append((of_vals[i] - (1 << ofc), ofc))
+        mlc = ml_codes[i]
+        reads.append((ml - _ML_BASE[mlc], _ML_BITS[mlc]))
+        llc = ll_codes[i]
+        reads.append((ll - _LL_BASE[llc], _LL_BITS[llc]))
+        if i < nseq - 1:
+            reads.append(ll_upd[i])
+            reads.append(ml_upd[i])
+            reads.append(of_upd[i])
+    out += _interleave_acc(reads)
+    return bytes(out)
+
+
+def _compress_block_fast(block: bytes) -> bytes | None:
+    """One compressed block's content, or None if raw is smaller."""
+    lits, seqs = _greedy_sequences(block)
+    lit_section = _encode_literals_section(lits) or _raw_literals_section(lits)
+    seq_section = _encode_sequences_section(seqs)
+    content = lit_section + seq_section
+    if len(content) >= len(block):
+        return None
+    return content
+
+
+def zstd_compress(buf: bytes, level: str = "fast", checksum: bool = True) -> bytes:
+    """Encode ``buf`` as a single zstd frame.  ``level="store"`` emits
+    raw blocks only; ``level="fast"`` emits real compressed blocks
+    (greedy matcher, Huffman literals, predefined-FSE sequences) with
+    per-block raw fallback."""
+    if level not in ("store", "fast"):
+        raise ValueError(f"zstd: unknown level {level!r}")
+    out = _frame_header(len(buf), checksum)
+    n = len(buf)
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last, raw, size 0
+    pos = 0
+    while pos < n:
+        chunk = buf[pos : pos + _BLOCK_MAX]
+        pos += len(chunk)
+        last = 1 if pos >= n else 0
+        content = None
+        if level == "fast":
+            if len(set(chunk)) == 1:
+                bh = last | (1 << 1) | (len(chunk) << 3)
+                out += bh.to_bytes(3, "little")
+                out.append(chunk[0])
+                continue
+            content = _compress_block_fast(chunk)
+        if content is None:
+            bh = last | (0 << 1) | (len(chunk) << 3)
+            out += bh.to_bytes(3, "little") + chunk
+        else:
+            bh = last | (2 << 1) | (len(content) << 3)
+            out += bh.to_bytes(3, "little") + content
+    if checksum:
+        out += (xxh64(buf) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(out)

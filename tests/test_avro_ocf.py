@@ -58,7 +58,7 @@ _ROW = st.fixed_dictionaries(
 
 
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
-@given(rows=st.lists(_ROW, max_size=8), codec=st.sampled_from(["null", "deflate", "snappy", "bzip2", "xz"]))
+@given(rows=st.lists(_ROW, max_size=8), codec=st.sampled_from(["null", "deflate", "snappy", "bzip2", "xz", "zstandard"]))
 def test_ocf_roundtrip_property(rows, codec):
     """Arbitrary rows of the mixed-type schema round-trip exactly under
     both container codecs, including multi-block files."""
@@ -336,7 +336,7 @@ def test_snappy_codec_format_and_crc():
 
 
 def test_pyavro_compressed_codecs_through_spark(spark, sf_dir):
-    """snappy/bzip2/xz OCFs written through the DataSource read back
+    """snappy/bzip2/xz/zstandard OCFs written through the DataSource read back
     exact and smaller than the uncompressed form."""
     from realtime_change_data_capture_streaming_spark.sources import avro_ocf
     from realtime_change_data_capture_streaming_spark.sources.tables import load_table
@@ -349,7 +349,7 @@ def test_pyavro_compressed_codecs_through_spark(spark, sf_dir):
         )
         raw = os.path.join(d, "raw")
         src.coalesce(1).write.mode("overwrite").format("pyavro").save(raw)
-        for codec in ("snappy", "bzip2", "xz"):
+        for codec in ("snappy", "bzip2", "xz", "zstandard"):
             path = os.path.join(d, codec)
             src.coalesce(1).write.mode("overwrite").format("pyavro").option(
                 "codec", codec
