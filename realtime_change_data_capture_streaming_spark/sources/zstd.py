@@ -406,30 +406,56 @@ class _HuffTable:
         symbols = self.symbols
         nbits = self.nbits
         state = bits.read(mb)
+        # hot loop: the backward bit reader inlined (one symbol per
+        # iteration; a method call per symbol dominates otherwise)
+        buf = bits.buf
+        pos = bits.pos
+        frombytes = int.from_bytes
         for i in range(count):
             out[i] = symbols[state]
-            state = ((state << nbits[state]) | bits.read(nbits[state])) & mask
-            if bits.pos < -mb:
-                raise ValueError("zstd: Huffman stream exhausted early")
+            nb = nbits[state]
+            pos -= nb
+            if pos >= 0:
+                window = frombytes(buf[pos >> 3 : (pos + nb + 7) >> 3], "little")
+                val = (window >> (pos & 7)) & ((1 << nb) - 1)
+            else:
+                if pos < -mb:
+                    raise ValueError("zstd: Huffman stream exhausted early")
+                avail = pos + nb
+                if avail <= 0:
+                    val = 0
+                else:
+                    window = frombytes(buf[: (avail + 7) >> 3], "little")
+                    val = (window & ((1 << avail) - 1)) << (nb - avail)
+            state = ((state << nb) | val) & mask
         # exact consumption: the sliding window ends flush with the
         # final real bit (libzstd's end-of-stream invariant)
-        if bits.pos != -mb:
+        if pos != -mb:
             raise ValueError("zstd: Huffman stream not fully consumed")
         return out
 
     def encode_stream(self, data: bytes) -> bytes:
-        acc = 0
-        pos = 0
         codes = self.codes
         lengths = self.lengths
+        total = 0
         for b in data:
             ln = lengths[b]
             if ln == 0:
                 raise ValueError("zstd: Huffman-encoding a symbol with no code")
-            acc = (acc << ln) | codes[b]
-            pos += ln
-        acc |= 1 << pos  # sentinel above the payload bits
-        return acc.to_bytes((pos + 8) >> 3, "little")
+            total += ln
+        # same top-down rolling-accumulator packing as _interleave_acc
+        acc = 1
+        bits = 1 + ((-(total + 1)) % 8)
+        out = bytearray()
+        for b in data:
+            acc = (acc << lengths[b]) | codes[b]
+            bits += lengths[b]
+            while bits >= 8:
+                bits -= 8
+                out.append((acc >> bits) & 0xFF)
+            acc &= (1 << bits) - 1
+        out.reverse()
+        return bytes(out)
 
 
 def _huff_weights_from_desc(data: bytes) -> tuple[list[int], int]:
@@ -887,16 +913,26 @@ def _frame_header(content_size: int, checksum: bool) -> bytearray:
 def _interleave_acc(values: list[tuple[int, int]]) -> bytes:
     """Pack (value, width) pairs in decode-read order into a backward
     bitstream (sentinel + byte padding)."""
-    acc = 0
-    pos = 0
+    total = sum(w for _, w in values)
+    # sentinel 1-bit sits ABOVE the packed bits (plus zero padding to a
+    # byte boundary above THAT): the backward reader locates the
+    # sentinel as the highest set bit of the final byte and reads the
+    # first value from the bits immediately below it.  Bytes are
+    # emitted top-down with a small rolling accumulator (never the
+    # whole stream as one big integer), then reversed into the
+    # little-endian-at-rest order.
+    acc = 1
+    bits = 1 + ((-(total + 1)) % 8)
+    out = bytearray()
     for v, w in values:
         acc = (acc << w) | v
-        pos += w
-    # sentinel 1-bit sits ABOVE the packed bits: the backward reader
-    # locates it as the highest set bit of the final byte and reads
-    # the first value from the bits immediately below it
-    acc |= 1 << pos
-    return acc.to_bytes((pos + 8) >> 3, "little")
+        bits += w
+        while bits >= 8:
+            bits -= 8
+            out.append((acc >> bits) & 0xFF)
+        acc &= (1 << bits) - 1
+    out.reverse()
+    return bytes(out)
 
 
 def _fse_encode_channel(table: _FSETable, codes: list[int]) -> tuple[int, list[tuple[int, int]]]:
