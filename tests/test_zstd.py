@@ -259,3 +259,59 @@ def test_avro_zstandard_through_spark(spark, tmp_path):
     df = spark.read.format("pyavro").load(str(d))
     got = sorted((r.k, r.v) for r in df.collect())
     assert got == [(r["k"], r["v"]) for r in rows]
+
+
+def test_differential_soak_vs_real_zstd(spark):
+    """Randomized differential: random payload shapes x libzstd levels
+    decode byte-exact through our decoder, and our frames of the same
+    payloads decompress byte-exact through libzstd."""
+    jz = _jvm_zstd(spark)
+    if jz is None:
+        pytest.skip("zstd-jni not reachable through the gateway")
+    rng = random.Random(1234)
+    for trial in range(40):
+        shape = rng.randrange(4)
+        n = rng.randrange(0, 60000)
+        if shape == 0:
+            data = rng.randbytes(n)
+        elif shape == 1:
+            unit = rng.randbytes(rng.randrange(1, 50))
+            data = (unit * (n // max(1, len(unit)) + 1))[:n]
+        elif shape == 2:
+            words = [rng.randbytes(rng.randrange(2, 9)) for _ in range(8)]
+            data = b"".join(rng.choice(words) for _ in range(n // 5))
+        else:
+            lo = rng.randrange(0, 200)
+            data = bytes(rng.randrange(lo, min(256, lo + rng.randrange(1, 56))) for _ in range(n))
+        lvl = rng.choice((-7, -1, 1, 2, 3, 5, 12, 19))
+        assert zstd_decompress(bytes(jz.compress(data, lvl))) == data, (trial, shape, lvl)
+        mine = zstd_compress(data, level=rng.choice(("store", "fast")))
+        assert bytes(jz.decompress(mine, len(data))) == data, (trial, shape)
+
+
+def test_zstandard_ocf_splits_read_exactly_once(spark, tmp_path):
+    """Sync-marker byte-range splits compose with the zstandard codec:
+    a multi-block compressed file planned as many partitions reads every
+    row exactly once."""
+    from realtime_change_data_capture_streaming_spark.sources import avro_ocf
+    from realtime_change_data_capture_streaming_spark.sources.avro_ocf import write_ocf
+
+    avro_ocf.register(spark)
+    schema = {
+        "type": "record",
+        "name": "S",
+        "fields": [{"name": "i", "type": "long"}, {"name": "t", "type": "string"}],
+    }
+    rows = [{"i": i, "t": f"row payload {i % 31} " * 6} for i in range(4000)]
+    d = tmp_path / "zsplit"
+    d.mkdir()
+    write_ocf(str(d / "one.avro"), schema, rows, codec="zstandard", block_rows=100)
+    df = (
+        spark.read.format("pyavro")
+        .schema("i long, t string")
+        .option("splitSize", "8192")
+        .load(str(d))
+    )
+    assert df.rdd.getNumPartitions() > 1
+    got = sorted(r.i for r in df.collect())
+    assert got == list(range(4000))
