@@ -437,25 +437,9 @@ class _HuffTable:
     def encode_stream(self, data: bytes) -> bytes:
         codes = self.codes
         lengths = self.lengths
-        total = 0
-        for b in data:
-            ln = lengths[b]
-            if ln == 0:
-                raise ValueError("zstd: Huffman-encoding a symbol with no code")
-            total += ln
-        # same top-down rolling-accumulator packing as _interleave_acc
-        acc = 1
-        bits = 1 + ((-(total + 1)) % 8)
-        out = bytearray()
-        for b in data:
-            acc = (acc << lengths[b]) | codes[b]
-            bits += lengths[b]
-            while bits >= 8:
-                bits -= 8
-                out.append((acc >> bits) & 0xFF)
-            acc &= (1 << bits) - 1
-        out.reverse()
-        return bytes(out)
+        if any(lengths[b] == 0 for b in data):
+            raise ValueError("zstd: Huffman-encoding a symbol with no code")
+        return _interleave_acc([(codes[b], lengths[b]) for b in data])
 
 
 def _huff_weights_from_desc(data: bytes) -> tuple[list[int], int]:
@@ -682,7 +666,8 @@ def _read_seq_table(kind: str, mode: int, data: bytes, pos: int, ctx: _FrameCtx,
     return table, pos
 
 
-def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray, max_output: int) -> None:
+def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray, max_output: int,
+                  frame_start: int) -> None:
     literals, pos = _decode_literals(block, ctx)
     data = block
     if pos >= len(data):
@@ -763,7 +748,9 @@ def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray, max_output: int)
             raise ValueError("zstd: output exceeds the allowed maximum")
         out += literals[lit_pos : lit_pos + ll]
         lit_pos += ll
-        if offset > len(out):
+        if offset > len(out) - frame_start:
+            # matches may only reference THIS frame's output: libzstd
+            # rejects cross-frame references in concatenated input
             raise ValueError("zstd: match offset reaches before the frame start")
         start = len(out) - offset
         if offset >= ml:
@@ -874,7 +861,7 @@ def zstd_decompress(buf: bytes, max_output: int = 1 << 31) -> bytes:
                         raise ValueError("zstd: output exceeds the allowed maximum")
                     out += content
                 else:
-                    _decode_block(content, ctx, out, max_output)
+                    _decode_block(content, ctx, out, max_output, frame_start)
             if last:
                 break
         if fcs is not None and len(out) - frame_start != fcs:
@@ -884,7 +871,7 @@ def zstd_decompress(buf: bytes, max_output: int = 1 << 31) -> bytes:
                 raise ValueError("zstd: truncated content checksum")
             want = int.from_bytes(buf[pos : pos + 4], "little")
             pos += 4
-            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            got = xxh64(memoryview(out)[frame_start:]) & 0xFFFFFFFF
             if want != got:
                 raise ValueError("zstd: content checksum mismatch")
     return bytes(out)
@@ -1022,13 +1009,8 @@ def _serialize_weights(weights: list[int]) -> bytes | None:
     norm[nz[-1]] = rem
     table = _FSETable(al, norm)
     desc, _bits = _write_fse_table(norm, al)
-    # two interleaved states: even indices via s1, odd via s2
-    ev = stored[0::2]
-    od = stored[1::2]
-    # plan states backward across the alternating emit order
-    order = []
-    for i in range(len(stored)):
-        order.append(stored[i])
+    # two interleaved states: even emit indices via s1, odd via s2
+    order = stored
     # decoder emits: s1,s2,s1,s2,...; updates follow every emit except
     # the final two (the overflow emits); so updates exist for emits
     # 0..n-3, and the state for emit i propagates to emit i+2

@@ -315,3 +315,23 @@ def test_zstandard_ocf_splits_read_exactly_once(spark, tmp_path):
     assert df.rdd.getNumPartitions() > 1
     got = sorted(r.i for r in df.collect())
     assert got == list(range(4000))
+
+
+def test_cross_frame_match_reference_rejected():
+    """A sequence whose match reaches before its OWN frame's start must
+    raise even when earlier concatenated frames put bytes there —
+    libzstd rejects cross-frame references (caught by review: the bound
+    was checked against cumulative output, silently decoding wrong)."""
+    import realtime_change_data_capture_streaming_spark.sources.zstd as Z
+
+    frame1 = zstd_compress(b"A" * 10, level="store", checksum=False)
+    # frame2: no literals, one sequence (ll=0, offset=1, ml=3) — only
+    # valid if it may copy from frame1's output
+    content = Z._raw_literals_section(b"") + Z._encode_sequences_section([(0, 1, 3)])
+    frame2 = bytes(Z._frame_header(3, checksum=False))
+    frame2 += bytes.fromhex("") + ((1 | (2 << 1) | (len(content) << 3)).to_bytes(3, "little")) + content
+    with pytest.raises(ValueError, match="frame start"):
+        zstd_decompress(frame1 + frame2)
+    # and standalone it is equally invalid
+    with pytest.raises(ValueError, match="frame start"):
+        zstd_decompress(frame2)
