@@ -710,19 +710,31 @@ def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray, max_output: int,
         raise ValueError("zstd: sequence bitstream too short for its states")
     reps = ctx.reps
     lit_pos = 0
+    # hot loop: the per-sequence bit reads are fused — the three extra
+    # fields (read order offset, match, literal => offset in the HIGH
+    # bits) come from ONE slice, as do the three state updates (read
+    # order ll, ml, of); a method call per field dominates otherwise
+    stream = bits.buf
+    bpos = bits.pos
+    frombytes = int.from_bytes
     for i in range(nseq):
         of_code = of_t.symbols[of_s]
         ml_code = ml_t.symbols[ml_s]
         ll_code = ll_t.symbols[ll_s]
         if of_code > 31:
             raise ValueError("zstd: offset code out of range")
-        offset_val = (1 << of_code) + bits.read(of_code)
         if ml_code > 52 or ll_code > 35:
             raise ValueError("zstd: sequence code out of range")
-        ml = _ML_BASE[ml_code] + bits.read(_ML_BITS[ml_code])
-        ll = _LL_BASE[ll_code] + bits.read(_LL_BITS[ll_code])
-        if bits.pos < 0:
+        mlb = _ML_BITS[ml_code]
+        llb = _LL_BITS[ll_code]
+        w = of_code + mlb + llb
+        bpos -= w
+        if bpos < 0:
             raise ValueError("zstd: sequence bitstream exhausted mid-sequence")
+        window = frombytes(stream[bpos >> 3 : (bpos + w + 7) >> 3], "little") >> (bpos & 7)
+        ll = _LL_BASE[ll_code] + (window & ((1 << llb) - 1))
+        ml = _ML_BASE[ml_code] + ((window >> llb) & ((1 << mlb) - 1))
+        offset_val = (1 << of_code) + ((window >> (llb + mlb)) & ((1 << of_code) - 1))
         if offset_val > 3:
             offset = offset_val - 3
             reps[2] = reps[1]
@@ -759,12 +771,19 @@ def _decode_block(block: bytes, ctx: _FrameCtx, out: bytearray, max_output: int,
             for j in range(ml):
                 out.append(out[start + j])
         if i < nseq - 1:
-            ll_s = ll_t.base[ll_s] + bits.read(ll_t.nbits[ll_s])
-            ml_s = ml_t.base[ml_s] + bits.read(ml_t.nbits[ml_s])
-            of_s = of_t.base[of_s] + bits.read(of_t.nbits[of_s])
-            if bits.pos < 0:
+            llnb = ll_t.nbits[ll_s]
+            mlnb = ml_t.nbits[ml_s]
+            ofnb = of_t.nbits[of_s]
+            w = llnb + mlnb + ofnb
+            bpos -= w
+            if bpos < 0:
                 raise ValueError("zstd: sequence bitstream exhausted mid-update")
-    if bits.pos != 0:
+            window = frombytes(stream[bpos >> 3 : (bpos + w + 7) >> 3], "little") >> (bpos & 7)
+            new_of = of_t.base[of_s] + (window & ((1 << ofnb) - 1))
+            ml_s = ml_t.base[ml_s] + ((window >> ofnb) & ((1 << mlnb) - 1))
+            ll_s = ll_t.base[ll_s] + ((window >> (ofnb + mlnb)) & ((1 << llnb) - 1))
+            of_s = new_of
+    if bpos != 0:
         raise ValueError("zstd: sequence bitstream not fully consumed")
     rest = len(literals) - lit_pos
     if len(out) + rest > max_output:
