@@ -1,0 +1,390 @@
+"""Dependency-free IMA/DVI ADPCM (WAVE fmt 0x0011) and Microsoft ADPCM
+(fmt 0x0002) codecs — the two classic compressed-WAV formats, decoded
+per their published specifications (the IMA "Recommended Practices for
+Enhancing Digital Audio Compatibility" algorithm and Microsoft's
+WAVE-format ADPCM reference, both reproduced in the public multimedia
+format registries).
+
+Completes the audio tier alongside linear PCM, G.711 A/mu-law and FLAC
+(`multimodal.decode_audio` routes WAVE fmt tags here): 4-bit ADPCM is
+what legacy telephony/game corpora actually contain, and a 100 TB
+multimodal crawl will hit it.
+
+Both codecs are lossy, so the test contract differs from FLAC's
+bit-exactness: block-header samples decode EXACTLY (both layouts carry
+verbatim PCM seeds per block), constant signals round-trip exactly once
+the step index decays, and reconstruction error on smooth signals is
+bounded by the quantizer step — all pinned in ``tests/test_adpcm.py``
+along with hand-computed nibble vectors and hostile-input fuzz
+(malformed blocks raise ValueError, never crash or mis-decode).
+
+Scale shape: like the sibling codecs this runs row-parallel inside
+mapInPandas; blocks are independent, so decode is embarrassingly
+parallel within a payload too.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# ----------------------------------------------------------- IMA tables
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635,
+    13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+# ------------------------------------------------------------ MS tables
+
+_MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)]
+_MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+# ------------------------------------------------------------ IMA codec
+
+
+def _ima_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA quantizer step: returns (new predictor, new index).  The
+    spec's shift-accumulate reconstruction (NOT the (2d+1)*step/8
+    shortcut — they differ in truncation)."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = _clamp16(pred - diff if nibble & 8 else pred + diff)
+    index += _IMA_INDEX[nibble & 7]
+    return pred, 0 if index < 0 else (88 if index > 88 else index)
+
+
+def decode_ima_blocks(data: bytes, n_ch: int, block_align: int) -> list[list[int]]:
+    """Decode fmt-0x11 block stream to per-channel 16-bit sample lists.
+    Block layout per the WAVE spec: a 4-byte header per channel
+    (predictor int16, step index u8, reserved u8 — the predictor IS the
+    block's first output sample), then 4-byte nibble groups rotating
+    through the channels; low nibble first within each byte."""
+    if n_ch < 1:
+        raise ValueError("adpcm: channel count must be positive")
+    if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
+        raise ValueError(f"adpcm: IMA block align {block_align} invalid for {n_ch} channel(s)")
+    channels: list[list[int]] = [[] for _ in range(n_ch)]
+    for base in range(0, len(data) - block_align + 1, block_align):
+        preds = [0] * n_ch
+        idxs = [0] * n_ch
+        for c in range(n_ch):
+            p = base + 4 * c
+            pred = int.from_bytes(data[p : p + 2], "little", signed=True)
+            index = data[p + 2]
+            if index > 88:
+                raise ValueError(f"adpcm: IMA step index {index} out of range")
+            preds[c] = pred
+            idxs[c] = index
+            channels[c].append(pred)
+        pos = base + 4 * n_ch
+        end = base + block_align
+        while pos < end:
+            for c in range(n_ch):
+                pred, index = preds[c], idxs[c]
+                out = channels[c]
+                for b in data[pos : pos + 4]:
+                    pred, index = _ima_step(pred, index, b & 0xF)
+                    out.append(pred)
+                    pred, index = _ima_step(pred, index, b >> 4)
+                    out.append(pred)
+                preds[c], idxs[c] = pred, index
+                pos += 4
+    if len(data) % block_align:
+        raise ValueError("adpcm: trailing partial IMA block")
+    return channels
+
+
+def encode_ima_blocks(channels: list[list[int]], block_align: int) -> bytes:
+    """Greedy IMA encoder (the spec's quantizer run in reverse); pads the
+    final block by holding the last sample."""
+    n_ch = len(channels)
+    spb = ((block_align - 4 * n_ch) * 2) // n_ch + 1
+    n = max(len(ch) for ch in channels)
+    out = bytearray()
+    preds = [0] * n_ch
+    idxs = [0] * n_ch
+    for base in range(0, n, spb):
+        for c in range(n_ch):
+            ch = channels[c]
+            preds[c] = _clamp16(ch[base] if base < len(ch) else (ch[-1] if ch else 0))
+            out += preds[c].to_bytes(2, "little", signed=True)
+            out.append(idxs[c])
+            out.append(0)
+        nib_rounds = (spb - 1 + 7) // 8
+        for r in range(nib_rounds):
+            for c in range(n_ch):
+                ch = channels[c]
+                pred, index = preds[c], idxs[c]
+                for k in range(4):
+                    byte = 0
+                    for half in range(2):
+                        i = base + 1 + r * 8 + k * 2 + half
+                        want = ch[i] if i < len(ch) else (ch[-1] if ch else 0)
+                        step = _IMA_STEPS[index]
+                        diff = want - pred
+                        nibble = 8 if diff < 0 else 0
+                        diff = -diff if diff < 0 else diff
+                        if diff >= step:
+                            nibble |= 4
+                            diff -= step
+                        if diff >= step >> 1:
+                            nibble |= 2
+                            diff -= step >> 1
+                        if diff >= step >> 2:
+                            nibble |= 1
+                        pred, index = _ima_step(pred, index, nibble)
+                        byte |= nibble << (4 * half)
+                    out.append(byte)
+                preds[c], idxs[c] = pred, index
+    return bytes(out)
+
+
+# ------------------------------------------------------------- MS codec
+
+
+def decode_ms_blocks(data: bytes, n_ch: int, block_align: int,
+                     coefs: list[tuple[int, int]] | None = None) -> list[list[int]]:
+    """Decode fmt-0x02 block stream.  Per block: a predictor index byte
+    per channel (selects an (iCoef1, iCoef2) pair), an initial delta
+    int16 per channel, then the two verbatim seed samples per channel
+    (iSamp1 newest, iSamp2 oldest — emitted oldest-first), then signed
+    4-bit codes, channels rotating per nibble (high nibble first)."""
+    coefs = coefs or _MS_COEFS
+    header = 7 * n_ch
+    if n_ch < 1 or block_align <= header:
+        raise ValueError(f"adpcm: MS block align {block_align} invalid for {n_ch} channel(s)")
+    channels: list[list[int]] = [[] for _ in range(n_ch)]
+    for base in range(0, len(data) - block_align + 1, block_align):
+        c1 = [0] * n_ch
+        c2 = [0] * n_ch
+        delta = [0] * n_ch
+        s1 = [0] * n_ch
+        s2 = [0] * n_ch
+        for c in range(n_ch):
+            p = data[base + c]
+            if p >= len(coefs):
+                raise ValueError(f"adpcm: MS predictor index {p} out of range")
+            c1[c], c2[c] = coefs[p]
+        for c in range(n_ch):
+            delta[c] = int.from_bytes(data[base + n_ch + 2 * c : base + n_ch + 2 * c + 2], "little", signed=True)
+            if delta[c] <= 0:
+                raise ValueError("adpcm: MS initial delta must be positive")
+        o = base + 3 * n_ch
+        for c in range(n_ch):
+            s1[c] = int.from_bytes(data[o + 2 * c : o + 2 * c + 2], "little", signed=True)
+        o += 2 * n_ch
+        for c in range(n_ch):
+            s2[c] = int.from_bytes(data[o + 2 * c : o + 2 * c + 2], "little", signed=True)
+        for c in range(n_ch):
+            channels[c].append(s2[c])
+            channels[c].append(s1[c])
+        ch_i = 0
+        for pos in range(base + header, base + block_align):
+            byte = data[pos]
+            for nib in (byte >> 4, byte & 0xF):
+                c = ch_i % n_ch
+                ch_i += 1
+                signed = nib - 16 if nib >= 8 else nib
+                predicted = (s1[c] * c1[c] + s2[c] * c2[c]) >> 8
+                new = _clamp16(predicted + signed * delta[c])
+                s2[c] = s1[c]
+                s1[c] = new
+                channels[c].append(new)
+                d = (_MS_ADAPT[nib] * delta[c]) >> 8
+                delta[c] = 16 if d < 16 else d
+    if len(data) % block_align:
+        raise ValueError("adpcm: trailing partial MS block")
+    return channels
+
+
+def encode_ms_blocks(channels: list[list[int]], block_align: int) -> bytes:
+    """MS ADPCM encoder: per block, tries all 7 published coefficient
+    pairs and keeps the one with the least squared error."""
+    n_ch = len(channels)
+    header = 7 * n_ch
+    spb = ((block_align - header) * 2) // n_ch + 2
+    n = max(len(ch) for ch in channels)
+    out = bytearray()
+
+    def sample(c: int, i: int) -> int:
+        ch = channels[c]
+        return ch[i] if i < len(ch) else (ch[-1] if ch else 0)
+
+    def encode_channel(c: int, base: int, pidx: int):
+        c1, c2 = _MS_COEFS[pidx]
+        s2, s1 = sample(c, base), sample(c, base + 1)
+        # the reference encoder seeds delta from the early prediction
+        # errors; any positive value decodes correctly
+        errs = [abs(sample(c, base + i) - ((sample(c, base + i - 1) * c1 + sample(c, base + i - 2) * c2) >> 8))
+                for i in range(2, min(10, spb))]
+        delta = max(16, (sum(errs) // max(1, len(errs))) // 2 or 16)
+        init_delta = delta
+        nibs = []
+        sq = 0
+        for i in range(2, spb):
+            want = sample(c, base + i)
+            predicted = (s1 * c1 + s2 * c2) >> 8
+            d = want - predicted
+            code = d // delta if delta else 0
+            code = -8 if code < -8 else (7 if code > 7 else code)
+            new = _clamp16(predicted + code * delta)
+            # one refinement step against the reconstruction error
+            if code < 7 and abs(want - _clamp16(predicted + (code + 1) * delta)) < abs(want - new):
+                code += 1
+                new = _clamp16(predicted + code * delta)
+            elif code > -8 and abs(want - _clamp16(predicted + (code - 1) * delta)) < abs(want - new):
+                code -= 1
+                new = _clamp16(predicted + code * delta)
+            nib = code + 16 if code < 0 else code
+            nibs.append(nib)
+            sq += (want - new) * (want - new)
+            s2, s1 = s1, new
+            nd = (_MS_ADAPT[nib] * delta) >> 8
+            delta = 16 if nd < 16 else nd
+        return sq, pidx, init_delta, sample(c, base + 1), sample(c, base), nibs
+
+    for base in range(0, n, spb):
+        best = [min((encode_channel(c, base, p) for p in range(len(_MS_COEFS))), key=lambda t: t[0])
+                for c in range(n_ch)]
+        for c in range(n_ch):
+            out.append(best[c][1])
+        for c in range(n_ch):
+            out += best[c][2].to_bytes(2, "little", signed=True)
+        for c in range(n_ch):
+            out += _clamp16(best[c][3]).to_bytes(2, "little", signed=True)
+        for c in range(n_ch):
+            out += _clamp16(best[c][4]).to_bytes(2, "little", signed=True)
+        streams = [b[5] for b in best]
+        total = sum(len(s) for s in streams)
+        byte = 0
+        half = 0
+        for k in range(total):
+            nib = streams[k % n_ch][k // n_ch]
+            if half == 0:
+                byte = nib << 4
+                half = 1
+            else:
+                out.append(byte | nib)
+                half = 0
+        if half:
+            out.append(byte)
+    return bytes(out)
+
+
+# ------------------------------------------------------------ WAV layer
+
+
+def encode_wav_adpcm(channels: list[list[int]], rate: int, fmt: int,
+                     block_align: int | None = None) -> bytes:
+    """Mux per-channel PCM into a RIFF/WAVE with fmt 0x11 (IMA) or
+    0x02 (MS), including the spec-required extended fmt fields and the
+    fact chunk carrying the true per-channel sample count."""
+    n_ch = len(channels)
+    n = max((len(ch) for ch in channels), default=0)
+    if fmt == 0x11:
+        block_align = block_align or 256 * n_ch
+        spb = ((block_align - 4 * n_ch) * 2) // n_ch + 1
+        data = encode_ima_blocks(channels, block_align)
+        extra = struct.pack("<H", spb)
+        bits = 4
+    elif fmt == 0x02:
+        block_align = block_align or 256 * n_ch
+        spb = ((block_align - 7 * n_ch) * 2) // n_ch + 2
+        data = encode_ms_blocks(channels, block_align)
+        extra = struct.pack("<HH", spb, len(_MS_COEFS))
+        for a, b in _MS_COEFS:
+            extra += struct.pack("<hh", a, b)
+        bits = 4
+    else:
+        raise ValueError(f"adpcm: unsupported format tag {fmt:#x}")
+    byte_rate = rate * block_align // spb  # approximate, informational
+    fmt_body = struct.pack("<HHIIHH", fmt, n_ch, rate, byte_rate, block_align, bits)
+    fmt_body += struct.pack("<H", len(extra)) + extra
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    if len(fmt_body) & 1:
+        chunks += b"\x00"
+    chunks += b"fact" + struct.pack("<II", 4, n)
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_adpcm(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
+    """Demux + decode an ADPCM RIFF/WAVE (fmt 0x11 or 0x02); returns
+    (rate, n_channels, 16, per-channel samples) — the decode_audio
+    contract.  The fact chunk, when present, truncates the final
+    block's padding to the true sample count."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError(f"adpcm: not a RIFF/WAVE payload (magic {buf[:4]!r})")
+    pos = 12
+    fmt = n_ch = rate = block_align = None
+    coefs = None
+    fact = None
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        clen = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        body = buf[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("adpcm: truncated fmt chunk")
+            fmt, n_ch, rate, _br, block_align, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt not in (0x02, 0x11):
+                raise ValueError(f"adpcm: format tag {fmt:#x} is not an ADPCM WAVE")
+            if bits != 4:
+                raise ValueError(f"adpcm: 4-bit codes expected, fmt says {bits}")
+            if fmt == 0x02 and len(body) >= 22:
+                spb, ncoef = struct.unpack("<HH", body[18:22])
+                if len(body) >= 22 + 4 * ncoef and ncoef:
+                    coefs = [struct.unpack("<hh", body[22 + 4 * i : 26 + 4 * i]) for i in range(ncoef)]
+        elif cid == b"fact" and clen >= 4:
+            fact = struct.unpack("<I", body[:4])[0]
+        elif cid == b"data":
+            if len(body) != clen:
+                raise ValueError(f"adpcm: truncated data chunk: want {clen}, have {len(body)}")
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data is None:
+        raise ValueError("adpcm: missing fmt or data chunk")
+    if fmt == 0x11:
+        channels = decode_ima_blocks(data, n_ch, block_align)
+    else:
+        channels = decode_ms_blocks(data, n_ch, block_align, coefs)
+    if fact is not None:
+        if fact > max((len(c) for c in channels), default=0):
+            raise ValueError("adpcm: fact chunk claims more samples than the blocks hold")
+        channels = [c[:fact] for c in channels]
+    return rate, n_ch, 16, channels
+
+
+def peek_wav_format_tag(buf: bytes) -> int | None:
+    """The fmt tag of a RIFF/WAVE payload, or None if it is not one /
+    has no parseable fmt chunk (dispatch helper for decode_audio)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos = 12
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        clen = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and clen >= 2 and pos + 10 <= len(buf):
+            return struct.unpack("<H", buf[pos + 8 : pos + 10])[0]
+        pos += 8 + clen + (clen & 1)
+    return None

@@ -666,6 +666,15 @@ def decode_audio(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
 
         return decode_flac(buf)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        from realtime_change_data_capture_streaming_spark.llm_ops.adpcm import (
+            decode_wav_adpcm,
+            peek_wav_format_tag,
+        )
+
+        if peek_wav_format_tag(buf) in (0x02, 0x11):
+            # IMA/DVI and Microsoft ADPCM (4-bit compressed WAVE):
+            # decoded to 16-bit linear like the G.711 path below
+            return decode_wav_adpcm(buf)
         rate, n_ch, bits, fmt, data = decode_wav(buf)
         if fmt in (6, 7):
             # G.711 companded audio: one byte per sample on the wire,
@@ -692,7 +701,7 @@ def decode_audio(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
         return rate, n_ch, bits, channels
     raise NotImplementedError(
         f"audio decode for magic {buf[:4]!r} requires external codecs; "
-        "WAV (PCM + G.711) and FLAC decode natively"
+        "WAV (PCM + G.711 + IMA/MS ADPCM) and FLAC decode natively"
     )
 
 
