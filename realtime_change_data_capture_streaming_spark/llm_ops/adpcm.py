@@ -388,3 +388,132 @@ def peek_wav_format_tag(buf: bytes) -> int | None:
             return struct.unpack("<H", buf[pos + 8 : pos + 10])[0]
         pos += 8 + clen + (clen & 1)
     return None
+
+
+# ------------------------------------------------- staged r11 query
+
+
+def _synth_ima_payload(doc_id: int) -> bytes:
+    """Seed-free deterministic IMA WAV for doc_id: one mono block whose
+    nibbles are ``(doc_id*7 + 13*j) % 16`` — so the LOSSY decode is
+    itself an exact integer recurrence the DuckDB oracle replays (the
+    lossless-fixture trick the image queries use, adapted to a stateful
+    quantizer: the oracle steps the quantizer, not the waveform)."""
+    n_bytes = 96 + (doc_id % 5) * 4
+    pred0 = (doc_id * 97) % 20001 - 10000
+    idx0 = (doc_id * 31) % 89
+    block = bytearray(pred0.to_bytes(2, "little", signed=True))
+    block.append(idx0)
+    block.append(0)
+
+    def nib(j: int) -> int:
+        # mostly small codes (the index decays, samples wander) with a
+        # spike every 11th nibble (the index climbs, clamping engages)
+        return (doc_id * 7 + 13 * j) % 6 + (10 if j % 11 == 0 else 0)
+
+    for k in range(n_bytes):
+        block.append(nib(2 * k) | (nib(2 * k + 1) << 4))
+    data = bytes(block)
+    ba = len(data)
+    fmt_body = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000 * ba // (2 * n_bytes + 1), ba, 4)
+    fmt_body += struct.pack("<H", 2 * n_bytes + 1)
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def multimodal_adpcm_features(spark, sf_dir: str):
+    """REAL compressed-audio decode through mapInPandas: IMA ADPCM WAV
+    payloads demuxed and run through the published quantizer; per-doc
+    features (rate, sample count, exact amplitude sum/min/max).  The
+    oracle replays the quantizer recurrence in a recursive CTE, so the
+    driver hash checks every decoded sample's contribution."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.multimodal import decode_audio
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    media = spread(load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    rows.append((doc_id, None, None, None, None, None))
+                    continue
+                rate, n_ch, bits, chans = decode_audio(_synth_ima_payload(int(doc_id)))
+                assert n_ch == 1 and bits == 16
+                (ch,) = chans
+                rows.append((doc_id, rate, len(ch), int(sum(ch)), min(ch), max(ch)))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_samples", "sum_amplitude",
+                         "min_amplitude", "max_amplitude"],
+            ).astype(
+                {
+                    "sample_rate": "Int32",
+                    "n_samples": "Int64",
+                    "sum_amplitude": "Int64",
+                    "min_amplitude": "Int64",
+                    "max_amplitude": "Int64",
+                }
+            )
+
+    return media.mapInPandas(
+        run,
+        "doc_id bigint, sample_rate int, n_samples bigint, sum_amplitude bigint, "
+        "min_amplitude bigint, max_amplitude bigint",
+    )
+
+
+_NIB = ("((w.doc_id * 7 + (w.j + 1) * 13) % 6"
+        " + CASE WHEN (w.j + 1) % 11 = 0 THEN 10 ELSE 0 END)")
+_STEPS_VALUES = ", ".join(f"({i}, {v})" for i, v in enumerate(_IMA_STEPS))
+
+MULTIMODAL_ADPCM_SQL = f"""
+WITH RECURSIVE steps(s, v) AS (VALUES {_STEPS_VALUES}),
+docs AS (
+  SELECT doc_id,
+         2 * (96 + (doc_id % 5) * 4) AS n_nib,
+         (doc_id * 97) % 20001 - 10000 AS pred0,
+         (doc_id * 31) % 89 AS idx0
+  FROM documents WHERE text IS NOT NULL
+),
+walk(doc_id, j, pred, idx, n_nib) AS (
+  SELECT doc_id, -1, pred0, idx0, n_nib FROM docs
+  UNION ALL
+  SELECT w.doc_id, w.j + 1,
+         GREATEST(-32768, LEAST(32767,
+           w.pred + (1 - 2 * ({_NIB} // 8)) *
+             (st.v // 8 + ({_NIB} % 2) * (st.v // 4)
+              + (({_NIB} // 2) % 2) * (st.v // 2)
+              + (({_NIB} // 4) % 2) * st.v))),
+         LEAST(88, GREATEST(0, w.idx +
+           CASE WHEN {_NIB} % 8 < 4 THEN -1 ELSE 2 * ({_NIB} % 8) - 6 END)),
+         w.n_nib
+  FROM walk w JOIN steps st ON st.s = w.idx
+  WHERE w.j + 1 < w.n_nib
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n, SUM(pred) AS s, MIN(pred) AS mn, MAX(pred) AS mx
+  FROM walk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NOT NULL THEN 8000 END AS sample_rate,
+       CAST(a.n AS BIGINT) AS n_samples,
+       CAST(a.s AS BIGINT) AS sum_amplitude,
+       CAST(a.mn AS BIGINT) AS min_amplitude,
+       CAST(a.mx AS BIGINT) AS max_amplitude
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+# STAGED for r11 registration (the r10 window is frozen at the verdict's
+# 2-query budget): wire these into llm_ops once the window has capacity.
+STAGED_QUERIES = {"multimodal_adpcm_features": multimodal_adpcm_features}
+STAGED_ORACLE = {"multimodal_adpcm_features": MULTIMODAL_ADPCM_SQL}

@@ -146,3 +146,38 @@ def test_random_corruption_never_hangs_or_crashes():
 def test_decode_audio_still_rejects_truly_absent_codecs():
     with pytest.raises(NotImplementedError, match="ADPCM"):
         decode_audio(b"ID3\x04 pretend mp3 payload")
+
+
+def test_staged_adpcm_query_matches_duckdb_oracle(spark, sf_dir):
+    """`multimodal_adpcm_features` (staged for r11 registration — the
+    r10 window is frozen) decodes real IMA containers through
+    mapInPandas while the oracle replays the quantizer recurrence in a
+    recursive CTE; every cell must match exactly."""
+    import duckdb
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.adpcm import (
+        MULTIMODAL_ADPCM_SQL,
+        multimodal_adpcm_features,
+    )
+
+    got = (
+        multimodal_adpcm_features(spark, sf_dir)
+        .toArrow()
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(MULTIMODAL_ADPCM_SQL).df().sort_values("doc_id", ignore_index=True)
+    con.close()
+    assert len(got) == len(want) and list(got.columns) == list(want.columns)
+    for c in got.columns:
+        a = got[c].astype("float64")
+        b = want[c].astype("float64")
+        assert ((a == b) | (a.isna() & b.isna())).all(), c
+    # the fixture exercises both quantizer regimes: wandering samples
+    # AND clamp saturation
+    assert got["min_amplitude"].nunique() > 10
+    assert (got["min_amplitude"] == -32768).any()
