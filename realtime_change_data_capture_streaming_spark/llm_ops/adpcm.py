@@ -207,8 +207,11 @@ def decode_ms_blocks(data: bytes, n_ch: int, block_align: int,
                 s2[c] = s1[c]
                 s1[c] = new
                 channels[c].append(new)
+                # iDelta is an int16 block field: cap the adapted value
+                # at its storage class so a hostile all-high-nibble
+                # stream cannot drive unbounded big-int growth
                 d = (_MS_ADAPT[nib] * delta[c]) >> 8
-                delta[c] = 16 if d < 16 else d
+                delta[c] = 16 if d < 16 else (32767 if d > 32767 else d)
     if len(data) % block_align:
         raise ValueError("adpcm: trailing partial MS block")
     return channels
@@ -257,7 +260,7 @@ def encode_ms_blocks(channels: list[list[int]], block_align: int) -> bytes:
             sq += (want - new) * (want - new)
             s2, s1 = s1, new
             nd = (_MS_ADAPT[nib] * delta) >> 8
-            delta = 16 if nd < 16 else nd
+            delta = 16 if nd < 16 else (32767 if nd > 32767 else nd)
         return sq, pidx, init_delta, sample(c, base + 1), sample(c, base), nibs
 
     for base in range(0, n, spb):
@@ -422,12 +425,45 @@ def _synth_ima_payload(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def _synth_ms_payload(doc_id: int) -> bytes:
+    """Seed-free deterministic MS-ADPCM WAV for doc_id (the odd-doc
+    counterpart of ``_synth_ima_payload``): one mono fmt-0x02 block,
+    nibbles ``(doc_id*5 + 11*j) % 16`` — the coefficient-prediction +
+    delta-adaptation recurrence replays exactly in the oracle's
+    recursive CTE."""
+    n_bytes = 64 + (doc_id % 7) * 4
+    predictor = doc_id % 7
+    delta = 16 + (doc_id * 13) % 500
+    s1 = (doc_id * 57) % 8001 - 4000
+    s2 = (doc_id * 41) % 8001 - 4000
+    block = bytearray([predictor])
+    block += delta.to_bytes(2, "little", signed=True)
+    block += s1.to_bytes(2, "little", signed=True)
+    block += s2.to_bytes(2, "little", signed=True)
+    for k in range(n_bytes):
+        hi = (doc_id * 5 + 11 * (2 * k)) % 16
+        lo = (doc_id * 5 + 11 * (2 * k + 1)) % 16
+        block.append((hi << 4) | lo)  # high nibble first
+    data = bytes(block)
+    ba = len(data)
+    spb = 2 * n_bytes + 2
+    fmt_body = struct.pack("<HHIIHH", 0x02, 1, 8000, 8000 * ba // spb, ba, 4)
+    extra = struct.pack("<HH", spb, len(_MS_COEFS))
+    for a, b in _MS_COEFS:
+        extra += struct.pack("<hh", a, b)
+    fmt_body += struct.pack("<H", len(extra)) + extra
+    chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def multimodal_adpcm_features(spark, sf_dir: str):
-    """REAL compressed-audio decode through mapInPandas: IMA ADPCM WAV
-    payloads demuxed and run through the published quantizer; per-doc
-    features (rate, sample count, exact amplitude sum/min/max).  The
-    oracle replays the quantizer recurrence in a recursive CTE, so the
-    driver hash checks every decoded sample's contribution."""
+    """REAL compressed-audio decode through mapInPandas: even doc_ids
+    carry IMA ADPCM WAV payloads, odd doc_ids Microsoft ADPCM — both
+    demuxed and run through the published quantizers; per-doc features
+    (rate, sample count, exact amplitude sum/min/max).  The oracle
+    replays BOTH quantizer recurrences in recursive CTEs, so the driver
+    hash checks every decoded sample's contribution for both codecs."""
     from typing import Iterator
 
     import pandas as pd
@@ -447,7 +483,9 @@ def multimodal_adpcm_features(spark, sf_dir: str):
                 if text is None:
                     rows.append((doc_id, None, None, None, None, None))
                     continue
-                rate, n_ch, bits, chans = decode_audio(_synth_ima_payload(int(doc_id)))
+                did = int(doc_id)
+                payload = _synth_ima_payload(did) if did % 2 == 0 else _synth_ms_payload(did)
+                rate, n_ch, bits, chans = decode_audio(payload)
                 assert n_ch == 1 and bits == 16
                 (ch,) = chans
                 rows.append((doc_id, rate, len(ch), int(sum(ch)), min(ch), max(ch)))
@@ -478,12 +516,12 @@ _STEPS_VALUES = ", ".join(f"({i}, {v})" for i, v in enumerate(_IMA_STEPS))
 
 MULTIMODAL_ADPCM_SQL = f"""
 WITH RECURSIVE steps(s, v) AS (VALUES {_STEPS_VALUES}),
-docs AS (
+docs AS (  -- even doc_ids: IMA
   SELECT doc_id,
          2 * (96 + (doc_id % 5) * 4) AS n_nib,
          (doc_id * 97) % 20001 - 10000 AS pred0,
          (doc_id * 31) % 89 AS idx0
-  FROM documents WHERE text IS NOT NULL
+  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 0
 ),
 walk(doc_id, j, pred, idx, n_nib) AS (
   SELECT doc_id, -1, pred0, idx0, n_nib FROM docs
@@ -500,9 +538,43 @@ walk(doc_id, j, pred, idx, n_nib) AS (
   FROM walk w JOIN steps st ON st.s = w.idx
   WHERE w.j + 1 < w.n_nib
 ),
+msdocs AS (  -- odd doc_ids: Microsoft ADPCM
+  SELECT doc_id,
+         2 * (64 + (doc_id % 7) * 4) AS n_nib,
+         16 + (doc_id * 13) % 500 AS delta0,
+         (doc_id * 57) % 8001 - 4000 AS s1_0,
+         (doc_id * 41) % 8001 - 4000 AS s2_0,
+         CASE doc_id % 7 WHEN 0 THEN 256 WHEN 1 THEN 512 WHEN 2 THEN 0
+              WHEN 3 THEN 192 WHEN 4 THEN 240 WHEN 5 THEN 460 ELSE 392 END AS c1,
+         CASE doc_id % 7 WHEN 0 THEN 0 WHEN 1 THEN -256 WHEN 2 THEN 0
+              WHEN 3 THEN 64 WHEN 4 THEN 0 WHEN 5 THEN -208 ELSE -232 END AS c2
+  FROM documents WHERE text IS NOT NULL AND doc_id % 2 = 1
+),
+mswalk(doc_id, j, s1, s2, delta, n_nib, c1, c2) AS (
+  SELECT doc_id, -1, s1_0, s2_0, delta0, n_nib, c1, c2 FROM msdocs
+  UNION ALL
+  -- nibble and signed value via a lateral: DuckDB evaluates the
+  -- CTE-step SELECT list left to right, so alias once and reuse
+  SELECT w.doc_id, w.j + 1,
+         GREATEST(-32768, LEAST(32767,
+           CAST(floor((w.s1 * w.c1 + w.s2 * w.c2) / 256.0) AS BIGINT)
+           + (CASE WHEN M.nib >= 8 THEN M.nib - 16 ELSE M.nib END) * w.delta)),
+         w.s1,
+         LEAST(32767, GREATEST(16, (CASE M.nib WHEN 4 THEN 307 WHEN 5 THEN 409 WHEN 6 THEN 512 WHEN 7 THEN 614 WHEN 8 THEN 768 WHEN 9 THEN 614 WHEN 10 THEN 512 WHEN 11 THEN 409 WHEN 12 THEN 307 ELSE 230 END * w.delta) // 256)),
+         w.n_nib, w.c1, w.c2
+  FROM mswalk w,
+       LATERAL (SELECT (w.doc_id * 5 + 11 * (w.j + 1)) % 16 AS nib) M
+  WHERE w.j + 1 < w.n_nib
+),
+samples AS (
+  SELECT doc_id, pred AS v FROM walk
+  UNION ALL SELECT doc_id, s2_0 FROM msdocs
+  UNION ALL SELECT doc_id, s1_0 FROM msdocs
+  UNION ALL SELECT doc_id, s1 FROM mswalk WHERE j >= 0
+),
 agg AS (
-  SELECT doc_id, COUNT(*) AS n, SUM(pred) AS s, MIN(pred) AS mn, MAX(pred) AS mx
-  FROM walk GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n, SUM(v) AS s, MIN(v) AS mn, MAX(v) AS mx
+  FROM samples GROUP BY doc_id
 )
 SELECT d.doc_id,
        CASE WHEN d.text IS NOT NULL THEN 8000 END AS sample_rate,
