@@ -44,6 +44,7 @@ _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 _MS_COEFS = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)]
 _MS_ADAPT = [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230]
+_MS_DELTA_MAX = 1 << 30  # the int32 storage class of reference decoders
 
 
 def _clamp16(v: int) -> int:
@@ -115,6 +116,8 @@ def encode_ima_blocks(channels: list[list[int]], block_align: int) -> bytes:
     """Greedy IMA encoder (the spec's quantizer run in reverse); pads the
     final block by holding the last sample."""
     n_ch = len(channels)
+    if block_align < 4 * n_ch or (block_align - 4 * n_ch) % (4 * n_ch):
+        raise ValueError(f"adpcm: IMA block align {block_align} invalid for {n_ch} channel(s)")
     spb = ((block_align - 4 * n_ch) * 2) // n_ch + 1
     n = max(len(ch) for ch in channels)
     out = bytearray()
@@ -207,11 +210,13 @@ def decode_ms_blocks(data: bytes, n_ch: int, block_align: int,
                 s2[c] = s1[c]
                 s1[c] = new
                 channels[c].append(new)
-                # iDelta is an int16 block field: cap the adapted value
-                # at its storage class so a hostile all-high-nibble
-                # stream cannot drive unbounded big-int growth
+                # reference C decoders keep the running delta in an
+                # int32; cap at that storage class (2^30) so a hostile
+                # all-high-nibble stream cannot drive unbounded big-int
+                # growth — no real stream a 32-bit decoder can play
+                # ever reaches it, so decode fidelity is unchanged
                 d = (_MS_ADAPT[nib] * delta[c]) >> 8
-                delta[c] = 16 if d < 16 else (32767 if d > 32767 else d)
+                delta[c] = 16 if d < 16 else (_MS_DELTA_MAX if d > _MS_DELTA_MAX else d)
     if len(data) % block_align:
         raise ValueError("adpcm: trailing partial MS block")
     return channels
@@ -260,7 +265,7 @@ def encode_ms_blocks(channels: list[list[int]], block_align: int) -> bytes:
             sq += (want - new) * (want - new)
             s2, s1 = s1, new
             nd = (_MS_ADAPT[nib] * delta) >> 8
-            delta = 16 if nd < 16 else (32767 if nd > 32767 else nd)
+            delta = 16 if nd < 16 else (_MS_DELTA_MAX if nd > _MS_DELTA_MAX else nd)
         return sq, pidx, init_delta, sample(c, base + 1), sample(c, base), nibs
 
     for base in range(0, n, spb):
@@ -358,12 +363,18 @@ def decode_wav_adpcm(buf: bytes) -> tuple[int, int, int, list[list[int]]]:
                 spb, ncoef = struct.unpack("<HH", body[18:22])
                 if len(body) >= 22 + 4 * ncoef and ncoef:
                     coefs = [struct.unpack("<hh", body[22 + 4 * i : 26 + 4 * i]) for i in range(ncoef)]
-        elif cid == b"fact" and clen >= 4:
+        elif cid == b"fact":
+            if len(body) < 4:
+                raise ValueError("adpcm: truncated fact chunk")
             fact = struct.unpack("<I", body[:4])[0]
         elif cid == b"data":
             if len(body) != clen:
                 raise ValueError(f"adpcm: truncated data chunk: want {clen}, have {len(body)}")
+            if fmt is None:
+                # same ordering contract as multimodal.decode_wav
+                raise ValueError("adpcm: data chunk before fmt chunk")
             data = body
+            break  # first data chunk wins, as in multimodal.decode_wav
         pos += 8 + clen + (clen & 1)
     if fmt is None or data is None:
         raise ValueError("adpcm: missing fmt or data chunk")
@@ -418,9 +429,12 @@ def _synth_ima_payload(doc_id: int) -> bytes:
         block.append(nib(2 * k) | (nib(2 * k + 1) << 4))
     data = bytes(block)
     ba = len(data)
-    fmt_body = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000 * ba // (2 * n_bytes + 1), ba, 4)
-    fmt_body += struct.pack("<H", 2 * n_bytes + 1)
+    spb = 2 * n_bytes + 1
+    fmt_body = struct.pack("<HHIIHH", 0x11, 1, 8000, 8000 * ba // spb, ba, 4)
+    extra = struct.pack("<H", spb)
+    fmt_body += struct.pack("<H", len(extra)) + extra  # cbSize, then extension
     chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"fact" + struct.pack("<II", 4, spb)
     chunks += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
@@ -440,10 +454,14 @@ def _synth_ms_payload(doc_id: int) -> bytes:
     block += delta.to_bytes(2, "little", signed=True)
     block += s1.to_bytes(2, "little", signed=True)
     block += s2.to_bytes(2, "little", signed=True)
+
+    def nib(j: int) -> int:
+        # mostly small positive codes (the delta decays) with a
+        # negative spike every 13th nibble (the delta adapts upward)
+        return (doc_id * 5 + 11 * j) % 5 + (9 if j % 13 == 0 else 0)
+
     for k in range(n_bytes):
-        hi = (doc_id * 5 + 11 * (2 * k)) % 16
-        lo = (doc_id * 5 + 11 * (2 * k + 1)) % 16
-        block.append((hi << 4) | lo)  # high nibble first
+        block.append((nib(2 * k) << 4) | nib(2 * k + 1))  # high nibble first
     data = bytes(block)
     ba = len(data)
     spb = 2 * n_bytes + 2
@@ -453,6 +471,7 @@ def _synth_ms_payload(doc_id: int) -> bytes:
         extra += struct.pack("<hh", a, b)
     fmt_body += struct.pack("<H", len(extra)) + extra
     chunks = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    chunks += b"fact" + struct.pack("<II", 4, spb)
     chunks += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
@@ -560,10 +579,11 @@ mswalk(doc_id, j, s1, s2, delta, n_nib, c1, c2) AS (
            CAST(floor((w.s1 * w.c1 + w.s2 * w.c2) / 256.0) AS BIGINT)
            + (CASE WHEN M.nib >= 8 THEN M.nib - 16 ELSE M.nib END) * w.delta)),
          w.s1,
-         LEAST(32767, GREATEST(16, (CASE M.nib WHEN 4 THEN 307 WHEN 5 THEN 409 WHEN 6 THEN 512 WHEN 7 THEN 614 WHEN 8 THEN 768 WHEN 9 THEN 614 WHEN 10 THEN 512 WHEN 11 THEN 409 WHEN 12 THEN 307 ELSE 230 END * w.delta) // 256)),
+         LEAST(1073741824, GREATEST(16, (CASE M.nib WHEN 4 THEN 307 WHEN 5 THEN 409 WHEN 6 THEN 512 WHEN 7 THEN 614 WHEN 8 THEN 768 WHEN 9 THEN 614 WHEN 10 THEN 512 WHEN 11 THEN 409 WHEN 12 THEN 307 ELSE 230 END * w.delta) // 256)),
          w.n_nib, w.c1, w.c2
   FROM mswalk w,
-       LATERAL (SELECT (w.doc_id * 5 + 11 * (w.j + 1)) % 16 AS nib) M
+       LATERAL (SELECT (w.doc_id * 5 + 11 * (w.j + 1)) % 5
+                + CASE WHEN (w.j + 1) % 13 = 0 THEN 9 ELSE 0 END AS nib) M
   WHERE w.j + 1 < w.n_nib
 ),
 samples AS (
