@@ -1176,7 +1176,17 @@ def _encode_sequences_section(seqs: list[tuple[int, int, int]]) -> bytes:
         return bytes(out)
     out.append(0)  # all three channels: predefined FSE mode
     ll_codes = [_ll_code(ll) for ll, _, _ in seqs]
-    of_vals = [off + 3 for _, off, _ in seqs]
+    # offset_value 1 = repeat-offset-1 when literals precede the match;
+    # consecutive same-offset sequences are common in repetitive data,
+    # and the 1-bit-ish encoding beats re-sending the full offset
+    of_vals = []
+    prev_off = None
+    for ll, off, _ in seqs:
+        if off == prev_off and ll > 0:
+            of_vals.append(1)
+        else:
+            of_vals.append(off + 3)
+        prev_off = off
     of_codes = [v.bit_length() - 1 for v in of_vals]
     ml_codes = [_ml_code(ml) for _, _, ml in seqs]
     ll_init, ll_upd = _fse_encode_channel(_LL_TABLE_DEFAULT, ll_codes)
