@@ -1228,6 +1228,62 @@ _UNI_TOPK = 64  # multi-char pieces kept in the unigram vocab
 _UNI_MAXLEN = 3  # longest piece; bounds the DP lookback
 _UNI_MISS = -(10**12)  # sentinel for pieces outside the vocab
 
+# The dp fold's entries are PACKED bigints: key = s * 2^20 + l * 2^18 + n
+# (score, last-piece length, piece count).  Rationale (VERDICT r10): the
+# original array<struct<s,l,n>> accumulator took its argmax by passing
+# struct candidates to ``greatest``, and Spark's struct comparison inside a
+# higher-order-function lambda proved EVALUATION-PATH-UNSTABLE — under
+# score-collision-heavy vocabularies (the EM round-2 Laplace re-scoring
+# puts ~half the vocab in one score class) the codegen path returned a
+# strictly suboptimal path for some words while the interpreted path was
+# correct.  A scalar bigint key has exactly one comparison semantics on
+# every path, and DuckDB mirrors the identical packing, so the two
+# engines take the max of the SAME integers.  The packing preserves the
+# (s, l, n) lexicographic tie-break because l*2^18 + n < 2^20 (l <= 3,
+# n <= word length << 2^18).  Overflow headroom: every single character
+# is in-vocab by construction (``_unigram_vocab`` includes all corpus
+# chars), so dp scores stay >= len * min_char_score ~ -1e9; the worst
+# candidate is prev + _UNI_MISS ~ -1e12 and the invalid sentinel is
+# 2 * _UNI_MISS, so |key| <= ~2.1e18 < 2^63.
+_UNI_PACK_N = 1 << 18  # width of the n (piece-count) field
+_UNI_PACK_M = 1 << 20  # multiplier lifting s above the (l, n) fields
+
+
+def _uni_unpack_s(e: str) -> str:
+    """Spark SQL: the s field of a packed dp entry (exact: the numerator
+    is a multiple of the divisor, so truncating ``div`` == floor)."""
+    return f"((({e}) - pmod({e}, {_UNI_PACK_M})) div {_UNI_PACK_M})"
+
+
+def _uni_unpack_l(e: str) -> str:
+    """Spark SQL: the l field (INT, matching the pre-pack struct type)."""
+    return f"CAST((pmod({e}, {_UNI_PACK_M}) div {_UNI_PACK_N}) AS INT)"
+
+
+def _uni_unpack_n(e: str) -> str:
+    """Spark SQL: the n field of a packed dp entry."""
+    return f"pmod({e}, {_UNI_PACK_N})"
+
+
+def _duck_unpack_s(e: str) -> str:
+    """DuckDB mirror of ``_uni_unpack_s`` (DuckDB ``%`` keeps the
+    dividend's sign, so the pmod idiom is spelled out; ``//`` truncation
+    vs floor is irrelevant on an exact multiple)."""
+    m = _UNI_PACK_M
+    return f"((({e}) - (((({e}) % {m}) + {m}) % {m})) // {m})"
+
+
+def _duck_unpack_l(e: str) -> str:
+    """DuckDB mirror of ``_uni_unpack_l``."""
+    m, n = _UNI_PACK_M, _UNI_PACK_N
+    return f"((((({e}) % {m}) + {m}) % {m}) // {n})"
+
+
+def _duck_unpack_n(e: str) -> str:
+    """DuckDB mirror of ``_uni_unpack_n``."""
+    n = _UNI_PACK_N
+    return f"(((({e}) % {n}) + {n}) % {n})"
+
 
 def _unigram_vocab(
     spark: SparkSession, sf_dir: str, words: DataFrame | None = None
@@ -1284,41 +1340,44 @@ def _unigram_dp_sql() -> str:
     """THE Viterbi fold as a Spark SQL expression — dp[i] = max over
     piece lengths l<=3 of dp[i-l] + score(word[i-l+1..i]), a JVM-side
     ``aggregate`` over character positions reading scores from a
-    ``_vocab`` map column.  Serving (``text_unigram_segment``) takes the
-    last dp entry; training (``text_unigram_train``) backtracks over the
-    whole array — ONE expression builder for both, so the E-step and
-    the scorer cannot drift (the ``_bpe_train`` discipline)."""
+    ``_vocab`` map column.  Entries are PACKED bigints (see the
+    ``_UNI_PACK_*`` note above: scalar ``greatest``, never struct
+    comparison).  Serving (``text_unigram_segment``) takes the last dp
+    entry; training (``text_unigram_train``) backtracks over the whole
+    array — ONE expression builder for both, so the E-step and the
+    scorer cannot drift (the ``_bpe_train`` discipline)."""
 
     def cand(lag: int) -> str:
+        prev = f"element_at(acc, CAST(i AS INT) - {lag - 1})"
         piece = f"substring(word_id, CAST(i AS INT) - {lag - 1}, {lag})"
         score = f"coalesce(element_at(_vocab, {piece}), {_UNI_MISS}L)"
         return (
-            f"IF(i >= {lag}, named_struct("
-            f"'s', element_at(acc, CAST(i AS INT) - {lag - 1}).s + {score}, "
-            f"'l', {lag}, "
-            f"'n', element_at(acc, CAST(i AS INT) - {lag - 1}).n + 1L), "
-            f"named_struct('s', {2 * _UNI_MISS}L, 'l', 0, 'n', 0L))"
+            f"IF(i >= {lag}, "
+            f"({_uni_unpack_s(prev)} + {score}) * {_UNI_PACK_M} "
+            f"+ {lag * _UNI_PACK_N + 1} + {_uni_unpack_n(prev)}, "
+            f"{2 * _UNI_MISS * _UNI_PACK_M}L)"
         )
 
     best = f"greatest({cand(1)}, {cand(2)}, {cand(3)})"
     return (
         "aggregate(sequence(1, length(word_id)), "
-        "array(named_struct('s', 0L, 'l', 0, 'n', 0L)), "
+        "array(0L), "
         f"(acc, i) -> array_append(acc, {best}))"
     )
 
 
-#: backtrack over the dp array (``_dparr`` column): walk pos -> pos - l
-#: emitting each chosen piece; every step shrinks pos by >= 1, so
-#: length(word) fold steps always reach position 0
+#: backtrack over the packed dp array (``_dparr`` column): walk
+#: pos -> pos - l emitting each chosen piece; every step shrinks pos by
+#: >= 1, so length(word) fold steps always reach position 0
+_UNI_BT_L = _uni_unpack_l("element_at(_dparr, acc.p + 1)")
 _UNI_BT_SQL = (
     "aggregate(sequence(1, length(word_id)), "
     "named_struct('p', length(word_id), 'ps', array_repeat('', 0)), "
     "(acc, i) -> IF(acc.p > 0, named_struct("
-    "'p', acc.p - element_at(_dparr, acc.p + 1).l, "
+    f"'p', acc.p - {_UNI_BT_L}, "
     "'ps', array_append(acc.ps, substring(word_id, "
-    "acc.p - element_at(_dparr, acc.p + 1).l + 1, "
-    "element_at(_dparr, acc.p + 1).l))), acc)).ps"
+    f"acc.p - {_UNI_BT_L} + 1, "
+    f"{_UNI_BT_L}))), acc)).ps"
 )
 
 
@@ -1336,8 +1395,8 @@ def _unigram_segment_words(words: DataFrame, vocab: list[tuple[str, int]]) -> Da
         .withColumn("_dp", F.expr(f"element_at({_unigram_dp_sql()}, -1)"))
         .select(
             "word_id",
-            F.col("_dp.s").alias("w_score"),
-            F.col("_dp.n").alias("w_pieces"),
+            F.expr(_uni_unpack_s("_dp")).alias("w_score"),
+            F.expr(_uni_unpack_n("_dp")).alias("w_pieces"),
         )
     )
 
@@ -1362,9 +1421,12 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     — run as a JVM-side ``aggregate`` fold over character positions
     (whole-stage codegen; no Python in the hot path, the ``_bpe_apply``
     discipline).  Scores are exact fixed-point bigints; the argmax is
-    tie-broken (score, last-piece length) via struct comparison, so the
-    path choice is deterministic cross-engine.  The DuckDB oracle
-    replays the identical fold with ``list_reduce``.
+    tie-broken (score, last-piece length, piece count) via a packed
+    bigint comparison key — disjoint bit fields, scalar ``greatest`` —
+    so the path choice is deterministic cross-engine AND independent of
+    the codegen-vs-interpreted evaluation path (struct-typed comparison
+    inside HOF lambdas is not; VERDICT r10).  The DuckDB oracle replays
+    the identical fold, same packing, with ``list_reduce``.
 
     Per document (vocabulary join, broadcast-class like
     ``text_bpe_encode``): word count, total piece count, summed
@@ -1461,15 +1523,17 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _unigram_cand_sql(lag: int) -> str:
     """One Viterbi candidate (piece of length ``lag`` ending at position
-    x[1].pos) for the DuckDB fold — mirrors ``cand`` above exactly."""
-    prev = f"acc[CAST(x[1].pos AS INT) - {lag} + 1]"
-    piece = f"substr(word, CAST(x[1].pos AS INT) - {lag} + 1, {lag})"
+    x[1]) for the DuckDB fold — mirrors ``cand`` above exactly, PACKED
+    bigint included, so both engines take ``greatest`` of the SAME
+    integers (the evaluation-path-stability fix; see ``_UNI_PACK_*``)."""
+    prev = f"acc[CAST(x[1] AS INT) - {lag} + 1]"
+    piece = f"substr(word, CAST(x[1] AS INT) - {lag} + 1, {lag})"
     score = f"coalesce(m[{piece}][1], CAST({_UNI_MISS} AS BIGINT))"
     return (
-        f"CASE WHEN x[1].pos >= {lag} THEN "
-        f"{{'pos': x[1].pos, 's': {prev}.s + {score}, 'l': {lag}, 'n': {prev}.n + 1}} "
-        f"ELSE {{'pos': x[1].pos, 's': CAST({2 * _UNI_MISS} AS BIGINT), 'l': 0, "
-        f"'n': CAST(0 AS BIGINT)}} END"
+        f"CASE WHEN x[1] >= {lag} THEN "
+        f"({_duck_unpack_s(prev)} + {score}) * {_UNI_PACK_M} "
+        f"+ {lag * _UNI_PACK_N + 1} + {_duck_unpack_n(prev)} "
+        f"ELSE CAST({2 * _UNI_MISS * _UNI_PACK_M} AS BIGINT) END"
     )
 
 
@@ -1502,21 +1566,20 @@ WITH tk AS MATERIALIZED (
   SELECT MAP(list(piece ORDER BY piece), list(s ORDER BY piece)) AS m FROM scored
 ), seg AS MATERIALIZED (
   SELECT word,
-         dp[len(dp)].s AS w_score,
-         dp[len(dp)].n AS w_pieces
+         {_duck_unpack_s("dp[len(dp)]")} AS w_score,
+         {_duck_unpack_n("dp[len(dp)]")} AS w_pieces
   FROM (
     SELECT word,
            list_reduce(
              list_concat(
-               [[{{'pos': CAST(0 AS BIGINT), 's': CAST(0 AS BIGINT), 'l': 0, 'n': CAST(0 AS BIGINT)}}]],
-               list_transform(range(1, length(word) + 1),
-                 i -> [{{'pos': i, 's': CAST(0 AS BIGINT), 'l': 0, 'n': CAST(0 AS BIGINT)}}])
+               [[CAST(0 AS BIGINT)]],
+               list_transform(range(1, length(word) + 1), i -> [i])
              ),
-             (acc, x) -> list_append(acc, list_aggregate([
+             (acc, x) -> list_append(acc, greatest(
                {_unigram_cand_sql(1)},
                {_unigram_cand_sql(2)},
                {_unigram_cand_sql(3)}
-             ], 'max'))
+             ))
            ) AS dp
     FROM wd CROSS JOIN vmap
   )
@@ -1533,52 +1596,60 @@ GROUP BY 1
 
 
 def _uni_train_dp_sql() -> str:
-    """The DuckDB dp fold (same as UNIGRAM_SQL's seg CTE body)."""
+    """The DuckDB dp fold (same as UNIGRAM_SQL's seg CTE body): packed
+    bigint dp entries, scalar ``greatest`` argmax."""
     return f"""list_reduce(
              list_concat(
-               [[{{'pos': CAST(0 AS BIGINT), 's': CAST(0 AS BIGINT), 'l': 0, 'n': CAST(0 AS BIGINT)}}]],
-               list_transform(range(1, length(word) + 1),
-                 i -> [{{'pos': i, 's': CAST(0 AS BIGINT), 'l': 0, 'n': CAST(0 AS BIGINT)}}])
+               [[CAST(0 AS BIGINT)]],
+               list_transform(range(1, length(word) + 1), i -> [i])
              ),
-             (acc, x) -> list_append(acc, list_aggregate([
+             (acc, x) -> list_append(acc, greatest(
                {_unigram_cand_sql(1)},
                {_unigram_cand_sql(2)},
                {_unigram_cand_sql(3)}
-             ], 'max'))
+             ))
            )"""
 
 
 # DuckDB 1.0's list_reduce silently mangles a STRUCT accumulator that
 # carries a LIST field (each step loses the previous appends — verified
-# standalone), while a plain LIST accumulator folds correctly (the dp
-# fold above relies on it).  So the backtrack accumulator is a VARCHAR
-# list whose FIRST element is the current position; pieces follow and
-# the [2:] slice drops the header.
-_UNI_TRAIN_BT_SQL = """list_reduce(
-             list_concat([[CAST(length(word) AS VARCHAR)]],
-                         list_transform(range(1, length(word) + 1), i -> [''])),
-             (acc, x) -> CASE WHEN CAST(acc[1] AS INT) > 0 THEN
-                 list_concat(
-                   [CAST(CAST(acc[1] AS INT) - dp[CAST(acc[1] AS INT) + 1].l AS VARCHAR)],
-                   list_append(acc[2:], substr(word, CAST(acc[1] AS INT) - dp[CAST(acc[1] AS INT) + 1].l + 1, dp[CAST(acc[1] AS INT) + 1].l))
-                 )
-               ELSE acc END
-           )[2:]"""
+# standalone), and WORSE: a second lambda fold over a COMPUTED list
+# column (the dp array) nondeterministically MISALIGNS rows under
+# parallel execution — ~10-30% of executes at sf0.01 paired some word
+# with another word's backtracked pieces (verified: 'customer' returned
+# 'small''s pieces; the dp fold alone never misaligns, 0/25 executes).
+# So the oracle's backtrack is a RECURSIVE CTE walking pos -> pos - l
+# with plain array indexing — no lambda over a computed list anywhere.
+# Each walk row emits the piece ENDING at the pre-step position; pieces
+# come out in backtrack order via ORDER BY pos DESC (matching the Spark
+# fold's emit order).  Requires the oracle's WITH clause to be
+# WITH RECURSIVE.
+def _duck_bt_walk_sql(src: str, walk: str) -> str:
+    """The recursive backtrack over ``src`` (word, cnt, dp) into CTE
+    ``walk`` (word, cnt, pos, piece); seed rows carry piece = NULL."""
+    lexpr = _duck_unpack_l("dp[CAST(pos AS INT) + 1]")
+    return f"""{walk} AS (
+  SELECT word, cnt, dp, CAST(length(word) AS BIGINT) AS pos,
+         CAST(NULL AS VARCHAR) AS piece
+  FROM {src}
+  UNION ALL
+  SELECT word, cnt, dp, pos - {lexpr} AS pos,
+         substr(word, CAST(pos - {lexpr} + 1 AS INT), CAST({lexpr} AS INT)) AS piece
+  FROM {walk} WHERE pos > 0
+)"""
 
 
 def _uni_train_round_sql(r: int) -> str:
-    """One EM round: seg{r} (dp + backtrack under vmap{r-1}) -> usage
-    counts -> Laplace-smoothed re-scored vocab -> vmap{r}.  seg/cnt are
+    """One EM round: dp{r} (the fold under vmap{r-1}), walk{r} (the
+    RECURSIVE backtrack — see ``_duck_bt_walk_sql``) -> usage counts ->
+    Laplace-smoothed re-scored vocab -> vmap{r}.  dp/cnt are
     MATERIALIZED (multi-referenced; plain CTEs inline per reference)."""
-    return f""", seg{r} AS MATERIALIZED (
-  SELECT word, cnt, {_UNI_TRAIN_BT_SQL} AS ps
-  FROM (
-    SELECT word, cnt, {_uni_train_dp_sql()} AS dp
-    FROM wd CROSS JOIN vmap{r - 1}
-  )
-), cnt{r} AS MATERIALIZED (
-  SELECT u.piece AS piece, CAST(SUM(s.cnt) AS BIGINT) AS c
-  FROM seg{r} s, UNNEST(s.ps) AS u(piece)
+    return f""", dp{r} AS MATERIALIZED (
+  SELECT word, cnt, {_uni_train_dp_sql()} AS dp
+  FROM wd CROSS JOIN vmap{r - 1}
+), {_duck_bt_walk_sql(f"dp{r}", f"walk{r}")}, cnt{r} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM walk{r} WHERE piece IS NOT NULL
   GROUP BY 1
 ), tot{r} AS (
   SELECT CAST(SUM(COALESCE(c.c, 0) + 1) AS BIGINT) AS tot
@@ -1594,9 +1665,11 @@ def _uni_train_round_sql(r: int) -> str:
 
 def _unigram_train_sql() -> str:
     """Full EM replay: the UNIGRAM_SQL vocabulary prefix (initial
-    counts + scores as vmap0), then _UNI_EM_ROUNDS unrolled rounds."""
+    counts + scores as vmap0), then _UNI_EM_ROUNDS unrolled rounds.
+    WITH RECURSIVE because each round's backtrack is a recursive walk
+    (the lambda-misalignment workaround in ``_duck_bt_walk_sql``)."""
     prefix = f"""
-WITH tk AS MATERIALIZED (
+WITH RECURSIVE tk AS MATERIALIZED (
   SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
   FROM documents
 ), wd AS MATERIALIZED (

@@ -383,3 +383,138 @@ def test_unigram_train_shares_serving_fold(spark):
     out = {r["piece"]: r["exp_cnt"] for r in text_unigram_train(spark, sf).collect()}
     assert set(out) == {p for p, _ in vocab}
     assert sum(out.values()) > 0
+
+
+def test_unigram_collision_heavy_vocab_argmax_stable(spark):
+    """Regression for the r10 parity failure: under a vocabulary with a
+    large SCORE-COLLISION class (the shape EM round 2's Laplace
+    re-scoring produces — 42 of 88 pieces shared one score at sf0.001),
+    the struct-``greatest`` argmax was evaluation-path-unstable and
+    returned a strictly suboptimal path for 'customer' under the engine
+    session.  The packed-bigint key cannot be: assert the Spark fold,
+    the DuckDB fold (same packing), and a plain-Python (s, l, n)
+    lexicographic Viterbi agree on score, piece count, AND the piece
+    sequence for every word — including many-way-tied ones."""
+    import duckdb
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import (
+        _UNI_MISS,
+        _duck_bt_walk_sql,
+        _duck_unpack_n,
+        _duck_unpack_s,
+        _uni_train_dp_sql,
+        _unigram_segment_pieces,
+        _unigram_segment_words,
+    )
+
+    # every single char in-vocab (the builder's coverage guarantee);
+    # one big collision class at -13_500_000 so (l, n) tie-breaks decide
+    words = ["customer", "custstst", "statement", "totem", "aaaa", "aaaaaaa", "xyzzy"]
+    vmap = {c: -14_000_000 for w in words for c in w}
+    for p in ["st", "to", "mer", "cu", "me", "sta", "tem", "ent", "aa", "aaa", "xy", "zz"]:
+        vmap[p] = -13_500_000
+    vocab = sorted(vmap.items())
+
+    def ref(word):
+        dp = [(0, 0, 0)]
+        for i in range(1, len(word) + 1):
+            cands = []
+            for lag in (1, 2, 3):
+                if i >= lag:
+                    s = dp[i - lag][0] + vmap.get(word[i - lag : i], _UNI_MISS)
+                    cands.append((s, lag, dp[i - lag][2] + 1))
+                else:
+                    cands.append((2 * _UNI_MISS, 0, 0))
+            dp.append(max(cands))
+        pos, pieces = len(word), []
+        while pos > 0:
+            lag = dp[pos][1]
+            pieces.append(word[pos - lag : pos])
+            pos -= lag
+        return dp[-1][0], dp[-1][2], pieces  # pieces in backtrack order
+
+    wdf = spark.createDataFrame([(w, 1) for w in words], "word_id string, cnt bigint")
+    got_w = {
+        r["word_id"]: (r["w_score"], r["w_pieces"])
+        for r in _unigram_segment_words(wdf, vocab).collect()
+    }
+    got_p = {
+        r["word_id"]: list(r["pieces"])
+        for r in _unigram_segment_pieces(wdf, vocab).collect()
+    }
+    mexpr = (
+        "MAP(["
+        + ",".join(f"'{p}'" for p, _ in vocab)
+        + "],["
+        + ",".join(f"CAST({s} AS BIGINT)" for _, s in vocab)
+        + "])"
+    )
+    wvals = ", ".join(f"('{w}')" for w in words)
+    duck = duckdb.sql(
+        f"WITH RECURSIVE dps AS ("
+        f"SELECT word, CAST(1 AS BIGINT) AS cnt, {_uni_train_dp_sql()} AS dp "
+        f"FROM (SELECT word, {mexpr} AS m FROM (VALUES {wvals}) t(word))"
+        f"), {_duck_bt_walk_sql('dps', 'walk')} "
+        f"SELECT word, {_duck_unpack_s('dp[len(dp)]')} AS s, "
+        f"{_duck_unpack_n('dp[len(dp)]')} AS n, "
+        f"list(piece ORDER BY pos DESC) FILTER (WHERE piece IS NOT NULL) AS ps "
+        f"FROM walk GROUP BY word, dp"
+    ).fetchall()
+    duck_rows = {w: (int(s), int(n), list(ps)) for w, s, n, ps in duck}
+    for w in words:
+        s, n, pieces = ref(w)
+        assert got_w[w] == (s, n), (w, got_w[w], (s, n))
+        assert got_p[w] == pieces, (w, got_p[w], pieces)
+        assert duck_rows[w] == (s, n, pieces), (w, duck_rows[w], (s, n, pieces))
+
+
+def test_no_struct_greatest_in_fold_lambdas():
+    """Grep-level invariant (VERDICT r10 task 5): no struct-typed
+    ``greatest``/``list_aggregate 'max'`` argmax anywhere in the package
+    — struct comparison inside HOF lambdas is evaluation-path-unstable.
+    Every fold argmax must compare scalars (the packed-bigint key
+    pattern)."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "realtime_change_data_capture_streaming_spark"
+    bad = []
+    for f in sorted(pkg.rglob("*.py")):
+        src = f.read_text()
+        if re.search(r"greatest\(\s*(named_struct|struct\(|\{')", src):
+            bad.append((str(f), "greatest(struct...)"))
+        if re.search(r"list_aggregate\(\s*\[[^]]*(named_struct|\{')", src, re.S):
+            bad.append((str(f), "list_aggregate([struct...], 'max')"))
+    # the old shape routed structs into greatest via f-string candidate
+    # builders, which a source grep can't see — so ALSO check the
+    # GENERATED SQL: extract every greatest(...) argument list with
+    # paren balancing and assert it is struct-free
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import (
+        UNIGRAM_SQL,
+        UNIGRAM_TRAIN_SQL,
+        _UNI_BT_SQL,
+        _uni_train_dp_sql,
+        _unigram_dp_sql,
+    )
+
+    def greatest_args(sql):
+        for m in re.finditer(r"greatest\(", sql):
+            i, depth = m.end(), 1
+            while i < len(sql) and depth:
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            yield sql[m.end() : i - 1]
+
+    for name, sql in [
+        ("UNIGRAM_SQL", UNIGRAM_SQL),
+        ("UNIGRAM_TRAIN_SQL", UNIGRAM_TRAIN_SQL),
+        ("_UNI_BT_SQL", _UNI_BT_SQL),
+        ("_unigram_dp_sql()", _unigram_dp_sql()),
+        ("_uni_train_dp_sql()", _uni_train_dp_sql()),
+    ]:
+        for arg in greatest_args(sql):
+            if "named_struct" in arg or "{'" in arg:
+                bad.append((name, "struct inside greatest(...)"))
+        if re.search(r"list_aggregate\(", sql):
+            bad.append((name, "list_aggregate argmax (use scalar greatest)"))
+    assert not bad, bad
