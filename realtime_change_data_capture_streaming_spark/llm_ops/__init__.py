@@ -2,6 +2,7 @@
 multimodal columns, text analysis."""
 
 from realtime_change_data_capture_streaming_spark.llm_ops import (
+    adpcm,
     curation,
     dedup,
     features,
@@ -13,7 +14,7 @@ from realtime_change_data_capture_streaming_spark.llm_ops import (
     webp,
 )
 
-_MODULES = (text, dedup, similarity, multimodal, webp, flac, ml_lsh, curation, features)
+_MODULES = (text, dedup, similarity, multimodal, webp, flac, adpcm, ml_lsh, curation, features)
 
 
 def all_queries():

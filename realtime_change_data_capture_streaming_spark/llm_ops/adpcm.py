@@ -607,5 +607,5 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 
 # STAGED for r11 registration (the r10 window is frozen at the verdict's
 # 2-query budget): wire these into llm_ops once the window has capacity.
-STAGED_QUERIES = {"multimodal_adpcm_features": multimodal_adpcm_features}
-STAGED_ORACLE = {"multimodal_adpcm_features": MULTIMODAL_ADPCM_SQL}
+QUERIES = {"multimodal_adpcm_features": multimodal_adpcm_features}
+ORACLE = {"multimodal_adpcm_features": MULTIMODAL_ADPCM_SQL}

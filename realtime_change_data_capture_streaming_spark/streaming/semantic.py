@@ -23,10 +23,9 @@ shingle hashing, same fixed-point k-means on the history split, same
 fold shapes).  Like the neardup tier, admitted documents do not extend
 the index within a run (the real deployment appends their buckets).
 
-Registration note: staged for the r11 window (the r10 budget is spent
-on the two trainer queries) — wire ``QUERIES``/``ORACLE`` into
-``streaming.__init__._MODULES`` then.  Until registered, the oracle is
-pinned by tests/test_sketches.py's local DuckDB mirror.
+Registered in the r11 window via ``streaming.__init__._MODULES``;
+the oracle is additionally pinned by tests/test_sketches.py's local
+DuckDB mirror on every pytest run.
 """
 
 from __future__ import annotations
