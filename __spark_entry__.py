@@ -41,12 +41,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # newest CORRECTNESS artifact is older than _DEFER_UNTIL_AFTER_ROUND,
 # so once this round's results land the deferred entries automatically
 # rejoin the never-checked tier — no manual clearing needed.
-# r10 window math (VERDICT r9 task 1): the 8 r9-late queries rejoined
-# tier 1 when CORRECTNESS_r09 landed and take their first driver check
-# THIS round; registrations are frozen at the verdict's 0-2 budget —
-# exactly quality_logit_train + text_unigram_train, deferred to r11 so
-# the full 50-slot window drains the r5-stale cohort: 8 + 42 leaves
-# <= 6 queries r5-stale after r10.
+# r11 window math (VERDICT r10 tasks 2/6): the two r10-deferred trainers
+# rejoined tier 1 when CORRECTNESS_r10 landed (the stamp below is now
+# inert) and take their first driver check THIS round alongside the two
+# r11 registrations (stream_semantic_admission, multimodal_adpcm_features
+# — budgeted, not deferred).  Window: 4 never-checked + 6 r5-stale + 40
+# r6-stale; 10 r6-stale remain for r12.
 _DEFER_FIRST_CHECK = frozenset(
     {
         "quality_logit_train",

@@ -94,6 +94,11 @@ BENCH_QUERIES = (
     # the MJPEG elementary stream)
     "events_ks_test_value",
     "multimodal_avi_scene_cuts",
+    # round-11 additions: streaming semantic admission (broadcast-centroid
+    # micro-batch probe against a persisted history index), and IMA/MS
+    # ADPCM WAV decode features
+    "stream_semantic_admission",
+    "multimodal_adpcm_features",
 )
 
 
@@ -174,7 +179,7 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(qs[name](spark, SF_DIR))
             t = min(t, time.perf_counter() - t0)
-        timings[name] = round(t, 3)
+        timings[name] = round(t, 2)
     # Streaming CDC throughput (BASELINE.md floor: >=10k events/s through
     # parse -> dedup -> merge; the reference producer tops out ~2 msg/s).
     # Same pipeline as tests/test_throughput.py, recorded here so the
@@ -199,30 +204,21 @@ def main() -> None:
         rate = max(rate, (n_keys * 3) / (time.perf_counter() - t0))
 
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else None
+    # ONE compact line: the driver records a bounded stdout tail, and at
+    # r9/r10 the line outgrew it (BENCH_r10.json "parsed": null, first
+    # key clipped).  2-decimal times, no prose — host-drift history and
+    # per-round caveats live in BASELINE.md, not here.
     print(
         json.dumps(
             {
                 "metric": "headline-suite wall time",
-                "value": round(sum(timings.values()), 3),
+                "value": round(sum(timings.values()), 2),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
                 "throughput": {"parse_dedup_merge_events_per_s": round(rate)},
-                # r3->r4 regression root cause (diagnosed round 5): HOST
-                # DRIFT, not code.  The r3 commit (16122be) rerun on the
-                # round-5 box scored 26.6 s on the 21 common queries vs its
-                # recorded 20.6 s — statistically identical to round-5 HEAD
-                # (27.1-29.2 s across two back-to-back runs, ~8% run-to-run
-                # spread).  Per-query ratios r3-code-now/r3-code-recorded
-                # are near-uniform (~1.29x), matching the r3->r4 pattern.
-                "note": (
-                    "r5 deltas (embedding_quantize_int8, stream_topk_terms, -9% throughput) "
-                    "attributed to host drift: r4 commit rerun back-to-back with HEAD on this "
-                    "box scored 45.84s vs HEAD 45.13s on the 24 common queries (HEAD "
-                    "flat-to-faster; stream_topk_terms 5.77s on r4 code vs 1.89s on HEAD), "
-                    "while both are ~1.6x the wall recorded at r4/r5 time"
-                ),
-            }
+            },
+            separators=(",", ":"),
         )
     )
 
