@@ -54,6 +54,7 @@ def encode_avi_mjpeg(
     fps: int = 25,
     audio: tuple[bytes, int] | None = None,
     audio_format: int = 1,
+    audio_block_align: int | None = None,
 ) -> bytes:
     """Mux JPEG frames into a minimal spec-correct AVI: RIFF('AVI ')
     { LIST hdrl { avih, LIST strl { strh(vids/MJPG), strf(BITMAPINFOHEADER
@@ -62,17 +63,29 @@ def encode_avi_mjpeg(
     ``movi`` fourcc (first chunk at offset 4).
 
     ``audio=(sample_bytes, sample_rate)`` adds a second ``auds`` stream
-    (mono, 8-bit samples, wave format tag ``audio_format``: 1 = PCM,
-    6/7 = G.711 A-law/mu-law) whose ``01wb`` chunks interleave with the
-    video — one audio slice after each frame, the real AV-interleave
-    shape."""
+    (mono, wave format tag ``audio_format``: 1 = 8-bit PCM, 6/7 = G.711
+    A-law/mu-law) whose ``01wb`` chunks interleave with the video — one
+    audio slice after each frame, the real AV-interleave shape.
+
+    ``audio_format=0x11`` muxes IMA/DVI ADPCM (r11): ``sample_bytes`` is
+    the ALREADY-ENCODED block stream from ``adpcm.encode_ima_blocks``
+    and ``audio_block_align`` its block size; the strf becomes the
+    18-byte WAVEFORMATEX + wSamplesPerBlock extension real ADPCM AVIs
+    carry, and slicing falls on BLOCK boundaries only — each block is
+    independently decodable (its header carries predictor + step
+    index), so a chunk split mid-block would be undecodable."""
     if not frames:
         raise ValueError("AVI: need at least one frame")
     for f in frames:
         if f[:2] != b"\xff\xd8":
             raise ValueError("AVI: frame is not a JPEG (no SOI)")
-    if audio is not None and audio_format not in (1, 6, 7):
+    if audio is not None and audio_format not in (1, 6, 7, 0x11):
         raise ValueError(f"AVI: unsupported audio format tag {audio_format}")
+    if audio_format == 0x11:
+        if audio_block_align is None or audio_block_align < 5:
+            raise ValueError("AVI: ADPCM audio requires audio_block_align >= 5")
+        if audio is not None and len(audio[0]) % audio_block_align:
+            raise ValueError("AVI: ADPCM payload is not whole blocks")
     n = len(frames)
     max_bytes = max(len(f) for f in frames)
     avih = struct.pack(
@@ -130,6 +143,16 @@ def encode_avi_mjpeg(
     audio_slices: list[bytes] = []
     if audio is not None:
         pcm, a_rate = audio
+        if audio_format == 0x11:
+            align = audio_block_align
+            spb = (align - 4) * 2 + 1  # mono IMA: header sample + 2/byte
+            n_blocks = len(pcm) // align
+            a_len = n_blocks * spb  # dwLength in SAMPLES
+            a_sample_size = align  # block-based: one "sample unit" = block
+        else:
+            align, spb = 1, 1
+            a_len = len(pcm)  # 1 byte per sample
+            a_sample_size = 1
         a_strh = (
             b"auds"
             + b"\x00\x00\x00\x00"  # fccHandler: 0 for waveform audio
@@ -142,18 +165,28 @@ def encode_avi_mjpeg(
                 1,  # dwScale
                 a_rate,  # dwRate (samples/s)
                 0,
-                len(pcm),  # dwLength (in samples: 1 byte each)
+                a_len,  # dwLength (in samples)
                 max(1, len(pcm) // n),  # dwSuggestedBufferSize
                 0xFFFFFFFF,
-                1,  # dwSampleSize (fixed-size samples: 1 byte)
+                a_sample_size,  # dwSampleSize
                 0,
             )
             + struct.pack("<hh", 0, 0)
         )
-        # strf for audio = PCMWAVEFORMAT (16 bytes): tag 1/6/7, mono, 8-bit
-        a_strf = struct.pack("<HHIIHH", audio_format, 1, a_rate, a_rate, 1, 8)
+        if audio_format == 0x11:
+            # WAVEFORMATEX (18 bytes) + wSamplesPerBlock: the shape real
+            # IMA-ADPCM AVIs carry (cbSize = 2)
+            avg = max(1, a_rate * align // spb)
+            a_strf = struct.pack(
+                "<HHIIHHHH", 0x11, 1, a_rate, avg, align, 4, 2, spb
+            )
+            per_blocks = -(-n_blocks // n)  # ceil: whole blocks per frame
+            per = per_blocks * align
+        else:
+            # strf = PCMWAVEFORMAT (16 bytes): tag 1/6/7, mono, 8-bit
+            a_strf = struct.pack("<HHIIHH", audio_format, 1, a_rate, a_rate, 1, 8)
+            per = -(-len(pcm) // n)  # ceil split: one slice per video frame
         strls += _list(b"strl", _chunk(b"strh", a_strh) + _chunk(b"strf", a_strf))
-        per = -(-len(pcm) // n)  # ceil split: one slice per video frame
         audio_slices = [pcm[i * per : (i + 1) * per] for i in range(n)]
     hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strls)
     movi_payload = bytearray()
@@ -257,12 +290,12 @@ def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
                         # PCMWAVEFORMAT: tag, channels, rate, avg, align, bits
                         if s3 < 16:
                             raise ValueError("AVI: audio strf too short")
-                        tag, a_ch, a_rate, _, _, a_bits = struct.unpack(
+                        tag, a_ch, a_rate, _, a_align, a_bits = struct.unpack(
                             "<HHIIHH", buf[b3 : b3 + 16]
                         )
-                        if tag not in (1, 6, 7):
+                        if tag not in (1, 6, 7, 0x11):
                             raise ValueError(
-                                f"AVI: audio format tag {tag} not PCM/G.711"
+                                f"AVI: audio format tag {tag} not PCM/G.711/ADPCM"
                             )
                         meta["audio"] = {
                             "format": tag,
@@ -270,6 +303,17 @@ def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
                             "rate": a_rate,
                             "bits": a_bits,
                         }
+                        if tag == 0x11:
+                            # IMA ADPCM: block-based — the decoder needs
+                            # nBlockAlign, and 4-bit samples are the only
+                            # conformant width
+                            if a_align < 5:
+                                raise ValueError("AVI: ADPCM block align < 5")
+                            if a_bits != 4:
+                                raise ValueError(
+                                    f"AVI: ADPCM bits {a_bits} != 4"
+                                )
+                            meta["audio"]["block_align"] = a_align
                 if is_vids and vid_stream < 0:
                     vid_stream = stream_no
                 if is_auds and aud_stream < 0:
@@ -344,5 +388,44 @@ def demux_avi_mjpeg(buf: bytes) -> tuple[dict, list[bytes]]:
                     kind = "audio entry" if ckid.endswith(b"wb") else "entry"
                     raise ValueError(f"AVI: idx1 {kind} disagrees with chunk layout")
     if aud_stream >= 0 and "audio" in meta:
+        if meta["audio"]["format"] == 0x11:
+            # ADPCM blocks are never split across chunks (each block's
+            # header seeds its own decode) — a mux that split one has
+            # produced undecodable audio; fail loudly, not garbage
+            align = meta["audio"]["block_align"]
+            for ch in audio_chunks:
+                if len(ch) % align:
+                    raise ValueError("AVI: ADPCM audio chunk splits a block")
         meta["audio"]["data"] = b"".join(audio_chunks)
     return meta, frames
+
+
+def decode_avi_audio(meta: dict) -> list[int]:
+    """Expand a demuxed ``auds`` stream (``meta['audio']`` from
+    ``demux_avi_mjpeg``) to 16-bit-range PCM samples: 8-bit PCM is
+    centered (sample - 128 << 8), G.711 A-law/mu-law expands through
+    the published 256-entry tables, IMA ADPCM (0x11, r11) decodes
+    through ``adpcm.decode_ima_blocks`` — one shared entry point so the
+    feature layer never switches on format tags itself."""
+    aud = meta.get("audio")
+    if aud is None or "data" not in aud:
+        raise ValueError("AVI: no collected audio stream")
+    data, tag = aud["data"], aud["format"]
+    if tag == 1:
+        return [(b - 128) << 8 for b in data]
+    if tag in (6, 7):
+        from realtime_change_data_capture_streaming_spark.llm_ops.multimodal import (
+            _G711_ALAW,
+            _G711_ULAW,
+        )
+
+        table = _G711_ALAW if tag == 6 else _G711_ULAW
+        return [table[b] for b in data]
+    if tag == 0x11:
+        from realtime_change_data_capture_streaming_spark.llm_ops.adpcm import decode_ima_blocks
+
+        chans = decode_ima_blocks(data, aud["channels"], aud["block_align"])
+        if len(chans) != 1:
+            raise ValueError("AVI: only mono ADPCM audio is muxed here")
+        return chans[0]
+    raise ValueError(f"AVI: no decoder for audio format tag {tag}")

@@ -221,3 +221,130 @@ def test_avi_idx1_audio_entry_lie_raises():
             break
     with pytest.raises(ValueError, match="idx1 audio entry disagrees"):
         demux_avi_mjpeg(bytes(buf))
+
+
+def _adpcm_payload(n_samples=2000, align=36):
+    """A mono IMA-ADPCM block stream with a deterministic waveform."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.adpcm import encode_ima_blocks
+
+    sig = [((i * 37) % 1024 - 512) * 17 for i in range(n_samples)]
+    return encode_ima_blocks([sig], align), align
+
+
+def test_avi_adpcm_audio_roundtrip():
+    """IMA-ADPCM auds stream (r11): mux -> demux recovers the exact block
+    stream, the WAVEFORMATEX metadata, and decode_avi_audio's samples
+    equal decoding the payload directly — the mux/demux layer is
+    transparent to the codec."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.adpcm import decode_ima_blocks
+    from realtime_change_data_capture_streaming_spark.llm_ops.avi import decode_avi_audio
+
+    frames = _frames(4)
+    data, align = _adpcm_payload()
+    avi = encode_avi_mjpeg(
+        frames, 16, 8, fps=25, audio=(data, 8000), audio_format=0x11, audio_block_align=align
+    )
+    meta, got = demux_avi_mjpeg(avi)
+    assert got == frames
+    aud = meta["audio"]
+    assert aud["format"] == 0x11
+    assert aud["bits"] == 4
+    assert aud["block_align"] == align
+    assert aud["rate"] == 8000
+    assert aud["data"] == data
+    assert decode_avi_audio(meta) == decode_ima_blocks(data, 1, align)[0]
+
+
+def test_avi_adpcm_chunks_hold_whole_blocks():
+    """Every 01wb chunk must contain whole ADPCM blocks (each block's
+    header seeds its decode); verify against the raw movi layout."""
+    frames = _frames(3)
+    data, align = _adpcm_payload(n_samples=1500, align=36)
+    avi = encode_avi_mjpeg(
+        frames, 16, 8, audio=(data, 8000), audio_format=0x11, audio_block_align=align
+    )
+    # scan the movi region only — idx1 entries also begin with '01wb'
+    movi_end = avi.find(b"idx1")
+    pos, sizes = 0, []
+    while True:
+        pos = avi.find(b"01wb", pos)
+        if pos < 0 or pos >= movi_end:
+            break
+        sizes.append(struct.unpack_from("<I", avi, pos + 4)[0])
+        pos += 8
+    assert sizes and all(s % align == 0 for s in sizes)
+
+
+def test_avi_adpcm_split_block_rejected():
+    """A chunk whose size splits a block is undecodable audio: the
+    demuxer must raise, not emit garbage samples."""
+    frames = _frames(2)
+    # a structurally VALID container whose audio chunks are byte-sliced
+    # (the G.711 path slices anywhere), then patch the strf to claim
+    # IMA ADPCM with a 36-byte block align: the walk and idx1 stay
+    # consistent, but no chunk holds whole blocks
+    payload = bytes(range(77)) * 3  # 231 bytes: slices of 116/115
+    avi = bytearray(
+        encode_avi_mjpeg(frames, 16, 8, audio=(payload, 8000), audio_format=7)
+    )
+    sig = struct.pack("<HHI", 7, 1, 8000)
+    pos = avi.find(sig)
+    assert pos > 0
+    struct.pack_into("<H", avi, pos, 0x11)  # wFormatTag
+    struct.pack_into("<H", avi, pos + 12, 36)  # nBlockAlign
+    struct.pack_into("<H", avi, pos + 14, 4)  # wBitsPerSample
+    with pytest.raises(ValueError, match="splits a block"):
+        demux_avi_mjpeg(bytes(avi))
+
+
+def test_avi_adpcm_encoder_guards():
+    """Missing/invalid block align and partial-block payloads are caught
+    at mux time."""
+    frames = _frames(2)
+    data, align = _adpcm_payload(n_samples=200, align=36)
+    with pytest.raises(ValueError, match="audio_block_align"):
+        encode_avi_mjpeg(frames, 16, 8, audio=(data, 8000), audio_format=0x11)
+    with pytest.raises(ValueError, match="whole blocks"):
+        encode_avi_mjpeg(
+            frames, 16, 8, audio=(data + b"\x00", 8000), audio_format=0x11,
+            audio_block_align=align,
+        )
+
+
+def test_avi_adpcm_wrong_bits_rejected():
+    """A strf declaring non-4-bit ADPCM is nonconformant; the demuxer
+    refuses it."""
+    frames = _frames(2)
+    data, align = _adpcm_payload(n_samples=200, align=36)
+    avi = bytearray(
+        encode_avi_mjpeg(
+            frames, 16, 8, audio=(data, 8000), audio_format=0x11, audio_block_align=align
+        )
+    )
+    # the audio strf: 18+2 bytes starting after its chunk header; find it
+    # by the tag+channels+rate prefix
+    sig = struct.pack("<HHI", 0x11, 1, 8000)
+    pos = avi.find(sig)
+    assert pos > 0
+    # wBitsPerSample sits at offset 14 within WAVEFORMATEX
+    struct.pack_into("<H", avi, pos + 14, 8)
+    with pytest.raises(ValueError, match="bits 8 != 4"):
+        demux_avi_mjpeg(bytes(avi))
+
+
+def test_avi_decode_audio_g711_and_pcm_paths():
+    """decode_avi_audio is the single expansion entry point: G.711 and
+    8-bit PCM routes match the published tables / centering rule."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.avi import decode_avi_audio
+    from realtime_change_data_capture_streaming_spark.llm_ops.multimodal import _G711_ULAW
+
+    frames = _frames(2)
+    payload = bytes(range(256))
+    meta, _ = demux_avi_mjpeg(
+        encode_avi_mjpeg(frames, 16, 8, audio=(payload, 8000), audio_format=7)
+    )
+    assert decode_avi_audio(meta) == [_G711_ULAW[b] for b in payload]
+    meta, _ = demux_avi_mjpeg(
+        encode_avi_mjpeg(frames, 16, 8, audio=(payload, 8000), audio_format=1)
+    )
+    assert decode_avi_audio(meta) == [(b - 128) << 8 for b in payload]
