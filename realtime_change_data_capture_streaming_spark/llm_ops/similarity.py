@@ -65,7 +65,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k via row_number with vec_id tiebreak (deterministic).
     """
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = e.filter(F.col("vec_id") >= N_QUERY_VECS).select(
@@ -226,6 +226,7 @@ def ivf_model(
     e = spread(load_table(spark, sf_dir, "embeddings"))
     cents = (
         e.filter(F.col("vec_id") < N_IVF_CLUSTERS)
+        .limit(N_IVF_CLUSTERS)  # plan-visible k bound (vec_id is the PK)
         .select(
             F.col("vec_id").alias("cluster"),
             F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("centroid"),
@@ -245,6 +246,7 @@ def ivf_model(
                 "cluster",
                 F.transform(F.col("dm"), lambda s: s.getField("m")).alias("centroid"),
             )
+            .limit(N_IVF_CLUSTERS)  # plan-visible: cluster ids live in [0, k)
         )
     return _assign(e, cents), cents
 
@@ -380,7 +382,7 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query.  Same fixed-point quantizer, so the whole policy replays
     in the oracle."""
     assigned, cents = ivf_model(spark, sf_dir)
-    q = assigned.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    q = assigned.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     qd = q.crossJoin(F.broadcast(cents)).withColumn(
@@ -482,7 +484,7 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _ivf_index_dir(spark, sf_dir)
     cents = spark.read.parquet(os.path.join(root, "centroids"))
     vectors = spark.read.parquet(os.path.join(root, "vectors"))
-    q = vectors.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    q = vectors.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     qd = q.crossJoin(F.broadcast(cents)).withColumn(
@@ -960,7 +962,7 @@ def ann_ivfpq_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb = spark.read.parquet(os.path.join(root, "codebook"))
     codes = spark.read.parquet(os.path.join(root, "codes"))
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     qd = q.crossJoin(F.broadcast(cents)).withColumn(
@@ -1613,7 +1615,7 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     c = e.filter(F.col("vec_id") >= N_QUERY_VECS).select(

@@ -1071,7 +1071,10 @@ def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket").isin(buckets) & F.col("term").isin(*_BM25_QUERY))
         .select("term", "df")
     )
-    stats = spark.read.parquet(os.path.join(root, "stats"))
+    # the stats side table holds exactly ONE row (written coalesce(1)
+    # from a global aggregate); limit(1) makes that bound plan-visible
+    # for the cross-join guard
+    stats = spark.read.parquet(os.path.join(root, "stats")).limit(1)
     enriched = postings.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     idf_fp, sat_fp = _bm25_fp_columns()
     per_doc = (

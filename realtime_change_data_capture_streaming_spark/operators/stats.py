@@ -872,10 +872,13 @@ def events_ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("converted").cast("bigint").alias("conv"),
     )
-    a = grp.filter(F.col("variant") == 0).select(
+    # variant is pmod(_, 2): each filtered side is exactly one group
+    # row; limit(1) makes that bound PLAN-VISIBLE so the cross-join
+    # guard (plans/introspect.py::unbounded_cross_joins) can prove it
+    a = grp.filter(F.col("variant") == 0).limit(1).select(
         F.col("n").alias("n_a"), F.col("conv").alias("c_a")
     )
-    b = grp.filter(F.col("variant") == 1).select(
+    b = grp.filter(F.col("variant") == 1).limit(1).select(
         F.col("n").alias("n_b"), F.col("conv").alias("c_b")
     )
     j = a.crossJoin(b)

@@ -100,8 +100,17 @@ def _limit_bounded(node) -> bool:
     name = _simple_name(node)
     if name in ("GlobalLimit", "LocalLimit"):
         return True
-    if name == "Aggregate" and node.groupingExpressions().isEmpty():
-        return True  # global aggregate -> exactly one row
+    if name == "Aggregate":
+        if node.groupingExpressions().isEmpty():
+            return True  # global aggregate -> exactly one row
+        # keyed aggregate over a bounded input: <= input rows
+        return _limit_bounded(node.children().apply(0))
+    if name == "Join" and node.children().size() == 2:
+        # bounded x bounded is bounded (the broadcast-scalar cross of
+        # two 1-row aggregates — the corpus-stats pattern)
+        return _limit_bounded(node.children().apply(0)) and _limit_bounded(
+            node.children().apply(1)
+        )
     if name in _ROW_PRESERVING and node.children().size() == 1:
         return _limit_bounded(node.children().apply(0))
     return False
@@ -138,6 +147,35 @@ def assert_no_cartesian(df: DataFrame) -> None:
     assert c["cartesian"] == 0 and c["bnl_joins"] == 0, (
         f"plan contains a cartesian/nested-loop join:\n{executed_plan(df)[:2000]}"
     )
+
+
+def unbounded_cross_joins(df: DataFrame) -> list[str]:
+    """Every condition-less Join in the optimized logical plan where
+    NEITHER side is provably bounded (a limit or a no-key global
+    aggregate) — the all-pairs |L|x|R| blowup, the third plan shape
+    guaranteed to fall over at 100x data (after the unpartitioned
+    window and the un-limited global sort).
+
+    A cross join against a 1-row/limit-bounded side is the legitimate
+    broadcast-scalar pattern this engine uses everywhere (corpus totals,
+    thresholds, model state) and is not flagged.  Joins WITH a
+    condition are out of scope: equi-joins shuffle-partition, and theta
+    joins are each individually audited at the call site.
+    ``tests/test_window_guard.py`` enforces this over every registered
+    query, with a documented whitelist for joins whose sides are
+    CARDINALITY-bounded by a fact the plan cannot express."""
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if _simple_name(node) == "Join" and node.condition().isEmpty():
+            left, right = node.children().apply(0), node.children().apply(1)
+            if not (_limit_bounded(left) or _limit_bounded(right)):
+                out.append(node.simpleString(120))
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return out
 
 
 def unbounded_global_sorts(df: DataFrame) -> list[str]:

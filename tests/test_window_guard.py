@@ -147,3 +147,68 @@ def test_sort_guard_accepts_topk_and_bounded_inputs(spark):
         o.agg(F.sum("o_totalprice").alias("s")).orderBy("s")
     ) == []
     assert unbounded_global_sorts(o.limit(25).orderBy("o_orderkey")) == []
+
+
+#: queries with a condition-less cross join the guard cannot prove
+#: bounded but which IS bounded by a cardinality fact.  Each entry
+#: documents the bound.
+CROSS_WHITELIST: set[str] = {
+    # chi-square contingency: row marginals (per LANGUAGE, a ~10-value
+    # domain) x column marginals (per SOURCE, a ~5-value domain) — the
+    # cross is |langs| x |sources| cells, dimension-bounded by the
+    # document schema's enum-like domains, never corpus-sized
+    "docs_chisq_lang_source",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_unbounded_cross_join(spark, name):
+    """Third plan-guard class (r11): no registered query may carry a
+    condition-less cross join where NEITHER side is provably bounded —
+    the |L|x|R| all-pairs blowup.  The broadcast-scalar pattern (cross
+    against a 1-row aggregate / limit) passes; every other site was
+    either made plan-visibly bounded (ANN query sides now limit(8),
+    centroid tables limit(k), ztest variant rows limit(1)) or is
+    whitelisted above with the cardinality argument."""
+    from realtime_change_data_capture_streaming_spark.plans.introspect import unbounded_cross_joins
+
+    if name in CROSS_WHITELIST:
+        pytest.skip("documented cardinality-bounded cross join")
+    df = _QUERIES[name](spark, SF_DIR)
+    bad = unbounded_cross_joins(df)
+    assert bad == [], (
+        f"{name} has condition-less cross join(s) with both sides "
+        f"unbounded (all-pairs at scale):\n" + "\n".join(bad)
+    )
+
+
+def test_cross_guard_catches_fact_x_fact(spark):
+    """The guard must fire on the shape it exists to catch: corpus x
+    corpus with no condition."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.plans.introspect import unbounded_cross_joins
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    assert unbounded_cross_joins(o.crossJoin(c.select(F.col("c_custkey")))) != []
+
+
+def test_cross_guard_accepts_bounded_sides(spark):
+    """Cross against a 1-row aggregate, a limit, or a bounded x bounded
+    join must pass — the engine's broadcast-scalar idiom."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.plans.introspect import unbounded_cross_joins
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    total = o.agg(F.sum("o_totalprice").alias("t"))
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    assert unbounded_cross_joins(o.crossJoin(F.broadcast(total))) == []
+    assert unbounded_cross_joins(o.crossJoin(F.broadcast(o.limit(5)))) == []
+    # bounded x bounded composes: (1-row agg x 1-row agg) is itself
+    # bounded, so crossing the corpus against it passes too
+    stats = total.crossJoin(n)
+    assert unbounded_cross_joins(o.crossJoin(F.broadcast(stats))) == []
