@@ -42,18 +42,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # so once this round's results land the deferred entries automatically
 # rejoin the never-checked tier — no manual clearing needed.
 # r11 window math (VERDICT r10 tasks 2/6): the two r10-deferred trainers
-# rejoined tier 1 when CORRECTNESS_r10 landed (the stamp below is now
-# inert) and take their first driver check THIS round alongside the two
-# r11 registrations (stream_semantic_admission, multimodal_adpcm_features
-# — budgeted, not deferred).  Window: 4 never-checked + 6 r5-stale + 40
-# r6-stale; 10 r6-stale remain for r12.
+# (quality_logit_train, text_unigram_train) rejoined tier 1 when
+# CORRECTNESS_r10 landed and take their first driver check THIS round
+# alongside the two r11 registrations (stream_semantic_admission,
+# multimodal_adpcm_features — budgeted, not deferred).  Window: 4
+# never-checked + 6 r5-stale + 40 r6-stale; 10 r6-stale remain for r12.
+# quality_perplexity_buckets (late r11) is deferred to r12 so it does
+# not displace the 40th r6-stale slot; its parity mirror + oracle
+# stability net pin it locally until then.
 _DEFER_FIRST_CHECK = frozenset(
     {
-        "quality_logit_train",
-        "text_unigram_train",
+        "quality_perplexity_buckets",
     }
 )
-_DEFER_UNTIL_AFTER_ROUND = 10
+_DEFER_UNTIL_AFTER_ROUND = 11
 
 
 def _verification_order(names, with_oracle=frozenset()):

@@ -99,6 +99,9 @@ BENCH_QUERIES = (
     # ADPCM WAV decode features
     "stream_semantic_admission",
     "multimodal_adpcm_features",
+    # ... and CCNet-style perplexity bucketing under the TRAINED unigram
+    # LM (per-run EM + one broadcast-join scoring pass + lang windows)
+    "quality_perplexity_buckets",
 )
 
 

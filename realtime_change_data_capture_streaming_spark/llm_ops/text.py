@@ -1467,7 +1467,9 @@ def text_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNI_EM_ROUNDS = 2  # fixed EM rounds; each is one distributed E-pass + one bounded M-agg
 
 
-def _unigram_em_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, int]]:
+def _unigram_em_train(
+    spark: SparkSession, sf_dir: str, words: DataFrame | None = None
+) -> list[tuple[str, int, int]]:
     """SentencePiece-style unigram-LM TRAINING: Viterbi (hard) EM over
     the fixed corpus vocabulary (Kudo 2018's E-step taken at its mode —
     the standard scalable variant, since the mode's sufficient
@@ -1487,7 +1489,8 @@ def _unigram_em_train(spark: SparkSession, sf_dir: str) -> list[tuple[str, int, 
     sorted by piece."""
     import math
 
-    words = _bpe_words(spark, sf_dir).coalesce(4).localCheckpoint(eager=True)
+    if words is None:
+        words = _bpe_words(spark, sf_dir).coalesce(4).localCheckpoint(eager=True)
     vocab0 = _unigram_vocab(spark, sf_dir, words)
     pieces_all = sorted(p for p, _ in vocab0)
     scores: list[tuple[str, int]] = vocab0
@@ -1521,6 +1524,64 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(p, int(c), int(s)) for p, c, s in rows],
         "piece string, exp_cnt bigint, score_fp bigint",
+    )
+
+
+def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (r11): score every document with
+    the TRAINED unigram LM (the ``text_unigram_train`` EM output, not
+    the raw frequency scores serving uses) and split each language into
+    head / middle / tail by per-language rank thirds — the curation
+    gate CCNet/RedPajama apply before sampling.
+
+    Per doc: Viterbi loglik under the trained scores (the SHARED dp
+    fold — trainer, server, and this query cannot drift), negative
+    log-likelihood per piece as an exact bigint (``(-loglik_fp) div
+    n_pieces``; both engines truncate positive division identically),
+    then one lang-partitioned window (guard-safe: never global) ranks
+    docs and 3*rank <= n / 3*rank <= 2n cuts the thirds in pure integer
+    arithmetic — no float quantiles to drift cross-engine.  The DuckDB
+    oracle replays the full EM (the ``UNIGRAM_TRAIN_SQL`` unroll) and
+    the same fold/window.  Training state is a bounded driver collect
+    (|alphabet| + 64 rows); everything per-doc is one broadcast join +
+    one lang-partitioned window at any corpus size."""
+    from pyspark.sql import Window
+
+    words = _bpe_words(spark, sf_dir).coalesce(4).localCheckpoint(eager=True)
+    trained = _unigram_em_train(spark, sf_dir, words)
+    vocab = [(p, s) for p, _, s in trained]
+    seg = _unigram_segment_words(words.select("word_id", "cnt"), vocab)
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = with_tokens(d).select("doc_id", "lang", F.explode("_toks").alias("word_id"))
+    per_doc = (
+        doc_words.join(F.broadcast(seg), "word_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("w_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("w_score").cast("bigint").alias("loglik_fp"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("(-loglik_fp) div n_pieces").cast("bigint").alias("nll_fp"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("nll_fp", "doc_id")
+    ranked = per_doc.select(
+        "doc_id",
+        "lang",
+        "nll_fp",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("_n"),
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "nll_fp",
+        F.when(F.col("_r") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("_r") * 3 <= F.col("_n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )
 
 
@@ -1710,6 +1771,49 @@ WITH RECURSIVE tk AS MATERIALIZED (
 UNIGRAM_TRAIN_SQL = _unigram_train_sql()
 
 
+def _ppl_buckets_sql() -> str:
+    """Oracle for ``quality_perplexity_buckets``: the UNIGRAM_TRAIN_SQL
+    EM unroll (same prefix + rounds), then the serving fold under the
+    FINAL vmap, per-doc rollup, and the integer rank-thirds window."""
+    n = _UNI_EM_ROUNDS
+    base = _unigram_train_sql().split(
+        f"\nSELECT piece, exp_cnt, s AS score_fp FROM scored{n}"
+    )[0]
+    return (
+        base
+        + f""", segf AS MATERIALIZED (
+  SELECT word,
+         {_duck_unpack_s("dp[len(dp)]")} AS w_score,
+         {_duck_unpack_n("dp[len(dp)]")} AS w_pieces
+  FROM (
+    SELECT word, {_uni_train_dp_sql()} AS dp
+    FROM wd CROSS JOIN vmap{n}
+  )
+), perdoc AS (
+  SELECT t.doc_id, dd.lang,
+         (-CAST(SUM(s.w_score) AS BIGINT)) // CAST(SUM(s.w_pieces) AS BIGINT) AS nll_fp
+  FROM (SELECT doc_id, UNNEST(ts) AS word FROM tk) t
+  JOIN segf s USING (word)
+  JOIN documents dd USING (doc_id)
+  GROUP BY 1, 2
+)
+SELECT doc_id, lang, nll_fp,
+       CASE WHEN 3 * r <= n THEN 'head'
+            WHEN 3 * r <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM (
+  SELECT doc_id, lang, nll_fp,
+         row_number() OVER (PARTITION BY lang ORDER BY nll_fp, doc_id) AS r,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM perdoc
+)
+"""
+    )
+
+
+PPL_BUCKETS_SQL = _ppl_buckets_sql()
+
+
 QUERIES = {
     "text_token_stats": token_stats,
     "text_bigram_frequencies": bigram_frequencies,
@@ -1729,6 +1833,7 @@ QUERIES = {
     "text_heavy_hitters": heavy_hitter_terms,
     "text_unigram_segment": text_unigram_segment,
     "text_unigram_train": text_unigram_train,
+    "quality_perplexity_buckets": quality_perplexity_buckets,
 }
 
 ORACLE = {
@@ -1750,4 +1855,5 @@ ORACLE = {
     "text_heavy_hitters": HEAVY_HITTERS_SQL,
     "text_unigram_segment": UNIGRAM_SQL,
     "text_unigram_train": UNIGRAM_TRAIN_SQL,
+    "quality_perplexity_buckets": PPL_BUCKETS_SQL,
 }
