@@ -108,3 +108,188 @@ GROUP BY i.doc_id
 
 QUERIES = {"stream_neardup_admission": stream_neardup_admission}
 ORACLE = {"stream_neardup_admission": _admission_sql()}
+
+
+def _jaccard_threshold_pairs(a_sh: DataFrame, b_sh: DataFrame, internal: bool) -> DataFrame:
+    """Exact-Jaccard edges (J >= 0.20, the ``ngram_jaccard_pairs``
+    threshold) between two shingle frames, sharded on (lang, source,
+    shingle) exactly like the batch tier.  ``internal=True`` self-joins
+    one frame with ``doc_a < doc_b``; ``internal=False`` joins two
+    DISJOINT frames in one pass and canonicalizes the pair orientation
+    (sizes swap with the ids, so J is orientation-free)."""
+    a, b = a_sh.alias("a"), b_sh.alias("b")
+    cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+    )
+    cond = cond & (
+        (F.col("a.doc_id") < F.col("b.doc_id"))
+        if internal
+        else (F.col("a.doc_id") != F.col("b.doc_id"))
+    )
+    swap = F.col("a.doc_id") > F.col("b.doc_id")
+    shared = (
+        a.join(b, cond)
+        .select(
+            F.when(swap, F.col("b.doc_id")).otherwise(F.col("a.doc_id")).alias("doc_a"),
+            F.when(swap, F.col("a.doc_id")).otherwise(F.col("b.doc_id")).alias("doc_b"),
+            F.when(swap, F.col("b.n_shingles")).otherwise(F.col("a.n_shingles")).alias("size_a"),
+            F.when(swap, F.col("a.n_shingles")).otherwise(F.col("b.n_shingles")).alias("size_b"),
+        )
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    j = F.col("n_shared").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("n_shared")
+    )
+    return shared.filter(j >= 0.20).select("doc_a", "doc_b")
+
+
+def _merge_dedup_components(
+    shingle_store: str, assign_store: str, batch: DataFrame, bid: int
+) -> None:
+    """One micro-batch of incremental duplicate-cluster maintenance.
+
+    The batch's documents add exact-Jaccard edges against everything
+    seen so far; an arriving edge may MERGE two existing clusters — the
+    case per-batch-local clustering gets wrong — so the update re-runs
+    min-label propagation over (previous assignments as node->component
+    edges) union (the new edges), but only for AFFECTED components: a
+    component none of whose members touch a new edge keeps its
+    assignment rows untouched.  At corpus scale that is the whole
+    point — a micro-batch merges a handful of clusters, not the graph.
+
+    Replay safety: both stores commit with the applied-batch-id
+    manifest guard; additionally the previous-shingle side anti-joins
+    away the batch's own doc_ids, so a re-delivered batch whose shingle
+    commit survived cannot double-count its internal pairs (doubled
+    n_shared would FABRICATE edges past the J threshold)."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import (
+        connected_components,
+        shingle_rows,
+    )
+    from realtime_change_data_capture_streaming_spark.streaming.sketches import _already_applied
+
+    if _already_applied(assign_store, bid):
+        return
+    sp = batch.sparkSession
+    sh_b = shingle_rows(batch).localCheckpoint(eager=True)
+
+    live_sh = table_commit.resolve(shingle_store)
+    if live_sh is not None:
+        prev_sh = sp.read.parquet(live_sh).join(
+            batch.select("doc_id"), "doc_id", "left_anti"
+        )
+    else:
+        prev_sh = sp.createDataFrame(
+            [], "doc_id bigint, lang string, source string, shingle string, n_shingles bigint"
+        )
+
+    new_edges = _jaccard_threshold_pairs(sh_b, sh_b, internal=True).unionByName(
+        _jaccard_threshold_pairs(sh_b, prev_sh, internal=False)
+    )
+
+    live_as = table_commit.resolve(assign_store)
+    if live_as is not None:
+        prev_assign = sp.read.parquet(live_as)
+    else:
+        prev_assign = sp.createDataFrame([], "node bigint, component bigint")
+
+    nodes = new_edges.select(F.col("doc_a").alias("node")).unionByName(
+        new_edges.select(F.col("doc_b").alias("node"))
+    )
+    touched = (
+        prev_assign.join(nodes.distinct(), "node").select("component").distinct()
+    )
+    sub_prev = prev_assign.join(touched, "component", "left_semi")
+    cc_edges = sub_prev.select(
+        F.col("node").alias("doc_a"), F.col("component").alias("doc_b")
+    ).unionByName(new_edges)
+    subcomp = connected_components(cc_edges, "doc_a", "doc_b")
+    new_assign = prev_assign.join(touched, "component", "left_anti").unionByName(
+        subcomp.select("node", "component")
+    )
+
+    # publish shingles first (guarded), then assignments: a crash in
+    # between re-delivers the batch, which skips the shingle re-publish
+    # and recomputes identical edges thanks to the anti-join above
+    if not _already_applied(shingle_store, bid):
+        all_sh = sh_b if live_sh is None else sp.read.parquet(live_sh).join(
+            batch.select("doc_id"), "doc_id", "left_anti"
+        ).unionByName(sh_b)
+        vdir, seq = table_commit.begin(shingle_store)
+        all_sh.write.mode("overwrite").parquet(vdir)
+        table_commit.commit(shingle_store, seq, meta={"applied_bid": bid})
+    vdir, seq = table_commit.begin(assign_store)
+    new_assign.write.mode("overwrite").parquet(vdir)
+    table_commit.commit(assign_store, seq, meta={"applied_bid": bid})
+
+
+def stream_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER maintenance across REAL micro-batches: the
+    streaming composition of ``dedup_cluster_components``.  Documents
+    arrive split by doc-id parity (two micro-batches), so near-dup
+    pairs — typically id-adjacent in the fixture — MUST form edges
+    across the batch boundary through the persisted shingle store, and
+    components discovered in batch 1 MUST merge when batch 2's edges
+    bridge them.  Final assignments live in a versioned-dir table
+    (``cdc/commit.py``) published per batch behind an atomic manifest
+    flip, replay-guarded on the batch id.
+
+    Oracle: the batch closed form (``DEDUP_CLUSTER_SQL``) over the whole
+    corpus — the batch split must be invisible.
+
+    At 100 TB: per batch, the cross join is batch-sided (sharded on
+    (lang, source, shingle), never corpus x corpus), the shingle store
+    grows by exactly the batch's shingles (the full-rewrite publish here
+    would be an append-partition in a production deployment), and label
+    propagation runs only over components the batch's edges touch."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
+
+    work = scratch_dir(prefix="stream_cc_")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    in_dir = stage_ordered_batches(
+        [
+            d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+            d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+        ],
+        f"{work}/staged",
+    )
+    shingle_store = f"{work}/shingles"
+    assign_store = f"{work}/assign"
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, lang string, source string")
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: _merge_dedup_components(shingle_store, assign_store, b, bid)
+        )
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    assign = spark.read.parquet(table_commit.resolve(assign_store))
+    sizes = assign.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return assign.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "component_size"
+    )
+
+
+# registered at module tail: stream_dedup_components is defined below the
+# original QUERIES literal
+from realtime_change_data_capture_streaming_spark.llm_ops.dedup import DEDUP_CLUSTER_SQL  # noqa: E402
+
+QUERIES["stream_dedup_components"] = stream_dedup_components
+ORACLE["stream_dedup_components"] = DEDUP_CLUSTER_SQL
