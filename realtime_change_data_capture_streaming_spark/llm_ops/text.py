@@ -1527,6 +1527,33 @@ def text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_trained_vocab(
+    spark: SparkSession, sf_dir: str, words: DataFrame
+) -> list[tuple[str, int]]:
+    """The TRAINED unigram scores, build-once/serve-many: the EM runs
+    once per machine per fixture content and the final (piece, score_fp)
+    table is cached under the fixture fingerprint — the
+    ``quality_logit_scores`` / persisted-ANN discipline (training is a
+    build pipeline; scoring queries serve the artifact).  The EM is
+    deterministic, so a cached artifact is identical to a rebuild."""
+    import csv
+    import os
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _index_cache
+
+    def build(root: str) -> None:
+        os.makedirs(root, exist_ok=True)
+        trained = _unigram_em_train(spark, sf_dir, words)
+        with open(os.path.join(root, "scores.csv"), "w", newline="") as f:
+            w = csv.writer(f)
+            for p, _, s in trained:
+                w.writerow([p, s])
+
+    root = _index_cache("spark_graft_unilm_", spark, sf_dir, build, table="documents")
+    with open(os.path.join(root, "scores.csv"), newline="") as f:
+        return sorted((p, int(s)) for p, s in csv.reader(f))
+
+
 def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity bucketing (r11): score every document with
     the TRAINED unigram LM (the ``text_unigram_train`` EM output, not
@@ -1543,13 +1570,14 @@ def quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — no float quantiles to drift cross-engine.  The DuckDB
     oracle replays the full EM (the ``UNIGRAM_TRAIN_SQL`` unroll) and
     the same fold/window.  Training state is a bounded driver collect
-    (|alphabet| + 64 rows); everything per-doc is one broadcast join +
-    one lang-partitioned window at any corpus size."""
+    (|alphabet| + 64 rows) and is fingerprint-CACHED
+    (``_unigram_trained_vocab``) so serving is one broadcast join + one
+    lang-partitioned window at any corpus size — the build-once/
+    serve-many shape of the other persisted model artifacts."""
     from pyspark.sql import Window
 
     words = _bpe_words(spark, sf_dir).coalesce(4).localCheckpoint(eager=True)
-    trained = _unigram_em_train(spark, sf_dir, words)
-    vocab = [(p, s) for p, _, s in trained]
+    vocab = _unigram_trained_vocab(spark, sf_dir, words)
     seg = _unigram_segment_words(words.select("word_id", "cnt"), vocab)
     d = load_table(spark, sf_dir, "documents")
     doc_words = with_tokens(d).select("doc_id", "lang", F.explode("_toks").alias("word_id"))
