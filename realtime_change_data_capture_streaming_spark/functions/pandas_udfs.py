@@ -235,10 +235,29 @@ def udf_cogrouped_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas frames in one worker call, the shape for per-key model joins
     (feature frame + label frame) that a single-table grouped map cannot
     express.  Computes per-user conversion stats; both frames are sorted
-    in-worker so the result is arrival-order independent."""
+    in-worker so the result is arrival-order independent.
+
+    Empty-side contract (found by the r11 full-corpus sweep at sf0.1,
+    where users with views but zero purchases first appear): Spark 4.1's
+    cogroup serializer delivers the row-less side as a KEY-ONLY frame —
+    ``user_id`` present, payload columns ABSENT, and len() echoing the
+    other side's row count — so ``len()`` alone misreads it as data.
+    Each side is therefore normalized first: a frame missing its payload
+    columns IS the empty group."""
+
+    def side(df: pd.DataFrame) -> pd.DataFrame:
+        if "ts" in df.columns:
+            return df
+        return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                             "ts": pd.Series([], dtype="object")})
 
     def conv(views: pd.DataFrame, purchases: pd.DataFrame) -> pd.DataFrame:
-        uid = views["user_id"].iloc[0] if len(views) else purchases["user_id"].iloc[0]
+        uid = (
+            views["user_id"].iloc[0]
+            if "ts" in views.columns and len(views)
+            else purchases["user_id"].iloc[0]
+        )
+        views, purchases = side(views), side(purchases)
         n_v, n_p = len(views), len(purchases)
         first_p = purchases["ts"].min() if n_p else None
         views_before = int((views["ts"] < first_p).sum()) if n_p and n_v else 0
