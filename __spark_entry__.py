@@ -47,14 +47,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # alongside the two r11 registrations (stream_semantic_admission,
 # multimodal_adpcm_features — budgeted, not deferred).  Window: 4
 # never-checked + 6 r5-stale + 40 r6-stale; 10 r6-stale remain for r12.
-# quality_perplexity_buckets and stream_dedup_components (late r11) are
-# deferred to r12 so they do not displace r6-stale rotation slots; their
-# parity mirrors (+ the oracle stability net / the merge-replay pin in
-# tests/test_sketches.py) hold them locally until then.
+# quality_perplexity_buckets, stream_dedup_components, and
+# multimodal_tiff_features (late r11) are deferred to r12 so they do not
+# displace r6-stale rotation slots; their parity mirrors (+ the oracle
+# stability net / the merge-replay pin in tests/test_sketches.py / the
+# codec pins in tests/test_tiff.py) hold them locally until then.
 _DEFER_FIRST_CHECK = frozenset(
     {
         "quality_perplexity_buckets",
         "stream_dedup_components",
+        "multimodal_tiff_features",
     }
 )
 _DEFER_UNTIL_AFTER_ROUND = 11

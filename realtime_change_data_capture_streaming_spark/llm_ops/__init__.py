@@ -11,10 +11,11 @@ from realtime_change_data_capture_streaming_spark.llm_ops import (
     multimodal,
     similarity,
     text,
+    tiff,
     webp,
 )
 
-_MODULES = (text, dedup, similarity, multimodal, webp, flac, adpcm, ml_lsh, curation, features)
+_MODULES = (text, dedup, similarity, multimodal, webp, flac, adpcm, tiff, ml_lsh, curation, features)
 
 
 def all_queries():

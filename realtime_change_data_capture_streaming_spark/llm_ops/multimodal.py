@@ -141,6 +141,11 @@ def decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
 
             w, h, rgb = decode_webp_lossless(b)
             maxval = 255
+        elif b[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+            from realtime_change_data_capture_streaming_spark.llm_ops.tiff import decode_tiff
+
+            w, h, _spp, rgb = decode_tiff(b)
+            maxval = 255
         elif b[:2] == b"P6":
             w, h, maxval, rgb = decode_ppm(b)
         else:
