@@ -102,6 +102,8 @@ BENCH_QUERIES = (
     # ... and CCNet-style perplexity bucketing under the TRAINED unigram
     # LM (per-run EM + one broadcast-join scoring pass + lang windows)
     "quality_perplexity_buckets",
+    # ... and baseline-TIFF decode features (strips/PackBits/LZW/predictor)
+    "multimodal_tiff_features",
 )
 
 
