@@ -81,10 +81,10 @@ def encode_avi_mjpeg(
             raise ValueError("AVI: frame is not a JPEG (no SOI)")
     if audio is not None and audio_format not in (1, 6, 7, 0x11):
         raise ValueError(f"AVI: unsupported audio format tag {audio_format}")
-    if audio_format == 0x11:
+    if audio is not None and audio_format == 0x11:
         if audio_block_align is None or audio_block_align < 5:
             raise ValueError("AVI: ADPCM audio requires audio_block_align >= 5")
-        if audio is not None and len(audio[0]) % audio_block_align:
+        if len(audio[0]) % audio_block_align:
             raise ValueError("AVI: ADPCM payload is not whole blocks")
     n = len(frames)
     max_bytes = max(len(f) for f in frames)

@@ -21,7 +21,13 @@ from pyspark.sql import functions as F
 from realtime_change_data_capture_streaming_spark.operators._util import spread
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
-N_QUERY_VECS = 8  # vec_id < 8 are the "query" set in the demo queries
+# vec_id < 8 are the "query" set in the demo queries.  PK ASSUMPTION:
+# vec_id is unique in the embeddings fixture (pinned by
+# tests/test_plans.py::test_embeddings_vec_id_unique_pk); the plan-visibility
+# `.limit(N_QUERY_VECS)` after `vec_id < N_QUERY_VECS` is a semantic no-op
+# ONLY under that uniqueness — with duplicate ids, LIMIT without ORDER BY
+# would nondeterministically drop query rows.
+N_QUERY_VECS = 8
 TOP_K = 5
 
 

@@ -361,6 +361,8 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
         return default
 
     width, height = one(256), one(257)
+    if width < 1 or height < 1:
+        raise ValueError(f"tiff: degenerate geometry {width}x{height}")
     spp = one(277, 1)
     if spp not in (1, 3):
         raise ValueError(f"tiff: samples_per_pixel {spp} unsupported")
@@ -379,6 +381,8 @@ def decode_tiff(buf: bytes) -> tuple[int, int, int, bytes]:
     if predictor not in (1, 2):
         raise ValueError(f"tiff: predictor {predictor} unsupported")
     rps = one(278, height)
+    if rps < 1:
+        raise ValueError("tiff: RowsPerStrip < 1")
     offs = tags.get(273)
     cnts = tags.get(279)
     if not offs or not cnts or len(offs) != len(cnts):

@@ -187,8 +187,15 @@ def _merge_dedup_components(
             [], "doc_id bigint, lang string, source string, shingle string, n_shingles bigint"
         )
 
-    new_edges = _jaccard_threshold_pairs(sh_b, sh_b, internal=True).unionByName(
-        _jaccard_threshold_pairs(sh_b, prev_sh, internal=False)
+    # Eager checkpoint: new_edges reads the CURRENT shingle version dir,
+    # which the shingle commit below supersedes.  Without materializing
+    # here, the assignment write (which happens AFTER that commit) would
+    # re-execute this plan against a superseded dir and depend on
+    # commit's version retention (keep>=1) for correctness.
+    new_edges = (
+        _jaccard_threshold_pairs(sh_b, sh_b, internal=True)
+        .unionByName(_jaccard_threshold_pairs(sh_b, prev_sh, internal=False))
+        .localCheckpoint(eager=True)
     )
 
     live_as = table_commit.resolve(assign_store)

@@ -309,6 +309,11 @@ def test_avi_adpcm_encoder_guards():
             frames, 16, 8, audio=(data + b"\x00", 8000), audio_format=0x11,
             audio_block_align=align,
         )
+    # ADPCM params must not be validated when NO audio stream was
+    # requested: audio=None + audio_format=0x11 is a harmless call (the
+    # format tag is ignored without audio) and must mux a video-only AVI.
+    out = encode_avi_mjpeg(frames, 16, 8, audio=None, audio_format=0x11)
+    assert out[:4] == b"RIFF" and out[8:12] == b"AVI "
 
 
 def test_avi_adpcm_wrong_bits_rejected():

@@ -86,6 +86,20 @@ def test_jaccard_no_cartesian_single_scan_shuffles(spark, sf_dir):
     assert_no_cartesian(df)
 
 
+def test_embeddings_vec_id_unique_pk(spark, sf_dir):
+    """PK pin for the ANN plan-visibility trick: every
+    `.filter(vec_id < N).limit(N)` in similarity.py is a semantic no-op
+    ONLY if vec_id is unique (duplicates + LIMIT without ORDER BY would
+    nondeterministically drop query rows).  Enforce the assumption."""
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    total, distinct = e.select(
+        F.count("*").alias("n"), F.countDistinct("vec_id").alias("d")
+    ).first()
+    assert total == distinct, f"embeddings.vec_id not unique: {total} rows, {distinct} ids"
+
+
 def test_ann_broadcasts_query_side(spark, sf_dir):
     df = ann_cosine_topk(spark, sf_dir)
     c = plan_counts(df)

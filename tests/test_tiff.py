@@ -134,6 +134,32 @@ def test_lies_about_geometry_raise():
         decode_tiff(bytes(buf))
 
 
+def test_zero_rows_per_strip_raises_value_error():
+    """RowsPerStrip=0 (and zero width/height) must fail with the module's
+    documented ValueError, not ZeroDivisionError from the strip-count
+    ceil-div."""
+    w, h, spp = 8, 6, 1
+    good = encode_tiff(w, h, _pixels(w, h, spp), spp, 1, False, 1)
+
+    def patch_short_or_long(buf, want_tag, val):
+        buf = bytearray(buf)
+        ifd = struct.unpack_from("<I", buf, 4)[0]
+        n = struct.unpack_from("<H", buf, ifd)[0]
+        for i in range(n):
+            off = ifd + 2 + 12 * i
+            tag, typ = struct.unpack_from("<HH", buf, off)
+            if tag == want_tag:
+                struct.pack_into("<H" if typ == 3 else "<I", buf, off + 8, val)
+        return bytes(buf)
+
+    with pytest.raises(ValueError, match="RowsPerStrip"):
+        decode_tiff(patch_short_or_long(good, 278, 0))
+    with pytest.raises(ValueError, match="degenerate geometry"):
+        decode_tiff(patch_short_or_long(good, 256, 0))
+    with pytest.raises(ValueError, match="degenerate geometry"):
+        decode_tiff(patch_short_or_long(good, 257, 0))
+
+
 def test_decode_image_batch_routes_tiff():
     """The shared image router recognizes both TIFF byte orders and
     returns features over the decoded samples."""
