@@ -195,6 +195,47 @@ class BucketedParquetSink:
         grace window (see :meth:`snapshots`)."""
         return self.read_raw(at_seq=at_seq).filter(F.col("op") != "d").drop(*self._META_COLS)
 
+    def lookup(self, keys: list) -> DataFrame:
+        """Keyed point-lookup serving tier — the reference consumer's
+        PK GET semantics (``transaction_consumer.py:85-102``) over the
+        bucketed table without a full scan.
+
+        The bucket arithmetic is deterministic (``pmod(murmur3(key), n)``,
+        see :meth:`_bucket`), so each probe key maps to exactly one bucket
+        id; :meth:`read_raw` then prunes at the PATH level — the scan
+        never lists the other buckets' directories at all — and the exact
+        key + tombstone filters run over the pruned rows only.  A k-key
+        probe therefore reads at most ``min(k, n_buckets)`` buckets =
+        ``O(k * target_bucket_bytes)`` I/O, independent of table size
+        (plan-pinned in ``tests/test_sink_scale.py``).
+
+        Probe keys are cast to the STORED key type first (so ``lookup([5])``
+        on a string-keyed table hashes ``"5"``, not the int), and the
+        bucket ids are computed by the same Catalyst expression the writer
+        used — a 1-job bounded collect over k probe rows, the point-lookup
+        analog of the other bounded metadata collects.
+        """
+        if not keys:
+            raise ValueError("lookup: need at least one key")
+        raw = self.read_raw()  # schema handle only; never executed
+        ktype = raw.schema[self.key_col].dataType
+        n = self.current_n_buckets()
+        probe = (
+            self.spark.createDataFrame([(str(k),) for k in keys], f"{self.key_col} string")
+            .select(F.col(self.key_col).cast(ktype).alias(self.key_col))
+        )
+        rows = probe.select(
+            F.col(self.key_col).alias("k"), self._bucket(n).alias("b")
+        ).collect()
+        bucket_ids = sorted({r["b"] for r in rows})
+        typed_keys = [r["k"] for r in rows]
+        return (
+            self.read_raw(buckets=bucket_ids)
+            .filter(F.col(self.key_col).isin(typed_keys))
+            .filter(F.col("op") != "d")
+            .drop(*self._META_COLS)
+        )
+
     def read_raw(
         self, buckets: list[int] | None = None, at_seq: int | None = None
     ) -> DataFrame:

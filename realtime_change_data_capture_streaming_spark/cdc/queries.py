@@ -1538,6 +1538,62 @@ WHERE s.seq <= 1 + o_orderkey % 3
 """
 
 
+def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference consumer's PK GET (``transaction_consumer.py:85-102``)
+    over the bucketed sink: merge the full chaos event stream, then probe
+    a fixed 32-key set through :meth:`BucketedParquetSink.lookup` — the
+    serving path that prunes to the probe keys' buckets at the PATH level
+    instead of scanning the table (<= min(k, n_buckets) buckets read;
+    plan-pinned in ``tests/test_sink_scale.py``).
+
+    Probe set: the 32 smallest orderkeys divisible by 499 — a spread that
+    mixes updated (%10), deleted (%97, must NOT come back), and untouched
+    keys.  Oracle = the closed-form final state restricted to that set.
+    """
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+
+    from realtime_change_data_capture_streaming_spark.cdc.apply_changes import (
+        BucketedParquetSink,
+    )
+
+    events = order_change_events(spark, sf_dir, chaos=True)
+    sink = BucketedParquetSink(
+        spark, scratch_dir(prefix="cdc_lookup_") + "/t", n_buckets=32
+    )
+    sink.merge(parse_envelope(events, decimal_mode="string"))
+    o = load_table(spark, sf_dir, "orders")
+    probe = [
+        r[0]
+        for r in o.filter(F.col("o_orderkey") % 499 == 0)
+        .select(F.col("o_orderkey").cast("string"))
+        .orderBy(F.col("o_orderkey"))
+        .limit(32)
+        .collect()
+    ]
+    found = sink.lookup(probe)
+    return found.select(
+        F.col("transaction_id"),
+        F.col("user_id"),
+        F.col("amount").cast("double").alias("amount"),
+        F.col("currency"),
+    )
+
+
+CDC_POINT_LOOKUP_SQL = f"""
+WITH probe AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 499 = 0
+  ORDER BY o_orderkey LIMIT 32
+)
+SELECT CAST(o_orderkey AS VARCHAR) AS transaction_id,
+       CAST(o_custkey AS VARCHAR) AS user_id,
+       CAST(CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + {_AMOUNT_BUMP}
+                      ELSE o_totalprice END AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       o_orderstatus AS currency
+FROM orders
+WHERE o_orderkey IN (SELECT o_orderkey FROM probe) AND o_orderkey % 97 != 0
+"""
+
+
 QUERIES = {
     "cdc_apply_changes": cdc_apply_changes,
     "cdc_scd2_history": cdc_scd2_history,
@@ -1559,9 +1615,11 @@ QUERIES = {
     "cdc_multitable_fk_apply": cdc_multitable_fk_apply,
     "cdc_outbox_publish": cdc_outbox_publish,
     "cdc_forget_users": cdc_forget_users,
+    "cdc_point_lookup": cdc_point_lookup,
 }
 
 ORACLE = {
+    "cdc_point_lookup": CDC_POINT_LOOKUP_SQL,
     "cdc_change_feed": CDC_CHANGE_FEED_SQL,
     "cdc_time_travel_summary": CDC_TIME_TRAVEL_SQL,
     "cdc_lsn_gap_audit": CDC_LSN_GAP_SQL,

@@ -452,3 +452,58 @@ def test_merge_rejects_mixed_ordering_mode(spark, big_parsed, tmp_path):
         sink.merge(b, order_cols=("offset", "ts_ms"))
     # same mode keeps merging fine
     sink.merge(b)
+
+
+def test_point_lookup_reads_at_most_k_buckets(spark, big_parsed, tmp_path):
+    """Serving-tier pin (the reference consumer's PK GET): a k-key
+    ``lookup`` must plan a scan over <= k bucket directories — path-level
+    pruning via the deterministic bucket arithmetic, never a table scan —
+    and return exactly the live rows for those keys (tombstones excluded,
+    missing keys absent)."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "lk"), n_buckets=128)
+    sink.merge(big_parsed)
+
+    some = [r[0] for r in big_parsed.select("key").orderBy("key").limit(3).collect()]
+    probe = some + ["no-such-key-xyzzy"]
+    df = sink.lookup(probe)
+
+    # plan property: every file the scan will read lives under a probed
+    # bucket dir, and the number of distinct bucket dirs is <= k
+    files = df.inputFiles()
+    assert files, "lookup planned an empty scan"
+    bucket_dirs = {f.split("/_bucket=")[1].split("/")[0] for f in files}
+    assert len(bucket_dirs) <= len(probe), bucket_dirs
+    expected_buckets = {
+        str(r[0])
+        for r in big_parsed.filter(F.col("key").isin(some))
+        .select(F.pmod(F.hash("key"), F.lit(128)))
+        .distinct()
+        .collect()
+    }
+    # the miss key adds at most one extra bucket; every hit bucket probed
+    assert expected_buckets <= bucket_dirs, (expected_buckets, bucket_dirs)
+
+    # value property: exactly the live rows for the probed keys
+    got = sorted(r["transaction_id"] for r in df.collect())
+    assert got == sorted(some)
+    full = _sorted_rows(sink.read().filter(F.col("transaction_id").isin(some)))
+    assert _sorted_rows(df) == full
+
+
+def test_point_lookup_sees_tombstones_and_type_coercion(spark, big_parsed, tmp_path):
+    """A deleted key must NOT come back from lookup, and probe keys are
+    coerced to the stored key type (int probe on a string-keyed table)."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "lk2"), n_buckets=16)
+    sink.merge(big_parsed)
+    victim = big_parsed.select("key").orderBy("key").limit(1).collect()[0][0]
+    tomb = (
+        big_parsed.filter(F.col("key") == victim)
+        .withColumn("op", F.lit("d"))
+        .withColumn("lsn", F.col("lsn") + 10_000_000)
+    )
+    sink.merge(tomb)
+    assert sink.lookup([victim]).count() == 0
+    survivor = big_parsed.select("key").orderBy(F.desc("key")).limit(1).collect()[0][0]
+    # int-typed probe against the string-keyed table must still hash right
+    probe_val = int(survivor) if survivor.isdigit() else survivor
+    assert sink.lookup([probe_val]).count() == 1
