@@ -104,6 +104,12 @@ BENCH_QUERIES = (
     "quality_perplexity_buckets",
     # ... and baseline-TIFF decode features (strips/PackBits/LZW/predictor)
     "multimodal_tiff_features",
+    # round-12 additions: streaming ANN index ingestion (frozen-quantizer
+    # encode + replay-guarded cluster-mapped append; rep 1 may pay the
+    # one-time history-fit, min-of-reps is the steady state), and the
+    # bucketed sink's point-lookup serving tier (bucket-pruned PK GET)
+    "stream_ann_index_append",
+    "cdc_point_lookup",
 )
 
 

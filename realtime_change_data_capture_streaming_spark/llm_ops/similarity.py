@@ -229,7 +229,14 @@ def ivf_model(
     """The fitted IVF model: (assignments, final centroids).  Exposing the
     centroid table lets search-time policies (multiprobe) rank clusters
     per query without refitting."""
-    e = spread(load_table(spark, sf_dir, "embeddings"))
+    return ivf_fit(spread(load_table(spark, sf_dir, "embeddings")), iterations)
+
+
+def ivf_fit(e: DataFrame, iterations: int = 2) -> tuple[DataFrame, DataFrame]:
+    """The fit core over ANY embeddings frame (full corpus for the batch
+    indexes; the history split for the streaming-maintained index) —
+    identical arithmetic, so the full-table wrapper's behavior is
+    byte-stable across the refactor."""
     cents = (
         e.filter(F.col("vec_id") < N_IVF_CLUSTERS)
         .limit(N_IVF_CLUSTERS)  # plan-visible k bound (vec_id is the PK)
@@ -766,6 +773,13 @@ def pq_codebook(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     partitioning or engine."""
     e = load_table(spark, sf_dir, "embeddings")
     subs = _subvectors(e).repartition(8, "vec_id").localCheckpoint(eager=True)
+    return pq_fit(subs)
+
+
+def pq_fit(subs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The fit core over an already-checkpointed subvector frame (see
+    ``pq_codebook``); split out so the streaming index maintenance can
+    fit the codebook on the HISTORY split with identical arithmetic."""
     cb = subs.filter(F.col("vec_id") < N_PQ_CODES).select(
         "s", F.col("vec_id").alias("code"), F.col("sub").alias("cw")
     )

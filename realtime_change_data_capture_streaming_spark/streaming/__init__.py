@@ -2,9 +2,19 @@
 stream-stream joins, CDC apply-changes wiring (cdc.apply_changes)."""
 
 from realtime_change_data_capture_streaming_spark.cdc import materialized
-from realtime_change_data_capture_streaming_spark.streaming import cdc_stream, joins, neardup, semantic, sketches, stateful, transform_state, windows
+from realtime_change_data_capture_streaming_spark.streaming import (
+    ann_maintain,
+    cdc_stream,
+    joins,
+    neardup,
+    semantic,
+    sketches,
+    stateful,
+    transform_state,
+    windows,
+)
 
-_MODULES = (windows, joins, neardup, sketches, cdc_stream, stateful, transform_state, materialized, semantic)
+_MODULES = (windows, joins, neardup, sketches, cdc_stream, stateful, transform_state, materialized, semantic, ann_maintain)
 
 
 def all_queries():

@@ -1,0 +1,120 @@
+"""Pins for streaming ANN index maintenance (streaming/ann_maintain.py):
+replay safety, touched-cluster-only rewrite, order independence, the
+plan-visible staleness trigger, and stream == batch-closed-form."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+    _append_codes,
+    _read_store,
+    _with_staleness,
+    ann_index_append_batch,
+    stream_ann_index_append,
+)
+
+_SCHEMA = "vec_id bigint, s int, code bigint, cluster bigint"
+
+
+def _codes(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _store_state(spark, store):
+    return sorted(tuple(r) for r in _read_store(spark, store).collect())
+
+
+def test_stream_equals_batch_closed_form(spark, sf_dir):
+    b = sorted(tuple(r) for r in ann_index_append_batch(spark, sf_dir).collect())
+    s = sorted(tuple(r) for r in stream_ann_index_append(spark, sf_dir).collect())
+    assert b == s
+    assert len(b) > 0
+
+
+def test_append_replay_is_idempotent(spark, tmp_path):
+    """At-least-once foreachBatch: a re-delivered batch whose commit
+    survived must be a no-op (the applied-batch-id guard)."""
+    store = str(tmp_path / "store")
+    b0 = _codes(spark, [(10, 0, 3, 1), (10, 1, 5, 1), (11, 0, 2, 2)])
+    _append_codes(store, b0, 0)
+    state = _store_state(spark, store)
+    seq = table_commit.read_manifest(store)["seq"]
+    _append_codes(store, b0, 0)  # re-delivery
+    assert _store_state(spark, store) == state
+    assert table_commit.read_manifest(store)["seq"] == seq
+    # an older bid after a newer one is also skipped (monotonic guard)
+    _append_codes(store, _codes(spark, [(12, 0, 9, 1)]), 1)
+    _append_codes(store, b0, 0)
+    assert table_commit.read_manifest(store)["applied_bid"] == 1
+
+
+def test_append_rewrites_only_touched_clusters(spark, tmp_path):
+    """Batch 2 touches cluster 2 only: cluster 1's bucket-map entry must
+    keep pointing at the batch-1 version dir (untouched files keep
+    serving), and the new version dir must hold ONLY cluster 2."""
+    store = str(tmp_path / "store")
+    _append_codes(store, _codes(spark, [(10, 0, 3, 1), (11, 0, 2, 2)]), 0)
+    m0 = table_commit.read_manifest(store)
+    v_of_c1 = m0["buckets"]["1"]
+    _append_codes(store, _codes(spark, [(12, 0, 7, 2)]), 1)
+    m1 = table_commit.read_manifest(store)
+    assert m1["buckets"]["1"] == v_of_c1, "untouched cluster was remapped"
+    assert m1["buckets"]["2"] == m1["version"]
+    new_dirs = [
+        e for e in os.listdir(os.path.join(store, m1["version"])) if e.startswith("cluster=")
+    ]
+    assert new_dirs == ["cluster=2"], new_dirs
+    # and the read still sees everything, cluster 2 rows merged
+    assert _store_state(spark, store) == [
+        (10, 0, 3, 1),
+        (11, 0, 2, 2),
+        (12, 0, 7, 2),
+    ]
+
+
+def test_append_order_independent(spark, tmp_path):
+    """Two batches applied in either order converge to the same state —
+    the encode is per-vector against frozen quantizers, so arrival
+    order (late batches included) cannot change the final table."""
+    b_even = [(10, 0, 3, 1), (12, 0, 7, 2)]
+    b_odd = [(11, 0, 2, 2), (13, 0, 4, 1)]
+    s1 = str(tmp_path / "s1")
+    _append_codes(s1, _codes(spark, b_even), 0)
+    _append_codes(s1, _codes(spark, b_odd), 1)
+    s2 = str(tmp_path / "s2")
+    _append_codes(s2, _codes(spark, b_odd), 0)
+    _append_codes(s2, _codes(spark, b_even), 1)
+    assert _store_state(spark, s1) == _store_state(spark, s2)
+
+
+def test_cluster_pruned_store_read(spark, tmp_path):
+    """The serving path: a cluster-subset read plans only that cluster's
+    directories (path-level pruning, same contract as the sink)."""
+    store = str(tmp_path / "store")
+    _append_codes(store, _codes(spark, [(10, 0, 3, 1), (11, 0, 2, 2), (12, 0, 7, 3)]), 0)
+    df = _read_store(spark, store, clusters=[2])
+    assert [tuple(r) for r in df.collect()] == [(11, 0, 2, 2)]
+    assert all("cluster=2" in f for f in df.inputFiles()), df.inputFiles()
+
+
+def test_staleness_trigger_is_integer_and_per_cluster(spark):
+    """2 * n_appended > n_base, per cluster: cluster 1 (base 4, appended
+    1) stays fresh; cluster 2 (base 1, appended 1) trips; a cluster with
+    NO base rows trips on its first append."""
+    base = _codes(
+        spark,
+        [(i, 0, 0, 1) for i in range(4)] + [(100, 0, 0, 2)],
+    )
+    appended = _codes(spark, [(200, 0, 1, 1), (201, 0, 2, 2), (202, 0, 3, 7)])
+    out = {
+        r["cluster"]: (r["n_base"], r["n_appended"], r["needs_refit"])
+        for r in _with_staleness(appended, base).collect()
+    }
+    assert out[1] == (4, 1, False)
+    assert out[2] == (1, 1, True)
+    assert out[7] == (0, 1, True)
