@@ -247,7 +247,13 @@ def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — the batch split is invisible."""
     root = _stream_ann_index_dir(spark, sf_dir)
     cents, cb, base = _load_frozen(spark, root)
+    work, store = _run_ingest_stream(spark, sf_dir, cents, cb)
+    return _with_staleness(_read_store(spark, store), base)
 
+
+def _run_ingest_stream(spark: SparkSession, sf_dir: str, cents: DataFrame, cb: DataFrame):
+    """Drive the two-micro-batch ingestion stream against the frozen
+    quantizers; returns (work_dir, appended-codes store path)."""
     work = scratch_dir(prefix="annstream_")
     store = f"{work}/codes_store"
     e = load_table(spark, sf_dir, "embeddings")
@@ -277,33 +283,99 @@ def stream_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
-    return _with_staleness(_read_store(spark, store), base)
+    return work, store
 
 
-def _stream_ann_sql() -> str:
-    """DuckDB replay of the closed form: the PQ chain fit on the HISTORY
-    subvectors (same seeds, same fixed-point updates as ``_pq_sql``),
-    the IVF chain fit on the HISTORY vectors (same shapes as
-    ``_ivf_sql``), then frozen-quantizer assignment of the incoming
-    split plus the integer staleness flags."""
-    HIST = ANN_HISTORY_MAX_VEC_ID
-    pq_dist = "list_sum(list_transform(list_zip(a.sub, c.cw), p -> (p[1] - p[2]) * (p[1] - p[2])))"
-    ivf_dist = (
-        "list_sum(list_transform(list_zip(e.v, c.centroid), "
-        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+def _publish_generation(
+    gen_store: str, cents: DataFrame, cb: DataFrame, codes: DataFrame, generation: int
+) -> None:
+    """Publish one full index GENERATION (quantizers + cluster-laid-out
+    codes) as a new version dir behind the atomic manifest flip.  Readers
+    holding the previous generation keep working until GC's grace window
+    passes — the same contract as the sink's compaction swap."""
+    vdir, seq = table_commit.begin(gen_store)
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(os.path.join(vdir, "codes"))
+    cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
+    cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "codebook"))
+    table_commit.commit(gen_store, seq, meta={"generation": generation})
+
+
+def _full_refit(spark: SparkSession, sf_dir: str):
+    """Refit BOTH quantizers over the full current corpus — identical
+    arithmetic to the batch index build (``ivf_model``/``pq_codebook``),
+    which is exactly what makes the post-swap state oracle-replayable.
+    At 100 TB the vector source is the corpus store the appends came
+    from; here both are the embeddings table."""
+    all_v = spread(load_table(spark, sf_dir, "embeddings"))
+    assigned, cents = ivf_fit(all_v)
+    subs = _subvectors(all_v).repartition(8, "vec_id").localCheckpoint(eager=True)
+    codes, cb = pq_fit(subs)
+    full_codes = codes.select("vec_id", "s", "code").join(
+        assigned.select("vec_id", "cluster"), "vec_id"
+    )
+    return cents, cb, full_codes
+
+
+def stream_ann_index_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSUME the staleness trigger — the full ingestion loop: stream
+    appends (as ``stream_ann_index_append``), then, when any cluster's
+    appended fraction trips ``needs_refit``, refit both quantizers over
+    the full current corpus and atomically SWAP in the new index
+    generation (``_publish_generation``); serving reads whatever
+    generation the manifest points at.  The trigger probe is a 1-row
+    bounded collect over the plan-visible flag (the same bounded
+    model-state collect class as the probed-cluster discovery).
+
+    Output = the live serving state after the loop: every vector's
+    (s, code, cluster) under the live generation.  With the fixture's
+    incoming/history ratio the trigger deterministically trips, so the
+    oracle replays the FULL-corpus quantizer chains (generation 1); the
+    no-trip branch is pinned separately in ``tests/test_ann_maintain.py``.
+    """
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    work, store = _run_ingest_stream(spark, sf_dir, cents, cb)
+    state = _with_staleness(_read_store(spark, store), base)
+
+    gen_store = f"{work}/index_gens"
+    _publish_generation(gen_store, cents, cb, base, 0)
+    tripped = state.filter(F.col("needs_refit")).limit(1).count() > 0
+    if tripped:
+        cents2, cb2, full_codes = _full_refit(spark, sf_dir)
+        _publish_generation(gen_store, cents2, cb2, full_codes, 1)
+
+    m = table_commit.read_manifest(gen_store)
+    live = table_commit.resolve(gen_store)
+    return spark.read.parquet(os.path.join(live, "codes")).select(
+        "vec_id",
+        F.col("s").cast("bigint").alias("s"),
+        "code",
+        F.col("cluster").cast("bigint").alias("cluster"),
+        F.lit(m["generation"]).cast("bigint").alias("generation"),
     )
 
-    def pq_assign(src: str, cbn: str, name: str) -> str:
-        return f"""{name} AS (
+
+#: shared CTE text shapes for the DuckDB replays (the same fixed-point
+#: recipes as similarity._pq_sql/_ivf_sql, parametrized by source)
+_PQ_DIST = "list_sum(list_transform(list_zip(a.sub, c.cw), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+_IVF_DIST = (
+    "list_sum(list_transform(list_zip(e.v, c.centroid), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def _sql_pq_assign(src: str, cbn: str, name: str) -> str:
+    return f"""{name} AS (
   SELECT vec_id, s, code, sub FROM (
     SELECT a.vec_id, a.s, c.code, a.sub,
-           ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.s ORDER BY {pq_dist} ASC, c.code ASC) AS rk
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id, a.s ORDER BY {_PQ_DIST} ASC, c.code ASC) AS rk
     FROM {src} a JOIN {cbn} c ON a.s = c.s
   ) WHERE rk = 1
 )"""
 
-    def pq_update(assigned: str, name: str) -> str:
-        return f"""{name} AS (
+
+def _sql_pq_update(assigned: str, name: str) -> str:
+    return f"""{name} AS (
   SELECT s, code, list(m ORDER BY dim) AS cw FROM (
     SELECT s, code, dim,
            (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
@@ -315,17 +387,19 @@ def _stream_ann_sql() -> str:
   ) GROUP BY s, code
 )"""
 
-    def ivf_assign(src: str, cents: str, name: str) -> str:
-        return f"""{name} AS (
+
+def _sql_ivf_assign(src: str, cents: str, name: str) -> str:
+    return f"""{name} AS (
   SELECT vec_id, v, cluster FROM (
     SELECT e.vec_id, e.v, c.cluster,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {ivf_dist} ASC, c.cluster ASC) AS rk
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST} ASC, c.cluster ASC) AS rk
     FROM {src} e CROSS JOIN {cents} c
   ) WHERE rk = 1
 )"""
 
-    def ivf_update(assigned: str, name: str) -> str:
-        return f"""{name} AS (
+
+def _sql_ivf_update(assigned: str, name: str) -> str:
+    return f"""{name} AS (
   SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
     SELECT cluster, dim,
            (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
@@ -336,6 +410,17 @@ def _stream_ann_sql() -> str:
     ) GROUP BY cluster, dim
   ) GROUP BY cluster
 )"""
+
+
+def _stream_ann_sql() -> str:
+    """DuckDB replay of the closed form: the PQ chain fit on the HISTORY
+    subvectors (same seeds, same fixed-point updates as ``_pq_sql``),
+    the IVF chain fit on the HISTORY vectors (same shapes as
+    ``_ivf_sql``), then frozen-quantizer assignment of the incoming
+    split plus the integer staleness flags."""
+    HIST = ANN_HISTORY_MAX_VEC_ID
+    pq_assign, pq_update = _sql_pq_assign, _sql_pq_update
+    ivf_assign, ivf_update = _sql_ivf_assign, _sql_ivf_update
 
     sql = f"""
 WITH vd AS MATERIALIZED (
@@ -385,5 +470,46 @@ LEFT JOIN base_n b ON b.cluster = f.cluster
     return sql
 
 
-QUERIES = {"stream_ann_index_append": stream_ann_index_append}
-ORACLE = {"stream_ann_index_append": _stream_ann_sql()}
+def _refit_sql() -> str:
+    """DuckDB replay of the post-swap serving state: BOTH quantizer
+    chains fit on the FULL corpus (the exact batch-build arithmetic —
+    seeds vec_id < k, the same fixed-point updates), every vector coded
+    under generation 1."""
+    sql = f"""
+WITH vd AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), subs AS MATERIALIZED (
+  SELECT vec_id, t.s AS s, list_slice(v, t.s * {PQ_SUB_DIM} + 1, t.s * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS sub
+  FROM vd, UNNEST(range(0, {N_PQ_SUB})) AS t(s)
+), cb0 AS (
+  SELECT s, vec_id AS code, sub AS cw FROM subs WHERE vec_id < {N_PQ_CODES}
+)"""
+    cbn = "cb0"
+    for i in range(PQ_ITERS):
+        sql += f", {_sql_pq_assign('subs', cbn, f'passign{i}')}\n, {_sql_pq_update(f'passign{i}', f'cb{i + 1}')}"
+        cbn = f"cb{i + 1}"
+    sql += f"""
+, icents0 AS (
+  SELECT vec_id AS cluster, v AS centroid FROM vd WHERE vec_id < {N_IVF_CLUSTERS}
+), {_sql_ivf_assign("vd", "icents0", "iassign0")}
+, {_sql_ivf_update("iassign0", "icents1")}
+, {_sql_ivf_assign("vd", "icents1", "iassign1")}
+, {_sql_ivf_update("iassign1", "icents2")}
+, {_sql_ivf_assign("vd", "icents2", "vfinal")}
+, {_sql_pq_assign("subs", cbn, "vcodes")}
+SELECT p.vec_id, CAST(p.s AS BIGINT) AS s, CAST(p.code AS BIGINT) AS code,
+       CAST(f.cluster AS BIGINT) AS cluster,
+       CAST(1 AS BIGINT) AS generation
+FROM vcodes p JOIN vfinal f ON f.vec_id = p.vec_id
+"""
+    return sql
+
+
+QUERIES = {
+    "stream_ann_index_append": stream_ann_index_append,
+    "stream_ann_index_refit": stream_ann_index_refit,
+}
+ORACLE = {
+    "stream_ann_index_append": _stream_ann_sql(),
+    "stream_ann_index_refit": _refit_sql(),
+}

@@ -102,6 +102,42 @@ def test_cluster_pruned_store_read(spark, tmp_path):
     assert all("cluster=2" in f for f in df.inputFiles()), df.inputFiles()
 
 
+def test_generation_swap_is_atomic_and_grace_windowed(spark, tmp_path):
+    """The refit publishes a whole new index generation behind one
+    manifest flip: the manifest's generation advances, resolve() moves,
+    and the superseded generation stays readable inside the GC grace
+    window (a reader holding generation 0 keeps working through the
+    swap)."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import _publish_generation
+
+    gen_store = str(tmp_path / "gens")
+    cents = spark.createDataFrame([(0, [0.0])], "cluster bigint, centroid array<double>")
+    cb = spark.createDataFrame([(0, 0, [0.0])], "s int, code bigint, cw array<double>")
+    codes0 = _codes(spark, [(1, 0, 1, 0)])
+    _publish_generation(gen_store, cents, cb, codes0, 0)
+    v0 = table_commit.resolve(gen_store)
+    reader_on_gen0 = spark.read.parquet(os.path.join(v0, "codes"))
+    codes1 = _codes(spark, [(1, 0, 2, 0), (2, 0, 3, 0)])
+    _publish_generation(gen_store, cents, cb, codes1, 1)
+    m = table_commit.read_manifest(gen_store)
+    v1 = table_commit.resolve(gen_store)
+    assert m["generation"] == 1 and v1 != v0
+    assert spark.read.parquet(os.path.join(v1, "codes")).count() == 2
+    # grace window: the gen-0 reader still collects its snapshot
+    assert reader_on_gen0.count() == 1
+
+
+def test_refit_trigger_no_trip_branch(spark):
+    """When no cluster trips, the serving state must stay on generation
+    0 — the branch the registered query's fixture never takes (its
+    incoming/history ratio always trips), pinned here directly on the
+    trigger arithmetic the branch consumes."""
+    base = _codes(spark, [(i, 0, 0, 1) for i in range(10)])
+    appended = _codes(spark, [(100, 0, 1, 1)])  # 2*1 > 10 is False
+    state = _with_staleness(appended, base)
+    assert state.filter(F.col("needs_refit")).limit(1).count() == 0
+
+
 def test_staleness_trigger_is_integer_and_per_cluster(spark):
     """2 * n_appended > n_base, per cluster: cluster 1 (base 4, appended
     1) stays fresh; cluster 2 (base 1, appended 1) trips; a cluster with
