@@ -195,7 +195,7 @@ class BucketedParquetSink:
         grace window (see :meth:`snapshots`)."""
         return self.read_raw(at_seq=at_seq).filter(F.col("op") != "d").drop(*self._META_COLS)
 
-    def lookup(self, keys: list) -> DataFrame:
+    def lookup(self, keys: list, at_seq: int | None = None) -> DataFrame:
         """Keyed point-lookup serving tier — the reference consumer's
         PK GET semantics (``transaction_consumer.py:85-102``) over the
         bucketed table without a full scan.
@@ -214,12 +214,20 @@ class BucketedParquetSink:
         bucket ids are computed by the same Catalyst expression the writer
         used — a 1-job bounded collect over k probe rows, the point-lookup
         analog of the other bounded metadata collects.
+
+        ``at_seq`` probes an EARLIER snapshot (same time-travel contract
+        as :meth:`read`); the bucket count comes from THAT snapshot's
+        manifest, so a probe across a re-bucketing compaction still
+        hashes with the bucket count its snapshot was written under.
         """
         if not keys:
             raise ValueError("lookup: need at least one key")
-        raw = self.read_raw()  # schema handle only; never executed
+        raw = self.read_raw(at_seq=at_seq)  # schema handle only; never executed
         ktype = raw.schema[self.key_col].dataType
-        n = self.current_n_buckets()
+        if at_seq is not None:
+            n = table_commit.manifest_at(self.path, at_seq).get("n_buckets", self.n_buckets)
+        else:
+            n = self.current_n_buckets()
         probe = (
             self.spark.createDataFrame([(str(k),) for k in keys], f"{self.key_col} string")
             .select(F.col(self.key_col).cast(ktype).alias(self.key_col))
@@ -230,7 +238,7 @@ class BucketedParquetSink:
         bucket_ids = sorted({r["b"] for r in rows})
         typed_keys = [r["k"] for r in rows]
         return (
-            self.read_raw(buckets=bucket_ids)
+            self.read_raw(buckets=bucket_ids, at_seq=at_seq)
             .filter(F.col(self.key_col).isin(typed_keys))
             .filter(F.col("op") != "d")
             .drop(*self._META_COLS)

@@ -507,3 +507,30 @@ def test_point_lookup_sees_tombstones_and_type_coercion(spark, big_parsed, tmp_p
     # int-typed probe against the string-keyed table must still hash right
     probe_val = int(survivor) if survivor.isdigit() else survivor
     assert sink.lookup([probe_val]).count() == 1
+
+
+def test_point_lookup_time_travel(spark, big_parsed, tmp_path):
+    """lookup(keys, at_seq) probes an earlier snapshot: after an update
+    the live probe sees the new value, the at_seq probe the old one; and
+    across a re-bucketing compaction the time-traveled probe hashes with
+    the bucket count ITS snapshot was written under."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "lktt"), n_buckets=8)
+    sink.merge(big_parsed)  # seq 0
+    key = big_parsed.select("key").orderBy("key").limit(1).collect()[0][0]
+    old_amount = sink.lookup([key]).collect()[0]["amount"]
+    upd = (
+        big_parsed.filter(F.col("key") == key)
+        .withColumn("lsn", F.col("lsn") + 10_000_000)
+        .withColumn(
+            "after", F.col("after").withField("amount", F.lit("9999.99").cast("decimal(18,2)"))
+        )
+    )
+    sink.merge(upd)  # seq 1
+    assert float(sink.lookup([key]).collect()[0]["amount"]) == 9999.99
+    assert sink.lookup([key], at_seq=0).collect()[0]["amount"] == old_amount
+    # re-bucket 8 -> a different power of two; the live probe uses the new
+    # count, the at_seq probe the old count — both must still find the key
+    compact_sink(sink, purge_tombstones_through_lsn=0, target_bucket_bytes=1)
+    assert sink.current_n_buckets() != 8
+    assert float(sink.lookup([key]).collect()[0]["amount"]) == 9999.99
+    assert sink.lookup([key], at_seq=1).collect()[0]["amount"] is not None
