@@ -102,6 +102,50 @@ def test_cluster_pruned_store_read(spark, tmp_path):
     assert all("cluster=2" in f for f in df.inputFiles()), df.inputFiles()
 
 
+def test_maintained_index_serves_adc_search_mid_ingestion(spark, sf_dir, tmp_path):
+    """The maintained table is SERVABLE between refits: an ADC search
+    over (base codes ∪ the APPENDED STORE's read-back) must equal the
+    same search over the closed-form frozen-quantizer encoding of the
+    full corpus — i.e. the store's write/commit/read path composes with
+    the existing serving machinery, not just with the correctness
+    check."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
+        N_QUERY_VECS,
+        _adc_lut,
+        _adc_search,
+        _subvectors,
+    )
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        ANN_HISTORY_MAX_VEC_ID,
+        _encode,
+        _load_frozen,
+        _stream_ann_index_dir,
+    )
+
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    e = load_table(spark, sf_dir, "embeddings")
+    incoming = e.filter(F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID)
+
+    # ingest through the real store in two parity batches, then read back
+    store = str(tmp_path / "serve_store")
+    for bid, par in enumerate((0, 1)):
+        batch = incoming.filter(F.pmod(F.col("vec_id"), F.lit(2)) == par)
+        _append_codes(store, _encode(batch, cents, cb), bid)
+    maintained = base.select("vec_id", "s", "code").unionByName(
+        _read_store(spark, store).select("vec_id", "s", "code")
+    )
+    closed_form = base.select("vec_id", "s", "code").unionByName(
+        _encode(incoming, cents, cb).select("vec_id", "s", "code")
+    )
+    lut = _adc_lut(_subvectors(e.filter(F.col("vec_id") < N_QUERY_VECS)), cb)
+    got = sorted(tuple(r) for r in _adc_search(spark, sf_dir, lut, maintained).collect())
+    want = sorted(tuple(r) for r in _adc_search(spark, sf_dir, lut, closed_form).collect())
+    assert got == want
+    assert len({r[0] for r in got}) == N_QUERY_VECS  # every query served
+
+
 def test_generation_swap_is_atomic_and_grace_windowed(spark, tmp_path):
     """The refit publishes a whole new index generation behind one
     manifest flip: the manifest's generation advances, resolve() moves,
