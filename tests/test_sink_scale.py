@@ -534,3 +534,20 @@ def test_point_lookup_time_travel(spark, big_parsed, tmp_path):
     assert sink.current_n_buckets() != 8
     assert float(sink.lookup([key]).collect()[0]["amount"]) == 9999.99
     assert sink.lookup([key], at_seq=1).collect()[0]["amount"] is not None
+
+
+def test_bucket_arithmetic_matches_repartition_partition_id(spark):
+    """The sink's no-second-shuffle write AND the point lookup both rest
+    on one claim: `pmod(hash(key), n) == repartition(n, key)'s partition
+    id`.  Pin it directly — every row's spark_partition_id must equal
+    its computed bucket id."""
+    df = (
+        spark.range(2000)
+        .select(F.concat(F.lit("k"), F.col("id")).alias("key"))
+        .repartition(16, "key")
+        .select(
+            F.spark_partition_id().alias("pid"),
+            F.pmod(F.hash(F.col("key")), F.lit(16)).alias("bucket"),
+        )
+    )
+    assert df.filter(F.col("pid") != F.col("bucket")).count() == 0
