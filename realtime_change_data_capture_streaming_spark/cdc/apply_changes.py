@@ -222,12 +222,22 @@ class BucketedParquetSink:
         """
         if not keys:
             raise ValueError("lookup: need at least one key")
-        raw = self.read_raw(at_seq=at_seq)  # schema handle only; never executed
-        ktype = raw.schema[self.key_col].dataType
         if at_seq is not None:
-            n = table_commit.manifest_at(self.path, at_seq).get("n_buckets", self.n_buckets)
+            m = table_commit.manifest_at(self.path, at_seq)
         else:
-            n = self.current_n_buckets()
+            m = self._manifest()
+        n = (m or {}).get("n_buckets", self.n_buckets)
+        # key dtype from ONE bucket dir's footers — the schema probe must
+        # not list the whole table, or a k-key GET pays O(n_buckets)
+        # metadata I/O before any pruning happens
+        if m and m.get("buckets"):
+            vdir, ids = next(iter(sorted(table_commit.bucket_paths(self.path, m).items())))
+            schema_handle = self.spark.read.option("basePath", vdir).parquet(
+                f"{vdir}/_bucket={ids[0]}"
+            )
+        else:
+            schema_handle = self.read_raw(at_seq=at_seq)
+        ktype = schema_handle.schema[self.key_col].dataType
         probe = (
             self.spark.createDataFrame([(str(k),) for k in keys], f"{self.key_col} string")
             .select(F.col(self.key_col).cast(ktype).alias(self.key_col))

@@ -1562,12 +1562,16 @@ def cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink.merge(parse_envelope(events, decimal_mode="string"))
     o = load_table(spark, sf_dir, "orders")
+    # order on the INT column BEFORE the string cast: orderBy after the
+    # cast would sort lexicographically ('100299' < '499') and probe a
+    # different 32-key set than the oracle's numeric ORDER BY at any SF
+    # with >32 qualifying keys (sf0.1 has 301)
     probe = [
         r[0]
         for r in o.filter(F.col("o_orderkey") % 499 == 0)
-        .select(F.col("o_orderkey").cast("string"))
         .orderBy(F.col("o_orderkey"))
         .limit(32)
+        .select(F.col("o_orderkey").cast("string"))
         .collect()
     ]
     found = sink.lookup(probe)

@@ -338,7 +338,13 @@ def stream_ann_index_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _with_staleness(_read_store(spark, store), base)
 
     gen_store = f"{work}/index_gens"
-    _publish_generation(gen_store, cents, cb, base, 0)
+    # generation 0 is the MAINTAINED state (base + appended read-back),
+    # not the base alone — on the no-trip branch the serving state must
+    # still contain every streamed-in vector
+    gen0_codes = base.select(
+        "vec_id", "s", "code", F.col("cluster").cast("bigint").alias("cluster")
+    ).unionByName(_read_store(spark, store).select("vec_id", "s", "code", "cluster"))
+    _publish_generation(gen_store, cents, cb, gen0_codes, 0)
     tripped = state.filter(F.col("needs_refit")).limit(1).count() > 0
     if tripped:
         cents2, cb2, full_codes = _full_refit(spark, sf_dir)
