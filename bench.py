@@ -110,6 +110,9 @@ BENCH_QUERIES = (
     # bucketed sink's point-lookup serving tier (bucket-pruned PK GET)
     "stream_ann_index_append",
     "cdc_point_lookup",
+    # ... and the two-sided CUSUM changepoint monitor (closed-form Page
+    # statistic: three window functions over one partition sort)
+    "events_cusum_changepoint",
 )
 
 

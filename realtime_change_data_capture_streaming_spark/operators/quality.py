@@ -601,6 +601,127 @@ FROM counts c CROSS JOIN tot t
 """
 
 
+# --------------------------------------------- CUSUM changepoint monitor
+
+_CUSUM_FP = 100  # cents fixed point for `value`
+_CUSUM_H = 20_000  # alarm threshold: $200 cumulative drift in cents
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift monitor per (event_type, day) series — the
+    Page (1954) changepoint statistic a production data-quality tier runs
+    over every monitored metric stream.
+
+    The textbook form is a per-row recursion
+    ``S_t = max(0, S_{t-1} + (x_t - k))``, which would force a sequential
+    fold.  We use the closed form instead: with ``C_t = Σ_{j<=t}(x_j - k)``
+    and ``C_0 = 0``, ``S_t = C_t - min(0, min_{j<=t} C_j)`` (and the
+    downward statistic ``S'_t = max(0, max_{j<=t} C_j) - C_t``), so the
+    whole monitor is three window functions over ONE partition sort —
+    no recursion, no UDF, fully codegen.
+
+    Exactness: values enter as ``floor(value*100)`` cents (bigint); the
+    reference level k is the per-type global mean via truncating integer
+    division (exact — inputs here are non-negative, and the oracle's
+    ``//`` is sign-corrected to truncation to match Spark's ``DIV``); every
+    statistic stays bigint until output.
+
+    Scale: the monitored unit is a (series, day) partition — bounded rows
+    per partition regardless of corpus size, parallelism across
+    series×days (at 100 TB you monitor many metrics over many days, not
+    one infinite sequence); k is a 5-row broadcast; the daily reset is the
+    standard production practice for bounded alarm memory.  Output: one
+    summary row per event_type (counts, max statistics, alarm counts,
+    first alarm day per direction).
+
+    Reference parity: the reference has no monitoring surface; this
+    extends §2.5 data-quality (same family as ``dq_expectations`` /
+    ``events_psi_drift``)."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value").cast("double") * F.lit(float(_CUSUM_FP)))
+        .cast("bigint")
+        .alias("vc"),
+    )
+    k = v.groupBy("event_type").agg(
+        F.expr("CAST(sum(vc) DIV count(*) AS BIGINT)").alias("k_cents")
+    )
+    d = v.join(F.broadcast(k), "event_type").withColumn(
+        "d", F.col("vc") - F.col("k_cents")
+    )
+    w = (
+        Window.partitionBy("event_type", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cw = d.withColumn("c", F.sum("d").over(w))
+    zero = F.lit(0).cast("bigint")
+    s = cw.select(
+        "event_type",
+        "day",
+        "k_cents",
+        (F.col("c") - F.least(zero, F.min("c").over(w))).alias("s_up"),
+        (F.greatest(zero, F.max("c").over(w)) - F.col("c")).alias("s_dn"),
+    )
+    h = F.lit(_CUSUM_H).cast("bigint")
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("day").cast("bigint").alias("n_days"),
+        F.max("k_cents").alias("k_cents"),
+        F.max("s_up").alias("max_up_stat"),
+        F.max("s_dn").alias("max_dn_stat"),
+        F.sum(F.when(F.col("s_up") > h, 1).otherwise(0)).cast("bigint").alias("up_alarms"),
+        F.sum(F.when(F.col("s_dn") > h, 1).otherwise(0)).cast("bigint").alias("dn_alarms"),
+        F.min(F.when(F.col("s_up") > h, F.col("day"))).alias("first_up_alarm_day"),
+        F.min(F.when(F.col("s_dn") > h, F.col("day"))).alias("first_dn_alarm_day"),
+    )
+
+
+_CUSUM_SQL = f"""
+WITH v AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
+         CAST(FLOOR(CAST(value AS DOUBLE) * {float(_CUSUM_FP)!r}) AS BIGINT) AS vc
+  FROM events
+), k AS (
+  -- sign-corrected to TRUNCATING division to match Spark's DIV
+  SELECT event_type,
+         CAST(CASE WHEN SUM(vc) >= 0 THEN SUM(vc) // COUNT(*)
+                   ELSE -((-SUM(vc)) // COUNT(*)) END AS BIGINT) AS k_cents
+  FROM v GROUP BY event_type
+), d AS (
+  SELECT v.event_type, v.day, v.ts, v.event_id, k.k_cents, v.vc - k.k_cents AS d
+  FROM v JOIN k USING (event_type)
+), cw AS (
+  SELECT event_type, day, ts, event_id, k_cents,
+         SUM(d) OVER (PARTITION BY event_type, day ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM d
+), s AS (
+  SELECT event_type, day, k_cents,
+         c - LEAST(0, MIN(c) OVER win) AS s_up,
+         GREATEST(0, MAX(c) OVER win) - c AS s_dn
+  FROM cw
+  WINDOW win AS (PARTITION BY event_type, day ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       MAX(k_cents) AS k_cents,
+       MAX(s_up) AS max_up_stat,
+       MAX(s_dn) AS max_dn_stat,
+       CAST(SUM(CASE WHEN s_up > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT) AS up_alarms,
+       CAST(SUM(CASE WHEN s_dn > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT) AS dn_alarms,
+       MIN(CASE WHEN s_up > {_CUSUM_H} THEN day END) AS first_up_alarm_day,
+       MIN(CASE WHEN s_dn > {_CUSUM_H} THEN day END) AS first_dn_alarm_day
+FROM s GROUP BY event_type
+"""
+
+
 QUERIES = {
     "orders_benford_first_digit": orders_benford_first_digit,
     "dq_expectations": dq_expectations,
@@ -610,6 +731,7 @@ QUERIES = {
     "join_interval_overlap_daily": join_interval_overlap_daily,
     "events_winsorize_value": events_winsorize_value,
     "events_linear_trend": events_linear_trend,
+    "events_cusum_changepoint": events_cusum_changepoint,
 }
 
 ORACLE = {
@@ -621,4 +743,5 @@ ORACLE = {
     "join_interval_overlap_daily": _OVERLAP_SQL,
     "events_winsorize_value": _WINSORIZE_SQL,
     "events_linear_trend": _TREND_SQL,
+    "events_cusum_changepoint": _CUSUM_SQL,
 }

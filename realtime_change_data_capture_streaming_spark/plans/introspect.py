@@ -178,6 +178,27 @@ def unbounded_cross_joins(df: DataFrame) -> list[str]:
     return out
 
 
+def rowwise_python_evals(df: DataFrame) -> list[str]:
+    """Every physical node that evaluates Python row-at-a-time — the
+    fourth plan-guard class: pickled per-row round trips are the 10-100x
+    slow path the whole UDF tier exists to avoid.
+
+    Flags ``BatchEvalPython`` (scalar ``F.udf`` without Arrow).  Allowed
+    and NOT flagged: every Arrow-batched surface (``ArrowEvalPython``,
+    ``MapInPandas``/``MapInArrow``, ``FlatMapGroupsInPandas``/``...InArrow``,
+    ``FlatMapCoGroupsInPandas``, ``...WithState``, ``AggregateInPandas``)
+    and Python UDTFs (``BatchEvalPythonUDTF`` — the declared generator
+    surface, not a hot-path scalar).  ``tests/test_udf_guard.py`` enforces
+    this over every registered query: "zero row-wise Python UDFs" is a
+    plan property, not a grep claim."""
+    plan = executed_plan(df)
+    return [
+        ln.strip()
+        for ln in plan.splitlines()
+        if re.search(r"\bBatchEvalPython\b", ln)  # \b rejects ...PythonUDTF
+    ]
+
+
 def unbounded_global_sorts(df: DataFrame) -> list[str]:
     """Every global Sort in the optimized logical plan that will NOT
     compile to TakeOrderedAndProject and whose input is not provably

@@ -332,6 +332,78 @@ def test_twap_exact_on_constructed_timeline(spark, monkeypatch):
     assert got["b"]["span_us"] == 0
 
 
+def test_cusum_closed_form_matches_recursion(spark, monkeypatch):
+    """The windowed closed form (S_t = C_t - min(0, running-min C)) must
+    equal the textbook Page recursion S_t = max(0, S_{t-1} + d_t) run
+    sequentially in Python — including alarm counts, first-alarm days and
+    max statistics per direction — on a series with an injected sustained
+    shift (which must alarm) and a quiet control series."""
+    import collections
+    import datetime as dt
+    import math
+    import random
+
+    import realtime_change_data_capture_streaming_spark.operators.quality as q
+
+    rng = random.Random(7)
+    t0 = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for typ, shift_day in (("m1", 1), ("m2", None)):
+        for day in range(3):
+            for i in range(40):
+                v = rng.uniform(50.0, 150.0)
+                if shift_day is not None and day == shift_day and i >= 20:
+                    v += 400.0  # sustained mean shift -> must alarm
+                rows.append(
+                    (typ, t0 + dt.timedelta(days=day, seconds=i), eid, round(v, 2))
+                )
+                eid += 1
+    d = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, event_id long, value double"
+    )
+    monkeypatch.setattr(q, "load_table", lambda s_, sf_, n_: d)
+    got = {
+        r["event_type"]: r.asDict()
+        for r in q.events_cusum_changepoint(spark, "x").collect()
+    }
+
+    H = q._CUSUM_H
+    bytype = collections.defaultdict(list)
+    for typ, ts, e, v in rows:
+        bytype[typ].append((ts, e, math.floor(v * 100)))
+    for typ, series in bytype.items():
+        ksum, n = sum(vc for _, _, vc in series), len(series)
+        k = (abs(ksum) // n) * (1 if ksum >= 0 else -1)  # truncating DIV
+        byday = collections.defaultdict(list)
+        for ts, e, vc in sorted(series):
+            byday[ts.date()].append(vc - k)
+        max_up = max_dn = 0
+        up_alarms = dn_alarms = 0
+        first_up = first_dn = None
+        for day in sorted(byday):
+            s_up = s_dn = 0
+            for dd in byday[day]:
+                s_up = max(0, s_up + dd)
+                s_dn = max(0, s_dn - dd)
+                max_up, max_dn = max(max_up, s_up), max(max_dn, s_dn)
+                if s_up > H:
+                    up_alarms += 1
+                    first_up = first_up or day
+                if s_dn > H:
+                    dn_alarms += 1
+                    first_dn = first_dn or day
+        g = got[typ]
+        assert g["n_events"] == n and g["n_days"] == len(byday)
+        assert g["k_cents"] == k
+        assert g["max_up_stat"] == max_up and g["max_dn_stat"] == max_dn
+        assert g["up_alarms"] == up_alarms and g["dn_alarms"] == dn_alarms
+        assert g["first_up_alarm_day"] == first_up
+        assert g["first_dn_alarm_day"] == first_dn
+    # the shifted series must actually have alarmed upward, the control not
+    assert got["m1"]["up_alarms"] > 0
+    assert got["m1"]["first_up_alarm_day"] == (t0 + dt.timedelta(days=1)).date()
+
+
 def test_curation_funnel_is_monotone_and_consistent(spark):
     """Each funnel stage can only shrink the survivor set, stages must
     agree with the standalone operators they compose, and tokens_kept
