@@ -111,8 +111,10 @@ BENCH_QUERIES = (
     "stream_ann_index_append",
     "cdc_point_lookup",
     # ... and the two-sided CUSUM changepoint monitor (closed-form Page
-    # statistic: three window functions over one partition sort)
+    # statistic: three window functions over one partition sort) plus its
+    # streaming tier (exact cross-batch prefix state, day-keyed store)
     "events_cusum_changepoint",
+    "stream_cusum_monitor",
 )
 
 

@@ -5,6 +5,7 @@ from realtime_change_data_capture_streaming_spark.cdc import materialized
 from realtime_change_data_capture_streaming_spark.streaming import (
     ann_maintain,
     cdc_stream,
+    cusum,
     joins,
     neardup,
     semantic,
@@ -14,7 +15,7 @@ from realtime_change_data_capture_streaming_spark.streaming import (
     windows,
 )
 
-_MODULES = (windows, joins, neardup, sketches, cdc_stream, stateful, transform_state, materialized, semantic, ann_maintain)
+_MODULES = (windows, joins, neardup, sketches, cdc_stream, stateful, transform_state, materialized, semantic, ann_maintain, cusum)
 
 
 def all_queries():

@@ -31,6 +31,14 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "touched-cluster id union per micro-batch — metadata-scale, <= n_clusters",
     ),
+    ("streaming/cusum.py", "_commit_state"): (
+        1,
+        "touched day_key ids per micro-batch — one per (series-day) partition, metadata-scale",
+    ),
+    ("streaming/cusum.py", "stream_cusum_monitor::_advance"): (
+        1,
+        "the batch's distinct day_keys for state path-pruning — days per batch",
+    ),
     ("streaming/cdc_stream.py", "stream_toast_column_fill::repair_and_merge"): (
         1,
         "sentinel-key repair images per micro-batch — bounded by batch keys",
