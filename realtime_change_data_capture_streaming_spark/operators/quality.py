@@ -607,6 +607,15 @@ _CUSUM_FP = 100  # cents fixed point for `value`
 _CUSUM_H = 20_000  # alarm threshold: $200 cumulative drift in cents
 
 
+def _cusum_cents(col: F.Column) -> F.Column:
+    """THE fixed-point encoding for CUSUM values — double multiply then
+    floor.  One definition shared by the batch operator, the streaming
+    tier's frozen-k fit and its per-batch prep (``streaming/cusum.py``):
+    the encoding must stay bit-identical across all three or
+    stream/batch/oracle parity breaks."""
+    return F.floor(col.cast("double") * F.lit(float(_CUSUM_FP))).cast("bigint")
+
+
 def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-sided CUSUM drift monitor per (event_type, day) series — the
     Page (1954) changepoint statistic a production data-quality tier runs
@@ -643,9 +652,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("day"),
         "ts",
         "event_id",
-        F.floor(F.col("value").cast("double") * F.lit(float(_CUSUM_FP)))
-        .cast("bigint")
-        .alias("vc"),
+        _cusum_cents(F.col("value")).alias("vc"),
     )
     k = v.groupBy("event_type").agg(
         F.expr("CAST(sum(vc) DIV count(*) AS BIGINT)").alias("k_cents")
@@ -681,17 +688,30 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CUSUM_SQL = f"""
+#: the DuckDB rendering of ``_cusum_cents``
+_CUSUM_CENTS_SQL = f"CAST(FLOOR(CAST(value AS DOUBLE) * {float(_CUSUM_FP)!r}) AS BIGINT)"
+
+
+def cusum_oracle_sql(k_from: str, v_where: str = "") -> str:
+    """THE closed-form CUSUM oracle body, shared by the batch tier and
+    the streaming tier (``streaming/cusum.py``) so a fix to the window
+    frames / alarm predicate / sign-corrected division can never apply
+    to one oracle and miss the other.  ``k_from`` is the FROM-source of
+    the reference-level aggregate (a relation with (event_type, vc)):
+    ``"v"`` for the batch tier's full-corpus mean, a history subquery for
+    the streaming tier's frozen level.  ``v_where`` filters the monitored
+    rows."""
+    return f"""
 WITH v AS (
   SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
-         CAST(FLOOR(CAST(value AS DOUBLE) * {float(_CUSUM_FP)!r}) AS BIGINT) AS vc
-  FROM events
+         {_CUSUM_CENTS_SQL} AS vc
+  FROM events{v_where}
 ), k AS (
   -- sign-corrected to TRUNCATING division to match Spark's DIV
   SELECT event_type,
          CAST(CASE WHEN SUM(vc) >= 0 THEN SUM(vc) // COUNT(*)
                    ELSE -((-SUM(vc)) // COUNT(*)) END AS BIGINT) AS k_cents
-  FROM v GROUP BY event_type
+  FROM {k_from} GROUP BY event_type
 ), d AS (
   SELECT v.event_type, v.day, v.ts, v.event_id, k.k_cents, v.vc - k.k_cents AS d
   FROM v JOIN k USING (event_type)
@@ -720,6 +740,9 @@ SELECT event_type,
        MIN(CASE WHEN s_dn > {_CUSUM_H} THEN day END) AS first_dn_alarm_day
 FROM s GROUP BY event_type
 """
+
+
+_CUSUM_SQL = cusum_oracle_sql(k_from="v")
 
 
 QUERIES = {

@@ -69,6 +69,9 @@ from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
 )
 from realtime_change_data_capture_streaming_spark.operators._util import spread
 from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.streaming._store import (
+    read_partitioned_store,
+)
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
 from realtime_change_data_capture_streaming_spark.streaming.sketches import _already_applied
@@ -166,29 +169,9 @@ def _append_codes(store: str, batch_codes: DataFrame, bid: int) -> None:
 
 def _read_store(spark: SparkSession, store: str, clusters: list | None = None) -> DataFrame:
     """Manifest-driven read of the appended-codes store, optionally
-    pruned to a cluster subset at the PATH level (the same
-    ``basePath`` + explicit-dirs idiom as the sink's ``read_raw``)."""
-    m = table_commit.read_manifest(store)
-    if not m:
-        return spark.createDataFrame([], _CODES_SCHEMA)
-    want = {int(c) for c in clusters} if clusters is not None else None
-    parts = []
-    for vdir, ids in table_commit.bucket_paths(store, m).items():
-        sel = ids if want is None else [c for c in ids if c in want]
-        if not sel:
-            continue
-        paths = [f"{vdir}/cluster={c}" for c in sel]
-        parts.append(
-            spark.read.option("basePath", vdir)
-            .parquet(*paths)
-            .select("vec_id", "s", "code", F.col("cluster").cast("bigint").alias("cluster"))
-        )
-    if not parts:
-        return spark.createDataFrame([], _CODES_SCHEMA)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    pruned to a cluster subset at the PATH level (shared reader:
+    ``streaming/_store.py``)."""
+    return read_partitioned_store(spark, store, "cluster", _CODES_SCHEMA, ids=clusters)
 
 
 def _with_staleness(appended: DataFrame, base_codes: DataFrame) -> DataFrame:

@@ -50,11 +50,16 @@ from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 from realtime_change_data_capture_streaming_spark.operators.quality import (
-    _CUSUM_FP,
+    _CUSUM_CENTS_SQL,
     _CUSUM_H,
+    _cusum_cents,
+    cusum_oracle_sql,
 )
 from realtime_change_data_capture_streaming_spark.session import scratch_dir
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+from realtime_change_data_capture_streaming_spark.streaming._store import (
+    read_partitioned_store,
+)
 from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import (
     stage_ordered_batches,
 )
@@ -79,15 +84,17 @@ _STATE_SCHEMA = (
 
 def _history_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen per-type reference level: truncating-DIV mean of integer
-    cents over the HISTORY split (one aggregate — cheap enough to refit
-    per run; an expensive model would persist like the ANN quantizers)."""
+    cents over the HISTORY split, eagerly checkpointed (series-count rows
+    of model state) so the per-batch joins and the final summary never
+    re-run the history scan — the same pin-the-fitted-state discipline
+    as ``semantic``/``ann_maintain``."""
     e = load_table(spark, sf_dir, "events")
     hist = e.filter(F.to_date("ts") < F.lit(CUSUM_SPLIT_DAY).cast("date"))
-    vc = F.floor(F.col("value").cast("double") * F.lit(float(_CUSUM_FP))).cast("bigint")
     return (
-        hist.select("event_type", vc.alias("vc"))
+        hist.select("event_type", _cusum_cents(F.col("value")).alias("vc"))
         .groupBy("event_type")
         .agg(F.expr("CAST(sum(vc) DIV count(*) AS BIGINT)").alias("k_cents"))
+        .localCheckpoint(eager=True)
     )
 
 
@@ -101,14 +108,13 @@ def _prep(rows: DataFrame, kref: DataFrame) -> DataFrame:
     reference, day keyed as epoch days (int — the state store's bucket
     ids).  Types never seen in history have no reference level and are
     out of monitoring scope (inner join — documented contract)."""
-    vc = F.floor(F.col("value").cast("double") * F.lit(float(_CUSUM_FP))).cast("bigint")
     return (
         rows.select(
             "event_type",
             F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day_key"),
             "ts",
             "event_id",
-            vc.alias("vc"),
+            _cusum_cents(F.col("value")).alias("vc"),
         )
         .join(F.broadcast(kref), "event_type")
         .withColumn("d", F.col("vc") - F.col("k_cents"))
@@ -187,44 +193,23 @@ def _advance_touched(state: DataFrame, batch_rows: DataFrame) -> DataFrame:
 
 def _read_state(spark: SparkSession, store: str, day_keys: list | None = None) -> DataFrame:
     """Manifest-driven read of the state store, optionally path-pruned to
-    a day subset (the ``ann_maintain._read_store`` idiom)."""
-    m = table_commit.read_manifest(store)
-    if not m:
-        return spark.createDataFrame([], _STATE_SCHEMA)
-    want = {int(k) for k in day_keys} if day_keys is not None else None
-    cols = [c.split(" ")[0] for c in _STATE_SCHEMA.split(", ")]
-    parts = []
-    for vdir, ids in table_commit.bucket_paths(store, m).items():
-        sel = ids if want is None else [k for k in ids if k in want]
-        if not sel:
-            continue
-        paths = [f"{vdir}/day_key={k}" for k in sel]
-        parts.append(
-            spark.read.option("basePath", vdir)
-            .parquet(*paths)
-            .select(*[F.col(c).cast(t) for c, t in
-                      (tuple(e.rsplit(" ", 1)) for e in _STATE_SCHEMA.split(", "))])
-        )
-    if not parts:
-        return spark.createDataFrame([], _STATE_SCHEMA)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(*cols)
+    a day subset (shared reader: ``streaming/_store.py``)."""
+    return read_partitioned_store(spark, store, "day_key", _STATE_SCHEMA, ids=day_keys)
 
 
-def _commit_state(store: str, touched_state: DataFrame, bid: int) -> None:
+def _commit_state(store: str, touched_state: DataFrame, bid: int, touched: list[int]) -> None:
     """One micro-batch state commit: replay-guarded on the batch id,
-    rewriting ONLY the touched day partitions (untouched days keep their
-    manifest-mapped older version dirs)."""
+    rewriting ONLY the ``touched`` day partitions (untouched days keep
+    their manifest-mapped older version dirs).  ``touched`` is the
+    batch's day set, already discovered by the caller — by construction
+    it equals ``touched_state``'s day set (advanced days plus carried
+    same-day series)."""
     if _already_applied(store, bid):
         return
-    new_rows = touched_state.localCheckpoint(eager=True)
-    # bounded collect: one id per touched (series-day) partition — the
-    # same metadata-scale discovery as the sink's merge/bucket map
-    touched = sorted(r["day_key"] for r in new_rows.select("day_key").distinct().collect())
+    touched = sorted(touched)
     if not touched:
         return
+    new_rows = touched_state.localCheckpoint(eager=True)
     m = table_commit.read_manifest(store)
     buckets = dict(m.get("buckets", {})) if m else {}
     vdir, seq = table_commit.begin(store)
@@ -301,12 +286,13 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _advance(batch_df: DataFrame, batch_id: int) -> None:
-        rows = _prep(batch_df, kref)
-        days = rows.select("day_key").distinct()
-        st = _read_state(
-            spark, store, day_keys=[r["day_key"] for r in days.collect()]
-        )
-        _commit_state(store, _advance_touched(st, rows), batch_id)
+        rows = _prep(batch_df, kref).localCheckpoint(eager=True)
+        # bounded collect: one id per day in the batch — the state store's
+        # bucket map granularity (metadata-scale, like merge's bucket
+        # discovery); the same list keys the state read AND the commit
+        days = [r["day_key"] for r in rows.select("day_key").distinct().collect()]
+        st = _read_state(spark, store, day_keys=days)
+        _commit_state(store, _advance_touched(st, rows), batch_id, days)
 
     q = (
         stream.writeStream.foreachBatch(_advance)
@@ -318,47 +304,17 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _summarize(_read_state(spark, store), kref)
 
 
-_STREAM_CUSUM_SQL = f"""
-WITH hist AS (
-  SELECT event_type,
-         CAST(CASE WHEN SUM(vc) >= 0 THEN SUM(vc) // COUNT(*)
-                   ELSE -((-SUM(vc)) // COUNT(*)) END AS BIGINT) AS k_cents
-  FROM (
-    SELECT event_type, CAST(FLOOR(CAST(value AS DOUBLE) * {float(_CUSUM_FP)!r}) AS BIGINT) AS vc
-    FROM events WHERE CAST(ts AS DATE) < DATE '{CUSUM_SPLIT_DAY}'
-  ) GROUP BY event_type
-), v AS (
-  SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id,
-         CAST(FLOOR(CAST(value AS DOUBLE) * {float(_CUSUM_FP)!r}) AS BIGINT) AS vc
-  FROM events WHERE CAST(ts AS DATE) >= DATE '{CUSUM_SPLIT_DAY}'
-), d AS (
-  SELECT v.event_type, v.day, v.ts, v.event_id, h.k_cents, v.vc - h.k_cents AS d
-  FROM v JOIN hist h USING (event_type)
-), cw AS (
-  SELECT event_type, day, ts, event_id, k_cents,
-         SUM(d) OVER (PARTITION BY event_type, day ORDER BY ts, event_id
-                      ROWS UNBOUNDED PRECEDING) AS c
-  FROM d
-), s AS (
-  SELECT event_type, day, k_cents,
-         c - LEAST(0, MIN(c) OVER win) AS s_up,
-         GREATEST(0, MAX(c) OVER win) - c AS s_dn
-  FROM cw
-  WINDOW win AS (PARTITION BY event_type, day ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING)
+#: the streaming oracle: the SAME closed-form body as the batch tier
+#: (one template — a fix can never reach one oracle and miss the other),
+#: with the reference level fit on the history split and the monitored
+#: rows filtered to the stream's feed.
+_STREAM_CUSUM_SQL = cusum_oracle_sql(
+    k_from=(
+        f"(SELECT event_type, {_CUSUM_CENTS_SQL} AS vc FROM events "
+        f"WHERE CAST(ts AS DATE) < DATE '{CUSUM_SPLIT_DAY}')"
+    ),
+    v_where=f" WHERE CAST(ts AS DATE) >= DATE '{CUSUM_SPLIT_DAY}'",
 )
-SELECT event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
-       MAX(k_cents) AS k_cents,
-       MAX(s_up) AS max_up_stat,
-       MAX(s_dn) AS max_dn_stat,
-       CAST(SUM(CASE WHEN s_up > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT) AS up_alarms,
-       CAST(SUM(CASE WHEN s_dn > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT) AS dn_alarms,
-       MIN(CASE WHEN s_up > {_CUSUM_H} THEN day END) AS first_up_alarm_day,
-       MIN(CASE WHEN s_dn > {_CUSUM_H} THEN day END) AS first_dn_alarm_day
-FROM s GROUP BY event_type
-"""
 
 
 QUERIES = {"stream_cusum_monitor": stream_cusum_monitor}

@@ -31,13 +31,10 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "touched-cluster id union per micro-batch — metadata-scale, <= n_clusters",
     ),
-    ("streaming/cusum.py", "_commit_state"): (
-        1,
-        "touched day_key ids per micro-batch — one per (series-day) partition, metadata-scale",
-    ),
     ("streaming/cusum.py", "stream_cusum_monitor::_advance"): (
         1,
-        "the batch's distinct day_keys for state path-pruning — days per batch",
+        "the batch's distinct day_keys — keys both the state path-pruning and "
+        "the commit's bucket remap; days per batch, metadata-scale",
     ),
     ("streaming/cdc_stream.py", "stream_toast_column_fill::repair_and_merge"): (
         1,

@@ -47,7 +47,7 @@ def _drive_split(spark, store: str, cuts: list[str]):
             b = b.filter(F.col("ts") < F.lit(hi).cast("timestamp"))
         days = [r["day_key"] for r in b.select("day_key").distinct().collect()]
         st = _read_state(spark, store, day_keys=days)
-        _commit_state(store, _advance_touched(st, b), bid)
+        _commit_state(store, _advance_touched(st, b), bid, days)
     return _summarize(_read_state(spark, store), kref)
 
 
@@ -87,8 +87,9 @@ def test_replay_of_applied_batch_is_a_noop(spark, tmp_path):
 
     kref = _history_k(spark, SF)
     replayed = _prep(_monitored(spark, SF), kref)  # the whole feed again
+    days = [r["day_key"] for r in replayed.select("day_key").distinct().collect()]
     st = _read_state(spark, store)
-    _commit_state(store, _advance_touched(st, replayed), 2)  # bid 2 already applied
+    _commit_state(store, _advance_touched(st, replayed), 2, days)  # bid 2 applied
     assert _rows_of(_read_state(spark, store)) == before
     assert table_commit.read_manifest(store)["seq"] == seq_before
 
