@@ -732,8 +732,8 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
        MAX(k_cents) AS k_cents,
-       MAX(s_up) AS max_up_stat,
-       MAX(s_dn) AS max_dn_stat,
+       CAST(MAX(s_up) AS BIGINT) AS max_up_stat,
+       CAST(MAX(s_dn) AS BIGINT) AS max_dn_stat,
        CAST(SUM(CASE WHEN s_up > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT) AS up_alarms,
        CAST(SUM(CASE WHEN s_dn > {_CUSUM_H} THEN 1 ELSE 0 END) AS BIGINT) AS dn_alarms,
        MIN(CASE WHEN s_up > {_CUSUM_H} THEN day END) AS first_up_alarm_day,
