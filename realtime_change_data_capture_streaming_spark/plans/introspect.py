@@ -188,9 +188,10 @@ def rowwise_python_evals(df: DataFrame) -> list[str]:
     ``MapInPandas``/``MapInArrow``, ``FlatMapGroupsInPandas``/``...InArrow``,
     ``FlatMapCoGroupsInPandas``, ``...WithState``, ``AggregateInPandas``)
     and Python UDTFs (``BatchEvalPythonUDTF`` — the declared generator
-    surface, not a hot-path scalar).  ``tests/test_udf_guard.py`` enforces
-    this over every registered query: "zero row-wise Python UDFs" is a
-    plan property, not a grep claim."""
+    surface, not a hot-path scalar).  ``tests/test_window_guard.py::
+    test_plan_guards`` enforces this over every registered query (one
+    construction pass, all four guard classes): "zero row-wise Python
+    UDFs" is a plan property, not a grep claim."""
     plan = executed_plan(df)
     return [
         ln.strip()

@@ -1,6 +1,10 @@
-"""Repo-wide plan guard: no registered query may carry an unpartitioned
-window over unbounded input — the one plan shape guaranteed to funnel the
-whole dataset through a single task at 100x data.
+"""Repo-wide plan guards — ALL FOUR classes enforced over every
+registered query in ONE construction pass (``test_plan_guards``):
+
+1. unpartitioned windows over unbounded input (single-task at scale);
+2. un-limited global sorts (full range-shuffle nobody truncates);
+3. condition-less cross joins with both sides unbounded (all-pairs);
+4. row-wise Python evaluation (``BatchEvalPython`` pickled round trips).
 
 ``unbounded_global_windows`` walks every queries() optimized plan and
 flags Window nodes with an EMPTY partition spec whose child is not (a) a
@@ -10,7 +14,8 @@ AGGREGATE output deliberately do NOT count as bounded — an aggregate on a
 high-cardinality key (doc_id, user_id) is still corpus-sized, which is
 exactly the shape this guard exists to catch (the r6 RRF and equi-depth
 regressions); genuinely dimension-bounded cases are whitelisted below
-with the cardinality argument spelled out.
+with the cardinality argument spelled out.  The sort/cross guards keep
+their own whitelists further down; the row-wise guard needs none.
 """
 
 from __future__ import annotations
@@ -43,15 +48,44 @@ _QUERIES = entry_mod.queries()
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_no_unbounded_global_window(spark, name):
-    if name in WHITELIST:
-        pytest.skip("documented dimension-bounded window input")
-    df = _QUERIES[name](spark, SF_DIR)
-    bad = unbounded_global_windows(df)
-    assert bad == [], (
-        f"{name} has unpartitioned window(s) over unbounded input "
-        f"(single-task at scale):\n" + "\n".join(bad)
+def test_plan_guards(spark, name):
+    """ALL FOUR repo-wide plan-guard classes in ONE pass per query —
+    unpartitioned windows, un-limited global sorts, unbounded cross
+    joins, row-wise Python evaluation.  One pass because query
+    CONSTRUCTION is the dominant cost (streaming queries execute their
+    micro-batch runs when built): four separate parametrized sweeps
+    re-ran every stream 4x and cost the suite ~8 extra minutes.
+    Per-guard whitelists still apply individually — a whitelisted
+    window does not exempt a query from the other three guards."""
+    from realtime_change_data_capture_streaming_spark.plans.introspect import (
+        rowwise_python_evals,
+        unbounded_cross_joins,
+        unbounded_global_sorts,
     )
+
+    df = _QUERIES[name](spark, SF_DIR)
+    problems = []
+    if name not in WHITELIST:
+        problems += [
+            f"unpartitioned window over unbounded input (single-task at scale): {x}"
+            for x in unbounded_global_windows(df)
+        ]
+    if name not in SORT_WHITELIST:
+        problems += [
+            f"global sort over unbounded input with no limit (full range-shuffle): {x}"
+            for x in unbounded_global_sorts(df)
+        ]
+    if name not in CROSS_WHITELIST:
+        problems += [
+            f"condition-less cross join, both sides unbounded (all-pairs): {x}"
+            for x in unbounded_cross_joins(df)
+        ]
+    problems += [
+        f"row-wise Python eval (pickled per-row round trip — use pandas_udf/"
+        f"mapInPandas): {x}"
+        for x in rowwise_python_evals(df)
+    ]
+    assert problems == [], f"{name} fails plan guard(s):\n" + "\n".join(problems)
 
 
 def test_guard_catches_full_table_ntile(spark):
@@ -108,20 +142,6 @@ def test_guard_accepts_window_over_limit(spark):
 SORT_WHITELIST: set[str] = set()
 
 
-@pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_no_unbounded_global_sort(spark, name):
-    from realtime_change_data_capture_streaming_spark.plans.introspect import unbounded_global_sorts
-
-    if name in SORT_WHITELIST:
-        pytest.skip("documented cardinality-bounded sort input")
-    df = _QUERIES[name](spark, SF_DIR)
-    bad = unbounded_global_sorts(df)
-    assert bad == [], (
-        f"{name} has global sort(s) over unbounded input with no limit "
-        f"(full range-shuffle at scale):\n" + "\n".join(bad)
-    )
-
-
 def test_sort_guard_catches_orderby_without_limit(spark):
     """An orderBy() nobody truncates on a fact table must trip the guard."""
     from pyspark.sql import functions as F
@@ -159,27 +179,6 @@ CROSS_WHITELIST: set[str] = {
     # document schema's enum-like domains, never corpus-sized
     "docs_chisq_lang_source",
 }
-
-
-@pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_no_unbounded_cross_join(spark, name):
-    """Third plan-guard class (r11): no registered query may carry a
-    condition-less cross join where NEITHER side is provably bounded —
-    the |L|x|R| all-pairs blowup.  The broadcast-scalar pattern (cross
-    against a 1-row aggregate / limit) passes; every other site was
-    either made plan-visibly bounded (ANN query sides now limit(8),
-    centroid tables limit(k), ztest variant rows limit(1)) or is
-    whitelisted above with the cardinality argument."""
-    from realtime_change_data_capture_streaming_spark.plans.introspect import unbounded_cross_joins
-
-    if name in CROSS_WHITELIST:
-        pytest.skip("documented cardinality-bounded cross join")
-    df = _QUERIES[name](spark, SF_DIR)
-    bad = unbounded_cross_joins(df)
-    assert bad == [], (
-        f"{name} has condition-less cross join(s) with both sides "
-        f"unbounded (all-pairs at scale):\n" + "\n".join(bad)
-    )
 
 
 def test_cross_guard_catches_fact_x_fact(spark):
