@@ -226,6 +226,14 @@ class BucketedParquetSink:
             m = table_commit.manifest_at(self.path, at_seq)
         else:
             m = self._manifest()
+            if m is not None:
+                # pin the whole probe to THIS snapshot: n_buckets, the
+                # schema probe and the pruned read must resolve the SAME
+                # manifest — re-resolving the live pointer later would let
+                # a concurrent re-bucketing compaction commit in between,
+                # and the probe would prune the new layout with bucket ids
+                # hashed under the old count (silently empty results)
+                at_seq = m["seq"]
         n = (m or {}).get("n_buckets", self.n_buckets)
         # key dtype from ONE bucket dir's footers — the schema probe must
         # not list the whole table, or a k-key GET pays O(n_buckets)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.llm_ops.text import tokens
-from realtime_change_data_capture_streaming_spark.operators._util import spread
+from realtime_change_data_capture_streaming_spark.operators._util import fp_encode_sql, fp_mean_sql, spread
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
 
@@ -710,8 +710,8 @@ def _semantic_sql() -> str:
     def update(assigned: str, name: str) -> str:
         return f"""{name} AS (
   SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
-    SELECT cluster, dim, (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {_SEM_FP} AS m
-    FROM (SELECT a.cluster, t.i AS dim, CAST(FLOOR(a.vec[t.i] * {_SEM_FP}) AS BIGINT) AS iv
+    SELECT cluster, dim, {fp_mean_sql(_SEM_FP)} AS m
+    FROM (SELECT a.cluster, t.i AS dim, {fp_encode_sql('a.vec[t.i]', _SEM_FP)} AS iv
           FROM {assigned} a, UNNEST(range(1, {_SEM_DIM} + 1)) AS t(i)) GROUP BY 1, 2
   ) GROUP BY cluster
 )"""

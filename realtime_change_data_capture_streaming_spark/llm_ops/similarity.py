@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realtime_change_data_capture_streaming_spark.operators._util import spread
+from realtime_change_data_capture_streaming_spark.operators._util import fp_encode_sql, fp_mean_sql, spread
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
 # vec_id < 8 are the "query" set in the demo queries.  PK ASSUMPTION:
@@ -563,10 +563,10 @@ def _ivf_sql() -> str:
         return f"""{name} AS (
   SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
     SELECT cluster, dim,
-           (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
+           {fp_mean_sql(float(_FP_SCALE))} AS m
     FROM (
       SELECT a.cluster, t.i AS dim,
-             CAST(FLOOR(CAST(a.embedding[t.i] AS DOUBLE) * {float(_FP_SCALE)}) AS BIGINT) AS iv
+             {fp_encode_sql('CAST(a.embedding[t.i] AS DOUBLE)', float(_FP_SCALE))} AS iv
       FROM {assigned} a, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
     ) GROUP BY cluster, dim
   ) GROUP BY cluster
@@ -1345,10 +1345,10 @@ def _pq_sql() -> str:
         return f"""{name} AS (
   SELECT s, code, list(m ORDER BY dim) AS cw FROM (
     SELECT s, code, dim,
-           (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
+           {fp_mean_sql(float(_FP_SCALE))} AS m
     FROM (
       SELECT a.s, a.code, t.i AS dim,
-             CAST(FLOOR(a.sub[t.i] * {float(_FP_SCALE)}) AS BIGINT) AS iv
+             {fp_encode_sql('a.sub[t.i]', float(_FP_SCALE))} AS iv
       FROM {assigned} a, UNNEST(range(1, {PQ_SUB_DIM} + 1)) AS t(i)
     ) GROUP BY s, code, dim
   ) GROUP BY s, code
@@ -1430,10 +1430,10 @@ def _ivfpq_sql() -> str:
         return f"""{name} AS (
   SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
     SELECT cluster, dim,
-           (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
+           {fp_mean_sql(float(_FP_SCALE))} AS m
     FROM (
       SELECT a.cluster, t.i AS dim,
-             CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * {float(_FP_SCALE)}) AS BIGINT) AS iv
+             {fp_encode_sql('CAST(e.embedding[t.i] AS DOUBLE)', float(_FP_SCALE))} AS iv
       FROM {assigned} a JOIN embeddings e ON e.vec_id = a.vec_id,
            UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
     ) GROUP BY cluster, dim

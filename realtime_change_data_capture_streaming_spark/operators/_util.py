@@ -49,3 +49,23 @@ def spread(df, *cols):
     """
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def fp_mean_sql(scale) -> str:
+    """THE fixed-point k-means centroid-update mean, as DuckDB SQL over a
+    pre-encoded ``iv`` column: exact bigint sum, one double division pair
+    at the boundary.  One definition shared by every oracle that replays
+    a quantizer chain (the batch ANN indexes and SemDeDup in ``llm_ops``,
+    the streaming maintenance and admission tiers in ``streaming/``) so
+    the arithmetic can never drift between copies.  ``scale`` is embedded
+    exactly as passed — callers pass ``float(...)`` or an int to keep
+    their oracle text stable."""
+    return f"(CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {scale}"
+
+
+def fp_encode_sql(expr: str, scale) -> str:
+    """THE fixed-point encode (double multiply, floor, bigint) for the
+    quantizer-chain oracles — the SQL twin of the Spark-side
+    ``floor(x * scale).cast('bigint')`` discipline.  Shared for the same
+    reason as :func:`fp_mean_sql`."""
+    return f"CAST(FLOOR({expr} * {scale}) AS BIGINT)"

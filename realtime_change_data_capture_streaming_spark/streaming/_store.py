@@ -32,7 +32,11 @@ def read_partitioned_store(
     if not m:
         return spark.createDataFrame([], schema)
     want = {int(k) for k in ids} if ids is not None else None
-    col_types = [tuple(e.rsplit(" ", 1)) for e in schema.split(", ")]
+    # Spark's own DDL parser, not string-splitting: parameterized types
+    # (decimal(18,2), map<...>) contain commas/spaces a naive split mangles
+    col_types = [
+        (f.name, f.dataType) for f in spark.createDataFrame([], schema).schema.fields
+    ]
     parts = []
     for vdir, served in table_commit.bucket_paths(store, m).items():
         sel = served if want is None else [k for k in served if k in want]

@@ -67,7 +67,7 @@ from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
     ivf_fit,
     pq_fit,
 )
-from realtime_change_data_capture_streaming_spark.operators._util import spread
+from realtime_change_data_capture_streaming_spark.operators._util import fp_encode_sql, fp_mean_sql, spread
 from realtime_change_data_capture_streaming_spark.session import scratch_dir
 from realtime_change_data_capture_streaming_spark.streaming._store import (
     read_partitioned_store,
@@ -321,17 +321,24 @@ def stream_ann_index_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = _with_staleness(_read_store(spark, store), base)
 
     gen_store = f"{work}/index_gens"
-    # generation 0 is the MAINTAINED state (base + appended read-back),
-    # not the base alone — on the no-trip branch the serving state must
-    # still contain every streamed-in vector
-    gen0_codes = base.select(
-        "vec_id", "s", "code", F.col("cluster").cast("bigint").alias("cluster")
-    ).unionByName(_read_store(spark, store).select("vec_id", "s", "code", "cluster"))
-    _publish_generation(gen_store, cents, cb, gen0_codes, 0)
+    # evaluate the trigger FIRST and publish only the generation that will
+    # actually serve: publishing gen 0 unconditionally and then gen 1 on
+    # trip wrote a full cluster-laid-out copy of the maintained table that
+    # no reader ever resolved (the fixture always trips).  The live-swap
+    # grace-window contract is pinned directly on _publish_generation in
+    # tests/test_ann_maintain.py.
     tripped = state.filter(F.col("needs_refit")).limit(1).count() > 0
     if tripped:
         cents2, cb2, full_codes = _full_refit(spark, sf_dir)
         _publish_generation(gen_store, cents2, cb2, full_codes, 1)
+    else:
+        # generation 0 is the MAINTAINED state (base + appended
+        # read-back), not the base alone — the no-trip serving state must
+        # still contain every streamed-in vector
+        gen0_codes = base.select(
+            "vec_id", "s", "code", F.col("cluster").cast("bigint").alias("cluster")
+        ).unionByName(_read_store(spark, store).select("vec_id", "s", "code", "cluster"))
+        _publish_generation(gen_store, cents, cb, gen0_codes, 0)
 
     m = table_commit.read_manifest(gen_store)
     live = table_commit.resolve(gen_store)
@@ -367,10 +374,10 @@ def _sql_pq_update(assigned: str, name: str) -> str:
     return f"""{name} AS (
   SELECT s, code, list(m ORDER BY dim) AS cw FROM (
     SELECT s, code, dim,
-           (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
+           {fp_mean_sql(float(_FP_SCALE))} AS m
     FROM (
       SELECT a.s, a.code, t.i AS dim,
-             CAST(FLOOR(a.sub[t.i] * {float(_FP_SCALE)}) AS BIGINT) AS iv
+             {fp_encode_sql('a.sub[t.i]', float(_FP_SCALE))} AS iv
       FROM {assigned} a, UNNEST(range(1, {PQ_SUB_DIM} + 1)) AS t(i)
     ) GROUP BY s, code, dim
   ) GROUP BY s, code
@@ -391,10 +398,10 @@ def _sql_ivf_update(assigned: str, name: str) -> str:
     return f"""{name} AS (
   SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
     SELECT cluster, dim,
-           (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {float(_FP_SCALE)} AS m
+           {fp_mean_sql(float(_FP_SCALE))} AS m
     FROM (
       SELECT a.cluster, t.i AS dim,
-             CAST(FLOOR(a.v[t.i] * {float(_FP_SCALE)}) AS BIGINT) AS iv
+             {fp_encode_sql('a.v[t.i]', float(_FP_SCALE))} AS iv
       FROM {assigned} a, UNNEST(range(1, {EMB_DIM} + 1)) AS t(i)
     ) GROUP BY cluster, dim
   ) GROUP BY cluster

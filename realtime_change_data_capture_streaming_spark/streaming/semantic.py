@@ -44,6 +44,7 @@ from realtime_change_data_capture_streaming_spark.llm_ops.dedup import (
     _sem_fit_centroids,
     _semantic_vectors_of,
 )
+from realtime_change_data_capture_streaming_spark.operators._util import fp_encode_sql, fp_mean_sql
 from realtime_change_data_capture_streaming_spark.session import scratch_dir
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 from realtime_change_data_capture_streaming_spark.streaming.neardup import HISTORY_MAX_DOC_ID
@@ -183,8 +184,8 @@ def _admission_sql() -> str:
     def update(assigned: str, name: str) -> str:
         return f"""{name} AS (
   SELECT cluster, list(m ORDER BY dim) AS centroid FROM (
-    SELECT cluster, dim, (CAST(CAST(SUM(iv) AS BIGINT) AS DOUBLE) / COUNT(*)) / {_SEM_FP} AS m
-    FROM (SELECT a.cluster, t.i AS dim, CAST(FLOOR(a.vec[t.i] * {_SEM_FP}) AS BIGINT) AS iv
+    SELECT cluster, dim, {fp_mean_sql(_SEM_FP)} AS m
+    FROM (SELECT a.cluster, t.i AS dim, {fp_encode_sql('a.vec[t.i]', _SEM_FP)} AS iv
           FROM {assigned} a, UNNEST(range(1, {_SEM_DIM} + 1)) AS t(i)) GROUP BY 1, 2
   ) GROUP BY cluster
 )"""

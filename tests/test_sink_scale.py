@@ -490,6 +490,35 @@ def test_point_lookup_reads_at_most_k_buckets(spark, big_parsed, tmp_path):
     assert _sorted_rows(df) == full
 
 
+def test_point_lookup_pins_its_snapshot(spark, big_parsed, tmp_path, monkeypatch):
+    """The whole probe — bucket count, schema probe, pruned read — must
+    resolve ONE manifest: lookup() pins the live snapshot's seq before
+    reading, so a re-bucketing compaction committing mid-probe cannot
+    make it prune the NEW layout with bucket ids hashed under the OLD
+    count (silently-empty results).  Simulated by committing the
+    compaction between the manifest resolve and the pruned read."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "pin"), n_buckets=8)
+    sink.merge(big_parsed)
+    key = big_parsed.select("key").orderBy("key").limit(1).collect()[0][0]
+
+    real_read_raw = BucketedParquetSink.read_raw
+    fired = {"done": False}
+
+    def race_read_raw(self, buckets=None, at_seq=None):
+        # first pruned read of the probe: a re-bucketing compaction (8 ->
+        # 32 buckets) lands right before the read resolves its manifest
+        if buckets is not None and not fired["done"]:
+            fired["done"] = True
+            compact_sink(self, 0, target_bucket_bytes=1)  # forces re-bucketing
+            assert self._manifest()["n_buckets"] != 8, "compaction did not re-bucket"
+        return real_read_raw(self, buckets=buckets, at_seq=at_seq)
+
+    monkeypatch.setattr(BucketedParquetSink, "read_raw", race_read_raw)
+    got = sink.lookup([key]).collect()
+    assert fired["done"], "race injection never fired"
+    assert len(got) == 1 and got[0]["transaction_id"] == key
+
+
 def test_point_lookup_sees_tombstones_and_type_coercion(spark, big_parsed, tmp_path):
     """A deleted key must NOT come back from lookup, and probe keys are
     coerced to the stored key type (int probe on a string-keyed table)."""
