@@ -152,17 +152,20 @@ class BucketedParquetSink:
 
     def current_n_buckets(self) -> int:
         m = self._manifest()
-        return m["n_buckets"] if m else self.n_buckets
+        # .get: legacy manifests may predate the n_buckets key (the same
+        # fallback lookup() and merge() apply)
+        return m.get("n_buckets", self.n_buckets) if m else self.n_buckets
 
     def data_dir(self) -> str | None:
         """Latest committed version dir (the newest data, not necessarily
         every bucket — see the manifest's bucket map)."""
         return table_commit.resolve(self.path)
 
-    def table_bytes(self) -> int:
+    def table_bytes(self, m: dict | None = None) -> int:
         """Live table size: bytes of exactly the (version, bucket) files
-        the manifest references."""
-        m = self._manifest()
+        the manifest references (pass ``m`` to size a pinned snapshot)."""
+        if m is None:
+            m = self._manifest()
         if not m:
             return 0
         if "buckets" not in m:
@@ -246,10 +249,22 @@ class BucketedParquetSink:
         else:
             schema_handle = self.read_raw(at_seq=at_seq)
         ktype = schema_handle.schema[self.key_col].dataType
-        probe = (
-            self.spark.createDataFrame([(str(k),) for k in keys], f"{self.key_col} string")
-            .select(F.col(self.key_col).cast(ktype).alias(self.key_col))
-        )
+        from pyspark.sql.types import StructField, StructType
+
+        try:
+            # typed construction first: binary keys (str(b'..') is not a
+            # castable literal) and exact numerics probe correctly
+            probe = self.spark.createDataFrame(
+                [(k,) for k in keys], StructType([StructField(self.key_col, ktype)])
+            )
+        except Exception:
+            # coercion fallback: e.g. int probe keys against a
+            # string-keyed table hash the stored representation
+            probe = (
+                self.spark.createDataFrame(
+                    [(str(k),) for k in keys], f"{self.key_col} string"
+                ).select(F.col(self.key_col).cast(ktype).alias(self.key_col))
+            )
         rows = probe.select(
             F.col(self.key_col).alias("k"), self._bucket(n).alias("b")
         ).collect()
@@ -288,7 +303,13 @@ class BucketedParquetSink:
         vdir_live = os.path.join(self.path, m["version"]) if m else None
         if not m or "buckets" not in m:
             # pre-manifest table (single live dir): runtime bucket filter
-            df = self.spark.read.parquet(vdir_live or table_commit.resolve(self.path))
+            src = vdir_live or table_commit.resolve(self.path)
+            if src is None:
+                raise FileNotFoundError(
+                    f"sink table does not exist yet: {self.path!r} (no "
+                    "manifest and no version dir) — merge() a batch first"
+                )
+            df = self.spark.read.parquet(src)
             if buckets is not None:
                 df = df.filter(F.col("_bucket").isin(list(buckets)))
             return df
@@ -302,7 +323,18 @@ class BucketedParquetSink:
             paths = [f"{vdir}/_bucket={b}" for b in sel]
             parts.append(self.spark.read.option("basePath", vdir).parquet(*paths))
         if not parts:
-            # empty selection: zero rows with the snapshot's schema
+            # empty selection: zero rows with the snapshot's schema.  The
+            # manifest's recorded schema covers the fully-empty table (all
+            # rows tombstone-purged by compaction: the version dir holds
+            # no parquet to infer from).
+            if m.get("schema_json"):
+                import json as _json
+
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(_json.loads(m["schema_json"]))
+                )
             empty = self.spark.read.parquet(vdir_live).limit(0)
             return empty
         out = parts[0]
@@ -411,7 +443,14 @@ class BucketedParquetSink:
         # match — otherwise a restart whose source schema gained/lost an
         # `offset` column would silently mix ordinal spaces in the same
         # column and corrupt latest-wins.
+        # THE manifest snapshot for this merge: bucket count, bucket map,
+        # ordering mode, pruned reads and the commit CAS all derive from
+        # _m0 — resolving the live pointer again mid-merge would let a
+        # concurrent re-bucketing compaction change the key->bucket
+        # mapping between the discovery read and the written _bucket
+        # column (the race lookup() pins against).
         _m0 = self._manifest()
+        n0 = _m0.get("n_buckets", self.n_buckets) if _m0 else self.n_buckets
         if _m0 is not None:
             stored_order = _m0.get("order_cols")
             if stored_order is not None and tuple(stored_order) != tuple(order_cols):
@@ -445,10 +484,10 @@ class BucketedParquetSink:
         # nearly free.
         current_touched: DataFrame | None = None
         touched: list[int] = []
-        if self.exists():
+        if _m0 is not None:
             if (
-                self.current_n_buckets() <= _DISCOVERY_MIN_BUCKETS
-                and self.table_bytes() < _DISCOVERY_MIN_TABLE_BYTES
+                n0 <= _DISCOVERY_MIN_BUCKETS
+                and self.table_bytes(m=_m0) < _DISCOVERY_MIN_TABLE_BYTES
             ):
                 # adaptive small-table path: when the whole table fits in
                 # roughly one scan partition, the bucket-discovery job +
@@ -467,11 +506,11 @@ class BucketedParquetSink:
                 # paid on the small-table path.
                 if batch.select(self.key_col).limit(1).isEmpty():
                     return
-                current_touched = self.read_raw()
+                current_touched = self.read_raw(at_seq=_m0["seq"])
             else:
                 touched = [
                     r["_bucket"]
-                    for r in batch.select(self._bucket().alias("_bucket")).distinct().collect()
+                    for r in batch.select(self._bucket(n0).alias("_bucket")).distinct().collect()
                 ]
                 if not touched:
                     # empty batch against an existing table: a no-op,
@@ -482,7 +521,7 @@ class BucketedParquetSink:
                 # path-level bucket pruning: only the touched buckets'
                 # files are listed/scanned, wherever their live version
                 # lives
-                current_touched = self.read_raw(buckets=touched)
+                current_touched = self.read_raw(buckets=touched, at_seq=_m0["seq"])
             table_has_extra = "_extra" in current_touched.columns
             # schema widening on first sight: a batch carrying the evolution
             # map against a pre-evolution table (or vice versa) null-fills
@@ -511,14 +550,12 @@ class BucketedParquetSink:
             # and the write below needs no further exchange.  Partial agg
             # is lost on this union, but both sides are already <=1 row per
             # key, so map-side combine could at best halve the shuffle.
-            n = self.current_n_buckets()
-            union = existing.unionByName(batch).repartition(n, F.col(self.key_col))
+            union = existing.unionByName(batch).repartition(n0, F.col(self.key_col))
             merged = latest_per_key(union, self.key_col, ("__lsn", "__ts_ms"))
         else:
             # table creation: same aligned single-agg shape, batch only
-            n = self.current_n_buckets()
             merged = latest_per_key(
-                batch.repartition(n, F.col(self.key_col)), self.key_col, ("__lsn", "__ts_ms")
+                batch.repartition(n0, F.col(self.key_col)), self.key_col, ("__lsn", "__ts_ms")
             )
         final = merged.select(
             F.col(self.key_col),
@@ -528,7 +565,7 @@ class BucketedParquetSink:
             F.col("after.*"),
             *([F.col("_extra")] if has_extra else []),
         )
-        bucketed = final.withColumn("_bucket", self._bucket())
+        bucketed = final.withColumn("_bucket", self._bucket(n0))
         # MVCC commit, creation and merge alike: stage ONLY this
         # merge's output (the touched buckets) as a fresh immutable
         # version dir, then flip the manifest so each touched bucket
@@ -536,12 +573,12 @@ class BucketedParquetSink:
         # serving from theirs.  Readers that resolved the previous
         # manifest keep a consistent snapshot — no in-place rewrite,
         # no torn reads, portable to object stores.
-        old = self._manifest() or {}
+        old = _m0 or {}
         old_map = old.get("buckets")
         if old_map is None and old:
             # legacy single-dir manifest (pre-map table or an old
-            # compaction): seed the map from the live version's layout
-            live = table_commit.resolve(self.path)
+            # compaction): seed the map from the pinned version's layout
+            live = os.path.join(self.path, _m0["version"])
             old_map = {str(b): os.path.basename(live) for b in _bucket_ids_in(live)}
         vdir, seq = table_commit.begin(self.path)
         bucketed.write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
@@ -569,11 +606,19 @@ class BucketedParquetSink:
             self.path,
             seq,
             {
-                "n_buckets": old.get("n_buckets", self.n_buckets),
+                "n_buckets": n0,
                 "buckets": bucket_map,
                 "order_cols": list(order_cols),
+                # the table schema rides in the manifest so a fully-empty
+                # snapshot (every row tombstone-purged) stays readable
+                "schema_json": bucketed.schema.json(),
             },
             keep=self.keep,
+            # CAS against the snapshot this merge was computed from: a
+            # concurrent commit (e.g. a re-bucketing compaction) fails
+            # this merge loudly instead of letting it publish a bucket
+            # map built against the superseded layout
+            expect_prev=_m0["seq"] if _m0 else None,
         )
 
 
@@ -613,14 +658,16 @@ def compact_sink(
     atomic pointer flip (``commit.py``) — concurrent readers keep the
     snapshot they resolved for a one-commit grace window.
     """
-    n_cur = sink.current_n_buckets()
+    # one pinned manifest snapshot for the whole run (the merge()/lookup()
+    # discipline); the commit CAS-es against it
+    m = sink._manifest()
+    n_cur = m.get("n_buckets", sink.n_buckets) if m else sink.n_buckets
     n_new = n_cur
     if target_bucket_bytes:
-        tbytes = sink.table_bytes()
+        tbytes = sink.table_bytes(m=m)
         # clamp: 2^20 buckets ≈ 100 TB at 128 MB targets; beyond that the
         # file count itself becomes the metadata bottleneck
         n_new = min(1 << 20, max(1, 2 ** math.ceil(math.log2(max(1.0, tbytes / target_bucket_bytes)))))
-    m = sink._manifest()
     not_tombstone_to_purge = ~(
         (F.col("op") == "d") & (F.col("__lsn") <= F.lit(purge_tombstones_through_lsn))
     )
@@ -636,16 +683,10 @@ def compact_sink(
         # the oldest dirs is what lets GC collapse the version chain
         by_age = sorted(m["buckets"].items(), key=lambda kv: (kv[1], int(kv[0])))
         chosen = [int(b) for b, _ in by_age[:max_buckets]]
-        kept = sink.read_raw(buckets=chosen).filter(not_tombstone_to_purge)
+        kept = sink.read_raw(buckets=chosen, at_seq=m["seq"]).filter(not_tombstone_to_purge)
+        staged = kept.drop("_bucket").withColumn("_bucket", sink._bucket(n_new))
         vdir, seq = table_commit.begin(sink.path)
-        (
-            kept.drop("_bucket")
-            .withColumn("_bucket", sink._bucket(n_new))
-            .repartition("_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(vdir)
-        )
+        staged.repartition("_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
         vname = os.path.basename(vdir)
         written = set(_bucket_ids_in(vdir))
         new_map = dict(m["buckets"])
@@ -655,30 +696,28 @@ def compact_sink(
             else:
                 # every row in the bucket was a purged tombstone
                 new_map.pop(str(b), None)
-        meta = {"n_buckets": n_new, "buckets": new_map}
+        meta = {"n_buckets": n_new, "buckets": new_map, "schema_json": staged.schema.json()}
         if m.get("order_cols") is not None:
             meta["order_cols"] = m["order_cols"]
-        table_commit.commit(sink.path, seq, meta, keep=sink.keep)
+        table_commit.commit(sink.path, seq, meta, keep=sink.keep, expect_prev=m["seq"])
         return
-    kept = sink.read_raw().filter(not_tombstone_to_purge)
+    kept = sink.read_raw(at_seq=m["seq"] if m else None).filter(not_tombstone_to_purge)
+    staged = kept.drop("_bucket").withColumn("_bucket", sink._bucket(n_new))
     vdir, seq = table_commit.begin(sink.path)
-    (
-        kept.drop("_bucket")
-        .withColumn("_bucket", sink._bucket(n_new))
-        .repartition("_bucket")
-        .write.mode("overwrite")
-        .partitionBy("_bucket")
-        .parquet(vdir)
-    )
+    staged.repartition("_bucket").write.mode("overwrite").partitionBy("_bucket").parquet(vdir)
     # full compaction collapses the version chain: every bucket now serves
     # from the single new version, and commit() GCs the superseded ones
-    # once the grace window passes
+    # once the grace window passes.  A table whose every row was a purged
+    # tombstone commits an EMPTY bucket map — still readable: the
+    # manifest's schema_json serves the zero-row frame.
     vname = os.path.basename(vdir)
     bucket_map = {str(b): vname for b in _bucket_ids_in(vdir)}
-    meta = {"n_buckets": n_new, "buckets": bucket_map}
+    meta = {"n_buckets": n_new, "buckets": bucket_map, "schema_json": staged.schema.json()}
     if m is not None and m.get("order_cols") is not None:
         meta["order_cols"] = m["order_cols"]
-    table_commit.commit(sink.path, seq, meta, keep=sink.keep)
+    table_commit.commit(
+        sink.path, seq, meta, keep=sink.keep, expect_prev=m["seq"] if m else None
+    )
 
 
 def apply_changes_stream(

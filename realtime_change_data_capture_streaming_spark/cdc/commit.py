@@ -31,8 +31,21 @@ import uuid
 
 MANIFEST = "_CURRENT"
 _HISTORY = "_history"
+_LOCKFILE = "_COMMIT_LOCK"
 _VPREFIX = "v"
 _VDIGITS = 8
+
+#: default for commit(expect_prev=...): CAS against seq-1 (the begin-time
+#: allocation), the single-writer fast path
+_AUTO = object()
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this writer's snapshot/begin and
+    its commit.  The losing writer's staged version dir is removed and
+    NOTHING was published — the caller's correct move is to retry from a
+    fresh snapshot (for a streaming merge: let the micro-batch fail and
+    replay; the merge is idempotent)."""
 
 
 def _vname(seq: int) -> str:
@@ -40,12 +53,24 @@ def _vname(seq: int) -> str:
 
 
 def read_manifest(root: str) -> dict | None:
-    """The live manifest, or None if the table does not exist yet."""
+    """The live manifest, or None if the table does not exist yet.
+
+    A manifest that EXISTS but does not parse is corruption, not absence
+    — the publish path fsyncs and ``os.replace``s, so readers never see a
+    torn write.  Treating it as absence would send the next merge down
+    the table-CREATION path and silently replace the whole table with one
+    micro-batch; raise instead."""
     try:
         with open(os.path.join(root, MANIFEST)) as f:
             return json.load(f)
-    except (FileNotFoundError, NotADirectoryError, json.JSONDecodeError):
+    except (FileNotFoundError, NotADirectoryError):
         return None
+    except json.JSONDecodeError as e:
+        raise ValueError(
+            f"corrupt table manifest {os.path.join(root, MANIFEST)!r}: {e}. "
+            "Refusing to treat the table as nonexistent — restore the "
+            "manifest from _history/ or repair it manually."
+        ) from e
 
 
 def resolve(root: str) -> str | None:
@@ -64,11 +89,29 @@ def begin(root: str) -> tuple[str, int]:
     return vdir, seq
 
 
-def commit(root: str, seq: int, meta: dict | None = None, keep: int = 1) -> None:
+def commit(
+    root: str,
+    seq: int,
+    meta: dict | None = None,
+    keep: int = 1,
+    expect_prev: int | None | object = _AUTO,
+) -> None:
     """Atomically publish version ``seq`` and GC unreferenced versions
     older than the previous ``keep`` (the retained ones are the
     concurrent-reader grace window; in production the grace is
     time-based, here count-based).
+
+    Writer-writer safety (optimistic concurrency): the publish is a
+    CONDITIONAL swap under an exclusive file lock — the POSIX analog of
+    the object-store conditional PUT the module docstring promises.
+    ``expect_prev`` is the manifest seq this writer's work was based on
+    (``None`` = table creation); the default CAS-es against ``seq - 1``
+    (the begin-time allocation — right for single-writer stores).  A
+    writer whose table changed underneath raises
+    :class:`ConcurrentCommitError` with its staged version dir removed,
+    instead of silently overwriting the other writer's commit (and
+    instead of publishing a bucket map computed against a superseded
+    layout — the merge-vs-re-bucketing race).
 
     When the manifest carries a ``buckets`` map (bucket id -> version
     name, see ``BucketedParquetSink``), every version it references stays
@@ -85,24 +128,41 @@ def commit(root: str, seq: int, meta: dict | None = None, keep: int = 1) -> None
     buckets), so a reader holding the previous snapshot must keep every
     dir that snapshot points into — a numeric ``seq - keep`` cutoff alone
     would delete them mid-scan."""
-    prev = read_manifest(root)
-    if prev is not None:
-        _archive_manifest(root, prev)
-    manifest = {"version": _vname(seq), "seq": seq, **(meta or {})}
-    tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, MANIFEST))  # the atomic publish
-    referenced = referenced_versions(manifest)
-    for old in _archived_manifests(root, lo=seq - keep):
-        referenced |= referenced_versions(old)
-    for entry in os.listdir(root):
-        if entry.startswith(_VPREFIX) and entry[len(_VPREFIX) :].isdigit():
-            if entry not in referenced and int(entry[len(_VPREFIX) :]) < seq - keep:
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
-    _prune_history(root, lo=seq - keep)
+    import fcntl
+
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, _LOCKFILE), "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        prev = read_manifest(root)
+        want_prev = (seq - 1 if seq > 0 else None) if expect_prev is _AUTO else expect_prev
+        prev_seq = None if prev is None else prev["seq"]
+        if prev_seq != want_prev:
+            # lost the race: remove the staged (never-published) version
+            # dir so a retry's begin() can re-stage cleanly even under
+            # dynamic partition-overwrite, then fail loudly
+            shutil.rmtree(os.path.join(root, _vname(seq)), ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"{root}: commit of seq {seq} expected live manifest seq "
+                f"{want_prev!r} but found {prev_seq!r} — another writer "
+                "committed in between; retry from a fresh snapshot"
+            )
+        if prev is not None:
+            _archive_manifest(root, prev)
+        manifest = {"version": _vname(seq), "seq": seq, **(meta or {})}
+        tmp = os.path.join(root, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(root, MANIFEST))  # the atomic publish
+        referenced = referenced_versions(manifest)
+        for old in _archived_manifests(root, lo=seq - keep):
+            referenced |= referenced_versions(old)
+        for entry in os.listdir(root):
+            if entry.startswith(_VPREFIX) and entry[len(_VPREFIX) :].isdigit():
+                if entry not in referenced and int(entry[len(_VPREFIX) :]) < seq - keep:
+                    shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+        _prune_history(root, lo=seq - keep)
 
 
 def _history_path(root: str, seq: int) -> str:

@@ -509,7 +509,7 @@ def test_point_lookup_pins_its_snapshot(spark, big_parsed, tmp_path, monkeypatch
         # 32 buckets) lands right before the read resolves its manifest
         if buckets is not None and not fired["done"]:
             fired["done"] = True
-            compact_sink(self, 0, target_bucket_bytes=1)  # forces re-bucketing
+            compact_sink(self, 0, target_bucket_bytes=10**12)  # re-buckets 8 -> 1
             assert self._manifest()["n_buckets"] != 8, "compaction did not re-bucket"
         return real_read_raw(self, buckets=buckets, at_seq=at_seq)
 
@@ -517,6 +517,103 @@ def test_point_lookup_pins_its_snapshot(spark, big_parsed, tmp_path, monkeypatch
     got = sink.lookup([key]).collect()
     assert fired["done"], "race injection never fired"
     assert len(got) == 1 and got[0]["transaction_id"] == key
+
+
+def test_fully_tombstoned_compaction_keeps_table_alive(spark, big_parsed, tmp_path):
+    """Delete EVERY key, then compact with a full purge: the committed
+    snapshot holds zero rows and zero parquet files, but the manifest's
+    recorded schema keeps read()/lookup()/merge() working — previously
+    this bricked the table (schema inference over a file-less version
+    dir) on every subsequent call."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "empty"), n_buckets=8)
+    small = big_parsed.orderBy("key").limit(6).localCheckpoint(eager=True)
+    sink.merge(small)
+    max_lsn = small.agg(F.max("lsn")).collect()[0][0]
+    deletes = small.withColumn("op", F.lit("d")).withColumn(
+        "lsn", F.col("lsn") + F.lit(1_000_000)
+    )
+    sink.merge(deletes)
+    compact_sink(sink, purge_tombstones_through_lsn=max_lsn + 2_000_000)
+
+    assert sink.read().count() == 0
+    key = small.select("key").orderBy("key").limit(1).collect()[0][0]
+    assert sink.lookup([key]).count() == 0
+    # and the table accepts new life after being emptied
+    sink.merge(small)
+    assert sink.read().count() == 6
+
+
+def test_concurrent_commit_loses_loudly(tmp_path):
+    """Two writers racing one table: the second commit must raise
+    ConcurrentCommitError (and clean up its staged dir), never silently
+    overwrite the first writer's published manifest."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as tc
+
+    root = str(tmp_path / "t")
+    vdir0, seq0 = tc.begin(root)
+    tc.commit(root, seq0, meta={"x": 1})
+
+    # both writers snapshot seq0 and stage "the next" version
+    vdir_a, seq_a = tc.begin(root)
+    tc.commit(root, seq_a, meta={"x": "a"}, expect_prev=seq0)
+    vdir_b, seq_b = tc.begin(root)  # allocated AFTER a's commit
+    with pytest.raises(tc.ConcurrentCommitError):
+        # b's work was computed against seq0 — the CAS must reject it
+        tc.commit(root, seq_b, meta={"x": "b"}, expect_prev=seq0)
+    m = tc.read_manifest(root)
+    assert m["x"] == "a", "loser overwrote the winner"
+    assert not os.path.exists(vdir_b), "loser's staged dir not cleaned up"
+
+
+def test_merge_fails_loudly_if_rebucketing_commits_midway(
+    spark, big_parsed, tmp_path, monkeypatch
+):
+    """merge() pins its manifest snapshot; if a re-bucketing compaction
+    commits between merge's reads and its commit, the merge must raise
+    ConcurrentCommitError with the table left on the compaction's state
+    — NOT publish a bucket map computed under the superseded count."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as tc
+
+    sink = BucketedParquetSink(spark, str(tmp_path / "race"), n_buckets=8)
+    half = F.pmod(F.crc32(F.col("key")), F.lit(2))
+    first = big_parsed.filter(half == 0)
+    second = big_parsed.filter(half == 1)
+    assert second.limit(1).count() == 1, "second half must be non-empty"
+    sink.merge(first)
+
+    real_read_raw = BucketedParquetSink.read_raw
+    fired = {"done": False}
+
+    def race_read_raw(self, buckets=None, at_seq=None):
+        if not fired["done"]:
+            fired["done"] = True
+            compact_sink(self, 0, target_bucket_bytes=10**12)  # re-buckets 8 -> 1
+        return real_read_raw(self, buckets=buckets, at_seq=at_seq)
+
+    before = _sorted_rows(sink.read())
+    monkeypatch.setattr(BucketedParquetSink, "read_raw", race_read_raw)
+    with pytest.raises(tc.ConcurrentCommitError):
+        sink.merge(second)
+    assert fired["done"]
+    monkeypatch.undo()
+    assert _sorted_rows(sink.read()) == before, "failed merge disturbed the table"
+    # the replayed merge (fresh snapshot, as foreachBatch would retry) lands
+    sink.merge(second)
+    assert sink.read().count() > len(before)
+
+
+def test_corrupt_manifest_raises_instead_of_recreating(spark, big_parsed, tmp_path):
+    """A manifest that exists but does not parse is corruption: treating
+    it as 'no table' would let the next merge take the creation path and
+    silently replace the table with one batch."""
+    sink = BucketedParquetSink(spark, str(tmp_path / "corrupt"), n_buckets=4)
+    sink.merge(big_parsed.orderBy("key").limit(5))
+    with open(os.path.join(sink.path, "_CURRENT"), "w") as f:
+        f.write("{half a manif")
+    with pytest.raises(ValueError, match="corrupt table manifest"):
+        sink.read()
+    with pytest.raises(ValueError, match="corrupt table manifest"):
+        sink.merge(big_parsed.orderBy("key").limit(5))
 
 
 def test_point_lookup_sees_tombstones_and_type_coercion(spark, big_parsed, tmp_path):
