@@ -217,7 +217,7 @@ def stream_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally maintained per-merchant revenue view.  The oracle is the
     closed-form batch GROUP BY over final state — the incremental path
     must land on exactly what a full recompute would."""
-    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+    from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
 
     from realtime_change_data_capture_streaming_spark.cdc.decode import parse_envelope
     from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_chaos_events
@@ -240,7 +240,7 @@ def stream_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
     view = IncrementalAggView(spark, sink, f"{work}/agg_view")
     q = apply_changes_with_view(parsed, view, f"{work}/ckpt", trigger={"availableNow": True})
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     return view.read()
 
 

@@ -281,18 +281,23 @@ def _doc_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from realtime_change_data_capture_streaming_spark.llm_ops.text import gopher_flags_of, with_tokens
-    from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
+    from realtime_change_data_capture_streaming_spark.sources.tables import (
+        build_once,
+        fixture_fingerprint,
+    )
 
     key = fixture_fingerprint(sf_dir, "documents")
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_logitdoc_{key}")
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+
+    def _build(tmp: str) -> None:
         d = with_tokens(load_table(spark, sf_dir, "documents"))
         gopher_flags_of(
             d, extra_cols=(F.size("_toks").cast("bigint").alias("n"),)
         ).select("doc_id", "n", F.col("keep").cast("bigint").alias("y")).write.mode(
             "overwrite"
-        ).parquet(root)
-    return spark.read.parquet(root)
+        ).parquet(tmp)
+
+    return spark.read.parquet(build_once(root, _build))
 
 
 def _logit_features(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -456,13 +456,12 @@ def _index_cache(
 
     from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
 
+    from realtime_change_data_capture_streaming_spark.sources.tables import build_once
+
     root = os.path.join(
         tempfile.gettempdir(), f"{prefix}{fixture_fingerprint(sf_dir, table)}"
     )
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
-        build(root)
-        open(os.path.join(root, "_SUCCESS"), "w").close()
-    return root
+    return build_once(root, build)
 
 
 def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:

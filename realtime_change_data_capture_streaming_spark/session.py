@@ -46,6 +46,15 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def drain(query, timeout_s: int = 600) -> None:
+    """Block until an availableNow streaming query finishes; raise on
+    timeout.  An explicit raise, NOT an assert: asserts are stripped
+    under ``python -O``, which would silently skip the awaitTermination
+    call itself and let callers read half-written sink state."""
+    if not query.awaitTermination(timeout_s):
+        raise TimeoutError(f"availableNow stream did not drain in {timeout_s}s")
+
+
 def get_spark(
     app_name: str = "realtime-change-data-capture-streaming-spark",
     master: str | None = None,

@@ -93,6 +93,48 @@ def fixture_fingerprint(sf_dir: str, table: str) -> str:
     ).hexdigest()[:12]
 
 
+def build_once(root: str, build) -> str:
+    """Cross-process-safe build-once cache publish.
+
+    ``build(tmp_dir)`` writes the artifact into a PRIVATE sibling temp
+    dir, which is then published under ``root`` with ONE atomic
+    ``os.rename`` — two processes cold-starting the same cache key
+    (parallel pytest workers, bench alongside a test run) each build
+    privately and exactly one rename wins; the loser discards its copy
+    and serves the winner's.  The old in-place protocol
+    (``write.mode('overwrite')`` straight into ``root``) let the second
+    writer delete the first one's committed files mid-read.  ``root`` is
+    complete IFF it exists (plus the ``_SUCCESS`` sentinel for
+    compatibility with dirs published by the old protocol)."""
+    import os
+    import shutil
+    import time
+    import uuid
+
+    done = os.path.join(root, "_SUCCESS")
+    if os.path.exists(done):
+        return root
+    tmp = f"{root}.build-{uuid.uuid4().hex}"
+    os.makedirs(tmp, exist_ok=True)
+    build(tmp)
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        # lost the publish race (or a legacy half-built root is in the
+        # way): discard ours, wait briefly for the winner's sentinel
+        shutil.rmtree(tmp, ignore_errors=True)
+        for _ in range(1200):
+            if os.path.exists(done):
+                return root
+            time.sleep(0.5)
+        raise RuntimeError(
+            f"cache dir {root!r} exists but never completed — remove it "
+            "and retry (likely a crashed pre-atomic-protocol build)"
+        )
+    return root
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
 

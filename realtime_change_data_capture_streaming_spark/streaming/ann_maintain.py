@@ -68,7 +68,7 @@ from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
     pq_fit,
 )
 from realtime_change_data_capture_streaming_spark.operators._util import fp_encode_sql, fp_mean_sql, spread
-from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
 from realtime_change_data_capture_streaming_spark.streaming._store import (
     read_partitioned_store,
 )
@@ -265,7 +265,7 @@ def _run_ingest_stream(spark: SparkSession, sf_dir: str, cents: DataFrame, cb: D
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     return work, store
 
 

@@ -17,7 +17,7 @@ import glob
 import os
 import tempfile
 
-from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,7 +39,7 @@ def stage_chaos_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     per run only re-benchmarks fixture creation, not the engine.  Returns
     (dir, n_files).  Parquet staging — the envelope JSON lives in the
     value column; the container just needs to move strings fast."""
-    from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
+    from realtime_change_data_capture_streaming_spark.sources.tables import build_once, fixture_fingerprint
 
     key = fixture_fingerprint(sf_dir, "orders")
     # v2 layout: 96 files, so every maxFilesPerTrigger split (2-batch merge,
@@ -47,10 +47,13 @@ def stage_chaos_events(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     # — the per-batch envelope parse was capped at 6-way parallelism by the
     # generator's natural 17-file output
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_staged_v2_{key}")
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+
+    def _build(tmp: str) -> None:
         order_change_events(spark, sf_dir, chaos=True).repartition(96).write.mode(
             "overwrite"
-        ).parquet(root)
+        ).parquet(tmp)
+
+    root = build_once(root, _build)
     return root, max(1, len(glob.glob(f"{root}/part-*")))
 
 
@@ -93,7 +96,7 @@ def stream_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # job + 32-way tiny-file write per micro-batch
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
     q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     final = sink.read()
     # decimal→double at the output boundary, matching CDC_APPLY_SQL's cast
     return final.select(
@@ -134,7 +137,7 @@ def stream_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = parse_envelope(stream, decimal_mode="string", capture_extras=True)
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
     q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     return evolution_result_columns(sink.read())
 
 
@@ -245,7 +248,7 @@ def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     return sink.read().select(
         "transaction_id",
         F.col("amount").cast("double").alias("amount"),
@@ -286,7 +289,7 @@ def stream_cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFra
     parsed = parse_envelope(stream, decimal_mode="string")
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=8)
     q = apply_changes_stream(parsed, sink, f"{work}/ckpt", trigger={"availableNow": True})
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     return sink.read_raw().filter(F.col("op") != "d").select(
         "transaction_id",
         F.col("amount").cast("double").alias("amount"),
@@ -369,7 +372,12 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def gate(batch: DataFrame, _bid: int) -> None:
         sp = batch.sparkSession
-        b = batch.withColumn("tb", F.pmod(F.xxhash64("txn_id"), F.lit(_TXN_TB)))
+        # one evaluation of the envelope parse per batch: the append AND
+        # the touched-shard discovery both read the checkpointed blocks
+        # (the _run_fk_stream/_run_outbox_stream discipline, r10)
+        b = batch.withColumn(
+            "tb", F.pmod(F.xxhash64("txn_id"), F.lit(_TXN_TB))
+        ).localCheckpoint(eager=True)
         b.write.mode("append").partitionBy("tb").parquet(pending)
         touched = [r["tb"] for r in b.select("tb").distinct().collect()]
         if not touched:
@@ -410,7 +418,7 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     final = sink.read()
     return final.select(
         F.col("transaction_id"),
@@ -526,7 +534,7 @@ def _run_fk_stream(
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     final = child_sink.read().select(
         F.col("transaction_id").alias("child_id"),
         F.col("user_id").alias("parent_id"),
@@ -723,7 +731,7 @@ def _run_outbox_stream(
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     out = spark.read.parquet(publog).select(
         "dest",
         F.col("aggregate_id").cast("bigint").alias("aggregate_id"),

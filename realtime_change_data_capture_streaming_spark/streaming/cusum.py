@@ -55,7 +55,7 @@ from realtime_change_data_capture_streaming_spark.operators.quality import (
     _cusum_cents,
     cusum_oracle_sql,
 )
-from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 from realtime_change_data_capture_streaming_spark.streaming._store import (
     read_partitioned_store,
@@ -300,7 +300,7 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     return _summarize(_read_state(spark, store), kref)
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,18 +39,20 @@ def _history_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per machine per sf) the history band-bucket index —
     deterministic (md5-derived), so the cached artifact is identical on
     every rebuild."""
-    from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
+    from realtime_change_data_capture_streaming_spark.sources.tables import build_once, fixture_fingerprint
 
     key = fixture_fingerprint(sf_dir, "documents")
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_lshidx_{key}")
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+
+    def _build(tmp: str) -> None:
         hist = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") < HISTORY_MAX_DOC_ID
         )
         minhash_band_buckets(hist).select("doc_id", "band", "bucket").write.mode(
             "overwrite"
-        ).parquet(root)
-    return root
+        ).parquet(tmp)
+
+    return build_once(root, _build)
 
 
 def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,7 +91,7 @@ def stream_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     return spark.read.parquet(out_dir).drop("batch")
 
 
@@ -284,7 +286,7 @@ def stream_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     assign = spark.read.parquet(table_commit.resolve(assign_store))
     sizes = assign.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size")

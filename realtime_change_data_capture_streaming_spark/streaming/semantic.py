@@ -45,7 +45,7 @@ from realtime_change_data_capture_streaming_spark.llm_ops.dedup import (
     _semantic_vectors_of,
 )
 from realtime_change_data_capture_streaming_spark.operators._util import fp_encode_sql, fp_mean_sql
-from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 from realtime_change_data_capture_streaming_spark.streaming.neardup import HISTORY_MAX_DOC_ID
 
@@ -56,11 +56,12 @@ def _semantic_index_dir(spark: SparkSession, sf_dir: str) -> str:
     vector labeled with its final cluster, laid out by cluster.
     Deterministic (md5 shingle buckets + fixed-point k-means), so the
     cached artifact is identical on every rebuild."""
-    from realtime_change_data_capture_streaming_spark.sources.tables import fixture_fingerprint
+    from realtime_change_data_capture_streaming_spark.sources.tables import build_once, fixture_fingerprint
 
     key = fixture_fingerprint(sf_dir, "documents")
     root = os.path.join(tempfile.gettempdir(), f"spark_graft_semidx_{key}")
-    if not os.path.exists(os.path.join(root, "_SUCCESS")):
+
+    def _build(tmp: str) -> None:
         hist = load_table(spark, sf_dir, "documents").filter(
             F.col("doc_id") < HISTORY_MAX_DOC_ID
         )
@@ -68,13 +69,13 @@ def _semantic_index_dir(spark: SparkSession, sf_dir: str) -> str:
         n_hist = v.count()
         k = max(_SEM_K, n_hist // _SEM_TARGET)
         cents = _sem_fit_centroids(spark, v, k)
-        cents.write.mode("overwrite").parquet(os.path.join(root, "centroids"))
+        cents.write.mode("overwrite").parquet(os.path.join(tmp, "centroids"))
         _sem_assign(v, cents).write.mode("overwrite").partitionBy("cluster").parquet(
-            os.path.join(root, "index")
+            os.path.join(tmp, "index")
         )
         v.unpersist()
-        open(os.path.join(root, "_SUCCESS"), "w").close()
-    return root
+
+    return build_once(root, _build)
 
 
 def _probe(incoming_vectors: DataFrame, cents: DataFrame, index: DataFrame) -> DataFrame:
@@ -154,7 +155,7 @@ def stream_semantic_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     return spark.read.parquet(out_dir).drop("batch")
 
 

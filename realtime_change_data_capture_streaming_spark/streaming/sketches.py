@@ -32,7 +32,7 @@ from realtime_change_data_capture_streaming_spark.operators.stats import (
     hll_finalize,
     hll_registers,
 )
-from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
 
@@ -153,7 +153,7 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     regs = spark.read.parquet(table_commit.resolve(store))
     exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
     return hll_finalize(regs, exact)
@@ -195,7 +195,7 @@ def stream_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     counters = spark.read.parquet(table_commit.resolve(store))
     return cm_finalize(counters, e.select("user_id"))
 
@@ -242,7 +242,7 @@ def stream_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     sample = spark.read.parquet(table_commit.resolve(store))
     return bkq_finalize(sample, bkq_rows(e))
 

@@ -16,7 +16,7 @@ and RocksDB state backend — both config, not code.
 
 from __future__ import annotations
 
-from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,7 +69,7 @@ def _run_to_table(result: DataFrame, output_mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(600), "availableNow stream did not drain in 600s"
+    drain(q)
     spark = result.sparkSession
     return spark.table(name)
 
