@@ -619,6 +619,7 @@ class BucketedParquetSink:
             # this merge loudly instead of letting it publish a bucket
             # map built against the superseded layout
             expect_prev=_m0["seq"] if _m0 else None,
+            staged=vdir,
         )
 
 
@@ -699,7 +700,9 @@ def compact_sink(
         meta = {"n_buckets": n_new, "buckets": new_map, "schema_json": staged.schema.json()}
         if m.get("order_cols") is not None:
             meta["order_cols"] = m["order_cols"]
-        table_commit.commit(sink.path, seq, meta, keep=sink.keep, expect_prev=m["seq"])
+        table_commit.commit(
+            sink.path, seq, meta, keep=sink.keep, expect_prev=m["seq"], staged=vdir
+        )
         return
     kept = sink.read_raw(at_seq=m["seq"] if m else None).filter(not_tombstone_to_purge)
     staged = kept.drop("_bucket").withColumn("_bucket", sink._bucket(n_new))
@@ -716,7 +719,7 @@ def compact_sink(
     if m is not None and m.get("order_cols") is not None:
         meta["order_cols"] = m["order_cols"]
     table_commit.commit(
-        sink.path, seq, meta, keep=sink.keep, expect_prev=m["seq"] if m else None
+        sink.path, seq, meta, keep=sink.keep, expect_prev=m["seq"] if m else None, staged=vdir
     )
 
 

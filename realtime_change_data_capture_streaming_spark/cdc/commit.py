@@ -79,14 +79,48 @@ def resolve(root: str) -> str | None:
     return os.path.join(root, m["version"]) if m else None
 
 
+_STAGED_PREFIX = ".staged-"
+
+
+def _staged_name(seq: int) -> str:
+    return f"{_STAGED_PREFIX}{_vname(seq)}-{uuid.uuid4().hex[:12]}"
+
+
+def _staged_seq(entry: str) -> int | None:
+    """Embedded seq of a staging-dir name, or None if not one."""
+    if not entry.startswith(_STAGED_PREFIX):
+        return None
+    core = entry[len(_STAGED_PREFIX) :].split("-", 1)[0]
+    if core.startswith(_VPREFIX) and core[len(_VPREFIX) :].isdigit():
+        return int(core[len(_VPREFIX) :])
+    return None
+
+
 def begin(root: str) -> tuple[str, int]:
-    """Allocate the next version directory (created empty); returns
-    (version_dir, seq).  Nothing is visible to readers until commit()."""
+    """Allocate a staging directory for the next version; returns
+    (staging_dir, seq).  Nothing is visible to readers until commit().
+
+    The staging dir is UNIQUELY named (``.staged-v<seq>-<uuid>``), not
+    ``v<seq>`` itself: two writers racing from the same snapshot both
+    allocate the same seq, and if they shared the dir their overwrite
+    writes would clobber each other — worse, the loser's cleanup after
+    the CAS failure would rmtree the winner's just-PUBLISHED version dir
+    (ADVICE r12, high).  commit() renames the staging dir to its final
+    ``v<seq>`` name under the commit lock, after the CAS passes."""
     m = read_manifest(root)
     seq = (m["seq"] + 1) if m else 0
-    vdir = os.path.join(root, _vname(seq))
+    vdir = os.path.join(root, _staged_name(seq))
     os.makedirs(vdir, exist_ok=True)
     return vdir, seq
+
+
+def _find_staged(root: str, seq: int) -> list[str]:
+    """Staging dirs allocated for ``seq`` (absolute paths)."""
+    try:
+        entries = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    return sorted(os.path.join(root, e) for e in entries if _staged_seq(e) == seq)
 
 
 def commit(
@@ -95,6 +129,7 @@ def commit(
     meta: dict | None = None,
     keep: int = 1,
     expect_prev: int | None | object = _AUTO,
+    staged: str | None = None,
 ) -> None:
     """Atomically publish version ``seq`` and GC unreferenced versions
     older than the previous ``keep`` (the retained ones are the
@@ -127,7 +162,18 @@ def commit(
     reference arbitrarily old version dirs (v0 may still serve untouched
     buckets), so a reader holding the previous snapshot must keep every
     dir that snapshot points into — a numeric ``seq - keep`` cutoff alone
-    would delete them mid-scan."""
+    would delete them mid-scan.
+
+    ``staged`` is the staging dir begin() returned.  The final
+    ``v<seq>`` dir only comes into existence HERE, by renaming the
+    uniquely-named staging dir under the lock after the CAS passes — so
+    a loser's cleanup can only ever touch its OWN staging dir, never a
+    winner's published version (the ADVICE r12 interleaving: two
+    begin()s from the same snapshot, winner publishes, loser's failure
+    cleanup must not delete the winner's data).  When ``staged`` is
+    omitted (direct/legacy callers), the unique staging dir for ``seq``
+    is located by name; ambiguity (two in-flight writers on the same
+    seq) raises rather than guessing."""
     import fcntl
 
     os.makedirs(root, exist_ok=True)
@@ -137,15 +183,46 @@ def commit(
         want_prev = (seq - 1 if seq > 0 else None) if expect_prev is _AUTO else expect_prev
         prev_seq = None if prev is None else prev["seq"]
         if prev_seq != want_prev:
-            # lost the race: remove the staged (never-published) version
-            # dir so a retry's begin() can re-stage cleanly even under
-            # dynamic partition-overwrite, then fail loudly
-            shutil.rmtree(os.path.join(root, _vname(seq)), ignore_errors=True)
+            # lost the race: remove this writer's own staged
+            # (never-published) dir, then fail loudly.  Only rm what we
+            # can attribute to THIS writer — with staged omitted and
+            # several candidates, leave them for staged-GC instead of
+            # guessing.
+            candidates = [staged] if staged is not None else _find_staged(root, seq)
+            if len(candidates) == 1:
+                shutil.rmtree(candidates[0], ignore_errors=True)
             raise ConcurrentCommitError(
                 f"{root}: commit of seq {seq} expected live manifest seq "
                 f"{want_prev!r} but found {prev_seq!r} — another writer "
                 "committed in between; retry from a fresh snapshot"
             )
+        if staged is None:
+            found = _find_staged(root, seq)
+            if len(found) > 1:
+                raise ValueError(
+                    f"{root}: {len(found)} staging dirs for seq {seq} — "
+                    "concurrent writers must pass commit(..., staged=<their begin() dir>)"
+                )
+            staged = found[0] if found else None
+        final = os.path.join(root, _vname(seq))
+        if staged is not None:
+            # CAS passed => no manifest at `seq` exists, so a leftover
+            # final dir is unpublished garbage (e.g. a pre-rename-scheme
+            # crash); clear it and take the name.
+            if os.path.lexists(final):
+                shutil.rmtree(final, ignore_errors=True)
+            os.rename(staged, final)
+            sbase = os.path.basename(staged)
+            if meta and isinstance(meta.get("buckets"), dict):
+                # bucket maps built pre-commit reference the staging
+                # name; point them at the published name
+                meta = {
+                    **meta,
+                    "buckets": {
+                        b: (_vname(seq) if v == sbase else v)
+                        for b, v in meta["buckets"].items()
+                    },
+                }
         if prev is not None:
             _archive_manifest(root, prev)
         manifest = {"version": _vname(seq), "seq": seq, **(meta or {})}
@@ -161,6 +238,15 @@ def commit(
         for entry in os.listdir(root):
             if entry.startswith(_VPREFIX) and entry[len(_VPREFIX) :].isdigit():
                 if entry not in referenced and int(entry[len(_VPREFIX) :]) < seq - keep:
+                    shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+            else:
+                # abandoned staging dirs (crashed/never-committed writers):
+                # anything staged at a seq far behind the live one can no
+                # longer commit (its CAS must fail), so reclaim it.  The
+                # wide margin (not just `keep`) spares slow in-flight
+                # writers from losing their dir mid-write.
+                sseq = _staged_seq(entry)
+                if sseq is not None and sseq < seq - max(keep, 4):
                     shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
         _prune_history(root, lo=seq - keep)
 

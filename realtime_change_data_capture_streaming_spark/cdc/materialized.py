@@ -70,8 +70,11 @@ class IncrementalAggView:
     def _ensure_log(self) -> str:
         vdir = table_commit.resolve(self.path)
         if vdir is None:
-            vdir, seq = table_commit.begin(self.path)
-            table_commit.commit(self.path, seq)
+            staged, seq = table_commit.begin(self.path)
+            table_commit.commit(self.path, seq, staged=staged)
+            # commit() renamed the staging dir to its published v-name —
+            # re-resolve rather than handing back the stale staged path
+            vdir = table_commit.resolve(self.path)
         return vdir
 
     def read(self) -> DataFrame:
@@ -111,7 +114,7 @@ class IncrementalAggView:
         )
         vdir, seq = table_commit.begin(self.path)
         folded.coalesce(1).write.mode("overwrite").parquet(f"{vdir}/b=base")
-        table_commit.commit(self.path, seq)
+        table_commit.commit(self.path, seq, staged=vdir)
 
     def _signed(self, state: DataFrame, sign: int) -> DataFrame:
         """Per-row view contributions with a +/- sign: +1 for post-merge

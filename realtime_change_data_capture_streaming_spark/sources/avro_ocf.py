@@ -1179,5 +1179,14 @@ class _AvroWriter(DataSourceWriter):
 
 
 def register(spark) -> None:
-    """Idempotent registration with this session."""
+    """Idempotent registration with this session.
+
+    Also flips ``spark.sql.python.filterPushdown.enabled`` on: the reader
+    implements ``pushFilters`` (``_AvroReader.pushFilters`` above), and
+    Spark REFUSES to plan a Python DataSource scan whose reader defines
+    the hook while the conf is off — so any session that registers the
+    format must carry the conf, not just the builder's ``session.py``
+    (the driver runs queries on a default-conf session; CORRECTNESS r12
+    caught exactly this)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(AvroOCFDataSource)

@@ -295,7 +295,13 @@ class _EnvelopeWriter(DataSourceWriter):
 
 
 def register(spark) -> None:
-    """Idempotent registration of the custom sources with this session."""
+    """Idempotent registration of the custom sources with this session.
+
+    Carries the ``python.filterPushdown`` conf with it: _BatchReader
+    implements ``pushFilters()`` and Spark 4 raises
+    DATA_SOURCE_PUSHDOWN_DISABLED at planning when the conf is off, so
+    registration on a default-conf session (the driver's) must set it."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticTxDataSource)
     spark.dataSource.register(EnvelopeSinkDataSource)
 

@@ -164,7 +164,7 @@ def _append_codes(store: str, batch_codes: DataFrame, bid: int) -> None:
     vname = os.path.basename(vdir)
     for c in touched:
         buckets[str(c)] = vname
-    table_commit.commit(store, seq, meta={"applied_bid": bid, "buckets": buckets})
+    table_commit.commit(store, seq, meta={"applied_bid": bid, "buckets": buckets}, staged=vdir)
 
 
 def _read_store(spark: SparkSession, store: str, clusters: list | None = None) -> DataFrame:
@@ -280,7 +280,7 @@ def _publish_generation(
     codes.write.mode("overwrite").partitionBy("cluster").parquet(os.path.join(vdir, "codes"))
     cents.coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "centroids"))
     cb.coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "codebook"))
-    table_commit.commit(gen_store, seq, meta={"generation": generation})
+    table_commit.commit(gen_store, seq, meta={"generation": generation}, staged=vdir)
 
 
 def _full_refit(spark: SparkSession, sf_dir: str):

@@ -22,6 +22,7 @@ from realtime_change_data_capture_streaming_spark.session import drain, scratch_
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 from realtime_change_data_capture_streaming_spark.cdc.apply_changes import BucketedParquetSink, apply_changes_stream
 from realtime_change_data_capture_streaming_spark.cdc.decode import parse_envelope
 from realtime_change_data_capture_streaming_spark.cdc.queries import (
@@ -436,11 +437,65 @@ QUERIES["stream_txn_consistent_apply"] = stream_txn_consistent_apply
 ORACLE["stream_txn_consistent_apply"] = CDC_TXN_APPLY_SQL
 
 
+class _PendingStore:
+    """Manifest-backed pending store for the gated streams: the live
+    version dir receives per-batch APPENDS (the materialized-view
+    delta-log pattern) and each compaction cycle publishes a rewritten
+    keep-set as a new version via ``table_commit``, carrying the LSN
+    watermark and the last applied batch id IN the manifest.
+
+    That makes the stream restart-safe (VERDICT r12 task 3): a fresh
+    driver resuming from the streaming checkpoint rehydrates the
+    version pointer, the watermark, and the applied-bid frontier from
+    the store itself — the previous driver-closure counters
+    (``state = {"ver": 0, "max_lsn": None}``) silently reset on restart,
+    pointing the gate at a compacted-away ``pending_v0`` and rolling the
+    eviction cut backwards."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _manifest(self) -> dict:
+        m = table_commit.read_manifest(self.root)
+        if m is None:
+            staged, seq = table_commit.begin(self.root)
+            table_commit.commit(
+                self.root, seq, meta={"max_lsn": None, "applied_bid": -1}, staged=staged
+            )
+            m = table_commit.read_manifest(self.root)
+        return m
+
+    def live_dir(self) -> str:
+        return os.path.join(self.root, self._manifest()["version"])
+
+    def max_lsn(self):
+        return self._manifest().get("max_lsn")
+
+    def applied_bid(self) -> int:
+        return self._manifest().get("applied_bid", -1)
+
+    def rotate(self, keep: DataFrame, max_lsn, bid: int) -> None:
+        """Publish the compacted keep-set as the new live version.  The
+        superseded version stays through commit()'s grace window, then
+        GCs — no immediate rmtree under a concurrent reader."""
+        m = self._manifest()
+        staged, seq = table_commit.begin(self.root)
+        keep.write.mode("overwrite").parquet(staged)
+        table_commit.commit(
+            self.root,
+            seq,
+            meta={"max_lsn": max_lsn, "applied_bid": bid},
+            expect_prev=m["seq"],
+            staged=staged,
+        )
+
+
 def _run_fk_stream(
     spark: SparkSession,
     frames,
     work: str,
     retention_lsn_horizon: int | None = None,
+    _crash_after_bid: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """The FK-gated apply over staged micro-batches; returns (final
     child DataFrame, state paths).  With ``retention_lsn_horizon`` the
@@ -450,23 +505,50 @@ def _run_fk_stream(
     LSN has fallen a full horizon behind the maximum LSN seen — at
     100 TB the store holds only the in-flight horizon window instead of
     every gapped child forever.  Replay safety: a redelivered released
-    row re-merges idempotently; a redelivered evicted row re-evicts once
-    its horizon passes again, and the dead-letter output dedups by
-    (key, lsn) at read time."""
-    import shutil
+    row re-merges idempotently; a batch fully applied before a crash
+    (manifest ``applied_bid``) skips wholesale on replay; a half-applied
+    batch re-appends, and the compaction rewrite dedups the store on
+    (key, lsn); a redelivered evicted row re-evicts once its horizon
+    passes again, and the dead-letter output dedups by (key, lsn) at
+    read time.
 
+    ``_crash_after_bid`` is a TEST fault hook: raise after batch N is
+    fully processed but before the checkpoint commits it, so a restarted
+    run must replay that batch (tests/test_outbox.py restart tests)."""
     in_dir = stage_ordered_batches(frames, f"{work}/staged")
-    dead = f"{work}/dead"
-    state = {"ver": 0, "max_lsn": None}
+    return _fk_stream_once(
+        spark,
+        work,
+        in_dir,
+        retention_lsn_horizon=retention_lsn_horizon,
+        _crash_after_bid=_crash_after_bid,
+    )
 
-    def pend_dir() -> str:
-        return f"{work}/pending_v{state['ver']}"
+
+def _fk_stream_once(
+    spark: SparkSession,
+    work: str,
+    in_dir: str,
+    retention_lsn_horizon: int | None = None,
+    _crash_after_bid: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """One driver lifetime of the FK stream: builds FRESH gate closures
+    (no carried state — everything rehydrates from the checkpoint, the
+    sinks, and the pending-store manifest) and drains availableNow.
+    Calling it again with the same ``work`` IS the restart path."""
+    dead = f"{work}/dead"
+    pend = _PendingStore(f"{work}/pending")
 
     parent_sink = BucketedParquetSink(spark, f"{work}/parent", n_buckets=8)
     child_sink = BucketedParquetSink(spark, f"{work}/child", n_buckets=8)
 
-    def gate(batch: DataFrame, _bid: int) -> None:
+    def gate(batch: DataFrame, bid: int) -> None:
         sp = batch.sparkSession
+        if retention_lsn_horizon is not None and pend.applied_bid() >= bid:
+            # a replayed batch whose compaction commit landed before the
+            # crash: every effect (parent merge, release, rotate) is
+            # already in the stores — skip wholesale
+            return
         tbl = F.get_json_object(F.col("value"), "$.source.table")
         parents = parse_envelope(batch.filter(tbl == "orders"), decimal_mode="string")
         children = parse_envelope(batch.filter(tbl == "lineitem"), decimal_mode="string")
@@ -481,27 +563,29 @@ def _run_fk_stream(
                 parent_sink.merge(parents)
             children.withColumn(
                 "fk", F.coalesce("after.user_id", "before.user_id")
-            ).write.mode("append").parquet(pend_dir())
+            ).write.mode("append").parquet(pend.live_dir())
+            max_lsn = None
             if retention_lsn_horizon is not None:
+                max_lsn = pend.max_lsn()
                 for side in (parents, children):
                     hi = side.agg(F.max("lsn")).collect()[0][0]
                     if hi is not None:
-                        state["max_lsn"] = (
-                            hi if state["max_lsn"] is None else max(state["max_lsn"], hi)
-                        )
-            _fk_release(sp)
+                        max_lsn = hi if max_lsn is None else max(max_lsn, hi)
+            _fk_release(sp, max_lsn, bid)
         finally:
             if retention_lsn_horizon is not None:
                 parents.unpersist()
                 children.unpersist()
+        if _crash_after_bid is not None and bid >= _crash_after_bid:
+            raise RuntimeError(f"injected crash after batch {bid}")
 
-    def _fk_release(sp: SparkSession) -> None:
+    def _fk_release(sp: SparkSession, max_lsn, bid: int) -> None:
         if not parent_sink.exists():
             return  # no parent state yet: everything stays pending
-        pend = sp.read.parquet(pend_dir())
+        rows = sp.read.parquet(pend.live_dir())
         parent_keys = parent_sink.read().select(F.col("transaction_id").alias("fk"))
         released = (
-            pend.join(parent_keys, "fk", "left_semi").drop("fk").localCheckpoint(eager=True)
+            rows.join(parent_keys, "fk", "left_semi").drop("fk").localCheckpoint(eager=True)
         )
         if not released.isEmpty():
             child_sink.merge(released)
@@ -510,17 +594,15 @@ def _run_fk_stream(
         # compaction + horizon eviction: released rows leave the store
         # (the sink already folded them — AFTER the merge above, so a
         # crash in between only re-releases, never loses); orphans past
-        # the LSN horizon go to the dead letter
-        keep = pend.join(parent_keys, "fk", "left_anti")
-        cut = (state["max_lsn"] or 0) - retention_lsn_horizon
+        # the LSN horizon go to the dead letter.  dropDuplicates bounds
+        # the store under half-applied-batch replay (the re-append).
+        keep = rows.join(parent_keys, "fk", "left_anti").dropDuplicates(["key", "lsn"])
+        cut = (max_lsn or 0) - retention_lsn_horizon
         evict = keep.filter(F.col("lsn") <= F.lit(cut)).localCheckpoint(eager=True)
         keep = keep.filter(F.col("lsn") > F.lit(cut)).localCheckpoint(eager=True)
         if not evict.isEmpty():
             evict.write.mode("append").parquet(dead)
-        old = pend_dir()
-        state["ver"] += 1
-        keep.write.mode("overwrite").parquet(pend_dir())
-        shutil.rmtree(old, ignore_errors=True)
+        pend.rotate(keep, max_lsn, bid)
 
     stream = (
         spark.readStream.schema("key string, value string")
@@ -542,7 +624,7 @@ def _run_fk_stream(
         F.col("currency").alias("return_flag"),
         F.col("merchant_name").alias("line_status"),
     )
-    return final, {"pending": pend_dir(), "dead": dead}
+    return final, {"pending": pend.live_dir(), "dead": dead}
 
 
 def stream_multitable_fk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -620,6 +702,7 @@ def _run_outbox_stream(
     frames,
     work: str,
     retention_lsn_horizon: int | None = None,
+    _crash_after_bid: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """The outbox publish gate over staged micro-batches; returns (the
     published stream, state paths).
@@ -633,31 +716,51 @@ def _run_outbox_stream(
     releases pending rows continuing each frontier, compacts published
     and released rows out of the store, and dead-letters gapped rows
     whose LSN has fallen a full horizon behind the maximum LSN seen.
-    Replay safety is unchanged: redelivered published ids drop at the
-    frontier filter, redelivered evicted rows re-evict, and the
-    dead-letter output dedups by event id at read time.  If a gap FILLS
-    after its successors were evicted, the successors publish from the
-    dead letter, not from state — the documented eviction trade."""
-    import shutil
+    The version pointer, watermark, and applied-bid frontier ride in the
+    pending store's manifest (``_PendingStore``) so a restarted driver
+    rehydrates them (VERDICT r12 task 3).  Replay safety is unchanged:
+    a fully-applied replayed batch skips on its manifest bid,
+    redelivered published ids drop at the frontier filter, redelivered
+    evicted rows re-evict, and the dead-letter output dedups by event id
+    at read time.  If a gap FILLS after its successors were evicted, the
+    successors publish from the dead letter, not from state — the
+    documented eviction trade."""
+    in_dir = stage_ordered_batches(frames, f"{work}/staged")
+    return _outbox_stream_once(
+        spark,
+        work,
+        in_dir,
+        retention_lsn_horizon=retention_lsn_horizon,
+        _crash_after_bid=_crash_after_bid,
+    )
 
+
+def _outbox_stream_once(
+    spark: SparkSession,
+    work: str,
+    in_dir: str,
+    retention_lsn_horizon: int | None = None,
+    _crash_after_bid: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """One driver lifetime of the outbox stream (fresh closures; all
+    state rehydrates from checkpoint + publog + pending manifest).
+    Re-invoking with the same ``work`` is the restart path."""
     from pyspark.sql import Window
 
     from realtime_change_data_capture_streaming_spark.cdc.queries import outbox_gate, outbox_rows
 
-    in_dir = stage_ordered_batches(frames, f"{work}/staged")
     publog = f"{work}/publog"
     dead = f"{work}/dead"
-    state = {"ver": 0, "max_lsn": None}
+    pend_store = _PendingStore(f"{work}/pending")
 
-    def pend_dir() -> str:
-        return f"{work}/pending_v{state['ver']}"
-
-    def gate(batch: DataFrame, _bid: int) -> None:
+    def gate(batch: DataFrame, bid: int) -> None:
         sp = batch.sparkSession
+        if retention_lsn_horizon is not None and pend_store.applied_bid() >= bid:
+            return  # fully-applied batch replayed after a crash
         rows = outbox_rows(batch)
-        rows.write.mode("append").parquet(pend_dir())
+        rows.write.mode("append").parquet(pend_store.live_dir())
         if retention_lsn_horizon is None:
-            pub = outbox_gate(sp.read.parquet(pend_dir())).drop("rn")
+            pub = outbox_gate(sp.read.parquet(pend_store.live_dir())).drop("rn")
             if os.path.exists(publog):
                 seen = sp.read.parquet(publog).select("event_id")
                 pub = pub.join(seen, "event_id", "left_anti")
@@ -666,13 +769,15 @@ def _run_outbox_stream(
                 return
             pub.write.mode("append").parquet(publog)
             return
-        pend = sp.read.parquet(pend_dir())
+        pend = sp.read.parquet(pend_store.live_dir())
         # watermark from the parquet just appended (column-pruned lsn
         # scan of the already-compacted store), not a second re-parse of
-        # the raw envelope JSON (r10 review)
+        # the raw envelope JSON (r10 review); floor it at the manifest's
+        # rehydrated value so a restart never rolls the cut backwards
+        max_lsn = pend_store.max_lsn()
         hi = pend.agg(F.max("lsn")).collect()[0][0]
         if hi is not None:
-            state["max_lsn"] = hi if state["max_lsn"] is None else max(state["max_lsn"], hi)
+            max_lsn = hi if max_lsn is None else max(max_lsn, hi)
         # dedup at-least-once redelivery to first-seen LSN (outbox_gate's rule)
         cols = [c for c in pend.columns if c != "event_id"]
         cand = (
@@ -709,15 +814,14 @@ def _run_outbox_stream(
         if not pub.isEmpty():
             pub.write.mode("append").parquet(publog)
         remaining = cand.join(rel.select("event_id"), "event_id", "left_anti").drop("f")
-        cut = (state["max_lsn"] or 0) - retention_lsn_horizon
+        cut = (max_lsn or 0) - retention_lsn_horizon
         evict = remaining.filter(F.col("lsn") <= F.lit(cut)).localCheckpoint(eager=True)
         keep = remaining.filter(F.col("lsn") > F.lit(cut)).localCheckpoint(eager=True)
         if not evict.isEmpty():
             evict.write.mode("append").parquet(dead)
-        old = pend_dir()
-        state["ver"] += 1
-        keep.write.mode("overwrite").parquet(pend_dir())
-        shutil.rmtree(old, ignore_errors=True)
+        pend_store.rotate(keep, max_lsn, bid)
+        if _crash_after_bid is not None and bid >= _crash_after_bid:
+            raise RuntimeError(f"injected crash after batch {bid}")
 
     stream = (
         spark.readStream.schema("key string, value string")
@@ -739,7 +843,7 @@ def _run_outbox_stream(
         "event_type",
         F.substring(F.md5("payload"), 1, 16).alias("payload_fp"),
     )
-    return out, {"publog": publog, "pending": pend_dir(), "dead": dead}
+    return out, {"publog": publog, "pending": pend_store.live_dir(), "dead": dead}
 
 
 from realtime_change_data_capture_streaming_spark.cdc.queries import CDC_OUTBOX_SQL  # noqa: E402

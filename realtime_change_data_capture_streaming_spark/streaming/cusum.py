@@ -217,7 +217,7 @@ def _commit_state(store: str, touched_state: DataFrame, bid: int, touched: list[
     vname = os.path.basename(vdir)
     for k in touched:
         buckets[str(k)] = vname
-    table_commit.commit(store, seq, meta={"applied_bid": bid, "buckets": buckets})
+    table_commit.commit(store, seq, meta={"applied_bid": bid, "buckets": buckets}, staged=vdir)
 
 
 def _summarize(state: DataFrame, kref: DataFrame) -> DataFrame:

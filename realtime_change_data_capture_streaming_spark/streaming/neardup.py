@@ -230,10 +230,10 @@ def _merge_dedup_components(
         ).unionByName(sh_b)
         vdir, seq = table_commit.begin(shingle_store)
         all_sh.write.mode("overwrite").parquet(vdir)
-        table_commit.commit(shingle_store, seq, meta={"applied_bid": bid})
+        table_commit.commit(shingle_store, seq, meta={"applied_bid": bid}, staged=vdir)
     vdir, seq = table_commit.begin(assign_store)
     new_assign.write.mode("overwrite").parquet(vdir)
-    table_commit.commit(assign_store, seq, meta={"applied_bid": bid})
+    table_commit.commit(assign_store, seq, meta={"applied_bid": bid}, staged=vdir)
 
 
 def stream_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -65,7 +65,7 @@ def _merge_hll_registers(store: str, batch: DataFrame, bid: int) -> None:
     merged = br.groupBy("event_type", "j").agg(F.max("r").alias("r"))
     vdir, seq = table_commit.begin(store)
     merged.write.mode("overwrite").parquet(vdir)
-    table_commit.commit(store, seq, meta={"applied_bid": bid})
+    table_commit.commit(store, seq, meta={"applied_bid": bid}, staged=vdir)
 
 
 def _merge_cm_counters(store: str, batch: DataFrame, bid: int) -> None:
@@ -83,7 +83,7 @@ def _merge_cm_counters(store: str, batch: DataFrame, bid: int) -> None:
     merged = bc.groupBy("r", "c").agg(F.sum("cnt").cast("bigint").alias("cnt"))
     vdir, seq = table_commit.begin(store)
     merged.write.mode("overwrite").parquet(vdir)
-    table_commit.commit(store, seq, meta={"applied_bid": bid})
+    table_commit.commit(store, seq, meta={"applied_bid": bid}, staged=vdir)
 
 
 def _merge_bkq_sample(store: str, batch: DataFrame, bid: int) -> None:
@@ -105,7 +105,7 @@ def _merge_bkq_sample(store: str, batch: DataFrame, bid: int) -> None:
     merged = bkq_sample(bs)  # k smallest of the union: the min-merge
     vdir, seq = table_commit.begin(store)
     merged.write.mode("overwrite").parquet(vdir)
-    table_commit.commit(store, seq, meta={"applied_bid": bid})
+    table_commit.commit(store, seq, meta={"applied_bid": bid}, staged=vdir)
 
 
 def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

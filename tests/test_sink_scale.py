@@ -565,6 +565,46 @@ def test_concurrent_commit_loses_loudly(tmp_path):
     assert not os.path.exists(vdir_b), "loser's staged dir not cleaned up"
 
 
+def test_concurrent_commit_same_snapshot_interleaving(tmp_path):
+    """The ADVICE r12 (high) interleaving: BOTH writers begin() from the
+    same snapshot (same seq), the winner publishes, then the loser's CAS
+    fails.  The loser's cleanup must remove only its OWN staging dir —
+    never the winner's just-published version dir — and the live manifest
+    must keep pointing at an existing directory with the winner's data."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as tc
+
+    root = str(tmp_path / "t")
+    vdir0, seq0 = tc.begin(root)
+    with open(os.path.join(vdir0, "data.txt"), "w") as f:
+        f.write("base")
+    tc.commit(root, seq0, meta={"x": 0}, staged=vdir0)
+
+    # both writers snapshot the same manifest -> same allocated seq
+    vdir_a, seq_a = tc.begin(root)
+    vdir_b, seq_b = tc.begin(root)
+    assert seq_a == seq_b, "precondition: the race is same-seq"
+    assert vdir_a != vdir_b, "staging dirs must be unique per writer"
+    with open(os.path.join(vdir_a, "data.txt"), "w") as f:
+        f.write("winner")
+    with open(os.path.join(vdir_b, "data.txt"), "w") as f:
+        f.write("loser")
+
+    tc.commit(root, seq_a, meta={"x": "a"}, expect_prev=seq0, staged=vdir_a)
+    with pytest.raises(tc.ConcurrentCommitError):
+        tc.commit(root, seq_b, meta={"x": "b"}, expect_prev=seq0, staged=vdir_b)
+
+    m = tc.read_manifest(root)
+    assert m["x"] == "a", "loser overwrote the winner"
+    live = tc.resolve(root)
+    assert live is not None and os.path.isdir(live), (
+        "manifest points at a deleted directory — loser's cleanup destroyed "
+        "the winner's published version"
+    )
+    with open(os.path.join(live, "data.txt")) as f:
+        assert f.read() == "winner"
+    assert not os.path.exists(vdir_b), "loser's staging dir not cleaned up"
+
+
 def test_merge_fails_loudly_if_rebucketing_commits_midway(
     spark, big_parsed, tmp_path, monkeypatch
 ):
