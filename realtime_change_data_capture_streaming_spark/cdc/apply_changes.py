@@ -28,6 +28,7 @@ from __future__ import annotations
 import math
 import os
 
+from pyspark.errors import PySparkTypeError, PySparkValueError
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -257,9 +258,18 @@ class BucketedParquetSink:
             probe = self.spark.createDataFrame(
                 [(k,) for k in keys], StructType([StructField(self.key_col, ktype)])
             )
-        except Exception:
-            # coercion fallback: e.g. int probe keys against a
-            # string-keyed table hash the stored representation
+        except (TypeError, ValueError, PySparkTypeError, PySparkValueError):
+            # coercion fallback for TYPE mismatches only: e.g. int probe
+            # keys against a string-keyed table hash the stored
+            # representation.  Any other createDataFrame failure
+            # (session/config trouble) propagates — swallowing it here
+            # would route good keys through str() coercion and return
+            # silently-empty results (ADVICE r12).  Binary keys never
+            # coerce: str(b'..') hashes the repr, not the bytes.
+            from pyspark.sql.types import BinaryType
+
+            if isinstance(ktype, BinaryType):
+                raise
             probe = (
                 self.spark.createDataFrame(
                     [(str(k),) for k in keys], f"{self.key_col} string"

@@ -116,21 +116,32 @@ def build_once(root: str, build) -> str:
         return root
     tmp = f"{root}.build-{uuid.uuid4().hex}"
     os.makedirs(tmp, exist_ok=True)
-    build(tmp)
-    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    try:
+        build(tmp)
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    except BaseException:
+        # build() itself failed: never leak the private tmp dir
+        # (ADVICE r12 — the old flow had no cleanup around build())
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, root)
     except OSError:
         # lost the publish race (or a legacy half-built root is in the
-        # way): discard ours, wait briefly for the winner's sentinel
+        # way): discard ours, wait for the winner's sentinel — bounded
+        # at 60 s, not the old silent 600 s hang: a live winner already
+        # has its sentinel inside tmp and finishes its rename in well
+        # under that, so a longer wait only delays surfacing a dead
+        # winner's corpse (ADVICE r12)
         shutil.rmtree(tmp, ignore_errors=True)
-        for _ in range(1200):
+        for _ in range(120):
             if os.path.exists(done):
                 return root
             time.sleep(0.5)
         raise RuntimeError(
-            f"cache dir {root!r} exists but never completed — remove it "
-            "and retry (likely a crashed pre-atomic-protocol build)"
+            f"cache dir {root!r} exists but never completed after 60s — "
+            "remove it and retry (likely a crashed builder or a "
+            "pre-atomic-protocol leftover)"
         )
     return root
 

@@ -68,7 +68,8 @@ from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
     pq_fit,
 )
 from realtime_change_data_capture_streaming_spark.operators._util import fp_encode_sql, fp_mean_sql, spread
-from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
+from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.streaming._drive import drive_staged_stream
 from realtime_change_data_capture_streaming_spark.streaming._store import (
     read_partitioned_store,
 )
@@ -248,24 +249,11 @@ def _run_ingest_stream(spark: SparkSession, sf_dir: str, cents: DataFrame, cb: D
         ],
         f"{work}/staged",
     )
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
-    )
-
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         fresh = batch_df.filter(F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID)
         _append_codes(store, _encode(spread(fresh), cents, cb), batch_id)
 
-    q = (
-        stream.writeStream.foreachBatch(_ingest)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain(q)
+    drive_staged_stream(spark, in_dir, e.schema, _ingest, f"{work}/ckpt")
     return work, store
 
 
@@ -349,6 +337,188 @@ def stream_ann_index_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("bigint").alias("cluster"),
         F.lit(m["generation"]).cast("bigint").alias("generation"),
     )
+
+
+#: per-cluster PQ re-train sample bound: the incremental refit trains
+#: each stale cluster's local codebook on AT MOST this many of its
+#: members (lowest vec_ids — deterministic, replayable).  At fixture
+#: scale every cluster fits under the cap, so sample == full cluster;
+#: at 100 TB the cap bounds the re-train to sample parallelism while
+#: the re-ENCODE stays cluster-linear.
+PQ_REFIT_SAMPLE_CAP = 4096
+
+
+def _pq_assign_clustered(subs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest LOCAL codeword per (cluster, vector, subspace): the
+    per-cluster form of ``similarity._pq_assign`` — the codebook join
+    carries the cluster key, so each cluster's vectors only ever score
+    against their own codewords.  The broadcast side is bounded by
+    n_tripped_clusters * M * K rows — model state, never facts."""
+    dist = F.aggregate(
+        F.zip_with("sub", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = subs.join(F.broadcast(cb), ["cluster", "s"]).withColumn("dist", dist)
+    return (
+        scored.groupBy("cluster", "vec_id", "s")
+        .agg(F.min_by(F.struct("code", "sub"), F.struct("dist", "code")).alias("m"))
+        .select(
+            "cluster", "vec_id", "s", F.col("m.code").alias("code"), F.col("m.sub").alias("sub")
+        )
+    )
+
+
+def _pq_fit_clustered(csubs: DataFrame) -> DataFrame:
+    """Per-cluster local PQ codebooks with the EXACT fixed-point
+    arithmetic of ``similarity.pq_fit``, cluster-partitioned: seeds are
+    each cluster's first ``N_PQ_CODES`` members by vec_id (code =
+    rank-1), then ``PQ_ITERS`` fixed-point mean updates over the
+    cluster's TRAINING SAMPLE (rank <= ``PQ_REFIT_SAMPLE_CAP``).
+    Returns the final (cluster, s, code, cw) codebooks.  The rank window
+    is partitioned by (cluster, s) — cluster-block bounded, never a
+    global sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster", "s").orderBy("vec_id")
+    ranked = csubs.withColumn("rk", F.row_number().over(w))
+    train = ranked.filter(F.col("rk") <= PQ_REFIT_SAMPLE_CAP).localCheckpoint(eager=True)
+    cb = train.filter(F.col("rk") <= N_PQ_CODES).select(
+        "cluster",
+        "s",
+        (F.col("rk") - 1).cast("bigint").alias("code"),
+        F.col("sub").alias("cw"),
+    )
+    for _ in range(PQ_ITERS):
+        assigned = _pq_assign_clustered(train, cb)
+        cb = (
+            assigned.select("cluster", "s", "code", F.posexplode("sub").alias("dim", "v"))
+            .withColumn("iv", F.floor(F.col("v") * F.lit(float(_FP_SCALE))))
+            .groupBy("cluster", "s", "code", "dim")
+            .agg(F.sum("iv").alias("acc"), F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "m", (F.col("acc").cast("double") / F.col("n")) / F.lit(float(_FP_SCALE))
+            )
+            .groupBy("cluster", "s", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select(
+                "cluster",
+                "s",
+                "code",
+                F.transform(F.col("dm"), lambda t: t.getField("m")).alias("cw"),
+            )
+            # per-iteration lineage truncation (the pq_fit discipline)
+            .localCheckpoint(eager=True)
+        )
+    return cb
+
+
+def _rewrite_refit_clusters(
+    store: str, new_codes: DataFrame, tripped: list, bid: int
+) -> None:
+    """Publish the re-encoded TRIPPED clusters as a new version whose
+    bucket map supersedes only those clusters — the per-cluster
+    generation swap: untripped clusters keep their manifest entries (and
+    their files) untouched, and the manifest's ``cluster_gen`` map
+    records which clusters are serving a refreshed local codebook.
+    Replay-guarded like the appends."""
+    if _already_applied(store, bid):
+        return
+    rows = new_codes.select("vec_id", "s", "code", "cluster").localCheckpoint(eager=True)
+    m = table_commit.read_manifest(store)
+    buckets = dict(m.get("buckets", {})) if m else {}
+    gens = dict(m.get("cluster_gen", {})) if m else {}
+    vdir, seq = table_commit.begin(store)
+    rows.write.mode("overwrite").partitionBy("cluster").parquet(vdir)
+    vname = os.path.basename(vdir)
+    for c in tripped:
+        buckets[str(c)] = vname
+        gens[str(c)] = int(gens.get(str(c), 0)) + 1
+    table_commit.commit(
+        store,
+        seq,
+        meta={"applied_bid": bid, "buckets": buckets, "cluster_gen": gens},
+        staged=vdir,
+    )
+
+
+def _partial_refit_state(
+    spark: SparkSession, sf_dir: str, store: str, base: DataFrame
+) -> DataFrame:
+    """Consume the staleness trigger INCREMENTALLY (VERDICT r12 task 7):
+    instead of the full-corpus double-quantizer rebuild
+    (``stream_ann_index_refit``), re-train a LOCAL PQ codebook per
+    TRIPPED cluster on a bounded sample of its members, re-encode ONLY
+    those clusters' rows, and swap them in per cluster.  The coarse
+    quantizer stays frozen (FAISS-style: membership never moves, which
+    is exactly what makes cluster-local work possible), so untripped
+    clusters' codes — and their files — are untouched.
+
+    At 100 TB: the re-train is sample-bounded per cluster, the re-encode
+    and rewrite are O(tripped clusters' bytes), and serving keeps working
+    through the per-cluster manifest swap — no full-index rebuild on the
+    ingest path.
+
+    Returns the final serving state: (vec_id, s, code, cluster,
+    refit_gen) for EVERY vector — tripped clusters carry their locally
+    re-trained codes (refit_gen 1), untripped keep the frozen encoding
+    (refit_gen 0)."""
+    state = _with_staleness(_read_store(spark, store), base)
+    # bounded collect: <= k cluster ids (model-state scale)
+    tripped = sorted(
+        r["cluster"]
+        for r in state.filter(F.col("needs_refit")).select("cluster").distinct().collect()
+    )
+    base_rows = base.select(
+        "vec_id",
+        F.col("s").cast("bigint").alias("s"),
+        F.col("code").cast("bigint").alias("code"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+    )
+    if tripped:
+        # current members of the tripped clusters: history (base codes)
+        # plus appended (store rows); one s=0 row per vector
+        mem = (
+            base_rows.filter(F.col("s") == 0)
+            .select("vec_id", "cluster")
+            .unionByName(
+                _read_store(spark, store).filter(F.col("s") == 0).select("vec_id", "cluster")
+            )
+            .filter(F.col("cluster").isin([int(c) for c in tripped]))
+        )
+        vecs = spread(load_table(spark, sf_dir, "embeddings")).join(mem, "vec_id")
+        csubs = _subvectors(vecs).join(mem, "vec_id").select("cluster", "vec_id", "s", "sub")
+        cb_local = _pq_fit_clustered(csubs)
+        new_codes = _pq_assign_clustered(csubs, cb_local).select(
+            "vec_id", F.col("s").cast("bigint").alias("s"), "code", "cluster"
+        )
+        _rewrite_refit_clusters(store, new_codes, tripped, bid=1_000)
+    # final state off the per-cluster-swapped store: tripped clusters'
+    # rows now ARE the full re-encoded member sets; untripped clusters =
+    # frozen base + frozen appended codes
+    store_rows = _read_store(spark, store).select(
+        "vec_id", F.col("s").cast("bigint").alias("s"), "code", "cluster"
+    )
+    keep_base = base_rows.filter(~F.col("cluster").isin([int(c) for c in tripped]))
+    out = store_rows.unionByName(keep_base)
+    return out.select(
+        "vec_id",
+        "s",
+        "code",
+        "cluster",
+        F.col("cluster").isin([int(c) for c in tripped]).cast("bigint").alias("refit_gen"),
+    )
+
+
+def stream_ann_index_partial_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming run: ingest across real micro-batches (as
+    ``stream_ann_index_append``), then consume the staleness trigger via
+    the INCREMENTAL per-cluster refit — sampled local re-train +
+    touched-cluster-only rewrite."""
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    _work, store = _run_ingest_stream(spark, sf_dir, cents, cb)
+    return _partial_refit_state(spark, sf_dir, store, base)
 
 
 #: shared CTE text shapes for the DuckDB replays (the same fixed-point
@@ -466,6 +636,126 @@ LEFT JOIN base_n b ON b.cluster = f.cluster
     return sql
 
 
+def _sql_pq_assign_clustered(src: str, cbn: str, name: str) -> str:
+    """Per-cluster nearest-codeword CTE: the clustered form of
+    ``_sql_pq_assign`` — codebook join keyed on (cluster, s)."""
+    return f"""{name} AS (
+  SELECT cluster, vec_id, s, code, sub FROM (
+    SELECT a.cluster, a.vec_id, a.s, c.code, a.sub,
+           ROW_NUMBER() OVER (PARTITION BY a.cluster, a.vec_id, a.s ORDER BY {_PQ_DIST} ASC, c.code ASC) AS rk
+    FROM {src} a JOIN {cbn} c ON a.cluster = c.cluster AND a.s = c.s
+  ) WHERE rk = 1
+)"""
+
+
+def _sql_pq_update_clustered(assigned: str, name: str) -> str:
+    return f"""{name} AS (
+  SELECT cluster, s, code, list(m ORDER BY dim) AS cw FROM (
+    SELECT cluster, s, code, dim,
+           {fp_mean_sql(float(_FP_SCALE))} AS m
+    FROM (
+      SELECT a.cluster, a.s, a.code, t.i AS dim,
+             {fp_encode_sql('a.sub[t.i]', float(_FP_SCALE))} AS iv
+      FROM {assigned} a, UNNEST(range(1, {PQ_SUB_DIM} + 1)) AS t(i)
+    ) GROUP BY cluster, s, code, dim
+  ) GROUP BY cluster, s, code
+)"""
+
+
+def _partial_refit_sql() -> str:
+    """DuckDB replay of the INCREMENTAL refit's serving state: the
+    frozen-quantizer chains of ``_stream_ann_sql`` (history-fit PQ + IVF,
+    frozen assignment of the incoming split), the integer staleness
+    trigger, then — per TRIPPED cluster — the local sampled PQ chain
+    (seeds = each cluster's first N_PQ_CODES members by vec_id, the same
+    fixed-point updates) re-encoding that cluster's full member set,
+    while untripped clusters keep their frozen codes."""
+    HIST = ANN_HISTORY_MAX_VEC_ID
+    sql = f"""
+WITH vd AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), hsubs AS MATERIALIZED (
+  SELECT vec_id, t.s AS s, list_slice(v, t.s * {PQ_SUB_DIM} + 1, t.s * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS sub
+  FROM vd, UNNEST(range(0, {N_PQ_SUB})) AS t(s)
+  WHERE vec_id < {HIST}
+), isubs AS MATERIALIZED (
+  SELECT vec_id, t.s AS s, list_slice(v, t.s * {PQ_SUB_DIM} + 1, t.s * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS sub
+  FROM vd, UNNEST(range(0, {N_PQ_SUB})) AS t(s)
+  WHERE vec_id >= {HIST}
+), cb0 AS (
+  SELECT s, vec_id AS code, sub AS cw FROM hsubs WHERE vec_id < {N_PQ_CODES}
+)"""
+    cbn = "cb0"
+    for i in range(PQ_ITERS):
+        sql += (
+            f", {_sql_pq_assign('hsubs', cbn, f'passign{i}')}\n"
+            f", {_sql_pq_update(f'passign{i}', f'cb{i + 1}')}"
+        )
+        cbn = f"cb{i + 1}"
+    sql += f"""
+, hvecs AS MATERIALIZED (SELECT vec_id, v FROM vd WHERE vec_id < {HIST})
+, ivecs AS (SELECT vec_id, v FROM vd WHERE vec_id >= {HIST})
+, icents0 AS (
+  SELECT vec_id AS cluster, v AS centroid FROM hvecs WHERE vec_id < {N_IVF_CLUSTERS}
+), {_sql_ivf_assign("hvecs", "icents0", "iassign0")}
+, {_sql_ivf_update("iassign0", "icents1")}
+, {_sql_ivf_assign("hvecs", "icents1", "iassign1")}
+, {_sql_ivf_update("iassign1", "icents2")}
+, {_sql_ivf_assign("hvecs", "icents2", "hfinal")}
+, {_sql_ivf_assign("ivecs", "icents2", "ifinal")}
+, {_sql_pq_assign("hsubs", cbn, "hcodes")}
+, {_sql_pq_assign("isubs", cbn, "icodes")}
+, base_n AS (
+  SELECT cluster, COUNT(*) AS n_base FROM hfinal GROUP BY cluster
+), app_n AS (
+  SELECT cluster, COUNT(*) AS n_appended FROM ifinal GROUP BY cluster
+), trip AS (
+  SELECT a.cluster FROM app_n a LEFT JOIN base_n b ON b.cluster = a.cluster
+  WHERE {REFIT_APPENDED_PER_BASE} * a.n_appended > COALESCE(b.n_base, 0)
+), mem AS (
+  SELECT vec_id, cluster FROM hfinal UNION ALL SELECT vec_id, cluster FROM ifinal
+), csubs AS MATERIALIZED (
+  SELECT m.cluster, s.vec_id, s.s, s.sub
+  FROM (SELECT * FROM hsubs UNION ALL SELECT * FROM isubs) s
+  JOIN mem m ON m.vec_id = s.vec_id
+  WHERE m.cluster IN (SELECT cluster FROM trip)
+), cranked AS MATERIALIZED (
+  SELECT cluster, vec_id, s, sub,
+         ROW_NUMBER() OVER (PARTITION BY cluster, s ORDER BY vec_id) AS rk
+  FROM csubs
+), ctrain AS MATERIALIZED (
+  SELECT cluster, vec_id, s, sub FROM cranked WHERE rk <= {PQ_REFIT_SAMPLE_CAP}
+), ccb0 AS (
+  SELECT cluster, s, CAST(rk - 1 AS BIGINT) AS code, sub AS cw FROM cranked WHERE rk <= {N_PQ_CODES}
+)"""
+    ccbn = "ccb0"
+    for i in range(PQ_ITERS):
+        sql += (
+            f", {_sql_pq_assign_clustered('ctrain', ccbn, f'cpassign{i}')}\n"
+            f", {_sql_pq_update_clustered(f'cpassign{i}', f'ccb{i + 1}')}"
+        )
+        ccbn = f"ccb{i + 1}"
+    sql += f"""
+, {_sql_pq_assign_clustered("csubs", ccbn, "cfinal")}
+SELECT vec_id, s, code, cluster, refit_gen FROM (
+  SELECT f.vec_id, CAST(f.s AS BIGINT) AS s, CAST(f.code AS BIGINT) AS code,
+         CAST(f.cluster AS BIGINT) AS cluster, CAST(1 AS BIGINT) AS refit_gen
+  FROM cfinal f
+  UNION ALL
+  SELECT h.vec_id, CAST(p.s AS BIGINT), CAST(p.code AS BIGINT),
+         CAST(h.cluster AS BIGINT), CAST(0 AS BIGINT)
+  FROM hcodes p JOIN hfinal h ON h.vec_id = p.vec_id
+  WHERE h.cluster NOT IN (SELECT cluster FROM trip)
+  UNION ALL
+  SELECT f.vec_id, CAST(p.s AS BIGINT), CAST(p.code AS BIGINT),
+         CAST(f.cluster AS BIGINT), CAST(0 AS BIGINT)
+  FROM icodes p JOIN ifinal f ON f.vec_id = p.vec_id
+  WHERE f.cluster NOT IN (SELECT cluster FROM trip)
+)
+"""
+    return sql
+
+
 def _refit_sql() -> str:
     """DuckDB replay of the post-swap serving state: BOTH quantizer
     chains fit on the FULL corpus (the exact batch-build arithmetic —
@@ -504,8 +794,10 @@ FROM vcodes p JOIN vfinal f ON f.vec_id = p.vec_id
 QUERIES = {
     "stream_ann_index_append": stream_ann_index_append,
     "stream_ann_index_refit": stream_ann_index_refit,
+    "stream_ann_index_partial_refit": stream_ann_index_partial_refit,
 }
 ORACLE = {
     "stream_ann_index_append": _stream_ann_sql(),
     "stream_ann_index_refit": _refit_sql(),
+    "stream_ann_index_partial_refit": _partial_refit_sql(),
 }

@@ -18,6 +18,7 @@ import os
 import tempfile
 
 from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
+from realtime_change_data_capture_streaming_spark.streaming._drive import drive_staged_stream
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -174,13 +175,6 @@ def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase1 = ins.unionByName(upd_del.filter(same_batch))
     phase2 = upd_del.filter(~same_batch)
     in_dir = stage_ordered_batches([phase1, phase2.repartition(1)], f"{work}/staged")
-    stream = (
-        spark.readStream.schema("key string, value string")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
-    )
-    parsed = parse_envelope(stream, decimal_mode="string")
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
 
     def repair_and_merge(batch: DataFrame, _bid: int) -> None:
@@ -243,13 +237,14 @@ def stream_toast_column_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).drop("_toasted", "_unfilled")
         sink.merge(repaired)
 
-    q = (
-        parsed.writeStream.foreachBatch(repair_and_merge)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    drive_staged_stream(
+        spark,
+        in_dir,
+        "key string, value string",
+        repair_and_merge,
+        f"{work}/ckpt",
+        transform=lambda s: parse_envelope(s, decimal_mode="string"),
     )
-    drain(q)
     return sink.read().select(
         "transaction_id",
         F.col("amount").cast("double").alias("amount"),
@@ -357,7 +352,10 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the same closed-form CDC_TXN_APPLY_SQL as the batch variant —
     the batch split must be invisible in the final state."""
-    from realtime_change_data_capture_streaming_spark.cdc.queries import txn_change_events
+    from realtime_change_data_capture_streaming_spark.cdc.queries import (
+        gate_complete_transactions,
+        txn_change_events,
+    )
 
     work = scratch_dir(prefix="stream_txn_")
     events, meta = txn_change_events(spark, sf_dir)
@@ -384,21 +382,13 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not touched:
             return
         pend = sp.read.parquet(pending).filter(F.col("tb").isin(touched))
-        arrived = (
-            pend.select("txn_id", "key", "lsn")
-            .distinct()
-            .groupBy("txn_id")
-            .agg(F.count(F.lit(1)).alias("n_arrived"))
-        )
-        complete = (
-            arrived.join(sp.read.parquet(meta_pq), "txn_id")
-            .filter(F.col("n_arrived") == F.col("n_expected"))
-            .select("txn_id")
-        )
+        # ONE definition of all-or-nothing completeness for batch AND
+        # stream (VERDICT r12 task 6): the streaming tier differs only in
+        # WHAT it gates (the touched-bucket pending slice), never in HOW.
         # materialize once: isEmpty + merge would otherwise each re-run
         # the pending read, the distinct count, and both joins
         released = (
-            pend.join(complete, "txn_id", "left_semi")
+            gate_complete_transactions(pend, sp.read.parquet(meta_pq))
             .drop("tb", "txn_id", "txn_order")
             .localCheckpoint(eager=True)
         )
@@ -406,20 +396,14 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         sink.merge(released)
 
-    stream = (
-        spark.readStream.schema("key string, value string")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
+    drive_staged_stream(
+        spark,
+        in_dir,
+        "key string, value string",
+        gate,
+        f"{work}/ckpt",
+        transform=lambda s: parse_envelope(s, decimal_mode="string", capture_txn=True),
     )
-    parsed = parse_envelope(stream, decimal_mode="string", capture_txn=True)
-    q = (
-        parsed.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain(q)
     final = sink.read()
     return final.select(
         F.col("transaction_id"),
@@ -604,19 +588,7 @@ def _fk_stream_once(
             evict.write.mode("append").parquet(dead)
         pend.rotate(keep, max_lsn, bid)
 
-    stream = (
-        spark.readStream.schema("key string, value string")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
-    )
-    q = (
-        stream.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain(q)
+    drive_staged_stream(spark, in_dir, "key string, value string", gate, f"{work}/ckpt")
     final = child_sink.read().select(
         F.col("transaction_id").alias("child_id"),
         F.col("user_id").alias("parent_id"),
@@ -823,19 +795,7 @@ def _outbox_stream_once(
         if _crash_after_bid is not None and bid >= _crash_after_bid:
             raise RuntimeError(f"injected crash after batch {bid}")
 
-    stream = (
-        spark.readStream.schema("key string, value string")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
-    )
-    q = (
-        stream.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain(q)
+    drive_staged_stream(spark, in_dir, "key string, value string", gate, f"{work}/ckpt")
     out = spark.read.parquet(publog).select(
         "dest",
         F.col("aggregate_id").cast("bigint").alias("aggregate_id"),

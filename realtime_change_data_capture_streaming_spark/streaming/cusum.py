@@ -55,7 +55,8 @@ from realtime_change_data_capture_streaming_spark.operators.quality import (
     _cusum_cents,
     cusum_oracle_sql,
 )
-from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
+from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.streaming._drive import drive_staged_stream
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 from realtime_change_data_capture_streaming_spark.streaming._store import (
     read_partitioned_store,
@@ -278,12 +279,6 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/staged",
     )
     e = load_table(spark, sf_dir, "events")
-    stream = (
-        spark.readStream.schema(e.schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
-    )
 
     def _advance(batch_df: DataFrame, batch_id: int) -> None:
         rows = _prep(batch_df, kref).localCheckpoint(eager=True)
@@ -294,13 +289,7 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = _read_state(spark, store, day_keys=days)
         _commit_state(store, _advance_touched(st, rows), batch_id, days)
 
-    q = (
-        stream.writeStream.foreachBatch(_advance)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain(q)
+    drive_staged_stream(spark, in_dir, e.schema, _advance, f"{work}/ckpt")
     return _summarize(_read_state(spark, store), kref)
 
 

@@ -24,6 +24,7 @@ import os
 import tempfile
 
 from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
+from realtime_change_data_capture_streaming_spark.streaming._drive import drive_staged_stream
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -272,21 +273,13 @@ def stream_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_store = f"{work}/shingles"
     assign_store = f"{work}/assign"
 
-    stream = (
-        spark.readStream.schema("doc_id bigint, text string, lang string, source string")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
+    drive_staged_stream(
+        spark,
+        in_dir,
+        "doc_id bigint, text string, lang string, source string",
+        lambda b, bid: _merge_dedup_components(shingle_store, assign_store, b, bid),
+        f"{work}/ckpt",
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda b, bid: _merge_dedup_components(shingle_store, assign_store, b, bid)
-        )
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain(q)
     assign = spark.read.parquet(table_commit.resolve(assign_store))
     sizes = assign.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size")

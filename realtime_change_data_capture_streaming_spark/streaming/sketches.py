@@ -32,7 +32,8 @@ from realtime_change_data_capture_streaming_spark.operators.stats import (
     hll_finalize,
     hll_registers,
 )
-from realtime_change_data_capture_streaming_spark.session import drain, scratch_dir
+from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.streaming._drive import drive_staged_stream
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
 
@@ -141,19 +142,9 @@ def stream_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = f"{work}/registers"
     merge_registers = lambda batch, bid: _merge_hll_registers(store, batch, bid)
 
-    stream = (
-        spark.readStream.schema("event_type string, user_id bigint")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
+    drive_staged_stream(
+        spark, in_dir, "event_type string, user_id bigint", merge_registers, f"{work}/ckpt"
     )
-    q = (
-        stream.writeStream.foreachBatch(merge_registers)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain(q)
     regs = spark.read.parquet(table_commit.resolve(store))
     exact = e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n_exact"))
     return hll_finalize(regs, exact)
@@ -183,19 +174,7 @@ def stream_countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = f"{work}/counters"
     merge_counters = lambda batch, bid: _merge_cm_counters(store, batch, bid)
 
-    stream = (
-        spark.readStream.schema("user_id bigint")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
-    )
-    q = (
-        stream.writeStream.foreachBatch(merge_counters)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain(q)
+    drive_staged_stream(spark, in_dir, "user_id bigint", merge_counters, f"{work}/ckpt")
     counters = spark.read.parquet(table_commit.resolve(store))
     return cm_finalize(counters, e.select("user_id"))
 
@@ -230,19 +209,13 @@ def stream_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = f"{work}/sample"
     merge_sample = lambda batch, bid: _merge_bkq_sample(store, batch, bid)
 
-    stream = (
-        spark.readStream.schema("event_type string, event_id bigint, value double")
-        .option("maxFilesPerTrigger", "1")
-        .option("latestFirst", "false")
-        .parquet(in_dir)
+    drive_staged_stream(
+        spark,
+        in_dir,
+        "event_type string, event_id bigint, value double",
+        merge_sample,
+        f"{work}/ckpt",
     )
-    q = (
-        stream.writeStream.foreachBatch(merge_sample)
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    drain(q)
     sample = spark.read.parquet(table_commit.resolve(store))
     return bkq_finalize(sample, bkq_rows(e))
 

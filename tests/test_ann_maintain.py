@@ -198,3 +198,82 @@ def test_staleness_trigger_is_integer_and_per_cluster(spark):
     assert out[1] == (4, 1, False)
     assert out[2] == (1, 1, True)
     assert out[7] == (0, 1, True)
+
+
+def test_partial_refit_rewrites_only_tripped_clusters(spark, tmp_path):
+    """The per-cluster generation swap (VERDICT r12 task 7): publishing a
+    refit of cluster 2 must leave cluster 1's bucket-map entry (and its
+    files) untouched, bump only cluster 2's ``cluster_gen``, and write a
+    version dir holding ONLY cluster 2 — the incremental refit's I/O is
+    O(tripped clusters), never a full index rebuild."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import _rewrite_refit_clusters
+
+    store = str(tmp_path / "store")
+    _append_codes(store, _codes(spark, [(10, 0, 3, 1), (11, 0, 2, 2)]), 0)
+    m0 = table_commit.read_manifest(store)
+    v_of_c1 = m0["buckets"]["1"]
+    refit = _codes(spark, [(11, 0, 7, 2), (12, 0, 1, 2)])  # cluster 2 re-encoded
+    _rewrite_refit_clusters(store, refit, [2], bid=1_000)
+    m1 = table_commit.read_manifest(store)
+    assert m1["buckets"]["1"] == v_of_c1, "untripped cluster was remapped"
+    assert m1["buckets"]["2"] == m1["version"]
+    assert m1["cluster_gen"] == {"2": 1}
+    new_dirs = [
+        e for e in os.listdir(os.path.join(store, m1["version"])) if e.startswith("cluster=")
+    ]
+    assert new_dirs == ["cluster=2"], new_dirs
+    # replay of the refit commit is a no-op (at-least-once safety)
+    _rewrite_refit_clusters(store, refit, [2], bid=1_000)
+    assert table_commit.read_manifest(store)["cluster_gen"] == {"2": 1}
+    # the read sees cluster 1 frozen + cluster 2 re-encoded
+    assert _store_state(spark, store) == [(10, 0, 3, 1), (11, 0, 7, 2), (12, 0, 1, 2)]
+
+
+def test_partial_refit_preserves_untripped_codes(spark, sf_dir, tmp_path):
+    """Drive ``_partial_refit_state`` with an append that trips SOME
+    clusters only: the untripped clusters' output rows must be EXACTLY
+    the frozen base codes (refit_gen 0, codes unchanged), and only
+    tripped clusters carry refit_gen 1 — the branch the registered
+    query's fixture never takes (its ingest volume trips every
+    cluster)."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        ANN_HISTORY_MAX_VEC_ID,
+        _encode,
+        _load_frozen,
+        _partial_refit_state,
+        _stream_ann_index_dir,
+    )
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    incoming = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID
+    )
+    enc = _encode(incoming, cents, cb).localCheckpoint(eager=True)
+    # append only ONE cluster's incoming rows — with the fixture's
+    # incoming/history ratio that cluster trips and the others cannot
+    # (they have no appended rows at all)
+    target = enc.groupBy("cluster").count().orderBy(F.desc("count")).first()["cluster"]
+    store = str(tmp_path / "store")
+    _append_codes(store, enc.filter(F.col("cluster") == target), 0)
+
+    out = _partial_refit_state(spark, sf_dir, store, base)
+    tripped = {r["cluster"] for r in out.filter(F.col("refit_gen") == 1).select("cluster").distinct().collect()}
+    assert tripped == {target}, tripped
+    # untripped clusters: rows identical to the frozen base codes
+    frozen = sorted(
+        (r["vec_id"], r["s"], r["code"], r["cluster"])
+        for r in base.filter(F.col("cluster") != target).collect()
+    )
+    kept = sorted(
+        (r["vec_id"], r["s"], r["code"], r["cluster"])
+        for r in out.filter(F.col("refit_gen") == 0).collect()
+    )
+    assert kept == frozen
+    # tripped cluster: full member set (base members + the append) re-encoded
+    n_members = base.filter((F.col("cluster") == target) & (F.col("s") == 0)).count() + enc.filter(
+        (F.col("cluster") == target) & (F.col("s") == 0)
+    ).count()
+    assert out.filter((F.col("refit_gen") == 1) & (F.col("s") == 0)).count() == n_members

@@ -44,13 +44,17 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "per-batch txn watermark decision — txn-metadata rows, not data rows",
     ),
-    ("streaming/cdc_stream.py", "_run_fk_stream::gate"): (
+    ("streaming/cdc_stream.py", "_fk_stream_once::gate"): (
         1,
-        "per-batch txn watermark decision — txn-metadata rows, not data rows",
+        "per-batch LSN watermark max — one row per feed side, metadata-scale",
     ),
-    ("streaming/cdc_stream.py", "_run_outbox_stream::gate"): (
+    ("streaming/cdc_stream.py", "_outbox_stream_once::gate"): (
         1,
-        "per-batch txn watermark decision — txn-metadata rows, not data rows",
+        "per-batch LSN watermark max — one aggregate row, metadata-scale",
+    ),
+    ("streaming/ann_maintain.py", "_partial_refit_state"): (
+        1,
+        "tripped-cluster id set — model-state scale, <= n_ivf_clusters",
     ),
     ("llm_ops/dedup.py", "_sem_fit_centroids"): (
         2,
