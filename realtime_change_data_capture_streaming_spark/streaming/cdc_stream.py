@@ -352,49 +352,83 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: the same closed-form CDC_TXN_APPLY_SQL as the batch variant —
     the batch split must be invisible in the final state."""
-    from realtime_change_data_capture_streaming_spark.cdc.queries import (
-        gate_complete_transactions,
-        txn_change_events,
-    )
+    from realtime_change_data_capture_streaming_spark.cdc.queries import txn_change_events
 
     work = scratch_dir(prefix="stream_txn_")
     events, meta = txn_change_events(spark, sf_dir)
     op = F.get_json_object(F.col("value"), "$.op")
-    in_dir = stage_ordered_batches(
-        [events.filter(op == "c"), events.filter(op != "c")], f"{work}/staged"
+    final, _paths = _run_txn_stream(
+        spark, [events.filter(op == "c"), events.filter(op != "c")], meta, work
     )
+    return final
+
+
+def _run_txn_stream(
+    spark: SparkSession,
+    frames,
+    meta: DataFrame,
+    work: str,
+    compact: bool = False,
+) -> tuple[DataFrame, dict]:
+    """The transaction-completeness gate over staged micro-batches;
+    returns (final table DataFrame, state paths).
+
+    Default: the pending store is a grow-only flat parquet dir (the
+    registered query's driver-checked form — its output is a pure
+    function of the feed).  With ``compact=True`` the store is BOUNDED
+    the way the docstring above promises: a bucket-mapped versioned
+    store (the ANN codes-store shape) where each batch REWRITES only its
+    touched txn-hash buckets, dropping released transactions' rows —
+    latest-wins re-merge makes re-release redundant, so dropping them
+    cannot change the sink — and carries the applied-batch-id in the
+    manifest, so a restarted driver skips fully-applied replays.  At
+    100 TB the compacted store holds only OPEN transactions (the
+    in-flight window), not every event ever gated."""
+    from realtime_change_data_capture_streaming_spark.cdc.queries import gate_complete_transactions
+    from realtime_change_data_capture_streaming_spark.streaming._store import read_partitioned_store
+    from realtime_change_data_capture_streaming_spark.streaming.sketches import _already_applied
+
+    in_dir = stage_ordered_batches(frames, f"{work}/staged")
     meta_pq = f"{work}/meta"
     meta.write.mode("overwrite").parquet(meta_pq)
 
     pending = f"{work}/pending"
     sink = BucketedParquetSink(spark, f"{work}/sink", n_buckets=32)
 
-    def gate(batch: DataFrame, _bid: int) -> None:
+    def gate(batch: DataFrame, bid: int) -> None:
         sp = batch.sparkSession
+        if compact and _already_applied(pending, bid):
+            return  # fully-applied batch replayed after a crash
         # one evaluation of the envelope parse per batch: the append AND
         # the touched-shard discovery both read the checkpointed blocks
         # (the _run_fk_stream/_run_outbox_stream discipline, r10)
         b = batch.withColumn(
             "tb", F.pmod(F.xxhash64("txn_id"), F.lit(_TXN_TB))
         ).localCheckpoint(eager=True)
-        b.write.mode("append").partitionBy("tb").parquet(pending)
         touched = [r["tb"] for r in b.select("tb").distinct().collect()]
         if not touched:
             return
-        pend = sp.read.parquet(pending).filter(F.col("tb").isin(touched))
+        if compact:
+            pend = read_partitioned_store(sp, pending, "tb", b.schema, ids=touched).unionByName(b)
+        else:
+            b.write.mode("append").partitionBy("tb").parquet(pending)
+            pend = sp.read.parquet(pending).filter(F.col("tb").isin(touched))
         # ONE definition of all-or-nothing completeness for batch AND
         # stream (VERDICT r12 task 6): the streaming tier differs only in
         # WHAT it gates (the touched-bucket pending slice), never in HOW.
         # materialize once: isEmpty + merge would otherwise each re-run
         # the pending read, the distinct count, and both joins
-        released = (
-            gate_complete_transactions(pend, sp.read.parquet(meta_pq))
-            .drop("tb", "txn_id", "txn_order")
-            .localCheckpoint(eager=True)
-        )
-        if released.isEmpty():
-            return
-        sink.merge(released)
+        gated = gate_complete_transactions(pend, sp.read.parquet(meta_pq))
+        released = gated.drop("tb", "txn_id", "txn_order").localCheckpoint(eager=True)
+        if not released.isEmpty():
+            sink.merge(released)
+        if compact:
+            _txn_pend_rewrite(
+                pending,
+                pend.join(gated.select("txn_id").distinct(), "txn_id", "left_anti"),
+                touched,
+                bid,
+            )
 
     drive_staged_stream(
         spark,
@@ -404,14 +438,41 @@ def stream_txn_consistent_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{work}/ckpt",
         transform=lambda s: parse_envelope(s, decimal_mode="string", capture_txn=True),
     )
-    final = sink.read()
-    return final.select(
+    final = sink.read().select(
         F.col("transaction_id"),
         F.col("user_id"),
         F.col("amount").cast("double").alias("amount"),
         F.col("currency"),
         F.col("merchant_name"),
         F.col("voucher_code"),
+    )
+    return final, {"pending": pending}
+
+
+def _txn_pend_rewrite(store: str, keep: DataFrame, touched: list, bid: int) -> None:
+    """Publish the touched buckets' OPEN-transaction rows as a new
+    version superseding only those buckets (the ANN codes-store rewrite
+    shape): released rows leave the store AFTER the merge folded them —
+    a crash in between only re-releases, never loses — and a bucket
+    whose every transaction completed drops out of the map entirely."""
+    rows = keep.localCheckpoint(eager=True)
+    m = table_commit.read_manifest(store)
+    buckets = dict(m.get("buckets", {})) if m else {}
+    vdir, seq = table_commit.begin(store)
+    rows.write.mode("overwrite").partitionBy("tb").parquet(vdir)
+    vname = os.path.basename(vdir)
+    written = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(vdir)
+        if e.startswith("tb=")
+    }
+    for t in touched:
+        if int(t) in written:
+            buckets[str(t)] = vname
+        else:
+            buckets.pop(str(t), None)  # bucket fully drained
+    table_commit.commit(
+        store, seq, meta={"applied_bid": bid, "buckets": buckets}, staged=vdir
     )
 
 

@@ -40,7 +40,7 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "sentinel-key repair images per micro-batch — bounded by batch keys",
     ),
-    ("streaming/cdc_stream.py", "stream_txn_consistent_apply::gate"): (
+    ("streaming/cdc_stream.py", "_run_txn_stream::gate"): (
         1,
         "per-batch txn watermark decision — txn-metadata rows, not data rows",
     ),

@@ -213,3 +213,53 @@ def test_tws_matches_apply_in_pandas_with_state(spark):
         for r in stream_stateful_user_totals(spark, sf).collect()
     }
     assert tws == aip
+
+
+def test_txn_gate_compaction_bounds_pending_without_changing_final_state(spark):
+    """The txn pending store's BOUNDED form (the shape the registered
+    query's docstring promises at scale): with compact=True each batch
+    rewrites only its touched txn-hash buckets, dropping released
+    transactions' rows.  The final table must equal the grow-only run's,
+    and the ending store must hold ONLY the permanently-incomplete
+    transactions' events (the %_TXN_DROP updates that never arrive)."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.cdc.queries import txn_change_events
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+    from realtime_change_data_capture_streaming_spark.streaming._store import read_partitioned_store
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import _run_txn_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    events, meta = txn_change_events(spark, sf_dir)
+    op = F.get_json_object(F.col("value"), "$.op")
+    frames = [events.filter(op == "c"), events.filter(op != "c")]
+
+    base, _ = _run_txn_stream(spark, frames, meta, scratch_dir(prefix="txn_base_"))
+    got, paths = _run_txn_stream(
+        spark, frames, meta, scratch_dir(prefix="txn_cpt_"), compact=True
+    )
+    assert base.exceptAll(got).count() == 0 and got.exceptAll(base).count() == 0
+    assert got.count() > 0
+
+    # the compacted store holds exactly the incomplete transactions
+    from realtime_change_data_capture_streaming_spark.cdc.decode import parse_envelope
+
+    parsed = parse_envelope(events, decimal_mode="string", capture_txn=True)
+    arrived = (
+        parsed.select("txn_id", "key", "lsn").distinct().groupBy("txn_id")
+        .agg(F.count(F.lit(1)).alias("n_arrived"))
+    )
+    incomplete = set(
+        r["txn_id"]
+        for r in arrived.join(meta, "txn_id")
+        .filter(F.col("n_arrived") < F.col("n_expected"))
+        .select("txn_id")
+        .collect()
+    )
+    assert incomplete, "fixture must have permanently-incomplete transactions"
+    pend_schema = parsed.withColumn("tb", F.lit(0).cast("bigint")).schema
+    pend = read_partitioned_store(spark, paths["pending"], "tb", pend_schema)
+    held = set(r["txn_id"] for r in pend.select("txn_id").distinct().collect())
+    assert held == incomplete, (sorted(held)[:5], sorted(incomplete)[:5])
+    # bounded: far fewer rows than the full feed
+    assert pend.count() < events.count()
