@@ -4,6 +4,7 @@ stream-stream joins, CDC apply-changes wiring (cdc.apply_changes)."""
 from realtime_change_data_capture_streaming_spark.cdc import materialized
 from realtime_change_data_capture_streaming_spark.streaming import (
     ann_maintain,
+    bm25_maintain,
     cdc_stream,
     cusum,
     joins,
@@ -15,7 +16,7 @@ from realtime_change_data_capture_streaming_spark.streaming import (
     windows,
 )
 
-_MODULES = (windows, joins, neardup, sketches, cdc_stream, stateful, transform_state, materialized, semantic, ann_maintain, cusum)
+_MODULES = (windows, joins, neardup, sketches, cdc_stream, stateful, transform_state, materialized, semantic, ann_maintain, cusum, bm25_maintain)
 
 
 def all_queries():

@@ -1,0 +1,125 @@
+"""Pins for streaming BM25 index maintenance (streaming/bm25_maintain.py):
+stream == from-scratch closed form, replay safety (counters exactly-once,
+postings dedup-at-read), kill-and-restart, and bucket-pruned serving."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+from realtime_change_data_capture_streaming_spark.llm_ops.text import text_bm25_topk
+from realtime_change_data_capture_streaming_spark.session import scratch_dir
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+    _ingest_batch,
+    _run_bm25_stream,
+    _serve_topk,
+    _stats,
+    stream_bm25_index_maintain,
+)
+from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_maintained_index_equals_from_scratch_build(spark, sf_dir):
+    """The whole correctness story: BM25's inputs are associative over
+    immutable docs, so the streamed-in index must serve the EXACT
+    ranking of a from-scratch build over the same corpus."""
+    got = _rows(stream_bm25_index_maintain(spark, sf_dir))
+    want = _rows(text_bm25_topk(spark, sf_dir))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_ingest_replay_is_exactly_once_for_counters(spark, sf_dir, tmp_path):
+    """A fully-applied replayed batch skips on the manifest bid: the
+    corpus counters must not double-fold, and the serving output must
+    not change (re-appended postings would be deduped anyway, but the
+    skip means they are not even written twice)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    pdir, sstore = str(tmp_path / "postings"), str(tmp_path / "stats")
+    _ingest_batch(pdir, sstore, d, 0)
+    bid0, n0, s0 = _stats(sstore)
+    assert (bid0, n0) == (0, 50)
+    served = _rows(_serve_topk(spark, pdir, sstore))
+    _ingest_batch(pdir, sstore, d, 0)  # re-delivery
+    assert _stats(sstore) == (bid0, n0, s0)
+    assert _rows(_serve_topk(spark, pdir, sstore)) == served
+
+
+def test_half_applied_replay_dedups_at_read(spark, sf_dir, tmp_path):
+    """Crash between the postings append and the stats commit: the
+    replayed batch re-appends the same rows, then commits counters once.
+    Serving must dedup the doubled postings — scores identical to the
+    clean run, df not inflated."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    clean_p, clean_s = str(tmp_path / "cp"), str(tmp_path / "cs")
+    _ingest_batch(clean_p, clean_s, d, 0)
+    want = _rows(_serve_topk(spark, clean_p, clean_s))
+
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import _batch_postings
+
+    pdir, sstore = str(tmp_path / "postings"), str(tmp_path / "stats")
+    postings, _lens = _batch_postings(d)
+    # the half-applied prefix: append landed, counters did not
+    postings.write.mode("append").partitionBy("bucket").parquet(pdir)
+    _ingest_batch(pdir, sstore, d, 0)  # the replay (full batch)
+    assert _stats(sstore)[1] == 50, "counters folded exactly once"
+    assert _rows(_serve_topk(spark, pdir, sstore)) == want
+
+
+def test_restart_from_checkpoint_replays_batch(spark, sf_dir):
+    """Kill-and-restart: the driver dies after batch 0 processed but
+    before its checkpoint commit; the restarted run (fresh closures)
+    replays it and must converge to the crash-free ranking."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = [
+        d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+        d.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+    ]
+    want = _rows(text_bm25_topk(spark, sf_dir))
+
+    work = scratch_dir(prefix="rs_bm25_")
+    in_dir = stage_ordered_batches(frames, f"{work}/staged")
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import _serve_topk
+
+    def run(crash=None):
+        postings_dir, stats_store = f"{work}/postings", f"{work}/stats"
+        from realtime_change_data_capture_streaming_spark.streaming._drive import drive_staged_stream
+        from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import _ingest_batch
+
+        def gate(batch, bid):
+            _ingest_batch(postings_dir, stats_store, batch, bid)
+            if crash is not None and bid >= crash:
+                raise RuntimeError(f"injected crash after batch {bid}")
+
+        drive_staged_stream(spark, in_dir, "doc_id bigint, text string", gate, f"{work}/ckpt")
+        return postings_dir, stats_store
+
+    with pytest.raises(Exception, match="injected crash|Query .* terminated"):
+        run(crash=0)
+    pdir, sstore = run()
+    assert _rows(_serve_topk(spark, pdir, sstore)) == want
+
+
+def test_serving_scan_is_bucket_pruned(spark, sf_dir, tmp_path):
+    """The inverted-index seek: the serving read must plan ONLY the
+    query terms' md5 buckets (path-level pruning), never the whole
+    postings dir."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import _BM25_QUERY, _term_bucket_py
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pdir, sstore = str(tmp_path / "postings"), str(tmp_path / "stats")
+    _ingest_batch(pdir, sstore, d, 0)
+    want = {f"bucket={_term_bucket_py(t)}" for t in _BM25_QUERY}
+    _bid, n_docs, sum_dl = _stats(sstore)
+    buckets = sorted({_term_bucket_py(t) for t in _BM25_QUERY})
+    rows = spark.read.option("basePath", pdir).parquet(
+        *[f"{pdir}/bucket={b}" for b in buckets]
+    )
+    files = rows.inputFiles()
+    assert files and all(any(w in f for w in want) for f in files), files[:3]

@@ -56,6 +56,10 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "tripped-cluster id set — model-state scale, <= n_ivf_clusters",
     ),
+    ("streaming/bm25_maintain.py", "_ingest_batch"): (
+        1,
+        "the batch's two corpus counters (n_docs, sum_dl) — one row",
+    ),
     ("llm_ops/dedup.py", "_sem_fit_centroids"): (
         2,
         "k-means model state: k x 128 fixed-point centroid sums per iteration, k ∝ n_docs/64",
