@@ -39,9 +39,11 @@ then the identical quantized scoring as ``text_bm25_topk``.
 
 At 100 TB: per batch the work is tokenize + one partitioned append +
 one manifest flip; the serving scan reads q/64 of the postings for a
-q-bucket query.  Periodic compaction of the append-log into sorted
-per-bucket files is the same housekeeping job the sink already models
-(``compact_sink``); the dedup-at-read contract keeps it optional.
+q-bucket query.  The append-log lives in a versioned store's live dir,
+so ``compact_bm25_postings`` (segment merging: dedup + rewrite + one
+atomic manifest swap, reader grace window) bounds file count and bytes
+whenever housekeeping runs — the dedup-at-read contract keeps it
+optional for correctness.
 
 Reference parity note: the reference repo has no retrieval surface (a
 6-file CDC demo); this extends the §2.5 LLM-data-pipeline text tier.
@@ -114,13 +116,27 @@ def _stats(stats_store: str) -> tuple[int, int, int]:
     return m.get("applied_bid", -1), m.get("n_docs", 0), m.get("sum_dl", 0)
 
 
-def _ingest_batch(postings_dir: str, stats_store: str, batch: DataFrame, bid: int) -> None:
+def _postings_store(postings_root: str):
+    """The postings append-log lives INSIDE a versioned store's live dir
+    (the ``_PendingStore`` delta-log pattern): per-batch appends land in
+    the live version, and ``compact_bm25_postings`` rotates a deduped
+    rewrite in behind the atomic manifest flip — Lucene-style segment
+    merging with a reader grace window, instead of an uncompactable flat
+    dir."""
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import _PendingStore
+
+    return _PendingStore(postings_root)
+
+
+def _ingest_batch(postings_root: str, stats_store: str, batch: DataFrame, bid: int) -> None:
     """One micro-batch into the maintained index (module-level so tests
     can replay a batch id against real stores)."""
     if _stats(stats_store)[0] >= bid:
         return  # fully-applied batch replayed after a crash
     postings, lens = _batch_postings(batch)
-    postings.write.mode("append").partitionBy("bucket").parquet(postings_dir)
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        _postings_store(postings_root).live_dir()
+    )
     # ONE bounded collect: the batch's two corpus counters (1 row)
     row = lens.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
@@ -130,18 +146,45 @@ def _ingest_batch(postings_dir: str, stats_store: str, batch: DataFrame, bid: in
     _fold_stats(stats_store, int(row["n"]), int(row["s"]), bid)
 
 
-def _serve_topk(spark: SparkSession, postings_dir: str, stats_store: str) -> DataFrame:
-    """BM25 top-k off the maintained index: bucket-pruned postings scan,
-    df from the pruned slice, corpus stats from the manifest.  The
-    dropDuplicates bounds at-least-once replay's re-appended rows —
-    applied to the QUERY-PRUNED slice only, so its cost is query-scale."""
+def compact_bm25_postings(spark: SparkSession, postings_root: str) -> None:
+    """Segment-merge housekeeping: rewrite the live append-log into one
+    deduped (doc, term)-grain layout per bucket and swap it in with one
+    manifest flip.  Readers holding the previous version keep working
+    through GC's grace window; replay-duplicated rows leave the store so
+    the serve-time dedup has nothing left to do.  Run like any
+    compaction job — the maintained index never needs it for
+    correctness, only for file-count/bytes hygiene."""
+    store = _postings_store(postings_root)
+    rows = (
+        spark.read.parquet(store.live_dir())
+        .dropDuplicates(["doc_id", "term"])
+        .localCheckpoint(eager=True)
+    )
+    m = store._manifest()
+    store.rotate(rows, m.get("max_lsn"), m.get("applied_bid", -1), partition_by="bucket")
+
+
+def _serve_topk(spark: SparkSession, postings_root: str, stats_store: str) -> DataFrame:
+    """BM25 top-k off the maintained index: bucket-pruned postings scan
+    of the live version, df from the pruned slice, corpus stats from the
+    manifest.  The dropDuplicates bounds at-least-once replay's
+    re-appended rows — applied to the QUERY-PRUNED slice only, so its
+    cost is query-scale."""
     from pyspark.sql import Window
 
     _bid, n_docs, sum_dl = _stats(stats_store)
+    live = _postings_store(postings_root).live_dir()
     buckets = sorted({_term_bucket_py(t) for t in _BM25_QUERY})
+    # a query term whose bucket never received a posting has no dir —
+    # semantically an empty postings list, not an error
+    paths = [p for b in buckets if os.path.isdir(p := f"{live}/bucket={b}")]
+    if not paths:
+        return spark.createDataFrame(
+            [], "doc_id bigint, n_terms_hit bigint, bm25 double, rk bigint"
+        )
     rows = (
-        spark.read.option("basePath", postings_dir)
-        .parquet(*[f"{postings_dir}/bucket={b}" for b in buckets])
+        spark.read.option("basePath", live)
+        .parquet(*paths)
         .filter(F.col("term").isin(*_BM25_QUERY))
         .select("doc_id", "dl", "term", "tf")
         .dropDuplicates(["doc_id", "term"])

@@ -519,13 +519,16 @@ class _PendingStore:
     def applied_bid(self) -> int:
         return self._manifest().get("applied_bid", -1)
 
-    def rotate(self, keep: DataFrame, max_lsn, bid: int) -> None:
+    def rotate(self, keep: DataFrame, max_lsn, bid: int, partition_by: str | None = None) -> None:
         """Publish the compacted keep-set as the new live version.  The
         superseded version stays through commit()'s grace window, then
         GCs — no immediate rmtree under a concurrent reader."""
         m = self._manifest()
         staged, seq = table_commit.begin(self.root)
-        keep.write.mode("overwrite").parquet(staged)
+        w = keep.write.mode("overwrite")
+        if partition_by is not None:
+            w = w.partitionBy(partition_by)
+        w.parquet(staged)
         table_commit.commit(
             self.root,
             seq,

@@ -112,14 +112,52 @@ def test_serving_scan_is_bucket_pruned(spark, sf_dir, tmp_path):
     postings dir."""
     from realtime_change_data_capture_streaming_spark.llm_ops.text import _BM25_QUERY, _term_bucket_py
 
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import _postings_store
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     pdir, sstore = str(tmp_path / "postings"), str(tmp_path / "stats")
     _ingest_batch(pdir, sstore, d, 0)
     want = {f"bucket={_term_bucket_py(t)}" for t in _BM25_QUERY}
-    _bid, n_docs, sum_dl = _stats(sstore)
+    live = _postings_store(pdir).live_dir()
     buckets = sorted({_term_bucket_py(t) for t in _BM25_QUERY})
-    rows = spark.read.option("basePath", pdir).parquet(
-        *[f"{pdir}/bucket={b}" for b in buckets]
+    rows = spark.read.option("basePath", live).parquet(
+        *[f"{live}/bucket={b}" for b in buckets]
     )
     files = rows.inputFiles()
     assert files and all(any(w in f for w in want) for f in files), files[:3]
+
+
+def test_compaction_dedups_and_swaps_atomically(spark, sf_dir, tmp_path):
+    """Segment-merge housekeeping: after a half-applied replay doubled
+    the append-log, compaction must (a) rewrite the live version to
+    (doc, term)-grain with no duplicate rows left on disk, (b) leave
+    the serving output unchanged, and (c) swap behind the manifest flip
+    so a reader holding the pre-compaction version keeps working."""
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        _batch_postings,
+        _postings_store,
+        compact_bm25_postings,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    pdir, sstore = str(tmp_path / "postings"), str(tmp_path / "stats")
+    postings, _lens = _batch_postings(d)
+    store = _postings_store(pdir)
+    # half-applied prefix + full replay: the log holds every row twice
+    postings.write.mode("append").partitionBy("bucket").parquet(store.live_dir())
+    _ingest_batch(pdir, sstore, d, 0)
+    live0 = store.live_dir()
+    raw0 = spark.read.parquet(live0)
+    n_log = raw0.count()
+    n_unique = raw0.dropDuplicates(["doc_id", "term"]).count()
+    assert n_log == 2 * n_unique, (n_log, n_unique)
+    want = _rows(_serve_topk(spark, pdir, sstore))
+    reader_on_old = spark.read.parquet(live0)
+
+    compact_bm25_postings(spark, pdir)
+    live1 = store.live_dir()
+    assert live1 != live0, "compaction must publish a NEW version"
+    assert spark.read.parquet(live1).count() == n_unique
+    assert _rows(_serve_topk(spark, pdir, sstore)) == want
+    # grace window: the pre-compaction reader still collects its snapshot
+    assert reader_on_old.count() == n_log

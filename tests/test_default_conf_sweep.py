@@ -21,12 +21,9 @@ import os
 import subprocess
 import sys
 
-import pytest
-
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_bare_conf_sweep.py")
 
 
-@pytest.mark.timeout(3600)
 def test_all_queries_plan_on_default_conf_session():
     proc = subprocess.run(
         [sys.executable, _WORKER],
