@@ -281,16 +281,26 @@ def stream_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
 
     def _advance(batch_df: DataFrame, batch_id: int) -> None:
-        rows = _prep(batch_df, kref).localCheckpoint(eager=True)
-        # bounded collect: one id per day in the batch — the state store's
-        # bucket map granularity (metadata-scale, like merge's bucket
-        # discovery); the same list keys the state read AND the commit
-        days = [r["day_key"] for r in rows.select("day_key").distinct().collect()]
-        st = _read_state(spark, store, day_keys=days)
-        _commit_state(store, _advance_touched(st, rows), batch_id, days)
+        _advance_batch(store, kref, batch_df, batch_id)
 
     drive_staged_stream(spark, in_dir, e.schema, _advance, f"{work}/ckpt")
     return _summarize(_read_state(spark, store), kref)
+
+
+def _advance_batch(store: str, kref: DataFrame, batch_df: DataFrame, bid: int) -> None:
+    """One micro-batch of the day-keyed state advance (module-level so
+    the kill-and-restart test can drive it with a fault hook).  All
+    state lives in the store — the day-keyed bucket map, the applied
+    batch id (replay guard inside ``_commit_state``) — so a restarted
+    driver with fresh closures resumes correctly from the checkpoint."""
+    sp = batch_df.sparkSession
+    rows = _prep(batch_df, kref).localCheckpoint(eager=True)
+    # bounded collect: one id per day in the batch — the state store's
+    # bucket map granularity (metadata-scale, like merge's bucket
+    # discovery); the same list keys the state read AND the commit
+    days = [r["day_key"] for r in rows.select("day_key").distinct().collect()]
+    st = _read_state(sp, store, day_keys=days)
+    _commit_state(store, _advance_touched(st, rows), bid, days)
 
 
 #: the streaming oracle: the SAME closed-form body as the batch tier

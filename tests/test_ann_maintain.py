@@ -277,3 +277,55 @@ def test_partial_refit_preserves_untripped_codes(spark, sf_dir, tmp_path):
         (F.col("cluster") == target) & (F.col("s") == 0)
     ).count()
     assert out.filter((F.col("refit_gen") == 1) & (F.col("s") == 0)).count() == n_members
+
+
+def test_ann_ingest_restart_from_checkpoint_replays_batch(spark, sf_dir):
+    """Kill-and-restart for the cluster-mapped codes store: the driver
+    dies after batch 0's append commit but before its checkpoint commit;
+    the restarted run replays batch 0 (skipped on the manifest bid) and
+    finishes batch 1 — final maintained state must equal the batch
+    closed form, same as the crash-free run."""
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+    from realtime_change_data_capture_streaming_spark.streaming._drive import drive_staged_stream
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        ANN_HISTORY_MAX_VEC_ID,
+        _append_codes,
+        _encode,
+        _load_frozen,
+        _stream_ann_index_dir,
+        _with_staleness,
+        ann_index_append_batch,
+    )
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
+
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    work = scratch_dir(prefix="rs_ann_")
+    store = f"{work}/codes_store"
+    e = load_table(spark, sf_dir, "embeddings")
+    incoming = e.filter(F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID)
+    in_dir = stage_ordered_batches(
+        [
+            incoming.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+            incoming.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+        ],
+        f"{work}/staged",
+    )
+
+    def run(crash=None):
+        def gate(batch, bid):
+            fresh = batch.filter(F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID)
+            _append_codes(store, _encode(spread(fresh), cents, cb), bid)
+            if crash is not None and bid >= crash:
+                raise RuntimeError(f"injected crash after batch {bid}")
+
+        drive_staged_stream(spark, in_dir, e.schema, gate, f"{work}/ckpt")
+
+    with pytest.raises(Exception, match="injected crash|Query .* terminated"):
+        run(crash=0)
+    run()
+    got = sorted(tuple(r) for r in _with_staleness(_read_store(spark, store), base).collect())
+    want = sorted(tuple(r) for r in ann_index_append_batch(spark, sf_dir).collect())
+    assert got == want

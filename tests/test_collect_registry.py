@@ -31,7 +31,7 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "touched-cluster id union per micro-batch — metadata-scale, <= n_clusters",
     ),
-    ("streaming/cusum.py", "stream_cusum_monitor::_advance"): (
+    ("streaming/cusum.py", "_advance_batch"): (
         1,
         "the batch's distinct day_keys — keys both the state path-pruning and "
         "the commit's bucket remap; days per batch, metadata-scale",

@@ -132,3 +132,60 @@ def test_touched_day_pruned_commits(spark, tmp_path):
     first_cut_day = (dt.date(2024, 1, 17) - dt.date(1970, 1, 1)).days
     early = {k: v for k, v in buckets.items() if int(k) < first_cut_day}
     assert early and set(early.values()) == {"v00000000"}, early
+
+
+def test_cusum_restart_from_checkpoint_replays_batch(spark):
+    """Kill-and-restart for the day-keyed state store: the driver dies
+    after batch 0's state commit but before its checkpoint commit; the
+    restarted run (fresh closures) replays batch 0 — the applied-bid
+    guard inside _commit_state must skip the double-advance — then
+    finishes the remaining batches to the crash-free summary."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+    from realtime_change_data_capture_streaming_spark.streaming._drive import drive_staged_stream
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
+    from realtime_change_data_capture_streaming_spark.streaming.cusum import (
+        _CUT_1,
+        _CUT_2,
+        _advance_batch,
+        _history_k,
+        _monitored,
+        _read_state,
+        _summarize,
+        stream_cusum_monitor,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = sorted(tuple(r) for r in stream_cusum_monitor(spark, sf_dir).collect())
+
+    kref = _history_k(spark, sf_dir)
+    work = scratch_dir(prefix="rs_cusum_")
+    store = f"{work}/state_store"
+    mon = _monitored(spark, sf_dir)
+    c1, c2 = F.lit(_CUT_1).cast("timestamp"), F.lit(_CUT_2).cast("timestamp")
+    in_dir = stage_ordered_batches(
+        [
+            mon.filter(F.col("ts") < c1),
+            mon.filter((F.col("ts") >= c1) & (F.col("ts") < c2)),
+            mon.filter(F.col("ts") >= c2),
+        ],
+        f"{work}/staged",
+    )
+    schema = load_table(spark, sf_dir, "events").schema
+
+    def run(crash=None):
+        def gate(batch, bid):
+            _advance_batch(store, kref, batch, bid)
+            if crash is not None and bid >= crash:
+                raise RuntimeError(f"injected crash after batch {bid}")
+
+        drive_staged_stream(spark, in_dir, schema, gate, f"{work}/ckpt")
+
+    with pytest.raises(Exception, match="injected crash|Query .* terminated"):
+        run(crash=0)
+    run()
+    got = sorted(tuple(r) for r in _summarize(_read_state(spark, store), kref).collect())
+    assert got == want
