@@ -62,10 +62,11 @@ _DEFER_FIRST_CHECK = frozenset(
 _DEFER_UNTIL_AFTER_ROUND = 11
 # r13 window math: CORRECTNESS_r12 landed, so the r12 deferrals expired on
 # their own.  This round's window = 1 failed-last (format_roundtrip_counts,
-# fixed — re-verified first) + 2 never-checked r13 registrations
-# (stream_ann_index_partial_refit, stream_bm25_index_maintain) + the 18
-# r7-stale queries + 29 oldest-verified — all within the 50-slot budget,
-# no deferral needed; local parity mirrors pin everything meanwhile.
+# fixed — re-verified first) + 3 never-checked r13 registrations
+# (stream_ann_index_partial_refit, stream_bm25_index_maintain,
+# hybrid_lexical_vector_topk) + the 18 r7-stale queries + 28
+# oldest-verified — all within the 50-slot budget, no deferral needed;
+# local parity mirrors pin everything meanwhile.
 
 
 def _verification_order(names, with_oracle=frozenset()):

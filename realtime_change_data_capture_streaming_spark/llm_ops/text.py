@@ -1227,6 +1227,117 @@ LIMIT {_BM25_TOP}
 """
 
 
+#: the hybrid query's vector side: the corpus embedding standing in for
+#: the encoded query (a real pipeline embeds the query text; the fixture
+#: has no encoder, so the query IS a corpus vector — excluded from the
+#: candidate set so its trivial self-match cannot occupy a slot).
+#: documents.doc_id and embeddings.vec_id are the same id space in the
+#: fixture (one embedding per document), which is what lets the fusion
+#: join the two rankings on doc_id.
+_HYBRID_QUERY_VEC = 0
+
+
+def hybrid_lexical_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE hybrid retrieval — the RAG-serving shape: the BM25 lexical
+    ranking (fixed query terms) fused with a VECTOR ranking (cosine of
+    every document's embedding against the fixed query vector) by
+    reciprocal-rank fusion.  The earlier ``text_rrf_fusion_topk`` fuses
+    two LEXICAL rankers sharing one postings pipeline; this one crosses
+    modalities, which is the combiner's actual production use.
+
+    Scale shape: the lexical side is the inverted-index access pattern
+    (query-term postings only); the vector side is one scan with a
+    broadcast 1-row query (at scale: the ANN shortlist — any of the
+    persisted IVF/PQ tiers slots in, since fusion only needs ranks);
+    both sides reduce to ``_RRF_SHORTLIST``-row shortlists before the
+    full-outer fusion join, so the fused join is shortlist x shortlist
+    regardless of corpus size.
+
+    Determinism: the cosine fold is the proven left-to-right double
+    accumulation (``ann_cosine_topk``), BM25 is the quantized integer
+    score, and the fused score is the same double arithmetic on the
+    same small integers in both engines (the ``text_rrf_fusion_topk``
+    discipline)."""
+    from pyspark.sql import Window
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _dot, _norm
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+
+    per_doc = _bm25_doc_scores(spark, sf_dir)
+    lex = _ranked_shortlist(per_doc, "s_fp", "rank_lex")
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = (
+        e.filter(F.col("vec_id") == _HYBRID_QUERY_VEC)
+        .limit(1)
+        .select(F.col("embedding").alias("q_emb"))
+    )
+    cand = e.filter(F.col("vec_id") != _HYBRID_QUERY_VEC).select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = F.broadcast(q).crossJoin(cand).select(
+        "doc_id",
+        (
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        ).alias("cosine"),
+    )
+    vec = _ranked_shortlist(scored, "cosine", "rank_vec")
+
+    fused = lex.join(vec, "doc_id", "full_outer")
+    rl = F.coalesce(F.col("rank_lex"), F.lit(_RRF_SHORTLIST + 1))
+    rv = F.coalesce(F.col("rank_vec"), F.lit(_RRF_SHORTLIST + 1))
+    rrf = F.lit(1.0) / (F.lit(_RRF_K) + rl) + F.lit(1.0) / (F.lit(_RRF_K) + rv)
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    top = (
+        fused.withColumn("rrf", F.round(rrf, 8))
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_BM25_TOP)
+    )
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        F.col("rank_lex").cast("bigint").alias("rank_lex"),
+        F.col("rank_vec").cast("bigint").alias("rank_vec"),
+        "rrf",
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+HYBRID_RRF_SQL = f"""{_BM25_CHAIN_SQL}, lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY s_fp DESC, doc_id ASC) AS BIGINT) AS rank_lex
+    FROM per_doc
+  ) WHERE rank_lex <= {{SHORTLIST}}
+), vscored AS (
+  SELECT c.vec_id AS doc_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (SQRT(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+            * SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+  FROM (SELECT embedding FROM embeddings WHERE vec_id = {{QV}}) q
+  CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id != {{QV}}) c
+), vec AS (
+  SELECT doc_id, rank_vec FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS BIGINT) AS rank_vec
+    FROM vscored
+  ) WHERE rank_vec <= {{SHORTLIST}}
+), fused AS (
+  SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, lex.rank_lex, vec.rank_vec,
+         ROUND(1.0 / ({{K}} + COALESCE(lex.rank_lex, {{SHORTLIST}} + 1))
+             + 1.0 / ({{K}} + COALESCE(vec.rank_vec, {{SHORTLIST}} + 1)), 8) AS rrf
+  FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+)
+SELECT doc_id, rank_lex, rank_vec, rrf,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {{TOP}}
+""".replace("{SHORTLIST}", str(_RRF_SHORTLIST)).replace("{QV}", str(_HYBRID_QUERY_VEC)).replace(
+    "{K}", str(_RRF_K)
+).replace("{TOP}", str(_BM25_TOP))
+
+
 _UNI_TOPK = 64  # multi-char pieces kept in the unigram vocab
 _UNI_MAXLEN = 3  # longest piece; bounds the DP lookback
 _UNI_MISS = -(10**12)  # sentinel for pieces outside the vocab
@@ -1857,6 +1968,7 @@ QUERIES = {
     "text_bpe_encode": text_bpe_encode,
     "text_bigram_pmi": text_bigram_pmi,
     "text_rrf_fusion_topk": text_rrf_fusion_topk,
+    "hybrid_lexical_vector_topk": hybrid_lexical_vector_topk,
     "text_bigram_lm_score": bigram_lm_score,
     "text_heavy_hitters": heavy_hitter_terms,
     "text_unigram_segment": text_unigram_segment,
@@ -1879,6 +1991,7 @@ ORACLE = {
     "text_bpe_encode": _BPE_ENCODE_SQL,
     "text_bigram_pmi": _PMI_SQL_TEXT,
     "text_rrf_fusion_topk": RRF_SQL,
+    "hybrid_lexical_vector_topk": HYBRID_RRF_SQL,
     "text_bigram_lm_score": BIGRAM_LM_SQL,
     "text_heavy_hitters": HEAVY_HITTERS_SQL,
     "text_unigram_segment": UNIGRAM_SQL,

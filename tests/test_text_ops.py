@@ -518,3 +518,28 @@ def test_no_struct_greatest_in_fold_lambdas():
         if re.search(r"list_aggregate\(", sql):
             bad.append((name, "list_aggregate argmax (use scalar greatest)"))
     assert not bad, bad
+
+
+def test_hybrid_fusion_crosses_modalities(spark, sf_dir):
+    """The hybrid fused top-k must actually COMBINE the two modalities:
+    it contains docs carried by their lexical rank and docs carried by
+    their vector rank (absent from the other shortlist entirely), and
+    it differs from both single-modality top-k lists — otherwise the
+    fusion is vacuous on this corpus."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import (
+        _BM25_TOP,
+        hybrid_lexical_vector_topk,
+        text_bm25_topk,
+    )
+
+    fused = hybrid_lexical_vector_topk(spark, sf_dir).collect()
+    assert len(fused) == _BM25_TOP
+    assert [r["rk"] for r in fused] == list(range(1, _BM25_TOP + 1))
+    # both modalities contribute exclusive members
+    lex_only = [r for r in fused if r["rank_vec"] is None]
+    vec_only = [r for r in fused if r["rank_lex"] is None]
+    assert lex_only, "no lexical-only docs survived fusion"
+    assert vec_only, "no vector-only docs survived fusion"
+    # and the fused ranking is not just BM25 re-sorted
+    bm25_ids = [r["doc_id"] for r in text_bm25_topk(spark, sf_dir).collect()]
+    assert [r["doc_id"] for r in fused] != bm25_ids
