@@ -115,6 +115,9 @@ BENCH_QUERIES = (
     # streaming tier (exact cross-batch prefix state, day-keyed store)
     "events_cusum_changepoint",
     "stream_cusum_monitor",
+    # round-13 addition: hybrid lexical+vector retrieval (BM25 + cosine
+    # fused by RRF; two bounded shortlists, one shortlist-sized join)
+    "hybrid_lexical_vector_topk",
 )
 
 
