@@ -7,13 +7,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 from realtime_change_data_capture_streaming_spark.llm_ops.text import text_bm25_topk
 from realtime_change_data_capture_streaming_spark.session import scratch_dir
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
     _ingest_batch,
-    _run_bm25_stream,
     _serve_topk,
     _stats,
     stream_bm25_index_maintain,
@@ -61,14 +59,24 @@ def test_half_applied_replay_dedups_at_read(spark, sf_dir, tmp_path):
     _ingest_batch(clean_p, clean_s, d, 0)
     want = _rows(_serve_topk(spark, clean_p, clean_s))
 
-    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import _batch_postings
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        _batch_postings,
+        _postings_store,
+    )
 
     pdir, sstore = str(tmp_path / "postings"), str(tmp_path / "stats")
     postings, _lens = _batch_postings(d)
-    # the half-applied prefix: append landed, counters did not
-    postings.write.mode("append").partitionBy("bucket").parquet(pdir)
+    # the half-applied prefix: append landed IN THE LIVE DIR, counters
+    # did not — the replay then appends the same rows a second time
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        _postings_store(pdir).live_dir()
+    )
     _ingest_batch(pdir, sstore, d, 0)  # the replay (full batch)
     assert _stats(sstore)[1] == 50, "counters folded exactly once"
+    # non-vacuous: the log really holds every posting twice
+    live = _postings_store(pdir).live_dir()
+    raw = spark.read.parquet(live)
+    assert raw.count() == 2 * raw.dropDuplicates(["doc_id", "term"]).count()
     assert _rows(_serve_topk(spark, pdir, sstore)) == want
 
 
