@@ -1045,19 +1045,15 @@ def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
     return _index_cache("spark_graft_bm25_", spark, sf_dir, build, table="documents")
 
 
-def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 served from the PERSISTED inverted index: route the query
-    terms to their md5 buckets driver-side (pure arithmetic, no job),
-    scan ONLY those postings partitions (partition pruning does the
-    inverted-index seek), then apply the identical quantized scoring as
-    the refit operator — results are hash-identical to
-    ``text_bm25_topk``, so they share its oracle.  At production scale
-    the scan reads q/64 of the postings for a q-bucket query, and df /
-    n_docs / avgdl come from the tiny persisted side tables instead of
-    re-tokenizing the corpus per query."""
+def _bm25_persisted_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quantized BM25 scores served from the PERSISTED inverted
+    index: query terms routed to their md5 buckets driver-side (pure
+    arithmetic, no job), ONLY those postings partitions scanned, df /
+    n_docs / avgdl from the tiny persisted side tables.  Shared by the
+    persisted-top-k operator and the hybrid fusion so the index-served
+    scoring has one definition — hash-identical to ``_bm25_doc_scores``'s
+    s_fp by construction (same postings rows, same quantized factors)."""
     import os
-
-    from pyspark.sql import Window
 
     root = _bm25_index_dir(spark, sf_dir)
     buckets = sorted({_term_bucket_py(t) for t in _BM25_QUERY})
@@ -1077,7 +1073,7 @@ def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = spark.read.parquet(os.path.join(root, "stats")).limit(1)
     enriched = postings.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
     idf_fp, sat_fp = _bm25_fp_columns()
-    per_doc = (
+    return (
         enriched.select("doc_id", (idf_fp * sat_fp).alias("c_fp"))
         .groupBy("doc_id")
         .agg(
@@ -1085,6 +1081,21 @@ def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
         )
     )
+
+
+def text_bm25_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served from the PERSISTED inverted index: route the query
+    terms to their md5 buckets driver-side (pure arithmetic, no job),
+    scan ONLY those postings partitions (partition pruning does the
+    inverted-index seek), then apply the identical quantized scoring as
+    the refit operator — results are hash-identical to
+    ``text_bm25_topk``, so they share its oracle.  At production scale
+    the scan reads q/64 of the postings for a q-bucket query, and df /
+    n_docs / avgdl come from the tiny persisted side tables instead of
+    re-tokenizing the corpus per query."""
+    from pyspark.sql import Window
+
+    per_doc = _bm25_persisted_doc_scores(spark, sf_dir)
     w = Window.orderBy(F.desc("s_fp"), F.asc("doc_id"))
     top = per_doc.orderBy(F.desc("s_fp"), F.asc("doc_id")).limit(_BM25_TOP)
     return top.withColumn("rk", F.row_number().over(w)).select(
@@ -1263,7 +1274,10 @@ def hybrid_lexical_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _dot, _norm
     from realtime_change_data_capture_streaming_spark.operators._util import spread
 
-    per_doc = _bm25_doc_scores(spark, sf_dir)
+    # index-SERVED lexical side: hash-identical s_fp to the re-tokenize
+    # form (shared oracle), but the scan is the persisted inverted-index
+    # seek — the shape a serving tier actually runs
+    per_doc = _bm25_persisted_doc_scores(spark, sf_dir)
     lex = _ranked_shortlist(per_doc, "s_fp", "rank_lex")
 
     e = spread(load_table(spark, sf_dir, "embeddings"))
