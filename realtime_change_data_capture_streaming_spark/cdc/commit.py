@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 MANIFEST = "_CURRENT"
@@ -80,6 +81,13 @@ def resolve(root: str) -> str | None:
 
 
 _STAGED_PREFIX = ".staged-"
+
+#: staged-GC age bound: a staging dir whose seq can no longer commit (the
+#: live manifest reached or passed it) and whose top-level mtime is older
+#: than this is a dead writer's leftover — reclaim it even before the
+#: seq-margin horizon passes it.  In-flight writers at a still-committable
+#: seq (> live) are never age-swept.
+_STAGED_TTL_SECONDS = 3600.0
 
 
 def _staged_name(seq: int) -> str:
@@ -185,12 +193,15 @@ def commit(
         if prev_seq != want_prev:
             # lost the race: remove this writer's own staged
             # (never-published) dir, then fail loudly.  Only rm what we
-            # can attribute to THIS writer — with staged omitted and
-            # several candidates, leave them for staged-GC instead of
-            # guessing.
-            candidates = [staged] if staged is not None else _find_staged(root, seq)
-            if len(candidates) == 1:
-                shutil.rmtree(candidates[0], ignore_errors=True)
+            # can POSITIVELY attribute to THIS writer — the dir it passed
+            # as ``staged``.  With staged omitted, a lone _find_staged
+            # candidate is NOT attribution: if this writer's dir was
+            # already reclaimed by staged-GC, the lone survivor belongs to
+            # a different in-flight writer and deleting it destroys that
+            # writer's in-progress data (ADVICE r13, low) — leave
+            # unattributed dirs for staged-GC.
+            if staged is not None:
+                shutil.rmtree(staged, ignore_errors=True)
             raise ConcurrentCommitError(
                 f"{root}: commit of seq {seq} expected live manifest seq "
                 f"{want_prev!r} but found {prev_seq!r} — another writer "
@@ -241,12 +252,27 @@ def commit(
                     shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
             else:
                 # abandoned staging dirs (crashed/never-committed writers):
-                # anything staged at a seq far behind the live one can no
-                # longer commit (its CAS must fail), so reclaim it.  The
-                # wide margin (not just `keep`) spares slow in-flight
-                # writers from losing their dir mid-write.
+                # anything staged at a seq <= the one just published can no
+                # longer commit (its CAS must fail).  Reclaim it once it is
+                # EITHER far behind the live seq (the wide margin spares
+                # slow in-flight writers from losing their dir mid-write)
+                # OR doomed and untouched for a whole TTL — without the
+                # mtime rule, a writer that died pre-commit on a low seq
+                # parked its dir until the seq horizon happened to pass it,
+                # which on a slow-moving table is never (VERDICT r13
+                # task 7).
                 sseq = _staged_seq(entry)
-                if sseq is not None and sseq < seq - max(keep, 4):
+                if sseq is None:
+                    continue
+                old_by_seq = sseq < seq - max(keep, 4)
+                stale_by_age = False
+                if not old_by_seq and sseq <= seq:
+                    try:
+                        age = time.time() - os.path.getmtime(os.path.join(root, entry))
+                    except OSError:
+                        age = 0.0
+                    stale_by_age = age > _STAGED_TTL_SECONDS
+                if old_by_seq or stale_by_age:
                     shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
         _prune_history(root, lo=seq - keep)
 

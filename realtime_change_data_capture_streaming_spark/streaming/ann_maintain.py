@@ -165,7 +165,15 @@ def _append_codes(store: str, batch_codes: DataFrame, bid: int) -> None:
     vname = os.path.basename(vdir)
     for c in touched:
         buckets[str(c)] = vname
-    table_commit.commit(store, seq, meta={"applied_bid": bid, "buckets": buckets}, staged=vdir)
+    # carry the refit frontier/generations through: an append after a
+    # partial refit must not reset the refit replay guard or drop the
+    # per-cluster generation map (commit() replaces meta wholesale)
+    meta = {"applied_bid": bid, "buckets": buckets}
+    if m is not None:
+        for k in ("refit_bid", "cluster_gen"):
+            if k in m:
+                meta[k] = m[k]
+    table_commit.commit(store, seq, meta=meta, staged=vdir)
 
 
 def _read_store(spark: SparkSession, store: str, clusters: list | None = None) -> DataFrame:
@@ -413,6 +421,17 @@ def _pq_fit_clustered(csubs: DataFrame) -> DataFrame:
     return cb
 
 
+def _refit_already_applied(store: str, bid: int) -> bool:
+    """Replay guard for REFIT commits, tracked under the manifest's
+    ``refit_bid`` key — deliberately separate from the ingest appends'
+    ``applied_bid`` frontier.  Sharing one counter silently skipped every
+    later ingest batch once a refit committed a large bid (ADVICE r13,
+    medium): the append frontier must keep advancing monotonically
+    through refits, and refit replays must be judged against refits."""
+    m = table_commit.read_manifest(store)
+    return m is not None and bid <= m.get("refit_bid", -1)
+
+
 def _rewrite_refit_clusters(
     store: str, new_codes: DataFrame, tripped: list, bid: int
 ) -> None:
@@ -421,8 +440,10 @@ def _rewrite_refit_clusters(
     generation swap: untripped clusters keep their manifest entries (and
     their files) untouched, and the manifest's ``cluster_gen`` map
     records which clusters are serving a refreshed local codebook.
-    Replay-guarded like the appends."""
-    if _already_applied(store, bid):
+    Replay-guarded like the appends, but on the SEPARATE ``refit_bid``
+    frontier — the ingest stream's ``applied_bid`` rides through
+    unchanged so ingestion can continue past refits."""
+    if _refit_already_applied(store, bid):
         return
     rows = new_codes.select("vec_id", "s", "code", "cluster").localCheckpoint(eager=True)
     m = table_commit.read_manifest(store)
@@ -434,12 +455,10 @@ def _rewrite_refit_clusters(
     for c in tripped:
         buckets[str(c)] = vname
         gens[str(c)] = int(gens.get(str(c), 0)) + 1
-    table_commit.commit(
-        store,
-        seq,
-        meta={"applied_bid": bid, "buckets": buckets, "cluster_gen": gens},
-        staged=vdir,
-    )
+    meta = {"refit_bid": bid, "buckets": buckets, "cluster_gen": gens}
+    if m is not None and "applied_bid" in m:
+        meta["applied_bid"] = m["applied_bid"]
+    table_commit.commit(store, seq, meta=meta, staged=vdir)
 
 
 def _partial_refit_state(
@@ -492,7 +511,7 @@ def _partial_refit_state(
         new_codes = _pq_assign_clustered(csubs, cb_local).select(
             "vec_id", F.col("s").cast("bigint").alias("s"), "code", "cluster"
         )
-        _rewrite_refit_clusters(store, new_codes, tripped, bid=1_000)
+        _rewrite_refit_clusters(store, new_codes, tripped, bid=0)
     # final state off the per-cluster-swapped store: tripped clusters'
     # rows now ARE the full re-encoded member sets; untripped clusters =
     # frozen base + frozen appended codes

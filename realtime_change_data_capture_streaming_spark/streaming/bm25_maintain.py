@@ -176,9 +176,12 @@ def _serve_topk(spark: SparkSession, postings_root: str, stats_store: str) -> Da
     live = _postings_store(postings_root).live_dir()
     buckets = sorted({_term_bucket_py(t) for t in _BM25_QUERY})
     # a query term whose bucket never received a posting has no dir —
-    # semantically an empty postings list, not an error
+    # semantically an empty postings list, not an error.  n_docs == 0 is
+    # the half-applied crash window (postings append landed, stats commit
+    # did not): the corpus has no committed documents yet, so serving is
+    # empty — not a ZeroDivisionError computing avgdl (ADVICE r13, low).
     paths = [p for b in buckets if os.path.isdir(p := f"{live}/bucket={b}")]
-    if not paths:
+    if not paths or n_docs == 0:
         return spark.createDataFrame(
             [], "doc_id bigint, n_terms_hit bigint, bm25 double, rk bigint"
         )

@@ -229,6 +229,40 @@ def test_partial_refit_rewrites_only_tripped_clusters(spark, tmp_path):
     assert _store_state(spark, store) == [(10, 0, 3, 1), (11, 0, 7, 2), (12, 0, 1, 2)]
 
 
+def test_ingest_continues_past_a_refit(spark, tmp_path):
+    """ADVICE r13 (medium): the refit replay guard must NOT share the
+    ingest appends' ``applied_bid`` frontier.  After a refit commit, the
+    stream's next micro-batches (bids continuing 0,1,2,...) must still
+    apply — and their commits must not drop the refit's ``cluster_gen``
+    map or reset its ``refit_bid``."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        _rewrite_refit_clusters,
+    )
+
+    store = str(tmp_path / "store")
+    _append_codes(store, _codes(spark, [(10, 0, 3, 1), (11, 0, 2, 2)]), 0)
+    _rewrite_refit_clusters(store, _codes(spark, [(11, 0, 7, 2)]), [2], bid=0)
+    m = table_commit.read_manifest(store)
+    assert m["refit_bid"] == 0 and m["cluster_gen"] == {"2": 1}
+    assert m["applied_bid"] == 0, "refit moved the ingest frontier"
+
+    # ingestion continues: bid 1 (a NORMAL next batch id) must apply
+    _append_codes(store, _codes(spark, [(12, 0, 9, 1)]), 1)
+    m2 = table_commit.read_manifest(store)
+    assert m2["applied_bid"] == 1, "post-refit ingest batch was silently skipped"
+    assert m2["cluster_gen"] == {"2": 1}, "append dropped the refit generations"
+    assert m2["refit_bid"] == 0, "append reset the refit frontier"
+    assert _store_state(spark, store) == [(10, 0, 3, 1), (11, 0, 7, 2), (12, 0, 9, 1)]
+    # a REPLAYED refit (same refit bid) after the append is still a no-op
+    _rewrite_refit_clusters(store, _codes(spark, [(11, 0, 5, 2)]), [2], bid=0)
+    assert table_commit.read_manifest(store)["cluster_gen"] == {"2": 1}
+    # and a SECOND refit round advances its own frontier
+    _rewrite_refit_clusters(store, _codes(spark, [(11, 0, 5, 2)]), [2], bid=1)
+    m3 = table_commit.read_manifest(store)
+    assert m3["refit_bid"] == 1 and m3["cluster_gen"] == {"2": 2}
+    assert m3["applied_bid"] == 1
+
+
 def test_partial_refit_preserves_untripped_codes(spark, sf_dir, tmp_path):
     """Drive ``_partial_refit_state`` with an append that trips SOME
     clusters only: the untripped clusters' output rows must be EXACTLY

@@ -80,6 +80,29 @@ def test_half_applied_replay_dedups_at_read(spark, sf_dir, tmp_path):
     assert _rows(_serve_topk(spark, pdir, sstore)) == want
 
 
+def test_serving_zero_committed_docs_is_empty_not_an_error(spark, sf_dir, tmp_path):
+    """ADVICE r13 (low): in the half-applied crash window the postings
+    bucket dirs EXIST but the stats commit never landed (n_docs == 0) —
+    serving must return the empty frame, not raise ZeroDivisionError
+    computing avgdl."""
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        _batch_postings,
+        _postings_store,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    pdir, sstore = str(tmp_path / "postings"), str(tmp_path / "stats")
+    postings, _lens = _batch_postings(d)
+    # the half-applied prefix only: append landed, counters did not
+    postings.write.mode("append").partitionBy("bucket").parquet(
+        _postings_store(pdir).live_dir()
+    )
+    assert _stats(sstore) == (-1, 0, 0)
+    out = _serve_topk(spark, pdir, sstore)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["doc_id", "n_terms_hit", "bm25", "rk"]
+
+
 def test_restart_from_checkpoint_replays_batch(spark, sf_dir):
     """Kill-and-restart: the driver dies after batch 0 processed but
     before its checkpoint commit; the restarted run (fresh closures)

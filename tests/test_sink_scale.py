@@ -12,6 +12,7 @@
 from __future__ import annotations
 
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -559,10 +560,65 @@ def test_concurrent_commit_loses_loudly(tmp_path):
     vdir_b, seq_b = tc.begin(root)  # allocated AFTER a's commit
     with pytest.raises(tc.ConcurrentCommitError):
         # b's work was computed against seq0 — the CAS must reject it
-        tc.commit(root, seq_b, meta={"x": "b"}, expect_prev=seq0)
+        tc.commit(root, seq_b, meta={"x": "b"}, expect_prev=seq0, staged=vdir_b)
     m = tc.read_manifest(root)
     assert m["x"] == "a", "loser overwrote the winner"
     assert not os.path.exists(vdir_b), "loser's staged dir not cleaned up"
+
+
+def test_cas_failure_without_staged_leaves_other_writers_dirs(tmp_path):
+    """ADVICE r13 (low): a loser that cannot attribute a staging dir to
+    itself (staged omitted) must NOT delete the lone candidate — it may
+    belong to a different in-flight writer whose own dir is still being
+    written.  Unattributed dirs are staged-GC's job."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as tc
+
+    root = str(tmp_path / "t")
+    vdir0, seq0 = tc.begin(root)
+    tc.commit(root, seq0, meta={"x": 0}, staged=vdir0)
+
+    # writer A advances the table; writer B (snapshot seq0) will lose.
+    # B's own staging dir was "already reclaimed" (simulated by rmtree);
+    # the only staging dir left at B's seq belongs to in-flight writer C.
+    vdir_a, seq_a = tc.begin(root)
+    vdir_b, seq_b = tc.begin(root)
+    vdir_c, seq_c = tc.begin(root)
+    assert seq_b == seq_c
+    with open(os.path.join(vdir_c, "data.txt"), "w") as f:
+        f.write("c-in-flight")
+    tc.commit(root, seq_a, meta={"x": "a"}, expect_prev=seq0, staged=vdir_a)
+    import shutil
+
+    shutil.rmtree(vdir_b)  # B's dir already gone (e.g. staged-GC)
+    with pytest.raises(tc.ConcurrentCommitError):
+        tc.commit(root, seq_b, meta={"x": "b"}, expect_prev=seq0)  # staged=None
+    assert os.path.isdir(vdir_c), "loser deleted another writer's in-progress dir"
+    with open(os.path.join(vdir_c, "data.txt")) as f:
+        assert f.read() == "c-in-flight"
+
+
+def test_staged_gc_reclaims_doomed_dirs_by_age(tmp_path):
+    """VERDICT r13 task 7: a writer that died pre-commit parks its staging
+    dir; once its seq can no longer commit AND it has sat untouched past
+    the TTL, the next commit's GC walk reclaims it — without waiting for
+    the live seq to outrun the wide margin.  A fresh doomed dir (possible
+    slow in-flight writer about to fail its CAS loudly) is left alone."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as tc
+
+    root = str(tmp_path / "t")
+    vdir0, seq0 = tc.begin(root)
+    tc.commit(root, seq0, meta={"x": 0}, staged=vdir0)
+
+    dead, dead_seq = tc.begin(root)  # crashed writer's leftover
+    fresh, fresh_seq = tc.begin(root)  # slow writer, same seq, still recent
+    assert dead_seq == fresh_seq
+    two_hours_ago = time.time() - 2 * 3600
+    os.utime(dead, (two_hours_ago, two_hours_ago))
+
+    winner, wseq = tc.begin(root)
+    tc.commit(root, wseq, meta={"x": 1}, staged=winner)
+    assert not os.path.exists(dead), "stale doomed staging dir not age-swept"
+    assert os.path.isdir(fresh), "fresh doomed dir must survive until stale or out-margined"
 
 
 def test_concurrent_commit_same_snapshot_interleaving(tmp_path):
