@@ -158,6 +158,41 @@ def test_serving_scan_is_bucket_pruned(spark, sf_dir, tmp_path):
     assert files and all(any(w in f for w in want) for f in files), files[:3]
 
 
+def test_ingest_loop_auto_compacts_and_ranking_is_unchanged(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r13 task 4: the ingest loop must trigger segment merging
+    itself — N small batches past the manifest-tracked cadence
+    auto-compact (postings manifest rotates, log file count drops to the
+    deduped layout) and the served ranking is identical to an
+    untriggered run over the same corpus."""
+    import realtime_change_data_capture_streaming_spark.streaming.bm25_maintain as bm
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    batches = [d.filter(F.pmod(F.col("doc_id"), F.lit(6)) == i) for i in range(6)]
+
+    # reference run: triggering disabled (cadence out of reach)
+    monkeypatch.setattr(bm, "AUTO_COMPACT_BATCHES", 10_000)
+    p0, s0 = str(tmp_path / "p0"), str(tmp_path / "s0")
+    for i, b in enumerate(batches):
+        bm._ingest_batch(p0, s0, b, i)
+    want = _rows(_serve_topk(spark, p0, s0))
+    store0 = bm._postings_store(p0)
+    assert store0._manifest()["seq"] == 0, "untriggered run must never rotate"
+
+    # triggered run: compaction every 3 applied batches
+    monkeypatch.setattr(bm, "AUTO_COMPACT_BATCHES", 3)
+    p1, s1 = str(tmp_path / "p1"), str(tmp_path / "s1")
+    for i, b in enumerate(batches):
+        bm._ingest_batch(p1, s1, b, i)
+    store1 = bm._postings_store(p1)
+    m1 = store1._manifest()
+    assert m1["seq"] >= 2, "cadence 3 over 6 batches must rotate twice"
+    assert m1["applied_bid"] == 5, "compaction must record the frontier it folded"
+    # the live log is the deduped (doc, term) layout, not a 6-batch append pile
+    raw = spark.read.parquet(store1.live_dir())
+    assert raw.count() == raw.dropDuplicates(["doc_id", "term"]).count()
+    assert _rows(_serve_topk(spark, p1, s1)) == want
+
+
 def test_compaction_dedups_and_swaps_atomically(spark, sf_dir, tmp_path):
     """Segment-merge housekeeping: after a half-applied replay doubled
     the append-log, compaction must (a) rewrite the live version to
