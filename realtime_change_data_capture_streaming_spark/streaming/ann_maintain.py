@@ -57,8 +57,13 @@ from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
     N_IVF_CLUSTERS,
     N_PQ_CODES,
     N_PQ_SUB,
+    N_PROBE,
+    N_QUERY_VECS,
     PQ_ITERS,
     PQ_SUB_DIM,
+    TOP_K,
+    _adc_lut,
+    _ADC_SCALE,
     _assign,
     _FP_SCALE,
     _index_cache,
@@ -464,6 +469,15 @@ def _rewrite_refit_clusters(
 def _partial_refit_state(
     spark: SparkSession, sf_dir: str, store: str, base: DataFrame
 ) -> DataFrame:
+    """The serving state after the incremental refit (see
+    :func:`_do_partial_refit` for the mechanics and the scale story)."""
+    state, _tripped, _cb_local = _do_partial_refit(spark, sf_dir, store, base)
+    return state
+
+
+def _do_partial_refit(
+    spark: SparkSession, sf_dir: str, store: str, base: DataFrame
+) -> tuple[DataFrame, list, DataFrame | None]:
     """Consume the staleness trigger INCREMENTALLY (VERDICT r12 task 7):
     instead of the full-corpus double-quantizer rebuild
     (``stream_ann_index_refit``), re-train a LOCAL PQ codebook per
@@ -478,10 +492,13 @@ def _partial_refit_state(
     through the per-cluster manifest swap — no full-index rebuild on the
     ingest path.
 
-    Returns the final serving state: (vec_id, s, code, cluster,
-    refit_gen) for EVERY vector — tripped clusters carry their locally
-    re-trained codes (refit_gen 1), untripped keep the frozen encoding
-    (refit_gen 0)."""
+    Returns (serving_state, tripped_cluster_ids, local_codebooks):
+    serving_state = (vec_id, s, code, cluster, refit_gen) for EVERY
+    vector — tripped clusters carry their locally re-trained codes
+    (refit_gen 1), untripped keep the frozen encoding (refit_gen 0);
+    local_codebooks = the tripped clusters' (cluster, s, code, cw)
+    tables (None when nothing tripped) so a mixed-generation search can
+    score each cluster against the codebook that encoded it."""
     state = _with_staleness(_read_store(spark, store), base)
     # bounded collect: <= k cluster ids (model-state scale)
     tripped = sorted(
@@ -494,6 +511,7 @@ def _partial_refit_state(
         F.col("code").cast("bigint").alias("code"),
         F.col("cluster").cast("bigint").alias("cluster"),
     )
+    cb_local = None
     if tripped:
         # current members of the tripped clusters: history (base codes)
         # plus appended (store rows); one s=0 row per vector
@@ -520,13 +538,14 @@ def _partial_refit_state(
     )
     keep_base = base_rows.filter(~F.col("cluster").isin([int(c) for c in tripped]))
     out = store_rows.unionByName(keep_base)
-    return out.select(
+    state = out.select(
         "vec_id",
         "s",
         "code",
         "cluster",
         F.col("cluster").isin([int(c) for c in tripped]).cast("bigint").alias("refit_gen"),
     )
+    return state, tripped, cb_local
 
 
 def stream_ann_index_partial_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,6 +557,123 @@ def stream_ann_index_partial_refit(spark: SparkSession, sf_dir: str) -> DataFram
     cents, cb, base = _load_frozen(spark, root)
     _work, store = _run_ingest_stream(spark, sf_dir, cents, cb)
     return _partial_refit_state(spark, sf_dir, store, base)
+
+
+def stream_ann_partial_refit_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE an ADC search off the MID-REFIT mixed-generation index
+    (VERDICT r13 task 5): ingest across real micro-batches, run the
+    incremental per-cluster refit, then answer a top-k search against
+    the resulting state — tripped clusters scored with their LOCAL
+    re-trained codebooks, untripped clusters with the frozen one, in the
+    SAME query.  Serving never blocks on maintenance: this is the
+    generalization of the reference consumer's always-on loop
+    (``transaction_consumer.py:72-103`` keeps consuming regardless of
+    what the rest of the pipeline does), applied to the index tier.
+
+    Search shape: the coarse quantizer is frozen (membership never moves
+    mid-refit), so the probe ranking uses the frozen centroids; each
+    query scans only its probed clusters' CODES, and every partial
+    distance comes from the codebook generation that encoded the cluster
+    (the manifest's ``cluster_gen`` contract made queryable).  The output
+    ranks by the exact fixed-point ADC score — codes only, no
+    full-precision rerank — so the mixed generations are VISIBLE in the
+    hashed values, not washed out by an exact rerank.
+
+    At 100 TB: probe pruning bounds the scan to n_probe/k of a
+    32x-compressed table; the local-codebook LUT is n_tripped * M * K
+    rows and the frozen LUT M * K — both broadcast model state."""
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    _work, store = _run_ingest_stream(spark, sf_dir, cents, cb)
+    state, _tripped, cb_local = _do_partial_refit(spark, sf_dir, store, base)
+    return _serve_adc_mixed(spark, sf_dir, cents, cb, state, cb_local)
+
+
+def _serve_adc_mixed(
+    spark: SparkSession,
+    sf_dir: str,
+    cents: DataFrame,
+    cb: DataFrame,
+    state: DataFrame,
+    cb_local: DataFrame | None,
+) -> DataFrame:
+    """The mixed-generation ADC search core (split out so tests can drive
+    it over a hand-built store where only SOME clusters tripped — the
+    registered query's fixture trips every cluster)."""
+    from pyspark.sql import Window
+
+    state = state.localCheckpoint(eager=True)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS)
+    qsubs = _subvectors(q)
+
+    # probe the frozen coarse quantizer; ONE evaluation serves both the
+    # partition-prune id union and the broadcast probe frame (bounded
+    # collect: N_QUERY_VECS * N_PROBE rows, model-state scale)
+    l2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("cluster"))
+    probe_rows = (
+        q.select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("dist", l2)
+        .withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= N_PROBE)
+        .select("query_id", "cluster")
+        .collect()
+    )
+    probes = spark.createDataFrame(probe_rows, "query_id bigint, cluster bigint")
+    probed_ids = sorted({int(r["cluster"]) for r in probe_rows})
+
+    cand = state.filter(
+        (F.col("vec_id") >= N_QUERY_VECS) & F.col("cluster").isin(probed_ids)
+    ).select(F.col("vec_id").alias("cand_id"), "s", "code", "cluster", "refit_gen")
+
+    dist = F.aggregate(
+        F.zip_with("sub", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    flut = _adc_lut(qsubs, cb)
+    pairs = cand.filter(F.col("refit_gen") == 0).join(F.broadcast(flut), ["s", "code"])
+    if cb_local is not None:
+        llut = (
+            qsubs.select(F.col("vec_id").alias("query_id"), "s", "sub")
+            .join(F.broadcast(cb_local), "s")
+            .select(
+                "cluster",
+                "query_id",
+                "s",
+                "code",
+                F.floor(dist * F.lit(float(_ADC_SCALE))).alias("pfp"),
+            )
+        )
+        pairs_local = cand.filter(F.col("refit_gen") == 1).join(
+            F.broadcast(llut), ["cluster", "s", "code"]
+        )
+        pairs = pairs.unionByName(pairs_local.select(*pairs.columns))
+    scored = (
+        pairs.join(F.broadcast(probes), ["query_id", "cluster"], "left_semi")
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.sum("pfp").alias("adc_fp"),
+            F.max("refit_gen").cast("bigint").alias("cand_gen"),
+        )
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.asc("adc_fp"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "cand_id", "adc_fp", "cand_gen", F.col("rk").cast("bigint").alias("rk"))
+    )
 
 
 #: shared CTE text shapes for the DuckDB replays (the same fixed-point
@@ -681,14 +817,13 @@ def _sql_pq_update_clustered(assigned: str, name: str) -> str:
 )"""
 
 
-def _partial_refit_sql() -> str:
-    """DuckDB replay of the INCREMENTAL refit's serving state: the
+def _partial_refit_chain() -> tuple[str, str, str]:
+    """The shared CTE chain for the incremental-refit replays: the
     frozen-quantizer chains of ``_stream_ann_sql`` (history-fit PQ + IVF,
     frozen assignment of the incoming split), the integer staleness
-    trigger, then — per TRIPPED cluster — the local sampled PQ chain
-    (seeds = each cluster's first N_PQ_CODES members by vec_id, the same
-    fixed-point updates) re-encoding that cluster's full member set,
-    while untripped clusters keep their frozen codes."""
+    trigger, the per-tripped-cluster local sampled PQ chain, and the
+    final ``serving`` CTE (every vector's live codes + refit_gen).
+    Returns (chain_sql, frozen_codebook_cte, local_codebook_cte)."""
     HIST = ANN_HISTORY_MAX_VEC_ID
     sql = f"""
 WITH vd AS MATERIALIZED (
@@ -756,7 +891,7 @@ WITH vd AS MATERIALIZED (
         ccbn = f"ccb{i + 1}"
     sql += f"""
 , {_sql_pq_assign_clustered("csubs", ccbn, "cfinal")}
-SELECT vec_id, s, code, cluster, refit_gen FROM (
+, serving AS (
   SELECT f.vec_id, CAST(f.s AS BIGINT) AS s, CAST(f.code AS BIGINT) AS code,
          CAST(f.cluster AS BIGINT) AS cluster, CAST(1 AS BIGINT) AS refit_gen
   FROM cfinal f
@@ -770,9 +905,69 @@ SELECT vec_id, s, code, cluster, refit_gen FROM (
          CAST(f.cluster AS BIGINT), CAST(0 AS BIGINT)
   FROM icodes p JOIN ifinal f ON f.vec_id = p.vec_id
   WHERE f.cluster NOT IN (SELECT cluster FROM trip)
-)
+)"""
+    return sql, cbn, ccbn
+
+
+def _partial_refit_sql() -> str:
+    """DuckDB replay of the INCREMENTAL refit's serving state (see
+    ``_partial_refit_chain`` for the chains): tripped clusters carry
+    locally re-trained codes, untripped keep their frozen encoding."""
+    chain, _cbn, _ccbn = _partial_refit_chain()
+    return f"""{chain}
+SELECT vec_id, s, code, cluster, refit_gen FROM serving
 """
-    return sql
+
+
+def _partial_refit_serve_sql() -> str:
+    """DuckDB replay of the MID-REFIT ADC search: the full incremental-
+    refit chain, then — per query — a probe ranking against the FROZEN
+    coarse centroids and an ADC scan of the probed clusters' serving
+    codes, each partial distance taken from the codebook generation that
+    encoded the cluster (local for tripped, frozen otherwise), ranked by
+    the exact fixed-point score."""
+    chain, cbn, ccbn = _partial_refit_chain()
+    return f"""{chain}
+, qsubs AS (
+  SELECT vec_id, s, sub FROM hsubs WHERE vec_id < {N_QUERY_VECS}
+), probes AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST} ASC, c.cluster ASC) AS prk
+    FROM (SELECT vec_id, v FROM vd WHERE vec_id < {N_QUERY_VECS}) e CROSS JOIN icents2 c
+  ) WHERE prk <= {N_PROBE}
+), flut AS (
+  SELECT a.vec_id AS query_id, a.s, c.code,
+         CAST(FLOOR({_PQ_DIST} * {float(_ADC_SCALE)}) AS BIGINT) AS pfp
+  FROM qsubs a JOIN {cbn} c ON a.s = c.s
+), llut AS (
+  SELECT c.cluster, a.vec_id AS query_id, a.s, c.code,
+         CAST(FLOOR({_PQ_DIST} * {float(_ADC_SCALE)}) AS BIGINT) AS pfp
+  FROM qsubs a JOIN {ccbn} c ON a.s = c.s
+), pairs AS (
+  SELECT p.query_id, v.vec_id AS cand_id, l.pfp, v.refit_gen
+  FROM serving v
+  JOIN probes p ON p.cluster = v.cluster
+  JOIN llut l ON l.cluster = v.cluster AND l.s = v.s AND l.code = v.code
+             AND l.query_id = p.query_id
+  WHERE v.refit_gen = 1 AND v.vec_id >= {N_QUERY_VECS}
+  UNION ALL
+  SELECT p.query_id, v.vec_id, l.pfp, v.refit_gen
+  FROM serving v
+  JOIN probes p ON p.cluster = v.cluster
+  JOIN flut l ON l.s = v.s AND l.code = v.code AND l.query_id = p.query_id
+  WHERE v.refit_gen = 0 AND v.vec_id >= {N_QUERY_VECS}
+), adc AS (
+  SELECT query_id, cand_id, SUM(pfp) AS adc_fp, MAX(refit_gen) AS cand_gen
+  FROM pairs GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_fp, cand_gen, rk FROM (
+  SELECT query_id, cand_id, CAST(adc_fp AS BIGINT) AS adc_fp,
+         CAST(cand_gen AS BIGINT) AS cand_gen,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp ASC, cand_id ASC) AS BIGINT) AS rk
+  FROM adc
+) WHERE rk <= {TOP_K}
+"""
 
 
 def _refit_sql() -> str:
@@ -814,9 +1009,11 @@ QUERIES = {
     "stream_ann_index_append": stream_ann_index_append,
     "stream_ann_index_refit": stream_ann_index_refit,
     "stream_ann_index_partial_refit": stream_ann_index_partial_refit,
+    "stream_ann_partial_refit_serve": stream_ann_partial_refit_serve,
 }
 ORACLE = {
     "stream_ann_index_append": _stream_ann_sql(),
     "stream_ann_index_refit": _refit_sql(),
     "stream_ann_index_partial_refit": _partial_refit_sql(),
+    "stream_ann_partial_refit_serve": _partial_refit_serve_sql(),
 }

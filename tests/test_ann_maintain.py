@@ -313,6 +313,75 @@ def test_partial_refit_preserves_untripped_codes(spark, sf_dir, tmp_path):
     assert out.filter((F.col("refit_gen") == 1) & (F.col("s") == 0)).count() == n_members
 
 
+def test_serve_mid_refit_mixes_codebook_generations(spark, sf_dir, tmp_path):
+    """VERDICT r13 task 5: serving never blocks on maintenance.  Over a
+    store where exactly ONE cluster tripped (mixed ``cluster_gen``:
+    that cluster serves a local re-trained codebook, the rest stay
+    frozen), the ADC search must (a) surface candidates from BOTH
+    generations when probes span them, and (b) score every untripped
+    cluster's candidates IDENTICALLY to a search over the fully-frozen
+    (no-refit) state — the refit of one cluster must not perturb any
+    other cluster's ranking contribution."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        ANN_HISTORY_MAX_VEC_ID,
+        _do_partial_refit,
+        _encode,
+        _load_frozen,
+        _serve_adc_mixed,
+        _stream_ann_index_dir,
+    )
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    incoming = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID
+    )
+    enc = _encode(incoming, cents, cb).localCheckpoint(eager=True)
+    target = enc.groupBy("cluster").count().orderBy(F.desc("count")).first()["cluster"]
+    store = str(tmp_path / "store")
+    _append_codes(store, enc.filter(F.col("cluster") == target), 0)
+
+    state, tripped, cb_local = _do_partial_refit(spark, sf_dir, store, base)
+    assert tripped == [target] and cb_local is not None
+    got = _serve_adc_mixed(spark, sf_dir, cents, cb, state, cb_local).collect()
+    assert len(got) > 0
+    gens = {r["cand_gen"] for r in got}
+    assert gens == {0, 1}, f"probes did not span both generations: {gens}"
+
+    # frozen reference: the same corpus state with NO refit applied —
+    # base codes plus the frozen-encoded append, everything generation 0
+    frozen_state = (
+        base.select(
+            "vec_id",
+            F.col("s").cast("bigint").alias("s"),
+            F.col("code").cast("bigint").alias("code"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+        )
+        .unionByName(
+            enc.filter(F.col("cluster") == target).select(
+                "vec_id",
+                F.col("s").cast("bigint").alias("s"),
+                F.col("code").cast("bigint").alias("code"),
+                F.col("cluster").cast("bigint").alias("cluster"),
+            )
+        )
+        .withColumn("refit_gen", F.lit(0).cast("bigint"))
+    )
+    frozen = _serve_adc_mixed(spark, sf_dir, cents, cb, frozen_state, None).collect()
+    got_untripped = sorted(
+        (r["query_id"], r["cand_id"], r["adc_fp"]) for r in got if r["cand_gen"] == 0
+    )
+    frozen_by_pair = {
+        (r["query_id"], r["cand_id"]): r["adc_fp"] for r in frozen
+    }
+    for qid, cid, fp in got_untripped:
+        assert frozen_by_pair.get((qid, cid), fp) == fp, (
+            f"untripped candidate ({qid},{cid}) scored differently under the mixed index"
+        )
+
+
 def test_ann_ingest_restart_from_checkpoint_replays_batch(spark, sf_dir):
     """Kill-and-restart for the cluster-mapped codes store: the driver
     dies after batch 0's append commit but before its checkpoint commit;

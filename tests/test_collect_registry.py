@@ -52,9 +52,14 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "per-batch LSN watermark max — one aggregate row, metadata-scale",
     ),
-    ("streaming/ann_maintain.py", "_partial_refit_state"): (
+    ("streaming/ann_maintain.py", "_do_partial_refit"): (
         1,
         "tripped-cluster id set — model-state scale, <= n_ivf_clusters",
+    ),
+    ("streaming/ann_maintain.py", "_serve_adc_mixed"): (
+        1,
+        "probe ranking rows — N_QUERY_VECS * N_PROBE, model-state scale "
+        "(the ann_ivfpq_persisted_topk probe-discovery shape)",
     ),
     ("streaming/bm25_maintain.py", "_ingest_batch"): (
         1,
