@@ -1,0 +1,102 @@
+"""Quantitative pins for the ML-LSH pair (llm_ops/ml_lsh.py).
+
+These two queries are rows-only in the driver by design (Spark ML's hash
+families are engine-internal, not DuckDB-replayable), so this file carries
+the local quantitative check instead (VERDICT r13 task 6): both estimators
+are SEEDED, and their candidate-set recall against the EXACT join ground
+truth at sf0.001 is pinned — plus the structural guarantee that
+``approxSimilarityJoin``'s distance filter makes precision exact (every
+returned pair really is under the threshold).
+
+Measured at pin time (Spark 4.1, seed=42): MinHash recall 1.0 (28/28
+pairs), BRP recall 0.972 (4897/5037 pairs), zero false positives each.
+The bounds below leave headroom for hash-family drift across Spark
+versions while still catching a broken candidate stage outright.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_change_data_capture_streaming_spark.llm_ops.dedup import shingle_rows
+from realtime_change_data_capture_streaming_spark.llm_ops.ml_lsh import (
+    ml_brp_embedding_join,
+    ml_minhash_similarity_join,
+)
+from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+MINHASH_RECALL_FLOOR = 0.9
+BRP_RECALL_FLOOR = 0.9
+
+
+def test_ml_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """Candidate recall of MinHashLSH.approxSimilarityJoin vs the exact
+    3-gram Jaccard join on the same shingle sets, plus exact precision
+    (the threshold filter runs on the true distance)."""
+    sh = (
+        shingle_rows(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    exact = (
+        inter.join(sizes.selectExpr("doc_id as doc_a", "sz as sa"), "doc_a")
+        .join(sizes.selectExpr("doc_id as doc_b", "sz as sb"), "doc_b")
+        .withColumn(
+            "jd", 1 - F.col("inter") / (F.col("sa") + F.col("sb") - F.col("inter"))
+        )
+        .filter(F.col("jd") < 0.8)
+    )
+    exact_pairs = {(r["doc_a"], r["doc_b"]) for r in exact.select("doc_a", "doc_b").collect()}
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]) for r in ml_minhash_similarity_join(spark, sf_dir).collect()
+    }
+    assert exact_pairs, "fixture produced no near-dup ground truth"
+    assert got_pairs <= exact_pairs, (
+        f"false positives past the distance filter: {sorted(got_pairs - exact_pairs)[:5]}"
+    )
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= MINHASH_RECALL_FLOOR, f"MinHash candidate recall {recall:.3f}"
+
+
+def test_ml_brp_recall_vs_exact_euclidean(spark, sf_dir):
+    """Candidate recall of BucketedRandomProjectionLSH vs the exact
+    Euclidean threshold join over the embeddings fixture."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with("av", "bv", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    # exact all-pairs ground truth: test-only, bounded to the sf0.001
+    # fixture (500 vectors); the production-scale path is the LSH join
+    # under test
+    exact = (
+        e.selectExpr("vec_id as va", "v as av")
+        .join(e.selectExpr("vec_id as vb", "v as bv"))
+        .filter(F.col("va") < F.col("vb"))
+        .withColumn("d", l2)
+        .filter(F.col("d") < 1.25)
+    )
+    exact_pairs = {(r["va"], r["vb"]) for r in exact.select("va", "vb").collect()}
+    got_pairs = {
+        (r["vec_a"], r["vec_b"]) for r in ml_brp_embedding_join(spark, sf_dir).collect()
+    }
+    assert exact_pairs, "fixture produced no near-neighbor ground truth"
+    assert got_pairs <= exact_pairs, (
+        f"false positives past the distance filter: {sorted(got_pairs - exact_pairs)[:5]}"
+    )
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= BRP_RECALL_FLOOR, f"BRP candidate recall {recall:.3f}"
