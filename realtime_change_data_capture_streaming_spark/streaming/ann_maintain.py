@@ -179,6 +179,41 @@ def _append_codes(store: str, batch_codes: DataFrame, bid: int) -> None:
             if k in m:
                 meta[k] = m[k]
     table_commit.commit(store, seq, meta=meta, staged=vdir)
+    # housekeeping rides the ingest loop (the BM25/sink r14 contract):
+    # every append adds a version that untouched clusters may pin alive;
+    # once the cluster map spans too many version dirs, collapse the
+    # chain.  One manifest read decides; serving state is unchanged.
+    m2 = table_commit.read_manifest(store)
+    if len(set(m2.get("buckets", {}).values())) > ANN_AUTO_COMPACT_MAX_VERSIONS:
+        compact_ann_store(sp, store)
+
+
+#: auto-compaction bound for the cluster-mapped codes store: once the
+#: bucket map references more than this many distinct version dirs, the
+#: append loop collapses the chain (same trigger class as the sink's
+#: ``maybe_compact_sink`` and the BM25 postings cadence).
+ANN_AUTO_COMPACT_MAX_VERSIONS = 8
+
+
+def compact_ann_store(spark: SparkSession, store: str) -> None:
+    """Collapse the codes store's version chain: rewrite every live
+    cluster's rows into ONE new version dir and point the whole cluster
+    map at it.  Serving state is unchanged (same rows, same layout);
+    the manifest's ingest/refit frontiers and generation map ride
+    through; superseded versions age out through commit()'s grace
+    window."""
+    m = table_commit.read_manifest(store)
+    if m is None or not m.get("buckets"):
+        return
+    rows = _read_store(spark, store).localCheckpoint(eager=True)
+    vdir, seq = table_commit.begin(store)
+    rows.write.mode("overwrite").partitionBy("cluster").parquet(vdir)
+    vname = os.path.basename(vdir)
+    meta = {"buckets": {c: vname for c in m["buckets"]}}
+    for k in ("applied_bid", "refit_bid", "cluster_gen"):
+        if k in m:
+            meta[k] = m[k]
+    table_commit.commit(store, seq, meta=meta, staged=vdir)
 
 
 def _read_store(spark: SparkSession, store: str, clusters: list | None = None) -> DataFrame:

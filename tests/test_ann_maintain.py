@@ -229,6 +229,33 @@ def test_partial_refit_rewrites_only_tripped_clusters(spark, tmp_path):
     assert _store_state(spark, store) == [(10, 0, 3, 1), (11, 0, 7, 2), (12, 0, 1, 2)]
 
 
+def test_append_loop_auto_compacts_version_chain(spark, tmp_path, monkeypatch):
+    """The codes store rides the same r14 housekeeping contract as the
+    BM25 postings and the sink: once appends leave the cluster map
+    spanning more version dirs than the bound, the append loop collapses
+    the chain — state, frontiers, and generations unchanged."""
+    import realtime_change_data_capture_streaming_spark.streaming.ann_maintain as am
+
+    store = str(tmp_path / "store")
+    monkeypatch.setattr(am, "ANN_AUTO_COMPACT_MAX_VERSIONS", 3)
+    # each batch touches its own cluster -> one new pinned version per append
+    for i in range(6):
+        _append_codes(store, _codes(spark, [(100 + i, 0, i, i)]), i)
+    m = table_commit.read_manifest(store)
+    assert len(set(m["buckets"].values())) <= 3, m["buckets"]
+    assert m["applied_bid"] == 5, "compaction clobbered the ingest frontier"
+    assert _store_state(spark, store) == [(100 + i, 0, i, i) for i in range(6)]
+
+    # without the trigger the same appends pin 6 distinct versions
+    store2 = str(tmp_path / "store2")
+    monkeypatch.setattr(am, "ANN_AUTO_COMPACT_MAX_VERSIONS", 10_000)
+    for i in range(6):
+        _append_codes(store2, _codes(spark, [(100 + i, 0, i, i)]), i)
+    m2 = table_commit.read_manifest(store2)
+    assert len(set(m2["buckets"].values())) == 6
+    assert _store_state(spark, store2) == _store_state(spark, store)
+
+
 def test_ingest_continues_past_a_refit(spark, tmp_path):
     """ADVICE r13 (medium): the refit replay guard must NOT share the
     ingest appends' ``applied_bid`` frontier.  After a refit commit, the
