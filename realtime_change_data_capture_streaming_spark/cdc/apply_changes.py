@@ -752,15 +752,19 @@ def maybe_compact_sink(
     """Manifest-tracked compaction trigger: when the live bucket map spans
     more than ``max_versions`` version dirs, rewrite the buckets served
     from the oldest versions (``compact_sink(max_buckets=...)``) so the
-    chain collapses back to the bound; otherwise do nothing.  Returns
-    whether a compaction ran.
+    chain collapses to the LOW watermark ``max(1, max_versions // 2)``;
+    otherwise do nothing.  Returns whether a compaction ran.
 
-    Sizing: the rewritten set is exactly the buckets pointing into the
-    ``excess + 1`` oldest versions, so one run restores the invariant while
-    touching O(excess × bucket_bytes) data — never the whole table.  The
-    default purge bound (-1) purges no tombstones: the safe tombstone
-    horizon needs source knowledge (see ``compact_sink``), and file-count
-    hygiene must not wait for it."""
+    Hysteresis is load-bearing: compacting back to exactly the bound
+    would re-trip on the very next merge (every merge adds a version) and
+    turn the trigger into a per-batch table rewrite; the half-bound
+    watermark means a trip buys ``max_versions - low`` quiet merges
+    before the next one.  The rewritten set is exactly the buckets
+    pointing into the oldest excess versions, so one run restores the
+    watermark while touching O(excess × bucket_bytes) data — never the
+    whole table.  The default purge bound (-1) purges no tombstones: the
+    safe tombstone horizon needs source knowledge (see ``compact_sink``),
+    and file-count hygiene must not wait for it."""
     m = sink._manifest()
     if not m or "buckets" not in m:
         return False
@@ -768,7 +772,8 @@ def maybe_compact_sink(
     if len(versions) <= max_versions:
         return False
     if max_buckets is None:
-        oldest = set(versions[: len(versions) - max_versions + 1])
+        low = max(1, max_versions // 2)
+        oldest = set(versions[: len(versions) - low + 1])
         max_buckets = sum(1 for v in m["buckets"].values() if v in oldest)
     compact_sink(sink, purge_tombstones_through_lsn, max_buckets=max_buckets)
     return True

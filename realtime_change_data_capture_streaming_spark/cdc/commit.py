@@ -94,6 +94,19 @@ def _staged_name(seq: int) -> str:
     return f"{_STAGED_PREFIX}{_vname(seq)}-{uuid.uuid4().hex[:12]}"
 
 
+def _tree_max_mtime(path: str, floor: float) -> float:
+    """Newest mtime across the whole tree under ``path`` (start at
+    ``floor``) — the liveness signal for staged-GC's age rule."""
+    newest = floor
+    for dirpath, dirnames, filenames in os.walk(path):
+        for name in dirnames + filenames:
+            try:
+                newest = max(newest, os.path.getmtime(os.path.join(dirpath, name)))
+            except OSError:
+                continue
+    return newest
+
+
 def _staged_seq(entry: str) -> int | None:
     """Embedded seq of a staging-dir name, or None if not one."""
     if not entry.startswith(_STAGED_PREFIX):
@@ -267,11 +280,22 @@ def commit(
                 old_by_seq = sseq < seq - max(keep, 4)
                 stale_by_age = False
                 if not old_by_seq and sseq <= seq:
+                    # age = newest mtime ANYWHERE in the tree, not the top
+                    # level: a long Spark write lands files under nested
+                    # _temporary/ dirs while the top-level mtime goes
+                    # stale, and a doomed-but-still-writing slow writer
+                    # must fail its CAS loudly, not lose its dir mid-job.
+                    # The walk is cheap: it only runs for doomed dirs
+                    # whose top level already looks stale.
                     try:
-                        age = time.time() - os.path.getmtime(os.path.join(root, entry))
+                        top = os.path.getmtime(os.path.join(root, entry))
                     except OSError:
-                        age = 0.0
-                    stale_by_age = age > _STAGED_TTL_SECONDS
+                        top = time.time()
+                    now = time.time()
+                    if now - top > _STAGED_TTL_SECONDS:
+                        stale_by_age = now - _tree_max_mtime(
+                            os.path.join(root, entry), top
+                        ) > _STAGED_TTL_SECONDS
                 if old_by_seq or stale_by_age:
                     shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
         _prune_history(root, lo=seq - keep)
@@ -366,8 +390,14 @@ def manifest_at(root: str, seq: int) -> dict:
 
 def referenced_versions(manifest: dict) -> set[str]:
     """Version-dir names the manifest keeps live: the committed version
-    itself plus every version a bucket entry still points into."""
-    return {manifest["version"], *manifest.get("buckets", {}).values()}
+    itself, every version a bucket entry still points into, and any
+    versions the store explicitly pinned (``pinned_versions`` — e.g. a
+    version dir carrying model sidecars that outlive its data files)."""
+    return {
+        manifest["version"],
+        *manifest.get("buckets", {}).values(),
+        *manifest.get("pinned_versions", []),
+    }
 
 
 def bucket_paths(root: str, manifest: dict) -> dict[str, list[int]]:

@@ -93,6 +93,16 @@ REFIT_APPENDED_PER_BASE = 2
 
 _CODES_SCHEMA = "vec_id bigint, s int, code bigint, cluster bigint"
 
+#: refit state the OTHER writers (appends, compaction) must carry through
+#: their manifest commits — commit() replaces meta wholesale.
+_REFIT_META_KEYS = (
+    "refit_bid",
+    "cluster_gen",
+    "refit_members",
+    "local_cb_version",
+    "pinned_versions",
+)
+
 
 def _stream_ann_index_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build once per fixture content: the FROZEN serving index fit on
@@ -170,22 +180,26 @@ def _append_codes(store: str, batch_codes: DataFrame, bid: int) -> None:
     vname = os.path.basename(vdir)
     for c in touched:
         buckets[str(c)] = vname
-    # carry the refit frontier/generations through: an append after a
-    # partial refit must not reset the refit replay guard or drop the
-    # per-cluster generation map (commit() replaces meta wholesale)
+    # carry the refit state through: an append after a partial refit must
+    # not reset the refit replay guard, drop the per-cluster generation
+    # map, or unpin the committed codebooks (commit() replaces meta
+    # wholesale)
     meta = {"applied_bid": bid, "buckets": buckets}
     if m is not None:
-        for k in ("refit_bid", "cluster_gen"):
+        for k in _REFIT_META_KEYS:
             if k in m:
                 meta[k] = m[k]
     table_commit.commit(store, seq, meta=meta, staged=vdir)
     # housekeeping rides the ingest loop (the BM25/sink r14 contract):
     # every append adds a version that untouched clusters may pin alive;
     # once the cluster map spans too many version dirs, collapse the
-    # chain.  One manifest read decides; serving state is unchanged.
+    # OLDEST part of the chain down to the half-bound watermark (the
+    # sink trigger's hysteresis — compacting back to exactly the bound
+    # would re-trip every append).  One manifest read decides; serving
+    # state is unchanged.
     m2 = table_commit.read_manifest(store)
     if len(set(m2.get("buckets", {}).values())) > ANN_AUTO_COMPACT_MAX_VERSIONS:
-        compact_ann_store(sp, store)
+        compact_ann_store(sp, store, to_versions=max(1, ANN_AUTO_COMPACT_MAX_VERSIONS // 2))
 
 
 #: auto-compaction bound for the cluster-mapped codes store: once the
@@ -195,22 +209,33 @@ def _append_codes(store: str, batch_codes: DataFrame, bid: int) -> None:
 ANN_AUTO_COMPACT_MAX_VERSIONS = 8
 
 
-def compact_ann_store(spark: SparkSession, store: str) -> None:
-    """Collapse the codes store's version chain: rewrite every live
-    cluster's rows into ONE new version dir and point the whole cluster
-    map at it.  Serving state is unchanged (same rows, same layout);
-    the manifest's ingest/refit frontiers and generation map ride
-    through; superseded versions age out through commit()'s grace
-    window."""
+def compact_ann_store(spark: SparkSession, store: str, to_versions: int = 1) -> None:
+    """Collapse the codes store's version chain down to ``to_versions``
+    dirs by rewriting ONLY the clusters mapped to the oldest excess
+    versions into one new dir (the ``compact_sink(max_buckets=...)``
+    I/O model: O(excess clusters' bytes), never the whole store).
+    Serving state is unchanged (same rows, same layout); the manifest's
+    ingest/refit frontiers and generation map ride through; superseded
+    versions age out through commit()'s grace window.  The default
+    ``to_versions=1`` is the standalone full collapse; the auto-trigger
+    passes the half-bound watermark."""
     m = table_commit.read_manifest(store)
     if m is None or not m.get("buckets"):
         return
-    rows = _read_store(spark, store).localCheckpoint(eager=True)
+    versions = sorted(set(m["buckets"].values()))
+    if len(versions) <= to_versions and to_versions > 1:
+        return
+    oldest = set(versions[: max(1, len(versions) - to_versions + 1)])
+    chosen = sorted(int(c) for c, v in m["buckets"].items() if v in oldest)
+    rows = _read_store(spark, store, clusters=chosen).localCheckpoint(eager=True)
     vdir, seq = table_commit.begin(store)
     rows.write.mode("overwrite").partitionBy("cluster").parquet(vdir)
     vname = os.path.basename(vdir)
-    meta = {"buckets": {c: vname for c in m["buckets"]}}
-    for k in ("applied_bid", "refit_bid", "cluster_gen"):
+    buckets = dict(m["buckets"])
+    for c in chosen:
+        buckets[str(c)] = vname
+    meta = {"buckets": buckets}
+    for k in ("applied_bid",) + _REFIT_META_KEYS:
         if k in m:
             meta[k] = m[k]
     table_commit.commit(store, seq, meta=meta, staged=vdir)
@@ -473,7 +498,7 @@ def _refit_already_applied(store: str, bid: int) -> bool:
 
 
 def _rewrite_refit_clusters(
-    store: str, new_codes: DataFrame, tripped: list, bid: int
+    store: str, new_codes: DataFrame, tripped: list, bid: int, cb_local: DataFrame | None = None
 ) -> None:
     """Publish the re-encoded TRIPPED clusters as a new version whose
     bucket map supersedes only those clusters — the per-cluster
@@ -482,23 +507,79 @@ def _rewrite_refit_clusters(
     records which clusters are serving a refreshed local codebook.
     Replay-guarded like the appends, but on the SEPARATE ``refit_bid``
     frontier — the ingest stream's ``applied_bid`` rides through
-    unchanged so ingestion can continue past refits."""
+    unchanged so ingestion can continue past refits.
+
+    The commit also persists what the next round and the serving tier
+    need (all model-state scale, in-manifest or in the version dir):
+
+    - ``_local_cb`` — the MERGED local codebooks: this round's tripped
+      clusters' plus the surviving previous ones (serving must score
+      every generation >= 1 cluster against the codebook that encoded
+      it, including after a driver restart — a recomputed codebook on
+      the replay path would not match the committed codes);
+    - ``refit_members`` — each tripped cluster's member count at refit
+      time: the staleness reset the NEXT trigger evaluation computes
+      against (after a refit the store holds the cluster's full member
+      set, so raw store counts no longer mean "appended")."""
     if _refit_already_applied(store, bid):
         return
+    sp = new_codes.sparkSession
     rows = new_codes.select("vec_id", "s", "code", "cluster").localCheckpoint(eager=True)
     m = table_commit.read_manifest(store)
     buckets = dict(m.get("buckets", {})) if m else {}
     gens = dict(m.get("cluster_gen", {})) if m else {}
+    members = dict(m.get("refit_members", {})) if m else {}
     vdir, seq = table_commit.begin(store)
     rows.write.mode("overwrite").partitionBy("cluster").parquet(vdir)
     vname = os.path.basename(vdir)
+    if cb_local is not None:
+        prev_cb = _load_local_cb(sp, store)
+        cb_all = cb_local.select("cluster", "s", "code", "cw")
+        if prev_cb is not None:
+            cb_all = cb_all.unionByName(
+                prev_cb.filter(~F.col("cluster").isin([int(c) for c in tripped]))
+            )
+        cb_all.coalesce(1).write.mode("overwrite").parquet(os.path.join(vdir, "_local_cb"))
+    # bounded collect: one member-count row per tripped cluster (<= k)
+    for r in (
+        rows.filter(F.col("s") == 0).groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    ):
+        members[str(r["cluster"])] = int(r["n"])
     for c in tripped:
         buckets[str(c)] = vname
         gens[str(c)] = int(gens.get(str(c), 0)) + 1
-    meta = {"refit_bid": bid, "buckets": buckets, "cluster_gen": gens}
+    meta = {
+        "refit_bid": bid,
+        "buckets": buckets,
+        "cluster_gen": gens,
+        "refit_members": members,
+    }
+    if cb_local is not None:
+        # the staged dir renames to v<seq> under the commit lock; point
+        # the codebook reference at the published name
+        meta["local_cb_version"] = table_commit._vname(seq)
+    elif m is not None and "local_cb_version" in m:
+        meta["local_cb_version"] = m["local_cb_version"]
+    if "local_cb_version" in meta:
+        # GC keeps only referenced versions alive; the codebook dir must
+        # survive even after later appends supersede every cluster the
+        # refit version served
+        meta["pinned_versions"] = [meta["local_cb_version"]]
     if m is not None and "applied_bid" in m:
         meta["applied_bid"] = m["applied_bid"]
     table_commit.commit(store, seq, meta=meta, staged=vdir)
+
+
+def _load_local_cb(spark: SparkSession, store: str) -> DataFrame | None:
+    """The committed local codebooks (cluster, s, code, cw), or None when
+    no refit has published any."""
+    m = table_commit.read_manifest(store)
+    if not m or "local_cb_version" not in m:
+        return None
+    path = os.path.join(store, m["local_cb_version"], "_local_cb")
+    if not os.path.isdir(path):
+        return None
+    return spark.read.parquet(path)
 
 
 def _partial_refit_state(
@@ -527,60 +608,110 @@ def _do_partial_refit(
     through the per-cluster manifest swap — no full-index rebuild on the
     ingest path.
 
-    Returns (serving_state, tripped_cluster_ids, local_codebooks):
+    Rounds compose (the production loop): the refit's idempotency key is
+    the ingest frontier it consumed (``bid = applied_bid`` at evaluation
+    time), so a crash-replay of the same round no-ops while a round that
+    follows NEW appends applies; on the replay/no-progress path the
+    committed outcome is RELOADED from the store (generation map +
+    persisted ``_local_cb`` codebooks) instead of retrained — a
+    recomputed codebook would not match the committed codes, because a
+    refit cluster's member multiset looks different once the store holds
+    its full re-encoded member set.  For the same reason the staleness
+    trigger measures refit clusters against their manifest-recorded
+    member count at refit time (``refit_members``), not raw store rows.
+
+    Returns (serving_state, refit_cluster_ids, local_codebooks):
     serving_state = (vec_id, s, code, cluster, refit_gen) for EVERY
-    vector — tripped clusters carry their locally re-trained codes
-    (refit_gen 1), untripped keep the frozen encoding (refit_gen 0);
-    local_codebooks = the tripped clusters' (cluster, s, code, cw)
-    tables (None when nothing tripped) so a mixed-generation search can
-    score each cluster against the codebook that encoded it."""
-    state = _with_staleness(_read_store(spark, store), base)
-    # bounded collect: <= k cluster ids (model-state scale)
-    tripped = sorted(
-        r["cluster"]
-        for r in state.filter(F.col("needs_refit")).select("cluster").distinct().collect()
-    )
+    vector — clusters at generation >= 1 carry their locally re-trained
+    codes, generation-0 clusters keep the frozen encoding;
+    local_codebooks = the generation >= 1 clusters' (cluster, s, code,
+    cw) tables (None when nothing has ever tripped) so a
+    mixed-generation search can score each cluster against the codebook
+    that encoded it."""
+    m0 = table_commit.read_manifest(store) or {}
+    bid = int(m0.get("applied_bid", -1))
     base_rows = base.select(
         "vec_id",
         F.col("s").cast("bigint").alias("s"),
         F.col("code").cast("bigint").alias("code"),
         F.col("cluster").cast("bigint").alias("cluster"),
     )
-    cb_local = None
-    if tripped:
-        # current members of the tripped clusters: history (base codes)
-        # plus appended (store rows); one s=0 row per vector
-        mem = (
-            base_rows.filter(F.col("s") == 0)
-            .select("vec_id", "cluster")
-            .unionByName(
-                _read_store(spark, store).filter(F.col("s") == 0).select("vec_id", "cluster")
+    if not _refit_already_applied(store, bid):
+        state = _with_staleness(_read_store(spark, store), base)
+        refit_members = {int(c): int(n) for c, n in m0.get("refit_members", {}).items()}
+        if refit_members:
+            # staleness reset for previously-refit clusters: their store
+            # rows are full member sets, so "appended since" is the
+            # delta over the recorded refit-time member count
+            rm = spark.createDataFrame(
+                [(c, n) for c, n in refit_members.items()], "cluster bigint, n_refit bigint"
             )
-            .filter(F.col("cluster").isin([int(c) for c in tripped]))
+            state = (
+                state.join(F.broadcast(rm), "cluster", "left")
+                .withColumn(
+                    "needs_refit",
+                    F.when(
+                        F.col("n_refit").isNotNull(),
+                        F.lit(REFIT_APPENDED_PER_BASE)
+                        * (F.col("n_appended") - F.col("n_refit"))
+                        > F.col("n_refit"),
+                    ).otherwise(F.col("needs_refit")),
+                )
+                .drop("n_refit")
+            )
+        # bounded collect: <= k cluster ids (model-state scale)
+        tripped_now = sorted(
+            int(r["cluster"])
+            for r in state.filter(F.col("needs_refit")).select("cluster").distinct().collect()
         )
-        vecs = spread(load_table(spark, sf_dir, "embeddings")).join(mem, "vec_id")
-        csubs = _subvectors(vecs).join(mem, "vec_id").select("cluster", "vec_id", "s", "sub")
-        cb_local = _pq_fit_clustered(csubs)
-        new_codes = _pq_assign_clustered(csubs, cb_local).select(
-            "vec_id", F.col("s").cast("bigint").alias("s"), "code", "cluster"
-        )
-        _rewrite_refit_clusters(store, new_codes, tripped, bid=0)
-    # final state off the per-cluster-swapped store: tripped clusters'
-    # rows now ARE the full re-encoded member sets; untripped clusters =
-    # frozen base + frozen appended codes
+        if tripped_now:
+            prev_gen = {int(c) for c, g in m0.get("cluster_gen", {}).items() if int(g) > 0}
+            # current members of the tripped clusters, one s=0 row per
+            # vector: previously-refit clusters' stores already hold the
+            # full member set; never-refit clusters = history + appended
+            mem = (
+                base_rows.filter(
+                    (F.col("s") == 0) & ~F.col("cluster").isin([int(c) for c in prev_gen])
+                )
+                .select("vec_id", "cluster")
+                .unionByName(
+                    _read_store(spark, store)
+                    .filter(F.col("s") == 0)
+                    .select("vec_id", "cluster")
+                )
+                .filter(F.col("cluster").isin(tripped_now))
+            )
+            vecs = spread(load_table(spark, sf_dir, "embeddings")).join(mem, "vec_id")
+            csubs = _subvectors(vecs).join(mem, "vec_id").select("cluster", "vec_id", "s", "sub")
+            cb_now = _pq_fit_clustered(csubs)
+            new_codes = _pq_assign_clustered(csubs, cb_now).select(
+                "vec_id", F.col("s").cast("bigint").alias("s"), "code", "cluster"
+            )
+            _rewrite_refit_clusters(store, new_codes, tripped_now, bid, cb_local=cb_now)
+    # serving view — ALWAYS reconstructed from the committed store, so
+    # the fresh path, the replay path, and a later round all read the
+    # same thing: store rows for every ever-refit or appended cluster,
+    # frozen base rows for the rest, generations from the manifest
+    m1 = table_commit.read_manifest(store) or {}
+    gens = {int(c): int(g) for c, g in m1.get("cluster_gen", {}).items() if int(g) > 0}
+    refit_ids = sorted(gens)
+    cb_local = _load_local_cb(spark, store)
     store_rows = _read_store(spark, store).select(
         "vec_id", F.col("s").cast("bigint").alias("s"), "code", "cluster"
     )
-    keep_base = base_rows.filter(~F.col("cluster").isin([int(c) for c in tripped]))
+    keep_base = base_rows.filter(~F.col("cluster").isin(refit_ids))
     out = store_rows.unionByName(keep_base)
-    state = out.select(
-        "vec_id",
-        "s",
-        "code",
-        "cluster",
-        F.col("cluster").isin([int(c) for c in tripped]).cast("bigint").alias("refit_gen"),
+    gen_expr = F.lit(0).cast("bigint")
+    if gens:
+        gen_df = spark.createDataFrame(
+            [(c, g) for c, g in gens.items()], "cluster bigint, _gen bigint"
+        )
+        out = out.join(F.broadcast(gen_df), "cluster", "left")
+        gen_expr = F.coalesce(F.col("_gen"), F.lit(0).cast("bigint"))
+    state_out = out.select(
+        "vec_id", "s", "code", "cluster", gen_expr.alias("refit_gen")
     )
-    return state, tripped, cb_local
+    return state_out, refit_ids, cb_local
 
 
 def stream_ann_index_partial_refit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,7 +822,7 @@ def _serve_adc_mixed(
                 F.floor(dist * F.lit(float(_ADC_SCALE))).alias("pfp"),
             )
         )
-        pairs_local = cand.filter(F.col("refit_gen") == 1).join(
+        pairs_local = cand.filter(F.col("refit_gen") >= 1).join(
             F.broadcast(llut), ["cluster", "s", "code"]
         )
         pairs = pairs.unionByName(pairs_local.select(*pairs.columns))

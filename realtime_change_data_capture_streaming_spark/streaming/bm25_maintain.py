@@ -175,7 +175,11 @@ def compact_bm25_postings(
     compaction job, or from the auto-trigger in ``_ingest_batch`` — the
     maintained index never needs it for correctness, only for
     file-count/bytes hygiene.  ``through_bid`` records the append frontier
-    this merge folded in (the auto-trigger's cadence anchor)."""
+    this merge folded in (the auto-trigger's cadence anchor).  A
+    standalone run without ``through_bid`` leaves the anchor unchanged,
+    so the in-loop trigger may later schedule one redundant (idempotent,
+    hygiene-only) merge of the already-compacted log — callers that know
+    the stats store's ``applied_bid`` should pass it."""
     store = _postings_store(postings_root)
     rows = (
         spark.read.parquet(store.live_dir())

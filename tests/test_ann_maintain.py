@@ -409,6 +409,98 @@ def test_serve_mid_refit_mixes_codebook_generations(spark, sf_dir, tmp_path):
         )
 
 
+def _frozen_setup(spark, sf_dir):
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        ANN_HISTORY_MAX_VEC_ID,
+        _encode,
+        _load_frozen,
+        _stream_ann_index_dir,
+    )
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    incoming = spread(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID
+    )
+    enc = _encode(incoming, cents, cb).localCheckpoint(eager=True)
+    return cents, cb, base, enc
+
+
+def test_partial_refit_replay_reloads_committed_codebooks(spark, sf_dir, tmp_path):
+    """The crash-replay path: re-running _do_partial_refit with NO new
+    ingest progress must not retrain (no new commit) — it reloads the
+    committed generation map and the PERSISTED local codebooks, and the
+    serve output is byte-identical.  A retrained codebook would not
+    match the committed codes: after the rewrite the cluster's member
+    multiset looks different, so retraining is not even reproducible."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        _do_partial_refit,
+        _serve_adc_mixed,
+    )
+
+    cents, cb, base, enc = _frozen_setup(spark, sf_dir)
+    target = enc.groupBy("cluster").count().orderBy(F.desc("count")).first()["cluster"]
+    store = str(tmp_path / "store")
+    _append_codes(store, enc.filter(F.col("cluster") == target), 0)
+
+    state1, ids1, cb1 = _do_partial_refit(spark, sf_dir, store, base)
+    seq1 = table_commit.read_manifest(store)["seq"]
+    rows1 = sorted(tuple(r) for r in state1.collect())
+    cb_rows1 = sorted(
+        (r["cluster"], r["s"], r["code"], tuple(r["cw"])) for r in cb1.collect()
+    )
+    serve1 = sorted(tuple(r) for r in _serve_adc_mixed(spark, sf_dir, cents, cb, state1, cb1).collect())
+
+    state2, ids2, cb2 = _do_partial_refit(spark, sf_dir, store, base)  # replay
+    assert table_commit.read_manifest(store)["seq"] == seq1, "replay committed a retrain"
+    assert ids2 == ids1
+    assert sorted(tuple(r) for r in state2.collect()) == rows1
+    cb_rows2 = sorted(
+        (r["cluster"], r["s"], r["code"], tuple(r["cw"])) for r in cb2.collect()
+    )
+    assert cb_rows2 == cb_rows1, "replay path served a codebook that differs from the committed one"
+    serve2 = sorted(tuple(r) for r in _serve_adc_mixed(spark, sf_dir, cents, cb, state2, cb2).collect())
+    assert serve2 == serve1
+
+
+def test_second_refit_round_applies_after_new_appends(spark, sf_dir, tmp_path):
+    """Rounds compose: after round 1 refits cluster X, new appends into
+    cluster Y must trigger a SECOND round that refits Y — while X's
+    staleness is measured against its refit-time member count (no
+    spurious re-trip) and X's committed codes ride through untouched.
+    The merged codebook store covers both generations for serving."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        _do_partial_refit,
+    )
+
+    _cents, _cb, base, enc = _frozen_setup(spark, sf_dir)
+    by_n = enc.filter(F.col("s") == 0).groupBy("cluster").count().orderBy(F.desc("count")).collect()
+    x, y = int(by_n[0]["cluster"]), int(by_n[1]["cluster"])
+    store = str(tmp_path / "store")
+
+    _append_codes(store, enc.filter(F.col("cluster") == x), 0)
+    state1, ids1, _cb1 = _do_partial_refit(spark, sf_dir, store, base)
+    m1 = table_commit.read_manifest(store)
+    assert ids1 == [x] and m1["refit_bid"] == 0
+    x_codes1 = sorted(
+        tuple(r) for r in state1.filter(F.col("cluster") == x).drop("refit_gen").collect()
+    )
+
+    _append_codes(store, enc.filter(F.col("cluster") == y), 1)
+    state2, ids2, cb2 = _do_partial_refit(spark, sf_dir, store, base)
+    m2 = table_commit.read_manifest(store)
+    assert ids2 == sorted([x, y]), ids2
+    assert m2["refit_bid"] == 1, "second round did not apply"
+    assert m2["cluster_gen"] == {str(x): 1, str(y): 1}, "X spuriously re-tripped or Y missed"
+    assert {int(r["cluster"]) for r in cb2.select("cluster").distinct().collect()} == {x, y}
+    x_codes2 = sorted(
+        tuple(r) for r in state2.filter(F.col("cluster") == x).drop("refit_gen").collect()
+    )
+    assert x_codes2 == x_codes1, "round 2 perturbed round 1's committed codes"
+
+
 def test_ann_ingest_restart_from_checkpoint_replays_batch(spark, sf_dir):
     """Kill-and-restart for the cluster-mapped codes store: the driver
     dies after batch 0's append commit but before its checkpoint commit;

@@ -56,6 +56,11 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "tripped-cluster id set — model-state scale, <= n_ivf_clusters",
     ),
+    ("streaming/ann_maintain.py", "_rewrite_refit_clusters"): (
+        1,
+        "refit-time member count per tripped cluster — <= n_ivf_clusters rows "
+        "(the staleness-reset anchor the next round reads from the manifest)",
+    ),
     ("streaming/ann_maintain.py", "_serve_adc_mixed"): (
         1,
         "probe ranking rows — N_QUERY_VECS * N_PROBE, model-state scale "

@@ -571,8 +571,11 @@ def test_maybe_compact_sink_bounds_version_chain(spark, big_parsed, tmp_path):
 
     assert maybe_compact_sink(sink, max_versions=3) is True
     m2 = table_commit.read_manifest(sink.path)
-    assert len(set(m2["buckets"].values())) <= 3, m2["buckets"]
+    # hysteresis: the trip collapses to the LOW watermark (max_versions//2),
+    # not back to the bound — so the next merges don't re-trip immediately
+    assert len(set(m2["buckets"].values())) <= 1, m2["buckets"]
     assert _sorted_rows(sink.read()) == want
+    assert maybe_compact_sink(sink, max_versions=3) is False, "re-trip right after compacting"
 
 
 def test_stream_merge_loop_auto_compacts(spark, tmp_path):
@@ -687,10 +690,20 @@ def test_staged_gc_reclaims_doomed_dirs_by_age(tmp_path):
     two_hours_ago = time.time() - 2 * 3600
     os.utime(dead, (two_hours_ago, two_hours_ago))
 
+    # a doomed dir whose TOP-LEVEL mtime is stale but whose nested files
+    # are fresh is a long Spark write still in flight (files land under
+    # _temporary/): it must fail its CAS loudly, not vanish mid-job
+    busy, busy_seq = tc.begin(root)
+    os.makedirs(os.path.join(busy, "_temporary", "0"), exist_ok=True)
+    with open(os.path.join(busy, "_temporary", "0", "part-0"), "w") as f:
+        f.write("still writing")
+    os.utime(busy, (two_hours_ago, two_hours_ago))
+
     winner, wseq = tc.begin(root)
     tc.commit(root, wseq, meta={"x": 1}, staged=winner)
     assert not os.path.exists(dead), "stale doomed staging dir not age-swept"
     assert os.path.isdir(fresh), "fresh doomed dir must survive until stale or out-margined"
+    assert os.path.isdir(busy), "in-flight deep write age-swept on a stale top-level mtime"
 
 
 def test_concurrent_commit_same_snapshot_interleaving(tmp_path):
