@@ -7,6 +7,7 @@ from realtime_change_data_capture_streaming_spark.streaming import (
     bm25_maintain,
     cdc_stream,
     cusum,
+    hybrid_serve,
     joins,
     neardup,
     semantic,
@@ -16,7 +17,7 @@ from realtime_change_data_capture_streaming_spark.streaming import (
     windows,
 )
 
-_MODULES = (windows, joins, neardup, sketches, cdc_stream, stateful, transform_state, materialized, semantic, ann_maintain, cusum, bm25_maintain)
+_MODULES = (windows, joins, neardup, sketches, cdc_stream, stateful, transform_state, materialized, semantic, ann_maintain, cusum, bm25_maintain, hybrid_serve)
 
 
 def all_queries():

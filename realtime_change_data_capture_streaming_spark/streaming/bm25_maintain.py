@@ -191,14 +191,13 @@ def compact_bm25_postings(
     store.rotate(rows, m.get("max_lsn"), bid, partition_by="bucket")
 
 
-def _serve_topk(spark: SparkSession, postings_root: str, stats_store: str) -> DataFrame:
-    """BM25 top-k off the maintained index: bucket-pruned postings scan
-    of the live version, df from the pruned slice, corpus stats from the
-    manifest.  The dropDuplicates bounds at-least-once replay's
-    re-appended rows — applied to the QUERY-PRUNED slice only, so its
-    cost is query-scale."""
-    from pyspark.sql import Window
-
+def _serve_doc_scores(spark: SparkSession, postings_root: str, stats_store: str) -> DataFrame:
+    """Per-doc quantized BM25 scores (doc_id, s_fp, n_terms_hit) off the
+    maintained index: bucket-pruned postings scan of the live version,
+    df from the pruned slice, corpus stats from the manifest.  The
+    dropDuplicates bounds at-least-once replay's re-appended rows —
+    applied to the QUERY-PRUNED slice only, so its cost is query-scale.
+    Shared by ``_serve_topk`` and the maintained-index hybrid fusion."""
     _bid, n_docs, sum_dl = _stats(stats_store)
     live = _postings_store(postings_root).live_dir()
     buckets = sorted({_term_bucket_py(t) for t in _BM25_QUERY})
@@ -209,9 +208,7 @@ def _serve_topk(spark: SparkSession, postings_root: str, stats_store: str) -> Da
     # empty — not a ZeroDivisionError computing avgdl (ADVICE r13, low).
     paths = [p for b in buckets if os.path.isdir(p := f"{live}/bucket={b}")]
     if not paths or n_docs == 0:
-        return spark.createDataFrame(
-            [], "doc_id bigint, n_terms_hit bigint, bm25 double, rk bigint"
-        )
+        return spark.createDataFrame([], "doc_id bigint, s_fp bigint, n_terms_hit bigint")
     rows = (
         spark.read.option("basePath", live)
         .parquet(*paths)
@@ -226,7 +223,7 @@ def _serve_topk(spark: SparkSession, postings_root: str, stats_store: str) -> Da
         .withColumn("avgdl", F.lit(float(sum_dl) / float(n_docs)))
     )
     idf_fp, sat_fp = _bm25_fp_columns()
-    per_doc = (
+    return (
         enriched.select("doc_id", (idf_fp * sat_fp).alias("c_fp"))
         .groupBy("doc_id")
         .agg(
@@ -234,6 +231,13 @@ def _serve_topk(spark: SparkSession, postings_root: str, stats_store: str) -> Da
             F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
         )
     )
+
+
+def _serve_topk(spark: SparkSession, postings_root: str, stats_store: str) -> DataFrame:
+    """BM25 top-k off the maintained index (see ``_serve_doc_scores``)."""
+    from pyspark.sql import Window
+
+    per_doc = _serve_doc_scores(spark, postings_root, stats_store)
     w = Window.orderBy(F.desc("s_fp"), F.asc("doc_id"))
     top = per_doc.orderBy(F.desc("s_fp"), F.asc("doc_id")).limit(_BM25_TOP)
     return top.withColumn("rk", F.row_number().over(w)).select(
