@@ -116,6 +116,104 @@ SELECT query_id, cand_id, cosine, rk FROM (
 N_PLANES = 16
 EMB_DIM = 64
 
+# ------------------------------------------------ Matryoshka prefix eval
+
+MRL_PREFIX_DIM = 16  # truncated-embedding width under evaluation
+MRL_K = 10  # retrieval depth the overlap is measured at
+
+
+def ann_matryoshka_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation diagnostic: per query, the top-``MRL_K``
+    retrieval overlap between full-dimension cosine and PREFIX-dimension
+    cosine (first ``MRL_PREFIX_DIM`` components) — the standard offline
+    eval for whether truncated embeddings (MRL/adaptive retrieval) can
+    serve the first-stage scan at a fraction of the I/O and memory.
+    Output: (query_id, n_overlap, overlap_frac).
+
+    Scale shape: the brute-force scoring is bounded by the QUERY count
+    (broadcast 8-row query side x one candidate scan, per width); this is
+    an offline corpus diagnostic, not a serving path — at 100 TB the
+    candidate scan reads two column widths of one pass each.  Both
+    rankings replay exactly in the oracle (the proven left-to-right
+    double cosine fold; prefix = list_slice)."""
+    from pyspark.sql import Window
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+
+    def topk_set(qe, ce) -> DataFrame:
+        scored = F.broadcast(q).crossJoin(c).select(
+            "query_id",
+            "cand_id",
+            (_dot(qe, ce) / (_norm(qe) * _norm(ce))).alias("cosine"),
+        )
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= MRL_K)
+            .select("query_id", "cand_id")
+        )
+
+    full = topk_set(F.col("q_emb"), F.col("c_emb"))
+    pref = topk_set(
+        F.slice(F.col("q_emb"), 1, MRL_PREFIX_DIM), F.slice(F.col("c_emb"), 1, MRL_PREFIX_DIM)
+    )
+    ov = full.join(pref, ["query_id", "cand_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap")
+    )
+    return (
+        q.select("query_id")
+        .join(ov, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / F.lit(float(MRL_K)), 6
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def _mrl_cos_sql(qe: str, ce: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({qe}, {ce}), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / (SQRT(list_sum(list_transform({qe}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        f" * SQRT(list_sum(list_transform({ce}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+
+
+ANN_MRL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+), c AS (
+  SELECT vec_id AS cand_id, embedding AS c_emb FROM embeddings WHERE vec_id >= {N_QUERY_VECS}
+), fullk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {_mrl_cos_sql("q_emb", "c_emb")} DESC, cand_id ASC) AS rk
+    FROM q CROSS JOIN c
+  ) WHERE rk <= {MRL_K}
+), prefk AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY {_mrl_cos_sql(f"list_slice(q_emb, 1, {MRL_PREFIX_DIM})", f"list_slice(c_emb, 1, {MRL_PREFIX_DIM})")} DESC, cand_id ASC) AS rk
+    FROM q CROSS JOIN c
+  ) WHERE rk <= {MRL_K}
+), ov AS (
+  SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+  FROM fullk f JOIN prefk p ON p.query_id = f.query_id AND p.cand_id = f.cand_id
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE) / {float(MRL_K)}, 6) AS overlap_frac
+FROM q LEFT JOIN ov ON ov.query_id = q.query_id
+"""
+
 
 def _plane_component(plane: int, dim: int) -> float:
     """Deterministic pseudo-gaussian hyperplane component from (plane, dim)
@@ -1785,10 +1883,12 @@ QUERIES = {
     "embedding_pca_power": embedding_pca_power,
     "embedding_pca_outliers": embedding_pca_outliers,
     "embedding_pca_top2": embedding_pca_top2,
+    "ann_matryoshka_prefix_overlap": ann_matryoshka_prefix_overlap,
 }
 
 ORACLE = {
     "embedding_norms": EMBEDDING_NORMS_SQL,
+    "ann_matryoshka_prefix_overlap": ANN_MRL_SQL,
     "ann_cosine_topk": ANN_COSINE_SQL,
     "ann_mmr_diversified_topk": _MMR_SQL,
     "embedding_jl_distortion": _JL_SQL,

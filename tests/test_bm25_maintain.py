@@ -193,6 +193,36 @@ def test_ingest_loop_auto_compacts_and_ranking_is_unchanged(spark, sf_dir, tmp_p
     assert _rows(_serve_topk(spark, p1, s1)) == want
 
 
+def test_random_splits_and_cadences_serve_identically(spark, sf_dir, tmp_path, monkeypatch):
+    """Property: for RANDOM doc->batch assignments and RANDOM
+    auto-compaction cadences (including every-batch and never), the
+    maintained index serves the exact ranking of a clean one-shot
+    ingest — batching and housekeeping are jointly invisible."""
+    import random
+
+    import realtime_change_data_capture_streaming_spark.streaming.bm25_maintain as bm
+
+    rng = random.Random(1404)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    ref_p, ref_s = str(tmp_path / "refp"), str(tmp_path / "refs")
+    monkeypatch.setattr(bm, "AUTO_COMPACT_BATCHES", 10_000)
+    bm._ingest_batch(ref_p, ref_s, d, 0)
+    want = _rows(_serve_topk(spark, ref_p, ref_s))
+    assert want, "reference serve is empty — fixture too small"
+
+    for trial in range(3):
+        n_batches = rng.choice([3, 4, 5])
+        salt = rng.randrange(1 << 30)
+        cadence = rng.choice([1, 2, 10_000])
+        monkeypatch.setattr(bm, "AUTO_COMPACT_BATCHES", cadence)
+        p, s = str(tmp_path / f"p{trial}"), str(tmp_path / f"s{trial}")
+        split = F.pmod(F.crc32(F.concat(F.col("doc_id").cast("string"), F.lit(str(salt)))), F.lit(n_batches))
+        for i in range(n_batches):
+            bm._ingest_batch(p, s, d.filter(split == i), i)
+        got = _rows(_serve_topk(spark, p, s))
+        assert got == want, (trial, n_batches, cadence, salt)
+
+
 def test_compaction_dedups_and_swaps_atomically(spark, sf_dir, tmp_path):
     """Segment-merge housekeeping: after a half-applied replay doubled
     the append-log, compaction must (a) rewrite the live version to
