@@ -82,11 +82,20 @@ def resolve(root: str) -> str | None:
 
 _STAGED_PREFIX = ".staged-"
 
-#: staged-GC age bound: a staging dir whose seq can no longer commit (the
-#: live manifest reached or passed it) and whose top-level mtime is older
-#: than this is a dead writer's leftover — reclaim it even before the
-#: seq-margin horizon passes it.  In-flight writers at a still-committable
-#: seq (> live) are never age-swept.
+#: staged-GC age bound (default for ``commit(staged_ttl_seconds=...)``):
+#: a staging dir whose seq can no longer commit (the live manifest reached
+#: or passed it) and whose newest tree mtime is older than this is a dead
+#: writer's leftover — reclaim it even before the seq-margin horizon
+#: passes it.  In-flight writers at a still-committable seq (> live) are
+#: never age-swept.  SAME-CLOCK ASSUMPTION: the sweep compares file
+#: mtimes (set by whichever host wrote the staged files) against THIS
+#: process's ``time.time()``; on a shared filesystem the writers and the
+#: committer must be NTP-synced to well within the TTL, or a skewed
+#: committer can reclaim a live-but-doomed slow writer's staged dir
+#: mid-write (the writer still fails its CAS loudly, but its in-progress
+#: work is lost).  Deployments with loose clocks should raise the TTL via
+#: the commit() parameter rather than patching this module default
+#: (ADVICE r14).
 _STAGED_TTL_SECONDS = 3600.0
 
 
@@ -151,6 +160,7 @@ def commit(
     keep: int = 1,
     expect_prev: int | None | object = _AUTO,
     staged: str | None = None,
+    staged_ttl_seconds: float = _STAGED_TTL_SECONDS,
 ) -> None:
     """Atomically publish version ``seq`` and GC unreferenced versions
     older than the previous ``keep`` (the retained ones are the
@@ -292,10 +302,10 @@ def commit(
                     except OSError:
                         top = time.time()
                     now = time.time()
-                    if now - top > _STAGED_TTL_SECONDS:
+                    if now - top > staged_ttl_seconds:
                         stale_by_age = now - _tree_max_mtime(
                             os.path.join(root, entry), top
-                        ) > _STAGED_TTL_SECONDS
+                        ) > staged_ttl_seconds
                 if old_by_seq or stale_by_age:
                     shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
         _prune_history(root, lo=seq - keep)

@@ -223,7 +223,11 @@ def compact_ann_store(spark: SparkSession, store: str, to_versions: int = 1) -> 
     if m is None or not m.get("buckets"):
         return
     versions = sorted(set(m["buckets"].values()))
-    if len(versions) <= to_versions and to_versions > 1:
+    if len(versions) <= to_versions:
+        # already at (or under) the target — a standalone full collapse
+        # (to_versions=1) on a single-version store was still doing a
+        # full rewrite + commit for nothing (ADVICE r14): version dirs
+        # are immutable, so a 1-version store IS its own collapse.
         return
     oldest = set(versions[: max(1, len(versions) - to_versions + 1)])
     chosen = sorted(int(c) for c, v in m["buckets"].items() if v in oldest)
@@ -810,6 +814,18 @@ def _serve_adc_mixed(
     )
     flut = _adc_lut(qsubs, cb)
     pairs = cand.filter(F.col("refit_gen") == 0).join(F.broadcast(flut), ["s", "code"])
+    if cb_local is None:
+        # a state with generation>=1 clusters but no loadable local
+        # codebook (e.g. the pinned _local_cb dir is missing/unreadable)
+        # must fail loudly, not silently drop every refit cluster from
+        # the search and serve a truncated result set (ADVICE r14)
+        if cand.filter(F.col("refit_gen") >= 1).limit(1).count() > 0:
+            raise RuntimeError(
+                "ADC serve: state contains refit_gen>=1 clusters but no "
+                "local codebook could be loaded — the committed _local_cb "
+                "dir is missing or unreadable; refusing to serve a "
+                "silently truncated result"
+            )
     if cb_local is not None:
         llut = (
             qsubs.select(F.col("vec_id").alias("query_id"), "s", "sub")

@@ -144,10 +144,9 @@ def _ingest_batch(postings_root: str, stats_store: str, batch: DataFrame, bid: i
     can replay a batch id against real stores)."""
     if _stats(stats_store)[0] >= bid:
         return  # fully-applied batch replayed after a crash
+    store = _postings_store(postings_root)
     postings, lens = _batch_postings(batch)
-    postings.write.mode("append").partitionBy("bucket").parquet(
-        _postings_store(postings_root).live_dir()
-    )
+    postings.write.mode("append").partitionBy("bucket").parquet(store.live_dir())
     # ONE bounded collect: the batch's two corpus counters (1 row)
     row = lens.agg(
         F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
@@ -155,11 +154,14 @@ def _ingest_batch(postings_root: str, stats_store: str, batch: DataFrame, bid: i
     if row["n"] == 0:
         return
     _fold_stats(stats_store, int(row["n"]), int(row["s"]), bid)
-    # housekeeping rides the ingest loop: two manifest reads decide, and a
-    # crash between the stats fold and the compaction only defers the merge
-    # to the next batch (compaction never changes serving results — the
-    # dedup-at-read contract keeps it pure hygiene)
-    compacted_through = _postings_store(postings_root)._manifest().get("applied_bid", -1)
+    # housekeeping rides the ingest loop: ONE store instance serves both
+    # the append above and this manifest read (a second _PendingStore
+    # lazily re-read — and on first touch re-committed — the manifest for
+    # nothing, ADVICE r14); a crash between the stats fold and the
+    # compaction only defers the merge to the next batch (compaction never
+    # changes serving results — the dedup-at-read contract keeps it pure
+    # hygiene)
+    compacted_through = store._manifest().get("applied_bid", -1)
     if bid - compacted_through >= AUTO_COMPACT_BATCHES:
         compact_bm25_postings(batch.sparkSession, postings_root, through_bid=bid)
 
