@@ -223,6 +223,186 @@ def test_random_splits_and_cadences_serve_identically(spark, sf_dir, tmp_path, m
         assert got == want, (trial, n_batches, cadence, salt)
 
 
+def test_forget_serving_matches_clean_rebuild_minus_erased(spark, sf_dir):
+    """The erasure contract end-to-end (VERDICT r14 task 1): after the
+    delete batch flows through the maintenance loop, serving must equal
+    the from-scratch build over the SURVIVING corpus — and must DIFFER
+    from the full-corpus ranking (non-vacuous: the erased third
+    actually moved n_docs/avgdl/df or removed ranked docs)."""
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        FORGET_MOD,
+        _ingest_batch,
+        stream_bm25_forget,
+    )
+
+    got = _rows(stream_bm25_forget(spark, sf_dir))
+    # clean rebuild over the surviving corpus via the non-CDC loop
+    work = scratch_dir(prefix="bm25forget_ref_")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    survivors = d.filter(F.pmod(F.col("doc_id"), F.lit(FORGET_MOD)) != 0)
+    _ingest_batch(f"{work}/p", f"{work}/s", survivors, 0)
+    want = _rows(_serve_topk(spark, f"{work}/p", f"{work}/s"))
+    assert got == want
+    assert got != _rows(text_bm25_topk(spark, sf_dir)), "erasure did not move the ranking"
+    assert all(r[0] % FORGET_MOD != 0 for r in got), "an erased doc is still serving"
+
+
+def test_erasure_replay_is_exactly_once_for_correction(spark, sf_dir, tmp_path):
+    """A replayed erasure batch must not double-decrement the correction
+    counters (set + counters flip in ONE manifest), and a double-delete
+    of already-erased ids must be a no-op."""
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        _apply_erasures,
+        _erased_state,
+        _ingest_batch_cdc,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    p, s, dl, er = (str(tmp_path / x) for x in ("p", "s", "dl", "er"))
+    _ingest_batch_cdc(p, s, dl, er, d.withColumn("op", F.lit("c")), 0)
+    dels = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select("doc_id")
+    _apply_erasures(spark, dl, er, dels, 1)
+    bid1, n1, dl1 = _erased_state(er)
+    assert bid1 == 1 and n1 > 0 and dl1 > 0
+    served = _rows(_serve_topk(spark, p, s, er))
+    _apply_erasures(spark, dl, er, dels, 1)  # fully-applied replay: bid guard
+    assert _erased_state(er) == (bid1, n1, dl1)
+    _apply_erasures(spark, dl, er, dels, 2)  # double-delete: anti-join guard
+    assert _erased_state(er)[1:] == (n1, dl1)
+    assert _rows(_serve_topk(spark, p, s, er)) == served
+
+
+def test_forget_crash_between_sides_replays_only_unapplied_side(spark, sf_dir, tmp_path):
+    """The two frontiers are separate: a batch whose INSERT side folded
+    but whose erasure commit crashed replays only the erasure; the
+    counters do not double-fold and serving converges to
+    clean-minus-erased."""
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        _apply_erasures,
+        _ingest_batch,
+        _ingest_batch_cdc,
+        _stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    p, s, dl, er = (str(tmp_path / x) for x in ("p", "s", "dl", "er"))
+    _ingest_batch_cdc(p, s, dl, er, d.withColumn("op", F.lit("c")), 0)
+    n_after_ins = _stats(s)[1]
+    # mixed batch: 10 fresh docs + deletes; simulate the crash window by
+    # applying ONLY the insert side (stats frontier advances to bid 1)
+    mixed_ins = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") >= 60)
+        .limit(10)
+        .withColumn("op", F.lit("c"))
+    )
+    dels = d.filter(F.pmod(F.col("doc_id"), F.lit(4)) == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"), F.lit("d").alias("op")
+    )
+    _ingest_batch_cdc(p, s, dl, er, mixed_ins, 1)  # insert side lands, erasure never arrives
+    assert _stats(s)[0] == 1
+    # the REPLAY delivers the full mixed batch: insert side must skip
+    # (stats applied_bid already 1), erasure side must apply
+    _ingest_batch_cdc(p, s, dl, er, mixed_ins.unionByName(dels), 1)
+    assert _stats(s)[1] == n_after_ins + 10, "insert side double-folded on replay"
+    # reference: clean ingest of the surviving corpus
+    ref_p, ref_s = str(tmp_path / "rp"), str(tmp_path / "rs")
+    survivors = d.unionByName(mixed_ins.select("doc_id", "text")).filter(
+        (F.pmod(F.col("doc_id"), F.lit(4)) != 0) | (F.col("doc_id") >= 60)
+    )
+    _ingest_batch(ref_p, ref_s, survivors, 0)
+    assert _rows(_serve_topk(spark, p, s, er)) == _rows(_serve_topk(spark, ref_p, ref_s))
+
+
+def test_compaction_physically_drops_erased_docs(spark, sf_dir, tmp_path):
+    """After erasure, compaction's rewrite must leave ZERO rows of the
+    erased docs in the live postings version (and the ledger compact
+    drops their length rows), with serving unchanged — bytes shrink to
+    the surviving corpus."""
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        _apply_erasures,
+        _doclens_store,
+        _ingest_batch_cdc,
+        _postings_store,
+        compact_bm25_doclens,
+        compact_bm25_postings,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    p, s, dl, er = (str(tmp_path / x) for x in ("p", "s", "dl", "er"))
+    _ingest_batch_cdc(p, s, dl, er, d.withColumn("op", F.lit("c")), 0)
+    dels = d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == 0).select("doc_id")
+    _apply_erasures(spark, dl, er, dels, 1)
+    want = _rows(_serve_topk(spark, p, s, er))
+    erased_ids = {int(r["doc_id"]) for r in dels.collect()}
+    assert spark.read.parquet(_postings_store(p).live_dir()).filter(
+        F.col("doc_id").isin(list(erased_ids))
+    ).count() > 0, "fixture vacuous: erased docs left no postings"
+
+    compact_bm25_postings(spark, p, erased_root=er)
+    compact_bm25_doclens(spark, dl, er)
+    assert spark.read.parquet(_postings_store(p).live_dir()).filter(
+        F.col("doc_id").isin(list(erased_ids))
+    ).count() == 0
+    assert spark.read.parquet(_doclens_store(dl).live_dir()).filter(
+        F.col("doc_id").isin(list(erased_ids))
+    ).count() == 0
+    assert _rows(_serve_topk(spark, p, s, er)) == want
+
+
+def test_random_splits_cadences_and_erasures_serve_identically(spark, sf_dir, tmp_path, monkeypatch):
+    """VERDICT r14 task 6 — deletion-aware maintenance invariance: for
+    RANDOM doc->batch assignments, RANDOM compaction cadences, and
+    RANDOM erasure interleavings (erasure batches interleaved between
+    insert batches, erasing only already-inserted docs — the CDC
+    ordering contract), the maintained index serves exactly the clean
+    rebuild over the surviving corpus under every cadence."""
+    import random
+
+    import realtime_change_data_capture_streaming_spark.streaming.bm25_maintain as bm
+
+    rng = random.Random(1515)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(60)
+    ids = sorted(int(r["doc_id"]) for r in d.select("doc_id").collect())
+
+    for trial in range(3):
+        n_batches = rng.choice([3, 4])
+        assign = {i: rng.randrange(n_batches) for i in ids}
+        # erase ~a quarter of the docs, each in a random batch AT or
+        # AFTER its insert batch (deletes follow inserts in the log)
+        erase_at = {
+            i: rng.randint(assign[i], n_batches - 1)
+            for i in ids
+            if rng.random() < 0.25
+        }
+        cadence = rng.choice([1, 2, 10_000])
+        monkeypatch.setattr(bm, "AUTO_COMPACT_BATCHES", cadence)
+        p, s, dl, er = (str(tmp_path / f"{x}{trial}") for x in ("p", "s", "dl", "er"))
+        for b in range(n_batches):
+            ins_ids = [i for i in ids if assign[i] == b]
+            del_ids = [i for i in ids if erase_at.get(i) == b]
+            batch = d.filter(F.col("doc_id").isin(ins_ids)).withColumn(
+                "op", F.lit("c")
+            ).unionByName(
+                d.filter(F.col("doc_id").isin(del_ids or [-1])).select(
+                    "doc_id",
+                    F.lit(None).cast("string").alias("text"),
+                    F.lit("d").alias("op"),
+                )
+            )
+            bm._ingest_batch_cdc(p, s, dl, er, batch, b)
+        got = _rows(_serve_topk(spark, p, s, er))
+        # clean rebuild over the survivors
+        ref_p, ref_s = str(tmp_path / f"refp{trial}"), str(tmp_path / f"refs{trial}")
+        monkeypatch.setattr(bm, "AUTO_COMPACT_BATCHES", 10_000)
+        survivors = d.filter(~F.col("doc_id").isin(list(erase_at) or [-1]))
+        bm._ingest_batch(ref_p, ref_s, survivors, 0)
+        want = _rows(_serve_topk(spark, ref_p, ref_s))
+        assert got == want, (trial, n_batches, cadence, len(erase_at))
+        assert want, "trial vacuous: surviving corpus served nothing"
+
+
 def test_compaction_dedups_and_swaps_atomically(spark, sf_dir, tmp_path):
     """Segment-merge housekeeping: after a half-applied replay doubled
     the append-log, compaction must (a) rewrite the live version to

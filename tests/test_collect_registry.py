@@ -70,6 +70,15 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         1,
         "the batch's two corpus counters (n_docs, sum_dl) — one row",
     ),
+    ("streaming/bm25_maintain.py", "_ingest_batch_cdc"): (
+        1,
+        "the insert side's two corpus counters (n_docs, sum_dl) — one row",
+    ),
+    ("streaming/bm25_maintain.py", "_apply_erasures"): (
+        2,
+        "ledger-partition prune list (<= N_DOC_BUCKETS dirs) + the erasure "
+        "batch's two correction counters (one row)",
+    ),
     ("llm_ops/dedup.py", "_sem_fit_centroids"): (
         2,
         "k-means model state: k x 128 fixed-point centroid sums per iteration, k ∝ n_docs/64",
