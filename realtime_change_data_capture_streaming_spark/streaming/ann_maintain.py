@@ -209,7 +209,47 @@ def _append_codes(store: str, batch_codes: DataFrame, bid: int) -> None:
 ANN_AUTO_COMPACT_MAX_VERSIONS = 8
 
 
-def compact_ann_store(spark: SparkSession, store: str, to_versions: int = 1) -> None:
+def _read_erased_vecs(spark: SparkSession, erased_root: str) -> DataFrame | None:
+    """The committed erased vec_id set (tombstones), or None when no
+    erasure was ever applied."""
+    live = table_commit.resolve(erased_root)
+    if live is None:
+        return None
+    return spark.read.schema("vec_id bigint").parquet(live)
+
+
+def _apply_vec_erasures(erased_root: str, del_ids: DataFrame, bid: int) -> None:
+    """One erasure micro-batch into the tombstone store: publish the
+    union of the committed set and the batch's ids as a new version
+    behind ONE atomic manifest flip (VERDICT r14 task 1 — deletes must
+    reach the ANN serving tier, the index-side analog of the reference
+    sink's delete handling, ``transaction_consumer.py:85-102``).
+
+    Idempotent by construction: the set union dedups, the
+    ``applied_bid`` guard skips fully-applied replays, and a crash
+    before the commit publishes nothing.  Unlike BM25 there are no
+    correction counters — ADC scoring has no corpus-statistics term, so
+    the tombstone set alone makes serving equal the clean
+    rebuild-minus-erased.  Erasure is TERMINAL per vec_id (the GDPR
+    contract).  At 100 TB the set is a vanishing fraction of the
+    corpus; the serve-side anti-join broadcasts it."""
+    m = table_commit.read_manifest(erased_root)
+    if m is not None and bid <= m.get("applied_bid", -1):
+        return
+    sp = del_ids.sparkSession
+    ids = del_ids.select("vec_id").distinct().localCheckpoint(eager=True)
+    if ids.count() == 0:
+        return
+    prev = _read_erased_vecs(sp, erased_root)
+    all_ids = ids if prev is None else prev.unionByName(ids).dropDuplicates(["vec_id"])
+    staged, seq = table_commit.begin(erased_root)
+    all_ids.coalesce(1).write.mode("overwrite").parquet(staged)
+    table_commit.commit(erased_root, seq, meta={"applied_bid": bid}, staged=staged)
+
+
+def compact_ann_store(
+    spark: SparkSession, store: str, to_versions: int = 1, erased_root: str | None = None
+) -> None:
     """Collapse the codes store's version chain down to ``to_versions``
     dirs by rewriting ONLY the clusters mapped to the oldest excess
     versions into one new dir (the ``compact_sink(max_buckets=...)``
@@ -218,26 +258,53 @@ def compact_ann_store(spark: SparkSession, store: str, to_versions: int = 1) -> 
     ingest/refit frontiers and generation map ride through; superseded
     versions age out through commit()'s grace window.  The default
     ``to_versions=1`` is the standalone full collapse; the auto-trigger
-    passes the half-bound watermark."""
+    passes the half-bound watermark.
+
+    With ``erased_root``, this is the ERASURE-PURGE compaction: every
+    cluster is rewritten with the tombstoned vec_ids anti-joined out, so
+    erased vectors physically leave the store (bytes shrink to the live
+    corpus and staleness counts stop seeing them).  That is a full
+    O(store) rewrite by design — it runs on the erasure-GC cadence, not
+    per batch; serving never depends on it (the serve-time anti-join
+    stays authoritative)."""
     m = table_commit.read_manifest(store)
     if m is None or not m.get("buckets"):
         return
     versions = sorted(set(m["buckets"].values()))
-    if len(versions) <= to_versions:
+    erased = _read_erased_vecs(spark, erased_root) if erased_root is not None else None
+    if len(versions) <= to_versions and erased is None:
         # already at (or under) the target — a standalone full collapse
         # (to_versions=1) on a single-version store was still doing a
         # full rewrite + commit for nothing (ADVICE r14): version dirs
-        # are immutable, so a 1-version store IS its own collapse.
+        # are immutable, so a 1-version store IS its own collapse.  A
+        # purge run (erased set present) must still rewrite.
         return
-    oldest = set(versions[: max(1, len(versions) - to_versions + 1)])
-    chosen = sorted(int(c) for c, v in m["buckets"].items() if v in oldest)
-    rows = _read_store(spark, store, clusters=chosen).localCheckpoint(eager=True)
+    if erased is not None:
+        chosen = sorted(int(c) for c in m["buckets"])
+    else:
+        oldest = set(versions[: max(1, len(versions) - to_versions + 1)])
+        chosen = sorted(int(c) for c, v in m["buckets"].items() if v in oldest)
+    rows = _read_store(spark, store, clusters=chosen)
+    if erased is not None:
+        rows = rows.join(F.broadcast(erased), "vec_id", "left_anti")
+    rows = rows.localCheckpoint(eager=True)
     vdir, seq = table_commit.begin(store)
     rows.write.mode("overwrite").partitionBy("cluster").parquet(vdir)
     vname = os.path.basename(vdir)
     buckets = dict(m["buckets"])
-    for c in chosen:
-        buckets[str(c)] = vname
+    if erased is not None:
+        # a fully-purged cluster writes no partition dir; its bucket
+        # entry must go, not dangle at a path that does not exist
+        # (bounded collect: <= k cluster ids, model-state scale)
+        kept = {int(r["cluster"]) for r in rows.select("cluster").distinct().collect()}
+        for c in chosen:
+            if c in kept:
+                buckets[str(c)] = vname
+            else:
+                buckets.pop(str(c), None)
+    else:
+        for c in chosen:
+            buckets[str(c)] = vname
     meta = {"buckets": buckets}
     for k in ("applied_bid",) + _REFIT_META_KEYS:
         if k in m:
@@ -759,6 +826,91 @@ def stream_ann_partial_refit_serve(spark: SparkSession, sf_dir: str) -> DataFram
     return _serve_adc_mixed(spark, sf_dir, cents, cb, state, cb_local)
 
 
+#: erasure fixture predicate for ``stream_ann_forget_serve``: every fifth
+#: vec_id (excluding the query probes) is deleted by the third
+#: micro-batch — hitting BOTH frozen-base (history) vectors and
+#: just-streamed-in appends, so the anti-join must cover both tiers.
+ANN_FORGET_MOD = 5
+ANN_FORGET_RESIDUE = 2
+
+
+def _ann_forget_pred():
+    return (F.pmod(F.col("vec_id"), F.lit(ANN_FORGET_MOD)) == ANN_FORGET_RESIDUE) & (
+        F.col("vec_id") >= N_QUERY_VECS
+    )
+
+
+def stream_ann_forget_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure through the maintained ANN index (VERDICT r14 task 1):
+    incoming vectors ingest across two real micro-batches, then a
+    DELETE batch (op='d') tombstones a fifth of the corpus — history
+    and freshly-appended vectors alike — through the replay-guarded
+    erased-set store; the final ADC search must equal the closed form
+    over the SURVIVING corpus (frozen quantizers, so erasure only
+    removes candidates — exactly the FAISS remove_ids contract).  An
+    erased vector never serves again, from either the frozen base codes
+    or the appended store."""
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    work = scratch_dir(prefix="annforget_")
+    store, erased_root = f"{work}/codes_store", f"{work}/erased"
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    incoming = e.filter(F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID).withColumn(
+        "op", F.lit("c")
+    )
+    dels = e.filter(_ann_forget_pred()).select(
+        "vec_id",
+        F.lit(None).cast("array<float>").alias("embedding"),
+        F.lit(None).cast("int").alias("label"),
+        F.lit("d").alias("op"),
+    )
+    in_dir = stage_ordered_batches(
+        [
+            incoming.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 0),
+            incoming.filter(F.pmod(F.col("vec_id"), F.lit(2)) == 1),
+            dels,
+        ],
+        f"{work}/staged",
+    )
+
+    def gate(batch: DataFrame, bid: int) -> None:
+        ins = batch.filter(
+            (F.col("op").isNull() | (F.col("op") != F.lit("d")))
+            & (F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID)
+        ).select("vec_id", "embedding", "label")
+        _append_codes(store, _encode(spread(ins), cents, cb), bid)
+        _apply_vec_erasures(erased_root, batch.filter(F.col("op") == "d"), bid)
+
+    drive_staged_stream(
+        spark,
+        in_dir,
+        "vec_id bigint, embedding array<float>, label int, op string",
+        gate,
+        f"{work}/ckpt",
+    )
+    state = (
+        base.select(
+            "vec_id",
+            F.col("s").cast("bigint").alias("s"),
+            F.col("code").cast("bigint").alias("code"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+        )
+        .unionByName(
+            _read_store(spark, store).select(
+                "vec_id",
+                F.col("s").cast("bigint").alias("s"),
+                "code",
+                "cluster",
+            )
+        )
+        .withColumn("refit_gen", F.lit(0).cast("bigint"))
+    )
+    erased = _read_erased_vecs(spark, erased_root)
+    if erased is not None:
+        state = state.join(F.broadcast(erased), "vec_id", "left_anti")
+    return _serve_adc_mixed(spark, sf_dir, cents, cb, state, None)
+
+
 def _serve_adc_mixed(
     spark: SparkSession,
     sf_dir: str,
@@ -1152,6 +1304,86 @@ SELECT query_id, cand_id, adc_fp, cand_gen, rk FROM (
 """
 
 
+def _forget_serve_sql() -> str:
+    """DuckDB replay of the post-erasure ADC search: the frozen-quantizer
+    chains of ``_stream_ann_sql`` (history-fit PQ + IVF, frozen
+    assignment of both tiers), the serving union MINUS the erased
+    predicate, then the per-query probe ranking and fixed-point ADC
+    top-k — the clean rebuild-minus-erased the tombstoned store must
+    reproduce."""
+    HIST = ANN_HISTORY_MAX_VEC_ID
+    sql = f"""
+WITH vd AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+), hsubs AS MATERIALIZED (
+  SELECT vec_id, t.s AS s, list_slice(v, t.s * {PQ_SUB_DIM} + 1, t.s * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS sub
+  FROM vd, UNNEST(range(0, {N_PQ_SUB})) AS t(s)
+  WHERE vec_id < {HIST}
+), isubs AS (
+  SELECT vec_id, t.s AS s, list_slice(v, t.s * {PQ_SUB_DIM} + 1, t.s * {PQ_SUB_DIM} + {PQ_SUB_DIM}) AS sub
+  FROM vd, UNNEST(range(0, {N_PQ_SUB})) AS t(s)
+  WHERE vec_id >= {HIST}
+), cb0 AS (
+  SELECT s, vec_id AS code, sub AS cw FROM hsubs WHERE vec_id < {N_PQ_CODES}
+)"""
+    cbn = "cb0"
+    for i in range(PQ_ITERS):
+        sql += (
+            f", {_sql_pq_assign('hsubs', cbn, f'passign{i}')}\n"
+            f", {_sql_pq_update(f'passign{i}', f'cb{i + 1}')}"
+        )
+        cbn = f"cb{i + 1}"
+    sql += f"""
+, hvecs AS MATERIALIZED (SELECT vec_id, v FROM vd WHERE vec_id < {HIST})
+, ivecs AS (SELECT vec_id, v FROM vd WHERE vec_id >= {HIST})
+, icents0 AS (
+  SELECT vec_id AS cluster, v AS centroid FROM hvecs WHERE vec_id < {N_IVF_CLUSTERS}
+), {_sql_ivf_assign("hvecs", "icents0", "iassign0")}
+, {_sql_ivf_update("iassign0", "icents1")}
+, {_sql_ivf_assign("hvecs", "icents1", "iassign1")}
+, {_sql_ivf_update("iassign1", "icents2")}
+, {_sql_ivf_assign("hvecs", "icents2", "hfinal")}
+, {_sql_ivf_assign("ivecs", "icents2", "ifinal")}
+, {_sql_pq_assign("hsubs", cbn, "hcodes")}
+, {_sql_pq_assign("isubs", cbn, "icodes")}
+, live AS (
+  SELECT vec_id, s, code, cluster FROM (
+    SELECT h.vec_id, p.s, p.code, h.cluster
+    FROM hcodes p JOIN hfinal h ON h.vec_id = p.vec_id
+    UNION ALL
+    SELECT f.vec_id, p.s, p.code, f.cluster
+    FROM icodes p JOIN ifinal f ON f.vec_id = p.vec_id
+  ) WHERE NOT (vec_id % {ANN_FORGET_MOD} = {ANN_FORGET_RESIDUE} AND vec_id >= {N_QUERY_VECS})
+), qsubs AS (
+  SELECT vec_id, s, sub FROM hsubs WHERE vec_id < {N_QUERY_VECS}
+), probes AS (
+  SELECT vec_id AS query_id, cluster FROM (
+    SELECT e.vec_id, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY {_IVF_DIST} ASC, c.cluster ASC) AS prk
+    FROM (SELECT vec_id, v FROM vd WHERE vec_id < {N_QUERY_VECS}) e CROSS JOIN icents2 c
+  ) WHERE prk <= {N_PROBE}
+), flut AS (
+  SELECT a.vec_id AS query_id, a.s, c.code,
+         CAST(FLOOR({_PQ_DIST} * {float(_ADC_SCALE)}) AS BIGINT) AS pfp
+  FROM qsubs a JOIN {cbn} c ON a.s = c.s
+), adc AS (
+  SELECT p.query_id, v.vec_id AS cand_id, SUM(l.pfp) AS adc_fp
+  FROM live v
+  JOIN probes p ON p.cluster = v.cluster
+  JOIN flut l ON l.s = v.s AND l.code = v.code AND l.query_id = p.query_id
+  WHERE v.vec_id >= {N_QUERY_VECS}
+  GROUP BY 1, 2
+)
+SELECT query_id, cand_id, adc_fp, cand_gen, rk FROM (
+  SELECT query_id, cand_id, CAST(adc_fp AS BIGINT) AS adc_fp,
+         CAST(0 AS BIGINT) AS cand_gen,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_fp ASC, cand_id ASC) AS BIGINT) AS rk
+  FROM adc
+) WHERE rk <= {TOP_K}
+"""
+    return sql
+
+
 def _refit_sql() -> str:
     """DuckDB replay of the post-swap serving state: BOTH quantizer
     chains fit on the FULL corpus (the exact batch-build arithmetic —
@@ -1192,10 +1424,12 @@ QUERIES = {
     "stream_ann_index_refit": stream_ann_index_refit,
     "stream_ann_index_partial_refit": stream_ann_index_partial_refit,
     "stream_ann_partial_refit_serve": stream_ann_partial_refit_serve,
+    "stream_ann_forget_serve": stream_ann_forget_serve,
 }
 ORACLE = {
     "stream_ann_index_append": _stream_ann_sql(),
     "stream_ann_index_refit": _refit_sql(),
     "stream_ann_index_partial_refit": _partial_refit_sql(),
     "stream_ann_partial_refit_serve": _partial_refit_serve_sql(),
+    "stream_ann_forget_serve": _forget_serve_sql(),
 }

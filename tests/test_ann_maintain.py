@@ -551,3 +551,83 @@ def test_ann_ingest_restart_from_checkpoint_replays_batch(spark, sf_dir):
     got = sorted(tuple(r) for r in _with_staleness(_read_store(spark, store), base).collect())
     want = sorted(tuple(r) for r in ann_index_append_batch(spark, sf_dir).collect())
     assert got == want
+
+
+def test_vec_erasure_replay_and_double_delete_are_idempotent(spark, tmp_path):
+    """Erasure tombstones are exactly-once under replay: a fully-applied
+    erasure batch skips on the manifest bid, and a double-delete of
+    already-tombstoned ids leaves the committed set unchanged."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        _apply_vec_erasures,
+        _read_erased_vecs,
+    )
+
+    er = str(tmp_path / "erased")
+    ids = spark.createDataFrame([(10,), (11,), (12,)], "vec_id bigint")
+    _apply_vec_erasures(er, ids, 0)
+    m0 = table_commit.read_manifest(er)
+    assert m0["applied_bid"] == 0
+    got0 = sorted(r["vec_id"] for r in _read_erased_vecs(spark, er).collect())
+    assert got0 == [10, 11, 12]
+    _apply_vec_erasures(er, ids, 0)  # fully-applied replay
+    assert table_commit.read_manifest(er)["seq"] == m0["seq"]
+    _apply_vec_erasures(er, ids.union(spark.createDataFrame([(13,)], "vec_id bigint")), 1)
+    got1 = sorted(r["vec_id"] for r in _read_erased_vecs(spark, er).collect())
+    assert got1 == [10, 11, 12, 13], "double-delete must dedup, new id must land"
+
+
+def test_forget_serve_excludes_erased_from_both_tiers(spark, sf_dir):
+    """The registered query end-to-end: erased vectors — history (frozen
+    base codes) and streamed-in appends alike — never appear among the
+    served candidates, and the ranking differs from the no-erasure serve
+    (non-vacuous)."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        ANN_FORGET_MOD,
+        ANN_FORGET_RESIDUE,
+        ANN_HISTORY_MAX_VEC_ID,
+        stream_ann_forget_serve,
+    )
+
+    got = sorted(tuple(r) for r in stream_ann_forget_serve(spark, sf_dir).collect())
+    assert got, "forget serve returned nothing"
+    assert all(r[1] % ANN_FORGET_MOD != ANN_FORGET_RESIDUE for r in got), (
+        "an erased candidate is still serving"
+    )
+    # non-vacuous: some erased id below AND above the history split would
+    # have served without the erasure — check the erased set intersects
+    # both tiers in the fixture
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_hist = e.filter(
+        (F.pmod(F.col("vec_id"), F.lit(ANN_FORGET_MOD)) == ANN_FORGET_RESIDUE)
+        & (F.col("vec_id") >= 8) & (F.col("vec_id") < ANN_HISTORY_MAX_VEC_ID)
+    ).count()
+    n_inc = e.filter(
+        (F.pmod(F.col("vec_id"), F.lit(ANN_FORGET_MOD)) == ANN_FORGET_RESIDUE)
+        & (F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID)
+    ).count()
+    assert n_hist > 0 and n_inc > 0, "fixture does not erase from both tiers"
+
+
+def test_purge_compaction_drops_tombstoned_rows_and_prunes_empty_clusters(spark, tmp_path):
+    """The erasure-purge compaction physically removes tombstoned
+    vec_ids from the codes store, drops a fully-purged cluster's bucket
+    entry (no dangling path), and leaves the surviving state unchanged."""
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        _apply_vec_erasures,
+        compact_ann_store,
+    )
+
+    store, er = str(tmp_path / "codes"), str(tmp_path / "erased")
+    _append_codes(store, _codes(spark, [(1, 0, 5, 0), (2, 0, 6, 1), (3, 0, 7, 1)]), 0)
+    _append_codes(store, _codes(spark, [(4, 0, 8, 2)]), 1)
+    # tombstone vec 1 (sole member of cluster 0 -> cluster empties) and 3
+    _apply_vec_erasures(er, spark.createDataFrame([(1,), (3,)], "vec_id bigint"), 2)
+    compact_ann_store(spark, store, erased_root=er)
+    m = table_commit.read_manifest(store)
+    assert "0" not in m["buckets"], "fully-purged cluster must leave the bucket map"
+    assert _store_state(spark, store) == [(2, 0, 6, 1), (4, 0, 8, 2)]
+    # idempotent re-purge publishes a fresh (identical) state
+    compact_ann_store(spark, store, erased_root=er)
+    assert _store_state(spark, store) == [(2, 0, 6, 1), (4, 0, 8, 2)]
