@@ -100,3 +100,71 @@ def test_ml_brp_recall_vs_exact_euclidean(spark, sf_dir):
     )
     recall = len(got_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= BRP_RECALL_FLOOR, f"BRP candidate recall {recall:.3f}"
+
+
+def test_matryoshka_serve_recall_vs_full(spark, sf_dir):
+    """Recall pin for the two-stage Matryoshka serving tier (VERDICT r14
+    task 5): the prefix-shortlist + full-rerank top-10 must recover
+    >= 0.9 of the exact full-dimension top-10, at the shortlist depth
+    the prefix-overlap eval calibrated (L = 32k for the fixture's ~0.2
+    measured overlap — see MRL_SHORTLIST).  Also pins the eval->depth
+    relationship itself: a QUARTER-depth shortlist must recall strictly
+    less, so the depth knob demonstrably buys recall."""
+    from pyspark.sql import Window
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import (
+        MRL_K,
+        N_QUERY_VECS,
+        ann_matryoshka_serve_topk,
+        _dot,
+        _norm,
+    )
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    e = spread(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    # exact full-dim ground truth: test-only window over the sf0.001
+    # fixture (the production path is the two-stage serve under test)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    full = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .select(
+            "query_id",
+            "cand_id",
+            (_dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MRL_K)
+    )
+    truth = {(r["query_id"], r["cand_id"]) for r in full.select("query_id", "cand_id").collect()}
+    got = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_matryoshka_serve_topk(spark, sf_dir).collect()
+    }
+    assert truth and len(truth) == N_QUERY_VECS * MRL_K
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"two-stage recall {recall:.3f} < 0.9"
+
+    import realtime_change_data_capture_streaming_spark.llm_ops.similarity as sim
+
+    orig = sim.MRL_SHORTLIST
+    try:
+        sim.MRL_SHORTLIST = orig // 4
+        got_q = {
+            (r["query_id"], r["cand_id"])
+            for r in ann_matryoshka_serve_topk(spark, sf_dir).collect()
+        }
+    finally:
+        sim.MRL_SHORTLIST = orig
+    recall_q = len(got_q & truth) / len(truth)
+    assert recall_q < recall, (
+        f"quarter-depth shortlist recalled {recall_q:.3f} >= full-depth {recall:.3f} — "
+        "the calibrated depth is not doing anything"
+    )
