@@ -84,14 +84,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine"
         ),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
-    )
+    # partial-heads + bounded-aggregate top-k, NOT a query-partitioned
+    # window: 8 query keys over the whole candidate scan is the
+    # low-cardinality-partition shape the plan guard flags (r15)
+    return _per_query_topk(scored, TOP_K, "cosine", ascending=False)
 
 
 ANN_COSINE_SQL = f"""
@@ -136,8 +132,6 @@ def ann_matryoshka_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     candidate scan reads two column widths of one pass each.  Both
     rankings replay exactly in the oracle (the proven left-to-right
     double cosine fold; prefix = list_slice)."""
-    from pyspark.sql import Window
-
     e = spread(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -145,7 +139,6 @@ def ann_matryoshka_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     c = e.filter(F.col("vec_id") >= N_QUERY_VECS).select(
         F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
 
     def topk_set(qe, ce) -> DataFrame:
         scored = F.broadcast(q).crossJoin(c).select(
@@ -153,10 +146,10 @@ def ann_matryoshka_prefix_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
             "cand_id",
             (_dot(qe, ce) / (_norm(qe) * _norm(ce))).alias("cosine"),
         )
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= MRL_K)
-            .select("query_id", "cand_id")
+        # partial-heads + bounded aggregate (see _per_query_topk): no
+        # 8-key window over the full candidate scan (r15 plan guard)
+        return _per_query_topk(scored, MRL_K, "cosine", ascending=False).select(
+            "query_id", "cand_id"
         )
 
     full = topk_set(F.col("q_emb"), F.col("c_emb"))
@@ -250,54 +243,60 @@ def _mrl_prefix_dir(spark: SparkSession, sf_dir: str) -> str:
     return _index_cache("spark_graft_mrlserve_", spark, sf_dir, build)
 
 
-def _topk_sorted_slice(scored: DataFrame, k: int, keep_score: bool) -> DataFrame:
-    """Per-query top-k as a BOUNDED AGGREGATE instead of a per-query
-    window: collect the (already partial-reduced) candidates per query,
-    in-row sort ascending by (-score, cand_id) — IEEE negation is exact,
-    so the order equals (score DESC, cand_id ASC) — and slice k.  The
-    guard story: a window partitioned by query_id funnels the whole
-    input through |queries| tasks (the low-cardinality-partition shape
-    the r15 plan guard flags); the aggregate's per-group state is
-    bounded by its input, which callers keep at shortlist scale."""
-    agg = scored.groupBy("query_id").agg(
-        F.slice(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        (-F.col("score")).alias("ns"),
-                        F.col("cand_id").alias("cand_id"),
-                    )
-                )
-            ),
-            1,
-            k,
-        ).alias("top")
-    )
-    out = agg.select("query_id", F.posexplode("top").alias("pos", "t")).select(
-        "query_id",
-        F.col("t.cand_id").alias("cand_id"),
-        (-F.col("t.ns")).alias("score"),
-        (F.col("pos") + 1).cast("bigint").alias("rk"),
-    )
-    return out if keep_score else out.drop("score")
+def _per_query_topk(
+    scored: DataFrame,
+    k: int,
+    metric: str,
+    ascending: bool,
+    extra: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distributed per-query top-k WITHOUT a query-partitioned window —
+    the scale-correct replacement for
+    ``row_number().over(Window.partitionBy("query_id"))`` on
+    corpus-sized input (the r15 low-cardinality-partition plan guard:
+    with ~8 query keys, such a window funnels the whole candidate set
+    through 8 tasks — the same single-task failure as an unpartitioned
+    window, hidden behind a non-empty spec).
 
+    Phase 1 — partial heads: a window partitioned by
+    (spark_partition_id, query_id), whose key count GROWS with the data,
+    keeps each task on its own partition's rows and passes through at
+    most partitions x queries x k survivors.
+    Phase 2 — bounded final: collect the survivors per query, in-row
+    sort by (key, cand_id) and slice k.  ``key`` is the metric for
+    ascending order or its negation for descending (IEEE/bigint
+    negation is exact), so the result EQUALS the window form — same
+    values, same (metric, cand_id ASC) tie-break — and every existing
+    DuckDB oracle replays unchanged.
 
-def _partial_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Per-(input-partition, query) top-k — the scalable first phase of
-    a distributed top-k: the window's partition count grows with the
-    DATA (spark_partition_id), so no task ever sees more than its own
-    partition's rows, and the survivors (<= partitions * queries * k
-    rows) are small enough for the final bounded aggregate."""
+    Output: (query_id, cand_id, <metric>, *extra, rk) with rk bigint
+    1..k per query.  ``extra`` columns ride through untouched (placed
+    after cand_id in the sort struct, so they cannot affect order)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("pid", "query_id").orderBy(
-        F.desc("score"), F.asc("cand_id")
+    key = F.col(metric) if ascending else -F.col(metric)
+    tagged = scored.withColumn("_key", key).withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("pid", "query_id").orderBy(F.asc("_key"), F.asc("cand_id"))
+    part = (
+        tagged.withColumn("_prk", F.row_number().over(w))
+        .filter(F.col("_prk") <= k)
+        .drop("_prk", "pid")
     )
-    return (
-        scored.withColumn("pid", F.spark_partition_id())
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .drop("rk", "pid")
+    fields = [
+        F.col("_key").alias("k"),
+        F.col("cand_id").alias("cand_id"),
+        F.col(metric).alias("m"),
+        *[F.col(c).alias(c) for c in extra],
+    ]
+    agg = part.groupBy("query_id").agg(
+        F.slice(F.array_sort(F.collect_list(F.struct(*fields))), 1, k).alias("top")
+    )
+    return agg.select("query_id", F.posexplode("top").alias("pos", "t")).select(
+        "query_id",
+        F.col("t.cand_id").alias("cand_id"),
+        F.col("t.m").alias(metric),
+        *[F.col(f"t.{c}").alias(c) for c in extra],
+        (F.col("pos") + 1).cast("bigint").alias("rk"),
     )
 
 
@@ -340,8 +339,8 @@ def ann_matryoshka_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    short = _topk_sorted_slice(_partial_topk(stage1, MRL_SHORTLIST), MRL_SHORTLIST, False).drop(
-        "rk"
+    short = _per_query_topk(stage1, MRL_SHORTLIST, "score", ascending=False).select(
+        "query_id", "cand_id"
     )
     cand = F.broadcast(short).join(
         e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")),
@@ -353,11 +352,9 @@ def ann_matryoshka_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             _dot(F.col("q_emb"), F.col("c_emb"))
             / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
-        ).alias("score"),
+        ).alias("cosine"),
     )
-    return _topk_sorted_slice(stage2, MRL_K, True).select(
-        "query_id", "cand_id", F.col("score").alias("cosine"), "rk"
-    )
+    return _per_query_topk(stage2, MRL_K, "cosine", ascending=False)
 
 
 ANN_MRL_SERVE_SQL = f"""
@@ -585,14 +582,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_id",
         (_dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cosine"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
-    )
+    # partial-heads + bounded-aggregate top-k (see _per_query_topk): no
+    # low-cardinality query-keyed window over the candidate scan (r15)
+    return _per_query_topk(scored, TOP_K, "cosine", ascending=False)
 
 
 #: constant-ROW sample for the pairwise diagnostic: a constant FRACTION
@@ -694,12 +686,9 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_id",
         (_dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
-    )
+    # partial-heads + bounded-aggregate top-k (see _per_query_topk): no
+    # low-cardinality query-keyed window over the candidate scan (r15)
+    return _per_query_topk(scored, TOP_K, "cosine", ascending=False)
 
 
 def _index_cache(
@@ -758,7 +747,11 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     root = _ivf_index_dir(spark, sf_dir)
-    cents = spark.read.parquet(os.path.join(root, "centroids"))
+    # plan-visible model-state bound (the _load_frozen discipline): the
+    # centroid table is k rows by construction, and the semantic no-op
+    # limit lets the plan inspectors PROVE the probe window's input is
+    # bounded (queries x k) rather than trusting the table name
+    cents = spark.read.parquet(os.path.join(root, "centroids")).limit(N_IVF_CLUSTERS)
     vectors = spark.read.parquet(os.path.join(root, "vectors"))
     q = vectors.filter(F.col("vec_id") < N_QUERY_VECS).limit(N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -796,12 +789,9 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_id",
         (_dot(F.col("q_emb"), F.col("c_emb")) / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
-    )
+    # partial-heads + bounded-aggregate top-k (see _per_query_topk): no
+    # low-cardinality query-keyed window over the candidate scan (r15)
+    return _per_query_topk(scored, TOP_K, "cosine", ascending=False)
 
 
 def _ivf_sql() -> str:
@@ -1115,12 +1105,9 @@ def _adc_search(
             "left_semi",
         )
     scored = pairs.groupBy("query_id", "cand_id").agg(F.sum("pfp").alias("fp"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.asc("fp"), F.asc("cand_id"))
-    short = scored.withColumn("srk", F.row_number().over(w)).filter(
-        F.col("srk") <= PQ_SHORTLIST
-    )
+    # shortlist via partial-heads + bounded aggregate, not an 8-key
+    # window over every (query, cand) ADC sum (r15 plan guard)
+    short = _per_query_topk(scored, PQ_SHORTLIST, "fp", ascending=True)
 
     # exact rerank: bounded full-precision fetch, one row per shortlist pair
     e = load_table(spark, sf_dir, "embeddings")
@@ -1138,12 +1125,7 @@ def _adc_search(
         .join(vd.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv")), "cand_id")
         .select("query_id", "cand_id", l2.alias("l2_dist"))
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), F.asc("cand_id"))
-    return (
-        rer.withColumn("rk", F.row_number().over(w2))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "l2_dist", F.col("rk").cast("bigint").alias("rk"))
-    )
+    return _per_query_topk(rer, TOP_K, "l2_dist", ascending=True)
 
 
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1910,10 +1892,11 @@ def ann_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = F.broadcast(q).crossJoin(c).select(
         "query_id", "cand_id", F.floor(cos * F.lit(_MMR_FP)).cast("bigint").alias("rel_fp")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("rel_fp"), F.asc("cand_id"))
+    # shortlist via partial-heads + bounded aggregate (r15 plan guard);
+    # the iterative wsel windows below run over THIS checkpointed
+    # shortlist (<= _MMR_SHORTLIST rows per query), not the corpus
     short = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _MMR_SHORTLIST)
+        _per_query_topk(scored, _MMR_SHORTLIST, "rel_fp", ascending=False)
         .select("query_id", "cand_id", "rel_fp")
         .localCheckpoint(eager=True)
     )

@@ -81,6 +81,7 @@ _ROW_PRESERVING = frozenset(
         "RepartitionByExpression",
         "RebalancePartitions",
         "Window",
+        "WindowGroupLimit",
         "Deduplicate",
         "Distinct",
         "WithCTE",
@@ -136,6 +137,81 @@ def unbounded_global_windows(df: DataFrame) -> list[str]:
             and not _limit_bounded(node.child())
         ):
             out.append(node.simpleString(120))
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return out
+
+
+def _bounded_output_ids(root) -> set[int]:
+    """ExprIds produced by limit-bounded subtrees anywhere in the plan —
+    the provenance set ``low_cardinality_partition_windows`` checks
+    partition keys against."""
+    out: set[int] = set()
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if _limit_bounded(node):
+            attrs = node.output()
+            for i in range(attrs.size()):
+                out.add(attrs.apply(i).exprId().id())
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return out
+
+
+def _reference_ids(expr) -> set[int]:
+    """ExprIds an expression references (AttributeSet -> python set)."""
+    out: set[int] = set()
+    it = expr.references().iterator()
+    while it.hasNext():
+        out.add(it.next().exprId().id())
+    return out
+
+
+def low_cardinality_partition_windows(df: DataFrame) -> list[str]:
+    """Every Window whose partition keys ALL provably come from
+    limit-bounded subtrees while the window input is NOT bounded — the
+    fifth plan-guard class (VERDICT r14 task 3).  A window partitioned
+    by, say, the 8 query ids of a ``.limit(8)`` side funnels the whole
+    candidate scan through 8 tasks: the same single-task failure as an
+    unpartitioned window, hidden behind a non-empty spec (the
+    ``ann_cosine_topk`` shape before r15).  The engine's replacement is
+    the partial-heads + bounded-aggregate top-k
+    (``llm_ops.similarity._per_query_topk``), whose first-phase window
+    adds ``spark_partition_id`` to the keys so the partition count grows
+    WITH the data — that extra unbounded key is exactly what clears this
+    guard.
+
+    Detection is provenance-based, and the provenance is computed from
+    the WINDOW'S OWN SUBTREE: an exprId is "bounded" if a limit-bounded
+    subtree BENEATH the window outputs it (a limit sitting above the
+    window — e.g. the final global top-k — does not bound the key's
+    domain at the window, it only truncates afterwards).  A Window trips
+    when its partition expressions reference ONLY bounded exprIds (or
+    none — literal keys).  Lineage breaks (localCheckpoint) clear the
+    provenance, so windows over checkpointed shortlists pass — by then
+    the input is shortlist-scale anyway.
+    ``tests/test_window_guard.py`` enforces this over every registered
+    query with a documented whitelist for inputs that are
+    cardinality-bounded by facts the plan cannot express."""
+    root = df._jdf.queryExecution().optimizedPlan()
+    out: list[str] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        if (
+            _simple_name(node) == "Window"
+            and not node.partitionSpec().isEmpty()
+            and not _limit_bounded(node.child())
+        ):
+            spec = node.partitionSpec()
+            refs: set[int] = set()
+            for i in range(spec.size()):
+                refs |= _reference_ids(spec.apply(i))
+            if refs <= _bounded_output_ids(node.child()):
+                out.append(node.simpleString(120))
         kids = node.children()
         for i in range(kids.size()):
             stack.append(kids.apply(i))

@@ -1002,12 +1002,11 @@ def _serve_adc_mixed(
             F.max("refit_gen").cast("bigint").alias("cand_gen"),
         )
     )
-    wk = Window.partitionBy("query_id").orderBy(F.asc("adc_fp"), F.asc("cand_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "cand_id", "adc_fp", "cand_gen", F.col("rk").cast("bigint").alias("rk"))
-    )
+    # final top-k via partial-heads + bounded aggregate, not an 8-key
+    # window over every probed (query, cand) ADC sum (r15 plan guard)
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _per_query_topk
+
+    return _per_query_topk(scored, TOP_K, "adc_fp", ascending=True, extra=("cand_gen",))
 
 
 #: shared CTE text shapes for the DuckDB replays (the same fixed-point

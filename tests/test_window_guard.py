@@ -1,10 +1,13 @@
-"""Repo-wide plan guards — ALL FOUR classes enforced over every
+"""Repo-wide plan guards — ALL FIVE classes enforced over every
 registered query in ONE construction pass (``test_plan_guards``):
 
 1. unpartitioned windows over unbounded input (single-task at scale);
 2. un-limited global sorts (full range-shuffle nobody truncates);
 3. condition-less cross joins with both sides unbounded (all-pairs);
-4. row-wise Python evaluation (``BatchEvalPython`` pickled round trips).
+4. row-wise Python evaluation (``BatchEvalPython`` pickled round trips);
+5. windows partitioned ONLY by limit-bounded keys over unbounded input
+   (|keys| tasks at scale — the r15 low-cardinality loophole: an 8-key
+   query-id window over the full candidate scan sails past guard 1).
 
 ``unbounded_global_windows`` walks every queries() optimized plan and
 flags Window nodes with an EMPTY partition spec whose child is not (a) a
@@ -24,6 +27,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from realtime_change_data_capture_streaming_spark.plans.introspect import (
+    low_cardinality_partition_windows,
     unbounded_global_windows,
 )
 
@@ -49,14 +53,15 @@ _QUERIES = entry_mod.queries()
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_plan_guards(spark, name):
-    """ALL FOUR repo-wide plan-guard classes in ONE pass per query —
-    unpartitioned windows, un-limited global sorts, unbounded cross
-    joins, row-wise Python evaluation.  One pass because query
+    """ALL FIVE repo-wide plan-guard classes in ONE pass per query —
+    unpartitioned windows, low-cardinality-partition windows,
+    un-limited global sorts, unbounded cross joins, row-wise Python
+    evaluation.  One pass because query
     CONSTRUCTION is the dominant cost (streaming queries execute their
-    micro-batch runs when built): four separate parametrized sweeps
-    re-ran every stream 4x and cost the suite ~8 extra minutes.
+    micro-batch runs when built): separate parametrized sweeps
+    re-ran every stream once per guard and cost the suite ~8 extra minutes.
     Per-guard whitelists still apply individually — a whitelisted
-    window does not exempt a query from the other three guards."""
+    window does not exempt a query from the other four guards."""
     from realtime_change_data_capture_streaming_spark.plans.introspect import (
         rowwise_python_evals,
         unbounded_cross_joins,
@@ -69,6 +74,12 @@ def test_plan_guards(spark, name):
         problems += [
             f"unpartitioned window over unbounded input (single-task at scale): {x}"
             for x in unbounded_global_windows(df)
+        ]
+    if name not in LOWCARD_WHITELIST:
+        problems += [
+            f"window partitioned ONLY by limit-bounded keys over unbounded input "
+            f"(|keys| tasks at scale — use _per_query_topk): {x}"
+            for x in low_cardinality_partition_windows(df)
         ]
     if name not in SORT_WHITELIST:
         problems += [
@@ -132,6 +143,79 @@ def test_guard_accepts_window_over_limit(spark):
     w = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
     df = top.withColumn("rk", F.row_number().over(w))
     assert unbounded_global_windows(df) == []
+
+
+#: queries with a window partitioned only by limit-bounded keys whose
+#: input IS bounded by a cardinality fact the plan cannot express.
+#: Currently empty: every per-query top-k runs through the
+#: partial-heads + bounded-aggregate shape (_per_query_topk), whose
+#: pid key clears the guard by construction.
+LOWCARD_WHITELIST: set[str] = set()
+
+
+def test_lowcard_guard_catches_query_keyed_window_over_scan(spark):
+    """The guard must fire on the shape it exists to catch (the pre-r15
+    ann_cosine_topk form): row_number over Window.partitionBy(query_id)
+    where query_id comes from a .limit(8) side and the input is the full
+    candidate scan."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).limit(8).select(
+        F.col("vec_id").alias("query_id")
+    )
+    c = e.filter(F.col("vec_id") >= 8).select(F.col("vec_id").alias("cand_id"))
+    scored = F.broadcast(q).crossJoin(c)
+    w = Window.partitionBy("query_id").orderBy(F.asc("cand_id"))
+    df = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    assert low_cardinality_partition_windows(df) != []
+
+
+def test_lowcard_guard_accepts_pid_augmented_and_unbounded_keys(spark):
+    """The sanctioned shapes must pass: (a) the partial-heads window
+    whose keys include spark_partition_id (unbounded provenance), and
+    (b) windows keyed by a fact-table column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).limit(8).select(
+        F.col("vec_id").alias("query_id")
+    )
+    c = e.filter(F.col("vec_id") >= 8).select(F.col("vec_id").alias("cand_id"))
+    scored = F.broadcast(q).crossJoin(c).withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("pid", "query_id").orderBy(F.asc("cand_id"))
+    df = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+    assert low_cardinality_partition_windows(df) == []
+
+    o = load_table(spark, SF_DIR, "orders")
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    df2 = o.withColumn("rn", F.row_number().over(w2))
+    assert low_cardinality_partition_windows(df2) == []
+
+
+def test_lowcard_guard_accepts_bounded_input(spark):
+    """A query-keyed window whose INPUT is itself limit-bounded (the
+    probe-ranking shape: 8 queries x k limited centroids) must pass."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+
+    e = load_table(spark, SF_DIR, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).limit(8).select(
+        F.col("vec_id").alias("query_id")
+    )
+    cents = e.limit(8).select(F.col("vec_id").alias("cluster"))
+    crossed = F.broadcast(q).crossJoin(cents)
+    w = Window.partitionBy("query_id").orderBy(F.asc("cluster"))
+    df = crossed.withColumn("prk", F.row_number().over(w)).filter(F.col("prk") <= 2)
+    assert low_cardinality_partition_windows(df) == []
 
 
 #: queries whose global Sort runs over input the guard cannot prove
