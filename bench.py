@@ -47,6 +47,7 @@ BENCH_QUERIES = (
     # min-of-reps reports the steady-state search cost (the production shape)
     "ann_pq_persisted_topk",
     "ann_ivfpq_persisted_topk",
+    "ann_matryoshka_serve_topk",
     "text_bm25_persisted_topk",
     "text_bigram_lm_score",
     "orders_pareto_front",
