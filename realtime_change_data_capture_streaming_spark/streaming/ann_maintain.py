@@ -840,25 +840,20 @@ def _ann_forget_pred():
     )
 
 
-def stream_ann_forget_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Erasure through the maintained ANN index (VERDICT r14 task 1):
-    incoming vectors ingest across two real micro-batches, then a
-    DELETE batch (op='d') tombstones a fifth of the corpus — history
-    and freshly-appended vectors alike — through the replay-guarded
-    erased-set store; the final ADC search must equal the closed form
-    over the SURVIVING corpus (frozen quantizers, so erasure only
-    removes candidates — exactly the FAISS remove_ids contract).  An
-    erased vector never serves again, from either the frozen base codes
-    or the appended store."""
-    root = _stream_ann_index_dir(spark, sf_dir)
-    cents, cb, base = _load_frozen(spark, root)
-    work = scratch_dir(prefix="annforget_")
+def _run_forget_stream(
+    spark: SparkSession, sf_dir: str, cents: DataFrame, cb: DataFrame, work: str, erase_pred
+) -> tuple[str, str]:
+    """Drive the CDC ingestion stream with erasure — two vec-parity
+    insert micro-batches, then one DELETE batch (rows matching
+    ``erase_pred``, op='d') — through the replay-guarded codes +
+    tombstone stores.  Returns (codes_store, erased_root).  Shared by
+    ``stream_ann_forget_serve`` and the hybrid forget capstone."""
     store, erased_root = f"{work}/codes_store", f"{work}/erased"
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     incoming = e.filter(F.col("vec_id") >= ANN_HISTORY_MAX_VEC_ID).withColumn(
         "op", F.lit("c")
     )
-    dels = e.filter(_ann_forget_pred()).select(
+    dels = e.filter(erase_pred).select(
         "vec_id",
         F.lit(None).cast("array<float>").alias("embedding"),
         F.lit(None).cast("int").alias("label"),
@@ -887,6 +882,25 @@ def stream_ann_forget_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id bigint, embedding array<float>, label int, op string",
         gate,
         f"{work}/ckpt",
+    )
+    return store, erased_root
+
+
+def stream_ann_forget_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure through the maintained ANN index (VERDICT r14 task 1):
+    incoming vectors ingest across two real micro-batches, then a
+    DELETE batch (op='d') tombstones a fifth of the corpus — history
+    and freshly-appended vectors alike — through the replay-guarded
+    erased-set store; the final ADC search must equal the closed form
+    over the SURVIVING corpus (frozen quantizers, so erasure only
+    removes candidates — exactly the FAISS remove_ids contract).  An
+    erased vector never serves again, from either the frozen base codes
+    or the appended store."""
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    work = scratch_dir(prefix="annforget_")
+    store, erased_root = _run_forget_stream(
+        spark, sf_dir, cents, cb, work, _ann_forget_pred()
     )
     state = (
         base.select(

@@ -437,3 +437,27 @@ def test_compaction_dedups_and_swaps_atomically(spark, sf_dir, tmp_path):
     assert _rows(_serve_topk(spark, pdir, sstore)) == want
     # grace window: the pre-compaction reader still collects its snapshot
     assert reader_on_old.count() == n_log
+
+
+def test_hybrid_forget_excludes_erased_on_both_legs(spark, sf_dir):
+    """The r15 erasure capstone: after CDC deletes flow through BOTH
+    maintenance loops, no erased id reaches the fused hybrid top-k
+    through EITHER leg, and the ranking differs from the no-erasure
+    fusion (non-vacuous).  Value-exactness vs the clean
+    rebuild-minus-erased is the parity mirror's job
+    (stream_hybrid_forget_topk's oracle)."""
+    from realtime_change_data_capture_streaming_spark.streaming.hybrid_serve import (
+        HYBRID_FORGET_MOD,
+        HYBRID_FORGET_RESIDUE,
+        stream_hybrid_forget_topk,
+        stream_hybrid_maintained_topk,
+    )
+
+    got = _rows(stream_hybrid_forget_topk(spark, sf_dir))
+    assert got, "hybrid forget served nothing"
+    assert all(r[0] % HYBRID_FORGET_MOD != HYBRID_FORGET_RESIDUE for r in got), (
+        "an erased id reached the fused top-k"
+    )
+    assert got != _rows(stream_hybrid_maintained_topk(spark, sf_dir)), (
+        "erasure did not move the fused ranking"
+    )
