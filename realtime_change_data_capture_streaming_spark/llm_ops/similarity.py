@@ -267,7 +267,11 @@ def _per_query_topk(
     ascending order or its negation for descending (IEEE/bigint
     negation is exact), so the result EQUALS the window form — same
     values, same (metric, cand_id ASC) tie-break — and every existing
-    DuckDB oracle replays unchanged.
+    DuckDB oracle replays unchanged.  NULL metrics sort LAST in both
+    phases (an explicit null flag leads the sort struct): the windows
+    this replaces ordered ``F.desc(metric)`` NULLS LAST, and plain
+    ``asc`` on a NEGATED key would have flipped that to NULLS FIRST —
+    handing top-k slots to null-scored rows (r15 review).
 
     Output: (query_id, cand_id, <metric>, *extra, rk) with rk bigint
     1..k per query.  ``extra`` columns ride through untouched (placed
@@ -276,14 +280,17 @@ def _per_query_topk(
 
     key = F.col(metric) if ascending else -F.col(metric)
     tagged = scored.withColumn("_key", key).withColumn("pid", F.spark_partition_id())
-    w = Window.partitionBy("pid", "query_id").orderBy(F.asc("_key"), F.asc("cand_id"))
+    w = Window.partitionBy("pid", "query_id").orderBy(
+        F.asc_nulls_last("_key"), F.asc("cand_id")
+    )
     part = (
         tagged.withColumn("_prk", F.row_number().over(w))
         .filter(F.col("_prk") <= k)
         .drop("_prk", "pid")
     )
     fields = [
-        F.col("_key").alias("k"),
+        F.col("_key").isNull().cast("int").alias("z"),
+        F.coalesce(F.col("_key"), F.lit(0)).alias("k"),
         F.col("cand_id").alias("cand_id"),
         F.col(metric).alias("m"),
         *[F.col(c).alias(c) for c in extra],

@@ -1180,15 +1180,21 @@ def text_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
 
-#: shared oracle CTE chain mirroring _bm25_doc_scores
-_BM25_CHAIN_SQL = f"""
-WITH tk AS (
+def _bm25_chain_sql(src: str = "documents", lead: str = "WITH") -> str:
+    """The shared oracle CTE chain mirroring ``_bm25_doc_scores``,
+    parametrized by the corpus source (``src`` — e.g. a ``live_docs``
+    CTE for the erasure oracles) and the leading keyword (``lead=","``
+    lets a caller prepend its own CTE) — so forget-variant oracles are
+    BUILT, never derived by textual surgery on this string (r15
+    review)."""
+    return f"""
+{lead} tk AS (
   SELECT doc_id, list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
-  FROM documents
+  FROM {src}
 ), lens AS (
   SELECT doc_id, LEN(ts) AS dl FROM tk
 ), stats AS (
-  SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_docs,
+  SELECT (SELECT COUNT(DISTINCT doc_id) FROM {src}) AS n_docs,
          CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
   FROM lens
 ), tf AS (
@@ -1211,6 +1217,9 @@ WITH tk AS (
   FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
   GROUP BY 1
 )"""
+
+
+_BM25_CHAIN_SQL = _bm25_chain_sql()
 
 BM25_SQL = f"""{_BM25_CHAIN_SQL}
 SELECT doc_id, n_terms_hit,

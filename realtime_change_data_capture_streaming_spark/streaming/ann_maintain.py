@@ -922,7 +922,7 @@ def stream_ann_forget_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     erased = _read_erased_vecs(spark, erased_root)
     if erased is not None:
         state = state.join(F.broadcast(erased), "vec_id", "left_anti")
-    return _serve_adc_mixed(spark, sf_dir, cents, cb, state, None)
+    return _serve_adc_mixed(spark, sf_dir, cents, cb, state, None, refit_possible=False)
 
 
 def _serve_adc_mixed(
@@ -932,10 +932,15 @@ def _serve_adc_mixed(
     cb: DataFrame,
     state: DataFrame,
     cb_local: DataFrame | None,
+    refit_possible: bool = True,
 ) -> DataFrame:
     """The mixed-generation ADC search core (split out so tests can drive
     it over a hand-built store where only SOME clusters tripped — the
-    registered query's fixture trips every cluster)."""
+    registered query's fixture trips every cluster).  Callers whose
+    state is generation-0 BY CONSTRUCTION (the forget serve: no refit
+    ever ran) pass ``refit_possible=False`` to skip the
+    missing-codebook consistency probe — that check otherwise costs one
+    distributed job on the serve path (r15 review)."""
     from pyspark.sql import Window
 
     state = state.localCheckpoint(eager=True)
@@ -980,7 +985,7 @@ def _serve_adc_mixed(
     )
     flut = _adc_lut(qsubs, cb)
     pairs = cand.filter(F.col("refit_gen") == 0).join(F.broadcast(flut), ["s", "code"])
-    if cb_local is None:
+    if cb_local is None and refit_possible:
         # a state with generation>=1 clusters but no loadable local
         # codebook (e.g. the pinned _local_cb dir is missing/unreadable)
         # must fail loudly, not silently drop every refit cluster from

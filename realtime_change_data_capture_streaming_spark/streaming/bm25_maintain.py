@@ -92,6 +92,7 @@ from pyspark.sql import functions as F
 from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 from realtime_change_data_capture_streaming_spark.llm_ops.text import (
     BM25_SQL,
+    _bm25_chain_sql,
     _BM25_OUT,
     _BM25_QUERY,
     _BM25_TOP,
@@ -206,7 +207,15 @@ def _apply_erasures(spark: SparkSession, doclens_root: str, erased_root: str,
     ``applied_bid`` guard skips fully-applied replays, and a crash
     before the commit publishes nothing (the staged dir is GC'd).
     Already-erased ids are anti-joined out FIRST, so a double-delete
-    (or a replay racing the guard) can never double-decrement."""
+    (or a replay racing the guard) can never double-decrement.
+
+    Cost note: each erasure batch rewrites the FULL committed set —
+    O(total erased) per batch, the right trade while erasures are a
+    vanishing fraction of the corpus (the GDPR regime).  A deployment
+    with heavy sustained deletes should move the set to the
+    id-hash-bucketed manifest layout (the ``buckets`` map the codes
+    store already uses) so a batch rewrites only its touched buckets;
+    the one-flip set+counters atomicity carries over unchanged."""
     applied, n_prev, dl_prev = _erased_state(erased_root)
     if applied >= bid:
         return
@@ -572,7 +581,15 @@ def stream_bm25_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: form over the surviving corpus.
 BM25_FORGET_SQL = (
     f"WITH live_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % {FORGET_MOD} != 0)"
-    + BM25_SQL.replace("WITH ", ", ", 1).replace("FROM documents", "FROM live_docs")
+    + _bm25_chain_sql("live_docs", lead=",")
+    + f"""
+SELECT doc_id, n_terms_hit,
+       ROUND(CAST(s_fp AS DOUBLE) / {_BM25_OUT}, 6) AS bm25,
+       CAST(ROW_NUMBER() OVER (ORDER BY s_fp DESC, doc_id ASC) AS BIGINT) AS rk
+FROM per_doc
+ORDER BY s_fp DESC, doc_id ASC
+LIMIT {_BM25_TOP}
+"""
 )
 
 QUERIES = {

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 from realtime_change_data_capture_streaming_spark.llm_ops.similarity import N_PQ_CODES, _adc_lut, _subvectors
 from realtime_change_data_capture_streaming_spark.llm_ops.text import (
     _BM25_CHAIN_SQL,
+    _bm25_chain_sql,
     _BM25_TOP,
     _HYBRID_QUERY_VEC,
     _RRF_K,
@@ -219,7 +220,7 @@ def _maintained_hybrid_sql(forget: bool = False) -> str:
         chain = (
             f"WITH live_docs AS (SELECT doc_id, text FROM documents "
             f"WHERE doc_id % {HYBRID_FORGET_MOD} != {HYBRID_FORGET_RESIDUE})"
-            + chain.replace("WITH ", ", ", 1).replace("FROM documents", "FROM live_docs")
+            + _bm25_chain_sql("live_docs", lead=",")
         )
     vec_erase = (
         f" AND v.vec_id % {HYBRID_FORGET_MOD} != {HYBRID_FORGET_RESIDUE}" if forget else ""

@@ -168,3 +168,25 @@ def test_matryoshka_serve_recall_vs_full(spark, sf_dir):
         f"quarter-depth shortlist recalled {recall_q:.3f} >= full-depth {recall:.3f} — "
         "the calibrated depth is not doing anything"
     )
+
+
+def test_per_query_topk_nulls_rank_last_both_directions(spark):
+    """r15 review pin: a NULL metric must sort LAST (the replaced
+    windows' desc-NULLS-LAST behavior) in both the partial-heads window
+    and the final sorted-slice aggregate — a plain asc sort on the
+    negated key would have put NULLs FIRST and handed them top-k
+    slots."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _per_query_topk
+
+    rows = [(1, 10, 0.9), (1, 11, None), (1, 12, 0.5), (1, 13, None), (1, 14, 0.7)]
+    scored = spark.createDataFrame(rows, "query_id bigint, cand_id bigint, score double")
+    got = sorted(
+        (r["rk"], r["cand_id"], r["score"])
+        for r in _per_query_topk(scored, 4, "score", ascending=False).collect()
+    )
+    assert got == [(1, 10, 0.9), (2, 14, 0.7), (3, 12, 0.5), (4, 11, None)], got
+    got_asc = sorted(
+        (r["rk"], r["cand_id"])
+        for r in _per_query_topk(scored, 4, "score", ascending=True).collect()
+    )
+    assert got_asc == [(1, 12), (2, 14), (3, 10), (4, 11)], got_asc
