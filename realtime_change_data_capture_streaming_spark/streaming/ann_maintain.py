@@ -323,7 +323,13 @@ def _with_staleness(appended: DataFrame, base_codes: DataFrame) -> DataFrame:
     """Join the plan-visible refit trigger onto the appended rows: per
     cluster, count base and appended VECTORS (rows where s=0 — one per
     vector) and flag ``2 * n_appended > n_base``.  Both counts come from
-    the tables themselves by aggregation — no driver-side state."""
+    the tables themselves by aggregation — no driver-side state.
+
+    Tombstoned (erased) vectors still count until the erasure-purge
+    compaction physically drops them — deliberately CONSERVATIVE: a
+    tombstone changes the cluster's live distribution just like an
+    append does, so counting it can only trigger a refit EARLIER, never
+    mask one.  After a purge the counts read the live rows."""
     base_n = (
         base_codes.filter(F.col("s") == 0)
         .groupBy("cluster")
