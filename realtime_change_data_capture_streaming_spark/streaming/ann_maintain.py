@@ -669,7 +669,11 @@ def _partial_refit_state(
 
 
 def _do_partial_refit(
-    spark: SparkSession, sf_dir: str, store: str, base: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    store: str,
+    base: DataFrame,
+    erased_root: str | None = None,
 ) -> tuple[DataFrame, list, DataFrame | None]:
     """Consume the staleness trigger INCREMENTALLY (VERDICT r12 task 7):
     instead of the full-corpus double-quantizer rebuild
@@ -758,6 +762,16 @@ def _do_partial_refit(
                 )
                 .filter(F.col("cluster").isin(tripped_now))
             )
+            if erased_root is not None:
+                # GDPR retention through MODEL STATE (r15): tombstoned
+                # vectors must not train the local codebooks nor be
+                # re-encoded into the refit version — the refit is the
+                # moment erased rows leave the store, like the purge
+                # compaction.  Without this, an erased vector's data
+                # would survive inside the trained codewords.
+                erased = _read_erased_vecs(spark, erased_root)
+                if erased is not None:
+                    mem = mem.join(F.broadcast(erased), "vec_id", "left_anti")
             vecs = spread(load_table(spark, sf_dir, "embeddings")).join(mem, "vec_id")
             csubs = _subvectors(vecs).join(mem, "vec_id").select("cluster", "vec_id", "s", "sub")
             cb_now = _pq_fit_clustered(csubs)

@@ -631,3 +631,63 @@ def test_purge_compaction_drops_tombstoned_rows_and_prunes_empty_clusters(spark,
     # idempotent re-purge publishes a fresh (identical) state
     compact_ann_store(spark, store, erased_root=er)
     assert _store_state(spark, store) == [(2, 0, 6, 1), (4, 0, 8, 2)]
+
+
+def test_partial_refit_after_erasure_excludes_tombstoned_from_model(spark, sf_dir):
+    """GDPR retention through model state (r15): a partial refit that
+    runs AFTER erasures must neither train its local codebooks on
+    tombstoned vectors nor re-encode them into the refit version — the
+    refit is a purge point, like compaction.  Pins (a) no erased vec_id
+    survives in any refit cluster's store rows, and (b) the committed
+    local codebooks equal a re-train over exactly the surviving
+    members."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _subvectors
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+    from realtime_change_data_capture_streaming_spark.sources.tables import load_table
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        _do_partial_refit,
+        _load_frozen,
+        _load_local_cb,
+        _pq_fit_clustered,
+        _run_forget_stream,
+        _stream_ann_index_dir,
+    )
+
+    root = _stream_ann_index_dir(spark, sf_dir)
+    cents, cb, base = _load_frozen(spark, root)
+    work = scratch_dir(prefix="refit_after_erase_")
+    pred = (F.pmod(F.col("vec_id"), F.lit(7)) == 3) & (F.col("vec_id") >= 8)
+    store, erased_root = _run_forget_stream(spark, sf_dir, cents, cb, work, pred)
+    _state, tripped, cb_local = _do_partial_refit(
+        spark, sf_dir, store, base, erased_root=erased_root
+    )
+    assert tripped, "fixture did not trip a refit — the pin is vacuous"
+    assert cb_local is not None
+
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import _read_store
+
+    refit_rows = _read_store(spark, store, clusters=tripped)
+    n_erased_left = refit_rows.filter(
+        (F.pmod(F.col("vec_id"), F.lit(7)) == 3) & (F.col("vec_id") >= 8)
+    ).count()
+    assert n_erased_left == 0, "tombstoned vectors re-encoded into the refit version"
+
+    # (b) recompute the expected codebooks over exactly the surviving
+    # members of the tripped clusters and compare value-for-value
+    surviving = refit_rows.filter(F.col("s") == 0).select("vec_id", "cluster")
+    vecs = spread(load_table(spark, sf_dir, "embeddings")).join(surviving, "vec_id")
+    csubs = _subvectors(vecs).join(surviving, "vec_id").select(
+        "cluster", "vec_id", "s", "sub"
+    )
+    want = sorted(
+        (r["cluster"], r["s"], r["code"], tuple(r["cw"]))
+        for r in _pq_fit_clustered(csubs).collect()
+    )
+    got = sorted(
+        (r["cluster"], r["s"], r["code"], tuple(r["cw"]))
+        for r in _load_local_cb(spark, store).collect()
+    )
+    assert got == want, "committed local codebooks were not trained on the survivors"
