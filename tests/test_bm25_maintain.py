@@ -461,3 +461,69 @@ def test_hybrid_forget_excludes_erased_on_both_legs(spark, sf_dir):
     assert got != _rows(stream_hybrid_maintained_topk(spark, sf_dir)), (
         "erasure did not move the fused ranking"
     )
+
+
+def test_forget_restart_from_checkpoint_replays_erase_batch(spark, sf_dir):
+    """Kill-and-restart through the ERASURE batch: the driver dies after
+    the delete batch applied but before its checkpoint commit; the
+    restarted run (fresh closures) replays it — the erased-set flip
+    skips on its bid guard, counters stay exactly-once, and serving
+    converges to clean-minus-erased."""
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        FORGET_MOD,
+        _erased_state,
+        _ingest_batch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ins = d.withColumn("op", F.lit("c"))
+    dels = d.filter(F.pmod(F.col("doc_id"), F.lit(FORGET_MOD)) == 0).select(
+        "doc_id", F.lit(None).cast("string").alias("text"), F.lit("d").alias("op")
+    )
+    frames = [
+        ins.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+        ins.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+        dels,
+    ]
+    # stage ONCE: a restart resumes the SAME staged input from the
+    # checkpoint (the Kafka contract — a failed batch replays under its
+    # own bid); re-staging would look like a brand-new source
+    work = scratch_dir(prefix="rs_forget_")
+    in_dir = stage_ordered_batches(frames, f"{work}/staged")
+    paths = {
+        "postings": f"{work}/postings",
+        "stats": f"{work}/stats",
+        "doclens": f"{work}/doclens",
+        "erased": f"{work}/erased",
+    }
+    from realtime_change_data_capture_streaming_spark.streaming._drive import drive_staged_stream
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import _ingest_batch_cdc
+
+    def run(crash=None):
+        def gate(batch, bid):
+            _ingest_batch_cdc(
+                paths["postings"], paths["stats"], paths["doclens"], paths["erased"], batch, bid
+            )
+            if crash is not None and bid >= crash:
+                raise RuntimeError(f"injected crash after batch {bid}")
+
+        drive_staged_stream(
+            spark, in_dir, "doc_id bigint, text string, op string", gate, f"{work}/ckpt"
+        )
+
+    with pytest.raises(Exception, match="injected crash|Query .* terminated"):
+        run(crash=2)
+    state_after_crash = _erased_state(paths["erased"])
+    assert state_after_crash[0] == 2 and state_after_crash[1] > 0, (
+        "crash injected AFTER the erase applied — precondition broken"
+    )
+    run()  # the restart
+    assert _erased_state(paths["erased"]) == state_after_crash, (
+        "replayed erase batch double-applied"
+    )
+    ref = scratch_dir(prefix="rs_forget_ref_")
+    _ingest_batch(
+        f"{ref}/p", f"{ref}/s", d.filter(F.pmod(F.col("doc_id"), F.lit(FORGET_MOD)) != 0), 0
+    )
+    got = _rows(_serve_topk(spark, paths["postings"], paths["stats"], paths["erased"]))
+    assert got == _rows(_serve_topk(spark, f"{ref}/p", f"{ref}/s"))
