@@ -67,11 +67,11 @@ _DEFER_UNTIL_AFTER_ROUND = 11
 # hybrid_lexical_vector_topk) + the 18 r7-stale queries + 28
 # oldest-verified — all within the 50-slot budget, no deferral needed;
 # local parity mirrors pin everything meanwhile.
-# r15 window math (VERDICT r14 task 4): 4 never-checked r15 registrations
+# r15 window math (VERDICT r14 task 4): 5 never-checked r15 registrations
 # (stream_bm25_forget, stream_ann_forget_serve, ann_matryoshka_serve_topk,
-# stream_hybrid_forget_topk) + the 25-query r9-stale cohort + 21
-# oldest-verified r10 rows = 50 — the r9 cohort drains fully this round,
-# keeping the registry <= 5 rounds stale; no deferral needed.
+# stream_hybrid_forget_topk, stream_dedup_forget) + the 25-query r9-stale
+# cohort + 20 oldest-verified r10 rows = 50 — the r9 cohort drains fully
+# this round, keeping the registry <= 5 rounds stale; no deferral needed.
 
 
 def _verification_order(names, with_oracle=frozenset()):

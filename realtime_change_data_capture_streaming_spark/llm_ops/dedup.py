@@ -221,11 +221,16 @@ LIMIT {_CONTAIN_TOP}
 """
 
 
-NGRAM_JACCARD_SQL = """
+def _ngram_jaccard_sql(src: str = "documents") -> str:
+    """The exact-Jaccard pair chain, parametrized by the corpus source
+    (``src`` — e.g. a ``live_docs`` CTE for the erasure oracles), so
+    forget-variant oracles are BUILT rather than derived by textual
+    surgery (the r15 review discipline)."""
+    return f"""
 WITH toks AS (
   SELECT doc_id, lang, source,
          list_filter(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +'), t -> t != '') AS ts
-  FROM documents
+  FROM {src}
 ), sh AS (
   SELECT DISTINCT doc_id, lang, source, array_to_string(ts[i:i+2], ' ') AS shingle
   FROM toks, UNNEST(range(1, GREATEST(LEN(ts) - 2, 0) + 1)) AS t(i)
@@ -244,6 +249,9 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_shared AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_shared) >= 0.20
 """
+
+
+NGRAM_JACCARD_SQL = _ngram_jaccard_sql()
 
 
 N_MINHASHES = 32
@@ -996,9 +1004,13 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # min reachable node over the symmetric closure == min-label fixpoint.
 # UNION (not UNION ALL) dedups the frontier, guaranteeing termination.
-DEDUP_CLUSTER_SQL = f"""
-WITH RECURSIVE pairs AS (
-  {NGRAM_JACCARD_SQL}
+def _dedup_cluster_sql(src: str = "documents", lead: str = "WITH RECURSIVE") -> str:
+    """The connected-components closed form, parametrized like
+    ``_ngram_jaccard_sql`` (``lead=","`` lets a caller prepend its own
+    CTE under the outer WITH RECURSIVE)."""
+    return f"""
+{lead} pairs AS (
+  {_ngram_jaccard_sql(src)}
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL
@@ -1014,6 +1026,9 @@ SELECT node AS doc_id, component,
        COUNT(*) OVER (PARTITION BY component) AS component_size
 FROM comp
 """
+
+
+DEDUP_CLUSTER_SQL = _dedup_cluster_sql()
 
 
 def dedup_kept_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -295,3 +295,181 @@ from realtime_change_data_capture_streaming_spark.llm_ops.dedup import DEDUP_CLU
 
 QUERIES["stream_dedup_components"] = stream_dedup_components
 ORACLE["stream_dedup_components"] = DEDUP_CLUSTER_SQL
+
+
+# ------------------------------------------------- erasure (VERDICT r14/r15)
+
+def _erase_dedup_components(shingle_store: str, assign_store: str, dels: DataFrame, bid: int) -> None:
+    """One DELETE micro-batch through the maintained duplicate clusters
+    (the dedup-state leg of the r15 erasure story): erased docs leave
+    the shingle store, their assignments disappear, and — the case
+    per-row deletion gets wrong — a component whose BRIDGE doc was
+    erased must SPLIT into the surviving connectivity.  Since the store
+    keeps assignments rather than edges, the split is recomputed
+    component-locally: re-derive exact-Jaccard edges among the AFFECTED
+    components' surviving members from the persisted shingles and re-run
+    connected components over just those — a survivor with no remaining
+    edge is no longer a duplicate of anything and drops out, exactly as
+    the closed form over the surviving corpus says.
+
+    At 100 TB the rebuild is bounded by the affected components' member
+    shingles (duplicate clusters are small by construction), never the
+    corpus.  Replay-guarded on the same per-store ``applied_bid``
+    frontiers as the merge path; erasure is terminal per doc_id (the
+    GDPR contract shared by all r15 erasure paths)."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import connected_components
+    from realtime_change_data_capture_streaming_spark.streaming.sketches import _already_applied
+
+    if _already_applied(assign_store, bid):
+        return
+    sp = dels.sparkSession
+    del_ids = dels.select("doc_id").distinct().localCheckpoint(eager=True)
+    if del_ids.count() == 0:
+        return
+
+    live_sh = table_commit.resolve(shingle_store)
+    prev_sh = (
+        sp.read.parquet(live_sh)
+        if live_sh is not None
+        else sp.createDataFrame(
+            [], "doc_id bigint, lang string, source string, shingle string, n_shingles bigint"
+        )
+    )
+    kept_sh = prev_sh.join(del_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    live_as = table_commit.resolve(assign_store)
+    prev_assign = (
+        sp.read.parquet(live_as)
+        if live_as is not None
+        else sp.createDataFrame([], "node bigint, component bigint")
+    )
+    del_nodes = del_ids.withColumnRenamed("doc_id", "node")
+    touched = prev_assign.join(del_nodes, "node").select("component").distinct()
+    members = (
+        prev_assign.join(touched, "component", "left_semi")
+        .join(del_nodes, "node", "left_anti")
+        .select(F.col("node").alias("doc_id"))
+    )
+    mem_sh = kept_sh.join(members, "doc_id")
+    edges = _jaccard_threshold_pairs(mem_sh, mem_sh, internal=True).localCheckpoint(eager=True)
+    subcomp = connected_components(edges, "doc_a", "doc_b")
+    new_assign = prev_assign.join(touched, "component", "left_anti").unionByName(
+        subcomp.select("node", "component")
+    )
+
+    if not _already_applied(shingle_store, bid):
+        vdir, seq = table_commit.begin(shingle_store)
+        kept_sh.write.mode("overwrite").parquet(vdir)
+        table_commit.commit(shingle_store, seq, meta={"applied_bid": bid}, staged=vdir)
+    vdir, seq = table_commit.begin(assign_store)
+    new_assign.write.mode("overwrite").parquet(vdir)
+    table_commit.commit(assign_store, seq, meta={"applied_bid": bid}, staged=vdir)
+
+
+def _merge_or_erase(shingle_store: str, assign_store: str, batch: DataFrame, bid: int) -> None:
+    """CDC gate for the maintained duplicate clusters: routes a
+    micro-batch to the merge path (op != 'd') or the erase path
+    (op = 'd').  Mixed batches are rejected loudly — a CDC router splits
+    upserts and deletes upstream, and the two paths commit the same
+    stores under one batch id."""
+    dels = batch.filter(F.col("op") == "d")
+    ins = batch.filter(F.col("op").isNull() | (F.col("op") != F.lit("d")))
+    has_dels = dels.limit(1).count() > 0
+    has_ins = ins.limit(1).count() > 0
+    if has_dels and has_ins:
+        raise ValueError(
+            "mixed insert+delete micro-batch: split ops upstream (the CDC "
+            "router contract) — both paths commit the same stores per bid"
+        )
+    if has_dels:
+        _erase_dedup_components(shingle_store, assign_store, dels, bid)
+    elif has_ins:
+        _merge_dedup_components(shingle_store, assign_store, ins.drop("op"), bid)
+
+
+#: deterministic synthetic chain docs unioned into the corpus by
+#: ``stream_dedup_forget`` (mirrored EXACTLY in its oracle's VALUES
+#: CTE): the fixture's duplicate structure is a single pair at every SF,
+#: too sparse to exhibit the split-on-delete case, so the chain
+#: S1-S2-S3-S4 (adjacent-only overlap) + the pair S5-S6 + the singleton
+#: S7 provide it — deleting the bridge S2 must drop S1 (no surviving
+#: edge) while S3-S4 stay a component; deleting the never-duplicated S7
+#: must be a no-op.
+_SYN_DOCS = (
+    (1000001, "w1 w2 w3 w4 w5 w6", "en", "syn"),
+    (1000002, "w3 w4 w5 w6 w7 w8", "en", "syn"),  # the bridge — erased
+    (1000003, "w5 w6 w7 w8 w9 w10", "en", "syn"),
+    (1000004, "w7 w8 w9 w10 w11 w12", "en", "syn"),
+    (1000005, "z1 z2 z3 z4 z5", "en", "syn"),
+    (1000006, "z1 z2 z3 z4 z6", "en", "syn"),
+    (1000007, "u1 u2 u3 u4 u5", "en", "syn"),  # never a duplicate — erased
+)
+_DEDUP_FORGET_ERASED = (1000002, 1000007)
+
+
+def stream_dedup_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure through the maintained duplicate clusters: the corpus
+    (fixture + the synthetic chains) arrives in two insert micro-batches,
+    then a DELETE batch erases the chain's bridge doc and a
+    never-duplicated doc.  The final assignments must equal the closed
+    form over the SURVIVING corpus — the bridge deletion SPLITS its
+    component (S1 stops being anyone's duplicate and drops; S3-S4
+    remain), the untouched pair components keep serving, and the
+    no-op delete changes nothing."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+    from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
+
+    work = scratch_dir(prefix="stream_ccforget_")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    syn = spark.createDataFrame(
+        list(_SYN_DOCS), "doc_id bigint, text string, lang string, source string"
+    )
+    corpus = d.unionByName(syn)
+    ins = corpus.withColumn("op", F.lit("c"))
+    dels = spark.createDataFrame(
+        [(i, None, None, None, "d") for i in _DEDUP_FORGET_ERASED],
+        "doc_id bigint, text string, lang string, source string, op string",
+    )
+    in_dir = stage_ordered_batches(
+        [
+            ins.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+            ins.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+            dels,
+        ],
+        f"{work}/staged",
+    )
+    shingle_store = f"{work}/shingles"
+    assign_store = f"{work}/assign"
+    drive_staged_stream(
+        spark,
+        in_dir,
+        "doc_id bigint, text string, lang string, source string, op string",
+        lambda b, bid: _merge_or_erase(shingle_store, assign_store, b, bid),
+        f"{work}/ckpt",
+    )
+    assign = spark.read.parquet(table_commit.resolve(assign_store))
+    sizes = assign.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("component_size")
+    )
+    return assign.join(sizes, "component").select(
+        F.col("node").alias("doc_id"), "component", "component_size"
+    )
+
+
+def _dedup_forget_sql() -> str:
+    from realtime_change_data_capture_streaming_spark.llm_ops.dedup import _dedup_cluster_sql
+
+    values = ", ".join(f"({i}, '{t}', '{la}', '{s}')" for i, t, la, s in _SYN_DOCS)
+    erased = ", ".join(str(i) for i in _DEDUP_FORGET_ERASED)
+    return (
+        "WITH RECURSIVE corpus AS ("
+        "SELECT doc_id, text, lang, source FROM documents "
+        f"UNION ALL SELECT * FROM (VALUES {values}) v(doc_id, text, lang, source)"
+        f"), live_docs AS (SELECT * FROM corpus WHERE doc_id NOT IN ({erased}))"
+        + _dedup_cluster_sql("live_docs", lead=",")
+    )
+
+
+QUERIES["stream_dedup_forget"] = stream_dedup_forget
+ORACLE["stream_dedup_forget"] = _dedup_forget_sql()

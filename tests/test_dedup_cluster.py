@@ -212,3 +212,61 @@ def test_span_coverage_merges_overlapping_intervals(spark, monkeypatch, tmp_path
     assert rows[1]["coverage"] == round(35 / 47, 6)
     assert rows[2]["covered_tokens"] == 15
     assert rows[3]["covered_tokens"] == 20
+
+
+def test_erase_splits_component_and_drops_edgeless_survivors(spark):
+    """The r15 dedup-erasure pin: a 4-doc chain S1-S2-S3-S4 (adjacent
+    overlap only) forms ONE component; erasing the bridge S2 must SPLIT
+    it — S3-S4 stay a component, S1 loses its only edge and stops being
+    a duplicate at all.  An untouched pair keeps its assignment rows;
+    erasing a never-duplicated doc is a no-op; a replayed erase batch
+    skips on the bid guard."""
+    from pyspark.sql import functions as F
+
+    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+    from realtime_change_data_capture_streaming_spark.session import scratch_dir
+    from realtime_change_data_capture_streaming_spark.streaming.neardup import (
+        _SYN_DOCS,
+        _erase_dedup_components,
+        _merge_dedup_components,
+    )
+
+    work = scratch_dir(prefix="cc_erase_")
+    sh_store, as_store = f"{work}/sh", f"{work}/as"
+    docs = spark.createDataFrame(
+        list(_SYN_DOCS), "doc_id bigint, text string, lang string, source string"
+    )
+    _merge_dedup_components(sh_store, as_store, docs, 0)
+
+    def assigns():
+        return sorted(
+            (r["node"], r["component"])
+            for r in spark.read.parquet(table_commit.resolve(as_store)).collect()
+        )
+
+    assert assigns() == [
+        (1000001, 1000001),
+        (1000002, 1000001),
+        (1000003, 1000001),
+        (1000004, 1000001),
+        (1000005, 1000005),
+        (1000006, 1000005),
+    ], "precondition: the chain must form ONE component before the erase"
+
+    dels = spark.createDataFrame([(1000002,), (1000007,)], "doc_id bigint")
+    _erase_dedup_components(sh_store, as_store, dels, 1)
+    after = [
+        (1000003, 1000003),
+        (1000004, 1000003),
+        (1000005, 1000005),
+        (1000006, 1000005),
+    ]
+    assert assigns() == after, "bridge erase must split and drop the edgeless survivor"
+    # erased shingles physically gone
+    sh = spark.read.parquet(table_commit.resolve(sh_store))
+    assert sh.filter(F.col("doc_id").isin([1000002, 1000007])).count() == 0
+    # fully-applied replay: bid guard skips, nothing moves
+    seq_before = table_commit.read_manifest(as_store)["seq"]
+    _erase_dedup_components(sh_store, as_store, dels, 1)
+    assert table_commit.read_manifest(as_store)["seq"] == seq_before
+    assert assigns() == after
