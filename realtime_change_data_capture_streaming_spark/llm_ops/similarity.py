@@ -243,6 +243,12 @@ def _mrl_prefix_dir(spark: SparkSession, sf_dir: str) -> str:
     return _index_cache("spark_graft_mrlserve_", spark, sf_dir, build)
 
 
+#: second-level fold width for the distributed top-k: the final bounded
+#: aggregate's per-query state is capped at _FOLD_WIDTH * k rows no
+#: matter how many partitions the first partial pass ran over.
+_FOLD_WIDTH = 32
+
+
 def _per_query_topk(
     scored: DataFrame,
     k: int,
@@ -279,15 +285,37 @@ def _per_query_topk(
     from pyspark.sql import Window
 
     key = F.col(metric) if ascending else -F.col(metric)
-    tagged = scored.withColumn("_key", key).withColumn("pid", F.spark_partition_id())
-    w = Window.partitionBy("pid", "query_id").orderBy(
-        F.asc_nulls_last("_key"), F.asc("cand_id")
-    )
-    part = (
-        tagged.withColumn("_prk", F.row_number().over(w))
-        .filter(F.col("_prk") <= k)
-        .drop("_prk", "pid")
-    )
+
+    def _partial(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("pid", "query_id").orderBy(
+            F.asc_nulls_last("_key"), F.asc("cand_id")
+        )
+        return (
+            df.withColumn("pid", F.spark_partition_id())
+            .withColumn("_prk", F.row_number().over(w))
+            .filter(F.col("_prk") <= k)
+            .drop("_prk", "pid")
+        )
+
+    part = _partial(scored.withColumn("_key", key))
+    # second-level fold: phase 1 leaves <= shuffle_partitions * queries
+    # * k survivors, which at 100 TB shuffle widths (10^4+) would make
+    # the final per-query aggregate state partitions * k — not actually
+    # bounded.  One more constant-width partial pass (round-robin into
+    # _FOLD_WIDTH partitions, same per-partition heads) caps the final
+    # state at _FOLD_WIDTH * k per query regardless of input scale.
+    # CONDITIONAL on the session's shuffle width: at local widths the
+    # state is already small and the extra stage costs 15-65% of these
+    # sub-second queries (measured r15 A/B), so the fold engages only
+    # past the width where the final state would outgrow it.
+    try:
+        n_shuffle = int(
+            scored.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:  # e.g. "auto" under some AQE configs
+        n_shuffle = 1 << 30
+    if n_shuffle > _FOLD_WIDTH * 8:
+        part = _partial(part.repartition(_FOLD_WIDTH))
     fields = [
         F.col("_key").isNull().cast("int").alias("z"),
         F.coalesce(F.col("_key"), F.lit(0)).alias("k"),

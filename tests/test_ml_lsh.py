@@ -190,3 +190,30 @@ def test_per_query_topk_nulls_rank_last_both_directions(spark):
         for r in _per_query_topk(scored, 4, "score", ascending=True).collect()
     )
     assert got_asc == [(1, 12), (2, 14), (3, 10), (4, 11)], got_asc
+
+
+def test_per_query_topk_second_fold_engages_at_wide_shuffle_and_is_invisible(spark):
+    """r15: past _FOLD_WIDTH*8 shuffle partitions the distributed top-k
+    adds a constant-width second partial fold (capping the final
+    aggregate state at _FOLD_WIDTH*k per query); the fold must be
+    value-invisible and must actually be IN the wide-width plan."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _FOLD_WIDTH, _per_query_topk
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    rows = [(q, c, float((q * 31 + c * 17) % 97)) for q in (1, 2) for c in range(100, 160)]
+    scored = spark.createDataFrame(rows, "query_id bigint, cand_id bigint, score double")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(_FOLD_WIDTH * 8))
+        narrow = sorted(tuple(r) for r in _per_query_topk(scored, 5, "score", False).collect())
+        narrow_plan = executed_plan(_per_query_topk(scored, 5, "score", False))
+        spark.conf.set("spark.sql.shuffle.partitions", str(_FOLD_WIDTH * 8 + 1))
+        wide_df = _per_query_topk(scored, 5, "score", False)
+        wide = sorted(tuple(r) for r in wide_df.collect())
+        wide_plan = executed_plan(wide_df)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert wide == narrow, "the second fold changed values"
+    assert wide_plan.count("Window") > narrow_plan.count("Window"), (
+        "the second fold did not engage past the width threshold"
+    )
