@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.operators._util import fp_encode_sql, fp_mean_sql, spread
+from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
 # vec_id < 8 are the "query" set in the demo queries.  PK ASSUMPTION:
@@ -298,23 +299,40 @@ def _per_query_topk(
         )
 
     part = _partial(scored.withColumn("_key", key))
-    # second-level fold: phase 1 leaves <= shuffle_partitions * queries
-    # * k survivors, which at 100 TB shuffle widths (10^4+) would make
-    # the final per-query aggregate state partitions * k — not actually
+    # second-level fold: phase 1 leaves <= input_partitions * queries
+    # * k survivors, which at 100 TB widths (10^4+) would make the
+    # final per-query aggregate state partitions * k — not actually
     # bounded.  One more constant-width partial pass (round-robin into
     # _FOLD_WIDTH partitions, same per-partition heads) caps the final
     # state at _FOLD_WIDTH * k per query regardless of input scale.
-    # CONDITIONAL on the session's shuffle width: at local widths the
-    # state is already small and the extra stage costs 15-65% of these
+    # CONDITIONAL on the pid domain's width: at local widths the state
+    # is already small and the extra stage costs 15-65% of these
     # sub-second queries (measured r15 A/B), so the fold engages only
-    # past the width where the final state would outgrow it.
+    # past the width where the final state would outgrow it.  The pid
+    # domain is the INPUT's partition count (spark_partition_id is
+    # evaluated before phase 1's shuffle).  For a shuffle-fed input the
+    # shuffle conf bounds that domain (AQE coalescing only shrinks it),
+    # but for an EXCHANGE-FREE input — broadcast crossJoin over a scan,
+    # the main serve shape — partitions grow with data bytes while
+    # shuffle.partitions can stay at 200, so the conf-only gate never
+    # fires exactly where the fold matters (ADVICE r15).  The gate
+    # therefore engages when EITHER width exceeds the threshold: the
+    # conf (bounds every shuffle-fed plan) or, for exchange-free plans,
+    # the actual partition count; ``.rdd`` is only touched on the
+    # exchange-free branch, where toRdd is pure planning (an AQE plan
+    # WITH exchanges would materialize its shuffle stages on .rdd — a
+    # full extra execution).
     try:
         n_shuffle = int(
             scored.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
     except ValueError:  # e.g. "auto" under some AQE configs
         n_shuffle = 1 << 30
-    if n_shuffle > _FOLD_WIDTH * 8:
+    n_pid_domain = n_shuffle
+    if "Exchange" not in executed_plan(scored):
+        # planning only, no job
+        n_pid_domain = max(n_pid_domain, scored.rdd.getNumPartitions())
+    if n_pid_domain > _FOLD_WIDTH * 8:
         part = _partial(part.repartition(_FOLD_WIDTH))
     fields = [
         F.col("_key").isNull().cast("int").alias("z"),

@@ -842,8 +842,10 @@ def stream_ann_partial_refit_serve(spark: SparkSession, sf_dir: str) -> DataFram
     root = _stream_ann_index_dir(spark, sf_dir)
     cents, cb, base = _load_frozen(spark, root)
     _work, store = _run_ingest_stream(spark, sf_dir, cents, cb)
-    state, _tripped, cb_local = _do_partial_refit(spark, sf_dir, store, base)
-    return _serve_adc_mixed(spark, sf_dir, cents, cb, state, cb_local)
+    state, refit_ids, cb_local = _do_partial_refit(spark, sf_dir, store, base)
+    return _serve_adc_mixed(
+        spark, sf_dir, cents, cb, state, cb_local, refit_clusters=refit_ids
+    )
 
 
 #: erasure fixture predicate for ``stream_ann_forget_serve``: every fifth
@@ -953,6 +955,7 @@ def _serve_adc_mixed(
     state: DataFrame,
     cb_local: DataFrame | None,
     refit_possible: bool = True,
+    refit_clusters: list[int] | None = None,
 ) -> DataFrame:
     """The mixed-generation ADC search core (split out so tests can drive
     it over a hand-built store where only SOME clusters tripped — the
@@ -960,7 +963,12 @@ def _serve_adc_mixed(
     state is generation-0 BY CONSTRUCTION (the forget serve: no refit
     ever ran) pass ``refit_possible=False`` to skip the
     missing-codebook consistency probe — that check otherwise costs one
-    distributed job on the serve path (r15 review)."""
+    distributed job on the serve path (r15 review).  Callers that READ
+    the manifest pass its gen>=1 cluster ids as ``refit_clusters`` so
+    the probe decides driver-side (no refit committed, or none of its
+    clusters probed -> no job; ADVICE r15: the probe otherwise scanned
+    the full checkpointed state on EVERY healthy no-refit serve before
+    concluding nothing was wrong)."""
     from pyspark.sql import Window
 
     state = state.localCheckpoint(eager=True)
@@ -1009,8 +1017,15 @@ def _serve_adc_mixed(
         # a state with generation>=1 clusters but no loadable local
         # codebook (e.g. the pinned _local_cb dir is missing/unreadable)
         # must fail loudly, not silently drop every refit cluster from
-        # the search and serve a truncated result set (ADVICE r14)
-        if cand.filter(F.col("refit_gen") >= 1).limit(1).count() > 0:
+        # the search and serve a truncated result set (ADVICE r14).
+        # When the caller supplied the manifest's refit-cluster ids, the
+        # decision is a driver-side set intersection; the distributed
+        # confirm scan runs only when a committed refit cluster is
+        # actually among the probed ones (the broken-deployment path).
+        may_serve_refit = refit_clusters is None or bool(
+            {int(c) for c in refit_clusters} & set(probed_ids)
+        )
+        if may_serve_refit and cand.filter(F.col("refit_gen") >= 1).limit(1).count() > 0:
             raise RuntimeError(
                 "ADC serve: state contains refit_gen>=1 clusters but no "
                 "local codebook could be loaded — the committed _local_cb "

@@ -75,8 +75,10 @@ wrong:
     authoritative, so physical removal remains pure hygiene.
 
 Erasure is TERMINAL per doc_id (the GDPR contract): a later re-insert
-of an erased id is filtered at serve time.  Deletes are assumed to
-follow their inserts in stream order (the CDC changelog guarantee).
+of an erased id is anti-joined out at INGEST (so it can never inflate
+the corpus counters) and filtered at serve time as defense in depth.
+Deletes are assumed to follow their inserts in stream order (the CDC
+changelog guarantee).
 
 Reference parity note: the reference repo has no retrieval surface (a
 6-file CDC demo); this extends the §2.5 LLM-data-pipeline text tier.
@@ -321,6 +323,16 @@ def _ingest_batch_cdc(
     ins = batch.filter(F.col("op").isNull() | (F.col("op") != F.lit("d"))).select(
         "doc_id", "text"
     )
+    # erasure is TERMINAL per doc_id: a re-insert of an already-erased id
+    # must not re-enter the index.  Without this anti-join the insert
+    # would fold its (1, dl) into n_docs/sum_dl while serving anti-joins
+    # the doc out and a repeat delete is anti-joined out of the
+    # correction — permanently diverging avgdl/idf from the clean
+    # rebuild-minus-erased (ADVICE r15).  Driver-side no-op until the
+    # first erasure ever commits (manifest resolve returns None).
+    erased = _read_erased(spark, erased_root)
+    if erased is not None:
+        ins = ins.join(F.broadcast(erased), "doc_id", "left_anti")
     if _stats(stats_store)[0] < bid:
         store = _postings_store(postings_root)
         postings, lens = _batch_postings(ins)

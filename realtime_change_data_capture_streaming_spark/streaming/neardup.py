@@ -149,6 +149,99 @@ def _jaccard_threshold_pairs(a_sh: DataFrame, b_sh: DataFrame, internal: bool) -
     return shared.filter(j >= 0.20).select("doc_a", "doc_b")
 
 
+#: shingle-store doc-id buckets: merges and erasures rewrite only the
+#: buckets their batch's doc_ids hash into (bucket map in the manifest,
+#: the ANN codes-store idiom), so an erasure batch is O(touched buckets'
+#: bytes) — never O(corpus shingles) (ADVICE r15).  Production sizes the
+#: count so a bucket is ~one file; the merge/erase I/O contract is the
+#: same at any count.
+N_SHINGLE_BUCKETS = 16
+
+_SH_SCHEMA = "doc_id bigint, lang string, source string, shingle string, n_shingles bigint"
+
+#: shingle-store version-chain bound: past this many distinct version
+#: dirs in the bucket map, the next publish collapses the oldest part of
+#: the chain (the ANN/BM25/sink auto-compaction contract — without it
+#: the per-batch bucket rewrites grow the listing without bound).
+SHINGLE_AUTO_COMPACT_MAX_VERSIONS = 8
+
+
+def _sbucket(col):
+    return F.pmod(col, F.lit(N_SHINGLE_BUCKETS))
+
+
+def _read_shingles(sp: SparkSession, store: str, doc_buckets: list[int] | None = None) -> DataFrame:
+    """Manifest-driven read of the bucket-mapped shingle store, path-pruned
+    to a doc-id bucket subset when given."""
+    from realtime_change_data_capture_streaming_spark.streaming._store import read_partitioned_store
+
+    return read_partitioned_store(sp, store, "sbucket", _SH_SCHEMA, ids=doc_buckets)
+
+
+def _publish_shingle_buckets(store: str, rows: DataFrame, touched: list[int], bid: int) -> None:
+    """Commit the TOUCHED buckets' full post-image (``rows``) as a new
+    version; untouched buckets keep serving from the versions the
+    manifest already maps them to.  A bucket whose post-image is empty
+    (every doc erased) leaves the map entirely."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+
+    m = table_commit.read_manifest(store)
+    buckets = dict(m.get("buckets", {})) if m else {}
+    vdir, seq = table_commit.begin(store)
+    rows.withColumn("sbucket", _sbucket(F.col("doc_id"))).write.mode("overwrite").partitionBy(
+        "sbucket"
+    ).parquet(vdir)
+    written = {
+        int(e.split("=", 1)[1]) for e in os.listdir(vdir) if e.startswith("sbucket=")
+    }
+    vname = os.path.basename(vdir)
+    for b in touched:
+        if int(b) in written:
+            buckets[str(b)] = vname
+        else:
+            buckets.pop(str(b), None)
+    table_commit.commit(store, seq, meta={"applied_bid": bid, "buckets": buckets}, staged=vdir)
+    m2 = table_commit.read_manifest(store)
+    if len(set(m2.get("buckets", {}).values())) > SHINGLE_AUTO_COMPACT_MAX_VERSIONS:
+        _compact_shingles(rows.sparkSession, store, to_versions=max(1, SHINGLE_AUTO_COMPACT_MAX_VERSIONS // 2))
+
+
+def _compact_shingles(sp: SparkSession, store: str, to_versions: int = 1) -> None:
+    """Collapse the shingle store's version chain down to ``to_versions``
+    dirs by rewriting ONLY the buckets mapped to the oldest excess
+    versions (the ``compact_ann_store`` I/O model — O(excess buckets'
+    bytes), never the whole store; serving rows unchanged)."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+
+    m = table_commit.read_manifest(store)
+    if m is None or not m.get("buckets"):
+        return
+    versions = sorted(set(m["buckets"].values()))
+    if len(versions) <= to_versions:
+        return
+    oldest = set(versions[: max(1, len(versions) - to_versions + 1)])
+    chosen = sorted(int(b) for b, v in m["buckets"].items() if v in oldest)
+    rows = _read_shingles(sp, store, chosen).localCheckpoint(eager=True)
+    vdir, seq = table_commit.begin(store)
+    rows.withColumn("sbucket", _sbucket(F.col("doc_id"))).write.mode("overwrite").partitionBy(
+        "sbucket"
+    ).parquet(vdir)
+    written = {
+        int(e.split("=", 1)[1]) for e in os.listdir(vdir) if e.startswith("sbucket=")
+    }
+    vname = os.path.basename(vdir)
+    buckets = dict(m["buckets"])
+    for b in chosen:
+        if b in written:
+            buckets[str(b)] = vname
+        else:
+            buckets.pop(str(b), None)
+    meta = {"buckets": buckets}
+    if "applied_bid" in m:
+        meta["applied_bid"] = m["applied_bid"]
+    table_commit.commit(store, seq, meta=meta, staged=vdir)
+
+
 def _merge_dedup_components(
     shingle_store: str, assign_store: str, batch: DataFrame, bid: int
 ) -> None:
@@ -180,15 +273,9 @@ def _merge_dedup_components(
     sp = batch.sparkSession
     sh_b = shingle_rows(batch).localCheckpoint(eager=True)
 
-    live_sh = table_commit.resolve(shingle_store)
-    if live_sh is not None:
-        prev_sh = sp.read.parquet(live_sh).join(
-            batch.select("doc_id"), "doc_id", "left_anti"
-        )
-    else:
-        prev_sh = sp.createDataFrame(
-            [], "doc_id bigint, lang string, source string, shingle string, n_shingles bigint"
-        )
+    prev_sh = _read_shingles(sp, shingle_store).join(
+        batch.select("doc_id"), "doc_id", "left_anti"
+    )
 
     # Eager checkpoint: new_edges reads the CURRENT shingle version dir,
     # which the shingle commit below supersedes.  Without materializing
@@ -224,14 +311,22 @@ def _merge_dedup_components(
 
     # publish shingles first (guarded), then assignments: a crash in
     # between re-delivers the batch, which skips the shingle re-publish
-    # and recomputes identical edges thanks to the anti-join above
+    # and recomputes identical edges thanks to the anti-join above.
+    # Only the batch docs' BUCKETS are rewritten (their previous rows —
+    # upsert semantics for a re-inserted id — replaced by prev-minus-batch
+    # plus the batch's shingles); every other bucket's files are untouched
+    # (ADVICE r15: the full-store rewrite made every batch O(corpus)).
     if not _already_applied(shingle_store, bid):
-        all_sh = sh_b if live_sh is None else sp.read.parquet(live_sh).join(
+        touched_buckets = sorted(
+            int(r["b"])
+            for r in batch.select(_sbucket(F.col("doc_id")).alias("b")).distinct().collect()
+        )  # bounded collect: <= N_SHINGLE_BUCKETS ids
+        prev_touched = _read_shingles(sp, shingle_store, touched_buckets).join(
             batch.select("doc_id"), "doc_id", "left_anti"
-        ).unionByName(sh_b)
-        vdir, seq = table_commit.begin(shingle_store)
-        all_sh.write.mode("overwrite").parquet(vdir)
-        table_commit.commit(shingle_store, seq, meta={"applied_bid": bid}, staged=vdir)
+        )
+        _publish_shingle_buckets(
+            shingle_store, prev_touched.unionByName(sh_b), touched_buckets, bid
+        )
     vdir, seq = table_commit.begin(assign_store)
     new_assign.write.mode("overwrite").parquet(vdir)
     table_commit.commit(assign_store, seq, meta={"applied_bid": bid}, staged=vdir)
@@ -252,10 +347,11 @@ def stream_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — the batch split must be invisible.
 
     At 100 TB: per batch, the cross join is batch-sided (sharded on
-    (lang, source, shingle), never corpus x corpus), the shingle store
-    grows by exactly the batch's shingles (the full-rewrite publish here
-    would be an append-partition in a production deployment), and label
-    propagation runs only over components the batch's edges touch."""
+    (lang, source, shingle), never corpus x corpus), the shingle-store
+    publish rewrites only the batch docs' buckets (bucket-mapped
+    manifest, O(min(batch, N_SHINGLE_BUCKETS)) bucket rewrites — the
+    ANN codes-store idiom), and label propagation runs only over
+    components the batch's edges touch."""
     from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
     from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
 
@@ -312,11 +408,19 @@ def _erase_dedup_components(shingle_store: str, assign_store: str, dels: DataFra
     edge is no longer a duplicate of anything and drops out, exactly as
     the closed form over the surviving corpus says.
 
-    At 100 TB the rebuild is bounded by the affected components' member
-    shingles (duplicate clusters are small by construction), never the
-    corpus.  Replay-guarded on the same per-store ``applied_bid``
-    frontiers as the merge path; erasure is terminal per doc_id (the
-    GDPR contract shared by all r15 erasure paths)."""
+    At 100 TB both the rebuild AND the store I/O are bounded: the
+    component recompute touches the affected components' member shingles
+    (duplicate clusters are small by construction) read from their
+    bucket-pruned paths, and the shingle-store rewrite touches only the
+    ERASED ids' buckets — never the corpus (ADVICE r15: the previous
+    full anti-join + overwrite made every erasure batch O(corpus
+    shingles)).  Replay-guarded on the same per-store ``applied_bid``
+    frontiers as the merge path; erasure is terminal per doc_id in the
+    stored-data sense (the erased text's shingles leave the store and
+    can never re-enter), while a LATER re-insert of the id with NEW text
+    is deliberately in-contract for the merge path — unlike the BM25
+    corpus counters there is no derived aggregate that would diverge,
+    the store simply reflects the new document (upsert semantics)."""
     from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
     from realtime_change_data_capture_streaming_spark.llm_ops.dedup import connected_components
     from realtime_change_data_capture_streaming_spark.streaming.sketches import _already_applied
@@ -327,16 +431,6 @@ def _erase_dedup_components(shingle_store: str, assign_store: str, dels: DataFra
     del_ids = dels.select("doc_id").distinct().localCheckpoint(eager=True)
     if del_ids.count() == 0:
         return
-
-    live_sh = table_commit.resolve(shingle_store)
-    prev_sh = (
-        sp.read.parquet(live_sh)
-        if live_sh is not None
-        else sp.createDataFrame(
-            [], "doc_id bigint, lang string, source string, shingle string, n_shingles bigint"
-        )
-    )
-    kept_sh = prev_sh.join(del_ids, "doc_id", "left_anti").localCheckpoint(eager=True)
 
     live_as = table_commit.resolve(assign_store)
     prev_assign = (
@@ -350,8 +444,15 @@ def _erase_dedup_components(shingle_store: str, assign_store: str, dels: DataFra
         prev_assign.join(touched, "component", "left_semi")
         .join(del_nodes, "node", "left_anti")
         .select(F.col("node").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
-    mem_sh = kept_sh.join(members, "doc_id")
+    # bucket-pruned member shingles: members exclude the deleted ids, so
+    # the inner join is the survivors-only filter — no full-store scan
+    mem_buckets = sorted(
+        int(r["b"])
+        for r in members.select(_sbucket(F.col("doc_id")).alias("b")).distinct().collect()
+    )  # bounded collect: <= N_SHINGLE_BUCKETS ids
+    mem_sh = _read_shingles(sp, shingle_store, mem_buckets).join(members, "doc_id")
     edges = _jaccard_threshold_pairs(mem_sh, mem_sh, internal=True).localCheckpoint(eager=True)
     subcomp = connected_components(edges, "doc_a", "doc_b")
     new_assign = prev_assign.join(touched, "component", "left_anti").unionByName(
@@ -359,9 +460,14 @@ def _erase_dedup_components(shingle_store: str, assign_store: str, dels: DataFra
     )
 
     if not _already_applied(shingle_store, bid):
-        vdir, seq = table_commit.begin(shingle_store)
-        kept_sh.write.mode("overwrite").parquet(vdir)
-        table_commit.commit(shingle_store, seq, meta={"applied_bid": bid}, staged=vdir)
+        del_buckets = sorted(
+            int(r["b"])
+            for r in del_ids.select(_sbucket(F.col("doc_id")).alias("b")).distinct().collect()
+        )  # bounded collect: <= N_SHINGLE_BUCKETS ids
+        kept_touched = _read_shingles(sp, shingle_store, del_buckets).join(
+            del_ids, "doc_id", "left_anti"
+        )
+        _publish_shingle_buckets(shingle_store, kept_touched, del_buckets, bid)
     vdir, seq = table_commit.begin(assign_store)
     new_assign.write.mode("overwrite").parquet(vdir)
     table_commit.commit(assign_store, seq, meta={"applied_bid": bid}, staged=vdir)

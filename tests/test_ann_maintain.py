@@ -409,6 +409,36 @@ def test_serve_mid_refit_mixes_codebook_generations(spark, sf_dir, tmp_path):
         )
 
 
+def test_healthy_no_refit_serve_runs_no_distributed_probe(spark, sf_dir, monkeypatch):
+    """ADVICE r15: when the caller passes the manifest's refit-cluster
+    list (empty: no refit ever committed), a serve with no loadable
+    local codebook decides driver-side — the refit_gen consistency
+    probe must NOT scan the checkpointed state on every healthy serve."""
+    from pyspark.sql import DataFrame
+
+    from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
+        _serve_adc_mixed,
+    )
+
+    cents, cb, base, _enc = _frozen_setup(spark, sf_dir)
+    frozen_state = base.select(
+        "vec_id",
+        F.col("s").cast("bigint").alias("s"),
+        F.col("code").cast("bigint").alias("code"),
+        F.col("cluster").cast("bigint").alias("cluster"),
+    ).withColumn("refit_gen", F.lit(0).cast("bigint"))
+
+    def _trip(self):
+        raise AssertionError("distributed probe ran on a healthy no-refit serve")
+
+    with monkeypatch.context() as m:
+        m.setattr(DataFrame, "count", _trip)
+        out = _serve_adc_mixed(
+            spark, sf_dir, cents, cb, frozen_state, None, refit_clusters=[]
+        )
+    assert out.count() > 0
+
+
 def _frozen_setup(spark, sf_dir):
     from realtime_change_data_capture_streaming_spark.streaming.ann_maintain import (
         ANN_HISTORY_MAX_VEC_ID,

@@ -272,6 +272,36 @@ def test_erasure_replay_is_exactly_once_for_correction(spark, sf_dir, tmp_path):
     assert _rows(_serve_topk(spark, p, s, er)) == served
 
 
+def test_reinsert_of_erased_id_cannot_inflate_corpus_counters(spark, sf_dir, tmp_path):
+    """Erasure is terminal per doc_id: a LATER batch re-inserting an
+    erased id must be anti-joined out at ingest (ADVICE r15).  Without
+    that, the re-insert folds its (1, dl) into n_docs/sum_dl while
+    serving anti-joins the doc out and a repeat delete is anti-joined
+    out of the correction — avgdl/idf diverge from the clean
+    rebuild-minus-erased forever."""
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        _ingest_batch,
+        _ingest_batch_cdc,
+        _stats,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    p, s, dl, er = (str(tmp_path / x) for x in ("p", "s", "dl", "er"))
+    _ingest_batch_cdc(p, s, dl, er, d.withColumn("op", F.lit("c")), 0)
+    erased_pred = F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    dels = d.filter(erased_pred).select(
+        "doc_id", F.lit(None).cast("string").alias("text"), F.lit("d").alias("op")
+    )
+    _ingest_batch_cdc(p, s, dl, er, dels, 1)
+    n1, s1 = _stats(s)[1:]
+    # batch 2: the erased docs come back as inserts — must not re-enter
+    _ingest_batch_cdc(p, s, dl, er, d.filter(erased_pred).withColumn("op", F.lit("c")), 2)
+    assert _stats(s)[1:] == (n1, s1), "re-insert of erased ids folded into the counters"
+    ref_p, ref_s = str(tmp_path / "rp"), str(tmp_path / "rs")
+    _ingest_batch(ref_p, ref_s, d.filter(~erased_pred), 0)
+    assert _rows(_serve_topk(spark, p, s, er)) == _rows(_serve_topk(spark, ref_p, ref_s))
+
+
 def test_forget_crash_between_sides_replays_only_unapplied_side(spark, sf_dir, tmp_path):
     """The two frontiers are separate: a batch whose INSERT side folded
     but whose erasure commit crashed replays only the erasure; the

@@ -262,9 +262,34 @@ def test_erase_splits_component_and_drops_edgeless_survivors(spark):
         (1000006, 1000005),
     ]
     assert assigns() == after, "bridge erase must split and drop the edgeless survivor"
-    # erased shingles physically gone
-    sh = spark.read.parquet(table_commit.resolve(sh_store))
+    # erased shingles physically gone — read the WHOLE bucket-mapped store
+    from realtime_change_data_capture_streaming_spark.streaming.neardup import (
+        _read_shingles,
+        _sbucket,
+    )
+
+    sh = _read_shingles(spark, sh_store)
     assert sh.filter(F.col("doc_id").isin([1000002, 1000007])).count() == 0
+    # survivors' shingles all still served
+    assert sorted(
+        r["doc_id"] for r in sh.select("doc_id").distinct().collect()
+    ) == [1000001, 1000003, 1000004, 1000005, 1000006]
+    # I/O pin (ADVICE r15): the erase rewrote ONLY the erased ids'
+    # buckets — every untouched bucket still serves from the merge-time
+    # version dir, and a bucket left empty by the erase drops out of the
+    # map instead of dangling
+    m = table_commit.read_manifest(sh_store)
+    del_buckets = {
+        str(r["b"])
+        for r in spark.createDataFrame([(1000002,), (1000007,)], "doc_id bigint")
+        .select(_sbucket(F.col("doc_id")).alias("b"))
+        .collect()
+    }
+    merge_versions = {v for b, v in m["buckets"].items() if b not in del_buckets}
+    assert len(merge_versions) == 1, "an untouched bucket was rewritten by the erase"
+    assert not (del_buckets & set(m["buckets"])), (
+        "a bucket emptied by the erase still dangles in the map"
+    )
     # fully-applied replay: bid guard skips, nothing moves
     seq_before = table_commit.read_manifest(as_store)["seq"]
     _erase_dedup_components(sh_store, as_store, dels, 1)

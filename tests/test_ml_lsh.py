@@ -217,3 +217,35 @@ def test_per_query_topk_second_fold_engages_at_wide_shuffle_and_is_invisible(spa
     assert wide_plan.count("Window") > narrow_plan.count("Window"), (
         "the second fold did not engage past the width threshold"
     )
+
+
+def test_per_query_topk_fold_engages_on_wide_exchange_free_input(spark):
+    """ADVICE r15: phase 1's pid domain is the INPUT's partition count
+    (spark_partition_id is evaluated before any shuffle), so a scan-fed
+    exchange-free input with many partitions must engage the second
+    fold even while spark.sql.shuffle.partitions stays at a local width
+    — and the fold must stay value-invisible."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _FOLD_WIDTH, _per_query_topk
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    wide_n = _FOLD_WIDTH * 8 + 8
+
+    def scored(n_parts):
+        # Range is exchange-free: its partition count IS the pid domain
+        return spark.range(0, 4 * wide_n, 1, n_parts).select(
+            (F.col("id") % 2 + 1).alias("query_id"),
+            (F.col("id") + 100).alias("cand_id"),
+            ((F.col("id") * 17) % 97).cast("double").alias("score"),
+        )
+
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) <= _FOLD_WIDTH * 8, (
+        "precondition: the session shuffle width must NOT trip the conf gate"
+    )
+    wide_df = _per_query_topk(scored(wide_n), 5, "score", False)
+    narrow_df = _per_query_topk(scored(8), 5, "score", False)
+    assert executed_plan(wide_df).count("Window") > executed_plan(narrow_df).count(
+        "Window"
+    ), "the fold did not engage on a wide exchange-free input"
+    assert sorted(tuple(r) for r in wide_df.collect()) == sorted(
+        tuple(r) for r in narrow_df.collect()
+    ), "the fold changed values"
