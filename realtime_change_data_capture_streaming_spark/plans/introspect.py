@@ -46,6 +46,83 @@ def shuffle_count(df: DataFrame) -> int:
     return executed_plan(df).count("Exchange ")
 
 
+#: logical operators that always introduce a shuffle above their child —
+#: a plan containing any of these has its partition-id domain reset to
+#: the shuffle width, so the shuffle-partitions conf bounds it
+_SHUFFLE_LOGICAL_TOKENS = (
+    "Aggregate [",
+    "Window [",
+    "Repartition",  # Repartition n + RepartitionByExpression
+    "Deduplicate",
+    "Intersect",
+    "Except",
+)
+_GLOBAL_SORT_RE = re.compile(r"\bSort \[[^\n]*\], true")
+_JOIN_RE = re.compile(r"\bJoin (Cross|Inner|Left|Right|Full)")
+_RANGE_SPLITS_RE = re.compile(r"\bRange \([^\n]*splits=Some\((\d+)\)")
+
+
+def logical_shuffle_free(df: DataFrame) -> bool:
+    """True when the ANALYZED logical plan provably introduces no
+    shuffle on the main data path: only narrow operators (scan, project,
+    filter, union, generate, limit) and joins explicitly hinted
+    broadcast.  Ambiguity is resolved to False (an unhinted join may
+    plan as a shuffle join).
+
+    This reads the already-analyzed plan — NO optimization, physical
+    planning, or ``.rdd`` conversion, all of which are either expensive
+    (re-planning a large lineage per call) or outright execute query
+    stages under AQE (``df.rdd`` on a plan with exchanges materializes
+    its shuffles; on a broadcast join it builds the broadcast)."""
+    s = df._jdf.queryExecution().analyzed().toString()
+    if any(tok in s for tok in _SHUFFLE_LOGICAL_TOKENS):
+        return False
+    if _GLOBAL_SORT_RE.search(s):
+        return False
+    joins = len(_JOIN_RE.findall(s))
+    hints = s.count("ResolvedHint (strategy=broadcast)")
+    return joins <= hints
+
+
+def _parse_bytes_conf(v: str) -> int:
+    m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", v.lower())
+    if not m:
+        raise ValueError(f"unparseable byte size: {v!r}")
+    return int(m.group(1)) * (1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4, "p": 5}[m.group(2)])
+
+
+def estimated_scan_partitions(df: DataFrame) -> int:
+    """Driver-side UPPER-ISH estimate of a narrow plan's partition count:
+    Spark's own file-split packing formula over the leaf relations'
+    files (``(bytes + n_files * openCostInBytes) / maxPartitionBytes``),
+    plus any Range leaf's declared split count.  Metadata only — file
+    listing via ``inputFiles()`` and a stat per file, no job, no
+    physical planning.  Overestimating is safe for gating decisions
+    (engaging a constant-width fold early is harmless; missing it at
+    scale is not)."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    conf = df.sparkSession.conf
+    max_pb = _parse_bytes_conf(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _parse_bytes_conf(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    total = 0
+    n_files = 0
+    for uri in df.inputFiles():
+        p = urlparse(uri).path or uri
+        try:
+            total += os.path.getsize(p)
+            n_files += 1
+        except OSError:
+            n_files += 1  # unstatable file: still costs an open
+    est = math.ceil((total + n_files * open_cost) / max_pb) if n_files else 0
+    s = df._jdf.queryExecution().analyzed().toString()
+    for m in _RANGE_SPLITS_RE.finditer(s):
+        est = max(est, int(m.group(1)))
+    return est
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     return executed_plan(df).count("BroadcastHashJoin")
 

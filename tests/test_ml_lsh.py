@@ -249,3 +249,50 @@ def test_per_query_topk_fold_engages_on_wide_exchange_free_input(spark):
     assert sorted(tuple(r) for r in wide_df.collect()) == sorted(
         tuple(r) for r in narrow_df.collect()
     ), "the fold changed values"
+
+
+def test_per_query_topk_fold_engages_on_broadcast_crossjoin_over_wide_scan(spark, sf_dir):
+    """The exact ADVICE r15 shape: ``broadcast(q).crossJoin(scan)`` is
+    shuffle-free, so the pid domain is the SCAN width, which grows with
+    data while shuffle.partitions stays put.  Shrinking
+    maxPartitionBytes makes the driver-side scan-width estimate cross
+    the threshold — the fold must engage, and must stay
+    value-invisible.  (The gate must decide this WITHOUT .rdd, which
+    under AQE would execute the broadcast build just to read a
+    partition count.)"""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _per_query_topk
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= 4).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z
+    )
+
+    def scored():
+        return F.broadcast(q).crossJoin(c).select("query_id", "cand_id", dot.alias("score"))
+
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        narrow_df = _per_query_topk(scored(), 3, "score", False)
+        # 64-byte splits: even the sf0.001 fixture's one small file then
+        # estimates to hundreds of scan partitions, crossing the
+        # _FOLD_WIDTH*8 threshold
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64b")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        wide_df = _per_query_topk(scored(), 3, "score", False)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+    assert executed_plan(wide_df).count("Window") > executed_plan(narrow_df).count(
+        "Window"
+    ), "the fold did not engage on the broadcast-crossJoin-over-scan shape"
+    assert sorted(tuple(r) for r in wide_df.collect()) == sorted(
+        tuple(r) for r in narrow_df.collect()
+    ), "the fold changed values"
