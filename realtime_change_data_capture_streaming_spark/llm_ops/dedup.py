@@ -550,10 +550,15 @@ def _semantic_vectors_of(d: DataFrame) -> DataFrame:
     ).select("doc_id", F.transform("rv", lambda x: x / F.col("norm")).alias("vec"))
     # physical barrier (the with_tokens discipline): stop CollapseProject
     # from re-inlining the map->dense->normalize expression tree into every
-    # downstream distance lambda, and spread the vectors across partitions
-    # (32-way: the per-pair cosine folds downstream are the hot stage and
-    # inherit this partitioning — match the core count)
-    return vec.repartition(32, "doc_id")
+    # downstream distance lambda, and spread the vectors across the
+    # session's core count (the per-pair cosine folds downstream are the
+    # hot stage and inherit this partitioning).  ``spread``, not a
+    # hard-coded 32: the fixed-point centroid math is partition-invariant
+    # by design, so the constant only tuned local[32] and mis-sized every
+    # other core count (r16, guide §2.5 synthetic-key sizing).
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+
+    return spread(vec, "doc_id")
 
 
 def _sem_assign(v: DataFrame, cents: DataFrame) -> DataFrame:

@@ -57,9 +57,18 @@ def purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # both directions via ONE explode, not a self-union: the union form
+    # duplicated the join+distinct subtree in every consumer's plan (the
+    # r16 plan audit read 52 parquet scans in the pagerank plan), where
+    # explode is a narrow op over a single derivation (guide §2.4)
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,10 +77,28 @@ def graph_pagerank_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = purchase_edges(spark, sf_dir)
     # loop-invariant relations: without persist, every iteration's plan
     # re-derives the distinct-pair graph from lineitem x orders (3x the
-    # dominant cost); with it, an iteration is one join + one hash agg
+    # dominant cost); with it, an iteration is one join + one hash agg.
+    # adj is persisted PARTITIONED AND SORTED on the join key: the cache
+    # preserves both, so each iteration's sort-merge join needs no
+    # exchange and no sort on the edge side — only the node-sized ranks
+    # table moves per round (guide §2.4: operations keyed the same way
+    # share one exchange; before this, every iteration re-shuffled and
+    # re-sorted the cached edge table, the largest relation in the
+    # query).  ranks itself comes out of groupBy("dst") already hash-
+    # partitioned on the renamed join key, so the per-iteration plan is
+    # exactly ONE exchange — the contrib aggregation, PageRank's
+    # irreducible shuffle.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
     n1 = deg.agg(F.count(F.lit(1)).alias("n"))  # 1-row broadcast scalar
-    adj = edges.join(deg, "src").persist()
+    adj = edges.join(deg, "src").repartition("src").sortWithinPartitions("src").persist()
+    # materialize the cache BEFORE compiling the iterations: an unfilled
+    # cache under AQE reports unknown output partitioning
+    # (AdaptiveSparkPlan isFinalPlan=false), so every iteration's join
+    # would conservatively re-exchange and re-sort the cached edge table;
+    # once filled, consumers compile against the recorded (src-hash,
+    # src-sorted) layout.  The count does the same work iteration 1 would
+    # have paid to fill the cache — it is moved, not added.
+    adj.count()
 
     ranks = (
         deg.select(F.col("src").alias("node"))
