@@ -42,13 +42,28 @@ def spread(df, *cols):
 
     Locally the fixture tables are single small parquet files -> one input
     partition -> expression-heavy pipelines (shingling, hashing, vector
-    math) run on one core.  At 100 TB the input is thousands of files and
-    this is a no-op by construction, but the explicit repartition also
-    guards against skewed file sizing there.  Keyed columns keep related
-    rows together when a downstream group-by can use them.
+    math) run on one core.  Keyed columns keep related rows together when
+    a downstream group-by can use them.
+
+    The keyless form SKIPS the repartition when the scan already splits
+    into >= core-count partitions (driver-side file-split estimate):
+    Spark never elides an explicit ``repartition(n)``, so at 100 TB the
+    unconditional form was a full-input round-robin shuffle — plus the
+    mandatory sort-before-repartition (SPARK-23207) — purely to fix a
+    small-file problem the input does not have there (guide §2.4: remove
+    shuffles outright; r16).  The keyed form stays unconditional: its
+    hash partitioning is reused by the keyed consumers that ask for it.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, *cols) if cols else df.repartition(n)
+    if cols:
+        return df.repartition(n, *cols)
+    from realtime_change_data_capture_streaming_spark.plans.introspect import (
+        estimated_scan_partitions,
+    )
+
+    if estimated_scan_partitions(df) >= n:
+        return df
+    return df.repartition(n)
 
 
 def fp_mean_sql(scale) -> str:

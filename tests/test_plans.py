@@ -551,3 +551,28 @@ def test_round9_ops_plan_shapes(spark, sf_dir):
         c = plan_counts(df)
         assert c["broadcast_joins"] + c["sort_merge_joins"] + c["shuffled_hash_joins"] == 0
         assert_no_cartesian(df)
+
+
+def test_spread_skips_shuffle_when_scan_already_parallel(spark, sf_dir):
+    """guide §2.4 / r16: the keyless spread() exists to fix small-file
+    locality, not to mandate a shuffle — Spark never elides an explicit
+    repartition, so at scale the unconditional form round-robins (and
+    sort-before-repartitions) the whole input for nothing.  When the
+    driver-side file-split estimate already covers the core count,
+    spread() must return its input UNCHANGED; on the local small-file
+    fixture it must still repartition."""
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert spread(e) is not e, "small-file scan must still be spread locally"
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64b")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        assert spread(e) is e, "wide scan must not pay a round-robin shuffle"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+    # the keyed form establishes a reusable hash partitioning: unconditional
+    assert spread(e, "vec_id") is not e
