@@ -26,16 +26,29 @@ def tokens(col: Column) -> Column:
 
 
 def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "_toks") -> DataFrame:
-    """Attach the token array as a MATERIALIZED column.
+    """Attach the token array as a column, spreading narrow scans.
 
-    The repartition is a physical barrier: without it CollapseProject
-    merges the token projection into downstream higher-order-function
-    lambdas, re-running the regex pipeline once per array element
-    (interpreted eval, measured ~20x slower).  It also parallelizes the
-    CPU-bound regex work when the input is one small file.
+    The repartition fires ONLY when the scan's file-split estimate is
+    below the core count (the ``spread`` rule, r16): its one remaining
+    job is parallelizing the CPU-bound regex work over a single small
+    local file.  It is no longer a mandatory CollapseProject barrier —
+    Spark 4's CollapseProject refuses to duplicate non-cheap expressions
+    into multiple consumers (the r16 A/B read ONE regexp evaluation in
+    every variant's plan, and the unconditional repartition measured 2x
+    the no-shuffle plan locally; ``tests/test_plans.py`` pins the
+    single-evaluation property mechanically).  On a wide input the old
+    form shuffled the whole corpus WITH its materialized token arrays —
+    strictly worse than re-reading the scan.
     """
+    out = df.withColumn(out_col, tokens(F.col(text_col)))
     n = df.sparkSession.sparkContext.defaultParallelism
-    return df.withColumn(out_col, tokens(F.col(text_col))).repartition(n)
+    from realtime_change_data_capture_streaming_spark.plans.introspect import (
+        estimated_scan_partitions,
+    )
+
+    if estimated_scan_partitions(df) >= n:
+        return out
+    return out.repartition(n)
 
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -576,3 +576,27 @@ def test_spread_skips_shuffle_when_scan_already_parallel(spark, sf_dir):
         spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
     # the keyed form establishes a reusable hash partitioning: unconditional
     assert spread(e, "vec_id") is not e
+
+
+def test_with_tokens_single_regex_eval_without_the_repartition_barrier(spark, sf_dir):
+    """r16: with_tokens' repartition used to double as a CollapseProject
+    barrier against re-running the tokenize regex once per consumer
+    lambda.  Spark 4's CollapseProject already refuses to duplicate
+    non-cheap expressions, so the barrier-free wide-scan mode must still
+    evaluate the regex pipeline exactly once — and must NOT round-robin
+    the corpus."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.text import token_stats
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64b")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        plan = executed_plan(token_stats(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+    assert plan.count("RoundRobinPartitioning") == 0, "wide scan must not be shuffled"
+    # the tokenize pipeline's cleaning regex must appear exactly once
+    assert plan.count("[^a-z0-9 ]") == 1, "tokenize regex duplicated into consumers"
