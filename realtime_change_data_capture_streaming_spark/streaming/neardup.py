@@ -170,6 +170,12 @@ def _sbucket(col):
     return F.pmod(col, F.lit(N_SHINGLE_BUCKETS))
 
 
+#: assignment-store row shape (bucket-mapped on pmod(node, 16) exactly
+#: like the shingle store — the r16 shingle bucket map left the ASSIGN
+#: table as the last O(corpus)-per-batch rewrite in the loop)
+_ASSIGN_SCHEMA = "node bigint, component bigint"
+
+
 def _read_shingles(sp: SparkSession, store: str, doc_buckets: list[int] | None = None) -> DataFrame:
     """Manifest-driven read of the bucket-mapped shingle store, path-pruned
     to a doc-id bucket subset when given."""
@@ -178,21 +184,41 @@ def _read_shingles(sp: SparkSession, store: str, doc_buckets: list[int] | None =
     return read_partitioned_store(sp, store, "sbucket", _SH_SCHEMA, ids=doc_buckets)
 
 
+def _read_assign(sp: SparkSession, store: str, node_buckets: list[int] | None = None) -> DataFrame:
+    """Manifest-driven read of the bucket-mapped assignment store,
+    path-pruned to a node-id bucket subset when given."""
+    from realtime_change_data_capture_streaming_spark.streaming._store import read_partitioned_store
+
+    return read_partitioned_store(sp, store, "abucket", _ASSIGN_SCHEMA, ids=node_buckets)
+
+
 def _publish_shingle_buckets(store: str, rows: DataFrame, touched: list[int], bid: int) -> None:
+    _publish_buckets(store, rows, "doc_id", "sbucket", touched, bid, _read_shingles)
+
+
+def _publish_assign_buckets(store: str, rows: DataFrame, touched: list[int], bid: int) -> None:
+    _publish_buckets(store, rows, "node", "abucket", touched, bid, _read_assign)
+
+
+def _publish_buckets(
+    store: str, rows: DataFrame, id_col: str, part_col: str, touched: list[int], bid: int, read_fn
+) -> None:
     """Commit the TOUCHED buckets' full post-image (``rows``) as a new
     version; untouched buckets keep serving from the versions the
     manifest already maps them to.  A bucket whose post-image is empty
-    (every doc erased) leaves the map entirely."""
+    (every doc erased) leaves the map entirely.  Shared by the shingle
+    and assignment stores — both pmod-16 bucket maps with the same
+    version-chain auto-compaction contract."""
     from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 
     m = table_commit.read_manifest(store)
     buckets = dict(m.get("buckets", {})) if m else {}
     vdir, seq = table_commit.begin(store)
-    rows.withColumn("sbucket", _sbucket(F.col("doc_id"))).write.mode("overwrite").partitionBy(
-        "sbucket"
+    rows.withColumn(part_col, _sbucket(F.col(id_col))).write.mode("overwrite").partitionBy(
+        part_col
     ).parquet(vdir)
     written = {
-        int(e.split("=", 1)[1]) for e in os.listdir(vdir) if e.startswith("sbucket=")
+        int(e.split("=", 1)[1]) for e in os.listdir(vdir) if e.startswith(f"{part_col}=")
     }
     vname = os.path.basename(vdir)
     for b in touched:
@@ -203,14 +229,28 @@ def _publish_shingle_buckets(store: str, rows: DataFrame, touched: list[int], bi
     table_commit.commit(store, seq, meta={"applied_bid": bid, "buckets": buckets}, staged=vdir)
     m2 = table_commit.read_manifest(store)
     if len(set(m2.get("buckets", {}).values())) > SHINGLE_AUTO_COMPACT_MAX_VERSIONS:
-        _compact_shingles(rows.sparkSession, store, to_versions=max(1, SHINGLE_AUTO_COMPACT_MAX_VERSIONS // 2))
+        _compact_buckets(
+            rows.sparkSession,
+            store,
+            id_col,
+            part_col,
+            read_fn,
+            to_versions=max(1, SHINGLE_AUTO_COMPACT_MAX_VERSIONS // 2),
+        )
 
 
 def _compact_shingles(sp: SparkSession, store: str, to_versions: int = 1) -> None:
-    """Collapse the shingle store's version chain down to ``to_versions``
-    dirs by rewriting ONLY the buckets mapped to the oldest excess
-    versions (the ``compact_ann_store`` I/O model — O(excess buckets'
-    bytes), never the whole store; serving rows unchanged)."""
+    _compact_buckets(sp, store, "doc_id", "sbucket", _read_shingles, to_versions)
+
+
+def _compact_buckets(
+    sp: SparkSession, store: str, id_col: str, part_col: str, read_fn, to_versions: int = 1
+) -> None:
+    """Collapse a bucket-mapped store's version chain down to
+    ``to_versions`` dirs by rewriting ONLY the buckets mapped to the
+    oldest excess versions (the ``compact_ann_store`` I/O model —
+    O(excess buckets' bytes), never the whole store; serving rows
+    unchanged)."""
     from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
 
     m = table_commit.read_manifest(store)
@@ -221,13 +261,13 @@ def _compact_shingles(sp: SparkSession, store: str, to_versions: int = 1) -> Non
         return
     oldest = set(versions[: max(1, len(versions) - to_versions + 1)])
     chosen = sorted(int(b) for b, v in m["buckets"].items() if v in oldest)
-    rows = _read_shingles(sp, store, chosen).localCheckpoint(eager=True)
+    rows = read_fn(sp, store, chosen).localCheckpoint(eager=True)
     vdir, seq = table_commit.begin(store)
-    rows.withColumn("sbucket", _sbucket(F.col("doc_id"))).write.mode("overwrite").partitionBy(
-        "sbucket"
+    rows.withColumn(part_col, _sbucket(F.col(id_col))).write.mode("overwrite").partitionBy(
+        part_col
     ).parquet(vdir)
     written = {
-        int(e.split("=", 1)[1]) for e in os.listdir(vdir) if e.startswith("sbucket=")
+        int(e.split("=", 1)[1]) for e in os.listdir(vdir) if e.startswith(f"{part_col}=")
     }
     vname = os.path.basename(vdir)
     buckets = dict(m["buckets"])
@@ -261,7 +301,6 @@ def _merge_dedup_components(
     away the batch's own doc_ids, so a re-delivered batch whose shingle
     commit survived cannot double-count its internal pairs (doubled
     n_shared would FABRICATE edges past the J threshold)."""
-    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
     from realtime_change_data_capture_streaming_spark.llm_ops.dedup import (
         connected_components,
         shingle_rows,
@@ -288,11 +327,7 @@ def _merge_dedup_components(
         .localCheckpoint(eager=True)
     )
 
-    live_as = table_commit.resolve(assign_store)
-    if live_as is not None:
-        prev_assign = sp.read.parquet(live_as)
-    else:
-        prev_assign = sp.createDataFrame([], "node bigint, component bigint")
+    prev_assign = _read_assign(sp, assign_store)
 
     nodes = new_edges.select(F.col("doc_a").alias("node")).unionByName(
         new_edges.select(F.col("doc_b").alias("node"))
@@ -304,10 +339,7 @@ def _merge_dedup_components(
     cc_edges = sub_prev.select(
         F.col("node").alias("doc_a"), F.col("component").alias("doc_b")
     ).unionByName(new_edges)
-    subcomp = connected_components(cc_edges, "doc_a", "doc_b")
-    new_assign = prev_assign.join(touched, "component", "left_anti").unionByName(
-        subcomp.select("node", "component")
-    )
+    subcomp = connected_components(cc_edges, "doc_a", "doc_b").localCheckpoint(eager=True)
 
     # publish shingles first (guarded), then assignments: a crash in
     # between re-delivers the batch, which skips the shingle re-publish
@@ -327,9 +359,21 @@ def _merge_dedup_components(
         _publish_shingle_buckets(
             shingle_store, prev_touched.unionByName(sh_b), touched_buckets, bid
         )
-    vdir, seq = table_commit.begin(assign_store)
-    new_assign.write.mode("overwrite").parquet(vdir)
-    table_commit.commit(assign_store, seq, meta={"applied_bid": bid}, staged=vdir)
+    # Assignment post-image, bucket-mapped the same way: only the buckets
+    # holding a relabeled or newly-assigned node are rewritten; a
+    # component no new edge touches keeps its rows served from whatever
+    # version dir already holds them (the last O(corpus)-per-batch
+    # rewrite in this loop, VERDICT r16 item 2).  Touched node buckets =
+    # buckets of the affected components' members plus the new nodes —
+    # both are subsets of subcomp's node set on the merge path.
+    assign_buckets = sorted(
+        int(r["b"])
+        for r in subcomp.select(_sbucket(F.col("node")).alias("b")).distinct().collect()
+    )  # bounded collect: <= N_SHINGLE_BUCKETS ids
+    post = _read_assign(sp, assign_store, assign_buckets).join(
+        touched, "component", "left_anti"
+    ).unionByName(subcomp.select("node", "component"))
+    _publish_assign_buckets(assign_store, post, assign_buckets, bid)
 
 
 def stream_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +396,6 @@ def stream_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest, O(min(batch, N_SHINGLE_BUCKETS)) bucket rewrites — the
     ANN codes-store idiom), and label propagation runs only over
     components the batch's edges touch."""
-    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
     from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
 
     work = scratch_dir(prefix="stream_cc_")
@@ -376,7 +419,7 @@ def stream_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda b, bid: _merge_dedup_components(shingle_store, assign_store, b, bid),
         f"{work}/ckpt",
     )
-    assign = spark.read.parquet(table_commit.resolve(assign_store))
+    assign = _read_assign(spark, assign_store)
     sizes = assign.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size")
     )
@@ -421,7 +464,6 @@ def _erase_dedup_components(shingle_store: str, assign_store: str, dels: DataFra
     is deliberately in-contract for the merge path — unlike the BM25
     corpus counters there is no derived aggregate that would diverge,
     the store simply reflects the new document (upsert semantics)."""
-    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
     from realtime_change_data_capture_streaming_spark.llm_ops.dedup import connected_components
     from realtime_change_data_capture_streaming_spark.streaming.sketches import _already_applied
 
@@ -432,17 +474,12 @@ def _erase_dedup_components(shingle_store: str, assign_store: str, dels: DataFra
     if del_ids.count() == 0:
         return
 
-    live_as = table_commit.resolve(assign_store)
-    prev_assign = (
-        sp.read.parquet(live_as)
-        if live_as is not None
-        else sp.createDataFrame([], "node bigint, component bigint")
-    )
+    prev_assign = _read_assign(sp, assign_store)
     del_nodes = del_ids.withColumnRenamed("doc_id", "node")
     touched = prev_assign.join(del_nodes, "node").select("component").distinct()
+    all_members = prev_assign.join(touched, "component", "left_semi")
     members = (
-        prev_assign.join(touched, "component", "left_semi")
-        .join(del_nodes, "node", "left_anti")
+        all_members.join(del_nodes, "node", "left_anti")
         .select(F.col("node").alias("doc_id"))
         .localCheckpoint(eager=True)
     )
@@ -455,9 +492,6 @@ def _erase_dedup_components(shingle_store: str, assign_store: str, dels: DataFra
     mem_sh = _read_shingles(sp, shingle_store, mem_buckets).join(members, "doc_id")
     edges = _jaccard_threshold_pairs(mem_sh, mem_sh, internal=True).localCheckpoint(eager=True)
     subcomp = connected_components(edges, "doc_a", "doc_b")
-    new_assign = prev_assign.join(touched, "component", "left_anti").unionByName(
-        subcomp.select("node", "component")
-    )
 
     if not _already_applied(shingle_store, bid):
         del_buckets = sorted(
@@ -468,9 +502,19 @@ def _erase_dedup_components(shingle_store: str, assign_store: str, dels: DataFra
             del_ids, "doc_id", "left_anti"
         )
         _publish_shingle_buckets(shingle_store, kept_touched, del_buckets, bid)
-    vdir, seq = table_commit.begin(assign_store)
-    new_assign.write.mode("overwrite").parquet(vdir)
-    table_commit.commit(assign_store, seq, meta={"applied_bid": bid}, staged=vdir)
+    # Assignment post-image, bucket-mapped: an erase can DROP nodes
+    # (the deleted ids and any edgeless survivor), so the touched bucket
+    # set is the affected components' FULL pre-image membership — every
+    # node that may be relabeled, re-kept, or removed lives in one of
+    # those buckets; untouched components' buckets keep serving.
+    assign_buckets = sorted(
+        int(r["b"])
+        for r in all_members.select(_sbucket(F.col("node")).alias("b")).distinct().collect()
+    )  # bounded collect: <= N_SHINGLE_BUCKETS ids
+    post = _read_assign(sp, assign_store, assign_buckets).join(
+        touched, "component", "left_anti"
+    ).unionByName(subcomp.select("node", "component"))
+    _publish_assign_buckets(assign_store, post, assign_buckets, bid)
 
 
 def _merge_or_erase(shingle_store: str, assign_store: str, batch: DataFrame, bid: int) -> None:
@@ -523,7 +567,6 @@ def stream_dedup_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
     component (S1 stops being anyone's duplicate and drops; S3-S4
     remain), the untouched pair components keep serving, and the
     no-op delete changes nothing."""
-    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
     from realtime_change_data_capture_streaming_spark.streaming.cdc_stream import stage_ordered_batches
 
     work = scratch_dir(prefix="stream_ccforget_")
@@ -554,7 +597,7 @@ def stream_dedup_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda b, bid: _merge_or_erase(shingle_store, assign_store, b, bid),
         f"{work}/ckpt",
     )
-    assign = spark.read.parquet(table_commit.resolve(assign_store))
+    assign = _read_assign(spark, assign_store)
     sizes = assign.groupBy("component").agg(
         F.count(F.lit(1)).cast("bigint").alias("component_size")
     )

@@ -84,6 +84,16 @@ REGISTRY: dict[tuple[str, str], tuple[int, str]] = {
         "ledger-partition prune list (<= N_DOC_BUCKETS dirs) + the erasure "
         "batch's two correction counters (one row)",
     ),
+    ("streaming/neardup.py", "_merge_dedup_components"): (
+        2,
+        "touched shingle-bucket ids + touched assignment-bucket ids — "
+        "each pmod(id, 16), <= N_SHINGLE_BUCKETS rows",
+    ),
+    ("streaming/neardup.py", "_erase_dedup_components"): (
+        3,
+        "surviving-member, deleted-id and affected-assignment bucket ids "
+        "— each pmod(id, 16), <= N_SHINGLE_BUCKETS rows",
+    ),
     ("llm_ops/dedup.py", "_sem_fit_centroids"): (
         2,
         "k-means model state: k x 128 fixed-point centroid sums per iteration, k ∝ n_docs/64",

@@ -229,6 +229,7 @@ def test_erase_splits_component_and_drops_edgeless_survivors(spark):
         _SYN_DOCS,
         _erase_dedup_components,
         _merge_dedup_components,
+        _read_assign,
     )
 
     work = scratch_dir(prefix="cc_erase_")
@@ -241,7 +242,7 @@ def test_erase_splits_component_and_drops_edgeless_survivors(spark):
     def assigns():
         return sorted(
             (r["node"], r["component"])
-            for r in spark.read.parquet(table_commit.resolve(as_store)).collect()
+            for r in _read_assign(spark, as_store).collect()
         )
 
     assert assigns() == [
@@ -289,6 +290,23 @@ def test_erase_splits_component_and_drops_edgeless_survivors(spark):
     assert len(merge_versions) == 1, "an untouched bucket was rewritten by the erase"
     assert not (del_buckets & set(m["buckets"])), (
         "a bucket emptied by the erase still dangles in the map"
+    )
+    # I/O pin (VERDICT r16 item 2): the ASSIGN store is bucket-mapped the
+    # same way — the erase rewrote only the affected component's member
+    # buckets (1000001..1000004 -> buckets 1..4: 3,4 relabeled in the new
+    # version; 1,2 emptied and gone from the map), while the untouched
+    # pair component's buckets (1000005/1000006 -> 5,6) still serve from
+    # the merge-time version dir
+    am = table_commit.read_manifest(as_store)
+    touched_abuckets = {"1", "2", "3", "4"}
+    merge_served = {v for b, v in am["buckets"].items() if b not in touched_abuckets}
+    erase_served = {v for b, v in am["buckets"].items() if b in touched_abuckets}
+    assert len(merge_served) == 1, "an untouched assign bucket was rewritten by the erase"
+    assert erase_served and merge_served.isdisjoint(erase_served), (
+        "the erase did not publish the affected buckets as a NEW version"
+    )
+    assert {"1", "2"}.isdisjoint(am["buckets"]), (
+        "an assign bucket emptied by the erase still dangles in the map"
     )
     # fully-applied replay: bid guard skips, nothing moves
     seq_before = table_commit.read_manifest(as_store)["seq"]

@@ -814,6 +814,7 @@ def test_stream_dedup_components_merges_and_replays(spark, tmp_path):
     from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
     from realtime_change_data_capture_streaming_spark.streaming.neardup import (
         _merge_dedup_components,
+        _read_assign,
     )
 
     def docs(rows):
@@ -836,7 +837,7 @@ def test_stream_dedup_components_merges_and_replays(spark, tmp_path):
     )
     a0 = {
         (r["node"], r["component"])
-        for r in spark.read.parquet(table_commit.resolve(as_store)).collect()
+        for r in _read_assign(spark, as_store).collect()
     }
     assert a0 == {(2, 2), (4, 2)}
 
@@ -849,7 +850,7 @@ def test_stream_dedup_components_merges_and_replays(spark, tmp_path):
     )
     a1 = {
         (r["node"], r["component"])
-        for r in spark.read.parquet(table_commit.resolve(as_store)).collect()
+        for r in _read_assign(spark, as_store).collect()
     }
     assert a1 == {(2, 2), (4, 2), (5, 2), (7, 2)}
 
@@ -863,7 +864,7 @@ def test_stream_dedup_components_merges_and_replays(spark, tmp_path):
     assert table_commit.read_manifest(as_store)["seq"] == v_before
     a2 = {
         (r["node"], r["component"])
-        for r in spark.read.parquet(table_commit.resolve(as_store)).collect()
+        for r in _read_assign(spark, as_store).collect()
     }
     assert a2 == a1
 
@@ -874,7 +875,7 @@ def test_stream_dedup_components_merges_and_replays(spark, tmp_path):
     _merge_dedup_components(sh_store, as_store, b2, 2)
     a3 = {
         (r["node"], r["component"])
-        for r in spark.read.parquet(table_commit.resolve(as_store)).collect()
+        for r in _read_assign(spark, as_store).collect()
     }
     # adversarial redelivery: shingle store already holds batch 2's rows
     # (crash between the two commits) — recompute must not double-count;
@@ -887,6 +888,6 @@ def test_stream_dedup_components_merges_and_replays(spark, tmp_path):
     _merge_dedup_components(sh_store, as_store, b2, 2)
     a4 = {
         (r["node"], r["component"])
-        for r in spark.read.parquet(table_commit.resolve(as_store)).collect()
+        for r in _read_assign(spark, as_store).collect()
     }
     assert a4 == a3 == a1 | {(9, 9), (10, 9), (11, 9)}
