@@ -189,13 +189,44 @@ def _erased_state(erased_root: str) -> tuple[int, int, int]:
     return m.get("applied_bid", -1), m.get("n_erased", 0), m.get("dl_erased", 0)
 
 
-def _read_erased(spark: SparkSession, erased_root: str) -> DataFrame | None:
-    """The committed erased doc_id set, or None when nothing was ever
-    erased."""
-    live = table_commit.resolve(erased_root)
-    if live is None:
+#: erased-set version-chain bound (the shingle/assign-store contract):
+#: each erasure batch publishes only its touched buckets, so the chain
+#: grows one dir per batch until auto-compaction collapses the oldest.
+ERASED_AUTO_COMPACT_MAX_VERSIONS = 8
+
+#: Broadcast the erased set into the ingest/compact/serve anti-joins only
+#: while it is small.  Erasure is terminal, so the set grows
+#: monotonically — an unconditional broadcast would eventually outgrow
+#: driver/executor memory on the hot ingest path (ADVICE r16).  At 8
+#: bytes/id + ~4x hash-relation framing, 4M rows is ~128 MB built — safe
+#: on any executor sized for this engine; past it the planner picks the
+#: join (shuffle anti-join at scale).
+ERASED_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _read_erased(
+    spark: SparkSession, erased_root: str, buckets: list[int] | None = None
+) -> DataFrame | None:
+    """The committed erased doc_id set (bucket-mapped on
+    ``doc_id % N_DOC_BUCKETS``), path-pruned to a bucket subset when
+    given; None when nothing was ever erased."""
+    from realtime_change_data_capture_streaming_spark.streaming._store import read_partitioned_store
+
+    m = table_commit.read_manifest(erased_root)
+    if m is None or not m.get("buckets"):
         return None
-    return spark.read.schema("doc_id bigint").parquet(live)
+    return read_partitioned_store(spark, erased_root, "ebucket", "doc_id bigint", ids=buckets)
+
+
+def _erased_antijoin_side(spark: SparkSession, erased_root: str) -> DataFrame | None:
+    """The erased set shaped for an anti-join: broadcast-hinted while the
+    manifest's n_erased counter (a driver-side JSON read, no job) says it
+    is small, planner-chosen once it has grown past the threshold."""
+    erased = _read_erased(spark, erased_root)
+    if erased is None:
+        return None
+    _bid, n_erased, _dl = _erased_state(erased_root)
+    return F.broadcast(erased) if n_erased <= ERASED_BROADCAST_MAX_ROWS else erased
 
 
 def _apply_erasures(spark: SparkSession, doclens_root: str, erased_root: str,
@@ -211,29 +242,30 @@ def _apply_erasures(spark: SparkSession, doclens_root: str, erased_root: str,
     Already-erased ids are anti-joined out FIRST, so a double-delete
     (or a replay racing the guard) can never double-decrement.
 
-    Cost note: each erasure batch rewrites the FULL committed set —
-    O(total erased) per batch, the right trade while erasures are a
-    vanishing fraction of the corpus (the GDPR regime).  A deployment
-    with heavy sustained deletes should move the set to the
-    id-hash-bucketed manifest layout (the ``buckets`` map the codes
-    store already uses) so a batch rewrites only its touched buckets;
-    the one-flip set+counters atomicity carries over unchanged."""
+    The set is id-hash-bucketed (the ``buckets`` manifest map the codes
+    and shingle stores already use), so a batch rewrites only its
+    TOUCHED buckets — O(touched buckets' ids), never O(total erased)
+    (VERDICT r16 item 3); the one-flip set+counters atomicity is
+    unchanged because the bucket map rides the same manifest write."""
     applied, n_prev, dl_prev = _erased_state(erased_root)
     if applied >= bid:
         return
     ids = del_ids.select("doc_id").distinct().localCheckpoint(eager=True)
     if ids.count() == 0:
         return
-    prev = _read_erased(spark, erased_root)
-    new_ids = ids if prev is None else ids.join(prev, "doc_id", "left_anti")
-    new_ids = new_ids.localCheckpoint(eager=True)
-    # bounded collect: <= N_DOC_BUCKETS ledger partitions to prune to
+    # bounded collect: <= N_DOC_BUCKETS ids — keys the ledger-partition
+    # prune, the prev-set bucket prune, AND the bucket publish below
     buckets = sorted(
         int(r["b"])
-        for r in new_ids.select(F.pmod("doc_id", F.lit(N_DOC_BUCKETS)).alias("b"))
+        for r in ids.select(F.pmod("doc_id", F.lit(N_DOC_BUCKETS)).alias("b"))
         .distinct()
         .collect()
     )
+    # bucket-pruned prev read: an id can only collide with prior erasures
+    # inside its own bucket, and the publish only rewrites these buckets
+    prev = _read_erased(spark, erased_root, buckets)
+    new_ids = ids if prev is None else ids.join(prev, "doc_id", "left_anti")
+    new_ids = new_ids.localCheckpoint(eager=True)
     live = _doclens_store(doclens_root).live_dir()
     paths = [p for b in buckets if os.path.isdir(p := f"{live}/dbucket={b}")]
     n_new, dl_new = 0, 0
@@ -250,18 +282,23 @@ def _apply_erasures(spark: SparkSession, doclens_root: str, erased_root: str,
             F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
         ).collect()[0]
         n_new, dl_new = int(row["n"]), int(row["s"])
-    all_ids = new_ids if prev is None else prev.unionByName(new_ids)
-    staged, seq = table_commit.begin(erased_root)
-    all_ids.coalesce(1).write.mode("overwrite").parquet(staged)
-    table_commit.commit(
+    post = new_ids if prev is None else prev.unionByName(new_ids)
+    from realtime_change_data_capture_streaming_spark.streaming._store import publish_bucketed_version
+
+    publish_bucketed_version(
         erased_root,
-        seq,
-        meta={
+        post,
+        "doc_id",
+        "ebucket",
+        N_DOC_BUCKETS,
+        "doc_id bigint",
+        buckets,
+        {
             "applied_bid": bid,
             "n_erased": n_prev + n_new,
             "dl_erased": dl_prev + dl_new,
         },
-        staged=staged,
+        ERASED_AUTO_COMPACT_MAX_VERSIONS,
     )
 
 
@@ -330,9 +367,9 @@ def _ingest_batch_cdc(
     # correction — permanently diverging avgdl/idf from the clean
     # rebuild-minus-erased (ADVICE r15).  Driver-side no-op until the
     # first erasure ever commits (manifest resolve returns None).
-    erased = _read_erased(spark, erased_root)
+    erased = _erased_antijoin_side(spark, erased_root)
     if erased is not None:
-        ins = ins.join(F.broadcast(erased), "doc_id", "left_anti")
+        ins = ins.join(erased, "doc_id", "left_anti")
     if _stats(stats_store)[0] < bid:
         store = _postings_store(postings_root)
         postings, lens = _batch_postings(ins)
@@ -382,9 +419,9 @@ def compact_bm25_postings(
     store = _postings_store(postings_root)
     rows = spark.read.parquet(store.live_dir()).dropDuplicates(["doc_id", "term"])
     if erased_root is not None:
-        erased = _read_erased(spark, erased_root)
+        erased = _erased_antijoin_side(spark, erased_root)
         if erased is not None:
-            rows = rows.join(F.broadcast(erased), "doc_id", "left_anti")
+            rows = rows.join(erased, "doc_id", "left_anti")
     rows = rows.localCheckpoint(eager=True)
     m = store._manifest()
     bid = m.get("applied_bid", -1) if through_bid is None else through_bid
@@ -399,9 +436,9 @@ def compact_bm25_doclens(spark: SparkSession, doclens_root: str, erased_root: st
     batch, so nothing ever reads them again)."""
     store = _doclens_store(doclens_root)
     rows = spark.read.parquet(store.live_dir()).dropDuplicates(["doc_id"])
-    erased = _read_erased(spark, erased_root)
+    erased = _erased_antijoin_side(spark, erased_root)
     if erased is not None:
-        rows = rows.join(F.broadcast(erased), "doc_id", "left_anti")
+        rows = rows.join(erased, "doc_id", "left_anti")
     rows = rows.localCheckpoint(eager=True)
     m = store._manifest()
     store.rotate(rows, m.get("max_lsn"), m.get("applied_bid", -1), partition_by="dbucket")
@@ -430,7 +467,7 @@ def _serve_doc_scores(
     if erased_root is not None:
         _ebid, n_erased, dl_erased = _erased_state(erased_root)
         n_docs, sum_dl = n_docs - n_erased, sum_dl - dl_erased
-        erased = _read_erased(spark, erased_root)
+        erased = _erased_antijoin_side(spark, erased_root)
     live = _postings_store(postings_root).live_dir()
     buckets = sorted({_term_bucket_py(t) for t in _BM25_QUERY})
     # a query term whose bucket never received a posting has no dir —
@@ -450,7 +487,7 @@ def _serve_doc_scores(
         .dropDuplicates(["doc_id", "term"])
     )
     if erased is not None:
-        rows = rows.join(F.broadcast(erased), "doc_id", "left_anti")
+        rows = rows.join(erased, "doc_id", "left_anti")
     dfreq = rows.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     enriched = (
         rows.join(F.broadcast(dfreq), "term")

@@ -193,93 +193,29 @@ def _read_assign(sp: SparkSession, store: str, node_buckets: list[int] | None = 
 
 
 def _publish_shingle_buckets(store: str, rows: DataFrame, touched: list[int], bid: int) -> None:
-    _publish_buckets(store, rows, "doc_id", "sbucket", touched, bid, _read_shingles)
+    from realtime_change_data_capture_streaming_spark.streaming._store import publish_bucketed_version
+
+    publish_bucketed_version(
+        store, rows, "doc_id", "sbucket", N_SHINGLE_BUCKETS, _SH_SCHEMA,
+        touched, {"applied_bid": bid}, SHINGLE_AUTO_COMPACT_MAX_VERSIONS,
+    )
 
 
 def _publish_assign_buckets(store: str, rows: DataFrame, touched: list[int], bid: int) -> None:
-    _publish_buckets(store, rows, "node", "abucket", touched, bid, _read_assign)
+    from realtime_change_data_capture_streaming_spark.streaming._store import publish_bucketed_version
 
-
-def _publish_buckets(
-    store: str, rows: DataFrame, id_col: str, part_col: str, touched: list[int], bid: int, read_fn
-) -> None:
-    """Commit the TOUCHED buckets' full post-image (``rows``) as a new
-    version; untouched buckets keep serving from the versions the
-    manifest already maps them to.  A bucket whose post-image is empty
-    (every doc erased) leaves the map entirely.  Shared by the shingle
-    and assignment stores — both pmod-16 bucket maps with the same
-    version-chain auto-compaction contract."""
-    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
-
-    m = table_commit.read_manifest(store)
-    buckets = dict(m.get("buckets", {})) if m else {}
-    vdir, seq = table_commit.begin(store)
-    rows.withColumn(part_col, _sbucket(F.col(id_col))).write.mode("overwrite").partitionBy(
-        part_col
-    ).parquet(vdir)
-    written = {
-        int(e.split("=", 1)[1]) for e in os.listdir(vdir) if e.startswith(f"{part_col}=")
-    }
-    vname = os.path.basename(vdir)
-    for b in touched:
-        if int(b) in written:
-            buckets[str(b)] = vname
-        else:
-            buckets.pop(str(b), None)
-    table_commit.commit(store, seq, meta={"applied_bid": bid, "buckets": buckets}, staged=vdir)
-    m2 = table_commit.read_manifest(store)
-    if len(set(m2.get("buckets", {}).values())) > SHINGLE_AUTO_COMPACT_MAX_VERSIONS:
-        _compact_buckets(
-            rows.sparkSession,
-            store,
-            id_col,
-            part_col,
-            read_fn,
-            to_versions=max(1, SHINGLE_AUTO_COMPACT_MAX_VERSIONS // 2),
-        )
+    publish_bucketed_version(
+        store, rows, "node", "abucket", N_SHINGLE_BUCKETS, _ASSIGN_SCHEMA,
+        touched, {"applied_bid": bid}, SHINGLE_AUTO_COMPACT_MAX_VERSIONS,
+    )
 
 
 def _compact_shingles(sp: SparkSession, store: str, to_versions: int = 1) -> None:
-    _compact_buckets(sp, store, "doc_id", "sbucket", _read_shingles, to_versions)
+    from realtime_change_data_capture_streaming_spark.streaming._store import compact_bucketed_version
 
-
-def _compact_buckets(
-    sp: SparkSession, store: str, id_col: str, part_col: str, read_fn, to_versions: int = 1
-) -> None:
-    """Collapse a bucket-mapped store's version chain down to
-    ``to_versions`` dirs by rewriting ONLY the buckets mapped to the
-    oldest excess versions (the ``compact_ann_store`` I/O model —
-    O(excess buckets' bytes), never the whole store; serving rows
-    unchanged)."""
-    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
-
-    m = table_commit.read_manifest(store)
-    if m is None or not m.get("buckets"):
-        return
-    versions = sorted(set(m["buckets"].values()))
-    if len(versions) <= to_versions:
-        return
-    oldest = set(versions[: max(1, len(versions) - to_versions + 1)])
-    chosen = sorted(int(b) for b, v in m["buckets"].items() if v in oldest)
-    rows = read_fn(sp, store, chosen).localCheckpoint(eager=True)
-    vdir, seq = table_commit.begin(store)
-    rows.withColumn(part_col, _sbucket(F.col(id_col))).write.mode("overwrite").partitionBy(
-        part_col
-    ).parquet(vdir)
-    written = {
-        int(e.split("=", 1)[1]) for e in os.listdir(vdir) if e.startswith(f"{part_col}=")
-    }
-    vname = os.path.basename(vdir)
-    buckets = dict(m["buckets"])
-    for b in chosen:
-        if b in written:
-            buckets[str(b)] = vname
-        else:
-            buckets.pop(str(b), None)
-    meta = {"buckets": buckets}
-    if "applied_bid" in m:
-        meta["applied_bid"] = m["applied_bid"]
-    table_commit.commit(store, seq, meta=meta, staged=vdir)
+    compact_bucketed_version(
+        sp, store, "doc_id", "sbucket", N_SHINGLE_BUCKETS, _SH_SCHEMA, to_versions
+    )
 
 
 def _merge_dedup_components(

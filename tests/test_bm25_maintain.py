@@ -557,3 +557,55 @@ def test_forget_restart_from_checkpoint_replays_erase_batch(spark, sf_dir):
     )
     got = _rows(_serve_topk(spark, paths["postings"], paths["stats"], paths["erased"]))
     assert got == _rows(_serve_topk(spark, f"{ref}/p", f"{ref}/s"))
+
+
+def test_erasure_rewrites_only_touched_buckets(spark, tmp_path):
+    """I/O pin (VERDICT r16 item 3): the erased-set store is bucket-mapped
+    on doc_id % N_DOC_BUCKETS — an erasure batch publishes ONLY its ids'
+    buckets as a new version, every other bucket keeps serving from the
+    version dir that already holds it, and set+counters still flip in the
+    same manifest write."""
+    from realtime_change_data_capture_streaming_spark.cdc import commit as table_commit
+    from realtime_change_data_capture_streaming_spark.streaming.bm25_maintain import (
+        N_DOC_BUCKETS,
+        _apply_erasures,
+        _erased_state,
+        _ingest_batch_cdc,
+        _read_erased,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i + 1} w{i + 2} common words here", "c") for i in range(40)],
+        "doc_id bigint, text string, op string",
+    )
+    p, s, dl, er = (str(tmp_path / x) for x in ("p", "s", "dl", "er"))
+    _ingest_batch_cdc(p, s, dl, er, docs, 0)
+
+    def dels(ids):
+        return spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+
+    # batch 1 erases bucket-0 ids only
+    _apply_erasures(spark, dl, er, dels([0, 16]), 1)
+    m1 = table_commit.read_manifest(er)
+    assert set(m1["buckets"]) == {"0"}
+    v1 = m1["buckets"]["0"]
+    _b, n1, dl1 = _erased_state(er)
+    assert n1 == 2 and dl1 > 0
+
+    # batch 2 erases bucket-1 ids: bucket 0 must KEEP serving from v1
+    _apply_erasures(spark, dl, er, dels([1, 17]), 2)
+    m2 = table_commit.read_manifest(er)
+    assert m2["buckets"]["0"] == v1, "an untouched erased bucket was rewritten"
+    assert m2["buckets"]["1"] != v1, "batch 2's bucket did not publish a new version"
+    assert _erased_state(er)[1] == 4
+
+    # batch 3 mixes an already-erased id with a new same-bucket id: the
+    # double-delete is anti-joined out (counters +1, not +2) and the
+    # bucket post-image carries prev + new
+    _apply_erasures(spark, dl, er, dels([0, 32]), 3)
+    assert _erased_state(er)[1] == 5
+    got = sorted(r["doc_id"] for r in _read_erased(spark, er).collect())
+    assert got == [0, 1, 16, 17, 32]
+    # bucket-pruned read returns exactly bucket 0's ids
+    got0 = sorted(r["doc_id"] for r in _read_erased(spark, er, [0]).collect())
+    assert got0 == [0, 16, 32]
