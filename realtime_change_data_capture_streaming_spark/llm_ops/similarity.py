@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.operators._util import fp_encode_sql, fp_mean_sql, spread
 from realtime_change_data_capture_streaming_spark.plans.introspect import (
-    estimated_scan_partitions,
+    estimated_scan_partitions_ex,
     logical_shuffle_free,
 )
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
@@ -336,7 +336,12 @@ def _per_query_topk(
         n_shuffle = 1 << 30
     n_pid_domain = n_shuffle
     if n_pid_domain <= _FOLD_WIDTH * 8 and logical_shuffle_free(scored):
-        n_pid_domain = max(n_pid_domain, estimated_scan_partitions(scored))
+        est, statable = estimated_scan_partitions_ex(scored)
+        # conservative branch for THIS consumer: an unstatable input is
+        # treated as arbitrarily wide, so the fold ENGAGES (missing it on
+        # a genuinely wide scan is the unbounded-state failure; engaging
+        # it early is a bounded constant-width pass)
+        n_pid_domain = max(n_pid_domain, est if statable else 1 << 30)
     if n_pid_domain > _FOLD_WIDTH * 8:
         part = _partial(part.repartition(_FOLD_WIDTH))
     fields = [

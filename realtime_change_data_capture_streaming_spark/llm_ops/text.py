@@ -43,10 +43,13 @@ def with_tokens(df: DataFrame, text_col: str = "text", out_col: str = "_toks") -
     out = df.withColumn(out_col, tokens(F.col(text_col)))
     n = df.sparkSession.sparkContext.defaultParallelism
     from realtime_change_data_capture_streaming_spark.plans.introspect import (
-        estimated_scan_partitions,
+        estimated_scan_partitions_ex,
     )
 
-    if estimated_scan_partitions(df) >= n:
+    est, statable = estimated_scan_partitions_ex(df)
+    # conservative branch for THIS consumer: an unstatable input keeps
+    # the repartition (the pre-r16 behavior), it never skips on a guess
+    if statable and est >= n:
         return out
     return out.repartition(n)
 

@@ -58,10 +58,13 @@ def spread(df, *cols):
     if cols:
         return df.repartition(n, *cols)
     from realtime_change_data_capture_streaming_spark.plans.introspect import (
-        estimated_scan_partitions,
+        estimated_scan_partitions_ex,
     )
 
-    if estimated_scan_partitions(df) >= n:
+    est, statable = estimated_scan_partitions_ex(df)
+    # conservative branch for THIS consumer: an unstatable input keeps
+    # the repartition (the pre-r16 behavior), it never skips on a guess
+    if statable and est >= n:
         return df
     return df.repartition(n)
 

@@ -69,6 +69,22 @@ def logical_shuffle_free(df: DataFrame) -> bool:
     broadcast.  Ambiguity is resolved to False (an unhinted join may
     plan as a shuffle join).
 
+    FAILURE DIRECTION (do not "fix" this the other way): the token list
+    above is deliberately INCOMPLETE — e.g. ``FlatMapGroupsInPandas``,
+    ``CoGroup``/``FlatMapCoGroupsInPandas`` and a bare logical
+    ``Distribute`` also introduce shuffles but are not listed.  A missed
+    shuffle-introducing node makes this return True for a shuffle-FED
+    plan, whose only consumer effect is engaging the harmless
+    constant-width fold early (``_per_query_topk``) — safe.  Extending
+    the JOIN arm to trust UNHINTED joins (auto-broadcast guesses) would
+    fail the OTHER way: a join that plans as a shuffle join at scale
+    would be declared shuffle-free and the fold gate would trust a
+    200-wide conf bound on a 10^5-wide scan domain.  The engine's
+    discipline instead is that every serve-path join feeding
+    ``_per_query_topk`` carries an explicit ``F.broadcast`` hint
+    (audited r17: all similarity.py / ann_maintain.py sites), so the
+    auto-broadcast blind spot (ADVICE r16) has no live instance.
+
     This reads the already-analyzed plan — NO optimization, physical
     planning, or ``.rdd`` conversion, all of which are either expensive
     (re-planning a large lineage per call) or outright execute query
@@ -84,43 +100,77 @@ def logical_shuffle_free(df: DataFrame) -> bool:
     return joins <= hints
 
 
-def _parse_bytes_conf(v: str) -> int:
+def _parse_bytes_conf(v: str, default: int) -> int:
+    """Byte-size conf value to bytes, falling back to ``default`` on any
+    spelling outside the integer-with-suffix form (fractional sizes,
+    "auto", garbage): a conf a user tuned must never fail a QUERY BUILD
+    through this metadata helper (ADVICE r16)."""
     m = re.fullmatch(r"\s*(\d+)\s*([kmgtp]?)b?\s*", v.lower())
     if not m:
-        raise ValueError(f"unparseable byte size: {v!r}")
+        return default
     return int(m.group(1)) * (1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4, "p": 5}[m.group(2)])
 
 
 def estimated_scan_partitions(df: DataFrame) -> int:
+    """``estimated_scan_partitions_ex`` without the statability flag —
+    for callers whose decision does not depend on it."""
+    return estimated_scan_partitions_ex(df)[0]
+
+
+def estimated_scan_partitions_ex(df: DataFrame) -> tuple[int, bool]:
     """Driver-side UPPER-ISH estimate of a narrow plan's partition count:
     Spark's own file-split packing formula over the leaf relations'
     files (``(bytes + n_files * openCostInBytes) / maxPartitionBytes``),
     plus any Range leaf's declared split count.  Metadata only — file
     listing via ``inputFiles()`` and a stat per file, no job, no
-    physical planning.  Overestimating is safe for gating decisions
-    (engaging a constant-width fold early is harmless; missing it at
-    scale is not)."""
+    physical planning.
+
+    Returns ``(estimate, all_statable)``.  Local paths stat through the
+    OS; every other URI stats through the JVM Hadoop ``FileSystem`` for
+    its scheme (HDFS/S3/...), so the estimate no longer collapses to
+    ~n_files/32 of reality off the local disk (ADVICE r16).  A file
+    neither can stat contributes only its open cost and flips
+    ``all_statable`` to False — each call site must then take ITS
+    conservative branch (the fold gate treats the scan as wide; spread/
+    with_tokens keep their repartition), because "conservative" points
+    in opposite directions for the two consumers."""
     import math
     import os
     from urllib.parse import urlparse
 
     conf = df.sparkSession.conf
-    max_pb = _parse_bytes_conf(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    open_cost = _parse_bytes_conf(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    max_pb = _parse_bytes_conf(
+        conf.get("spark.sql.files.maxPartitionBytes", "128m"), 128 * 1024 * 1024
+    )
+    open_cost = _parse_bytes_conf(
+        conf.get("spark.sql.files.openCostInBytes", "4m"), 4 * 1024 * 1024
+    )
+    jvm = df.sparkSession._jvm
+    hconf = df.sparkSession._jsc.hadoopConfiguration()
     total = 0
     n_files = 0
+    all_statable = True
     for uri in df.inputFiles():
-        p = urlparse(uri).path or uri
+        n_files += 1
+        scheme = urlparse(uri).scheme
+        if scheme in ("", "file"):
+            try:
+                total += os.path.getsize(urlparse(uri).path or uri)
+                continue
+            except OSError:
+                all_statable = False  # listed-then-vanished local file
+                continue
         try:
-            total += os.path.getsize(p)
-            n_files += 1
-        except OSError:
-            n_files += 1  # unstatable file: still costs an open
+            jpath = jvm.org.apache.hadoop.fs.Path(uri)
+            # FileSystem.get is cached per (scheme, authority) inside Hadoop
+            total += jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
+        except Exception:
+            all_statable = False  # unstatable remote file: open cost only
     est = math.ceil((total + n_files * open_cost) / max_pb) if n_files else 0
     s = df._jdf.queryExecution().analyzed().toString()
     for m in _RANGE_SPLITS_RE.finditer(s):
         est = max(est, int(m.group(1)))
-    return est
+    return est, all_statable
 
 
 def broadcast_join_count(df: DataFrame) -> int:

@@ -600,3 +600,105 @@ def test_with_tokens_single_regex_eval_without_the_repartition_barrier(spark, sf
     assert plan.count("RoundRobinPartitioning") == 0, "wide scan must not be shuffled"
     # the tokenize pipeline's cleaning regex must appear exactly once
     assert plan.count("[^a-z0-9 ]") == 1, "tokenize regex duplicated into consumers"
+
+
+def test_scan_width_estimate_is_filesystem_correct(spark, sf_dir, monkeypatch):
+    """ADVICE r16: estimated_scan_partitions only os.stat'ed local paths,
+    so on HDFS/S3 every file fell to the open-cost-only branch and the
+    estimate collapsed to ~n_files/32 of reality.  Non-local URIs must
+    now stat through the JVM Hadoop FileSystem (same bytes as the local
+    stat), and a file NO filesystem can stat must flip the statability
+    flag so each call site takes its own conservative branch."""
+    from realtime_change_data_capture_streaming_spark.plans.introspect import (
+        estimated_scan_partitions_ex,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    real_files = list(e.inputFiles())
+    assert real_files, "fixture scan lists no files"
+    local_est, local_ok = estimated_scan_partitions_ex(e)
+    assert local_ok and local_est >= 1
+
+    # the same files behind a non-"file" scheme the OS cannot stat but
+    # Hadoop can (a viewfs mount onto the fixture dir)
+    from urllib.parse import urlparse
+
+    spark._jsc.hadoopConfiguration().set(
+        "fs.viewfs.mounttable.tst.link./data", f"file://{sf_dir}"
+    )
+    fake = [
+        "viewfs://tst/data" + urlparse(u).path.removeprefix(sf_dir)
+        for u in real_files
+    ]
+    assert all(not f.startswith("viewfs://tst/data/root") for f in fake[:1])
+    # patch the CONCRETE class: Spark 4's session returns
+    # pyspark.sql.classic.DataFrame, which overrides the base's methods
+    monkeypatch.setattr(type(e), "inputFiles", lambda self: list(fake))
+    est, ok = estimated_scan_partitions_ex(e)
+    assert ok, "Hadoop-statable URI wrongly marked unstatable"
+    assert est == local_est, "JVM stat path disagrees with the local stat"
+
+    # an unstatable URI: open-cost contribution only, flag flipped
+    monkeypatch.setattr(
+        type(e), "inputFiles", lambda self: ["nosuchfs://h/x.parquet"]
+    )
+    est2, ok2 = estimated_scan_partitions_ex(e)
+    assert not ok2 and est2 >= 0
+
+
+def test_unstatable_scan_takes_each_consumers_conservative_branch(spark, sf_dir, monkeypatch):
+    """The two gate consumers disagree on what 'conservative' means for
+    an unstatable input: spread()/with_tokens must KEEP their repartition
+    (never skip on a guess), while the _per_query_topk fold gate must
+    treat the scan as arbitrarily wide and ENGAGE the fold."""
+    from realtime_change_data_capture_streaming_spark.llm_ops.similarity import _per_query_topk
+    from realtime_change_data_capture_streaming_spark.operators._util import spread
+    from realtime_change_data_capture_streaming_spark.plans.introspect import executed_plan
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.filter(F.col("vec_id") >= 4).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "embedding", lambda x, y: x * y), F.lit(0.0), lambda a, z: a + z
+    )
+    scored = F.broadcast(q).crossJoin(c).select("query_id", "cand_id", dot.alias("score"))
+    narrow_plan = executed_plan(_per_query_topk(scored, 3, "score", False))
+
+    monkeypatch.setattr(
+        type(e), "inputFiles", lambda self: ["nosuchfs://h/x.parquet"]
+    )
+    # fold gate: unstatable => assume wide => extra fold Window appears
+    wide_plan = executed_plan(_per_query_topk(scored, 3, "score", False))
+    assert wide_plan.count("Window") > narrow_plan.count("Window"), (
+        "fold gate must engage when the scan width cannot be established"
+    )
+    # spread: unstatable => keep the repartition even under tiny splits
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    prev_oc = spark.conf.get("spark.sql.files.openCostInBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "64b")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        assert spread(e) is not e, (
+            "spread must not skip its repartition on an unstatable scan"
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        spark.conf.set("spark.sql.files.openCostInBytes", prev_oc)
+
+
+def test_parse_bytes_conf_falls_back_instead_of_failing_the_build(spark):
+    """ADVICE r16: a byte-conf spelling outside the integer regex
+    ('1.5g', 'auto') must not raise out of the metadata helpers at
+    query-build time — it falls back to the caller's documented
+    default."""
+    from realtime_change_data_capture_streaming_spark.plans.introspect import _parse_bytes_conf
+
+    assert _parse_bytes_conf("128m", 7) == 128 * 1024 * 1024
+    assert _parse_bytes_conf("64b", 7) == 64
+    assert _parse_bytes_conf("1.5g", 7) == 7
+    assert _parse_bytes_conf("auto", 7) == 7
+    assert _parse_bytes_conf("", 7) == 7
