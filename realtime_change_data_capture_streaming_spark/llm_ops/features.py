@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from realtime_change_data_capture_streaming_spark.llm_ops.curation import _bucket_sql, hash_bucket
 from realtime_change_data_capture_streaming_spark.llm_ops.text import tokens
+from realtime_change_data_capture_streaming_spark.operators._util import spread
 from realtime_change_data_capture_streaming_spark.sources.tables import load_table
 
 # ------------------------------------------------------- target encoding
@@ -97,8 +98,14 @@ def feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One tokenize pass + one hash aggregate on the bucket id — the
     vocabulary never materializes, which is the point of the trick at
-    100 TB: feature width is fixed regardless of corpus growth."""
-    d = load_table(spark, sf_dir, "documents")
+    100 TB: feature width is fixed regardless of corpus growth.
+
+    spread() parallelizes the tokenize+explode locally (the fixture is a
+    single small file, so the scan stage — where the regex work runs —
+    was serial at ANY core count, the r16 inverse-scaling reading; ~25%
+    wall clock in 4/4 alternated A/B passes).  On a wide scan the
+    r16 gate skips it, so at scale this adds nothing."""
+    d = spread(load_table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     return (
         toks.withColumn("bucket", hash_bucket(F.col("tok"), N_HASH_BUCKETS))

@@ -419,9 +419,18 @@ def gapfill_locf_rollup(ev: DataFrame) -> DataFrame:
     the exact production plan (see tests/test_gapfill_property.py)."""
     cents = (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
     slot = F.date_trunc("hour", F.col("ts"))
+    # keyed repartition WITHOUT a pinned count: REPARTITION_BY_NUM blocks
+    # AQE partition coalescing, so the old defaultParallelism constant
+    # forced 32 near-empty partitions on a 2 MB local input (the r16
+    # 8-vs-32 inverse-scaling reading) while being nothing but a local
+    # tuning at cluster scale.  The column form plans the same single
+    # exchange (hash on user_id, satisfying the slot agg, the lead
+    # window, and the roll-up below) at shuffle.partitions width and
+    # lets AQE coalesce it to the data's actual size — the
+    # scale-adaptive shape, governed by conf in production.
     base = ev.select(
         "user_id", slot.alias("slot"), cents.alias("cents"), "ts", "event_id"
-    ).repartition(ev.sparkSession.sparkContext.defaultParallelism, "user_id")
+    ).repartition("user_id")
     obs = base.groupBy("user_id", "slot").agg(
         F.max_by("cents", F.struct("ts", "event_id")).alias("cents")
     )
