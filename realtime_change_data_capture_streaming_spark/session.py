@@ -25,6 +25,17 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
 
+#: compression codecs, env-parameterised (guide §2.3/§6).  Local defaults
+#: keep Spark's own defaults (lz4 shuffle / snappy parquet): the r17
+#: alternated-worktree A/B measured zstd at geomean 0.967 vs lz4 on the
+#: local bench (CPU-bound, shuffles of a few MB — compression CPU is
+#: pure overhead here), a documented "no" per the measurement protocol.
+#: At 100 TB, shuffles are network/disk-bound and zstd's ~1.3-1.5x ratio
+#: win is the right trade: production sets SPARK_GRAFT_IO_CODEC=zstd and
+#: SPARK_GRAFT_PARQUET_CODEC=zstd.
+IO_CODEC = os.environ.get("SPARK_GRAFT_IO_CODEC")
+PARQUET_CODEC = os.environ.get("SPARK_GRAFT_PARQUET_CODEC")
+
 _SCRATCH_DIRS: list[str] = []
 
 
@@ -91,6 +102,10 @@ def get_spark(
         # type for; read as long and convert in the loader (tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if IO_CODEC:
+        builder = builder.config("spark.io.compression.codec", IO_CODEC)
+    if PARQUET_CODEC:
+        builder = builder.config("spark.sql.parquet.compression.codec", PARQUET_CODEC)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
